@@ -1,0 +1,29 @@
+"""aws_cli_data_pipeline_tools_spark — a PySpark-native analytics engine.
+
+A brand-new engine with the query and data-processing capabilities of the
+reference ``nijigen-plot/aws-cli-data-pipeline-tools`` (a thin bash client over
+AWS Athena: SQL pass-through, an 8-statistic table profiler/differ, schema and
+workgroup introspection, external-function invocation), re-expressed Spark-first:
+``SparkSession.sql`` + the DataFrame API replace the remote Trino engine, and
+the reference's generated SQL programs become first-class DataFrame operators.
+
+Beyond reference parity, the engine ships large-scale training-data-pipeline
+operators (dedup, similarity search, text analysis, multimodal columns) and a
+Structured Streaming slice.
+
+Public surface::
+
+    from aws_cli_data_pipeline_tools_spark import Engine
+    eng = Engine.local()
+    run = eng.sql("SELECT 1 AS x")          # reference `query` command
+    prof = eng.profile(df)                   # reference `vimdiff` profiler
+    diff = eng.profile_diff(df1, df2)        # reference `vimdiff` differ
+"""
+
+from __future__ import annotations
+
+from .engine import Engine
+from .session import get_spark, stop_spark
+
+__all__ = ["Engine", "get_spark", "stop_spark"]
+__version__ = "0.1.0"

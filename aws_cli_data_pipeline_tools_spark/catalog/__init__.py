@@ -1,0 +1,53 @@
+"""Named query catalog — the single registry behind the driver contract.
+
+Every implemented operator from SURVEY.md §2 (and the north-star extensions)
+registers a :class:`QuerySpec` here: a Spark callable ``(spark, sf_dir) →
+DataFrame`` plus, when SQL-expressible, an equivalent DuckDB oracle SQL
+string. ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views over
+this registry.
+
+Column-name discipline: every computed/aggregate column is aliased to the
+same name in the Spark plan and the oracle SQL (the driver sorts columns by
+name before hashing values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None → driver does rows-only check
+    tags: tuple[str, ...] = ()
+    notes: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    tags: tuple[str, ...] = (),
+    notes: str = "",
+) -> Callable:
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name, fn, oracle, tags, notes)
+        return fn
+
+    return deco
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    # Import registrars for their side effects, once.
+    from . import core, relational, llmops, streaming_batch  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,129 @@
+"""Core reference-parity queries: profiler family + introspection.
+
+These are the operators the reference itself implements (SURVEY.md §2.A):
+the 8-statistic profiler (A8-A21), the profile differ (A22), and the
+information_schema / workgroup introspection (A7/A27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import introspect, oracles, profiler
+from ..sources import load_table
+from . import register
+
+LINEITEM_NUM = [
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_linenumber",
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
+]
+ORDERS_NUM = ["o_orderkey", "o_custkey", "o_totalprice"]
+
+
+@register(
+    "profile_lineitem",
+    oracle=oracles.profile_sql("lineitem", LINEITEM_NUM),
+    tags=("profiler", "flagship"),
+    notes="Reference vimdiff profiler (aws-athena.sh:64-125), exact-median "
+    "oracle-safe variant; single-scan agg plan.",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile(
+        load_table(spark, "lineitem", sf_dir), median_mode="exact", oracle_safe=True
+    )
+
+
+@register(
+    "profile_orders",
+    oracle=oracles.profile_sql("orders", ORDERS_NUM),
+    tags=("profiler",),
+)
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile(
+        load_table(spark, "orders", sf_dir), median_mode="exact", oracle_safe=True
+    )
+
+
+@register(
+    "profile_long_customer",
+    oracle="""
+WITH p AS ({})
+SELECT column_name, agg_type, result FROM (
+  SELECT 'c_custkey' AS column_name, agg_type, "c_custkey" AS result FROM p
+  UNION ALL
+  SELECT 'c_nationkey', agg_type, "c_nationkey" FROM p
+  UNION ALL
+  SELECT 'c_acctbal', agg_type, "c_acctbal" FROM p
+) ORDER BY column_name, agg_type
+""".format(oracles.profile_sql("customer", ["c_custkey", "c_nationkey", "c_acctbal"])),
+    tags=("profiler",),
+    notes="Long (column_name, agg_type, result) shape — the reference's "
+    "pre-pivot intermediate (aws-athena.sh:73-110).",
+)
+def profile_long_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile_long(
+        load_table(spark, "customer", sf_dir), median_mode="exact", oracle_safe=True
+    )
+
+
+@register(
+    "profile_diff_lineitem_orders",
+    oracle=oracles.profile_diff_sql("lineitem", LINEITEM_NUM, "orders", ORDERS_NUM),
+    tags=("profiler", "diff"),
+    notes="Reference vimdiff comparator (aws-athena.sh:161-198) as a "
+    "structured full-outer join; disjoint numeric columns → all-unequal.",
+)
+def profile_diff_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile_diff(
+        load_table(spark, "lineitem", sf_dir),
+        load_table(spark, "orders", sf_dir),
+        median_mode="exact",
+        oracle_safe=True,
+    )
+
+
+@register(
+    "profile_diff_self",
+    oracle=oracles.profile_diff_sql("lineitem", LINEITEM_NUM, "lineitem", LINEITEM_NUM),
+    tags=("profiler", "diff"),
+    notes="lineitem vs itself — all *_equal columns true (SURVEY.md §5 fixture).",
+)
+def profile_diff_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return profiler.profile_diff(li, li, median_mode="exact", oracle_safe=True)
+
+
+# Spark simpleString → information_schema-ish type names (DuckDB lowercase),
+# so the synthesized catalog view is oracle-comparable.
+_TYPE_MAP = {"string": "varchar", "int": "integer", "timestamp_ntz": "timestamp"}
+
+
+@register(
+    "information_schema_lineitem",
+    oracle="""
+SELECT table_name, column_name, CAST(ordinal_position AS INT) AS ordinal_position,
+       lower(data_type) AS data_type
+FROM information_schema.columns
+WHERE table_name = 'lineitem'
+ORDER BY ordinal_position
+""",
+    tags=("introspection",),
+    notes="Schema introspection (aws-athena.sh:175-176) — synthesized "
+    "information_schema.columns, same equality-predicate filter.",
+)
+def information_schema_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("lineitem")
+    df = introspect.information_schema_columns(spark, table="lineitem")
+    dt = F.col("data_type")
+    for k, v in _TYPE_MAP.items():
+        dt = F.when(F.col("data_type") == k, v).otherwise(dt)
+    return df.select(
+        "table_name", "column_name", "ordinal_position", dt.alias("data_type")
+    ).orderBy("ordinal_position")

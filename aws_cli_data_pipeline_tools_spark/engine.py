@@ -1,0 +1,59 @@
+"""Engine facade — ties session, runner, profiler, introspection, registry.
+
+One object with the reference's whole operational surface (SURVEY.md §2.A):
+``sql``/``sql_file`` (A1-A4), ``render``/``to_tsv`` (A5/A6), ``profile``/
+``profile_diff`` (A8-A22), ``information_schema_columns`` (A7), ``workgroups``
+(A27), ``functions`` (A25/A26) — all executing on Spark instead of a remote
+Athena/Trino cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import introspect, profiler, render, runner
+from .registry import FunctionRegistry
+from .session import get_spark
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.functions = FunctionRegistry(spark)
+
+    @classmethod
+    def local(cls, **kwargs) -> "Engine":
+        return cls(get_spark(**kwargs))
+
+    # -- SQL execution (reference `query` / `file`) --------------------------
+    def sql(self, query: str) -> runner.QueryRun:
+        return runner.sql(self.spark, query)
+
+    def sql_file(self, path) -> runner.QueryRun:
+        return runner.sql_file(self.spark, path)
+
+    # -- rendering ------------------------------------------------------------
+    def to_tsv(self, df: DataFrame, max_rows: int = render.DEFAULT_MAX_ROWS) -> str:
+        return render.to_tsv(df, max_rows)
+
+    def render(self, df: DataFrame, max_rows: int = render.DEFAULT_MAX_ROWS) -> str:
+        return render.render_aligned(df, max_rows)
+
+    # -- profiler (reference `vimdiff`) ---------------------------------------
+    def profile(self, df: DataFrame, median_mode: str = "approx") -> DataFrame:
+        return profiler.profile(df, median_mode)
+
+    def profile_long(self, df: DataFrame, median_mode: str = "approx") -> DataFrame:
+        return profiler.profile_long(df, median_mode)
+
+    def profile_diff(
+        self, base: DataFrame, target: DataFrame, median_mode: str = "approx"
+    ) -> DataFrame:
+        return profiler.profile_diff(base, target, median_mode)
+
+    # -- introspection ---------------------------------------------------------
+    def information_schema_columns(self, table: str | None = None) -> DataFrame:
+        return introspect.information_schema_columns(self.spark, table=table)
+
+    def workgroups(self) -> DataFrame:
+        return introspect.list_workgroups(self.spark)

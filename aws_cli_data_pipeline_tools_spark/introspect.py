@@ -1,0 +1,96 @@
+"""Catalog + config introspection.
+
+Reference behaviors covered:
+- ``information_schema.columns`` query with 3-part-name equality predicates
+  (``aws-athena.sh:175-176``): here a synthesized DataFrame in the same column
+  layout (positional fields 1-8 consumed by the reference's awk:
+  table_catalog, table_schema, table_name, column_name, ordinal_position,
+  column_default, is_nullable, data_type).
+- Workgroup listing: name/state/output-location/encryption with a default for
+  missing config (``aws-athena-workgroup.sh:19-55``, jq ``// "未設定"`` coalesce
+  at :43,46) — here the profile registry rendered as a DataFrame, coalesce via
+  ``F.coalesce(c, lit(default))``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import session as _session
+
+_COLUMNS_SCHEMA = T.StructType(
+    [
+        T.StructField("table_catalog", T.StringType(), False),
+        T.StructField("table_schema", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("ordinal_position", T.IntegerType(), False),
+        T.StructField("column_default", T.StringType(), True),
+        T.StructField("is_nullable", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+    ]
+)
+
+#: The default printed by the reference for unset workgroup config
+#: (aws-athena-workgroup.sh:43,46).
+UNSET = "未設定"
+
+
+def information_schema_columns(
+    spark: SparkSession,
+    catalog: str = "spark_catalog",
+    schema: str = "default",
+    table: str | None = None,
+) -> DataFrame:
+    """Synthesized ``information_schema.columns`` over the session's temp views
+    (+ catalog tables), filterable exactly like the reference's
+    ``WHERE table_catalog=… AND table_schema=… AND table_name=…``.
+
+    Metadata-only (reads schemas, not data). ``data_type`` uses Spark
+    ``simpleString`` names (``bigint``/``double``/…), which satisfy the same
+    numeric regex the reference applies (aws-athena.sh:68).
+    """
+    rows = []
+    names = [t.name for t in spark.catalog.listTables()]
+    for name in names:
+        if table is not None and name != table:
+            continue
+        df = spark.table(name)
+        for i, f_ in enumerate(df.schema.fields, start=1):
+            rows.append(
+                (
+                    catalog,
+                    schema,
+                    name,
+                    f_.name,
+                    i,
+                    None,
+                    "YES" if f_.nullable else "NO",
+                    f_.dataType.simpleString(),
+                )
+            )
+    return spark.createDataFrame(rows, _COLUMNS_SCHEMA)
+
+
+def list_workgroups(spark: SparkSession) -> DataFrame:
+    """Profile registry as a DataFrame — (name, state, output_location,
+    encryption), missing values coalesced to the reference's default string.
+
+    One in-process scan of the registry vs the reference's N+1 remote calls
+    (aws-athena-workgroup.sh:20,32-34).
+    """
+    rows = [
+        (name, p.get("state"), p.get("output_location"), p.get("encryption"))
+        for name, p in _session.PROFILES.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, state string, output_location string, encryption string"
+    )
+    return df.select(
+        "name",
+        F.coalesce("state", F.lit(UNSET)).alias("state"),
+        F.coalesce("output_location", F.lit(UNSET)).alias("output_location"),
+        F.coalesce("encryption", F.lit(UNSET)).alias("encryption"),
+    ).orderBy("name")

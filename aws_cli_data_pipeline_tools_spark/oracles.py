@@ -1,0 +1,79 @@
+"""DuckDB-oracle SQL generators.
+
+The driver verifies every registered query against an ANSI-SQL equivalent run
+by DuckDB on the same parquet tables (``__spark_entry__.py``). For generated
+operators (the profiler family) the oracle SQL is generated here from the same
+stat list as the Spark plan, with the same determinism discipline:
+decimal(38,10) sums for moments, explicit double formulas, round(x, 5) — see
+``profiler.py`` module docs.
+"""
+
+from __future__ import annotations
+
+from .profiler import AGG_LABELS
+
+
+def _stat_sql(c: str, label: str) -> str:
+    """DuckDB expression for one (column, stat) — mirrors profiler._stat_exprs
+    with oracle_safe=True and exact median."""
+    q = f'"{c}"'
+    n = f"CAST(count({q}) AS DOUBLE)"
+    s1 = f"CAST(sum(CAST({q} AS DECIMAL(38,10))) AS DOUBLE)"
+    s2 = f"CAST(sum(CAST(CAST({q} AS DOUBLE) * CAST({q} AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)"
+    exprs = {
+        "1. count": n,
+        "2. count_distinct": f"CAST(count(DISTINCT {q}) AS DOUBLE)",
+        "3. mean": f"round({s1} / {n}, 5)",
+        "4. std": f"round(sqrt(({s2} - {s1} * {s1} / {n}) / nullif({n} - 1.0, 0.0)), 5)",
+        "5. min": f"round(CAST(min({q}) AS DOUBLE), 5)",
+        "6. median": f"round(CAST(median({q}) AS DOUBLE), 5)",
+        "7. max": f"round(CAST(max({q}) AS DOUBLE), 5)",
+        "8. sum": f"round({s1}, 5)",
+    }
+    return exprs[label]
+
+
+def profile_sql(table: str, numeric_cols: list[str]) -> str:
+    """Wide profile (agg_type × columns) as one DuckDB statement.
+
+    Shape matches the reference's generated SQL (aws-athena.sh:73-122) —
+    8 one-row SELECTs chained by UNION ALL, ordered by agg_type — but with
+    one row per *stat* instead of per (column, stat): each branch carries all
+    columns' expressions, so DuckDB also scans once per branch, and output
+    columns align with profiler.profile().
+    """
+    branches = []
+    for label in AGG_LABELS:
+        cols_sql = ",\n    ".join(
+            f'{_stat_sql(c, label)} AS "{c}"' for c in numeric_cols
+        )
+        branches.append(f"SELECT '{label}' AS agg_type,\n    {cols_sql}\nFROM {table}")
+    body = "\nUNION ALL\n".join(branches)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY agg_type"
+
+
+def profile_diff_sql(
+    base_table: str,
+    base_cols: list[str],
+    target_table: str,
+    target_cols: list[str],
+) -> str:
+    """profile_diff as one DuckDB statement: full-outer join of two profiles
+    on agg_type + per-column base/target/null-safe-equal columns."""
+    all_cols = sorted(set(base_cols) | set(target_cols))
+    sel = ["coalesce(b.agg_type, t.agg_type) AS agg_type"]
+    for c in all_cols:
+        bexpr = f'b."{c}"' if c in base_cols else "CAST(NULL AS DOUBLE)"
+        texpr = f't."{c}"' if c in target_cols else "CAST(NULL AS DOUBLE)"
+        sel.append(f'{bexpr} AS "{c}_base"')
+        sel.append(f'{texpr} AS "{c}_target"')
+        sel.append(f'({bexpr} IS NOT DISTINCT FROM {texpr}) AS "{c}_equal"')
+    return (
+        "WITH b AS (\n"
+        + profile_sql(base_table, base_cols)
+        + "\n), t AS (\n"
+        + profile_sql(target_table, target_cols)
+        + "\n)\nSELECT\n  "
+        + ",\n  ".join(sel)
+        + "\nFROM b FULL OUTER JOIN t ON b.agg_type = t.agg_type\nORDER BY agg_type"
+    )

@@ -1,0 +1,85 @@
+"""External-function registry — the reference's Lambda wrapper, in-process.
+
+The reference lists Lambda functions (``aws-lambda.sh:38-40``) and invokes one
+with a validated JSON payload (``aws-lambda.sh:24-54``: ``jq empty`` validation
+at :31, compaction at :45, unbounded read timeout at :46, pretty-printed JSON
+response at :51). The contract — functions addressed by name, JSON in, JSON
+out — maps to a registry of Python callables that are *also* registered as
+Spark UDFs so the same function runs columnwise inside a pipeline.
+
+No network calls: the engine core is self-contained. Vectorized pipeline use
+goes through a pandas UDF (Arrow-batched), matching the guidance that
+row-at-a-time Python UDFs are the slow path.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class PayloadError(ValueError):
+    """Invalid JSON payload — the reference's `jq empty` gate (aws-lambda.sh:31)."""
+
+
+@dataclass
+class _Entry:
+    name: str
+    fn: Callable[[dict], dict]
+    description: str = ""
+
+
+class FunctionRegistry:
+    """Named JSON→JSON functions, invocable directly or as Spark UDFs."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._fns: dict[str, _Entry] = {}
+
+    def register(
+        self, name: str, fn: Callable[[dict], dict], description: str = ""
+    ) -> None:
+        """Register a dict→dict function; also exposed to SQL as a string→string
+        UDF ``<name>`` (json text in/out) for pipeline use."""
+        self._fns[name] = _Entry(name, fn, description)
+
+        def _udf_impl(payload_json: str) -> str:
+            payload = json.loads(payload_json) if payload_json else {}
+            return json.dumps(fn(payload), sort_keys=True)
+
+        self._spark.udf.register(name, _udf_impl, "string")
+
+    def list(self) -> list[str]:
+        """Function names, sorted — aws-lambda.sh:38-40."""
+        return sorted(self._fns)
+
+    def list_df(self) -> DataFrame:
+        rows = [(e.name, e.description) for e in self._fns.values()]
+        return self._spark.createDataFrame(
+            rows or [("", "")], "name string, description string"
+        ).filter(F.col("name") != "").orderBy("name")
+
+    def invoke(self, name: str, payload: str | dict) -> dict:
+        """Single invocation (aws-lambda.sh:24-54). String payloads are
+        validated as JSON first (PayloadError ≙ the jq-empty failure path);
+        evaluation is driver-side — no job needed for one call."""
+        if name not in self._fns:
+            raise KeyError(f"function not found: {name}")
+        if isinstance(payload, str):
+            try:
+                payload = json.loads(payload)
+            except json.JSONDecodeError as exc:
+                raise PayloadError(f"invalid JSON payload: {exc}") from exc
+        return self._fns[name].fn(payload)
+
+    def apply(self, df: DataFrame, name: str, payload_col: str, out_col: str) -> DataFrame:
+        """Columnwise application through the registered UDF — the pipeline
+        analog of invoke (one executor-side call per row, Arrow-batched by
+        Spark's Python runner)."""
+        if name not in self._fns:
+            raise KeyError(f"function not found: {name}")
+        return df.withColumn(out_col, F.call_udf(name, F.col(payload_col)))

@@ -1,0 +1,64 @@
+"""Result rendering — TSV + column-aligned text.
+
+The reference projects Athena's JSON ResultSet to TSV (header from
+``ColumnInfo[].Label``, cells from ``VarCharValue``, NULL → empty field;
+``aws-athena.sh:45-48``) and aligns it with ``column -s $'\\t' -t``
+(``aws-athena.sh:141,156,194-195``).
+
+Known reference limitation NOT replicated: it fetches a single API page
+(≤1000 rows, ``aws-athena.sh:44``) and silently truncates. Here truncation is
+explicit: ``max_rows`` + a trailing notice. Rendering collects to the driver
+by design — it is the terminal human-facing boundary, never a pipeline stage;
+values stay numeric/typed until this point (SURVEY.md §7 rounding note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+DEFAULT_MAX_ROWS = 1000
+
+
+def _cell(v: object) -> str:
+    """Athena's VarCharValue projection: NULL → empty string, everything
+    else → its string form (booleans lowercase like SQL engines print)."""
+    if v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _fetch(df: DataFrame, max_rows: int) -> tuple[list[list[str]], bool]:
+    rows = df.take(max_rows + 1)
+    truncated = len(rows) > max_rows
+    data = [[_cell(v) for v in row] for row in rows[:max_rows]]
+    return data, truncated
+
+
+def to_tsv(df: DataFrame, max_rows: int = DEFAULT_MAX_ROWS) -> str:
+    """TSV: header line of column names + one line per row (aws-athena.sh:45-48)."""
+    data, truncated = _fetch(df, max_rows)
+    lines = ["\t".join(df.columns)]
+    lines += ["\t".join(r) for r in data]
+    if truncated:
+        lines.append(f"-- truncated at {max_rows} rows --")
+    return "\n".join(lines) + "\n"
+
+
+def render_aligned(df: DataFrame, max_rows: int = DEFAULT_MAX_ROWS) -> str:
+    """Fixed-width alignment — `column -s $'\\t' -t` parity
+    (aws-athena.sh:141): each column padded to its max cell width,
+    two spaces between columns, trailing whitespace stripped."""
+    data, truncated = _fetch(df, max_rows)
+    table = [list(df.columns)] + data
+    widths = [max(len(r[i]) for r in table) for i in range(len(df.columns))]
+    lines = [
+        "  ".join(cell.ljust(w) for cell, w in zip(r, widths)).rstrip()
+        for r in table
+    ]
+    if truncated:
+        lines.append(f"-- truncated at {max_rows} rows --")
+    return "\n".join(lines) + "\n"

@@ -1,0 +1,84 @@
+"""SQL execution runner — the reference's ``query`` / ``file`` commands.
+
+The reference submits SQL text to Athena, polls a state machine
+{SUCCEEDED, FAILED, CANCELLED, running} every 1 s, then fetches one page of
+results (``aws-athena.sh:22-61,134-158``). Spark actions are synchronous, so
+the submit/poll/fetch trichotomy collapses into one ``spark.sql`` call; the
+state machine survives as the :class:`QueryRun` result object so callers get
+the same observable surface (state, error reason, wall time) without the 1 s
+poll-granularity floor.
+
+Parse/analysis errors (the reference's ``InvalidRequestException`` grep at
+``aws-athena.sh:29-32``) surface synchronously as a FAILED run with the
+exception message as ``state_change_reason``.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUCCEEDED = "SUCCEEDED"
+FAILED = "FAILED"
+CANCELLED = "CANCELLED"
+
+
+@dataclass
+class QueryRun:
+    """Execution handle — the reference's (QueryExecutionId, State,
+    StateChangeReason) triple (aws-athena.sh:35-36,52)."""
+
+    query_execution_id: str
+    state: str
+    sql: str
+    df: DataFrame | None = None
+    state_change_reason: str | None = None
+    wall_seconds: float = 0.0
+    extra: dict = field(default_factory=dict)
+
+    def require_succeeded(self) -> DataFrame:
+        if self.state != SUCCEEDED or self.df is None:
+            raise RuntimeError(
+                f"query {self.query_execution_id} {self.state}: "
+                f"{self.state_change_reason}"
+            )
+        return self.df
+
+
+def sql(spark: SparkSession, query: str) -> QueryRun:
+    """Execute a SQL string (reference ``query`` command, aws-athena.sh:134-143).
+
+    Planning happens eagerly (Catalyst parse/analyze), so bad SQL fails here —
+    the A4 fail-fast gate. Execution is deferred to the caller's action; the
+    recorded wall time covers planning only, and callers timing full execution
+    should time their action.
+    """
+    qid = uuid.uuid4().hex
+    t0 = time.perf_counter()
+    try:
+        df = spark.sql(query)
+    except Exception as exc:  # parse/analysis error → FAILED run, reason kept
+        return QueryRun(
+            query_execution_id=qid,
+            state=FAILED,
+            sql=query,
+            state_change_reason=f"{type(exc).__name__}: {exc}",
+            wall_seconds=time.perf_counter() - t0,
+        )
+    return QueryRun(
+        query_execution_id=qid,
+        state=SUCCEEDED,
+        sql=query,
+        df=df,
+        wall_seconds=time.perf_counter() - t0,
+    )
+
+
+def sql_file(spark: SparkSession, path: str | Path) -> QueryRun:
+    """Execute SQL read from a file (reference ``file`` command,
+    aws-athena.sh:146-158 — `cat` at :153)."""
+    return sql(spark, Path(path).read_text())

@@ -1,0 +1,93 @@
+"""SparkSession factory + named config profiles (reference "workgroup" analog).
+
+The reference selects an execution environment by workgroup name via the
+``ATHENA_WORKGROUP`` env var (``aws-athena.sh:8``) and introspects workgroup
+config (``aws-athena-workgroup.sh:19-55``). Here a *profile* is a named dict of
+Spark conf settings + an output location; the active profile is chosen by the
+``SPARKGRAFT_PROFILE`` env var (default ``primary``).
+
+Scale posture: the defaults below are for the local[32] test harness; on a real
+cluster the same profiles carry executor-count-appropriate shuffle partitions.
+AQE is always on so the runtime re-plans joins/partitions from actual stats.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+# Named config profiles == the reference's Athena workgroups
+# (aws-athena-workgroup.sh:19-55: name, state, output location, encryption).
+PROFILES: dict[str, dict[str, Any]] = {
+    "primary": {
+        "state": "ENABLED",
+        "output_location": os.path.join(tempfile.gettempdir(), "sparkgraft-results"),
+        "encryption": None,  # reference prints a default for missing encryption
+        "conf": {
+            "spark.sql.shuffle.partitions": "32",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+        },
+    },
+    # A bulk profile sized for large scans (wider shuffle fan-out).
+    "bulk": {
+        "state": "ENABLED",
+        "output_location": os.path.join(tempfile.gettempdir(), "sparkgraft-bulk"),
+        "encryption": None,
+        "conf": {
+            "spark.sql.shuffle.partitions": "256",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+        },
+    },
+}
+
+DEFAULT_PROFILE_ENV = "SPARKGRAFT_PROFILE"
+
+
+def active_profile_name() -> str:
+    """Reference: WORKGROUP="${ATHENA_WORKGROUP:-primary}" (aws-athena.sh:8)."""
+    return os.environ.get(DEFAULT_PROFILE_ENV, "primary")
+
+
+def get_spark(
+    app_name: str = "aws_cli_data_pipeline_tools_spark",
+    master: str | None = None,
+    profile: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession configured from a named profile.
+
+    ANSI mode is pinned ON (Spark 4 default) and documented: division by zero /
+    bad casts raise, matching DuckDB-oracle strictness; engine code uses
+    ``try_divide``/``nullif`` where NULL-on-error semantics are wanted.
+    """
+    prof = PROFILES[profile or active_profile_name()]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARKGRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in prof["conf"].items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

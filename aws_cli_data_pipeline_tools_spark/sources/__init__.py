@@ -1,0 +1,66 @@
+"""Data sources: parquet-backed tables + generic readers/writers.
+
+The reference reads from Glue/Hive catalog tables on S3 (parquet/ORC/CSV/JSON/
+Avro behind Athena) and writes via CTAS/UNLOAD to the workgroup's output
+location (SURVEY.md §2.B scans/sinks). Here sources are Spark readers over
+local parquet fixtures plus format-generic read/write helpers; at cluster
+scale the same calls read s3a:// paths unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+#: Fixture table names (TESTDATA.md) — TPC-H-ish star schema + extensions.
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+#: Small dimension tables — always broadcast-join these against facts.
+DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Read one fixture table. Columnar parquet scan — Catalyst pushes
+    filters/projection into the scan (check .explain for PushedFilters)."""
+    d = sf_dir or DEFAULT_SF_DIR
+    return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None, tables: list[str] | None = None) -> None:
+    """Register every fixture table as a temp view so ``spark.sql`` queries
+    name them directly (the engine-side analog of Athena's Glue catalog)."""
+    for name in tables or TABLES:
+        load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def reader(spark: SparkSession, fmt: str) -> DataFrameReader:
+    """Format-generic reader covering the reference's source formats
+    (parquet, orc, csv, json, avro — SURVEY.md §2.B)."""
+    return spark.read.format(fmt)
+
+
+def write(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite",
+          partition_by: list[str] | None = None) -> None:
+    """Sink: the reference's CTAS/INSERT/UNLOAD analog (SURVEY.md §2.B).
+
+    ``partition_by`` gives hive-style partition layout so downstream reads
+    get partition pruning — the scale-path default for time/tenant keys.
+    """
+    w = df.write.format(fmt).mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

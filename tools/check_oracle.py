@@ -1,0 +1,110 @@
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
+the given sf dir, then compares row count, column names, and values — with
+the strictest plausible discipline (exact match on canonicalized values after
+sorting columns by name and rows by full content), so anything passing here
+passes any order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+
+def canon(v) -> str:
+    if v is None:
+        return "␀"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return str(v)
+
+
+def frame_to_canon(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[tuple[str, ...]]]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted_cols, data
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import TABLES
+
+    spark = get_spark(app_name="oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_rows = [tuple(r) for r in sdf.collect()]
+            s_cols = list(sdf.columns)
+        except Exception:
+            failures.append((name, "SPARK ERROR\n" + traceback.format_exc()))
+            continue
+        spark_secs = time.perf_counter() - t0
+        if name not in oracles:
+            rows_only += 1
+            print(f"  [rows-only] {name}: {len(s_rows)} rows  ({spark_secs:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_rows = [tuple(r) for r in rel.fetchall()]
+        except Exception:
+            failures.append((name, "DUCKDB ERROR\n" + traceback.format_exc()))
+            continue
+
+        sc, sd = frame_to_canon(s_cols, s_rows)
+        dc, dd = frame_to_canon(d_cols, d_rows)
+        if sc != dc:
+            failures.append((name, f"COLUMNS differ:\n  spark={sc}\n  duck ={dc}"))
+            continue
+        if len(sd) != len(dd):
+            failures.append((name, f"ROW COUNT differs: spark={len(sd)} duck={len(dd)}"))
+            continue
+        if sd != dd:
+            diffs = [(a, b) for a, b in zip(sd, dd) if a != b]
+            msg = f"VALUES differ in {len(diffs)}/{len(sd)} rows; first 3:\n"
+            for a, b in diffs[:3]:
+                msg += f"  spark={a}\n  duck ={b}\n"
+            failures.append((name, msg))
+            continue
+        passed += 1
+        print(f"  [exact-ok]  {name}: {len(sd)} rows  ({spark_secs:.1f}s)")
+
+    print(f"\n{passed} exact-match, {rows_only} rows-only, {len(failures)} failed")
+    for name, msg in failures:
+        print(f"\n=== FAIL {name} ===\n{msg}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
