@@ -46,6 +46,36 @@ def register(
     return deco
 
 
+def register_sql(
+    name: str,
+    sql: str | None = None,
+    spark_sql: str | None = None,
+    duck_sql: str | None = None,
+    tags: tuple[str, ...] = (),
+    notes: str = "",
+) -> None:
+    """Register a SQL-defined query (reference Layer B pass-through surface,
+    delegated at aws-athena.sh:27 → here ``spark.sql`` over temp views).
+
+    ``sql`` is used for both engines when the dialects agree; otherwise pass
+    ``spark_sql`` + ``duck_sql``. Views for all fixture tables are registered
+    before execution (the engine-side analog of Athena's Glue catalog).
+    """
+    s_sql = spark_sql or sql
+    d_sql = duck_sql or sql
+    assert s_sql is not None
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources import register_views
+
+        register_views(spark, sf_dir)
+        return spark.sql(s_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = notes or f"SQL pass-through query {name}"
+    REGISTRY[name] = QuerySpec(name, fn, d_sql, tags, notes)
+
+
 def all_specs() -> dict[str, QuerySpec]:
     # Import registrars for their side effects, once.
     from . import core, relational, llmops, streaming_batch  # noqa: F401

@@ -1,1 +1,544 @@
-"""(filled in incrementally)"""
+"""Layer B — the pass-through SQL surface (SURVEY.md §2.B).
+
+The reference forwards arbitrary Trino SQL to Athena (aws-athena.sh:27,
+140,153-155); equal capability means the standard SQL operator set through
+``spark.sql()``. One named, oracle-checked query per category: scans,
+projections/filters, every join type, aggregation (incl. DISTINCT,
+percentiles, CUBE/ROLLUP/GROUPING SETS, HAVING), window functions with
+frames, sort/limit/top-k, set ops, string/date/math/array/map/JSON scalar
+functions, scalar + correlated subqueries, CASE/COALESCE/CAST.
+
+Determinism discipline for oracle equality (see profiler.py docs): every SUM
+or AVG over doubles goes through an exact DECIMAL(38,10) sum, so Spark's
+partitioned aggregation and DuckDB's sequential one produce bit-identical
+doubles. LIMIT queries always carry a unique tie-break key in ORDER BY.
+"""
+
+from __future__ import annotations
+
+from . import register_sql
+
+
+def dsum(x: str) -> str:
+    """Order-independent exact sum of a double expression → double."""
+    # round(…, 5): DuckDB's decimal→double cast can differ from Spark's by
+    # one ulp at ~1e8 magnitude (two-step hugeint/1e10 vs correctly-rounded
+    # BigDecimal); rounding restores bit equality with huge margin.
+    return f"round(CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE), 5)"
+
+
+def davg(x: str) -> str:
+    """Deterministic mean: exact decimal sum / count (both engines do the
+    same single IEEE division)."""
+    return f"CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE) / count({x})"
+
+
+# --- scan / filter / project -------------------------------------------------
+
+register_sql(
+    "scan_filter_project",
+    sql=f"""
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity IN (1, 5, 10, 25, 50)
+""",
+    tags=("scan", "filter"),
+    notes="Predicate surface: range + BETWEEN + IN, pushed to the parquet scan.",
+)
+
+register_sql(
+    "filter_like_null",
+    sql="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE '%a%' AND p_type NOT LIKE 'S%' AND p_brand IS NOT NULL
+""",
+    tags=("filter",),
+)
+
+# --- aggregation -------------------------------------------------------------
+
+register_sql(
+    "pricing_summary",
+    sql=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')}                                   AS sum_qty,
+       {dsum('l_extendedprice')}                              AS sum_base_price,
+       {dsum('l_extendedprice * (1 - l_discount)')}           AS sum_disc_price,
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       round({davg('l_quantity')}, 5)                         AS avg_qty,
+       round({davg('l_extendedprice')}, 5)                    AS avg_price,
+       round({davg('l_discount')}, 5)                         AS avg_disc,
+       count(*)                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    tags=("agg", "flagship"),
+    notes="TPC-H Q1-shaped pricing summary — map-side partial agg + 6-group final.",
+)
+
+register_sql(
+    "agg_count_distinct",
+    sql="""
+SELECT c_mktsegment,
+       count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    tags=("agg",),
+)
+
+register_sql(
+    "agg_having",
+    sql=f"""
+SELECT o_custkey, count(*) AS n_orders, {dsum('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) > 8
+ORDER BY o_custkey
+""",
+    tags=("agg",),
+)
+
+register_sql(
+    "agg_percentiles",
+    spark_sql="""
+SELECT l_returnflag,
+       round(percentile(l_quantity, 0.25), 5) AS q25,
+       round(percentile(l_quantity, 0.5), 5)  AS q50,
+       round(percentile(l_quantity, 0.75), 5) AS q75,
+       round(median(l_quantity), 5)           AS med
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    duck_sql="""
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 5) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 5)  AS q50,
+       round(quantile_cont(l_quantity, 0.75), 5) AS q75,
+       round(median(l_quantity), 5)              AS med
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+    notes="Exact interpolated percentiles (Spark percentile ≙ DuckDB quantile_cont).",
+)
+
+register_sql(
+    "agg_cube",
+    sql=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')} AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+    tags=("agg", "cube"),
+)
+
+register_sql(
+    "agg_rollup",
+    sql=f"""
+SELECT year(o_orderdate) AS order_year, o_orderstatus,
+       count(*) AS n_orders, {dsum('o_totalprice')} AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+ORDER BY order_year NULLS FIRST, o_orderstatus NULLS FIRST
+""",
+    tags=("agg", "rollup"),
+)
+
+register_sql(
+    "agg_grouping_sets",
+    sql=f"""
+SELECT c_mktsegment, c_nationkey,
+       CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+       CAST(grouping(c_nationkey) AS INT)  AS g_nat,
+       {dsum('c_acctbal')} AS bal, count(*) AS n
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST
+""",
+    tags=("agg", "grouping_sets"),
+)
+
+# --- joins -------------------------------------------------------------------
+
+register_sql(
+    "join_inner_3way_top10",
+    sql=f"""
+SELECT l_orderkey,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       max(o_orderdate) AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    tags=("join", "topk", "flagship"),
+    notes="TPC-H Q3-shaped: dim side broadcast, fact-fact shuffle join, top-k.",
+)
+
+register_sql(
+    "join_5way_region_revenue",
+    sql=f"""
+SELECT n_name AS nation,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+""",
+    tags=("join", "flagship"),
+    notes="TPC-H Q5-shaped star join — all dims broadcastable.",
+)
+
+register_sql(
+    "join_left_count",
+    sql="""
+SELECT c_custkey, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+ORDER BY c_custkey
+""",
+    tags=("join",),
+    notes="TPC-H Q13-shaped left join (zero-order customers kept, count=0).",
+)
+
+register_sql(
+    "join_right",
+    sql="""
+SELECT n_name, count(c_custkey) AS n_customers
+FROM customer RIGHT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "join_full_outer",
+    sql="""
+SELECT coalesce(c.k, s.k) AS nationkey,
+       coalesce(c.n_cust, 0) AS n_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s
+ON c.k = s.k
+ORDER BY nationkey
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "join_semi",
+    sql="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+ORDER BY c_custkey
+""",
+    tags=("join", "subquery"),
+    notes="EXISTS → left-semi join in the physical plan.",
+)
+
+register_sql(
+    "join_anti",
+    sql="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""",
+    tags=("join", "subquery"),
+    notes="NOT EXISTS → left-anti join.",
+)
+
+register_sql(
+    "join_cross",
+    sql="""
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+""",
+    tags=("join",),
+)
+
+register_sql(
+    "join_non_equi_range",
+    sql="""
+SELECT p_partkey, b.band
+FROM part
+JOIN (
+  SELECT 'low' AS band, 0.0 AS lo, 800.0 AS hi
+  UNION ALL SELECT 'mid', 800.0, 1400.0
+  UNION ALL SELECT 'high', 1400.0, 1e9
+) b ON p_retailprice >= b.lo AND p_retailprice < b.hi
+ORDER BY p_partkey
+""",
+    tags=("join", "range"),
+    notes="Range (theta) join against a tiny inline band dim — broadcast "
+    "nested-loop in Spark; fine because the build side is 3 rows.",
+)
+
+# --- window functions ----------------------------------------------------------
+
+register_sql(
+    "window_ranks",
+    sql="""
+SELECT o_orderkey, o_custkey, o_totalprice,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+       rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+       ntile(4)     OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+       lag(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+FROM orders
+""",
+    tags=("window",),
+)
+
+register_sql(
+    "window_frames",
+    sql="""
+SELECT o_orderkey, o_custkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3_spend,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice
+         RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_price_spend,
+       first_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_order,
+       last_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+FROM orders
+""",
+    tags=("window", "frames"),
+    notes="ROWS + RANGE frames; window sums use the exact-decimal discipline.",
+)
+
+# --- sort / limit / set ops ----------------------------------------------------
+
+register_sql(
+    "topk_orders",
+    sql="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+""",
+    tags=("sort", "topk"),
+    notes="Plans as TakeOrderedAndProject — no global sort materialization.",
+)
+
+register_sql(
+    "order_by_nulls",
+    sql="""
+SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_or_null
+FROM orders
+ORDER BY status_or_null ASC NULLS FIRST, o_orderkey
+LIMIT 100
+""",
+    tags=("sort",),
+)
+
+register_sql(
+    "set_ops",
+    sql="""
+SELECT 'intersect' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'except' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'union' AS op, k FROM (
+  SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)
+ORDER BY op, k
+""",
+    tags=("setop",),
+)
+
+# --- scalar functions ----------------------------------------------------------
+
+_STRING_FUNCS = """
+SELECT p_partkey,
+       upper(p_brand)                       AS brand_upper,
+       lower(p_name)                        AS name_lower,
+       substr(p_name, 1, 5)                 AS name_head,
+       replace(p_type, ' ', '_')            AS type_snake,
+       trim('  pad  ')                      AS trimmed,
+       length(p_name)                       AS name_len,
+       p_brand || '#' || p_type             AS brand_type,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       split_part(p_type, ' ', 1)           AS type_first,
+       lpad(CAST(p_size AS {str_t}), 4, '0') AS size_padded,
+       reverse(p_brand)                     AS brand_rev,
+       CAST(position('a' IN p_name) AS BIGINT) AS a_pos,
+       contains(p_name, 'ab')               AS has_ab,
+       {startswith}(p_type, 'S')            AS s_type
+FROM part
+ORDER BY p_partkey
+"""
+
+register_sql(
+    "string_funcs",
+    spark_sql=_STRING_FUNCS.format(str_t="STRING", startswith="startswith"),
+    duck_sql=_STRING_FUNCS.format(str_t="VARCHAR", startswith="starts_with"),
+    tags=("functions", "string"),
+)
+
+register_sql(
+    "date_funcs",
+    spark_sql="""
+SELECT o_orderkey,
+       year(o_orderdate)  AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+       hour(o_orderdate)  AS hr, minute(o_orderdate) AS mi,
+       date_trunc('month', o_orderdate)   AS month_start,
+       date_trunc('quarter', o_orderdate) AS quarter_start,
+       o_orderdate + INTERVAL 30 DAY      AS due_date,
+       CAST(o_orderdate AS DATE)          AS order_day,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       unix_timestamp(o_orderdate)        AS epoch_s
+FROM orders
+ORDER BY o_orderkey
+""",
+    duck_sql="""
+SELECT o_orderkey,
+       year(o_orderdate)  AS yr, month(o_orderdate) AS mo, day(o_orderdate) AS dy,
+       hour(o_orderdate)  AS hr, minute(o_orderdate) AS mi,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)   AS month_start,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+       o_orderdate + INTERVAL 30 DAY      AS due_date,
+       CAST(o_orderdate AS DATE)          AS order_day,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+ORDER BY o_orderkey
+""",
+    tags=("functions", "date"),
+)
+
+register_sql(
+    "math_funcs",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+       abs(l_discount - 0.05)          AS abs_d,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS price_k_ceil,
+       CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+       round(sqrt(l_extendedprice), 5) AS price_sqrt,
+       round(power(l_quantity, 2), 5)  AS qty_sq,
+       mod(CAST(l_quantity AS BIGINT), 7) AS qty_mod7,
+       CAST(sign(l_discount - 0.05) AS INT) AS d_sign,
+       round(ln(l_extendedprice), 6)   AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       greatest(l_tax, l_discount)     AS max_rate,
+       least(l_tax, l_discount)        AS min_rate
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("functions", "math"),
+    notes="ln/log10 rounded to 6 — libm implementations may differ in the last ulp.",
+)
+
+register_sql(
+    "json_funcs",
+    spark_sql="""
+SELECT event_id, event_type,
+       CAST(get_json_object(props, '$.k') AS INT) AS k_val,
+       get_json_object(props, '$.missing') AS missing_val
+FROM events
+ORDER BY event_id
+""",
+    duck_sql="""
+SELECT event_id, event_type,
+       CAST(props->>'$.k' AS INT) AS k_val,
+       props->>'$.missing' AS missing_val
+FROM events
+ORDER BY event_id
+""",
+    tags=("functions", "json"),
+)
+
+register_sql(
+    "case_coalesce_cast",
+    sql="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            WHEN c_acctbal < 8000 THEN 'mid'
+            ELSE 'high' END AS bal_tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_recode,
+       try_cast(c_name AS DOUBLE) AS name_as_num,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+       CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("functions", "conditional"),
+    notes="Double→int via explicit floor (Spark CAST truncates, DuckDB rounds "
+    "— the direct cast is deliberately avoided as non-portable).",
+)
+
+# --- subqueries ------------------------------------------------------------------
+
+register_sql(
+    "scalar_subquery",
+    sql=f"""
+SELECT o_orderkey,
+       round(o_totalprice / (SELECT {davg('o_totalprice')} FROM orders), 5) AS price_ratio
+FROM orders
+ORDER BY o_orderkey
+""",
+    tags=("subquery",),
+)
+
+register_sql(
+    "in_subquery",
+    sql="""
+SELECT o_orderkey, o_custkey
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+ORDER BY o_orderkey
+""",
+    tags=("subquery",),
+)
+
+register_sql(
+    "correlated_exists",
+    sql="""
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > c_acctbal * 40
+)
+ORDER BY c_custkey
+""",
+    tags=("subquery", "correlated"),
+    notes="Correlated EXISTS — Catalyst decorrelates to a join.",
+)
+
+register_sql(
+    "distinct_projection",
+    sql="""
+SELECT DISTINCT c_mktsegment, c_nationkey
+FROM customer
+ORDER BY c_mktsegment, c_nationkey
+""",
+    tags=("dedup",),
+)

@@ -74,6 +74,9 @@ def get_spark(
         .master(master or f"local[{cpus}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "true")
+        # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
+        # vectorized reader; read as int64 ns and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKGRAFT_DRIVER_MEM", "8g"))

@@ -12,6 +12,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: Fixture table names (TESTDATA.md) — TPC-H-ish star schema + extensions.
 TABLES = [
@@ -35,9 +37,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table. Columnar parquet scan — Catalyst pushes
-    filters/projection into the scan (check .explain for PushedFilters)."""
+    filters/projection into the scan (check .explain for PushedFilters).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
+    timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
+    int64 nanoseconds and is floored to microseconds here (``DIV 1000`` —
+    integer division; a double division would lose precision above 2^53).
+    DuckDB-oracle SQL touching events.ts must CAST(ts AS TIMESTAMP) to match.
+    """
     d = sf_dir or DEFAULT_SF_DIR
-    return spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str | None = None, tables: list[str] | None = None) -> None:
