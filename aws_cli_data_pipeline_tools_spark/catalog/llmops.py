@@ -1,1 +1,335 @@
-"""(filled in incrementally)"""
+"""North-star LLM-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal columns (SURVEY.md §7 step 6; BASELINE.json north_star).
+
+Oracle-checkable entries get full DuckDB SQL twins (inverted-index jaccard,
+cosine pairs/top-k, text stats, lang-id, fingerprints, canonical dedup).
+Hash-based candidates generation (MinHash/SimHash — xxhash64 has no DuckDB
+equivalent) registers rows-only; its correctness is pytest-verified against
+the exact operators on planted duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..sources import load_table
+from . import register
+
+# ---------------------------------------------------------------- text stats
+
+_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_WORDS}) AS n_words,
+       len(regexp_extract_all(text, '{textstats.TOKEN_PATTERN}')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / nullif(CAST(len({_DUCK_WORDS}) AS DOUBLE), 0.0), 6) AS avg_word_len
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.token_stats(docs).select(
+        "doc_id", "n_words", "n_tokens", "n_chars_calc", "avg_word_len"
+    ).orderBy("doc_id")
+
+
+def _duck_stoplist(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.STOPWORDS[lang])
+    return f"[{words}]"
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(len({_DUCK_WORDS}) AS DOUBLE) AS n_words,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+         length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper,
+         len(list_filter({_DUCK_WORDS},
+             w -> list_contains({_duck_stoplist('en')}, lower(w)))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(n_punct / nullif(n_chars, 0.0), 6) AS punct_ratio,
+       round(n_upper / nullif(n_chars, 0.0), 6) AS upper_ratio,
+       round(n_stop / nullif(n_words, 0.0), 6) AS stopword_ratio,
+       round(
+         (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN n_punct / nullif(n_chars, 0.0) <= 0.2 THEN 0.2 ELSE 0.0 END)
+         + (CASE WHEN n_upper / nullif(n_chars, 0.0) <= 0.3 THEN 0.2 ELSE 0.0 END)
+         + least(n_stop / nullif(n_words, 0.0) * 2, 0.2), 6) AS quality
+FROM base ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.quality_score(docs).select(
+        "doc_id", "punct_ratio", "upper_ratio", "stopword_ratio", "quality"
+    ).orderBy("doc_id")
+
+
+def _duck_lang_id_sql() -> str:
+    cands = ",\n    ".join(
+        "{{'lang': '{lang}', 'score': len(list_filter(words, w -> "
+        "list_contains({stop}, w))) / nullif(CAST(len(words) AS DOUBLE), 0.0)}}".format(
+            lang=lang, stop=_duck_stoplist(lang)
+        )
+        for lang in sorted(textstats.STOPWORDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({_DUCK_WORDS}, x -> lower(x)) AS words
+  FROM documents
+), sc AS (
+  SELECT doc_id, unnest([
+    {cands}
+  ]) AS c FROM base
+), r AS (
+  SELECT doc_id, c.lang AS lang, c.score AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c.score DESC, c.lang) AS rn
+  FROM sc
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(coalesce(score, 0.0), 6) AS lang_score
+FROM r WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+@register(
+    "text_lang_id",
+    oracle=_duck_lang_id_sql(),
+    tags=("llmops", "text"),
+    notes="Stopword-fraction heuristic language ID; argmax with alphabetical "
+    "tie-break, 'und' when no stopword hits.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.lang_id(docs).select("doc_id", "lang_pred", "lang_score").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_md5
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+    notes="Cross-engine md5 fingerprint of whitespace-normalized text; the "
+    "rolling-hash variant is Spark-native (xxhash64) and pytest-covered.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.fingerprint(docs).select("doc_id", "fp_md5").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- dedup
+
+@register(
+    "dedup_canonical_exact",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+           AS canon_hash
+  FROM documents
+)
+SELECT doc_id, canon_hash,
+       min(doc_id) OVER (PARTITION BY canon_hash) AS keeper_id,
+       count(*)   OVER (PARTITION BY canon_hash) AS group_size,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_keeper
+FROM c ORDER BY doc_id
+""",
+    tags=("llmops", "dedup"),
+    notes="Canonical-form exact dedup: hash of sorted token multiset.",
+)
+def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.canonical_text_dedup(load_table(spark, "documents", sf_dir))
+
+
+_DUCK_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM docs WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), inv_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM inv_all GROUP BY shingle HAVING count(*) <= 1000
+), inv AS (
+  SELECT i.doc_id, i.shingle FROM inv_all i JOIN keep USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6) AS jaccard
+  FROM pairs
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+)
+SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=_DUCK_JACCARD,
+    tags=("llmops", "dedup"),
+    notes="Exact 3-gram Jaccard ≥ 0.5 pairs via inverted-index join "
+    "(frequency-capped at df ≤ 1000 against stop-shingle skew).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), k=3, threshold=0.5, max_bucket=1000
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 signatures have no DuckDB twin — rows-only +
+    # pytest parity with dedup_ngram_jaccard on the same threshold.
+    tags=("llmops", "dedup"),
+    notes="MinHash(64 perms) + LSH(32 bands × 2 rows) candidates, exact "
+    "Jaccard verified ≥ 0.5. Candidate recall at j=0.5 is 1-(1-0.5²)³² ≈ 0.9999.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        k=3,
+        num_perm=64,
+        bands=32,
+        threshold=0.5,
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64-based — rows-only; pytest covers planted dups.
+    tags=("llmops", "dedup"),
+    notes="64-bit SimHash, Hamming ≤ 3 via pigeonhole 4-block join.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = f"sqrt({_DUCK_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DUCK_DOT.format(a=b, b=b)})"
+    return f"round({dot} / nullif({na} * {nb}, 0.0), 6)"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_duck_cosine('a.embedding', 'b.embedding')} AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
+ORDER BY id_a, id_b
+""",
+    tags=("llmops", "dedup"),
+    notes="Embedding near-dup pairs (cosine ≥ 0.3), exact all-pairs — the "
+    "LSH-bucketed variant is ann_lsh_topk / embedding_cosine_pairs(n_planes>0).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_cosine_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.3, n_planes=0
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_duck_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q CROSS JOIN embeddings c
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    tags=("llmops", "similarity"),
+    notes="Exact brute-force cosine top-10 for 5 query vectors (broadcast × "
+    "corpus + per-query window). LSH variant registered rows-only.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.cosine_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate — recall vs exact is pytest-asserted instead.
+    tags=("llmops", "similarity"),
+    notes="Multi-table random-hyperplane LSH ANN (6 planes × 8 tables), "
+    "exact rerank of bucket candidates.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_ann_topk(
+        emb, queries, k=10, n_planes=6, n_tables=8, query_id_col="query_id"
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+@register(
+    "multimodal_bytes_stats",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="Binary-column plumbing over real fixtures: utf8 payload bytes + "
+    "digest; the codec path itself is the stubbed decode_media mapInPandas.",
+)
+def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.text_as_binary_stats(load_table(spark, "documents", sf_dir))

@@ -1,1 +1,183 @@
-"""(filled in incrementally)"""
+"""Batch-equivalent streaming queries over ``events`` + the as-of join.
+
+The reference is batch-only (SURVEY.md §2.B streaming row: none); these are
+north-star extensions. Each query here is the *batch twin* of a Structured
+Streaming pipeline in ``streaming/`` — same expressions, bounded input — so
+the DuckDB oracle can check windows/sessionization semantics that a live
+stream can't be oracled on (SURVEY.md §5.2, §7 step 7).
+
+Timestamp discipline: events.ts is nanosecond parquet; Spark floors to
+microseconds at load (sources.load_table), so every DuckDB twin uses
+``CAST(ts AS TIMESTAMP)`` (ns→us floor) before comparing or bucketing.
+Gap arithmetic uses integer epoch microseconds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join
+from ..sources import load_table
+from . import register, register_sql
+from .relational import dsum
+
+register_sql(
+    "events_tumbling_hourly",
+    spark_sql=f"""
+SELECT window(ts, '1 hour').start AS win_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM events
+GROUP BY window(ts, '1 hour'), event_type
+ORDER BY win_start, event_type
+""",
+    duck_sql=f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+    tags=("streaming", "window"),
+    notes="Tumbling 1 h window — batch twin of streaming/windows.py "
+    "tumbling_counts (epoch-aligned, = date_trunc hour).",
+)
+
+register_sql(
+    "events_sliding_1h_30m",
+    spark_sql=f"""
+SELECT window(ts, '1 hour', '30 minutes').start AS win_start,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM events
+GROUP BY window(ts, '1 hour', '30 minutes')
+ORDER BY win_start
+""",
+    duck_sql=f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              // 1800) * 1800) AS TIMESTAMP) AS t30
+  FROM events
+), expanded AS (
+  SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win_start, value FROM e
+)
+SELECT win_start, count(*) AS n_events, {dsum('value')} AS sum_value
+FROM expanded GROUP BY 1 ORDER BY win_start
+""",
+    tags=("streaming", "window"),
+    notes="Sliding 1 h / 30 min window: each event belongs to exactly 2 "
+    "epoch-aligned windows; DuckDB twin expands membership explicitly.",
+)
+
+register_sql(
+    "events_sessionized",
+    spark_sql=f"""
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, {dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    duck_sql=f"""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, {dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("streaming", "session"),
+    notes="30-min-gap sessionization (lag + cumulative flag sum) — batch twin "
+    "of the streaming session_window aggregation.",
+)
+
+register_sql(
+    "events_dedup_first",
+    spark_sql="""
+SELECT user_id, event_type, event_id, ts, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    duck_sql="""
+SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "dedup"),
+    notes="Keyed keep-first dedup — batch twin of "
+    "dropDuplicatesWithinWatermark on (user_id, event_type).",
+)
+
+
+@register(
+    "asof_join_purchase_click",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+)
+SELECT l.event_id, l.user_id, l.ts, r.click_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+ORDER BY l.event_id
+""",
+    tags=("streaming", "asof"),
+    notes="Backward as-of join (operators/asof.py union+window idiom) vs "
+    "DuckDB's native ASOF JOIN. Right side pre-aggregated to unique "
+    "(user_id, ts) so tie choice is engine-independent.",
+)
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(left, right, on="ts", by="user_id", right_cols=["click_value"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("click_value_right").alias("click_value")
+    ).orderBy("event_id")

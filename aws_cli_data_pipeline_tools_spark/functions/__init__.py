@@ -1,0 +1,131 @@
+"""Vector / text column expression helpers — all JVM-side built-ins.
+
+Everything here composes ``pyspark.sql.functions`` higher-order array
+functions, so the hot path stays inside whole-stage codegen: no Python UDFs.
+Embeddings are ``array<float>``; elements are cast to double before
+arithmetic (exact) and folds run left-to-right (deterministic order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Dot product of two equal-length float arrays (double precision)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def vec_norm(a: Column) -> Column:
+    return F.sqrt(vec_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL if either vector has zero norm."""
+    return vec_dot(a, b) / F.nullif(vec_norm(a) * vec_norm(b), F.lit(0.0))
+
+
+def word_shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column.
+
+    ``sequence(0, size-k)`` index windows + ``concat_ws`` — no explode, the
+    shingle set stays a single array cell until the caller chooses to explode.
+    Texts shorter than k words yield an empty array.
+    """
+    words = F.split(text, r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), n - F.lit(k))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            sep, *[F.element_at(words, i + F.lit(j + 1)) for j in range(k)]
+        ),
+    )
+    return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Column:
+    """MinHash signature: array of ``num_perm`` minima of universal-hash
+    permutations ``(a_i * h + b_i) mod p`` over xxhash64(shingle).
+
+    All arithmetic is JVM-side (``transform``/``array_min``); the per-row cost
+    is O(|shingles| * num_perm) with no shuffle — embarrassingly parallel, the
+    scale-path for MinHash on 100 TB of documents.
+    """
+    # Universal hashing over GF(2^31-1): h, a, b < p so a*h < 2^62 fits a
+    # signed long AND wraps the modulus ~2e9 times (a near-2^61 modulus would
+    # barely wrap, leaving the "permutation" order-preserving — broken
+    # MinHash). Same construction as Spark MLlib's MinHashLSH.
+    p = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+    rnd = __import__("random").Random(seed)
+    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(p)))
+        )
+
+    sig = F.array(*[perm_min(a, b) for (a, b) in params])
+    # Empty shingle set → empty-signature sentinel (all p) so it never matches.
+    return F.when(F.size(shingles) > 0, sig).otherwise(
+        F.array_repeat(F.lit(p), num_perm)
+    )
+
+
+def simhash64(words: Column) -> Column:
+    """64-bit SimHash of a token array, as a bigint.
+
+    Per-bit weighted vote: for each of 64 bit positions, sum (+1/-1) over
+    token hashes; bit set if the sum is positive. The fold keeps a 64-long
+    vote array (zip_with accumulate), then packs bits into one bigint —
+    entirely built-in expressions. Bit masks are Python-side literals
+    (shift amounts cannot be Columns); bit 63's mask is the sign bit.
+    """
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    zero = F.array_repeat(F.lit(0), 64)
+
+    def vote(acc: Column, w: Column) -> Column:
+        h = F.xxhash64(w)
+        bits = F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                for m in masks
+            ]
+        )
+        return F.zip_with(acc, bits, lambda a, b: a + b)
+
+    votes = F.aggregate(words, zero, vote)
+    packed = F.lit(0).cast("bigint")
+    for i, m in enumerate(masks):
+        packed = packed.bitwiseOR(
+            F.when(F.element_at(votes, i + 1) > 0, F.lit(m).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    return packed
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bigints)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def rolling_fingerprint(words: Column, modulus: int = 1 << 56) -> Column:
+    """Order-sensitive polynomial rolling hash of a token array → bigint.
+
+    ``acc = (acc * 31 + xxhash64(token)) mod 2^56`` left fold — a document
+    fingerprint that, unlike a set hash, distinguishes permutations. The
+    modulus keeps ``acc*31 + h < 2^63`` (ANSI mode: overflow raises).
+    """
+    return F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(31) + F.pmod(F.xxhash64(w), F.lit(modulus)), F.lit(modulus)
+        ),
+    )

@@ -1,0 +1,73 @@
+"""As-of (most-recent-match) join — an operator Spark lacks natively.
+
+``asof_join(left, right, on, by)``: for each left row, attach the latest
+right row with ``right.on <= left.on`` within the same ``by`` group (backward
+as-of; the time-series point-in-time join).
+
+Implementation is the union+window idiom (no Pandas, no per-key collect):
+tag both sides, union on (by, on), and carry the last non-null right-side
+payload forward with ``last(..., ignorenulls=True)`` over a
+rows-unbounded-preceding window — one shuffle on ``by`` + one sort, identical
+asymptotics to a sort-merge join. Ties (equal timestamps) resolve to the
+right row (right sorts before left at the same instant), matching the
+``<=`` contract.
+
+At scale: partition count follows spark.sql.shuffle.partitions / AQE; a hot
+``by`` key degrades to a single-partition sort exactly like any windowed op
+— salt upstream if a key holds >~100M rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str],
+    right_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    by = [by] if isinstance(by, str) else list(by)
+    right_cols = right_cols or [
+        c for c in right.columns if c not in set(by) | {on}
+    ]
+
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_tag = right.select(
+        *by, F.col(on), *[F.col(c) for c in right_cols]
+    ).withColumn("__side", F.lit(0))
+
+    carried = [f"{c}{suffix}" for c in right_cols]
+    l_norm = l_tag.select(
+        *by,
+        F.col(on),
+        "__side",
+        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(right_cols, carried)],
+        *[F.col(c) for c in left.columns if c not in set(by) | {on}],
+    )
+    r_norm = r_tag.select(
+        *by,
+        F.col(on),
+        "__side",
+        *[F.col(c).alias(n) for c, n in zip(right_cols, carried)],
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in set(by) | {on}
+        ],
+    )
+
+    unioned = r_norm.unionByName(l_norm)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = unioned.withColumns(
+        {n: F.last(n, ignorenulls=True).over(w) for n in carried}
+    )
+    return filled.filter(F.col("__side") == 1).drop("__side")

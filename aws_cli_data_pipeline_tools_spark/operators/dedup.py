@@ -1,0 +1,333 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families (north-star surface; no analog in the reference — it is
+a SQL client — but first-class here):
+
+- exact / canonical-form exact (hash groupBy)
+- exact n-gram Jaccard (inverted-index join — the oracle-checkable baseline)
+- MinHash + LSH banding (the 100 TB-scale candidate generation path)
+- SimHash (Hamming-ball near-dup, pigeonhole block join)
+- embedding-cosine near-dup (hyperplane-LSH bucketed, exact rerank)
+
+Scale posture: nothing collects to the driver. Candidate generation is always
+(a) per-row array math (no shuffle), then (b) one explode + shuffle on a
+bucket/band key whose fan-out is a tunable constant, then (c) pair join +
+exact verification only inside buckets. Skewed buckets (a shingle shared by
+every doc) are the classic hazard → frequency-capped via ``max_bucket``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import (
+    cosine_similarity,
+    hamming64,
+    minhash_signature,
+    vec_dot,
+    word_shingles,
+)
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep one row per distinct ``keys`` (the min-``id_col`` row).
+
+    One hash-aggregate shuffle on ``keys``; map-side partial agg makes this
+    robust to duplicates skew.
+    """
+    keeper = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
+    return df.join(keeper, on=keys + [id_col], how="left_semi")
+
+
+def canonical_text_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Canonical-form exact dedup: hash of the *sorted token multiset*, so
+    token-permuted documents collapse to one group.
+
+    Output: one row per doc with its canonical hash, the group keeper
+    (min id), group size, and whether this row survives dedup.
+    """
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col(text_col), r"\s+"))))
+    with_canon = df.select(F.col(id_col), canon.alias("canon_hash"))
+    w_agg = with_canon.groupBy("canon_hash").agg(
+        F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
+    )
+    return (
+        with_canon.join(w_agg, "canon_hash")
+        .select(
+            id_col,
+            "canon_hash",
+            "keeper_id",
+            "group_size",
+            (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Exact k-gram Jaccard similarity for every document pair sharing at
+    least one shingle — the inverted-index join pattern.
+
+    Plan: shingle per doc (no shuffle) → explode → self-equi-join on shingle
+    (id_a < id_b) → count shared per pair → join per-doc sizes → filter.
+    The only quadratic blow-up risk is a stop-shingle appearing in a huge
+    fraction of docs; ``max_bucket`` drops shingles with document frequency
+    above the cap (standard practice — such shingles carry no dedup signal
+    and would otherwise create O(df²) pairs on one key = worst-case skew).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    )
+    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
+    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    if max_bucket:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("df_") <= max_bucket).drop("df_")), "shingle"
+        )
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    verify_exact: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding candidate pairs, optionally exact-verified.
+
+    - signature: per-row array math (``minhash_signature``), no shuffle;
+    - banding: explode ``bands`` rows per doc keyed by
+      (band_idx, xxhash64(band slice)) — same band+key → candidate bucket;
+    - candidates: within-bucket pairs (distinct across bands);
+    - verification: exact shingle Jaccard via one join back to shingle sets
+      (array_intersect/array_union on the two docs' arrays — no second
+      explode), filtered at ``threshold``.
+
+    At scale: shuffle volume is bands × docs rows of (key, id) — a constant
+    factor over the corpus, the canonical trade against O(n²). Estimated-only
+    mode (``verify_exact=False``) returns banding candidates with the
+    signature-agreement estimate.
+    """
+    rows_per_band = num_perm // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+
+    band_entries = shingled.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    ).alias("bkey"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+
+    cand = (
+        band_entries.alias("a")
+        .join(band_entries.alias("b"), ["band", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sides = shingled.select("id", "sh", "sig")
+    joined = (
+        cand.join(sides.withColumnsRenamed({"id": "id_a", "sh": "sh_a", "sig": "sig_a"}), "id_a")
+        .join(sides.withColumnsRenamed({"id": "id_b", "sh": "sh_b", "sig": "sig_b"}), "id_b")
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    ).alias("est_jaccard")
+    if not verify_exact:
+        return joined.select("id_a", "id_b", est).orderBy("id_a", "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming ball of ``max_hamming``.
+
+    Pigeonhole blocking: split the 64-bit signature into ``max_hamming + 1``
+    blocks; any pair within distance d ≤ max_hamming agrees exactly on at
+    least one block, so an equi-join per block finds all such pairs with no
+    O(n²) scan. Distance verified with xor+bit_count.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    # Signature via explode + hash-aggregate (64 conditional sums) rather
+    # than the scalar simhash64 fold: the aggregate form is codegen-friendly
+    # and map-side combined — per-word rows never cross the wire, only
+    # (id, 64 ints) partials do. Same result, ~10× faster.
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+    ).withColumn("h", F.xxhash64("w")).drop("w")
+    votes = words.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i, m in enumerate(masks)
+        ]
+    )
+    packed = F.lit(0).cast("bigint")
+    for i, m in enumerate(masks):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.lit(m).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sh = votes.select("id", packed.alias("sim"))
+    # shift amounts must be Python literals (shiftright rejects Columns)
+    blocks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col("sim"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bkey"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sim", "bk.block", "bk.bkey")
+    return (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["block", "bkey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold.
+
+    ``n_planes == 0``: exact within-partition cross join (only for small/
+    test inputs). ``n_planes > 0``: random-hyperplane LSH — bucket by the
+    sign-bit signature, pair only within buckets (near-identical vectors
+    collide with high probability), then exact cosine rerank. Hyperplanes are
+    seeded literals baked into the plan: deterministic, no driver state.
+    """
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_planes:
+        import random
+
+        rnd = random.Random(seed)
+        dim = len(df.select(vec_col).first()[0])
+        planes = [
+            [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+        ]
+        sig = F.concat(
+            *[
+                F.when(
+                    vec_dot(
+                        F.col("v"),
+                        F.array(*[F.lit(x) for x in plane]),
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for plane in planes
+            ]
+        )
+        vecs = vecs.withColumn("bucket", sig)
+        join_on = ["bucket"]
+    else:
+        vecs = vecs.withColumn("bucket", F.lit(0))
+        join_on = ["bucket"]
+
+    pairs = (
+        vecs.alias("a")
+        .join(vecs.alias("b"), join_on)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+    return pairs

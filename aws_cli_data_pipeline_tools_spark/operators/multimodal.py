@@ -1,0 +1,140 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Design (north-star): image/audio/video cells are ``binary`` columns paired
+with a typed metadata struct; decode / feature-extract / resize / frame-sample
+run as Arrow-batched ``mapInPandas`` stages so executors stream batches
+without materializing whole partitions. The actual codec step is STUBBED
+(image/audio libraries are not in this container): ``decode_image`` raises
+``NotImplementedError`` unless ``fake=True``, which substitutes a
+deterministic fake decoder so the Spark-side plumbing — schema, batching,
+partitioning — is real and testable end-to-end.
+
+MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
+payloads in parquet binary columns (or pointers to object storage), metadata
+columns first so predicate pushdown can prune by type/size without touching
+payload bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal table layout.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+_DECODE_OUT_SCHEMA = (
+    "media_id bigint, media_type string, n_bytes int, sha256 string, "
+    "width int, height int, feature array<float>"
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic fake decoder: dimensions + an 8-dim feature vector
+    derived from the payload digest. Stands in for a real codec."""
+    digest = hashlib.sha256(payload).digest()
+    width = 1 + digest[0] % 64
+    height = 1 + digest[1] % 64
+    feature = [b / 255.0 for b in digest[2:10]]
+    return width, height, feature
+
+
+def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Decode binary payloads into per-item features via mapInPandas.
+
+    Arrow-batched: each executor receives pandas batches of (media_id,
+    media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
+    The real decode path is a stub — see module docstring.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image/audio decode requires codec libraries not present in "
+            "this environment; pass fake=True for the deterministic test decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            decoded = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) for p in payloads],
+                    "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "feature": [d[2] for d in decoded],
+                }
+            )
+
+    return df.select("media_id", "media_type", "payload").mapInPandas(
+        batches, schema=_DECODE_OUT_SCHEMA
+    )
+
+
+def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
+    """Resize planning: pure-metadata computation of target dims (no payload
+    touch — stays a codegen'd projection; the actual pixel resize would slot
+    into the decode_media mapInPandas stage)."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.lit(max_side) / F.greatest(w, h).cast("double")
+    need = F.greatest(w, h) > max_side
+    return df.withColumns(
+        {
+            "target_width": F.when(need, F.floor(w * scale)).otherwise(w).cast("int"),
+            "target_height": F.when(need, F.floor(h * scale)).otherwise(h).cast("int"),
+        }
+    )
+
+
+def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: explode target frame timestamps
+    from duration metadata (payload untouched; the frame extraction itself
+    would be a mapInPandas stage against a real codec)."""
+    frames = F.sequence(
+        F.lit(0).cast("bigint"),
+        F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("bigint"),
+        F.lit(every_ms).cast("bigint"),
+    )
+    return (
+        df.filter(F.col("media_type") == "video")
+        .withColumn("frame_ts_ms", F.explode(frames))
+        .select("media_id", "frame_ts_ms")
+    )
+
+
+def text_as_binary_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Binary-column plumbing demo over real fixtures: utf8-encode the text
+    column to binary, compute byte length + md5 — the same schema/flow a real
+    opaque payload column uses, with a cross-engine-checkable result."""
+    b = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col),
+        F.octet_length(b).alias("n_bytes"),
+        F.md5(b).alias("payload_md5"),
+    ).orderBy(id_col)

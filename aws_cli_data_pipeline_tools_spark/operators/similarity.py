@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
+bucketing as the approximate scale path (candidates from matching buckets,
+exact rerank, top-k per query).
+
+Scale posture: the query set is the small side — always broadcast. The corpus
+is never collected; top-k is a per-query window over candidate rows (Spark
+plans TakeOrdered-style partial top-k before the final shuffle when the window
+is backed by rank + filter).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, vec_dot
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (brute force).
+
+    ``queries``: (query_id_col, vec_col). Broadcast × corpus → cosine →
+    row_number ≤ k per query. Self-matches (same id) are not excluded —
+    callers filter if the query set is drawn from the corpus.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate NN: multi-table random-hyperplane LSH.
+
+    Each of ``n_tables`` tables hashes vectors to a ``n_planes``-bit bucket;
+    a corpus row is a candidate if it shares a bucket with the query in any
+    table. Candidates are exact-reranked by cosine and top-k'd. Recall rises
+    with n_tables; cost is n_tables bucket joins instead of one full scan —
+    on a 1000-executor cluster the bucket join shuffles only (table, bucket,
+    id) pairs, never the vectors of non-candidates.
+
+    Hyperplanes are seeded literals → the plan is deterministic and
+    resumable; no fitted model state.
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    rnd = random.Random(seed)
+
+    def bucket_col(v):
+        cols = []
+        for t in range(n_tables):
+            bits = F.concat(
+                *[
+                    F.when(
+                        vec_dot(
+                            v,
+                            F.array(
+                                *[F.lit(rnd_plane[j]) for j in range(dim)]
+                            ),
+                        )
+                        >= 0,
+                        F.lit("1"),
+                    ).otherwise(F.lit("0"))
+                    for rnd_plane in planes[t]
+                ]
+            )
+            cols.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
+        return F.explode(F.array(*cols))
+
+    planes = [
+        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c_b = c.select("neighbor_id", "cv", bucket_col(F.col("cv")).alias("tb")).select(
+        "neighbor_id", "cv", "tb.table", "tb.bucket"
+    )
+    q_b = q.select("query_id", "qv", bucket_col(F.col("qv")).alias("tb")).select(
+        "query_id", "qv", "tb.table", "tb.bucket"
+    )
+
+    cand = (
+        F.broadcast(q_b)
+        .join(c_b, ["table", "bucket"])
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,150 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+codegen) — string/array ops over the documents table. The per-row cost is
+O(len(text)); there is no shuffle in any of these transforms, so they
+pipeline with the scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import rolling_fingerprint
+
+#: Minimal per-language stopword lists (public knowledge). Deliberately tiny —
+#: this is an n-gram/stopword *heuristic* language-ID, not a trained model.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "que"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+#: BPE-ish tokenizer regex: words, numbers, or single non-space symbols —
+#: a deterministic public-knowledge approximation of subword pre-tokenization.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + regex token counts, char count, average word length."""
+    t = F.col(text_col)
+    words = _words(t)
+    regex_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
+    return df.withColumns(
+        {
+            "n_words": F.size(words),
+            "n_tokens": regex_tokens,
+            "n_chars_calc": F.length(t),
+            "avg_word_len": F.round(
+                F.length(F.regexp_replace(t, r"\s+", ""))
+                / F.nullif(F.size(words).cast("double"), F.lit(0.0)),
+                6,
+            ),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality features + composite score in [0, 1].
+
+    Features (all cheap, public-recipe): length band, punctuation ratio,
+    uppercase ratio, stopword fraction, mean word length band. The composite
+    is a fixed linear blend — intended as a filterable signal, not a model.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words).cast("double")
+    n_chars = F.length(t).cast("double")
+    punct_ratio = F.length(F.regexp_replace(t, r"[^.!?,;:]", "")) / F.nullif(
+        n_chars, F.lit(0.0)
+    )
+    upper_ratio = F.length(F.regexp_replace(t, r"[^A-Z]", "")) / F.nullif(
+        n_chars, F.lit(0.0)
+    )
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(
+        F.filter(words, lambda w: F.array_contains(en_stop, F.lower(w)))
+    ) / F.nullif(n_words, F.lit(0.0))
+    length_ok = (n_words >= 10) & (n_words <= 10000)
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(upper_ratio <= 0.3, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.least(stop_ratio * 2, F.lit(0.2))
+    )
+    return df.withColumns(
+        {
+            "punct_ratio": F.round(punct_ratio, 6),
+            "upper_ratio": F.round(upper_ratio, 6),
+            "stopword_ratio": F.round(stop_ratio, 6),
+            "quality": F.round(score, 6),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-fraction language ID over STOPWORDS languages.
+
+    Per language: fraction of tokens in that language's stopword list; the
+    argmax wins, alphabetical tie-break, 'und' (undetermined) if all scores
+    are zero. Deterministic; JVM-side only.
+    """
+    t = F.col(text_col)
+    words = F.transform(_words(t), F.lower)
+    n = F.nullif(F.size(words).cast("double"), F.lit(0.0))
+    def contains(litarr):
+        # single-arg lambda: a second parameter would make Spark treat it as
+        # the (element, index) filter variant.
+        return lambda w: F.array_contains(litarr, w)
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        litarr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        frac = F.size(F.filter(words, contains(litarr))) / n
+        scores.append(F.struct(frac.alias("score"), F.lit(lang).alias("lang")))
+    # array_max on (score, lang) structs: max score, then max lang — to get
+    # the *alphabetically first* among ties we compare on (score, reversed
+    # rank) instead: sort desc by score then asc by lang via array_sort.
+    ranked = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["score"] > b["score"], F.lit(-1))
+        .when(a["score"] < b["score"], F.lit(1))
+        .otherwise(
+            F.when(a["lang"] < b["lang"], F.lit(-1))
+            .when(a["lang"] > b["lang"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    best = F.element_at(ranked, 1)
+    return df.withColumns(
+        {
+            "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+            "lang_score": F.round(F.coalesce(best["score"], F.lit(0.0)), 6),
+        }
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two document fingerprints:
+
+    - ``fp_md5``: md5 of whitespace-normalized lowercase text (cross-engine
+      reproducible — the oracle-checkable variant);
+    - ``fp_rolling``: order-sensitive polynomial rolling hash over tokens
+      (xxhash64-based, Spark-native).
+    """
+    t = F.col(text_col)
+    norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
+    return df.withColumns(
+        {
+            "fp_md5": F.md5(norm),
+            "fp_rolling": rolling_fingerprint(_words(t)),
+        }
+    )

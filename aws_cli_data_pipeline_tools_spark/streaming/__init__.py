@@ -1,0 +1,116 @@
+"""Structured Streaming pipelines over the events stream.
+
+North-star extension (the reference is batch-only): the same aggregations as
+``catalog/streaming_batch.py``, expressed as real ``readStream`` pipelines
+with watermarks, so late data is bounded-state-correct. Each builder takes a
+streaming DataFrame and returns a streaming DataFrame; ``events_file_stream``
+turns the events parquet fixture into a file-source stream for tests
+(``trigger(availableNow=True)`` drains it deterministically).
+
+State-at-scale notes: watermark delay bounds the state store size for both
+window aggs and dedup; session_window state is per (user, open session). On
+a real cluster the state store is RocksDB-backed
+(``spark.sql.streaming.stateStore.providerClass``) — config, not code.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+
+def events_file_stream(
+    spark: SparkSession, sf_dir: str, scratch_dir: str | None = None
+) -> DataFrame:
+    """File-source stream of the events fixture.
+
+    Copies the parquet into a scratch dir (a file-stream source needs a
+    directory it can list) and returns a streaming DataFrame with the same
+    schema/µs-timestamp discipline as the batch loader.
+    """
+    scratch = scratch_dir or tempfile.mkdtemp(prefix="sparkgraft-stream-")
+    src = os.path.join(sf_dir, "events.parquet")
+    dst_dir = os.path.join(scratch, "events")
+    os.makedirs(dst_dir, exist_ok=True)
+    shutil.copy(src, os.path.join(dst_dir, "part-0.parquet"))
+
+    batch_schema = load_table(spark, "events", sf_dir).schema
+    raw_schema = spark.read.parquet(src).schema  # ts as int64 ns (nanosAsLong)
+    stream = spark.readStream.schema(raw_schema).parquet(dst_dir)
+    if dict(stream.dtypes)["ts"] == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    assert stream.schema == batch_schema
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1 h per-event-type counts/sums with a late-data watermark —
+    streaming twin of the ``events_tumbling_hourly`` oracle query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1 h / 30 min counts — twin of ``events_sliding_1h_30m``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation (gap-based) — the streaming-native form of
+    the ``events_sessionized`` batch query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Keyed streaming dedup with bounded state —
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain a bounded stream into an in-memory table (tests/bench):
+    availableNow trigger → processes everything, then stops."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,89 @@
+"""Runner / renderer / introspection / registry — reference-parity surface."""
+
+import pytest
+
+from aws_cli_data_pipeline_tools_spark import render, runner
+from aws_cli_data_pipeline_tools_spark.introspect import (
+    UNSET,
+    information_schema_columns,
+    list_workgroups,
+)
+from aws_cli_data_pipeline_tools_spark.registry import FunctionRegistry, PayloadError
+
+
+def test_sql_success(spark):
+    run = runner.sql(spark, "SELECT 1 AS x, 'a' AS y")
+    assert run.state == runner.SUCCEEDED
+    assert run.require_succeeded().collect()[0][0] == 1
+
+
+def test_sql_parse_error_is_failed_state(spark):
+    run = runner.sql(spark, "SELEKT nope")
+    assert run.state == runner.FAILED
+    assert "ParseException" in run.state_change_reason
+    with pytest.raises(RuntimeError):
+        run.require_succeeded()
+
+
+def test_sql_file(spark, tmp_path):
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT 41 + 1 AS answer")
+    assert runner.sql_file(spark, p).require_succeeded().collect()[0].answer == 42
+
+
+GOLDEN_TSV = "x\ty\tz\n1\talpha\t\n2\t\t3.5\n"
+GOLDEN_ALIGNED = "x  y      z\n1  alpha\n2         3.5\n"
+
+
+def _fixture_df(spark):
+    return spark.createDataFrame(
+        [(1, "alpha", None), (2, None, 3.5)], "x int, y string, z double"
+    )
+
+
+def test_tsv_golden(spark):
+    assert render.to_tsv(_fixture_df(spark)) == GOLDEN_TSV
+
+
+def test_aligned_golden(spark):
+    assert render.render_aligned(_fixture_df(spark)) == GOLDEN_ALIGNED
+
+
+def test_truncation_notice(spark):
+    df = spark.range(10).selectExpr("id AS n")
+    out = render.to_tsv(df, max_rows=3)
+    assert "truncated at 3 rows" in out
+    assert len(out.strip().splitlines()) == 5  # header + 3 rows + notice
+
+
+def test_information_schema_filter(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    load_table(spark, "region", sf_dir).createOrReplaceTempView("region")
+    out = information_schema_columns(spark, table="region").collect()
+    assert [(r.column_name, r.data_type) for r in out] == [
+        ("r_regionkey", "int"),
+        ("r_name", "string"),
+    ]
+    assert all(r.table_name == "region" for r in out)
+
+
+def test_workgroups_listing(spark):
+    rows = {r["name"]: r for r in list_workgroups(spark).collect()}
+    assert rows["primary"]["state"] == "ENABLED"
+    assert rows["primary"]["encryption"] == UNSET  # missing config → default
+
+
+def test_registry_invoke_and_apply(spark):
+    reg = FunctionRegistry(spark)
+    reg.register("double_it", lambda p: {"out": p["x"] * 2}, "doubles x")
+    assert reg.list() == ["double_it"]
+    assert reg.invoke("double_it", {"x": 21}) == {"out": 42}
+    assert reg.invoke("double_it", '{"x": 3}') == {"out": 6}
+    with pytest.raises(PayloadError):
+        reg.invoke("double_it", "{broken")
+    with pytest.raises(KeyError):
+        reg.invoke("missing_fn", "{}")
+    df = spark.createDataFrame([('{"x": 5}',)], "payload string")
+    out = reg.apply(df, "double_it", "payload", "resp").collect()[0]["resp"]
+    assert out == '{"out": 10}'

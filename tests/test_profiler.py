@@ -1,0 +1,114 @@
+"""Profiler edge semantics from SURVEY.md §2.A notes."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import profiler
+from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+
+def test_labels_and_order(spark, sf_dir):
+    out = profiler.profile(load_table(spark, "lineitem", sf_dir)).collect()
+    assert [r["agg_type"] for r in out] == profiler.AGG_LABELS
+
+
+def test_profile_matches_pandas(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    out = {r["agg_type"]: r for r in profiler.profile(li, median_mode="exact").collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    col = "l_extendedprice"
+    assert out["1. count"][col] == pdf[col].notna().sum()
+    assert out["2. count_distinct"][col] == pdf[col].nunique()
+    assert out["3. mean"][col] == pytest.approx(round(pdf[col].mean(), 5), abs=1e-5)
+    assert out["4. std"][col] == pytest.approx(round(pdf[col].std(ddof=1), 5), abs=1e-4)
+    assert out["5. min"][col] == round(pdf[col].min(), 5)
+    assert out["6. median"][col] == pytest.approx(pdf[col].median(), rel=0.05)
+    assert out["7. max"][col] == round(pdf[col].max(), 5)
+    assert out["8. sum"][col] == pytest.approx(round(pdf[col].sum(), 5), rel=1e-12)
+
+
+def test_exact_median_matches_pandas(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    out = {r["agg_type"]: r for r in profiler.profile(li, median_mode="exact").collect()}
+    pdf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert out["6. median"]["l_quantity"] == round(pdf["l_quantity"].median(), 5)
+
+
+def test_approx_median_within_bounds(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    out = {r["agg_type"]: r for r in profiler.profile(li, median_mode="approx").collect()}
+    for col in ("l_quantity", "l_extendedprice"):
+        assert out["5. min"][col] <= out["6. median"][col] <= out["7. max"][col]
+
+
+def test_zero_numeric_columns(spark):
+    df = spark.createDataFrame([("a",), ("b",)], "s string")
+    out = profiler.profile(df)
+    assert out.columns == ["agg_type"]
+    assert out.count() == 0
+
+
+def test_all_null_column(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x double")
+    row = {r["agg_type"]: r["x"] for r in profiler.profile(df).collect()}
+    assert row["1. count"] == 0.0
+    assert row["2. count_distinct"] == 0.0
+    assert row["3. mean"] is None
+    assert row["8. sum"] is None
+
+
+def test_single_row_stddev_null(spark):
+    df = spark.createDataFrame([(1.5,)], "x double")
+    row = {r["agg_type"]: r["x"] for r in profiler.profile(df).collect()}
+    assert row["4. std"] is None  # sample stddev of 1 row
+    assert row["1. count"] == 1.0
+
+
+def test_oracle_safe_matches_plain(spark, sf_dir):
+    """Decimal-sum moments == plain double moments to rounding precision."""
+    li = load_table(spark, "lineitem", sf_dir)
+    plain = {r["agg_type"]: r for r in profiler.profile(li, median_mode="exact").collect()}
+    safe = {
+        r["agg_type"]: r
+        for r in profiler.profile(li, median_mode="exact", oracle_safe=True).collect()
+    }
+    for label in profiler.AGG_LABELS:
+        for col in ("l_quantity", "l_discount", "l_extendedprice"):
+            a, b = plain[label][col], safe[label][col]
+            if a is None or b is None:
+                assert a == b
+            elif label == "4. std":
+                assert a == pytest.approx(b, abs=1e-3)
+            else:
+                assert a == pytest.approx(b, rel=1e-9)
+
+
+def test_profile_diff_self_all_equal(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    diff = profiler.profile_diff(li, li, median_mode="exact")
+    eq_cols = [c for c in diff.columns if c.endswith("_equal")]
+    rows = diff.collect()
+    assert len(rows) == 8
+    assert all(all(r[c] for c in eq_cols) for r in rows)
+
+
+def test_profile_diff_disjoint_columns(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    diff = profiler.profile_diff(li, orders)
+    r = diff.collect()[0]
+    # columns only in one side: present with NULL on the other & unequal
+    assert r["l_quantity_target"] is None and r["l_quantity_base"] is not None
+    assert r["o_totalprice_base"] is None and r["o_totalprice_target"] is not None
+    assert not r["l_quantity_equal"] and not r["o_totalprice_equal"]
+
+
+def test_profile_single_scan_plan(spark, sf_dir):
+    """The re-architected plan must read the source exactly once
+    (SURVEY.md A17: one agg pass, not N×8 scalar subqueries)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    plan = profiler.profile(li)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 1

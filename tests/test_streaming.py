@@ -1,0 +1,56 @@
+"""Structured Streaming pipelines: batch-equivalence on bounded replay
+(SURVEY.md §5 — streaming has no DuckDB oracle, so the batch twin is the
+oracle)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import streaming
+from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir, tmp_path_factory):
+    scratch = str(tmp_path_factory.mktemp("stream"))
+    return streaming.events_file_stream(spark, sf_dir, scratch)
+
+
+def _collect_stream(spark, stream_df, name, mode="append"):
+    streaming.run_to_memory(stream_df, name, output_mode=mode)
+    return spark.table(name)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_stream):
+    got = _collect_stream(
+        spark, streaming.tumbling_counts(events_stream), "t_tumble", mode="complete"
+    )
+    batch = (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    got_set = {(r.win_start, r.event_type, r.n_events) for r in got.collect()}
+    want_set = {(r.win.start, r.event_type, r.n_events) for r in batch.collect()}
+    assert got_set == want_set
+
+
+def test_session_stream_covers_all_events(spark, sf_dir, events_stream):
+    got = _collect_stream(
+        spark, streaming.session_counts(events_stream), "t_sess", mode="complete"
+    )
+    total_events = got.agg(F.sum("n_events")).collect()[0][0]
+    assert total_events == load_table(spark, "events", sf_dir).count()
+    r = got.collect()[0]
+    assert r.session_end >= r.session_start
+
+
+def test_dedup_stream_equals_batch_distinct(spark, sf_dir, events_stream):
+    got = _collect_stream(spark, streaming.dedup_stream(events_stream), "t_dedup")
+    n_keys = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_keys
+    assert got.select("user_id", "event_type").distinct().count() == n_keys

@@ -1,0 +1,100 @@
+"""Text stats, fingerprints, as-of join, multimodal plumbing."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark.operators import multimodal, textstats
+from aws_cli_data_pipeline_tools_spark.operators.asof import asof_join
+
+
+def test_token_stats(spark):
+    df = spark.createDataFrame([(1, "Hello world, 42 times!")], "doc_id bigint, text string")
+    r = textstats.token_stats(df).collect()[0]
+    assert r.n_words == 4
+    # Hello / world / , / 42 / times / !
+    assert r.n_tokens == 6
+    assert r.n_chars_calc == len("Hello world, 42 times!")
+
+
+def test_lang_id_real_sentences(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "el perro corre por la calle y es feliz"),
+            (3, "qqq zzz www"),  # no stopword hits anywhere
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textstats.lang_id(df).collect()}
+    assert out[1].lang_pred == "en"
+    assert out[2].lang_pred == "es"
+    assert out[3].lang_pred == "und" and out[3].lang_score == 0.0
+
+
+def test_fingerprint_properties(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha  beta   gamma"),  # whitespace differs only
+            (3, "gamma beta alpha"),     # permuted
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textstats.fingerprint(df).collect()}
+    assert out[1].fp_md5 == out[2].fp_md5          # md5 is normalized
+    assert out[1].fp_md5 != out[3].fp_md5
+    assert out[1].fp_rolling != out[3].fp_rolling  # rolling is order-sensitive
+    # deterministic across evaluations
+    again = {r.doc_id: r for r in textstats.fingerprint(df).collect()}
+    assert all(out[k].fp_rolling == again[k].fp_rolling for k in out)
+
+
+def _ts(minute: int):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(30)), (3, 200, _ts(5))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(8), 1.0), (100, _ts(30), 2.0), (200, _ts(6), 9.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    out = {r.event_id: r for r in asof_join(left, right, on="ts", by="user_id").collect()}
+    assert out[1].value_right == 1.0   # latest right ≤ 00:10 is 00:08
+    assert out[2].value_right == 2.0   # equal timestamps match (<=)
+    assert out[3].value_right is None  # no right row ≤ 00:05
+    assert len(out) == 3               # left rows preserved exactly
+
+
+def test_decode_media_stub_and_fake(spark):
+    rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
+    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(df)
+    out = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
+    assert out[1].n_bytes == len(b"payload-one")
+    assert len(out[1].feature) == 8
+    assert out[1].sha256 != out[2].sha256
+    # deterministic fake decode
+    again = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
+    assert out[1].sha256 == again[1].sha256 and out[1].width == again[1].width
+
+
+def test_resize_and_frame_plans(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "image", {"width": 640, "height": 480, "duration_ms": None, "sample_rate": None}),
+            (2, "video", {"width": 100, "height": 50, "duration_ms": 3500, "sample_rate": None}),
+        ],
+        "media_id bigint, media_type string, meta struct<width:int,height:int,duration_ms:bigint,sample_rate:int>",
+    )
+    rs = {r.media_id: r for r in multimodal.resize_plan(df, max_side=224).collect()}
+    assert (rs[1].target_width, rs[1].target_height) == (224, 168)
+    assert (rs[2].target_width, rs[2].target_height) == (100, 50)  # under limit
+    frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
+    assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
