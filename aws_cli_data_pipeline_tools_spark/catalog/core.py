@@ -41,6 +41,19 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem_approx",
+    oracle=None,  # approx median (t-digest/GK) differs per engine by design;
+    # pytest bounds-checks it. This is the reference-shaped flagship
+    # (aws-athena.sh:96 uses approx_percentile) and the bench headline:
+    # every statistic partial-aggregates, so the plan scales — exact median
+    # cannot map-side combine and funnels all rows to one reducer.
+    tags=("profiler", "flagship", "bench"),
+)
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile(load_table(spark, "lineitem", sf_dir), median_mode="approx")
+
+
+@register(
     "profile_orders",
     oracle=oracles.profile_sql("orders", ORDERS_NUM),
     tags=("profiler",),

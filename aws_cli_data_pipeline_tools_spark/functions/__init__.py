@@ -30,40 +30,61 @@ def cosine_similarity(a: Column, b: Column) -> Column:
 def word_shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text column.
 
-    ``sequence(0, size-k)`` index windows + ``concat_ws`` — no explode, the
-    shingle set stays a single array cell until the caller chooses to explode.
-    Texts shorter than k words yield an empty array.
+    Built as ``zip_with`` over k shifted ``slice``s of the word array — NOT
+    a transform with per-index ``element_at``: higher-order lambdas are
+    interpreted (CodegenFallback) and would re-evaluate the ``split`` inside
+    the lambda once per element × k, turning O(n) into O(n²·k) per document.
+    The slice/zip form references the split only k+1 times total.
+
+    No explode — the shingle set stays a single array cell until the caller
+    chooses to explode. Texts shorter than k words yield an empty array.
     """
     words = F.split(text, r"\s+")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), n - F.lit(k))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            sep, *[F.element_at(words, i + F.lit(j + 1)) for j in range(k)]
-        ),
-    )
+    length = F.greatest(n - F.lit(k - 1), F.lit(0))
+    grams = F.slice(words, 1, length)
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, length)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(sep, a, b))
     return F.when(n >= F.lit(k), F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 
 
-def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Column:
-    """MinHash signature: array of ``num_perm`` minima of universal-hash
-    permutations ``(a_i * h + b_i) mod p`` over xxhash64(shingle).
+#: MinHash modulus — universal hashing over GF(2^31-1): h, a, b < p keeps
+#: a*h < 2^62 inside a signed long AND wraps the modulus ~2e9 times (a
+#: near-2^61 modulus would barely wrap, leaving the "permutation"
+#: order-preserving — broken MinHash). Same construction as Spark MLlib's
+#: MinHashLSH.
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """xxhash64 of each shingle, reduced mod MINHASH_PRIME.
+
+    Materialize this as its OWN column before calling
+    ``minhash_signature_from_hashes``: lambda subtrees are not
+    common-subexpression-eliminated, so hashing inline inside each of the
+    num_perm transforms would re-hash every shingle string num_perm times.
+    """
+    return F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+    )
+
+
+def minhash_signature_from_hashes(
+    hashes: Column, num_perm: int = 64, seed: int = 1
+) -> Column:
+    """MinHash signature from a pre-hashed shingle array: per permutation i,
+    ``min over h of (a_i*h + b_i) mod p``.
 
     All arithmetic is JVM-side (``transform``/``array_min``); the per-row cost
     is O(|shingles| * num_perm) with no shuffle — embarrassingly parallel, the
     scale-path for MinHash on 100 TB of documents.
     """
-    # Universal hashing over GF(2^31-1): h, a, b < p so a*h < 2^62 fits a
-    # signed long AND wraps the modulus ~2e9 times (a near-2^61 modulus would
-    # barely wrap, leaving the "permutation" order-preserving — broken
-    # MinHash). Same construction as Spark MLlib's MinHashLSH.
-    p = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+    p = MINHASH_PRIME
     rnd = __import__("random").Random(seed)
     params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
-    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
 
     def perm_min(a: int, b: int):
         return F.array_min(
@@ -72,9 +93,16 @@ def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Co
 
     sig = F.array(*[perm_min(a, b) for (a, b) in params])
     # Empty shingle set → empty-signature sentinel (all p) so it never matches.
-    return F.when(F.size(shingles) > 0, sig).otherwise(
+    return F.when(F.size(hashes) > 0, sig).otherwise(
         F.array_repeat(F.lit(p), num_perm)
     )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Column:
+    """MinHash signature straight from a shingle-string array. Convenience
+    form — prefer materializing ``shingle_hashes`` in its own projection
+    first (see its docstring) on hot paths."""
+    return minhash_signature_from_hashes(shingle_hashes(shingles), num_perm, seed)
 
 
 def simhash64(words: Column) -> Column:

@@ -22,10 +22,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import (
-    cosine_similarity,
     hamming64,
-    minhash_signature,
+    minhash_signature_from_hashes,
+    shingle_hashes,
     vec_dot,
+    vec_norm,
     word_shingles,
 )
 
@@ -89,7 +90,12 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
     sizes = shingled.select("id", F.size("sh").alias("n_sh"))
-    inv = shingled.select("id", F.explode("sh").alias("shingle"))
+    # join on xxhash64(shingle), not the string: the inverted-index shuffle
+    # and the pair-count hash aggregate move 8-byte keys instead of k-word
+    # strings (~2-3× less shuffle volume; collision odds ~2^-64 per pair).
+    inv = shingled.select(
+        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
+    )
     if max_bucket:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
         inv = inv.join(
@@ -146,10 +152,17 @@ def minhash_lsh_pairs(
     signature-agreement estimate.
     """
     rows_per_band = num_perm // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_perm))
+    shingled = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
+        # hashes materialized once — inlining them into the per-perm lambdas
+        # would re-hash every shingle string num_perm times
+        .withColumn("hsh", shingle_hashes(F.col("sh")))
+        .withColumn("sig", minhash_signature_from_hashes(F.col("hsh"), num_perm))
+        .drop("hsh")
+    )
 
     band_entries = shingled.select(
         "id",
@@ -274,6 +287,45 @@ def simhash_pairs(
     )
 
 
+def _cosine_pairs_matmul(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold: broadcast normalized corpus matrix
+    + per-partition BLAS block matmul. Emits (id_a, id_b, cosine) with
+    id_a < id_b, cosine rounded to 6."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    pdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["id"].to_numpy()
+    mat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = np.inf  # zero vectors match nothing
+    matn = mat / norms
+    bc = spark.sparkContext.broadcast((ids, matn))
+
+    def block(it):
+        b_ids, b_mat = bc.value
+        for batch in it:
+            a_ids = batch["id"].to_numpy()
+            a_mat = np.stack(batch["v"].to_numpy()).astype(np.float64)
+            a_norms = np.linalg.norm(a_mat, axis=1, keepdims=True)
+            a_norms[a_norms == 0.0] = np.inf
+            sims = (a_mat / a_norms) @ b_mat.T
+            np.round(sims, 6, out=sims)
+            ai, bi = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"id_a": a_ids[ai], "id_b": b_ids[bi], "cosine": sims[ai, bi]}
+            )
+
+    out = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
+        block, schema=f"id_a {df.schema[id_col].dataType.simpleString()}, "
+        f"id_b {df.schema[id_col].dataType.simpleString()}, cosine double"
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -284,13 +336,24 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    ``n_planes == 0``: exact within-partition cross join (only for small/
-    test inputs). ``n_planes > 0``: random-hyperplane LSH — bucket by the
-    sign-bit signature, pair only within buckets (near-identical vectors
-    collide with high probability), then exact cosine rerank. Hyperplanes are
+    ``n_planes == 0``: exact all-pairs via Arrow-batched block matmul
+    (mapInPandas): the corpus is broadcast as one normalized numpy matrix
+    (brute force is only for corpora that fit a broadcast — ~1M×64 floats =
+    256 MB; beyond that use the LSH path), each partition multiplies its
+    row block against the matrix with BLAS and emits only thresholded
+    pairs. No join, no shuffle — per-pair JVM lambdas are interpreted
+    (CodegenFallback) and ~100× slower than vectorized matmul here.
+
+    ``n_planes > 0``: random-hyperplane LSH — bucket by the sign-bit
+    signature, pair only within buckets (near-identical vectors collide
+    with high probability), then exact cosine rerank. Hyperplanes are
     seeded literals baked into the plan: deterministic, no driver state.
     """
-    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if not n_planes:
+        return _cosine_pairs_matmul(df, id_col, vec_col, threshold)
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm", vec_norm(F.col("v")))
     if n_planes:
         import random
 
@@ -313,19 +376,24 @@ def embedding_cosine_pairs(
             ]
         )
         vecs = vecs.withColumn("bucket", sig)
-        join_on = ["bucket"]
-    else:
-        vecs = vecs.withColumn("bucket", F.lit(0))
-        join_on = ["bucket"]
+        joined = vecs.alias("a").join(vecs.alias("b"), ["bucket"])
 
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(
+        dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)), 6
+    )
     pairs = (
-        vecs.alias("a")
-        .join(vecs.alias("b"), join_on)
-        .filter(F.col("a.id") < F.col("b.id"))
+        joined.filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

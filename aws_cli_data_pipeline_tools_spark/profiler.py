@@ -8,11 +8,12 @@ tables and diffs them: for every *numeric* column (type regex at
 
 The reference composes N_cols×8 *scalar subqueries* chained by UNION ALL — one
 full table scan per statistic unless the remote optimizer commons them up.
-Here the plan is re-architected Spark-first: **one** ``df.agg()`` carrying all
-8×N expressions (single scan, partial+final aggregation, whole-stage codegen),
-then a driver-cheap ``stack`` projection into the wide (agg_type × columns)
-shape — no pivot shuffle at all. At 100 TB this is the difference between one
-pass and eight.
+Here the plan is re-architected Spark-first: three specialized single-row
+``df.agg()`` jobs — plain codegen stats, COUNT DISTINCT, median — crossJoined
+(see ``_agg_row`` for why mixing them in one agg is a ~10× trap), then a
+driver-cheap ``stack`` projection into the wide (agg_type × columns) shape —
+no pivot shuffle at all. At 100 TB this is three column-pruned scans, each
+fully partial-aggregated, instead of N×8.
 
 Semantics preserved from the emitted SQL (see SURVEY.md §2 notes):
 - labels exactly ``1. count`` … ``8. sum``; final row order by that label;
@@ -107,6 +108,27 @@ def _stat_exprs(col: str, median_mode: MedianMode, oracle_safe: bool = False) ->
     return [e.alias(f"{col}__{i}") for i, e in enumerate(exprs)]
 
 
+def _agg_row(
+    df: DataFrame, cols: list[str], median_mode: MedianMode, oracle_safe: bool
+) -> DataFrame:
+    """One-row DataFrame with all 8×N stat columns.
+
+    Split into THREE agg jobs crossJoined (each 1 row, so the joins are
+    free): mixing COUNT DISTINCT (Expand ×N+1), percentile buffers
+    (ObjectHashAggregate), and plain codegen aggregates in a single agg
+    forces everything through an N+1-times-expanded sort-aggregate — ~10×
+    slower than the three specialized plans run separately, at any scale.
+    """
+    all_exprs = {
+        c: _stat_exprs(c, median_mode, oracle_safe) for c in cols
+    }
+    basic_idx = [0, 2, 3, 4, 6, 7]  # count, mean, std, min, max, sum
+    basic = df.agg(*[all_exprs[c][i] for c in cols for i in basic_idx])
+    distinct = df.agg(*[all_exprs[c][1] for c in cols])
+    median = df.agg(*[all_exprs[c][5] for c in cols])
+    return basic.crossJoin(distinct).crossJoin(median)
+
+
 def _empty_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     schema = T.StructType(
         [T.StructField("agg_type", T.StringType(), False)]
@@ -123,14 +145,16 @@ def profile(df: DataFrame, median_mode: MedianMode = "approx", oracle_safe: bool
     aws-athena.sh:120 — applied here as the final plan node so the order is
     actually guaranteed, which a subquery ORDER BY is not).
 
-    Plan shape: Scan → partial agg → final agg (1 row) → stack projection →
-    sort of 8 rows. Exactly one pass over the data regardless of N columns.
+    Plan shape: three specialized single-row aggs (plain codegen stats /
+    COUNT DISTINCT / median buffers — see _agg_row) crossJoined, then a
+    stack projection and a sort of 8 rows. Three column-pruned passes, each
+    fully partial-aggregated (approx mode) regardless of N columns.
     """
     cols = numeric_columns(df)
     if not cols:
         return _empty_profile(df, cols)
 
-    agg_row = df.agg(*[e for c in cols for e in _stat_exprs(c, median_mode, oracle_safe)])
+    agg_row = _agg_row(df, cols, median_mode, oracle_safe)
 
     # stack(8, label_i, <col1>__i, ..., <colN>__i, ...) → 8 rows × (1+N) cols.
     stack_args: list[Column] = []
@@ -160,7 +184,7 @@ def profile_long(df: DataFrame, median_mode: MedianMode = "approx", oracle_safe:
         )
         return df.sparkSession.createDataFrame([], schema)
 
-    agg_row = df.agg(*[e for c in cols for e in _stat_exprs(c, median_mode, oracle_safe)])
+    agg_row = _agg_row(df, cols, median_mode, oracle_safe)
     stack_args: list[Column] = []
     for c in cols:
         for i, label in enumerate(AGG_LABELS):

