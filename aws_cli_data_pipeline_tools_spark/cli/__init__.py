@@ -1,0 +1,12 @@
+"""CLI entry points mirroring the reference's three scripts' UX
+(SURVEY.md A28/A29):
+
+- ``sql``        ≙ aws-athena.sh      (query / file / vimdiff)
+- ``workgroups`` ≙ aws-athena-workgroup.sh
+- ``functions``  ≙ aws-lambda.sh      (list / invoke)
+
+Run as ``python -m aws_cli_data_pipeline_tools_spark.cli <tool> ...``.
+The execution environment profile comes from ``SPARKGRAFT_PROFILE`` (the
+reference's ``ATHENA_WORKGROUP`` env override, aws-athena.sh:8); tables
+resolve inside ``SPARK_GRAFT_SF_DIR``.
+"""

@@ -1,0 +1,128 @@
+"""argparse CLI — the reference scripts' command surface on Spark.
+
+Reference UX preserved (SURVEY.md §2.A A28):
+- ``sql query "<sql>"``     → execute, print aligned results (aws-athena.sh:134-143)
+- ``sql file q.sql``        → execute file contents (aws-athena.sh:146-158)
+- ``sql vimdiff t1 t2``     → profile both tables, print the structured diff
+  (aws-athena.sh:161-198; the interactive vimdiff UI is deliberately replaced
+  by the DataFrame comparator — SURVEY.md do-not-build list)
+- ``workgroups [name]``     → list profiles / show one (aws-athena-workgroup.sh)
+- ``functions list|invoke`` → registry listing / JSON invocation (aws-lambda.sh)
+
+Table arguments accept a bare fixture name (resolved in SPARK_GRAFT_SF_DIR),
+a 3-part ``catalog.database.table`` name (last component resolved the same
+way — the reference's dotted-name contract, aws-athena.sh:165-176), or a
+parquet path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _resolve_table(spark: SparkSession, name: str) -> DataFrame:
+    from ..sources import DEFAULT_SF_DIR, load_table
+
+    if os.path.exists(name):
+        return spark.read.parquet(name)
+    base = name.split(".")[-1]  # catalog.database.table → table
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    path = os.path.join(sf_dir, f"{base}.parquet")
+    if not os.path.exists(path):
+        raise SystemExit(f"table not found: {name} (looked for {path})")
+    return load_table(spark, base, sf_dir)
+
+
+def _print_run(engine, run, max_rows: int, tsv: bool) -> int:
+    if run.state != "SUCCEEDED":
+        # A4 fail-fast surface: state + reason, nonzero exit
+        print(f"{run.state}: {run.state_change_reason}", file=sys.stderr)
+        return 1
+    out = engine.to_tsv(run.df, max_rows) if tsv else engine.render(run.df, max_rows)
+    print(out, end="")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="aws_cli_data_pipeline_tools_spark",
+        description="PySpark-native analytics engine CLI",
+    )
+    parser.add_argument("--max-rows", type=int, default=1000)
+    parser.add_argument("--tsv", action="store_true", help="raw TSV output")
+    sub = parser.add_subparsers(dest="tool", required=True)
+
+    p_sql = sub.add_parser("sql", help="SQL execution + profiler (≙ aws-athena.sh)")
+    sql_sub = p_sql.add_subparsers(dest="cmd", required=True)
+    sql_sub.add_parser("query").add_argument("sql_text")
+    sql_sub.add_parser("file").add_argument("path")
+    p_diff = sql_sub.add_parser("vimdiff")
+    p_diff.add_argument("base_table")
+    p_diff.add_argument("target_table")
+
+    p_wg = sub.add_parser("workgroups", help="config profiles (≙ aws-athena-workgroup.sh)")
+    p_wg.add_argument("name", nargs="?")
+
+    p_fn = sub.add_parser("functions", help="function registry (≙ aws-lambda.sh)")
+    fn_sub = p_fn.add_subparsers(dest="cmd", required=True)
+    fn_sub.add_parser("list")
+    p_inv = fn_sub.add_parser("invoke")
+    p_inv.add_argument("fn_name")
+    p_inv.add_argument("payload")
+
+    args = parser.parse_args(argv)
+
+    from ..engine import Engine
+
+    engine = Engine.local()
+    spark = engine.spark
+
+    if args.tool == "sql":
+        if args.cmd == "query":
+            return _print_run(engine, engine.sql(args.sql_text), args.max_rows, args.tsv)
+        if args.cmd == "file":
+            return _print_run(engine, engine.sql_file(args.path), args.max_rows, args.tsv)
+        if args.cmd == "vimdiff":
+            base = _resolve_table(spark, args.base_table)
+            target = _resolve_table(spark, args.target_table)
+            diff = engine.profile_diff(base, target)
+            print(engine.render(diff, args.max_rows), end="")
+            return 0
+
+    if args.tool == "workgroups":
+        df = engine.workgroups()
+        if args.name:
+            df = df.filter(df.name == args.name)
+            if df.count() == 0:
+                print(f"workgroup not found: {args.name}", file=sys.stderr)
+                return 1
+        print(engine.render(df, args.max_rows), end="")
+        return 0
+
+    if args.tool == "functions":
+        if args.cmd == "list":
+            for name in engine.functions.list():
+                print(name)
+            return 0
+        if args.cmd == "invoke":
+            try:
+                result = engine.functions.invoke(args.fn_name, args.payload)
+            except KeyError as exc:
+                print(f"error: {exc}", file=sys.stderr)
+                return 1
+            except Exception as exc:  # PayloadError etc → jq-empty parity
+                print(f"error: {exc}", file=sys.stderr)
+                return 2
+            print(json.dumps(result, indent=2, sort_keys=True))
+            return 0
+
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,78 @@
+"""Physical-plan inspection helpers — the scale-tuning feedback loop.
+
+Wraps ``df.explain`` output into queryable facts so tests (and humans) can
+assert the plan properties that matter at 100 TB:
+
+- filters reached the parquet scan (``PushedFilters``);
+- the scan reads only needed columns (``ReadSchema``);
+- small dims joined by broadcast, not shuffle;
+- expressions stayed inside WholeStageCodegen spans;
+- how many source scans a plan performs.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted(df: DataFrame) -> str:
+    """`explain("formatted")` text without printing to stdout."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@dataclass
+class PlanFacts:
+    pushed_filters: list[str]
+    read_schemas: list[str]
+    n_scans: int
+    n_broadcast_joins: int
+    n_sortmerge_joins: int
+    n_shuffles: int
+    codegen_spans: int
+
+    def scan_columns(self) -> set[str]:
+        cols: set[str] = set()
+        for rs in self.read_schemas:
+            cols.update(re.findall(r"(\w+):", rs))
+        return cols
+
+
+def facts(df: DataFrame) -> PlanFacts:
+    plan = executed_plan(df)
+    return PlanFacts(
+        pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        # stop at newline too: long plans get truncated mid-struct and an
+        # unanchored [^>]* would swallow unrelated plan lines
+        read_schemas=re.findall(r"ReadSchema: struct<([^>\n]*)", plan),
+        n_scans=plan.count("FileScan") + plan.count("BatchScan"),
+        n_broadcast_joins=plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        n_sortmerge_joins=plan.count("SortMergeJoin"),
+        n_shuffles=plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition"),
+        codegen_spans=len(set(re.findall(r"\*\((\d+)\)", plan))),
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    f = facts(df)
+    joined = "; ".join(f.pushed_filters)
+    assert fragment in joined, (
+        f"filter fragment {fragment!r} not pushed to scan; pushed: {joined!r}"
+    )
+
+
+def assert_scan_pruned(df: DataFrame, allowed_columns: set[str]) -> None:
+    f = facts(df)
+    extra = f.scan_columns() - allowed_columns
+    assert not extra, f"scan reads unpruned columns: {sorted(extra)}"

@@ -1,0 +1,73 @@
+"""Plan-shape assertions (pushdown / pruning / broadcast) + CLI surface."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import plans
+from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+from aws_cli_data_pipeline_tools_spark.cli.main import main as cli_main
+from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.filter(F.col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    plans.assert_pushed_filter(q, "GreaterThan(l_quantity,40.0)")
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    q = li.select("l_orderkey", "l_quantity")
+    plans.assert_scan_pruned(q, {"l_orderkey", "l_quantity"})
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """join_5way_region_revenue: every dim side must broadcast — a shuffle
+    of region/nation/supplier at 100 TB would be a planning failure."""
+    df = all_specs()["join_5way_region_revenue"].fn(spark, sf_dir)
+    f = plans.facts(df)
+    assert f.n_broadcast_joins >= 3
+    assert f.n_sortmerge_joins <= 1  # only the lineitem↔orders fact join may shuffle
+
+
+def test_profiler_prunes_to_numeric_columns(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark import profiler
+
+    li = load_table(spark, "lineitem", sf_dir)
+    numeric = set(profiler.numeric_columns(li))
+    plans.assert_scan_pruned(profiler.profile(li), numeric)
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    df = all_specs()["topk_orders"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in plans.executed_plan(df)
+
+
+def test_cli_query_and_errors(capsys, monkeypatch, sf_dir):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["sql", "query", "SELECT 1 AS one, 2 AS two"]) == 0
+    out = capsys.readouterr().out
+    assert out == "one  two\n1    2\n"
+
+    assert cli_main(["sql", "query", "SELEKT broken"]) == 1
+    assert "FAILED" in capsys.readouterr().err
+
+
+def test_cli_vimdiff(capsys, monkeypatch, sf_dir):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["sql", "vimdiff", "cat.db.region", "region"]) == 0
+    out = capsys.readouterr().out
+    assert "r_regionkey_equal" in out and "true" in out
+    with pytest.raises(SystemExit, match="table not found"):
+        cli_main(["sql", "vimdiff", "nope_table", "region"])
+
+
+def test_cli_workgroups_and_functions(capsys):
+    assert cli_main(["workgroups"]) == 0
+    assert "primary" in capsys.readouterr().out
+    assert cli_main(["workgroups", "missing-wg"]) == 1
+    capsys.readouterr()
+    assert cli_main(["functions", "list"]) == 0  # empty registry: no output
+    assert cli_main(["functions", "invoke", "nope", "{}"]) == 1
