@@ -533,6 +533,108 @@ ORDER BY c_custkey
     notes="Correlated EXISTS — Catalyst decorrelates to a join.",
 )
 
+# --- array / map functions ------------------------------------------------------
+
+register_sql(
+    "array_funcs",
+    spark_sql="""
+SELECT vec_id,
+       size(embedding)                               AS dim,
+       round(CAST(element_at(embedding, 1) AS DOUBLE), 6) AS first_el,
+       round(CAST(element_at(embedding, -1) AS DOUBLE), 6) AS last_el,
+       round(aggregate(slice(embedding, 1, 8),
+             CAST(0.0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE)), 6) AS head8_sum,
+       round(CAST(array_max(embedding) AS DOUBLE), 6) AS max_el,
+       round(CAST(array_min(embedding) AS DOUBLE), 6) AS min_el,
+       round(CAST(element_at(array_sort(embedding), 32) AS DOUBLE), 6) AS sorted_mid,
+       size(filter(embedding, x -> x > CAST(0.0 AS FLOAT))) AS n_positive
+FROM embeddings
+ORDER BY vec_id
+""",
+    duck_sql="""
+SELECT vec_id,
+       len(embedding)                                AS dim,
+       round(CAST(embedding[1] AS DOUBLE), 6)        AS first_el,
+       round(CAST(embedding[-1] AS DOUBLE), 6)       AS last_el,
+       round(list_sum(list_transform(list_slice(embedding, 1, 8),
+             x -> CAST(x AS DOUBLE))), 6)            AS head8_sum,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_el,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_el,
+       round(CAST(list_sort(embedding)[32] AS DOUBLE), 6) AS sorted_mid,
+       len(list_filter(embedding, x -> x > 0.0))     AS n_positive
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("functions", "array"),
+    notes="Array surface over array<float>: element access (±index), slice, "
+    "higher-order aggregate/filter, sort, min/max.",
+)
+
+register_sql(
+    "explode_unnest",
+    spark_sql="""
+SELECT word, count(*) AS n
+FROM (SELECT explode(split(text, '\\\\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""",
+    duck_sql="""
+SELECT word, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+GROUP BY word
+ORDER BY n DESC, word
+LIMIT 20
+""",
+    tags=("functions", "array", "explode"),
+    notes="UNNEST/explode + top-k word counts (the inverted-index primitive).",
+)
+
+register_sql(
+    "map_funcs",
+    spark_sql="""
+SELECT k.seg,
+       element_at(m.seg_counts, k.seg) AS seg_count,
+       size(m.seg_counts) AS n_keys
+FROM (SELECT map_from_entries(collect_list(struct(c_mktsegment, cnt))) AS seg_counts
+      FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer
+            GROUP BY c_mktsegment)) m
+CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) k
+ORDER BY k.seg
+""",
+    duck_sql="""
+SELECT k.seg,
+       m.seg_counts[k.seg][1] AS seg_count,
+       len(map_keys(m.seg_counts)) AS n_keys
+FROM (SELECT map(list(c_mktsegment), list(cnt)) AS seg_counts
+      FROM (SELECT c_mktsegment, count(*) AS cnt FROM customer
+            GROUP BY c_mktsegment ORDER BY c_mktsegment)) m
+CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer) k
+ORDER BY k.seg
+""",
+    tags=("functions", "map"),
+    notes="Map build (map_from_entries ≙ the reference's map_agg, "
+    "aws-athena.sh:120) + subscript projection (A19/A20) + map_keys.",
+)
+
+
+# --- approximate aggregates (rows-only: estimators differ per engine) -----------
+
+register_sql(
+    "approx_aggregates",
+    spark_sql="""
+SELECT l_returnflag,
+       approx_count_distinct(l_partkey) AS approx_parts,
+       round(percentile_approx(l_extendedprice, 0.5), 5) AS approx_median_price,
+       round(percentile_approx(l_extendedprice, 0.95), 5) AS approx_p95_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    duck_sql=None,
+    tags=("agg", "approx"),
+    notes="HLL++ approx distinct + GK approx percentiles — rows-only (DuckDB "
+    "uses different estimators); pytest bounds-checks against exact values.",
+)
+
 register_sql(
     "distinct_projection",
     sql="""

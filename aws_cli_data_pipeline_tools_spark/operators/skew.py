@@ -1,0 +1,63 @@
+"""Skew-handling primitives: salted aggregation and salted joins.
+
+AQE's skew-join handling (on by default in the session factory) covers most
+cases at runtime; these explicit operators are for the two situations AQE
+can't fix: (a) a single hot GROUP BY key that overwhelms one reducer even
+after partial aggregation, (b) a shuffle join where one key's rows exceed an
+executor's memory on *both* sides.
+
+Salting is the standard decomposition: append a random salt in [0, salts) to
+the hot key, aggregate/join on (key, salt), then reduce the salted partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count_sum(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    salts: int = 32,
+) -> DataFrame:
+    """GROUP BY ``keys`` computing count(*) + sums, two-phase via a salt.
+
+    Phase 1 shuffles on (keys, salt) — the hot key spreads over ``salts``
+    reducers; phase 2 reduces the ≤ salts partial rows per key. Results are
+    identical to the direct groupBy (sums of decimals/longs are
+    order-insensitive; use decimal inputs for float exactness).
+    """
+    salted = df.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count("*").alias("__n"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__n").alias("n_rows"),
+        *[F.sum(f"__s_{c}").alias(f"sum_{c}") for c in sum_cols],
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    on: str,
+    salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys and ``small`` is modest but
+    above the broadcast threshold: salt the skewed side, replicate the other
+    side ``salts``× (explode), join on (key, salt).
+
+    Shuffle volume: |skewed| + salts·|small| — the classic trade. If
+    ``small`` fits a broadcast, use ``F.broadcast`` instead; this operator is
+    for the in-between regime.
+    """
+    s = skewed.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
+    r = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    out = s.join(r, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -67,13 +67,16 @@ def reader(spark: SparkSession, fmt: str) -> DataFrameReader:
 
 
 def write(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite",
-          partition_by: list[str] | None = None) -> None:
+          partition_by: list[str] | None = None, **options: str) -> None:
     """Sink: the reference's CTAS/INSERT/UNLOAD analog (SURVEY.md §2.B).
 
     ``partition_by`` gives hive-style partition layout so downstream reads
     get partition pruning — the scale-path default for time/tenant keys.
+    Extra ``options`` pass through to the writer (e.g. ``header="true"``).
     """
     w = df.write.format(fmt).mode(mode)
+    for k, v in options.items():
+        w = w.option(k, v)
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.save(path)

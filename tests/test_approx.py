@@ -1,0 +1,30 @@
+"""Error-bound checks for approximate aggregates (rows-only catalog entries
+get their correctness guarantee here — SURVEY.md §5.2)."""
+
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+
+def test_approx_aggregates_within_bounds(spark, sf_dir):
+    out = {r.l_returnflag: r for r in all_specs()["approx_aggregates"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, "lineitem", sf_dir)
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("nd"),
+            F.median("l_extendedprice").alias("med"),
+            F.percentile("l_extendedprice", 0.95).alias("p95"),
+        )
+        .collect()
+    }
+    for flag, r in out.items():
+        e = exact[flag]
+        # HLL++ default rsd = 5%; allow 3x headroom
+        assert abs(r.approx_parts - e.nd) <= max(0.15 * e.nd, 5)
+        # percentile_approx default accuracy 10000 → rank error ≤ n/10000;
+        # translate to a generous value tolerance via the observed spread
+        assert abs(r.approx_median_price - e.med) <= 0.05 * e.med
+        assert abs(r.approx_p95_price - e.p95) <= 0.05 * e.p95
