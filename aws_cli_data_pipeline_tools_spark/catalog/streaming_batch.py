@@ -14,7 +14,9 @@ Gap arithmetic uses integer epoch microseconds on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.asof import asof_join
@@ -145,6 +147,55 @@ ORDER BY user_id, event_type
     notes="Keyed keep-first dedup — batch twin of "
     "dropDuplicatesWithinWatermark on (user_id, event_type).",
 )
+
+
+@register(
+    "streaming_tumbling_live",
+    oracle=f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       event_type,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+""",
+    tags=("streaming", "live"),
+    notes="REAL Structured Streaming run: readStream(events) → watermark → "
+    "tumbling window agg → availableNow drain to memory sink; on a bounded "
+    "replay the complete-mode result equals the batch/DuckDB answer — the "
+    "streaming correctness argument from SURVEY.md §5.",
+)
+def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    # decimal cast BEFORE the streaming sum (order-independent exactness —
+    # rounding an already order-dependent double sum would not fix it)
+    stream = st.events_file_stream(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,10)")
+    )
+    agg = st.tumbling_counts(stream).withColumn(
+        "sum_value", F.round(F.col("sum_value").cast("double"), 5)
+    )
+    name = f"q_stream_tumbling_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete")
+    return spark.table(name).orderBy("win_start", "event_type")
+
+
+@register(
+    "dedup_cluster_groups",
+    oracle=None,  # transitive closure over MinHash pairs — iterative, not
+    # SQL-expressible in one statement; pytest covers known graphs.
+    tags=("streaming", "dedup"),
+    notes="Connected components (label propagation) over MinHash near-dup "
+    "pairs → (doc, group keeper) assignments.",
+)
+def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as dd
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dd.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=32, threshold=0.5)
+    return dd.dedup_clusters(pairs)
 
 
 @register(

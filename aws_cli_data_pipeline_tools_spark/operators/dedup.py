@@ -287,6 +287,61 @@ def simhash_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a duplicate-pair graph → dedup groups.
+
+    Pair lists (from MinHash/SimHash/cosine) only say "a ~ b"; deduping a
+    corpus needs the transitive closure: each doc labeled with its group's
+    min id (the canonical keeper). Label propagation on DataFrames:
+    repeatedly set label(v) = min(label(v), min over neighbors' labels)
+    until a fixpoint — converges in O(diameter) rounds, ≤ max_iterations.
+
+    Each round is two shuffles (edge join + min-agg). Near-dup graphs are
+    overwhelmingly tiny cliques/chains, so 3-4 rounds typically suffice; the
+    loop exits early on convergence (count of changed labels == 0 — a cheap
+    action on the aggregated frame, not a collect of labels).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("id"), F.col("label").alias("group_id")
+    ).orderBy("id")
+
+
 def _cosine_pairs_matmul(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:

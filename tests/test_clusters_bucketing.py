@@ -1,0 +1,79 @@
+"""Dedup clustering (connected components), bucketed no-shuffle joins, and
+hypothesis property tests for the text primitives."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import plans
+from aws_cli_data_pipeline_tools_spark.functions import word_shingles
+from aws_cli_data_pipeline_tools_spark.operators.dedup import dedup_clusters
+
+
+def test_dedup_clusters_chain_and_clique(spark):
+    # chain 1-2-3 (transitive), clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (10, 12), (11, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    n = 12  # diameter > typical 3-4 rounds: exercises the iteration loop
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a bigint, id_b bigint"
+    )
+    out = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy co-located join: both sides bucketed on the key → the join
+    plans with zero Exchange nodes (the 100 TB repeated-join layout)."""
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+        orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_totalprice")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable("b_li")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable("b_ord")
+        j = spark.table("b_li").join(
+            spark.table("b_ord"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        f = plans.facts(j)
+        assert f.n_shuffles == 0
+        assert j.count() == li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
+
+
+def _py_shingles(text: str, k: int = 3):
+    words = [w for w in __import__("re").split(r"\s+", text)]
+    if len(words) < k:
+        return []
+    seen, out = set(), []
+    for i in range(len(words) - k + 1):
+        g = " ".join(words[i : i + k])
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=4), min_size=0, max_size=12
+    )
+)
+def test_word_shingles_matches_reference(spark, words_list):
+    text = " ".join(words_list) if words_list else "x"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
+    assert got == _py_shingles(text, 3)
