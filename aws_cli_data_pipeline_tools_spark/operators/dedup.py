@@ -22,8 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import (
+    MINHASH_PRIME,
     hamming64,
-    minhash_signature_from_hashes,
     shingle_hashes,
     vec_dot,
     vec_norm,
@@ -152,29 +152,51 @@ def minhash_lsh_pairs(
     signature-agreement estimate.
     """
     rows_per_band = num_perm // bands
-    shingled = (
-        df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), k).alias("sh"),
-        )
-        # hashes materialized once — inlining them into the per-perm lambdas
-        # would re-hash every shingle string num_perm times
-        .withColumn("hsh", shingle_hashes(F.col("sh")))
-        .withColumn("sig", minhash_signature_from_hashes(F.col("hsh"), num_perm))
-        .drop("hsh")
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        # distinct reduced hashes replace shingle strings downstream: the
+        # exact-verify joins shuffle arrays of longs, not k-word strings
+        # (same Jaccard up to ~2^-31-probability collisions).
+        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), k))).alias(
+            "hsh"
+        ),
     )
 
-    band_entries = shingled.select(
+    # Signature via explode + 64 MIN aggregates: higher-order lambdas are
+    # interpreted (CodegenFallback), so the per-row array fold costs ~10× a
+    # codegen'd hash aggregate with map-side partial mins. Shuffle volume is
+    # (id, 64 longs) partials — independent of shingle counts.
+    p = MINHASH_PRIME
+    rnd = __import__("random").Random(1)  # same params as minhash_signature
+    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    ex = shingled.select("id", F.explode("hsh").alias("h"))
+    sig_rows = ex.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
+            for i, (a, b) in enumerate(params)
+        ]
+    )
+
+    band_entries = sig_rows.select(
         "id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                    ).alias("bkey"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.array(
+                                *[
+                                    F.col(f"m{i}")
+                                    for i in range(
+                                        b * rows_per_band, (b + 1) * rows_per_band
+                                    )
+                                ]
+                            )
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bkey")
@@ -187,10 +209,15 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sides = shingled.select("id", "sh", "sig")
+    sig_arr = sig_rows.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
+    )
+    # inner join drops empty-shingle docs — they have no signature rows and
+    # can never be candidates
+    sides = shingled.join(sig_arr, "id").select("id", "hsh", "sig")
     joined = (
-        cand.join(sides.withColumnsRenamed({"id": "id_a", "sh": "sh_a", "sig": "sig_a"}), "id_a")
-        .join(sides.withColumnsRenamed({"id": "id_b", "sh": "sh_b", "sig": "sig_b"}), "id_b")
+        cand.join(sides.withColumnsRenamed({"id": "id_a", "hsh": "sh_a", "sig": "sig_a"}), "id_a")
+        .join(sides.withColumnsRenamed({"id": "id_b", "hsh": "sh_b", "sig": "sig_b"}), "id_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))

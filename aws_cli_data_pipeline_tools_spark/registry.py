@@ -53,6 +53,36 @@ class FunctionRegistry:
 
         self._spark.udf.register(name, _udf_impl, "string")
 
+    def register_vectorized(
+        self, name: str, fn: Callable[[dict], dict], description: str = "",
+        batch_fn: Callable | None = None,
+    ) -> None:
+        """Register with an Arrow-batched pandas UDF for the columnwise path
+        (A26's vectorized external-function semantics): ``fn`` handles
+        single ``invoke`` calls; the SQL-visible UDF processes whole
+        pandas batches — pass ``batch_fn(Series[str]) -> Series[str]`` to
+        vectorize for real, else ``fn`` is mapped over the batch.
+        """
+        import json as _json
+
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        self._fns[name] = _Entry(name, fn, description)
+
+        if batch_fn is None:
+            # no annotations: `from __future__ import annotations` stringifies
+            # them and pandas_udf cannot resolve locally-imported pd.Series
+            def batch_fn(s):  # noqa: ANN001
+                return s.map(
+                    lambda payload: _json.dumps(
+                        fn(_json.loads(payload) if payload else {}), sort_keys=True
+                    )
+                )
+
+        self._spark.udf.register(
+            name, pandas_udf(batch_fn, "string", functionType=PandasUDFType.SCALAR)
+        )
+
     def list(self) -> list[str]:
         """Function names, sorted — aws-lambda.sh:38-40."""
         return sorted(self._fns)

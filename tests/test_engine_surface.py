@@ -87,3 +87,15 @@ def test_registry_invoke_and_apply(spark):
     df = spark.createDataFrame([('{"x": 5}',)], "payload string")
     out = reg.apply(df, "double_it", "payload", "resp").collect()[0]["resp"]
     assert out == '{"out": 10}'
+
+
+def test_registry_vectorized(spark):
+    reg = FunctionRegistry(spark)
+    reg.register_vectorized("vec_double", lambda p: {"out": p["x"] * 2})
+    assert reg.invoke("vec_double", {"x": 4}) == {"out": 8}
+    df = spark.createDataFrame(
+        [(f'{{"x": {i}}}',) for i in range(10)], "payload string"
+    )
+    rows = reg.apply(df, "vec_double", "payload", "resp").collect()
+    assert sorted(r["resp"] for r in rows)[0] == '{"out": 0}'
+    assert len(rows) == 10
