@@ -317,6 +317,46 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ full pipeline
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+WITH canon AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+           AS canon_hash,
+         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         lang, source
+  FROM documents
+), keepers AS (
+  SELECT doc_id, canon_hash, n_words, lang, source,
+         doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_keeper
+  FROM canon
+)
+SELECT doc_id, lang, source, n_words
+FROM keepers
+WHERE is_keeper AND n_words BETWEEN 20 AND 5000 AND lang <> 'zh'
+ORDER BY doc_id
+""",
+    tags=("llmops", "pipeline"),
+    notes="End-to-end corpus-cleaning composition: canonical dedup keepers → "
+    "length band filter → language filter. One shuffle (the dedup groupBy); "
+    "filters execute before it and prune at the scan.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    deduped = dedup.canonical_text_dedup(docs).filter(F.col("is_keeper"))
+    out = (
+        docs.withColumn("n_words", F.size(F.split("text", r"\s+")))
+        .join(deduped.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("n_words").between(20, 5000) & (F.col("lang") != "zh"))
+        .select("doc_id", "lang", "source", "n_words")
+        .orderBy("doc_id")
+    )
+    return out
+
+
 # ---------------------------------------------------------------- multimodal
 
 @register(

@@ -533,6 +533,39 @@ ORDER BY c_custkey
     notes="Correlated EXISTS — Catalyst decorrelates to a join.",
 )
 
+register_sql(
+    "date_funcs2",
+    spark_sql="""
+SELECT e.event_id,
+       CAST(from_unixtime(unix_micros(e.ts) DIV 1000000) AS TIMESTAMP) AS ts_floor_s,
+       to_date(e.ts)                         AS event_day,
+       add_months(to_date(e.ts), 2)          AS plus_2mo,
+       datediff(to_date(e.ts), DATE '2024-01-01') AS days_since_y24,
+       date_format(e.ts, 'yyyy-MM-dd HH')    AS hour_label,
+       CAST(extract(DOW FROM e.ts) AS INT) - 1 AS dow,
+       trunc(to_date(e.ts), 'week')          AS week_start
+FROM events e
+ORDER BY e.event_id
+""",
+    duck_sql="""
+SELECT e.event_id,
+       CAST(to_timestamp(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)) AS TIMESTAMP) AS ts_floor_s,
+       CAST(e.ts AS DATE)                    AS event_day,
+       CAST(CAST(e.ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+       CAST(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) AS INT) AS days_since_y24,
+       strftime(CAST(e.ts AS TIMESTAMP), '%Y-%m-%d %H') AS hour_label,
+       CAST(dayofweek(CAST(e.ts AS TIMESTAMP)) AS INT)  AS dow,
+       CAST(date_trunc('week', CAST(e.ts AS DATE)) AS DATE) AS week_start
+FROM events e
+ORDER BY e.event_id
+""",
+    tags=("functions", "date"),
+    notes="from_unixtime/to_date/add_months/datediff/date_format/extract/"
+    "trunc — Spark extract(DOW) is Sunday=1, DuckDB dayofweek Sunday=0, so "
+    "the Spark side shifts by 1; week trunc is Monday-start in both.",
+)
+
+
 # --- array / map functions ------------------------------------------------------
 
 register_sql(
