@@ -183,6 +183,50 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stateful_user_totals_live",
+    oracle="""
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("streaming", "stateful", "live"),
+    notes="REAL applyInPandasWithState run (streaming/stateful.py): per-user "
+    "running totals with event-time idle eviction, drained via availableNow; "
+    "the max-n update row per key equals the batch group-by. Values are "
+    "summed as integer cents (events.value is 2-decimal) so the Python-side "
+    "accumulation is exactly associative and matches DuckDB bit-for-bit.",
+)
+def stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+    from ..streaming.stateful import running_user_totals
+
+    stream = st.events_file_stream(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = running_user_totals(stream)
+    name = f"q_stream_stateful_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(out, name, output_mode="update")
+    return (
+        spark.table(name)
+        .filter(~F.col("closed"))
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("sum_value", "n_events").alias("cents"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("cents") / 100.0, 2).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "dedup_cluster_groups",
     oracle=None,  # transitive closure over MinHash pairs — iterative, not
     # SQL-expressible in one statement; pytest covers known graphs.

@@ -1,0 +1,105 @@
+"""Cloud (S3-compatible) source/sink wiring — the reference's data plane.
+
+The reference queries Glue/Hive tables whose data lives on S3 and writes
+results to a workgroup's S3 output location (aws-athena-workgroup.sh:43).
+In Spark the same capability is the ``s3a://`` Hadoop connector plus a
+catalog of named tables; this module wires both WITHOUT any network
+dependency in the engine core:
+
+- ``configure_s3a(spark, ...)`` sets the standard fs.s3a options (endpoint,
+  credentials provider chain, path-style access) on the live session —
+  values come from env/args, never hardcoded;
+- ``CloudTable`` describes a named external table (path, format, partition
+  keys); ``register_cloud_tables`` creates temp views for them, making
+  ``spark.sql`` over S3 data equivalent to the reference's Athena queries;
+- ``unload(df, path, ...)`` is the reference's UNLOAD/CTAS analog: a
+  partitioned columnar write to any URI the session's Hadoop conf can reach.
+
+Everything accepts local ``file:/`` URIs identically — tests run the same
+code paths against local fixtures (no AWS account in this environment).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Standard anonymous/chained credential providers (public Hadoop constants).
+_DEFAULT_PROVIDERS = (
+    "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider,"
+    "com.amazonaws.auth.EnvironmentVariableCredentialsProvider,"
+    "org.apache.hadoop.fs.s3a.AnonymousAWSCredentialsProvider"
+)
+
+
+def configure_s3a(
+    spark: SparkSession,
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = False,
+) -> None:
+    """Set fs.s3a options on the live session from args/environment.
+
+    Credentials default to the standard env vars; nothing is stored in code
+    or logs. At cluster scale these usually come from instance profiles —
+    then this function is a no-op beyond the endpoint.
+    """
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    if endpoint:
+        conf.set("fs.s3a.endpoint", endpoint)
+    if access_key and secret_key:
+        conf.set("fs.s3a.access.key", access_key)
+        conf.set("fs.s3a.secret.key", secret_key)
+    conf.set("fs.s3a.aws.credentials.provider", _DEFAULT_PROVIDERS)
+    if path_style_access:
+        conf.set("fs.s3a.path.style.access", "true")
+
+
+@dataclass
+class CloudTable:
+    """A named external table — the engine-side analog of a Glue entry."""
+
+    name: str
+    path: str  # s3a://bucket/prefix or any Hadoop-readable URI
+    fmt: str = "parquet"
+    partition_keys: list[str] = field(default_factory=list)
+    options: dict[str, str] = field(default_factory=dict)
+
+
+def read_cloud_table(spark: SparkSession, table: CloudTable) -> DataFrame:
+    r = spark.read.format(table.fmt)
+    for k, v in table.options.items():
+        r = r.option(k, v)
+    df = r.load(table.path)
+    return df
+
+
+def register_cloud_tables(spark: SparkSession, tables: list[CloudTable]) -> None:
+    """Temp views over external paths → ``spark.sql`` can address them by
+    name, exactly like the reference addressing Glue tables through Athena.
+    Partitioned layouts get partition pruning automatically (hive-style
+    directories)."""
+    for t in tables:
+        read_cloud_table(spark, t).createOrReplaceTempView(t.name)
+
+
+def unload(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """UNLOAD/CTAS analog: columnar, compressed, optionally hive-partitioned
+    write to any URI (s3a://…, file:/…). Partition keys should be the
+    downstream pruning keys (time/tenant) — SURVEY.md §2.B sinks row."""
+    w = df.write.format(fmt).mode(mode).option("compression", compression)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)

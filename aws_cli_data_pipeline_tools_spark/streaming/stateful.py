@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The route SURVEY.md §2.B reserves for operators Structured Streaming's
+built-ins can't express: arbitrary per-key state evolving across
+micro-batches. The example operator is a per-user running aggregate
+(event count + value sum) with an *event-time* idle timeout — the
+skeleton every custom sessionizer/accumulator follows.
+
+Event-time (watermark-driven) timeouts are used instead of
+processing-time ones deliberately: they are deterministic under replay,
+they work identically at any cluster size, and — operationally — a
+processing-time timeout keeps the micro-batch loop spinning ("no new
+data but cleaning up state") so bounded/`availableNow` runs never
+terminate. Watermark-driven eviction only advances with the data.
+
+State is a single tuple per key, Arrow-marshalled; at cluster scale the
+state store is per-partition (keys hash across executors) and bounded by
+the watermark-driven eviction below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, closed boolean"
+STATE_SCHEMA = "n bigint, s double"
+
+IDLE_TIMEOUT_MS = 30_000  # close a key 30 s (event time) after its last event
+
+
+def _update_user_state(
+    key: tuple,
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, s = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [True]}
+        )
+        return
+    n, s = state.get if state.exists else (0, 0.0)
+    max_ts_ms = 0
+    for pdf in batches:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        batch_max = pdf["ts"].max()
+        if pd.notna(batch_max):
+            max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
+    state.update((n, s))
+    # Evict when the watermark passes last-event-time + idle window. The
+    # timestamp must exceed the current watermark; last event ts + idle
+    # always does (the watermark trails the max event time by the delay).
+    timeout_at = max(max_ts_ms + IDLE_TIMEOUT_MS, state.getCurrentWatermarkMs() + 1)
+    state.setTimeoutTimestamp(timeout_at)
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [False]}
+    )
+
+
+def running_user_totals(events: DataFrame, watermark_delay: str = "10 seconds") -> DataFrame:
+    """Streaming per-user running totals with event-time idle closure.
+
+    Input: a streaming DataFrame with (user_id, ts, value, …). Output: one
+    row per user per micro-batch with the running totals; a final
+    ``closed=true`` row once the watermark passes the key's idle window.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_state,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
