@@ -373,3 +373,39 @@ FROM documents ORDER BY doc_id
 )
 def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.text_as_binary_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "udtf_token_topk",
+    oracle="""
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS token
+      FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+    tags=("llmops", "text", "udtf"),
+    notes="Python UDTF (table function) in a LATERAL join: tokenize each "
+    "document row-set-wise, then top-20 token frequency. Exercises the "
+    "registry's UDTF path end-to-end; tie-broken on token for determinism.",
+)
+def udtf_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udtfs import TOKENIZE_RETURN_TYPE, TokenizeUDTF
+    from ..registry import FunctionRegistry
+
+    reg = FunctionRegistry(spark)
+    reg.register_table(
+        "tokenize_udtf", TokenizeUDTF, TOKENIZE_RETURN_TYPE,
+        description="one row per lowercase ascii token",
+    )
+    load_table(spark, "documents", sf_dir).createOrReplaceTempView("q_udtf_documents")
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n
+        FROM q_udtf_documents, LATERAL tokenize_udtf(text) t
+        GROUP BY t.token
+        ORDER BY n DESC, token
+        LIMIT 20
+        """
+    )

@@ -1,0 +1,35 @@
+"""Python UDTFs (Spark ≥3.5 user-defined table functions).
+
+The reference's external-function surface is JSON-scalar only
+(aws-lambda.sh:24-54); UDTFs are the table-valued end of the same contract
+(SURVEY.md §2.B UDF/UDAF/UDTF row) — a named function whose result is a row
+set, used via ``LATERAL`` in SQL. Registered through
+``FunctionRegistry.register_table``.
+
+These run row-at-a-time in the Python worker, so each class documents the
+JVM-side built-in composition that expresses the same semantics — that is
+the hot-path form; the UDTF exists for procedural expansions built-ins
+can't express and to exercise the registration/LATERAL plumbing.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: ASCII word tokens after lowercasing — mirrors DuckDB
+#: ``regexp_extract_all(lower(text), '[a-z0-9'']+')`` for oracle parity.
+TOKEN_RE = re.compile(r"[a-z0-9']+")
+
+TOKENIZE_RETURN_TYPE = "token string"
+
+
+class TokenizeUDTF:
+    """One row per token of the input text.
+
+    Built-in equivalent (preferred in hot paths):
+    ``explode(regexp_extract_all(lower(text), "[a-z0-9']+", 0))``.
+    """
+
+    def eval(self, text: str):  # noqa: ANN201 - UDTF protocol
+        for tok in TOKEN_RE.findall((text or "").lower()):
+            yield (tok,)

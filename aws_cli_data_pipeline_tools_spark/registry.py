@@ -83,6 +83,23 @@ class FunctionRegistry:
             name, pandas_udf(batch_fn, "string", functionType=PandasUDFType.SCALAR)
         )
 
+    def register_table(
+        self, name: str, handler_cls: type, return_type: str, description: str = ""
+    ) -> None:
+        """Register a Python UDTF (table function, Spark ≥3.5) — the
+        row-set-returning end of the reference's external-function contract
+        (SURVEY.md §2.B UDF/UDAF/UDTF row). The class needs an
+        ``eval(self, *cols)`` generator yielding output tuples; SQL use:
+        ``SELECT t.* FROM src, LATERAL <name>(src.col) t``.
+
+        Scale note: UDTFs run row-at-a-time in the Python worker — keep them
+        out of hot paths when a built-in composition (explode +
+        regexp_extract_all etc.) expresses the same thing JVM-side; they
+        exist for genuinely procedural row expansions.
+        """
+        self._fns[name] = _Entry(name, handler_cls, description)
+        self._spark.udtf.register(name, F.udtf(handler_cls, returnType=return_type))
+
     def list(self) -> list[str]:
         """Function names, sorted — aws-lambda.sh:38-40."""
         return sorted(self._fns)

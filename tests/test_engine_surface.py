@@ -99,3 +99,22 @@ def test_registry_vectorized(spark):
     rows = reg.apply(df, "vec_double", "payload", "resp").collect()
     assert sorted(r["resp"] for r in rows)[0] == '{"out": 0}'
     assert len(rows) == 10
+
+
+def test_registry_udtf_lateral(spark):
+    from aws_cli_data_pipeline_tools_spark.functions.udtfs import (
+        TOKENIZE_RETURN_TYPE,
+        TokenizeUDTF,
+    )
+
+    reg = FunctionRegistry(spark)
+    reg.register_table("t_tokenize", TokenizeUDTF, TOKENIZE_RETURN_TYPE)
+    assert "t_tokenize" in reg.list()
+    spark.createDataFrame(
+        [(1, "Hello, hello WORLD"), (2, None), (3, "a-b a")], "id int, text string"
+    ).createOrReplaceTempView("t_udtf_src")
+    rows = spark.sql(
+        "SELECT s.id, t.token FROM t_udtf_src s, LATERAL t_tokenize(s.text) t"
+    ).collect()
+    got = sorted((r.id, r.token) for r in rows)
+    assert got == [(1, "hello"), (1, "hello"), (1, "world"), (3, "a"), (3, "a"), (3, "b")]
