@@ -373,6 +373,36 @@ ORDER BY op, k
     tags=("setop",),
 )
 
+register_sql(
+    "set_ops_all",
+    sql="""
+SELECT 'intersect_all' AS op, k, count(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+GROUP BY k
+UNION ALL
+SELECT 'except_all' AS op, k, count(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+GROUP BY k
+ORDER BY op, k
+""",
+    tags=("setop",),
+    notes="Multiset set ops (INTERSECT ALL / EXCEPT ALL) — multiplicity "
+    "preserved, checked via per-key counts.",
+)
+
+register_sql(
+    "limit_offset_page",
+    sql="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 15 OFFSET 25
+""",
+    tags=("sort",),
+    notes="Keyset-free pagination: ORDER BY + LIMIT/OFFSET (Spark >=3.4), "
+    "fully tie-broken so the page is deterministic on both engines.",
+)
+
 # --- scalar functions ----------------------------------------------------------
 
 _STRING_FUNCS = """
