@@ -391,6 +391,24 @@ ORDER BY op, k
 )
 
 register_sql(
+    "unpivot_melt",
+    sql=f"""
+SELECT col_name,
+       count(*) AS n,
+       round(min(val), 5) AS min_val,
+       round(max(val), 5) AS max_val,
+       {dsum('val')} AS sum_val
+FROM (SELECT l_quantity, l_discount, l_tax FROM lineitem)
+UNPIVOT (val FOR col_name IN (l_quantity, l_discount, l_tax))
+GROUP BY col_name ORDER BY col_name
+""",
+    tags=("agg", "pivot"),
+    notes="UNPIVOT (wide->long melt), the inverse of the profiler's "
+    "map_agg pivot (SURVEY A19/A20) as first-class SQL; identical text on "
+    "both engines.",
+)
+
+register_sql(
     "limit_offset_page",
     sql="""
 SELECT o_orderkey, o_totalprice
