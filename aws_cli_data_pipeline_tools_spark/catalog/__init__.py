@@ -64,6 +64,8 @@ def register_sql(
     s_sql = spark_sql or sql
     d_sql = duck_sql or sql
     assert s_sql is not None
+    if name in REGISTRY:  # same guard as register(): collisions must not
+        raise ValueError(f"duplicate query name: {name}")  # shrink the gate
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources import register_views
@@ -77,7 +79,12 @@ def register_sql(
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    # Import registrars for their side effects, once.
-    from . import core, relational, llmops, streaming_batch  # noqa: F401
+    # Import registrars for their side effects, once. Registration order is
+    # judged-value order: the driver's correctness gate walks queries() in
+    # insertion order under a bounded budget (CORRECTNESS_r01 covered exactly
+    # the first 50 registrations), so the flagship profiler surface and the
+    # north-star LLM-pipeline + streaming operators register before the
+    # broad-but-low-risk Layer B SQL surface.
+    from . import core, llmops, streaming_batch, relational  # noqa: F401
 
     return REGISTRY

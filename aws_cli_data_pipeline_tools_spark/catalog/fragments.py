@@ -1,0 +1,22 @@
+"""Shared SQL fragments used by catalog queries on both engines.
+
+Kept free of registration side effects so any catalog module can import
+these without perturbing registry order (``all_specs`` registers modules
+in judged-value order: core → llmops → streaming_batch → relational).
+"""
+
+from __future__ import annotations
+
+
+def dsum(x: str) -> str:
+    """Order-independent exact sum of a double expression → double."""
+    # round(…, 5): DuckDB's decimal→double cast can differ from Spark's by
+    # one ulp at ~1e8 magnitude (two-step hugeint/1e10 vs correctly-rounded
+    # BigDecimal); rounding restores bit equality with huge margin.
+    return f"round(CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE), 5)"
+
+
+def davg(x: str) -> str:
+    """Deterministic mean: exact decimal sum / count (both engines do the
+    same single IEEE division)."""
+    return f"CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE) / count({x})"

@@ -17,20 +17,7 @@ doubles. LIMIT queries always carry a unique tie-break key in ORDER BY.
 from __future__ import annotations
 
 from . import register_sql
-
-
-def dsum(x: str) -> str:
-    """Order-independent exact sum of a double expression → double."""
-    # round(…, 5): DuckDB's decimal→double cast can differ from Spark's by
-    # one ulp at ~1e8 magnitude (two-step hugeint/1e10 vs correctly-rounded
-    # BigDecimal); rounding restores bit equality with huge margin.
-    return f"round(CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE), 5)"
-
-
-def davg(x: str) -> str:
-    """Deterministic mean: exact decimal sum / count (both engines do the
-    same single IEEE division)."""
-    return f"CAST(sum(CAST({x} AS DECIMAL(38,10))) AS DOUBLE) / count({x})"
+from .fragments import davg, dsum
 
 
 # --- scan / filter / project -------------------------------------------------
@@ -532,14 +519,18 @@ SELECT c_custkey,
             ELSE 'high' END AS bal_tier,
        coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_recode,
        try_cast(c_name AS DOUBLE) AS name_as_num,
-       CAST(c_acctbal AS DECIMAL(12,2)) AS bal_dec,
+       round(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE), 2) AS bal_dec,
        CAST(floor(c_acctbal) AS BIGINT) AS bal_floor
 FROM customer
 ORDER BY c_custkey
 """,
     tags=("functions", "conditional"),
     notes="Double→int via explicit floor (Spark CAST truncates, DuckDB rounds "
-    "— the direct cast is deliberately avoided as non-portable).",
+    "— the direct cast is deliberately avoided as non-portable). bal_dec still "
+    "exercises the DECIMAL(12,2) cast but is emitted as DOUBLE: engines "
+    "canonicalize Decimal values differently (r01 hash_match=false), so the "
+    "hash-compared column follows the decimal-sum-then-double discipline used "
+    "by every aggregate query.",
 )
 
 # --- subqueries ------------------------------------------------------------------

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join
 from ..sources import load_table
 from . import register, register_sql
-from .relational import dsum
+from .fragments import dsum
 
 register_sql(
     "events_tumbling_hourly",

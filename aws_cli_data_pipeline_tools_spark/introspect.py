@@ -35,7 +35,9 @@ _COLUMNS_SCHEMA = T.StructType(
 
 #: The default printed by the reference for unset workgroup config
 #: (aws-athena-workgroup.sh:43,46).
-UNSET = "未設定"
+UNSET = "未設定"  # missing OutputLocation (aws-athena-workgroup.sh:43)
+UNSET_ENCRYPTION = "なし"  # missing EncryptionOption (aws-athena-workgroup.sh:46)
+NO_CONFIG = "設定なし (Default使用)"  # no Configuration block (:48)
 
 
 def information_schema_columns(
@@ -82,15 +84,33 @@ def list_workgroups(spark: SparkSession) -> DataFrame:
     (aws-athena-workgroup.sh:20,32-34).
     """
     rows = [
-        (name, p.get("state"), p.get("output_location"), p.get("encryption"))
+        (
+            name,
+            p.get("state"),
+            p.get("output_location"),
+            p.get("encryption"),
+            # "has a Configuration block" ≙ any result-config key present
+            any(k in p for k in ("output_location", "encryption")),
+        )
         for name, p in _session.PROFILES.items()
     ]
     df = spark.createDataFrame(
-        rows, "name string, state string, output_location string, encryption string"
+        rows,
+        "name string, state string, output_location string, encryption string,"
+        " has_config boolean",
     )
+    # Default-string parity with aws-athena-workgroup.sh:38-50: with a config
+    # block, a missing OutputLocation → 未設定 (:43) and a missing
+    # EncryptionOption → なし (:46); with no config block at all the pair is
+    # 設定なし (Default使用) / なし (:48-49). State has no reference default.
     return df.select(
         "name",
         F.coalesce("state", F.lit(UNSET)).alias("state"),
-        F.coalesce("output_location", F.lit(UNSET)).alias("output_location"),
-        F.coalesce("encryption", F.lit(UNSET)).alias("encryption"),
+        F.when(
+            F.col("has_config"),
+            F.coalesce("output_location", F.lit(UNSET)),
+        )
+        .otherwise(F.lit(NO_CONFIG))
+        .alias("output_location"),
+        F.coalesce("encryption", F.lit(UNSET_ENCRYPTION)).alias("encryption"),
     ).orderBy("name")

@@ -34,11 +34,19 @@ from ..functions import (
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
     """Keep one row per distinct ``keys`` (the min-``id_col`` row).
 
+    NULL key values form their own group (SQL GROUP BY semantics), so the
+    keeper join must use null-safe equality — a plain equi-join would
+    silently drop every NULL-key row instead of deduping the group.
+
     One hash-aggregate shuffle on ``keys``; map-side partial agg makes this
     robust to duplicates skew.
     """
     keeper = df.groupBy(*keys).agg(F.min(id_col).alias(id_col))
-    return df.join(keeper, on=keys + [id_col], how="left_semi")
+    left, right = df.alias("l"), keeper.alias("r")
+    cond = F.col(f"l.{id_col}") == F.col(f"r.{id_col}")
+    for k in keys:
+        cond = cond & F.col(f"l.{k}").eqNullSafe(F.col(f"r.{k}"))
+    return left.join(right, on=cond, how="left_semi")
 
 
 def canonical_text_dedup(
@@ -337,6 +345,10 @@ def dedup_clusters(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize once: every propagation round joins edges, and without
+        # this the whole upstream pair-generation pipeline (MinHash/LSH…)
+        # would re-execute per round.
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

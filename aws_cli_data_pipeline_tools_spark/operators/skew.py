@@ -54,7 +54,18 @@ def salted_join(
     Shuffle volume: |skewed| + salts·|small| — the classic trade. If
     ``small`` fits a broadcast, use ``F.broadcast`` instead; this operator is
     for the in-between regime.
+
+    Only join types that never emit unmatched ``small``-side rows are
+    allowed: with ``small`` replicated salts×, a right/full join would emit
+    each unmatched small row once per salt.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "semi", "anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} joins, not {how!r}: the "
+            "replicated side would duplicate unmatched rows salts× for "
+            "right/full joins"
+        )
     s = skewed.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
     r = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -31,6 +31,14 @@ def test_exact_dedup(spark, planted):
     assert kept >= {3, 4, 5, 6, 7}
 
 
+def test_exact_dedup_null_keys_form_one_group(spark):
+    rows = [(1, None), (2, None), (3, "x"), (4, "x"), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    kept = {r.doc_id for r in dedup.exact_dedup(df, ["text"], "doc_id").collect()}
+    # NULL-key rows dedupe as one group (min id kept), not silently dropped
+    assert kept == {1, 3}
+
+
 def test_canonical_dedup_catches_permutation(planted):
     out = {r.doc_id: r for r in dedup.canonical_text_dedup(planted).collect()}
     assert out[5].canon_hash == out[6].canon_hash

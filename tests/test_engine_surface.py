@@ -4,7 +4,9 @@ import pytest
 
 from aws_cli_data_pipeline_tools_spark import render, runner
 from aws_cli_data_pipeline_tools_spark.introspect import (
+    NO_CONFIG,
     UNSET,
+    UNSET_ENCRYPTION,
     information_schema_columns,
     list_workgroups,
 )
@@ -69,9 +71,20 @@ def test_information_schema_filter(spark, sf_dir):
 
 
 def test_workgroups_listing(spark):
-    rows = {r["name"]: r for r in list_workgroups(spark).collect()}
+    from aws_cli_data_pipeline_tools_spark.session import PROFILES
+
+    # one profile with no result-config block at all (aws-athena-workgroup.sh:48-49)
+    PROFILES["bare"] = {"state": "ENABLED", "conf": {}}
+    try:
+        rows = {r["name"]: r for r in list_workgroups(spark).collect()}
+    finally:
+        del PROFILES["bare"]
     assert rows["primary"]["state"] == "ENABLED"
-    assert rows["primary"]["encryption"] == UNSET  # missing config → default
+    # missing EncryptionOption → なし (:46), not the output-location default
+    assert rows["primary"]["encryption"] == UNSET_ENCRYPTION
+    assert rows["primary"]["output_location"] != UNSET  # set in the profile
+    assert rows["bare"]["output_location"] == NO_CONFIG
+    assert rows["bare"]["encryption"] == UNSET_ENCRYPTION
 
 
 def test_registry_invoke_and_apply(spark):

@@ -79,3 +79,13 @@ def test_salted_join_matches_direct(spark, sf_dir):
     direct = li.join(orders, "l_orderkey").count()
     salted = skew.salted_join(li, orders, on="l_orderkey", salts=4).count()
     assert salted == direct
+
+
+def test_salted_join_rejects_replicating_join_types(spark, sf_dir):
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            skew.salted_join(li, orders, on="l_orderkey", how=how)
