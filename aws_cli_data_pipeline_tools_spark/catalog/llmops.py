@@ -259,8 +259,10 @@ WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.3
 ORDER BY id_a, id_b
 """,
     tags=("llmops", "dedup"),
-    notes="Embedding near-dup pairs (cosine ≥ 0.3), exact all-pairs — the "
-    "LSH-bucketed variant is ann_lsh_topk / embedding_cosine_pairs(n_planes>0).",
+    notes="Embedding near-dup pairs (cosine ≥ 0.3), exact all-pairs via the "
+    "distributed block-partitioned matmul (no driver-side corpus collect) — "
+    "the LSH-bucketed variant is ann_lsh_topk / embedding_cosine_pairs"
+    "(n_planes>0).",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(
@@ -313,7 +315,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_ann_topk(
-        emb, queries, k=10, n_planes=6, n_tables=8, query_id_col="query_id"
+        emb, queries, k=10, n_planes=6, n_tables=8, query_id_col="query_id",
+        dim=64,  # embeddings fixture contract (FIXTURES.md) — no first() probe
     )
 
 

