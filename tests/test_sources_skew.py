@@ -89,3 +89,85 @@ def test_salted_join_rejects_replicating_join_types(spark, sf_dir):
     for how in ("right", "full", "full_outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join supports"):
             skew.salted_join(li, orders, on="l_orderkey", how=how)
+
+
+_SPARK_AVRO_JAR = any(
+    "spark-avro" in os.path.basename(j)
+    for j in __import__("glob").glob(
+        os.path.join(os.path.dirname(__import__("pyspark").__file__), "jars", "*.jar")
+    )
+)
+
+
+@pytest.mark.skipif(
+    not _SPARK_AVRO_JAR,
+    reason="spark-avro datasource jar absent in this offline environment "
+    "(documented SURVEY.md §8); reader()/write() are format-generic and "
+    "take fmt='avro' unchanged once the jar is on the classpath",
+)
+def test_roundtrip_avro(spark, sf_dir, tmp_path):
+    src = load_table(spark, "nation", sf_dir)
+    path = str(tmp_path / "nation_avro")
+    write(src, path, fmt="avro")
+    back = reader(spark, "avro").load(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_sql_ctas_and_insert_into(spark, sf_dir, tmp_path):
+    """The reference's CTAS path through the SQL surface itself (SURVEY §2.B
+    sinks; aws-athena.sh delegates CTAS/INSERT to Athena SQL). CREATE TABLE AS
+    with hive-style partitioning, INSERT INTO appends, partition-pruned
+    read-back."""
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("orders_src")
+    spark.sql("DROP TABLE IF EXISTS orders_ctas")
+    spark.sql(
+        f"""
+        CREATE TABLE orders_ctas
+        USING parquet
+        LOCATION '{tmp_path / "orders_ctas"}'
+        PARTITIONED BY (order_year)
+        AS SELECT o_orderkey, o_totalprice, o_orderstatus,
+                  year(o_orderdate) AS order_year
+        FROM orders_src WHERE o_orderstatus = 'F'
+        """
+    )
+    base = spark.sql("SELECT count(*) AS n FROM orders_ctas").collect()[0].n
+    assert base > 0
+
+    spark.sql(
+        """
+        INSERT INTO orders_ctas
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               year(o_orderdate) AS order_year
+        FROM orders_src WHERE o_orderstatus = 'O'
+        """
+    )
+    total = spark.sql("SELECT count(*) AS n FROM orders_ctas").collect()[0].n
+    want = spark.sql(
+        "SELECT count(*) AS n FROM orders_src WHERE o_orderstatus IN ('F','O')"
+    ).collect()[0].n
+    assert total == want > base
+
+    one_year = spark.sql("SELECT * FROM orders_ctas WHERE order_year = 1995")
+    plan = plans.executed_plan(one_year)
+    assert "PartitionFilters: [isnotnull(order_year" in plan
+    assert one_year.count() > 0
+
+    # INSERT OVERWRITE a single partition replaces only that partition
+    spark.sql(
+        """
+        INSERT OVERWRITE orders_ctas PARTITION (order_year = 1995)
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders_src WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1995
+        """
+    )
+    after = spark.sql("SELECT count(*) AS n FROM orders_ctas").collect()[0].n
+    only_f_1995 = spark.sql(
+        """SELECT count(*) AS n FROM orders_src
+           WHERE o_orderstatus = 'F' AND year(o_orderdate) = 1995"""
+    ).collect()[0].n
+    rest = spark.sql(
+        "SELECT count(*) AS n FROM orders_ctas WHERE order_year <> 1995"
+    ).collect()[0].n
+    assert after == rest + only_f_1995
+    spark.sql("DROP TABLE IF EXISTS orders_ctas")
