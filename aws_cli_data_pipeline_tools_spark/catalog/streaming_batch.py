@@ -178,7 +178,7 @@ def streaming_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value", F.round(F.col("sum_value").cast("double"), 5)
     )
     name = f"q_stream_tumbling_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
-    st.run_to_memory(agg, name, output_mode="complete")
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
     return spark.table(name).orderBy("win_start", "event_type")
 
 
@@ -208,7 +208,7 @@ def stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = running_user_totals(stream)
     name = f"q_stream_stateful_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
-    st.run_to_memory(out, name, output_mode="update")
+    st.run_to_memory(out, name, output_mode="update", shuffle_partitions=8)
     return (
         spark.table(name)
         .filter(~F.col("closed"))

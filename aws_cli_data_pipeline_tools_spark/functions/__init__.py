@@ -105,6 +105,60 @@ def minhash_signature(shingles: Column, num_perm: int = 64, seed: int = 1) -> Co
     return minhash_signature_from_hashes(shingle_hashes(shingles), num_perm, seed)
 
 
+def minhash_signatures_arrow(num_perm: int = 64, seed: int = 1):
+    """Arrow-batched MinHash signature UDF over pre-hashed shingle arrays.
+
+    Same permutation family as ``minhash_signature_from_hashes`` (identical
+    ``random.Random(seed)`` parameter draw → identical signatures), but
+    computed map-side in numpy: each Arrow batch concatenates its shingle
+    arrays into one flat int64 vector, applies ``(a_i·h + b_i) mod p`` per
+    permutation, and takes per-document minima with ``np.minimum.reduceat``.
+
+    Why this beats both expression forms on the hot path:
+    - vs higher-order ``transform``/``array_min``: those are interpreted
+      (CodegenFallback), ~10× slower per element;
+    - vs explode + 64 MIN hash-aggregates: no row explosion and **no
+      shuffle** — the signature never leaves the input row, so downstream
+      banding needs no join back to the shingle arrays.
+
+    Overflow-safe: h, a < p = 2^31-1 keeps a·h+b < 2^63 in int64.
+    Empty shingle arrays get the all-``p`` sentinel (callers that band must
+    filter empties first or all empty docs would bucket together).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    p = MINHASH_PRIME
+    rnd = __import__("random").Random(seed)
+    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    a_arr = np.array([a for a, _ in params], dtype=np.int64)
+    b_arr = np.array([b for _, b in params], dtype=np.int64)
+
+    # no annotations: `from __future__ import annotations` stringifies them
+    # and pandas_udf cannot resolve locally-imported pd.Series (same pattern
+    # as registry.py's vectorized path)
+    def sig(hsh):
+        n = len(hsh)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        segs = [np.asarray(x, dtype=np.int64) for x in hsh]
+        lens = np.fromiter((s.size for s in segs), dtype=np.int64, count=n)
+        out = np.full((n, num_perm), p, dtype=np.int64)
+        ne = np.nonzero(lens > 0)[0]
+        if ne.size:
+            flat = np.concatenate([segs[i] for i in ne])
+            # boundaries of the non-empty segments inside `flat`
+            starts = np.zeros(ne.size, dtype=np.int64)
+            np.cumsum(lens[ne][:-1], out=starts[1:])
+            for i in range(num_perm):
+                v = (flat * a_arr[i] + b_arr[i]) % p
+                out[ne, i] = np.minimum.reduceat(v, starts)
+        return pd.Series(list(out))
+
+    return pandas_udf(sig, "array<bigint>", functionType=PandasUDFType.SCALAR)
+
+
 def simhash64(words: Column) -> Column:
     """64-bit SimHash of a token array, as a bigint.
 

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from ..functions import (
     MINHASH_PRIME,
     hamming64,
+    minhash_signatures_arrow,
     shingle_hashes,
     vec_dot,
     vec_norm,
@@ -97,12 +98,16 @@ def ngram_jaccard_pairs(
     shingled = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
-    sizes = shingled.select("id", F.size("sh").alias("n_sh"))
     # join on xxhash64(shingle), not the string: the inverted-index shuffle
     # and the pair-count hash aggregate move 8-byte keys instead of k-word
     # strings (~2-3× less shuffle volume; collision odds ~2^-64 per pair).
+    # The doc's pre-cap shingle count rides along (one extra long per posting)
+    # so the Jaccard denominator needs NO join back to a per-doc sizes frame —
+    # the old form shuffled the full pair set twice more for those joins.
     inv = shingled.select(
-        "id", F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle")
+        "id",
+        F.size("sh").alias("n_sh"),
+        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
     if max_bucket:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
@@ -114,12 +119,14 @@ def ngram_jaccard_pairs(
         .join(inv.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+            F.first("b.n_sh").alias("n_b"),
+        )
     )
-    out = (
-        pairs.join(sizes.withColumnsRenamed({"id": "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"id": "id_b", "n_sh": "n_b"}), "id_b")
-        .select(
+    return (
+        pairs.select(
             "id_a",
             "id_b",
             F.round(
@@ -131,7 +138,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
     )
-    return out
 
 
 def minhash_lsh_pairs(
@@ -170,22 +176,21 @@ def minhash_lsh_pairs(
         ),
     )
 
-    # Signature via explode + 64 MIN aggregates: higher-order lambdas are
-    # interpreted (CodegenFallback), so the per-row array fold costs ~10× a
-    # codegen'd hash aggregate with map-side partial mins. Shuffle volume is
-    # (id, 64 longs) partials — independent of shingle counts.
-    p = MINHASH_PRIME
-    rnd = __import__("random").Random(1)  # same params as minhash_signature
-    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
-    ex = shingled.select("id", F.explode("hsh").alias("h"))
-    sig_rows = ex.groupBy("id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(p))).alias(f"m{i}")
-            for i, (a, b) in enumerate(params)
-        ]
+    # Signature map-side via the Arrow-batched numpy UDF (same permutation
+    # family as minhash_signature): no row explosion, NO shuffle — the
+    # signature stays in the document's row, so the exact-verify stage below
+    # reads hsh and sig from one frame with no assembly join. Empty-shingle
+    # docs are dropped (they can never be near-dups; keeping them would
+    # bucket every empty doc together on the sentinel signature).
+    sides = (
+        shingled.filter(F.size("hsh") > 0)
+        .withColumn("sig", minhash_signatures_arrow(num_perm, seed=1)("hsh"))
+        .localCheckpoint(eager=False)
+        # checkpointed so banding and the two verify joins don't each re-run
+        # the shingle+signature computation (3 scans otherwise)
     )
 
-    band_entries = sig_rows.select(
+    band_entries = sides.select(
         "id",
         F.explode(
             F.array(
@@ -193,14 +198,7 @@ def minhash_lsh_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.xxhash64(
-                            F.array(
-                                *[
-                                    F.col(f"m{i}")
-                                    for i in range(
-                                        b * rows_per_band, (b + 1) * rows_per_band
-                                    )
-                                ]
-                            )
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
                         ).alias("bkey"),
                     )
                     for b in range(bands)
@@ -216,13 +214,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-
-    sig_arr = sig_rows.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(num_perm)]).alias("sig")
-    )
-    # inner join drops empty-shingle docs — they have no signature rows and
-    # can never be candidates
-    sides = shingled.join(sig_arr, "id").select("id", "hsh", "sig")
     joined = (
         cand.join(sides.withColumnsRenamed({"id": "id_a", "hsh": "sh_a", "sig": "sig_a"}), "id_a")
         .join(sides.withColumnsRenamed({"id": "id_b", "hsh": "sh_b", "sig": "sig_b"}), "id_b")

@@ -102,15 +102,38 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    shuffle_partitions: int | None = None,
+):
     """Drain a bounded stream into an in-memory table (tests/bench):
-    availableNow trigger → processes everything, then stops."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    availableNow trigger → processes everything, then stops.
+
+    ``shuffle_partitions`` overrides the session shuffle/state partition
+    count for this query only (bound at stream start, restored after the
+    drain). Stateful operators pay a fixed per-partition per-micro-batch
+    cost (state-store commit + Arrow worker round-trip), so bounded test
+    replays should size this to the replay (~4× measured speedup at sf0.01
+    with 8 vs 32); production streams keep the session default sized to
+    the cluster.
+    """
+    spark = stream_df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if shuffle_partitions:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions:
+            spark.conf.set(key, old)
     return q
