@@ -320,6 +320,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate — recall vs exact is pytest-asserted instead.
+    tags=("llmops", "similarity"),
+    notes="IVF ANN: 16 Lloyd-refined cosine centroids, 4-probe candidate "
+    "join on list_id, exact rerank. At scale the labeled corpus persists "
+    "partitionBy(list_id) so probes become partition-pruned scans.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, query_id_col="query_id"
+    )
+
+
 # ------------------------------------------------------------ full pipeline
 
 @register(

@@ -158,6 +158,190 @@ def _bucketize(
     )
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    id_name: str,
+    vec_name: str,
+    n_centroids: int,
+    refine_iters: int,
+    seed: int,
+):
+    """Train IVF centroids: deterministic seeding + distributed Lloyd steps.
+
+    Seeding: the ``n_centroids`` corpus vectors with the smallest
+    ``xxhash64(id, seed)`` — a uniform, reproducible sample that needs one
+    ``TakeOrderedAndProject`` job and collects only the centroids (the
+    model is O(centroids·dim) floats — legitimately driver-sized, like the
+    LSH hyperplanes).
+
+    Each Lloyd iteration is map-side: every Arrow batch computes, per
+    centroid, the (count, sum-vector) of its assigned rows — so the shuffle
+    is ``partitions × centroids`` tiny partial rows, never the corpus — and
+    the per-centroid partials are merged with one small grouped-map. Empty
+    clusters keep their previous centroid.
+
+    Returns a (n_centroids, dim) float64 numpy array with L2-normalized
+    rows (cosine assignment ≡ dot product with normalized centroids).
+    """
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        corpus.select(vec_name)
+        .orderBy(F.xxhash64(F.col(id_name), F.lit(seed)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
+
+    def normalize(m):
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        return m / n
+
+    cents = normalize(cents)
+    partial_schema = "list_id int, cnt bigint, vsum array<double>"
+
+    for _ in range(refine_iters):
+        cn = cents  # bind current iteration's centroids into the closure
+
+        def partials(batches):
+            for batch in batches:
+                if batch.empty:
+                    continue
+                mat = np.stack(batch[vec_name].to_numpy()).astype(np.float64)
+                assign = np.argmax(normalize(mat) @ cn.T, axis=1)
+                rows = []
+                for lid in np.unique(assign):
+                    sub = mat[assign == lid]
+                    rows.append((int(lid), len(sub), sub.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["list_id", "cnt", "vsum"])
+
+        def merge(pdf):
+            vs = np.stack(pdf["vsum"].to_numpy()).sum(axis=0)
+            return pd.DataFrame(
+                {
+                    "list_id": [int(pdf["list_id"].iloc[0])],
+                    "cnt": [int(pdf["cnt"].sum())],
+                    "vsum": [vs.tolist()],
+                }
+            )
+
+        merged = (
+            corpus.select(vec_name)
+            .mapInPandas(partials, schema=partial_schema)
+            .groupBy("list_id")
+            .applyInPandas(merge, schema=partial_schema)
+            .collect()
+        )
+        nxt = cents.copy()  # empty clusters keep their previous centroid
+        for r in merged:
+            if r["cnt"] > 0:
+                nxt[r["list_id"]] = np.asarray(r["vsum"]) / r["cnt"]
+        cents = normalize(nxt)
+    return cents
+
+
+def _ivf_assign(
+    df: DataFrame, id_name: str, vec_name: str, cents, n_probe: int = 1
+) -> DataFrame:
+    """(id, vec) → (id, vec, list_id) × n_probe nearest centroids.
+
+    Narrow mapInPandas (no shuffle): one numpy matmul per Arrow batch
+    against the broadcast-by-closure centroid matrix. n_probe=1 labels a
+    corpus; n_probe>1 expands queries to their probe lists.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = df.schema[id_name].dataType.simpleString()
+    vec_t = df.schema[vec_name].dataType.simpleString()
+
+    def gen(batches):
+        for batch in batches:
+            if batch.empty:
+                continue
+            mat = np.stack(batch[vec_name].to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            sims = (mat / nrm) @ cents.T  # (n, C)
+            if n_probe == 1:
+                yield pd.DataFrame(
+                    {
+                        id_name: batch[id_name],
+                        vec_name: batch[vec_name],
+                        "list_id": np.argmax(sims, axis=1).astype(np.int32),
+                    }
+                )
+            else:
+                top = np.argsort(-sims, axis=1)[:, :n_probe]  # (n, probe)
+                yield pd.concat(
+                    pd.DataFrame(
+                        {
+                            id_name: batch[id_name],
+                            vec_name: batch[vec_name],
+                            "list_id": top[:, j].astype(np.int32),
+                        }
+                    )
+                    for j in range(top.shape[1])
+                )
+
+    return df.mapInPandas(
+        gen, schema=f"{id_name} {id_t}, {vec_name} {vec_t}, list_id int"
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) partition of the corpus.
+
+    Train ``n_centroids`` cosine centroids (deterministic seed + Lloyd
+    steps, see ``_ivf_centroids``), label each corpus vector with its
+    nearest centroid (narrow), expand each query to its ``n_probe``
+    nearest lists, equi-join query probes to corpus labels on ``list_id``,
+    exact-rerank candidates by cosine, two-phase top-k.
+
+    Scale posture vs LSH: same candidate-join shape, but the partition is
+    data-adaptive (centroids follow density) so probe lists capture near
+    neighbors with far fewer candidates per query on clustered corpora.
+    At warehouse scale the labeled corpus IS the index — write it
+    ``partitionBy("list_id")`` once and every probe join becomes a
+    partition-pruned scan of n_probe/n_centroids of the data; this
+    function recomputes labels inline because the bench corpus is read
+    fresh each call. Cluster-size skew (a hot list) is bounded by
+    n_centroids sizing; AQE skew-join handles the residual.
+    """
+    cents = _ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, refine_iters, seed
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    labeled = _ivf_assign(c, "neighbor_id", "cv", cents, n_probe=1)
+    probes = _ivf_assign(q, "query_id", "qv", cents, n_probe=n_probe)
+
+    cand = F.broadcast(probes).join(labeled, "list_id").select(
+        "query_id", "neighbor_id", "qv", "cv"
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    return _rank_topk(_partition_topk(scored, k), k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

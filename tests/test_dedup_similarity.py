@@ -173,3 +173,26 @@ def test_lsh_ann_recall(spark, sf_dir):
     assert recall >= 0.2
     # self-match must always be found (identical vector → same buckets)
     assert all((qid, qid) in a for qid in range(10))
+
+
+def test_ivf_ann_recall_and_determinism(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    rows1 = approx.collect()
+    a = {(r.query_id, r.neighbor_id) for r in rows1}
+    recall = len(e & a) / len(e)
+    # probing 3/8 of a data-adaptive partition: on the near-random fixture
+    # the probed lists hold ~3/8 of the corpus, and true top-10 neighbors
+    # concentrate in the query's own region, so recall lands well above the
+    # 3/8 mass fraction. Bound is set loose for seeding variance.
+    assert recall >= 0.45
+    # self-match: the query's own vector shares its nearest list (probe 1)
+    assert all((qid, qid) in a for qid in range(10))
+    # deterministic: seeded centroids + argmax assignment → identical rerun
+    rows2 = similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()
+    assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
