@@ -276,3 +276,85 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("click_value_right").alias("click_value")
     ).orderBy("event_id")
+
+
+@register(
+    "range_join_error_clicks",
+    oracle="""
+SELECT e.user_id, e.event_id AS error_id, count(*) AS n_clicks
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+GROUP BY e.user_id, e.event_id
+ORDER BY e.user_id, error_id
+""",
+    tags=("join", "range"),
+    notes="Big-big range join via the binned rewrite (operators/rangejoin.py):"
+    " clicks landing in a 10-minute window after each error by the same "
+    "user. Equi-join on (user_id, time bin) — no nested loop; the DuckDB "
+    "oracle states the same predicate as a plain inequality join.",
+)
+def range_join_error_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("err_end"),
+    )
+    joined = point_in_interval_join(
+        clicks,
+        errors,
+        point_col="click_ts",
+        start_col="err_start",
+        end_col="err_end",
+        bin_width=3600,
+        keys=("user_id",),
+    )
+    return (
+        joined.groupBy("user_id", "error_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .orderBy("user_id", "error_id")
+    )
+
+
+@register(
+    "streaming_join_live",
+    oracle="""
+SELECT e.user_id, e.event_id AS error_id, count(*) AS n_clicks
+FROM events e
+JOIN events c
+  ON c.user_id = e.user_id
+ AND e.event_type = 'error' AND c.event_type = 'click'
+ AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 6 HOUR
+GROUP BY e.user_id, e.event_id
+ORDER BY e.user_id, error_id
+""",
+    tags=("streaming", "join", "live"),
+    notes="REAL stream-stream inner join (streaming/error_click_join_stream):"
+    " watermarked error and click branches, time-bounded predicate so join "
+    "state evicts at watermark + 6h; drained availableNow, then batch-"
+    "aggregated to per-error click counts. Same oracle SQL as the batch "
+    "binned rewrite (range_join_error_clicks) — live and batch paths are "
+    "cross-checked against one answer.",
+)
+def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    joined = st.error_click_join_stream(stream, window="6 hours")
+    name = f"q_stream_join_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
+    return (
+        spark.table(name)
+        .groupBy("user_id", "error_id")
+        .agg(F.count("*").alias("n_clicks"))
+        .orderBy("user_id", "error_id")
+    )

@@ -1,0 +1,114 @@
+"""Binned (bucketed) range joins.
+
+Spark plans a non-equi time/range predicate between two large tables as a
+broadcast-nested-loop (or cartesian) join — O(|L|·|R|) comparisons and a
+broadcast of a whole side, the classic 100-TB cliff. (The reference's SQL
+surface reaches the same predicate through Athena/Trino, which also falls
+back to a nested-loop unless one side is tiny — `join_non_equi_range` in
+the catalog covers that small-side case.)
+
+The distributed fix is the standard binning rewrite: quantize the range
+axis into fixed-width bins, explode each interval into the bins it spans
+(`F.sequence` + `F.explode`, JVM codegen), map each point to its single
+bin, equi-join on (keys…, bin), then apply the exact range predicate to
+the survivors. The shuffle is a plain hash-partitioned equi-join whose
+volume is |rows|·(span/bin_width) postings instead of a cross product;
+bin_width tunes posting fan-out vs candidate precision.
+
+Exactly-once guarantees (no DISTINCT shuffle needed):
+- point-in-interval: a point lives in exactly one bin, so each matching
+  (point, interval) pair meets in exactly one bin.
+- interval-overlap: a matching pair shares ≥1 bin; we keep only the bin
+  containing ``greatest(l_start, r_start)`` (the overlap's left edge), so
+  each pair survives exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["point_in_interval_join", "interval_overlap_join"]
+
+
+def _bin_of(col, bin_width: int):
+    # cast timestamp→long truncates to epoch seconds; floor(floor(x)/w) ==
+    # floor(x/w) for integer w>0, so second-truncation never moves a bin.
+    return F.floor(col.cast("long") / F.lit(bin_width))
+
+
+def _spanned_bins(start, end, bin_width: int):
+    """All bins an interval [start, end) touches (end bin kept even when
+    the interval ends exactly on its edge — a few spurious postings beat a
+    branch; the exact predicate drops them)."""
+    return F.sequence(_bin_of(start, bin_width), _bin_of(end, bin_width))
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int = 3600,
+    keys: tuple[str, ...] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= point < end`` (and equal ``keys``), as an equi-join.
+
+    ``bin_width`` is in seconds (axis units for numeric columns); size it
+    near the typical interval span so most intervals emit O(1) postings.
+    Output columns: points' columns then intervals' columns (names must
+    not collide apart from ``keys``).
+
+    100 TB posture: both sides shuffle once on (keys…, bin) — AQE handles
+    bin skew; no broadcast, no nested loop, no distinct.
+    """
+    if how != "inner":
+        raise ValueError("binned point_in_interval_join supports how='inner'")
+    p = points.withColumn("__bin", _bin_of(F.col(point_col), bin_width))
+    i = intervals.withColumn(
+        "__bin",
+        F.explode(_spanned_bins(F.col(start_col), F.col(end_col), bin_width)),
+    )
+    joined = p.join(i, [*keys, "__bin"]).filter(
+        (F.col(start_col) <= F.col(point_col))
+        & (F.col(point_col) < F.col(end_col))
+    )
+    return joined.drop("__bin")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int = 3600,
+    keys: tuple[str, ...] = (),
+) -> DataFrame:
+    """Join interval rows that overlap: ``l_start < r_end AND
+    r_start < l_end`` (half-open), plus equality on ``keys``.
+
+    Both sides explode to their spanned bins; a matching pair is kept only
+    in the bin holding the overlap's left edge, so no dedup shuffle.
+    """
+    l = left.withColumn(
+        "__bin",
+        F.explode(_spanned_bins(F.col(left_start), F.col(left_end), bin_width)),
+    )
+    r = right.withColumn(
+        "__bin",
+        F.explode(
+            _spanned_bins(F.col(right_start), F.col(right_end), bin_width)
+        ),
+    )
+    overlap_edge = F.greatest(F.col(left_start), F.col(right_start))
+    joined = l.join(r, [*keys, "__bin"]).filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        & (F.col("__bin") == _bin_of(overlap_edge, bin_width))
+    )
+    return joined.drop("__bin")

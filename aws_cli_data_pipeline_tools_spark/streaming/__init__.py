@@ -102,6 +102,47 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def error_click_join_stream(events: DataFrame, window: str = "6 hours",
+                            watermark: str = "12 hours") -> DataFrame:
+    """Stream-stream inner join: each error joined to the same user's
+    clicks in the ``window`` after it — the streaming twin of
+    ``operators/rangejoin.point_in_interval_join`` (and of the
+    ``range_join_error_clicks`` oracle query).
+
+    Both branches carry a watermark and the join predicate bounds
+    click_ts to [err_ts, err_ts + window), so Spark can evict join state
+    once the watermark passes err_ts + window — bounded state on an
+    unbounded stream. Without the time bound the state store would grow
+    forever (Spark rejects unbounded stream-stream joins in append mode
+    for exactly this reason).
+    """
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return errors.join(
+        clicks,
+        (errors["user_id"] == clicks["user_id"])
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") < F.col("err_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(errors["user_id"], "error_id", "err_ts", "click_id", "click_ts")
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

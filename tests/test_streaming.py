@@ -54,3 +54,32 @@ def test_dedup_stream_equals_batch_distinct(spark, sf_dir, events_stream):
     )
     assert got.count() == n_keys
     assert got.select("user_id", "event_type").distinct().count() == n_keys
+
+
+def test_stream_stream_join_equals_binned_batch(spark, sf_dir, events_stream):
+    from aws_cli_data_pipeline_tools_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    got = _collect_stream(
+        spark,
+        streaming.error_click_join_stream(events_stream, window="6 hours"),
+        "t_ssjoin",
+    )
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("err_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("err_end"),
+    )
+    batch = point_in_interval_join(
+        clicks, errors, "click_ts", "err_start", "err_end",
+        bin_width=3600, keys=("user_id",),
+    )
+    g = {(r.error_id, r.click_id) for r in got.collect()}
+    b = {(r.error_id, r.click_id) for r in batch.collect()}
+    assert g == b and len(g) > 0

@@ -98,3 +98,60 @@ def test_resize_and_frame_plans(spark):
     assert (rs[2].target_width, rs[2].target_height) == (100, 50)  # under limit
     frames = multimodal.frame_sample_plan(df, every_ms=1000).collect()
     assert [f.frame_ts_ms for f in frames] == [0, 1000, 2000, 3000]
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, 1 if i % 2 else 2, base + datetime.timedelta(seconds=37 * i))
+         for i in range(200)],
+        "pid long, k long, p timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, 1 if j % 3 else 2,
+          base + datetime.timedelta(seconds=100 * j),
+          base + datetime.timedelta(seconds=100 * j + 250))
+         for j in range(40)],
+        "iid long, k long, s timestamp, e timestamp",
+    )
+    got = point_in_interval_join(
+        pts, ivs, "p", "s", "e", bin_width=60, keys=("k",)
+    )
+    naive = pts.join(ivs, "k").filter(
+        (F.col("s") <= F.col("p")) & (F.col("p") < F.col("e"))
+    )
+    g = {(r.pid, r.iid) for r in got.collect()}
+    n = {(r.pid, r.iid) for r in naive.collect()}
+    assert g == n and len(n) > 100  # non-trivial match set
+    # exactly-once: no duplicate pairs from multi-bin intervals
+    assert got.count() == len(g)
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # numeric axis; spans much wider than bin_width force multi-bin postings
+    left = spark.createDataFrame(
+        [(i, float(10 * i), float(10 * i + 35)) for i in range(50)],
+        "lid long, ls double, le double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(7 * j), float(7 * j + 22)) for j in range(70)],
+        "rid long, rs double, re double",
+    )
+    got = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width=5
+    )
+    naive = left.crossJoin(right).filter(
+        (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+    )
+    g = [(r.lid, r.rid) for r in got.collect()]
+    n = {(r.lid, r.rid) for r in naive.collect()}
+    assert set(g) == n and len(n) > 200
+    assert len(g) == len(n)  # first-shared-bin rule dedupes exactly
