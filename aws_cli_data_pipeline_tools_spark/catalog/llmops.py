@@ -430,3 +430,37 @@ def udtf_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20
         """
     )
+
+
+def _split_case() -> str:
+    from ..operators.sampling import split_case_sql
+
+    return split_case_sql("doc_id")
+
+
+@register(
+    "split_train_test",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, {_split_case()} AS split FROM documents
+)
+SELECT split, lang, count(*) AS n_docs
+FROM s GROUP BY split, lang
+ORDER BY split, lang
+""",
+    tags=("llmops", "sampling"),
+    notes="Deterministic md5-threshold train/valid/test split "
+    "(operators/sampling.hash_split): stable under reruns and corpus "
+    "appends, pure projection (no RNG, no shuffle); the DuckDB oracle runs "
+    "the identical portable CASE, proving cross-engine reproducibility.",
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )

@@ -358,3 +358,38 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_clicks"))
         .orderBy("user_id", "error_id")
     )
+
+
+def _dstat(fn: str, x: str) -> str:
+    # min/max through the same decimal(38,10) cast the Spark cascade uses,
+    # so both engines round-trip the double identically
+    return f"round(CAST({fn}(CAST({x} AS DECIMAL(38,10))) AS DOUBLE), 5)"
+
+
+@register(
+    "events_rollup_cascade",
+    oracle=f"""
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_start, event_type,
+       count(*) AS n_events, {dsum('value')} AS sum_value,
+       {_dstat('min', 'value')} AS min_value, {_dstat('max', 'value')} AS max_value
+FROM e GROUP BY 2, 3
+UNION ALL
+SELECT 'day', date_trunc('day', ts), event_type,
+       count(*), {dsum('value')}, {_dstat('min', 'value')}, {_dstat('max', 'value')}
+FROM e GROUP BY 2, 3
+ORDER BY grain, bucket_start, event_type
+""",
+    tags=("streaming", "rollup"),
+    notes="Hypertable-style cascade rollup (operators/rollup.py): hourly "
+    "buckets from raw, daily buckets from the hourly decimal partials — "
+    "one raw shuffle total; the DuckDB oracle aggregates each grain "
+    "directly from raw, proving the cascade is value-identical.",
+)
+def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rollup import cascade_rollup
+
+    ev = load_table(spark, "events", sf_dir)
+    return cascade_rollup(
+        ev, "ts", ("event_type",), "value", grains=("hour", "day")
+    ).orderBy("grain", "bucket_start", "event_type")

@@ -1,0 +1,94 @@
+"""Cascade time rollups (hypertable-style continuous aggregates).
+
+Multi-granularity time aggregates (hour → day → month …) where each
+coarser grain re-aggregates the *previous grain's partials*, never the raw
+table: counts sum, exact decimal sums sum, min/max fold. At 100 TB the
+raw table is scanned and shuffled exactly once (for the finest grain);
+every coarser level shuffles only the previous level's bucket rows —
+orders of magnitude smaller — instead of re-scanning raw per grain the
+way a UNION ALL of independent group-bys would.
+
+Exactness: the cascade is value-identical to aggregating each grain
+directly from raw because every carried partial is associative — counts,
+decimal(38,10) sums (exact, order-independent), min/max. Doubles are only
+produced at the final projection (the ``dsum`` round-to-5 discipline), so
+no intermediate rounding compounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cascade_rollup"]
+
+#: grains orderable from fine to coarse (must be valid date_trunc units)
+_GRAIN_ORDER = ["minute", "hour", "day", "week", "month", "quarter", "year"]
+
+
+def cascade_rollup(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    grains: tuple[str, ...] = ("hour", "day"),
+) -> DataFrame:
+    """Counts + exact sum + min/max of ``value_col`` per time bucket at
+    every grain in ``grains`` (fine → coarse), as one unioned frame:
+    ``(grain, bucket_start, *group_cols, n_events, sum_value, min_value,
+    max_value)``.
+
+    ``grains`` must be ordered fine → coarse so each level can derive from
+    the last (validated against date_trunc's hierarchy).
+    """
+    order = [_GRAIN_ORDER.index(g) for g in grains]  # KeyError → bad grain
+    if order != sorted(order) or len(set(order)) != len(order):
+        raise ValueError(f"grains must be fine→coarse, got {grains}")
+
+    cur = (
+        df.select(
+            F.date_trunc(grains[0], F.col(ts_col)).alias("bucket_start"),
+            *group_cols,
+            F.col(value_col).cast("decimal(38,10)").alias("v"),
+        )
+        .groupBy("bucket_start", *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").alias("vs"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+    )
+    levels = [cur.withColumn("grain", F.lit(grains[0]))]
+    for g in grains[1:]:
+        cur = (
+            cur.select(
+                F.date_trunc(g, "bucket_start").alias("bucket_start"),
+                *group_cols,
+                "n_events",
+                "vs",
+                "vmin",
+                "vmax",
+            )
+            .groupBy("bucket_start", *group_cols)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("vs").alias("vs"),
+                F.min("vmin").alias("vmin"),
+                F.max("vmax").alias("vmax"),
+            )
+        )
+        levels.append(cur.withColumn("grain", F.lit(g)))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.select(
+        "grain",
+        "bucket_start",
+        *group_cols,
+        "n_events",
+        F.round(F.col("vs").cast("double"), 5).alias("sum_value"),
+        F.round(F.col("vmin").cast("double"), 5).alias("min_value"),
+        F.round(F.col("vmax").cast("double"), 5).alias("max_value"),
+    )

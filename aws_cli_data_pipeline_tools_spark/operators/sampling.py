@@ -1,0 +1,93 @@
+"""Deterministic splits and samples for training-data pipelines.
+
+``hash_split`` assigns every row to a named split (train/valid/test…) from
+a hash of its key — the property a 100 TB corpus pipeline actually needs:
+stable under reruns, re-partitioning, and incremental appends (a document
+keeps its split forever, so no train/test leakage when the corpus grows),
+with no RNG state and no shuffle (a pure projection).
+
+Mechanics: md5(key || salt) is uniform over [0, 16^32); the first 8 hex
+chars are compared lexicographically against precomputed hex thresholds at
+the cumulative split fractions (hex digits 0-9a-f sort correctly in
+ASCII). Everything is an engine-portable expression — md5, substr, string
+compare — so the same assignment is reproducible in any SQL engine for
+auditing (the catalog query's DuckDB oracle runs the identical CASE).
+
+``seeded_sample_by`` wraps Spark's stratified ``sampleBy`` for per-stratum
+rates (seeded, but Bernoulli per partition-order — use hash_split when
+cross-engine determinism matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["split_thresholds", "hash_bucket_expr", "hash_split",
+           "split_case_sql", "seeded_sample_by"]
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars
+
+
+def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """[(name, upper-bound 8-char hex threshold)] at cumulative fractions.
+    Fractions must sum to 1 (±1e-9); the last bound is exclusive-max."""
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    out, cum = [], 0.0
+    for name, frac in splits.items():
+        cum += frac
+        out.append((name, format(min(int(cum * _HEX_SPAN), _HEX_SPAN - 1), "08x")))
+    return out
+
+
+def hash_bucket_expr(key: Column, salt: str = "") -> Column:
+    """First 8 lowercase hex chars of md5(key || salt) — the portable
+    uniform bucket string (key is cast to string first)."""
+    return F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Add ``split_col`` assigning each row a split name from md5(key).
+
+    Default splits: train 0.8 / valid 0.1 / test 0.1. Narrow (no shuffle,
+    no action); NULL keys get NULL split (filter or coalesce first).
+    """
+    splits = splits or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    bucket = hash_bucket_expr(F.col(key_col), salt)
+    names = split_thresholds(splits)
+    expr = F.when(bucket < F.lit(names[0][1]), F.lit(names[0][0]))
+    for name, bound in names[1:-1]:
+        expr = expr.when(bucket < F.lit(bound), F.lit(name))
+    expr = expr.otherwise(F.lit(names[-1][0]))
+    return df.withColumn(
+        split_col, F.when(F.col(key_col).isNull(), F.lit(None)).otherwise(expr)
+    )
+
+
+def split_case_sql(
+    key_sql: str, splits: dict[str, float] | None = None, salt: str = ""
+) -> str:
+    """The same assignment as ``hash_split`` as a portable SQL CASE —
+    used by catalog oracles to prove cross-engine determinism."""
+    splits = splits or {"train": 0.8, "valid": 0.1, "test": 0.1}
+    names = split_thresholds(splits)
+    b = f"substr(md5(CAST({key_sql} AS VARCHAR) || '{salt}'), 1, 8)"
+    clauses = "".join(
+        f" WHEN {b} < '{bound}' THEN '{name}'" for name, bound in names[:-1]
+    )
+    return f"CASE{clauses} ELSE '{names[-1][0]}' END"
+
+
+def seeded_sample_by(
+    df: DataFrame, strat_col: str, fractions: dict, seed: int = 7
+) -> DataFrame:
+    """Stratified sample: per-stratum Bernoulli rates (Spark sampleBy)."""
+    return df.sampleBy(strat_col, fractions, seed=seed)

@@ -1,0 +1,90 @@
+"""Cascade rollup and deterministic sampling operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark.operators.rollup import cascade_rollup
+from aws_cli_data_pipeline_tools_spark.operators.sampling import (
+    hash_split,
+    seeded_sample_by,
+    split_thresholds,
+)
+from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+
+def test_cascade_rollup_equals_direct(spark, sf_dir):
+    ev = load_table(spark, "events", sf_dir)
+    out = cascade_rollup(ev, "ts", ("event_type",), "value", grains=("hour", "day"))
+    # daily buckets derived from hourly partials must equal day-from-raw
+    direct_day = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,10)")).cast("double"), 5
+            ).alias("sum_value"),
+        )
+    )
+    got = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in out.filter(F.col("grain") == "day").collect()
+    }
+    want = {
+        (r.bucket_start, r.event_type): (r.n_events, r.sum_value)
+        for r in direct_day.collect()
+    }
+    assert got == want and len(want) > 10
+    # grain totals agree: same rows counted at each level
+    totals = {
+        r.grain: r.total
+        for r in out.groupBy("grain").agg(F.sum("n_events").alias("total")).collect()
+    }
+    assert totals["hour"] == totals["day"] == ev.count()
+
+
+def test_cascade_rollup_rejects_misordered_grains(spark):
+    df = spark.range(1).select(
+        F.current_timestamp().alias("ts"), F.lit("a").alias("g"), F.lit(1.0).alias("v")
+    )
+    with pytest.raises(ValueError):
+        cascade_rollup(df, "ts", ("g",), "v", grains=("day", "hour"))
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    df = spark.range(20000).withColumnRenamed("id", "k")
+    s1 = hash_split(df, "k")
+    counts = {r.split: r.n for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "valid", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["valid"] / 20000 - 0.1) < 0.01
+    # rerun → identical assignment (no RNG state)
+    a = dict((r.k, r.split) for r in s1.collect())
+    b = dict((r.k, r.split) for r in hash_split(df, "k").collect())
+    assert a == b
+    # salt changes the draw but stays a valid split
+    c = dict((r.k, r.split) for r in hash_split(df, "k", salt="v2").collect())
+    assert a != c
+    # append-stability: the same key in a bigger frame keeps its split
+    bigger = spark.range(40000).withColumnRenamed("id", "k")
+    d = dict((r.k, r.split) for r in hash_split(bigger, "k").collect())
+    assert all(d[k] == v for k, v in a.items())
+
+
+def test_hash_split_null_key_and_bad_fractions(spark):
+    df = spark.createDataFrame([(1,), (None,)], "k long")
+    rows = {r.k: r.split for r in hash_split(df, "k").collect()}
+    assert rows[None] is None and rows[1] is not None
+    with pytest.raises(ValueError):
+        split_thresholds({"a": 0.5, "b": 0.6})
+
+
+def test_seeded_sample_by_rates(spark):
+    df = spark.range(10000).select(
+        "id", (F.col("id") % 2 == 0).cast("string").alias("s")
+    )
+    out = seeded_sample_by(df, "s", {"true": 0.5, "false": 0.1}, seed=3)
+    n = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    assert abs(n["true"] / 5000 - 0.5) < 0.05
+    assert abs(n["false"] / 5000 - 0.1) < 0.03
