@@ -464,3 +464,67 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+)
+SELECT token, count(*) AS n
+FROM toks GROUP BY token
+ORDER BY n DESC, token LIMIT 100
+""",
+    tags=("llmops", "text"),
+    notes="Corpus vocabulary: BPE-ish pre-tokenization (textstats."
+    "TOKEN_PATTERN), lowercased, global counts, deterministic top-100. "
+    "Map-side partial counts then TakeOrderedAndProject — the full vocab "
+    "never sorts globally.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+                )
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(100)
+    )
+
+
+_CLEAN_URL = r"https?://[^\s]+"
+_CLEAN_EMAIL = r"[^\s@]+@[^\s@]+\.[^\s@]+"
+
+
+@register(
+    "text_clean_normalize",
+    oracle=f"""
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           regexp_replace(lower(text), '{_CLEAN_URL}', '<url>', 'g'),
+           '{_CLEAN_EMAIL}', '<email>', 'g'),
+         '\\s+', ' ', 'g')) AS clean_text
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+    notes="Corpus cleaning projection: lowercase, URL/email masking, "
+    "whitespace collapse — pure codegen regexp chain, no shuffle; the "
+    "regexes are RE2/Java-portable so DuckDB replays them verbatim.",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.lower(F.col("text"))
+    t = F.regexp_replace(t, _CLEAN_URL, "<url>")
+    t = F.regexp_replace(t, _CLEAN_EMAIL, "<email>")
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return docs.select("doc_id", t.alias("clean_text")).orderBy("doc_id")
