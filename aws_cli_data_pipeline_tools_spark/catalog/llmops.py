@@ -528,3 +528,39 @@ def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.regexp_replace(t, _CLEAN_EMAIL, "<email>")
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return docs.select("doc_id", t.alias("clean_text")).orderBy("doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+         round(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+), r AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rank FROM r
+WHERE rank <= 5 ORDER BY doc_id, rank
+""",
+    tags=("llmops", "text"),
+    notes="Per-document top-5 TF-IDF terms (operators/textstats."
+    "tfidf_top_terms): two partial-agg shuffles + a vocab-keyed join; "
+    "corpus size N via a broadcast 1-row agg, no driver action.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.tfidf_top_terms(docs, top_n=5)

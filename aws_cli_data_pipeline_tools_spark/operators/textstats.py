@@ -9,7 +9,7 @@ pipeline with the scan at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import rolling_fingerprint
@@ -147,4 +147,59 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fp_md5": F.md5(norm),
             "fp_rolling": rolling_fingerprint(_words(t)),
         }
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document.
+
+    tf = term count within the doc (BPE-ish ``TOKEN_PATTERN`` tokens,
+    lowercased); idf = ln(N / df) with df = number of docs containing the
+    term; score = tf · idf rounded to 6.
+
+    Shuffle discipline at corpus scale: one explode → (doc, token) count
+    aggregate (map-side partial), one token-level df aggregate over the
+    *already deduplicated* (doc, token) pairs, a token-keyed join of the
+    two (token cardinality ≪ pair cardinality; Catalyst broadcasts when
+    the vocab is small), and a per-doc window over ≤ |doc's vocab| rows.
+    The corpus count N is a scalar literal-free cross join of a 1-row agg —
+    no driver action, no collect.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+        ).alias("token"),
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    if min_df > 1:
+        dfreq = dfreq.filter(F.col("df") >= min_df)
+    n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .orderBy(id_col, "rank")
     )

@@ -155,3 +155,26 @@ def test_interval_overlap_join_exactly_once(spark):
     n = {(r.lid, r.rid) for r in naive.collect()}
     assert set(g) == n and len(n) > 200
     assert len(g) == len(n)  # first-shared-bin rule dedupes exactly
+
+
+def test_tfidf_top_terms_small_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple (tf=2, df=1) dominates — idf ln(3) > banana's ln(3/2)
+    assert by_doc[1][0].token == "apple" and by_doc[1][0].tf == 2
+    assert by_doc[1][0].rank == 1
+    # doc 3: durian unique but cherry tf=2, df=2: 2*ln(1.5)≈0.81 < 1*ln(3)≈1.1
+    assert by_doc[3][0].token == "durian"
+    # every doc got ≤ 2 rows, ranks contiguous from 1
+    for rows in by_doc.values():
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
