@@ -1,0 +1,65 @@
+"""Data-layout utilities: sorted (clustered) writes and compaction.
+
+The scale property under test is physical, not relational: sorted writes
+must give near-disjoint per-file key ranges (so parquet footer min/max
+stats prune files for range predicates), and compaction must cut file
+counts without touching content.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark.sources import compact, load_table, write_sorted
+
+
+def _file_ranges(path, col):
+    out = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        out.append((lo, hi))
+    return out
+
+
+def test_write_sorted_gives_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    li = load_table(spark, "lineitem", sf_dir)
+    dst = str(tmp_path / "li_sorted")
+    write_sorted(li, dst, ["l_shipdate"], n_files=8)
+
+    ranges = _file_ranges(dst, "l_shipdate")
+    assert len(ranges) >= 4  # range partitioner may merge tiny tails
+    # sorted by min; each file's range must not overlap the next beyond a
+    # shared boundary value (repartitionByRange puts equal keys together,
+    # so strict interleaving means the layout is broken)
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b
+    # content preserved
+    assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    docs = load_table(spark, "documents", sf_dir)
+    shattered = str(tmp_path / "shattered")
+    docs.repartition(64).write.parquet(shattered)
+    assert len(glob.glob(os.path.join(shattered, "*.parquet"))) == 64
+
+    dst = str(tmp_path / "compacted")
+    n = compact(spark, shattered, dst, target_file_bytes=16 * 1024 * 1024)
+    files = glob.glob(os.path.join(dst, "*.parquet"))
+    assert len(files) == n < 64
+    got = spark.read.parquet(dst)
+    assert got.count() == docs.count()
+    # same content (doc_id multiset)
+    assert got.agg(F.sum("doc_id")).first()[0] == docs.agg(F.sum("doc_id")).first()[0]
+
+
+def test_compact_refuses_in_place(spark, tmp_path):
+    with pytest.raises(ValueError):
+        compact(spark, str(tmp_path / "x"), str(tmp_path / "x"))
