@@ -83,3 +83,40 @@ def test_stream_stream_join_equals_binned_batch(spark, sf_dir, events_stream):
     g = {(r.error_id, r.click_id) for r in got.collect()}
     b = {(r.error_id, r.click_id) for r in batch.collect()}
     assert g == b and len(g) > 0
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-resume semantics of the file source + file sink: a second
+    availableNow run over the same checkpoint must process ONLY files added
+    after the first drain — no lost and no duplicated events."""
+    import os
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    h1.write.parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(ev.schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == h1.count()
+
+    h2.write.mode("append").parquet(src)  # late-arriving files
+    drain()  # resume from the same checkpoint
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # nothing lost
+    assert got.select("event_id").distinct().count() == ev.count()  # no dups
