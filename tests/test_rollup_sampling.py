@@ -88,3 +88,13 @@ def test_seeded_sample_by_rates(spark):
     n = {r.s: r.n for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
     assert abs(n["true"] / 5000 - 0.5) < 0.05
     assert abs(n["false"] / 5000 - 0.1) < 0.03
+
+
+def test_cascade_rollup_reuses_hourly_exchange(spark, sf_dir):
+    """The scale claim is physical: the day grain must consume the hour
+    grain's shuffle (AQE ReusedExchange), not re-aggregate raw."""
+    ev = load_table(spark, "events", sf_dir)
+    out = cascade_rollup(ev, "ts", ("event_type",), "value", grains=("hour", "day"))
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

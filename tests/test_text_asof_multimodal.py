@@ -178,3 +178,26 @@ def test_tfidf_top_terms_small_corpus(spark):
     # every doc got ≤ 2 rows, ranks contiguous from 1
     for rows in by_doc.values():
         assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_binned_range_join_plans_equi_join(spark):
+    """The binning rewrite must plan as an equi-join on (keys, bin) — a
+    nested-loop or cartesian plan means the rewrite regressed."""
+    from aws_cli_data_pipeline_tools_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, i % 3, base + datetime.timedelta(seconds=40 * i)) for i in range(100)],
+        "pid long, k long, p timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [(j, j % 3, base + datetime.timedelta(seconds=90 * j),
+          base + datetime.timedelta(seconds=90 * j + 200)) for j in range(30)],
+        "iid long, k long, s timestamp, e timestamp",
+    )
+    out = point_in_interval_join(pts, ivs, "p", "s", "e", bin_width=60, keys=("k",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
