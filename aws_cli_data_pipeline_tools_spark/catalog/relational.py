@@ -734,3 +734,39 @@ ORDER BY c_mktsegment, c_nationkey
 """,
     tags=("dedup",),
 )
+
+
+# --- SQL PIVOT syntax (A19/A20 modern form; Trino reaches it via map_agg) -------
+
+register_sql(
+    "pivot_order_status",
+    spark_sql="""
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders
+)
+PIVOT (
+  count(*) AS n, round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 5) AS total
+  FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p)
+)
+ORDER BY o_orderpriority
+""",
+    duck_sql="""
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 5) AS f_total,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+             FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 5) AS o_total,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+             FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 5) AS p_total
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("agg", "pivot"),
+    notes="SQL PIVOT (multi-aggregate, explicit value list) — one hash "
+    "aggregate with FILTERed branches, no extra shuffle vs plain GROUP BY; "
+    "DuckDB twin states the same via FILTER clauses. Explicit IN list keeps "
+    "the plan single-pass (dynamic pivot needs a values scan first).",
+)
