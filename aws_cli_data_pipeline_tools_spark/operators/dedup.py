@@ -110,10 +110,13 @@ def ngram_jaccard_pairs(
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
     if max_bucket:
+        # anti-join against the OVER-cap set: hot shingles are by nature few
+        # (a handful of stop-shingles), so the broadcast is tiny and stays
+        # tiny at any corpus size — broadcasting the keep-set instead would
+        # ship nearly the whole distinct-shingle vocabulary to every task.
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
-        inv = inv.join(
-            F.broadcast(freq.filter(F.col("df_") <= max_bucket).drop("df_")), "shingle"
-        )
+        hot = freq.filter(F.col("df_") > max_bucket).drop("df_")
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")

@@ -38,6 +38,11 @@ HEADLINE = [
     "events_sessionized",
     "events_tumbling_hourly",
     "asof_join_purchase_click",
+    # round-2 additions (recorded in BASELINE.md the round they land):
+    "ann_ivf_topk",
+    "range_join_error_clicks",
+    "events_rollup_cascade",
+    "tfidf_top_terms",
 ]
 
 
