@@ -97,6 +97,70 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def _sniff_dims(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """Parse (format, width, height) from real image container headers —
+    pure byte arithmetic from the public format specs, no codec library.
+    Returns (None, None, None) for unrecognized/truncated payloads."""
+    import struct
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", w, abs(h)  # negative height = top-down DIB
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return None, None, None
+
+
+def sniff_image_headers(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL metadata decode: container format + pixel dimensions parsed
+    from PNG/GIF/BMP/JPEG headers (``_sniff_dims``), Arrow-batched via
+    mapInPandas. This is the non-stubbed half of the decode story — header
+    fields are plain struct offsets, so no codec dependency; only pixel
+    decoding remains behind the ``decode_media`` stub. At corpus scale this
+    stage populates the MEDIA_SCHEMA ``meta`` struct once at ingest so all
+    later planning (resize targets, pruning by dims) is metadata-only.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sniffed = [_sniff_dims(bytes(p)) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "format": [s[0] for s in sniffed],
+                    "width": [s[1] for s in sniffed],
+                    "height": [s[2] for s in sniffed],
+                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches, schema=f"{id_col} bigint, format string, width int, height int, n_bytes int"
+    )
+
+
 def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
     """Resize planning: pure-metadata computation of target dims (no payload
     touch — stays a codegen'd projection; the actual pixel resize would slot

@@ -201,3 +201,36 @@ def test_binned_range_join_plans_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sniff_image_headers_real_formats(spark):
+    import struct
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8)
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+    def bmp(w, h):
+        return b"BM" + b"\x00" * 16 + struct.pack("<ii", w, -h) + b"\x00" * 8
+
+    def jpeg(w, h):
+        # SOI, APP0 (JFIF stub), SOF0 with dims, minimal tail
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    rows = [
+        (1, png(640, 480)), (2, gif(320, 200)), (3, bmp(800, 600)),
+        (4, jpeg(1024, 768)), (5, b"not an image"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.sniff_image_headers(df).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 640, 480)
+    assert (got[2].format, got[2].width, got[2].height) == ("gif", 320, 200)
+    assert (got[3].format, got[3].width, got[3].height) == ("bmp", 800, 600)
+    assert (got[4].format, got[4].width, got[4].height) == ("jpeg", 1024, 768)
+    assert got[5].format is None and got[5].width is None
+    assert got[5].n_bytes == len(b"not an image")
