@@ -1,0 +1,89 @@
+"""Production sink patterns for Structured Streaming: foreachBatch upsert.
+
+Spark's built-in file sink is append-only; real pipelines usually need
+keyed upsert (latest record per key wins). The standard pattern is
+``foreachBatch``: each micro-batch arrives as a *batch* DataFrame, so the
+full batch API (joins, dedup, arbitrary writers) applies, and the sink
+inherits streaming's exactly-once bookkeeping as long as the batch write
+is idempotent per (batchId).
+
+This local implementation merges into a parquet directory via
+snapshot-and-swap (write the merged result to a staging dir, then atomic
+rename) — safe against the lazy-read-while-overwriting trap. At warehouse
+scale the same ``foreachBatch`` body would target a table format with real
+MERGE (Delta/Iceberg/Hudi); only ``_swap`` changes, the streaming wiring
+and merge semantics stay identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _latest_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def upsert_batch(
+    spark,
+    batch_df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_col: str,
+) -> None:
+    """Merge one batch into the parquet dir at ``path``: the row with the
+    greatest ``order_col`` per key wins across existing AND batch rows —
+    event-time semantics, so out-of-order micro-batches can never clobber
+    a newer record with an older one, and a replayed batch is a no-op
+    (idempotent under checkpoint recovery)."""
+    fresh = _latest_per_key(batch_df, key_cols, order_col)
+    if os.path.isdir(path):
+        existing = spark.read.parquet(path)
+        merged = _latest_per_key(
+            existing.unionByName(fresh), key_cols, order_col
+        )
+    else:
+        merged = fresh
+    staging = path + ".staging"
+    merged.write.mode("overwrite").parquet(staging)  # forces the read above
+    old = path + ".old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def run_upsert_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key_cols: list[str],
+    order_col: str,
+):
+    """Drain a bounded stream into a keyed parquet upsert table
+    (availableNow). The foreachBatch body is deterministic per batch, and
+    the snapshot swap is atomic, so a replayed batch after failure
+    reproduces the same table — idempotent, hence exactly-once end to end.
+    """
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch(spark, batch_df, path, key_cols, order_col)
+
+    q = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

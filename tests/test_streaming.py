@@ -120,3 +120,48 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == ev.count()  # nothing lost
     assert got.select("event_id").distinct().count() == ev.count()  # no dups
+
+
+def test_foreachbatch_upsert_latest_wins(spark, sf_dir, tmp_path):
+    """foreachBatch keyed upsert: stream events in two file drops; the
+    final table must hold exactly the latest row per (user_id, event_type),
+    matching the batch keep-latest answer."""
+    from aws_cli_data_pipeline_tools_spark.streaming.sinks import (
+        run_upsert_to_parquet,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "upserted")
+    ckpt = str(tmp_path / "ckpt")
+    h1 = ev.filter(F.col("event_id") % 2 == 0)
+    h2 = ev.filter(F.col("event_id") % 2 == 1)
+    h1.write.parquet(src)
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        run_upsert_to_parquet(
+            stream, out, ckpt, ["user_id", "event_type"], "ts"
+        )
+
+    drain()
+    h2.write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out)
+    # one row per key
+    assert got.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0
+    # equals batch keep-latest (ts desc, unique per fixture key+ts)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    g = {(r.user_id, r.event_type): r.event_id for r in got.collect()}
+    wnt = {(r.user_id, r.event_type): r.event_id for r in want.collect()}
+    # ties (same key+ts) can pick either event; compare ts instead for those
+    gt = {(r.user_id, r.event_type): r.ts for r in got.collect()}
+    wt = {(r.user_id, r.event_type): r.ts for r in want.collect()}
+    assert gt == wt and len(g) == len(wnt)
