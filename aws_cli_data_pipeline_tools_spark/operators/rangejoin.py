@@ -32,9 +32,12 @@ __all__ = ["point_in_interval_join", "interval_overlap_join"]
 
 
 def _bin_of(col, bin_width: int):
-    # cast timestamp→long truncates to epoch seconds; floor(floor(x)/w) ==
-    # floor(x/w) for integer w>0, so second-truncation never moves a bin.
-    return F.floor(col.cast("long") / F.lit(bin_width))
+    # cast→double then floor: true floor semantics on the whole axis.
+    # (cast→long would truncate toward zero — wrong bin for every negative
+    # value, e.g. pre-1970 timestamps or signed numeric axes.) The double
+    # cast is monotone, so a point's bin always lands within its covering
+    # interval's spanned-bin range even at representation-edge values.
+    return F.floor(col.cast("double") / F.lit(float(bin_width)))
 
 
 def _spanned_bins(start, end, bin_width: int):

@@ -234,3 +234,35 @@ def test_sniff_image_headers_real_formats(spark):
     assert (got[4].format, got[4].width, got[4].height) == ("jpeg", 1024, 768)
     assert got[5].format is None and got[5].width is None
     assert got[5].n_bytes == len(b"not an image")
+
+
+def test_range_join_negative_axis(spark):
+    """Signed numeric axes (and pre-1970 timestamps) must bin with floor
+    semantics — truncate-toward-zero binning loses matches below zero."""
+    from aws_cli_data_pipeline_tools_spark.operators.rangejoin import (
+        interval_overlap_join,
+        point_in_interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(range(-50, 50, 3))],
+        "pid long, p double",
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(7 * j - 60), float(7 * j - 60 + 11)) for j in range(20)],
+        "iid long, s double, e double",
+    )
+    got = point_in_interval_join(pts, ivs, "p", "s", "e", bin_width=5)
+    naive = pts.crossJoin(ivs).filter(
+        (F.col("s") <= F.col("p")) & (F.col("p") < F.col("e"))
+    )
+    g = {(r.pid, r.iid) for r in got.collect()}
+    n = {(r.pid, r.iid) for r in naive.collect()}
+    assert g == n and len(n) > 20
+    left = ivs.toDF("lid", "ls", "le")
+    right = ivs.toDF("rid", "rs", "re")
+    ov = interval_overlap_join(left, right, "ls", "le", "rs", "re", bin_width=5)
+    naive_ov = left.crossJoin(right).filter(
+        (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
+    )
+    assert ov.count() == naive_ov.count()
