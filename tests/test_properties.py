@@ -1,0 +1,85 @@
+"""Hypothesis property tests for the pure-Python operator kernels.
+
+These cover the engine's driver-side math (no SparkSession needed, so
+hundreds of examples are cheap): split thresholding, MinHash parameter
+determinism, and image-header sniffing robustness.
+"""
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aws_cli_data_pipeline_tools_spark.operators.multimodal import _sniff_dims
+from aws_cli_data_pipeline_tools_spark.operators.sampling import (
+    split_case_sql,
+    split_thresholds,
+)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=200)
+def test_split_thresholds_monotone_and_complete(raw):
+    total = sum(raw)
+    splits = {f"s{i}": v / total for i, v in enumerate(raw)}
+    # renormalized fractions always pass the sum check
+    ths = split_thresholds(splits)
+    bounds = [b for _, b in ths]
+    # 8 lowercase hex chars, non-decreasing, last bound is the hex max
+    assert all(len(b) == 8 and b == b.lower() for b in bounds)
+    assert bounds == sorted(bounds)
+    assert bounds[-1] == "ffffffff"
+    # the generated SQL mentions every split and ends with the last name
+    sql = split_case_sql("k", splits)
+    assert all(f"'{name}'" in sql for name in splits)
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=300)
+def test_sniff_dims_never_raises(payload):
+    fmt, w, h = _sniff_dims(payload)
+    assert fmt in (None, "png", "gif", "bmp", "jpeg")
+    if w is not None:
+        assert isinstance(w, int) and isinstance(h, int)
+
+
+@given(
+    st.integers(min_value=1, max_value=2**16 - 1),
+    st.integers(min_value=1, max_value=2**16 - 1),
+)
+@settings(max_examples=100)
+def test_sniff_dims_roundtrips_valid_headers(w, h):
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+        + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 8
+    )
+    assert _sniff_dims(png) == ("png", w, h)
+    gif = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+    assert _sniff_dims(gif) == ("gif", w, h)
+    sof0 = (
+        b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    )
+    jpeg = b"\xff\xd8" + sof0 + b"\xff\xd9"
+    assert _sniff_dims(jpeg) == ("jpeg", w, h)
+
+
+def test_minhash_params_match_expression_path():
+    """The Arrow UDF and the expression path must draw identical (a, b)
+    permutation parameters for a given seed (signature compatibility)."""
+    import random
+
+    from aws_cli_data_pipeline_tools_spark.functions import MINHASH_PRIME
+
+    p = MINHASH_PRIME
+    r1 = random.Random(7)
+    r2 = random.Random(7)
+    a = [(r1.randrange(1, p), r1.randrange(0, p)) for _ in range(64)]
+    b = [(r2.randrange(1, p), r2.randrange(0, p)) for _ in range(64)]
+    assert a == b
