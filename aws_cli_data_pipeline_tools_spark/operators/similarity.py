@@ -342,6 +342,92 @@ def ivf_topk(
     return _rank_topk(_partition_topk(scored, k), k)
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: the labeled corpus written
+    ``partitionBy(list_id)`` plus the centroid matrix as a tiny parquet.
+
+    The partitioned layout is the point — a probe of n_probe lists becomes
+    a partition-pruned scan reading n_probe/n_centroids of the corpus
+    (PartitionFilters in the plan), which is what makes IVF pay at 100 TB:
+    index once, then every query touches only its probed fraction.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    cents = _ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, refine_iters, seed
+    )
+    labeled = _ivf_assign(
+        corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, cents
+    )
+    labeled.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/corpus"
+    )
+    cpdf = pd.DataFrame(
+        {"list_id": range(len(cents)), "centroid": [c.tolist() for c in cents]}
+    )
+    spark.createDataFrame(cpdf).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/centroids"
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Query a persisted IVF index: read centroids (tiny), expand queries
+    to probe lists, scan ONLY those ``list_id=`` partitions of the indexed
+    corpus (``isin`` filter on the partition column → partition pruning),
+    exact-rerank, two-phase top-k. Same results as ``ivf_topk`` with the
+    same centroids; the corpus scan cost drops to n_probe/n_centroids.
+    """
+    import numpy as np
+
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    cents = np.zeros((len(rows), len(rows[0]["centroid"])))
+    for r in rows:
+        cents[r["list_id"]] = r["centroid"]
+
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = _ivf_assign(q, "query_id", "qv", cents, n_probe=n_probe)
+    probe_lists = [
+        r.list_id for r in probes.select("list_id").distinct().collect()
+    ]
+    labeled = spark.read.parquet(f"{path}/corpus").filter(
+        F.col("list_id").isin(probe_lists)  # partition-pruned scan
+    )
+    c = labeled.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "list_id",
+    )
+    cand = F.broadcast(probes).join(c, "list_id").select(
+        "query_id", "neighbor_id", "qv", "cv"
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+    )
+    return _rank_topk(_partition_topk(scored, k), k)
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

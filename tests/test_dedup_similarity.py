@@ -196,3 +196,25 @@ def test_ivf_ann_recall_and_determinism(spark, sf_dir):
     # deterministic: seeded centroids + argmax assignment → identical rerun
     rows2 = similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3).collect()
     assert sorted(map(tuple, rows1)) == sorted(map(tuple, rows2))
+
+
+def test_ivf_index_persisted_prunes_partitions(spark, sf_dir, tmp_path):
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_centroids=8)
+    got = similarity.ivf_index_topk(spark, idx, q, k=10, n_probe=3)
+    # identical results to the inline operator with the same parameters
+    inline = similarity.ivf_topk(emb, q, k=10, n_centroids=8, n_probe=3)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, inline.collect()))
+    # the probe scan is partition-pruned: the corpus FileScan must carry a
+    # PartitionFilters entry on list_id (static IN-list from the probes)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[list_id#\d+ IN \(", plan)
+    import glob as _g
+    # physical layout: one subdir per list
+    assert len(_g.glob(f"{idx}/corpus/list_id=*")) == 8
