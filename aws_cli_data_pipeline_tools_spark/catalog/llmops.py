@@ -564,3 +564,54 @@ WHERE rank <= 5 ORDER BY doc_id, rank
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.tfidf_top_terms(docs, top_n=5)
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com phone +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' id 123-45-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textstats.PII_PATTERNS["email"]}', '<email>', 'g'),
+           '{textstats.PII_PATTERNS["gov_id"]}', '<gov_id>', 'g'),
+           '{textstats.PII_PATTERNS["phone"]}', '<phone>', 'g')
+         AS redacted_text,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))
+            AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["gov_id"]}'))
+            AS INT) AS n_gov_id,
+       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))
+            AS INT) AS n_phone
+FROM planted ORDER BY doc_id
+""",
+    tags=("llmops", "text", "pii"),
+    notes="PII redaction audit (operators/textstats.redact_pii) over "
+    "documents with deterministically planted email/phone/SSN-shaped "
+    "strings (fixture text is PII-free word soup): per-doc match counts + "
+    "scrubbed text, codegen regexp chain, no shuffle. Patterns are "
+    "RE2/Java-portable so the DuckDB oracle replays them verbatim.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    four = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com phone +1-555-"),
+            four,
+            F.lit(" id 123-45-"),
+            four,
+        ).alias("text"),
+    )
+    return textstats.redact_pii(planted).orderBy("doc_id")

@@ -770,3 +770,73 @@ ORDER BY o_orderpriority
     "DuckDB twin states the same via FILTER clauses. Explicit IN list keeps "
     "the plan single-pass (dynamic pivot needs a values scan first).",
 )
+
+
+# --- aggregate FILTER clause (SURVEY §2.B aggregation row: FILTER (WHERE)) ---
+
+register_sql(
+    "agg_filter_clause",
+    sql="""
+SELECT l_returnflag,
+       count(*) AS n_all,
+       count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
+             FILTER (WHERE l_quantity > 25) AS DOUBLE), 5) AS rev_highqty,
+       round(CAST(avg(l_discount) FILTER (WHERE l_tax > 0.04) AS DOUBLE), 5)
+         AS avg_disc_taxed
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("agg",),
+    notes="Per-aggregate FILTER (WHERE …) clauses — conditional aggregation "
+    "without CASE scaffolding; identical text on both engines. Catalyst "
+    "plans one hash aggregate (filters are per-branch predicates, no extra "
+    "scan or shuffle).",
+)
+
+# --- LATERAL correlated derived table (SURVEY §2.B scalar-subqueries row) ---
+
+register_sql(
+    "lateral_top2_orders",
+    sql="""
+SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+""",
+    tags=("join", "lateral"),
+    notes="Per-customer top-2 orders via a correlated LATERAL subquery with "
+    "ORDER BY + LIMIT. Catalyst decorrelates to WindowGroupLimit (partial "
+    "map-side top-k per key, plan-asserted in test_plans_cli.py) + one "
+    "broadcast join — no per-row re-execution, scales as a single shuffle "
+    "of the k-pruned fact side.",
+)
+
+# --- fixed-width histogram (SURVEY §2.B math row; profiler adjunct) ---
+
+register_sql(
+    "histogram_price_20bins",
+    sql="""
+WITH b AS (
+  SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+)
+SELECT CAST(least(19, floor((l_extendedprice - lo) / ((hi - lo) / 20.0)))
+            AS INT) AS bucket,
+       count(*) AS n_rows,
+       round(CAST(min(l_extendedprice) AS DOUBLE), 5) AS bucket_min,
+       round(CAST(max(l_extendedprice) AS DOUBLE), 5) AS bucket_max
+FROM lineitem, b
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("agg", "histogram"),
+    notes="20-bin fixed-width histogram over l_extendedprice. Bounds come "
+    "from a 1-row aggregate broadcast-cross-joined to the scan (no second "
+    "pass over the data per row); identical IEEE bin arithmetic on both "
+    "engines (floor of one subtraction and one division, so bit-equal).",
+)

@@ -393,3 +393,66 @@ def events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_rollup(
         ev, "ts", ("event_type",), "value", grains=("hour", "day")
     ).orderBy("grain", "bucket_start", "event_type")
+
+
+@register(
+    "events_gapfill_hourly",
+    oracle=f"""
+WITH agg AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         count(*) AS n_events, {dsum('value')} AS sum_value
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+  FROM bounds
+)
+SELECT g.event_type, g.bucket,
+       coalesce(a.n_events, 0) AS n_events,
+       last_value(a.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bucket = a.bucket
+ORDER BY g.event_type, g.bucket
+""",
+    tags=("timeseries", "gapfill"),
+    notes="Densified hourly series per event_type with forward-filled sums "
+    "(operators/gapfill.py): sequence+explode grid, left join, ignorenulls "
+    "last() window — the DuckDB twin uses generate_series + IGNORE NULLS.",
+)
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gapfill import gapfill
+
+    return gapfill(
+        load_table(spark, "events", sf_dir), "event_type", "ts", "value"
+    )
+
+
+# First-touch funnel: per-user min timestamp per stage, strict ordering
+# between stages. Same text on both engines except the ns→us CAST guard
+# (see module docstring); one row out, four counters.
+_FUNNEL = """
+WITH f AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN {ts} END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN {ts} END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN {ts} END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+       count(CASE WHEN t_purchase > t_click AND t_click > t_view THEN 1 END)
+         AS n_full_funnel
+FROM f
+"""
+
+register_sql(
+    "funnel_view_click_purchase",
+    spark_sql=_FUNNEL.format(ts="ts"),
+    duck_sql=_FUNNEL.format(ts="CAST(ts AS TIMESTAMP)"),
+    tags=("analytics", "funnel"),
+    notes="First-touch conversion funnel view→click→purchase over events: "
+    "conditional min per stage, strict event-time ordering between stages.",
+)

@@ -1,0 +1,64 @@
+"""Time-series gap filling: densify a keyed time axis and forward-fill.
+
+North-star time-series operator (no reference analog — the reference is a
+batch SQL client, aws-athena.sh:27 delegation). Standard warehouse pattern:
+bucket events to a fixed grain, generate the complete per-key bucket grid
+(``sequence`` + ``explode``), left-join the sparse aggregates back, then
+carry the last observed value forward with an ``ignorenulls`` window.
+
+Scale posture: the grid explode is per-key and linear in (span / step); the
+only shuffles are the bucket aggregation and the per-key forward-fill window
+— both partition on the series key, so a 1000-executor run distributes by
+key with no driver materialization. Skewed keys (one series spanning years
+at 1-minute grain) would concentrate in the fill window; at that point split
+the fill into per-day subwindows and chain the carried value, same as the
+rollup cascade (operators/rollup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gapfill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    grain: str = "hour",
+) -> DataFrame:
+    """Densify ``df`` to one row per (key, bucket) over each key's observed
+    span; missing buckets get ``n_events = 0`` and the decimal-exact bucket
+    sum forward-filled from the most recent observed bucket (``filled_sum``).
+    """
+    bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+    agg = df.groupBy(F.col(key_col), bucket).agg(
+        F.count("*").alias("n_events"),
+        F.round(
+            F.sum(F.col(value_col).cast("decimal(38,10)")).cast("double"), 5
+        ).alias("sum_value"),
+    )
+    bounds = agg.groupBy(key_col).agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket"),
+    )
+    fill: Column = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.join(agg, [key_col, "bucket"], "left")
+        .select(
+            key_col,
+            "bucket",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(fill).alias("filled_sum"),
+        )
+        .orderBy(key_col, "bucket")
+    )

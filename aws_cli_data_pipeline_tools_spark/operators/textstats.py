@@ -203,3 +203,29 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_n)
         .orderBy(id_col, "rank")
     )
+
+
+#: PII patterns (public-knowledge shapes, RE2/Java-portable: no lookaround,
+#: no backrefs — so the DuckDB oracle replays them verbatim).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "gov_id": r"\d{3}-\d{2}-\d{4}",          # SSN-shaped 3-2-4
+    "phone": r"\+\d{1,2}-\d{3}-\d{4}",       # +CC-exchange-line
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-shaped substrings from ``text_col``, keeping per-document
+    match counts (the audit signal a training-data pipeline logs before
+    dropping raw text). Pure codegen regexp chain — no shuffle, no UDF;
+    order matters: email first (its local part may contain digits), then
+    gov_id (3-2-4) before phone so the narrower shape isn't half-eaten.
+    """
+    t = F.col(text_col)
+    counts = [
+        F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    for name, pat in PII_PATTERNS.items():
+        t = F.regexp_replace(t, pat, f"<{name}>")
+    return df.select("doc_id", t.alias("redacted_text"), *counts)

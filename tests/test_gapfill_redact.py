@@ -1,0 +1,90 @@
+"""Unit tests for gap-fill densification and PII redaction, plus the
+LATERAL top-k plan shape (partial WindowGroupLimit before the shuffle)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import plans
+from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+from aws_cli_data_pipeline_tools_spark.operators.gapfill import gapfill
+from aws_cli_data_pipeline_tools_spark.operators.textstats import redact_pii
+
+
+def _ts(h):
+    return dt.datetime(2024, 1, 1, h, 0, 0)
+
+
+def test_gapfill_densifies_and_forward_fills(spark):
+    rows = [
+        ("a", dt.datetime(2024, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2024, 1, 1, 0, 50), 2.0),
+        # hours 1-2 missing for key a
+        ("a", dt.datetime(2024, 1, 1, 3, 5), 10.0),
+        ("b", dt.datetime(2024, 1, 1, 2, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = gapfill(df, "k", "ts", "v").collect()
+
+    a = [r for r in out if r.k == "a"]
+    assert [r.bucket for r in a] == [_ts(0), _ts(1), _ts(2), _ts(3)]
+    assert [r.n_events for r in a] == [2, 0, 0, 1]
+    # hours 1-2 carry hour 0's sum forward; hour 3 observes its own
+    assert [r.filled_sum for r in a] == [3.0, 3.0, 3.0, 10.0]
+
+    b = [r for r in out if r.k == "b"]  # single-bucket key: no padding
+    assert len(b) == 1 and b[0].n_events == 1 and b[0].filled_sum == 5.0
+
+
+def test_gapfill_zero_count_rows_are_fill_only(spark):
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, 0), 1.5),
+         ("k", dt.datetime(2024, 1, 1, 5), 2.5)],
+        ["k", "ts", "v"],
+    )
+    out = gapfill(df, "k", "ts", "v").collect()
+    assert len(out) == 6
+    assert sum(r.n_events for r in out) == 2
+    assert all(r.filled_sum == 1.5 for r in out[:5])
+
+
+def test_redact_pii_counts_and_scrubs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@corp.example.org today"),
+            (2, "ssn 987-65-4321 and phone +44-020-7946"),
+            (3, "nothing sensitive here"),
+            (4, "two mails a@b.io c@d.net one id 111-22-3333"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert out[1].n_email == 1 and "<email>" in out[1].redacted_text
+    assert "jane" not in out[1].redacted_text
+    assert out[2].n_gov_id == 1 and out[2].n_phone == 1
+    assert "<gov_id>" in out[2].redacted_text
+    assert "<phone>" in out[2].redacted_text
+    assert out[3].n_email == out[3].n_gov_id == out[3].n_phone == 0
+    assert out[3].redacted_text == "nothing sensitive here"
+    assert out[4].n_email == 2 and out[4].n_gov_id == 1
+
+
+def test_lateral_topk_plans_window_group_limit(spark, sf_dir):
+    """The LATERAL ORDER BY+LIMIT subquery must decorrelate to a
+    WindowGroupLimit (map-side partial top-k per key), not a per-row
+    re-execution or a full window sort of the whole fact table."""
+    df = all_specs()["lateral_top2_orders"].fn(spark, sf_dir)
+    plan = plans.executed_plan(df)
+    assert "WindowGroupLimit" in plan
+
+
+def test_histogram_buckets_cover_all_rows(spark, sf_dir):
+    df = all_specs()["histogram_price_20bins"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert [r.bucket for r in rows] == sorted(r.bucket for r in rows)
+    assert all(0 <= r.bucket <= 19 for r in rows)
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    assert sum(r.n_rows for r in rows) == load_table(
+        spark, "lineitem", sf_dir
+    ).count()
