@@ -615,3 +615,32 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return textstats.redact_pii(planted).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=None,  # xxhash64 banding + numpy permutations: not DuckDB-replayable;
+    # pytest proves probe ≡ cross-pair slice of the full LSH self-join
+    tags=("llmops", "dedup", "incremental"),
+    notes="Incremental ingestion dedup (operators/dedup.build_minhash_index "
+    "+ minhash_index_probe): 90% of documents become a persisted LSH index "
+    "(docs + range-clustered band table); the remaining 10% probe it as a "
+    "new batch — batch signatures broadcast against the band scan, corpus "
+    "never re-shingled or shuffled. Rows-only by design (same reason as "
+    "dedup_minhash_lsh).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..operators.dedup import build_minhash_index, minhash_index_probe
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+    )
+    build_minhash_index(corpus, path)
+    return minhash_index_probe(spark, path, batch)

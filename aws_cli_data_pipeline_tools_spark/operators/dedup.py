@@ -143,6 +143,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_sides(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_perm: int = 64,
+    seed: int = 1,
+) -> DataFrame:
+    """Per-document (id, shingle-hash set, MinHash signature) frame — the
+    shared front half of LSH pair generation and the persisted index.
+
+    Distinct reduced hashes replace shingle strings downstream: the
+    exact-verify joins shuffle arrays of longs, not k-word strings (same
+    Jaccard up to ~2^-31-probability collisions). The signature is computed
+    map-side via the Arrow-batched numpy UDF — no row explosion, NO shuffle —
+    and the frame is lazily checkpointed so banding and the verify joins
+    don't each re-run shingling (3 scans otherwise). Empty-shingle docs are
+    dropped (they can never be near-dups; keeping them would bucket every
+    empty doc together on the sentinel signature).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), k))).alias(
+            "hsh"
+        ),
+    )
+    return (
+        shingled.filter(F.size("hsh") > 0)
+        .withColumn("sig", minhash_signatures_arrow(num_perm, seed=seed)("hsh"))
+        .localCheckpoint(eager=False)
+    )
+
+
+def minhash_band_entries(
+    sides: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """Explode each signature into ``bands`` (band, bkey) rows — same band
+    slice hash ⇒ same LSH bucket. bkey is an 8-byte xxhash64 of the slice,
+    so the banding shuffle carries (long, long, id), not signature arrays."""
+    rows_per_band = num_perm // bands
+    return sides.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bkey")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -168,47 +226,8 @@ def minhash_lsh_pairs(
     mode (``verify_exact=False``) returns banding candidates with the
     signature-agreement estimate.
     """
-    rows_per_band = num_perm // bands
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        # distinct reduced hashes replace shingle strings downstream: the
-        # exact-verify joins shuffle arrays of longs, not k-word strings
-        # (same Jaccard up to ~2^-31-probability collisions).
-        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), k))).alias(
-            "hsh"
-        ),
-    )
-
-    # Signature map-side via the Arrow-batched numpy UDF (same permutation
-    # family as minhash_signature): no row explosion, NO shuffle — the
-    # signature stays in the document's row, so the exact-verify stage below
-    # reads hsh and sig from one frame with no assembly join. Empty-shingle
-    # docs are dropped (they can never be near-dups; keeping them would
-    # bucket every empty doc together on the sentinel signature).
-    sides = (
-        shingled.filter(F.size("hsh") > 0)
-        .withColumn("sig", minhash_signatures_arrow(num_perm, seed=1)("hsh"))
-        .localCheckpoint(eager=False)
-        # checkpointed so banding and the two verify joins don't each re-run
-        # the shingle+signature computation (3 scans otherwise)
-    )
-
-    band_entries = sides.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.bkey")
+    sides = minhash_sides(df, id_col, text_col, k, num_perm)
+    band_entries = minhash_band_entries(sides, num_perm, bands)
 
     cand = (
         band_entries.alias("a")
@@ -240,6 +259,105 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("id_a", "id_b")
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    seed: int = 1,
+    n_files: int = 8,
+) -> None:
+    """Persist a MinHash-LSH dedup index for incremental ingestion: the
+    per-doc frame (``docs/``: id, shingle-hash set, signature) plus the
+    exploded band table (``bands/``), range-clustered on (band, bkey) so
+    parquet rowgroup min/max prunes probe scans.
+
+    Index once over the corpus; every new batch then dedups against it via
+    :func:`minhash_index_probe` without re-shingling or self-joining the
+    corpus — the 100 TB ingestion pattern (the IVF analog for text).
+    """
+    sides = minhash_sides(df, id_col, text_col, k, num_perm, seed)
+    sides.write.mode("overwrite").parquet(f"{path}/docs")
+    (
+        minhash_band_entries(sides, num_perm, bands)
+        .repartitionByRange(n_files, "band", "bkey")
+        .sortWithinPartitions("band", "bkey")
+        .write.mode("overwrite")
+        .parquet(f"{path}/bands")
+    )
+
+
+def minhash_index_probe(
+    spark,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 1,
+) -> DataFrame:
+    """Near-dup pairs between a new ``batch`` and an indexed corpus
+    (:func:`build_minhash_index` with the SAME k/num_perm/bands/seed).
+
+    Scale shape: the batch (small) is signed map-side and BROADCAST against
+    the band table — the corpus side is scan + broadcast-hash-join + one
+    broadcast join of the surviving candidates against ``docs/``; the
+    indexed corpus never shuffles and is never re-shingled. Returns
+    (corpus_id, batch_id, est_jaccard, jaccard ≥ threshold), exact-verified
+    on the stored shingle-hash sets.
+    """
+    batch_sides = minhash_sides(batch, id_col, text_col, k, num_perm, seed)
+    batch_bands = minhash_band_entries(batch_sides, num_perm, bands)
+
+    idx_bands = spark.read.parquet(f"{path}/bands")
+    cand = (
+        idx_bands.join(
+            F.broadcast(batch_bands.withColumnRenamed("id", "batch_id")),
+            ["band", "bkey"],
+        )
+        .filter(F.col("id") != F.col("batch_id"))  # re-ingested identical ids
+        .select(F.col("id").alias("corpus_id"), "batch_id")
+        .distinct()
+    )
+    joined = (
+        spark.read.parquet(f"{path}/docs")
+        .withColumnsRenamed({"id": "corpus_id", "hsh": "sh_a", "sig": "sig_a"})
+        .join(F.broadcast(cand), "corpus_id")
+        .join(
+            F.broadcast(
+                batch_sides.withColumnsRenamed(
+                    {"id": "batch_id", "hsh": "sh_b", "sig": "sig_b"}
+                )
+            ),
+            "batch_id",
+        )
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(num_perm))
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        joined.select(
+            "corpus_id",
+            "batch_id",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(inter / F.nullif(union.cast("double"), F.lit(0.0)), 6).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("corpus_id", "batch_id")
     )
 
 

@@ -218,3 +218,46 @@ def test_ivf_index_persisted_prunes_partitions(spark, sf_dir, tmp_path):
     import glob as _g
     # physical layout: one subdir per list
     assert len(_g.glob(f"{idx}/corpus/list_id=*")) == 8
+
+
+def test_minhash_index_probe_matches_selfjoin_cross_pairs(spark, sf_dir, tmp_path):
+    """Probe of a batch against the persisted index must find exactly the
+    corpus×batch slice of the full LSH self-join over corpus ∪ batch
+    (same k/num_perm/bands/seed ⇒ same buckets, same verified Jaccard)."""
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+    probe = {
+        (r.corpus_id, r.batch_id, r.jaccard)
+        for r in dedup.minhash_index_probe(
+            spark, str(tmp_path / "idx"), batch
+        ).collect()
+    }
+
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = dedup.minhash_lsh_pairs(docs).collect()
+    cross = {
+        (r.id_a, r.id_b, r.jaccard) if r.id_b in batch_ids
+        else (r.id_b, r.id_a, r.jaccard)
+        for r in full
+        if (r.id_a in batch_ids) != (r.id_b in batch_ids)
+    }
+    assert probe == cross
+
+
+def test_minhash_index_probe_finds_planted_near_dup(spark, tmp_path):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu xi"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "totally different words entirely unrelated here")],
+        "doc_id bigint, text string",
+    )
+    batch = spark.createDataFrame(
+        [(100, base + " omicron"), (101, "more unrelated nonsense follows")],
+        "doc_id bigint, text string",
+    )
+    dedup.build_minhash_index(corpus, str(tmp_path / "idx"))
+    out = dedup.minhash_index_probe(spark, str(tmp_path / "idx"), batch).collect()
+    assert [(r.corpus_id, r.batch_id) for r in out] == [(1, 100)]
+    assert out[0].jaccard > 0.5
