@@ -77,6 +77,11 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by Spark's
         # vectorized reader; read as int64 ns and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Write timestamps as INT64 micros, not legacy INT96: INT96 columns
+        # carry no parquet min/max statistics, which would break footer-stat
+        # file/row-group pruning on every timestamp-clustered layout
+        # (write_sorted) — a scan-everything tax at 100 TB.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARKGRAFT_DRIVER_MEM", "8g"))

@@ -39,17 +39,24 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """Read one fixture table. Columnar parquet scan — Catalyst pushes
     filters/projection into the scan (check .explain for PushedFilters).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark cannot read as a
-    timestamp; with ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as
-    int64 nanoseconds and is floored to microseconds here (``DIV 1000`` —
-    integer division; a double division would lose precision above 2^53).
-    DuckDB-oracle SQL touching events.ts must CAST(ts AS TIMESTAMP) to match.
+    Timestamp normalization: the fixture generator has shipped ``events.ts``
+    both as parquet TIMESTAMP(NANOS) (read as int64 with
+    ``spark.sql.legacy.parquet.nanosAsLong``, floored to micros here) and as
+    TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ under Spark 4's
+    ``inferTimestampNTZ``). Both are normalized to plain ``TimestampType`` —
+    NTZ would reject ``withWatermark`` and diverge from the DuckDB oracle's
+    naive TIMESTAMP. The NTZ→TS cast preserves wall-clock time (interpreted
+    in the session timezone), matching what DuckDB reads.
     """
     d = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 

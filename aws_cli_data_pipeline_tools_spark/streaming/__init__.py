@@ -41,10 +41,12 @@ def events_file_stream(
     shutil.copy(src, os.path.join(dst_dir, "part-0.parquet"))
 
     batch_schema = load_table(spark, "events", sf_dir).schema
-    raw_schema = spark.read.parquet(src).schema  # ts as int64 ns (nanosAsLong)
+    raw_schema = spark.read.parquet(src).schema  # ts: int64 ns or TIMESTAMP_NTZ
     stream = spark.readStream.schema(raw_schema).parquet(dst_dir)
     if dict(stream.dtypes)["ts"] == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     assert stream.schema == batch_schema
     return stream
 
