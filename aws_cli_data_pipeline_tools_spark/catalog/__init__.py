@@ -85,6 +85,6 @@ def all_specs() -> dict[str, QuerySpec]:
     # the first 50 registrations), so the flagship profiler surface and the
     # north-star LLM-pipeline + streaming operators register before the
     # broad-but-low-risk Layer B SQL surface.
-    from . import core, llmops, streaming_batch, relational  # noqa: F401
+    from . import core, llmops, curation, streaming_batch, relational  # noqa: F401
 
     return REGISTRY

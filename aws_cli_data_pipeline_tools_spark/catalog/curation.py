@@ -1,0 +1,179 @@
+"""Corpus-curation queries: decontamination, per-source caps, exact
+stratified sampling, mixture resampling, sequence packing
+(operators/curation.py; north-star training-data pipeline surface).
+
+Every query here is fully oracle-checked: all determinism flows from the
+portable md5-bucket discipline (operators/sampling.py), so the DuckDB twin
+replays the identical hash arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import curation
+from ..sources import load_table
+from . import register
+
+# 5-word-gram SQL (same single-space join as functions.word_shingles).
+_DUCK_5GRAMS = """
+SELECT doc_id,
+       unnest(list_transform(generate_series(1, len(w) - 4),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4])) AS g
+FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM {src})
+"""
+
+
+@register(
+    "decontaminate_train_eval",
+    oracle=f"""
+WITH ev_g AS (
+  SELECT DISTINCT g FROM ({_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 = 0")})
+), tr_g AS (
+  {_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 <> 0")}
+), dirty AS (
+  SELECT DISTINCT doc_id FROM tr_g WHERE g IN (SELECT g FROM ev_g)
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
+""",
+    tags=("llmops", "curation"),
+    notes="Eval-set decontamination: drop train docs (doc_id%10<>0) sharing "
+    "any 5-word-gram with the eval slice (doc_id%10=0). Eval gram set is "
+    "DISTINCT-reduced and broadcast — the corpus side never shuffles.",
+)
+def decontaminate_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        curation.decontaminate(train, ev, n=5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_cap_per_source",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source, lang FROM r WHERE rn <= 10 ORDER BY source, doc_id
+""",
+    tags=("llmops", "curation"),
+    notes="Per-domain cap: at most 10 docs per source in md5-bucket order. "
+    "rank<=const plans WindowGroupLimit — partial top-n per map task before "
+    "the stratum shuffle (plan-asserted in test_curation.py).",
+)
+def sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        curation.cap_per_stratum(docs, ["source"], 10, "doc_id", salt="cap")
+        .select("doc_id", "source", "lang")
+        .orderBy("source", "doc_id")
+    )
+
+
+@register(
+    "sample_stratified_lang",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8), doc_id
+         ) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.3) ORDER BY lang, doc_id
+""",
+    tags=("llmops", "curation"),
+    notes="Exact stratified sample: ceil(30%) of every language, "
+    "deterministic md5-bucket order (quotas met exactly, unlike Bernoulli "
+    "sampleBy).",
+)
+def sample_stratified_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        curation.stratified_exact_sample(docs, ["lang"], 0.3, "doc_id", salt="strat")
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
+#: lang → mixture weight for the registered resampling query; es absent →
+#: defaults to 1.0 (pass-through).
+_MIX_WEIGHTS = {"en": 0.5, "fr": 2.0, "zh": 2.5, "de": 1.0}
+
+
+def _mix_case_sql(salt: str) -> str:
+    """DuckDB n_copies expression replaying mixture_resample exactly."""
+    bucket = f"substr(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 8)"
+    base = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {int(w)}" for k, w in _MIX_WEIGHTS.items()
+    ) + " ELSE 1 END"
+    frac = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN '{format(int((w - int(w)) * 16**8), '08x')}'"
+        if w != int(w)
+        else f"WHEN '{k}' THEN ''"
+        for k, w in _MIX_WEIGHTS.items()
+    ) + " ELSE '' END"
+    return f"{base} + CASE WHEN {bucket} < {frac} THEN 1 ELSE 0 END"
+
+
+@register(
+    "mixture_resample_lang",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, lang, {_mix_case_sql("mix")} AS n_copies FROM documents
+)
+SELECT doc_id, lang, CAST(unnest(generate_series(1, n_copies)) AS INT) AS copy
+FROM n WHERE n_copies > 0 ORDER BY doc_id, copy
+""",
+    tags=("llmops", "curation"),
+    notes="Deterministic mixture resampling (language temperature): en x0.5 "
+    "downsample, fr x2, zh x2.5, de/es x1. Narrow plan — CASE + md5 bucket "
+    "+ explode(sequence), no shuffle, no RNG.",
+)
+def mixture_resample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        curation.mixture_resample(docs, "lang", _MIX_WEIGHTS, "doc_id", salt="mix")
+        .select("doc_id", "lang", F.col("copy").cast("int").alias("copy"))
+        .orderBy("doc_id", "copy")
+    )
+
+
+@register(
+    "pack_sequences_512",
+    oracle="""
+WITH t AS (
+  SELECT source, doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens
+  FROM documents
+)
+SELECT source, doc_id, n_tokens,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+            AS INT) AS bin_id
+FROM t ORDER BY source, doc_id
+""",
+    tags=("llmops", "curation"),
+    notes="Greedy streaming sequence packing into 512-token bins per source "
+    "shard (bin = exclusive-prefix-sum div budget); per-shard windows keep "
+    "the cumsum parallel across shards.",
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return curation.pack_sequences(docs, budget=512).orderBy("source", "doc_id")

@@ -1,0 +1,216 @@
+"""Training-corpus curation operators: eval decontamination, deterministic
+per-stratum caps and quotas, mixture resampling, and sequence packing.
+
+These are the selection/shaping steps of an LLM data pipeline that sit
+between dedup (operators/dedup.py) and the final tokenizer shards: remove
+benchmark contamination, bound any one domain's contribution, hit a target
+language/source mixture, and pack variable-length documents into
+fixed-token-budget bins. All determinism comes from the portable
+md5-bucket discipline of operators/sampling.py (no RNG state, stable under
+reruns and appends), so every operator here has an exact cross-engine SQL
+twin for the DuckDB oracle gate.
+
+Scale posture (100 TB): every operator is a narrow projection plus at most
+one shuffle on its stratum key. The cap/quota operators are rank-filter
+windows, which Spark ≥3.5 rewrites with WindowGroupLimit — each map task
+keeps only its local top-n per stratum BEFORE the exchange, so the shuffle
+carries O(n_strata x n) rows, not the corpus (plan-asserted in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import word_shingles
+from .sampling import hash_bucket_expr
+
+__all__ = [
+    "contaminated_ids",
+    "decontaminate",
+    "cap_per_stratum",
+    "stratified_exact_sample",
+    "mixture_resample",
+    "pack_sequences",
+]
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """IDs of train docs sharing at least one word n-gram with any eval doc.
+
+    The standard eval-decontamination test (n-gram overlap against held-out
+    benchmarks). Plan shape: both sides shingle narrowly (word_shingles —
+    no shuffle), grams hash to 8-byte xxhash64 keys, and the eval side —
+    benchmarks are thousands of docs against a corpus of billions — reduces
+    to a DISTINCT gram set that is broadcast to the train postings, so the
+    corpus never shuffles: the only wide ops are on the tiny eval side and
+    the matched-id DISTINCT (bounded by the contaminated fraction).
+    """
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("g"),
+    )
+    eval_grams = grams(eval_df).select("g").distinct()
+    return (
+        grams(train)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every train doc that shares a word n-gram with the eval set."""
+    dirty = contaminated_ids(train, eval_df, n=n, id_col=id_col, text_col=text_col)
+    return train.join(dirty, id_col, "left_anti")
+
+
+def _det_rank(strata: list[str], key_col: str, salt: str) -> Column:
+    """Deterministic per-stratum rank: md5-bucket order, key tiebreak.
+
+    The bucket makes the kept subset a uniform pseudo-random choice that is
+    stable across engines and reruns; the raw key breaks 8-hex-char bucket
+    collisions so the rank is a total order (exact oracle equality).
+    """
+    w = Window.partitionBy(*strata).orderBy(
+        hash_bucket_expr(F.col(key_col), salt), F.col(key_col)
+    )
+    return F.row_number().over(w)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata: list[str],
+    n: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n`` rows per stratum (e.g. per domain/source), chosen
+    deterministically by md5-bucket order of ``key_col``.
+
+    The per-domain cap every web-scale corpus applies so no single domain
+    dominates training. rank <= constant lets Spark plan WindowGroupLimit:
+    partial top-n per map task before the stratum shuffle.
+    """
+    return (
+        df.withColumn("__rn", _det_rank(strata, key_col, salt))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata: list[str],
+    frac: float,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exact stratified sample: ceil(stratum_count * frac) rows from every
+    stratum, deterministic under the same md5-bucket order.
+
+    Unlike Bernoulli ``sampleBy`` (approximate, partition-order-dependent),
+    quotas here are met exactly — the property audits need. Both the rank
+    and the stratum count come from one window partitioning → one shuffle.
+    The variable per-stratum limit precludes WindowGroupLimit, so this
+    shuffles whole strata; use cap_per_stratum when the quota is a constant.
+    """
+    cnt = F.count("*").over(Window.partitionBy(*strata))
+    return (
+        df.withColumn("__rn", _det_rank(strata, key_col, salt))
+        .withColumn("__quota", F.ceil(cnt * F.lit(frac)))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    stratum_col: str,
+    weights: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Deterministic mixture/temperature resampling: per-stratum weight w
+    emits floor(w) copies of every row plus one more for the md5-bucket
+    fraction frac(w) of rows; w < 1 downsamples, w > 1 upsamples.
+
+    This is how source/language mixtures are rebalanced for training
+    (e.g. upweight low-resource languages). Pure narrow plan: a CASE over
+    the stratum, a bucket compare, and one explode(sequence) — no shuffle,
+    no RNG. Strata missing from ``weights`` default to weight 1.0.
+    ``copy_col`` numbers the replicas (1..n_copies) so downstream shuffles
+    can spread duplicated rows.
+    """
+    bucket = hash_bucket_expr(F.col(key_col), salt)
+    base_expr, frac_expr = F.lit(1), F.lit("")  # default weight 1.0
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {name!r}: {w}")
+        # whole copies + an 8-hex-char md5 threshold for the fractional part
+        # (same lowercase-hex construction as sampling.split_thresholds, so
+        # oracles replay it verbatim; "" means no fractional copy).
+        whole, frac = int(w), w - int(w)
+        frac_hex = format(int(frac * 16**8), "08x") if frac else ""
+        match = F.col(stratum_col) == name
+        base_expr = F.when(match, F.lit(whole)).otherwise(base_expr)
+        frac_expr = F.when(match, F.lit(frac_hex)).otherwise(frac_expr)
+    n_copies = base_expr + F.when(bucket < frac_expr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__n"))))
+        .drop("__n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "n_tokens",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy streaming sequence packing: within each ``part_col`` shard,
+    documents in ``id_col`` order are laid head-to-tail and cut into bins
+    of ``budget`` tokens — ``bin_id = floor(exclusive_prefix_sum / budget)``.
+
+    The packing step that turns variable-length documents into fixed-budget
+    training sequences. A document whose tokens straddle a boundary belongs
+    to the bin where it starts (bins may overflow by less than one document
+    — the streaming-packer contract; boundary-splitting is the tokenizer's
+    job downstream). Packing is per-shard, so the window shuffle
+    parallelizes across shards instead of one global cumsum — the realistic
+    layout, since shards are written independently at scale.
+
+    Token counts are whitespace word counts (the portable stand-in for BPE
+    counts; swap ``token_col`` in from a real tokenizer column when present).
+    """
+    tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    w = Window.partitionBy(part_col).orderBy(id_col)
+    cum_excl = F.coalesce(
+        F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return df.select(
+        part_col,
+        id_col,
+        tokens.alias(token_col),
+        F.floor(cum_excl / F.lit(budget)).cast("int").alias(bin_col),
+    )

@@ -1,0 +1,100 @@
+"""Corpus-curation operators: decontamination, caps, quotas, mixture,
+packing (operators/curation.py)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_cli_data_pipeline_tools_spark import plans
+from aws_cli_data_pipeline_tools_spark.operators import curation
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t, source=s) for i, t, s in rows])
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "s"),  # shares 5-gram
+            (2, "one two three four five six", "s"),  # clean
+            (3, "tiny doc", "s"),  # < n words → never contaminated
+        ],
+    )
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon", "e")])
+    kept = sorted(
+        r.doc_id for r in curation.decontaminate(train, ev, n=5).collect()
+    )
+    assert kept == [2, 3]
+    dirty = curation.contaminated_ids(train, ev, n=5).collect()
+    assert [r.doc_id for r in dirty] == [1]
+
+
+def test_cap_per_stratum_exact_and_deterministic(spark):
+    rows = [(i, f"text {i}", f"s{i % 3}") for i in range(60)]
+    df = _docs(spark, rows)
+    capped = curation.cap_per_stratum(df, ["source"], 5, "doc_id", salt="x")
+    out = capped.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in out} == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: same rows on rerun
+    again = curation.cap_per_stratum(df, ["source"], 5, "doc_id", salt="x")
+    assert sorted(r.doc_id for r in capped.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # constant-rank filter plans the partial-top-n WindowGroupLimit
+    assert "WindowGroupLimit" in plans.executed_plan(capped)
+
+
+def test_stratified_exact_sample_quotas(spark):
+    rows = [(i, "t", "a") for i in range(10)] + [(100 + i, "t", "b") for i in range(4)]
+    df = _docs(spark, rows)
+    out = curation.stratified_exact_sample(df, ["source"], 0.5, "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src == {"a": 5, "b": 2}  # ceil(10*0.5), ceil(4*0.5)
+
+
+def test_mixture_resample_copies_and_determinism(spark):
+    df = _docs(spark, [(i, "t", "en" if i % 2 else "fr") for i in range(40)])
+    out = curation.mixture_resample(
+        df.withColumn("lang", F.col("source")).drop("source"),
+        "lang",
+        {"en": 2.0, "fr": 0.0},
+        "doc_id",
+    ).collect()
+    # fr weight 0 → dropped entirely; en weight 2.0 → exactly 2 copies each
+    assert all(r.lang == "en" for r in out)
+    n_per_doc = {}
+    for r in out:
+        n_per_doc[r.doc_id] = n_per_doc.get(r.doc_id, 0) + 1
+    assert set(n_per_doc.values()) == {2}
+    assert sorted({r.copy for r in out}) == [1, 2]
+
+
+def test_mixture_resample_fractional_rate(spark):
+    df = _docs(spark, [(i, "t", "en") for i in range(400)])
+    df = df.withColumn("lang", F.lit("en")).drop("source")
+    out = curation.mixture_resample(df, "lang", {"en": 1.5}, "doc_id")
+    n = out.count()
+    # 400 base copies + md5-fraction extra ~200 (uniform bucket, loose bound)
+    assert 500 < n < 700
+    with pytest.raises(ValueError, match="negative"):
+        curation.mixture_resample(df, "lang", {"en": -1.0}, "doc_id")
+
+
+def test_pack_sequences_bins(spark):
+    # 4 docs x 6 tokens in one shard, budget 10:
+    # exclusive cumsums 0,6,12,18 → bins 0,0,1,1
+    rows = [(i, "a b c d e f", "s") for i in range(4)]
+    out = curation.pack_sequences(_docs(spark, rows), budget=10).collect()
+    bins = {r.doc_id: r.bin_id for r in out}
+    assert bins == {0: 0, 1: 0, 2: 1, 3: 1}
+    assert all(r.n_tokens == 6 for r in out)
+
+
+def test_pack_sequences_per_shard_independent(spark):
+    rows = [(1, "a b", "x"), (2, "c d", "y")]
+    out = curation.pack_sequences(_docs(spark, rows), budget=100).collect()
+    assert all(r.bin_id == 0 for r in out)  # each shard restarts at bin 0
