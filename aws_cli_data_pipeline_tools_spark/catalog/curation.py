@@ -177,3 +177,45 @@ FROM t ORDER BY source, doc_id
 def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return curation.pack_sequences(docs, budget=512).orderBy("source", "doc_id")
+
+
+@register(
+    "text_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+), narrow AS (
+  SELECT doc_id, len(w) AS n_words,
+         round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+           AS dup_word_frac,
+         CASE WHEN len(w) - 2 > 0 THEN
+           round(1.0 - len(list_distinct(list_transform(
+                   generate_series(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))
+                 / CAST(len(w) - 2 AS DOUBLE), 6)
+         END AS dup_3gram_frac
+  FROM t
+), g2 AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS g
+  FROM t
+), cnt AS (
+  SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2
+), top2 AS (
+  SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+  FROM cnt GROUP BY 1
+)
+SELECT n.doc_id, n.n_words, n.dup_word_frac, n.dup_3gram_frac,
+       top2.top_2gram_frac
+FROM narrow n LEFT JOIN top2 USING (doc_id) ORDER BY n.doc_id
+""",
+    tags=("llmops", "curation", "text"),
+    notes="Gopher-style repetition signals: dup-word / dup-3-gram fractions "
+    "(pure narrow array arithmetic) + top-2-gram share (one explode + "
+    "two-level partial hash agg).",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import textstats
+
+    return textstats.repetition_stats(load_table(spark, "documents", sf_dir))

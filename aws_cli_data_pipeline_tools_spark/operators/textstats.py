@@ -229,3 +229,62 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"<{name}>")
     return df.select("doc_id", t.alias("redacted_text"), *counts)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word and
+    duplicate-3-gram fractions plus the share of the most frequent 2-gram —
+    the standard filters for boilerplate/looping text in a training corpus.
+
+    Plan shape: the duplicate fractions are PURE NARROW projections
+    (size/array_distinct arithmetic over the word array — no shuffle at any
+    corpus size). Only the top-2-gram share needs counts of equal grams, a
+    single explode + two-level hash aggregate: (doc, gram) pairs partial-
+    aggregate map-side, so the shuffle carries one row per distinct gram
+    per doc, not per token. Short docs (< k words) yield NULL fractions
+    rather than fake zeros.
+    """
+    from ..functions import word_shingles
+
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    # non-distinct k-gram count is positional: n - k + 1
+    n3 = F.greatest(n - F.lit(2), F.lit(0))
+    narrow = df.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.when(
+            n3 > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(word_shingles(F.col(text_col), 3)) / n3.cast("double"),
+                6,
+            ),
+        ).alias("dup_3gram_frac"),
+    )
+    grams2 = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    top2 = (
+        grams2.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 6).alias(
+                "top_2gram_frac"
+            )
+        )
+    )
+    return narrow.join(top2, id_col, "left").orderBy(id_col)
