@@ -266,3 +266,41 @@ def test_range_join_negative_axis(spark):
         (F.col("ls") < F.col("re")) & (F.col("rs") < F.col("le"))
     )
     assert ov.count() == naive_ov.count()
+
+
+def test_sniff_audio_headers_real_formats(spark):
+    import struct
+
+    def wav(rate, channels, seconds):
+        byte_rate = rate * channels * 2
+        data = b"\x00" * (byte_rate * seconds)
+        fmt = (b"fmt " + struct.pack("<I", 16)
+               + struct.pack("<HHIIHH", 1, channels, rate, byte_rate, channels * 2, 16))
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def flac(rate, channels, total_samples):
+        # fLaC + STREAMINFO block header (type 0, len 34) + STREAMINFO
+        info = struct.pack(">HH", 4096, 4096) + b"\x00" * 6  # block+frame sizes
+        packed = (rate << 44) | ((channels - 1) << 41) | ((16 - 1) << 36) | total_samples
+        info += packed.to_bytes(8, "big") + b"\x00" * 16  # + md5
+        return b"fLaC" + b"\x00" + len(info).to_bytes(3, "big") + info
+
+    def mp3(n_frames=100):
+        # MPEG1 Layer III, 128 kbit/s (idx 9), 44100 Hz (idx 0), stereo
+        frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+        return frame * n_frames
+
+    rows = [
+        (1, wav(16000, 1, 2)), (2, flac(44100, 2, 44100 * 3)),
+        (3, mp3()), (4, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r for r in multimodal.sniff_audio_headers(df).collect()}
+    assert (got[1].format, got[1].sample_rate, got[1].channels) == ("wav", 16000, 1)
+    assert got[1].duration_ms == 2000
+    assert (got[2].format, got[2].sample_rate, got[2].channels) == ("flac", 44100, 2)
+    assert got[2].duration_ms == 3000
+    assert (got[3].format, got[3].sample_rate, got[3].channels) == ("mp3", 44100, 2)
+    assert got[3].duration_ms == int(417 * 100 * 8 / 128000 * 1000)
+    assert got[4].format is None and got[4].n_bytes == 9
