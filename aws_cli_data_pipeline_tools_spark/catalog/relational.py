@@ -840,3 +840,46 @@ ORDER BY 1
     "pass over the data per row); identical IEEE bin arithmetic on both "
     "engines (floor of one subtraction and one division, so bit-equal).",
 )
+
+# --- classic composite analytics shapes (TPC-H Q4/Q13 analogs over the
+# fixture schema; SURVEY §2.B joins/aggregation/subquery rows combined) ---
+
+register_sql(
+    "order_priority_slow_ship",
+    sql="""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("join", "subquery", "agg"),
+    notes="TPC-H Q4 shape: per-priority count of orders with at least one "
+    "slow-shipping lineitem (correlated EXISTS with a date-arithmetic "
+    "predicate). Catalyst plans the EXISTS as one left-semi hash join on "
+    "l_orderkey — one fact-fact shuffle, no per-row subquery.",
+)
+
+register_sql(
+    "custdist_order_counts",
+    sql="""
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    tags=("join", "agg"),
+    notes="TPC-H Q13 shape: distribution of per-customer order counts via "
+    "two chained aggregations. First agg shuffles on c_custkey (partial "
+    "count map-side); the second groups the tiny per-customer frame — the "
+    "canonical two-level rollup, no Expand, no skew key.",
+)

@@ -45,6 +45,8 @@ HEADLINE = [
     "range_join_error_clicks",
     "events_rollup_cascade",
     "tfidf_top_terms",
+    "decontaminate_train_eval",
+    "text_repetition",
 ]
 
 
