@@ -432,6 +432,40 @@ def udtf_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udaf_geomean_quantity",
+    oracle="""
+SELECT l_returnflag, round(exp(avg(ln(l_quantity))), 6) AS geomean_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("llmops", "udf", "udaf"),
+    notes="Grouped-aggregate pandas UDF (true UDAF): per-returnflag "
+    "geometric mean of l_quantity as one Arrow batch per group — the "
+    "registry's GROUPED_AGG path end-to-end. log/exp identity keeps the "
+    "DuckDB twin exact to 6 decimals.",
+)
+def udaf_geomean_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..registry import FunctionRegistry
+
+    def geomean(s):  # noqa: ANN001 — no hints: functionType is explicit
+        return float(np.exp(np.log(s.to_numpy(dtype="float64")).mean()))
+
+    reg = FunctionRegistry(spark)
+    reg.register_grouped_agg(
+        "geomean_udaf", geomean, "double",
+        description="geometric mean via exp(mean(log))",
+    )
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView("q_udaf_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, round(geomean_udaf(l_quantity), 6) AS geomean_qty
+        FROM q_udaf_lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """
+    )
+
+
 def _split_case() -> str:
     from ..operators.sampling import split_case_sql
 

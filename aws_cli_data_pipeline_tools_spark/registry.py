@@ -83,6 +83,28 @@ class FunctionRegistry:
             name, pandas_udf(batch_fn, "string", functionType=PandasUDFType.SCALAR)
         )
 
+    def register_grouped_agg(
+        self, name: str, fn: Callable, return_type: str, description: str = ""
+    ) -> None:
+        """Register a grouped-aggregate pandas UDF — the true UDAF end of
+        the reference's external-function contract (SURVEY.md §2.B
+        UDF/UDAF/UDTF row): ``fn(pd.Series) -> scalar`` becomes a SQL
+        aggregate usable in GROUP BY and OVER clauses.
+
+        Scale note: grouped-agg pandas UDFs receive each group's column as
+        one Arrow batch — no partial aggregation, so the full group's
+        values shuffle to one task. Fine for bounded groups (per-key
+        statistics); for algebraic aggregates prefer built-ins, which
+        partial-aggregate map-side.
+        """
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        self._fns[name] = _Entry(name, fn, description)
+        self._spark.udf.register(
+            name,
+            pandas_udf(fn, return_type, functionType=PandasUDFType.GROUPED_AGG),
+        )
+
     def register_table(
         self, name: str, handler_cls: type, return_type: str, description: str = ""
     ) -> None:

@@ -114,6 +114,23 @@ def test_registry_vectorized(spark):
     assert len(rows) == 10
 
 
+def test_registry_grouped_agg_udaf(spark):
+    reg = FunctionRegistry(spark)
+
+    def spread(s):  # noqa: ANN001 — max - min per group
+        return float(s.max() - s.min())
+
+    reg.register_grouped_agg("spread_udaf", spread, "double")
+    assert "spread_udaf" in reg.list()
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 4.0), ("b", 10.0)], "k string, v double"
+    ).createOrReplaceTempView("t_udaf_src")
+    rows = spark.sql(
+        "SELECT k, spread_udaf(v) AS sp FROM t_udaf_src GROUP BY k ORDER BY k"
+    ).collect()
+    assert [(r.k, r.sp) for r in rows] == [("a", 3.0), ("b", 0.0)]
+
+
 def test_registry_udtf_lateral(spark):
     from aws_cli_data_pipeline_tools_spark.functions.udtfs import (
         TOKENIZE_RETURN_TYPE,
