@@ -261,3 +261,35 @@ def test_minhash_index_probe_finds_planted_near_dup(spark, tmp_path):
     out = dedup.minhash_index_probe(spark, str(tmp_path / "idx"), batch).collect()
     assert [(r.corpus_id, r.batch_id) for r in out] == [(1, 100)]
     assert out[0].jaccard > 0.5
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert got[1].scale == 1.0
+    assert got[1].qvec == [64, -127, 32]  # round(0.5*127)=64 (half-up), max->127
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0]
+
+
+def test_int8_topk_self_first(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import int8_topk
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = int8_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert rows[0].neighbor_id == qid  # self dot is maximal
+        dots = [r.dot for r in rows]
+        assert dots == sorted(dots, reverse=True)
