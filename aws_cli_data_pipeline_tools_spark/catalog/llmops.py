@@ -722,3 +722,26 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.int8_topk(emb, queries, k=10, query_id_col="query_id")
+
+
+@register(
+    "embedding_cluster_profile",
+    oracle=None,  # Lloyd-refined centroids have no SQL twin — rows-only;
+    # determinism + label sanity are pytest-asserted.
+    tags=("llmops", "similarity", "clustering"),
+    notes="Deterministic spherical k-means (similarity.kmeans_clusters, "
+    "the IVF trainer as a first-class op): per-cluster size and mean "
+    "cosine-to-centroid. Labels drive diversity sampling/quotas; the same "
+    "labels are the IVF index lists.",
+)
+def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    labeled = similarity.kmeans_clusters(emb, n_centroids=16)
+    return (
+        labeled.groupBy("list_id")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos_to_centroid"), 6).alias("avg_cos"),
+        )
+        .orderBy("list_id")
+    )

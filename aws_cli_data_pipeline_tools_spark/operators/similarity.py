@@ -543,3 +543,40 @@ def int8_topk(
     return _rank_topk(
         _partition_topk(scored, k, score_col="dot"), k, score_col="dot"
     )
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic spherical k-means over an embedding column — the IVF
+    trainer exposed as a first-class clustering op (cluster labels drive
+    diversity sampling, topic balance, and per-cluster quotas in a
+    training-data pipeline; the same labels ARE the IVF index lists).
+
+    Returns (id, list_id, cos_to_centroid). Same scale shape as IVF:
+    centroids are O(k·dim) driver-side model state, assignment is one
+    narrow matmul pass, and the per-cluster cosine comes from a broadcast
+    join with the tiny centroid table — the corpus never shuffles.
+    """
+    cents = _ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters, seed)
+    assigned = _ivf_assign(
+        corpus.select(id_col, vec_col), id_col, vec_col, cents, n_probe=1
+    )
+    spark = corpus.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    cent_df = spark.createDataFrame(
+        cent_rows, "list_id int, centroid array<double>"
+    )
+    return assigned.join(F.broadcast(cent_df), "list_id").select(
+        F.col(id_col),
+        "list_id",
+        F.round(
+            cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("centroid")),
+            6,
+        ).alias("cos_to_centroid"),
+    )

@@ -293,3 +293,18 @@ def test_int8_topk_self_first(spark, sf_dir):
         assert rows[0].neighbor_id == qid  # self dot is maximal
         dots = [r.dot for r in rows]
         assert dots == sorted(dots, reverse=True)
+
+
+def test_kmeans_clusters_deterministic_and_sane(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import kmeans_clusters
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = kmeans_clusters(emb, n_centroids=8).collect()
+    b = kmeans_clusters(emb, n_centroids=8).collect()
+    assert sorted((r.vec_id, r.list_id) for r in a) == sorted(
+        (r.vec_id, r.list_id) for r in b
+    )
+    assert {r.list_id for r in a} <= set(range(8))
+    assert len(a) == emb.count()  # every vector labeled exactly once
+    assert all(r.cos_to_centroid is not None for r in a)
