@@ -883,3 +883,52 @@ ORDER BY custdist DESC, c_count DESC
     "count map-side); the second groups the tiny per-customer frame — the "
     "canonical two-level rollup, no Expand, no skew key.",
 )
+
+# --- bitwise + struct expression surface (SURVEY §2.B math/casts rows) ---
+
+register_sql(
+    "bitwise_funcs",
+    spark_sql="""
+SELECT o_orderkey,
+       o_orderkey & 255   AS band,
+       o_orderkey | 4096  AS bor,
+       o_orderkey ^ o_custkey AS bxor,
+       shiftleft(o_orderkey, 2) AS shl,
+       o_orderkey % 16    AS lowbits
+FROM orders ORDER BY o_orderkey LIMIT 2000
+""",
+    duck_sql="""
+SELECT o_orderkey,
+       o_orderkey & 255   AS band,
+       o_orderkey | 4096  AS bor,
+       xor(o_orderkey, o_custkey) AS bxor,
+       o_orderkey << 2    AS shl,
+       o_orderkey % 16    AS lowbits
+FROM orders ORDER BY o_orderkey LIMIT 2000
+""",
+    tags=("math", "bitwise"),
+    notes="Bitwise AND/OR/XOR/shift + modulo over key columns — pure "
+    "codegen projections. Dialect split: Spark XOR is the ^ operator "
+    "(exponent in DuckDB, which spells it xor()); shifts are "
+    "shiftleft() vs <<.",
+)
+
+register_sql(
+    "struct_funcs",
+    spark_sql="""
+SELECT c_custkey,
+       named_struct('nation', c_nationkey, 'balance', c_acctbal).nation AS nat,
+       round(named_struct('nation', c_nationkey, 'balance', c_acctbal).balance, 2) AS bal
+FROM customer ORDER BY c_custkey LIMIT 500
+""",
+    duck_sql="""
+SELECT c_custkey,
+       {'nation': c_nationkey, 'balance': c_acctbal}.nation AS nat,
+       round({'nation': c_nationkey, 'balance': c_acctbal}.balance, 2) AS bal
+FROM customer ORDER BY c_custkey LIMIT 500
+""",
+    tags=("struct",),
+    notes="Struct build + field access (named_struct ≙ DuckDB struct "
+    "literal); struct-typed column round-trips the result comparator as "
+    "its string form.",
+)

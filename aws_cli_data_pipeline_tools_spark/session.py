@@ -84,7 +84,10 @@ def get_spark(
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARKGRAFT_DRIVER_MEM", "8g"))
+        # 16g: local-mode driver hosts all 32 executor threads; the dedup
+        # family's array-heavy shuffles showed multi-second GC outliers at
+        # 8g on otherwise-identical bench runs.
+        .config("spark.driver.memory", os.environ.get("SPARKGRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in prof["conf"].items():
         builder = builder.config(k, v)
