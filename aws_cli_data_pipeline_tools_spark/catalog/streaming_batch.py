@@ -456,3 +456,45 @@ register_sql(
     notes="First-touch conversion funnel view→click→purchase over events: "
     "conditional min per stage, strict event-time ordering between stages.",
 )
+
+
+@register(
+    "streaming_enrich_live",
+    oracle=f"""
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+       c_mktsegment,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY win_start, c_mktsegment
+""",
+    tags=("streaming", "live", "join"),
+    notes="REAL stream-static enrichment run: readStream(events) joined to "
+    "the static customer dimension (broadcast — the dim is re-read per "
+    "micro-batch, so slowly-changing dims pick up updates), then a "
+    "watermarked tumbling agg per market segment, availableNow drain. The "
+    "standard pattern for enriching an event stream with reference data.",
+)
+def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,10)")
+    )
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = (
+        joined.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "c_mktsegment")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "c_mktsegment",
+            "n_events",
+            F.round(F.col("sum_value").cast("double"), 5).alias("sum_value"),
+        )
+    )
+    name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
+    return spark.table(name).orderBy("win_start", "c_mktsegment")
