@@ -745,3 +745,83 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+@register(
+    "multimodal_image_meta",
+    oracle="""
+SELECT doc_id AS media_id, 'png' AS format,
+       CAST(1 + doc_id % 512 AS INT) AS width,
+       CAST(1 + doc_id % 384 AS INT) AS height,
+       33 AS n_bytes
+FROM documents ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="Round-trip proof of the REAL image metadata decode: valid PNG "
+    "IHDR headers are constructed as binary from doc_id arithmetic with "
+    "JVM expressions (unhex/lpad/hex big-endian packing), then parsed back "
+    "by sniff_image_headers' byte-offset walk (Arrow-batched mapInPandas). "
+    "The oracle replays the arithmetic the bytes encode — any drift in the "
+    "binary layout or the parser breaks the hash.",
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def be32(col):  # 4-byte big-endian binary of an int expression
+        return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
+
+    w = F.lit(1) + F.col("doc_id") % 512
+    h = F.lit(1) + F.col("doc_id") % 384
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG magic
+        F.unhex(F.lit("0000000D")),          # IHDR length 13
+        F.encode(F.lit("IHDR"), "utf-8"),
+        be32(w), be32(h),
+        F.unhex(F.lit("0806000000")),        # bit depth + color + crc pad
+        F.unhex(F.lit("00000000")),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return multimodal.sniff_image_headers(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle="""
+SELECT doc_id AS media_id, 'wav' AS format,
+       CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS INT) AS channels,
+       CAST((1 + doc_id % 5) * 1000 AS BIGINT) AS duration_ms,
+       44 AS n_bytes
+FROM documents ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="Audio twin of multimodal_image_meta: valid WAV RIFF/fmt/data "
+    "headers packed little-endian from doc_id arithmetic with JVM "
+    "expressions, parsed back by sniff_audio_headers' chunk walk; the "
+    "oracle replays the encoded arithmetic (duration = data_len/byte_rate "
+    "is exact integer seconds by construction).",
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def le(col, n_bytes):  # n-byte little-endian binary of an int expression
+        hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+        rev = F.concat(
+            *[F.substring(hx, i * 2 + 1, 2) for i in range(n_bytes - 1, -1, -1)]
+        )
+        return F.unhex(rev)
+
+    rate = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    channels = F.lit(1) + F.col("doc_id") % 2
+    byte_rate = rate * channels * 2
+    data_len = byte_rate * (F.lit(1) + F.col("doc_id") % 5)
+    payload = F.concat(
+        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(36), 4),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(channels, 2), le(rate, 4), le(byte_rate, 4),
+        le(channels * 2, 2), le(F.lit(16), 2),
+        F.encode(F.lit("data"), "utf-8"), le(data_len, 4),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return multimodal.sniff_audio_headers(media).orderBy("media_id")
