@@ -932,3 +932,42 @@ FROM customer ORDER BY c_custkey LIMIT 500
     "literal); struct-typed column round-trips the result comparator as "
     "its string form.",
 )
+
+# --- URL parsing (SURVEY §2.B string row; web-corpus curation adjunct) ---
+
+register_sql(
+    "url_funcs",
+    spark_sql="""
+WITH u AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', CAST(doc_id AS STRING),
+                '?lang=', lang) AS url
+  FROM documents
+)
+SELECT doc_id,
+       parse_url(url, 'HOST') AS host,
+       parse_url(url, 'PATH') AS path,
+       parse_url(url, 'QUERY', 'lang') AS lang_param,
+       regexp_extract(parse_url(url, 'HOST'), '^([^.]+)', 1) AS domain_key
+FROM u ORDER BY doc_id
+""",
+    duck_sql="""
+WITH u AS (
+  SELECT doc_id,
+         concat('https://', source, '.example.com/docs/', CAST(doc_id AS VARCHAR),
+                '?lang=', lang) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       regexp_extract(url, '^https?://[^/]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+       regexp_extract(regexp_extract(url, '^https?://([^/]+)', 1),
+                      '^([^.]+)', 1) AS domain_key
+FROM u ORDER BY doc_id
+""",
+    tags=("string", "url"),
+    notes="URL host/path/query parsing — Spark parse_url vs a regexp "
+    "decomposition in the oracle. domain_key is the per-domain cap key a "
+    "web-corpus pipeline partitions on (see curation.cap_per_stratum).",
+)
