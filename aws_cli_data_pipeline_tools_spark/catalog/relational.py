@@ -971,3 +971,76 @@ FROM u ORDER BY doc_id
     "decomposition in the oracle. domain_key is the per-domain cap key a "
     "web-corpus pipeline partitions on (see curation.cap_per_stratum).",
 )
+
+# --- ANSI-safe try_* surface (session runs spark.sql.ansi.enabled=true) ---
+
+register_sql(
+    "try_funcs",
+    spark_sql="""
+SELECT o_orderkey,
+       try_cast(o_orderpriority AS INT) AS prio_num,
+       try_divide(o_totalprice, o_custkey % 3) AS risky_div,
+       try_cast(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+FROM orders ORDER BY o_orderkey LIMIT 2000
+""",
+    duck_sql="""
+SELECT o_orderkey,
+       TRY_CAST(o_orderpriority AS INT) AS prio_num,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE o_totalprice / (o_custkey % 3) END AS risky_div,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit
+FROM orders ORDER BY o_orderkey LIMIT 2000
+""",
+    tags=("casts", "ansi"),
+    notes="ANSI-mode error-safe surface: the session pins "
+    "spark.sql.ansi.enabled=true (SURVEY §7 null/empty semantics), so "
+    "malformed casts and div-by-zero must go through try_cast/try_divide "
+    "instead of silently nulling — the oracle spells the same semantics "
+    "with TRY_CAST and a guard CASE.",
+)
+
+# --- skew-salted join, driver-visible (operators/skew.py; result must be
+# identical to the plain equi-join the oracle runs) ---
+
+
+def _register_salted_join():
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    from ..operators import skew
+    from ..sources import load_table
+    from . import register
+
+    @register(
+        "join_salted_skew",
+        oracle=f"""
+SELECT c_mktsegment, count(*) AS n_events, {dsum('value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+        tags=("join", "skew"),
+        notes="Salting correctness is driver-verified: the fact side is "
+        "salted 8 ways and the dimension replicated per salt "
+        "(operators/skew.salted_join — the in-between regime where the dim "
+        "exceeds broadcast but hot keys would stall one reducer), and the "
+        "aggregate must equal the oracle's PLAIN equi-join bit-for-bit.",
+    )
+    def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = load_table(spark, "events", sf_dir).select(
+            "user_id", F.col("value").cast("decimal(38,10)").alias("value")
+        )
+        dim = load_table(spark, "customer", sf_dir).select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment"
+        )
+        joined = skew.salted_join(ev, dim, on="user_id", salts=8)
+        return (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value").cast("double"), 5).alias("sum_value"),
+            )
+            .orderBy("c_mktsegment")
+        )
+
+
+_register_salted_join()
