@@ -84,6 +84,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact k-gram Jaccard similarity for every document pair sharing at
     least one shingle — the inverted-index join pattern.
@@ -94,7 +95,19 @@ def ngram_jaccard_pairs(
     fraction of docs; ``max_bucket`` drops shingles with document frequency
     above the cap (standard practice — such shingles carry no dedup signal
     and would otherwise create O(df²) pairs on one key = worst-case skew).
+
+    ``prefix_filter=True`` switches candidate generation to PPJoin-style
+    prefix filtering (``_ngram_jaccard_prefix``): only each document's
+    ``c - ceil(t*c) + 1`` globally-rarest shingles are indexed, which is
+    lossless for threshold ``t`` and collapses the candidate-pair explosion
+    when near-duplicate density is low — the scale path for corpora where
+    the plain inverted index would emit quadratically many mid-frequency
+    pairs. Identical output (pytest parity); costs two extra linear
+    shuffles (df counts + per-doc rarity sort), so the plain index wins on
+    small or duplicate-dense inputs.
     """
+    if prefix_filter:
+        return _ngram_jaccard_prefix(df, id_col, text_col, k, threshold, max_bucket)
     shingled = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
     )
@@ -136,6 +149,94 @@ def ngram_jaccard_pairs(
                 F.col("shared")
                 / (F.col("n_a") + F.col("n_b") - F.col("shared")).cast("double"),
                 6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _ngram_jaccard_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
+    max_bucket: int,
+) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard (same output contract as
+    ``ngram_jaccard_pairs``).
+
+    Prefix principle (Chaudhuri et al. / PPJoin): under any global total
+    order of tokens, two sets with overlap ≥ α must share a token within
+    their first ``|x| - α + 1`` tokens. For Jaccard ≥ t the needed overlap
+    satisfies α ≥ ceil(t·c_x) for both sides (via the length filter
+    c_y ≥ t·c_x), so indexing each doc's first ``c - ceil(t·c) + 1``
+    shingles in ascending-document-frequency order is lossless. Candidates
+    then come from prefix-prefix collisions (rare shingles ⇒ few pairs),
+    and the exact Jaccard is verified by one array_intersect per candidate.
+
+    Shuffle inventory: df-count agg + df join + per-doc sort (all linear in
+    postings) + tiny candidate joins — versus the plain index's O(Σ df²)
+    pair stream. Denominator uses PRE-cap sizes and the intersection uses
+    capped arrays, exactly like the plain path, so results match it (and
+    the shared DuckDB oracle) bit-for-bit.
+    """
+    t = threshold
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)).alias(
+            "hs"
+        ),
+    ).withColumn("n_sh", F.size("hs"))
+    post = base.select("id", "n_sh", F.explode("hs").alias("shingle"))
+    dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
+    if max_bucket:
+        post = post.join(
+            F.broadcast(dfc.filter(F.col("df_") > max_bucket).drop("df_")),
+            "shingle",
+            "left_anti",
+        )
+    sarr = (
+        post.join(dfc, "shingle")
+        .groupBy("id")
+        .agg(
+            F.first("n_sh").alias("n_sh"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df_", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("arr"),
+        )
+    )
+    c = F.size("arr")
+    plen = c - F.ceil(c * F.lit(t)) + 1
+    pp = sarr.select(
+        "id", c.alias("c"), F.explode(F.slice("arr", 1, plen)).alias("shingle")
+    )
+    cand = (
+        pp.alias("a")
+        .join(pp.alias("b"), "shingle")
+        .filter(
+            (F.col("a.id") < F.col("b.id"))
+            & (F.col("b.c") >= F.lit(t) * F.col("a.c"))
+            & (F.col("a.c") >= F.lit(t) * F.col("b.c"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sides = sarr.select("id", "n_sh", "arr")
+    ver = cand.join(
+        sides.withColumnsRenamed({"id": "id_a", "n_sh": "n_a", "arr": "arr_a"}), "id_a"
+    ).join(
+        sides.withColumnsRenamed({"id": "id_b", "n_sh": "n_b", "arr": "arr_b"}), "id_b"
+    )
+    inter = F.size(F.array_intersect("arr_a", "arr_b"))
+    return (
+        ver.select(
+            "id_a",
+            "id_b",
+            F.round(
+                inter / (F.col("n_a") + F.col("n_b") - inter).cast("double"), 6
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)

@@ -308,3 +308,22 @@ def test_kmeans_clusters_deterministic_and_sane(spark, sf_dir):
     assert {r.list_id for r in a} <= set(range(8))
     assert len(a) == emb.count()  # every vector labeled exactly once
     assert all(r.cos_to_centroid is not None for r in a)
+
+
+def test_ngram_jaccard_prefix_filter_parity(spark, sf_dir):
+    """PPJoin prefix filtering must reproduce the plain inverted-index
+    result exactly (same pairs, same jaccard values)."""
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    plain = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    )
+    pref = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, prefix_filter=True
+        ).collect()
+    )
+    assert plain == pref and len(plain) > 0
