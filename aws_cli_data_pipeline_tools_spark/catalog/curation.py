@@ -219,3 +219,64 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import textstats
 
     return textstats.repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+def _pipeline_curate_oracle() -> str:
+    from ..operators.sampling import split_case_sql
+
+    return f"""
+WITH canon AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+           AS canon_hash,
+         len(regexp_split_to_array(text, '\\s+')) AS n_words
+  FROM documents
+), clean AS (
+  SELECT doc_id, lang, source, n_words
+  FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY canon_hash) AS is_keeper
+    FROM canon
+  )
+  WHERE is_keeper AND n_words BETWEEN 20 AND 5000 AND lang <> 'zh'
+), capped AS (
+  SELECT doc_id, lang, source, n_words
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8), doc_id
+    ) AS rn
+    FROM clean
+  )
+  WHERE rn <= 10
+)
+SELECT doc_id, lang, source, n_words, {split_case_sql("doc_id")} AS split
+FROM capped ORDER BY doc_id
+"""
+
+
+@register(
+    "pipeline_curate_corpus",
+    oracle=_pipeline_curate_oracle(),
+    tags=("llmops", "curation", "pipeline"),
+    notes="Full curation composition: canonical-dedup keepers → length/lang "
+    "filters → deterministic per-source cap (10) → md5 train/valid/test "
+    "assignment. Two shuffles total (dedup groupBy + cap window, the "
+    "latter WindowGroupLimit-pruned); filters and the split projection are "
+    "narrow and push to the scan.",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup, sampling
+
+    docs = load_table(spark, "documents", sf_dir)
+    keepers = dedup.canonical_text_dedup(docs).filter(F.col("is_keeper"))
+    clean = (
+        docs.withColumn("n_words", F.size(F.split("text", r"\s+")))
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .filter(F.col("n_words").between(20, 5000) & (F.col("lang") != "zh"))
+    )
+    capped = curation.cap_per_stratum(clean, ["source"], 10, "doc_id", salt="cap")
+    return (
+        sampling.hash_split(capped, "doc_id")
+        .select("doc_id", "lang", "source", "n_words", "split")
+        .orderBy("doc_id")
+    )
