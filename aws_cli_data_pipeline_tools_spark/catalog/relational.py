@@ -1044,3 +1044,23 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 
 
 _register_salted_join()
+
+register_sql(
+    "window_distribution",
+    sql="""
+SELECT o_orderkey, o_custkey,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       nth_value(o_orderkey, 2) OVER (
+         PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_best
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderkey
+""",
+    tags=("window", "distribution"),
+    notes="Distribution window functions (percent_rank/cume_dist) + "
+    "nth_value over an explicit full frame; deterministic via total "
+    "ordering tiebreaks. Same SQL both engines (WINDOW clause).",
+)

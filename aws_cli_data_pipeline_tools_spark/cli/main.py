@@ -61,6 +61,9 @@ def main(argv: list[str] | None = None) -> int:
     sql_sub = p_sql.add_subparsers(dest="cmd", required=True)
     sql_sub.add_parser("query").add_argument("sql_text")
     sql_sub.add_parser("file").add_argument("path")
+    sql_sub.add_parser(
+        "explain", help="formatted physical plan (pushdown/broadcast audit)"
+    ).add_argument("sql_text")
     p_diff = sql_sub.add_parser("vimdiff")
     p_diff.add_argument("base_table")
     p_diff.add_argument("target_table")
@@ -91,10 +94,19 @@ def main(argv: list[str] | None = None) -> int:
     spark = engine.spark
 
     if args.tool == "sql":
+        # fixture tables resolve by name (README contract): temp views over
+        # $SPARK_GRAFT_SF_DIR, the engine-side analog of the Glue catalog
+        from ..sources import register_views
+
+        register_views(spark)
         if args.cmd == "query":
             return _print_run(engine, engine.sql(args.sql_text), args.max_rows, args.tsv)
         if args.cmd == "file":
             return _print_run(engine, engine.sql_file(args.path), args.max_rows, args.tsv)
+        if args.cmd == "explain":
+            run = engine.sql(args.sql_text)
+            run.require_succeeded().explain(mode="formatted")
+            return 0
         if args.cmd == "vimdiff":
             base = _resolve_table(spark, args.base_table)
             target = _resolve_table(spark, args.target_table)
