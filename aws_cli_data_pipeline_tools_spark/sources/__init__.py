@@ -144,3 +144,58 @@ def compact(
     df = spark.read.format(fmt).load(src)
     df.repartition(n_files).write.format(fmt).mode("overwrite").save(dst)
     return n_files
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 32,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered layout over TWO numeric columns:
+    each column is min/max-scaled to 16 bits, the bits are interleaved into
+    one Morton code, and files are range-partitioned + sorted on that code.
+
+    Why: 1-D clustering (``write_sorted``) gives footer min/max pruning on
+    the lead column only — a filter on the second column still scans every
+    file. The Morton curve preserves locality in BOTH dimensions, so each
+    file covers a small rectangle of (a, b) space and range predicates on
+    EITHER column skip most files (the property Delta/Iceberg OPTIMIZE
+    ZORDER provides; pruning ratios pytest-asserted in test_layout.py).
+
+    Cost: one tiny min/max aggregate (1 row to the driver) + the same
+    range-partition shuffle write_sorted pays. Ties and NULLs order last.
+    """
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
+    ).collect()[0]
+
+    def scaled(c, lo, hi):
+        span = float(hi - lo) or 1.0
+        return F.least(
+            F.lit(65535),
+            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * 65535),
+        ).cast("long")
+
+    a16 = scaled(col_a, bounds.a_lo, bounds.a_hi)
+    b16 = scaled(col_b, bounds.b_lo, bounds.b_hi)
+    code = F.lit(0).cast("long")
+    for i in range(16):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(a16, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b16, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out = (
+        df.withColumn("__z", code)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    out.write.format(fmt).mode(mode).save(path)

@@ -63,3 +63,33 @@ def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
 def test_compact_refuses_in_place(spark, tmp_path):
     with pytest.raises(ValueError):
         compact(spark, str(tmp_path / "x"), str(tmp_path / "x"))
+
+
+def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    from aws_cli_data_pipeline_tools_spark.sources import write_zordered
+
+    li = load_table(spark, "lineitem", sf_dir)
+    zdst = str(tmp_path / "li_z")
+    sdst = str(tmp_path / "li_s")
+    write_zordered(li, zdst, "l_orderkey", "l_partkey", n_files=16)
+    write_sorted(li, sdst, ["l_orderkey"], n_files=16)
+
+    def overlap_frac(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        n = sum(1 for flo, fhi in ranges if not (fhi < lo or flo > hi))
+        return n / len(ranges)
+
+    ok = {r[0] for r in li.agg(F.max("l_orderkey")).collect()}.pop()
+    pk = {r[0] for r in li.agg(F.max("l_partkey")).collect()}.pop()
+    # 10% range predicates on each dimension
+    z_a = overlap_frac(zdst, "l_orderkey", 0, ok * 0.1)
+    z_b = overlap_frac(zdst, "l_partkey", 0, pk * 0.1)
+    s_a = overlap_frac(sdst, "l_orderkey", 0, ok * 0.1)
+    s_b = overlap_frac(sdst, "l_partkey", 0, pk * 0.1)
+    # 1-D sort: perfect on lead column, useless on the other
+    assert s_a <= 0.25 and s_b == 1.0
+    # z-order: both dimensions prune meaningfully (small rectangles)
+    assert z_a <= 0.5 and z_b <= 0.5
+    # content preserved
+    zn = spark.read.parquet(zdst).count()
+    assert zn == li.count()
