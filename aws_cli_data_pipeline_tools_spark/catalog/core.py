@@ -140,3 +140,31 @@ def information_schema_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "table_name", "column_name", "ordinal_position", dt.alias("data_type")
     ).orderBy("ordinal_position")
+
+
+@register(
+    "information_schema_tables",
+    oracle="""
+SELECT table_name, CAST(count(*) AS INT) AS n_columns
+FROM information_schema.columns
+WHERE table_name IN ('region', 'nation', 'customer', 'supplier', 'part',
+                     'orders', 'lineitem', 'events', 'documents', 'embeddings')
+GROUP BY table_name ORDER BY table_name
+""",
+    tags=("introspection",),
+    notes="Table-level catalog introspection (the information_schema.tables "
+    "analog of A7): every fixture table with its column count, checked "
+    "against DuckDB's REAL information_schema over the same views — the "
+    "synthesized catalog and a native one must agree.",
+)
+def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import TABLES, register_views
+
+    register_views(spark, sf_dir)
+    df = introspect.information_schema_columns(spark)
+    return (
+        df.filter(F.col("table_name").isin(TABLES))
+        .groupBy("table_name")
+        .agg(F.count("*").cast("int").alias("n_columns"))
+        .orderBy("table_name")
+    )
