@@ -825,3 +825,34 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return multimodal.sniff_audio_headers(media).orderBy("media_id")
+
+
+@register(
+    "dedup_cluster_groups_exact",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({_DUCK_JACCARD})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src ORDER BY id
+""",
+    tags=("llmops", "dedup", "clustering"),
+    notes="Connected components over the EXACT n-gram Jaccard pair graph — "
+    "the distributed label propagation (dedup.dedup_clusters, O(diameter) "
+    "rounds of join+min-agg) is oracle-checked against a DuckDB recursive-"
+    "CTE transitive closure. The MinHash variant stays rows-only "
+    "(xxhash64 pairs have no SQL twin); this entry proves the clustering "
+    "itself bit-exact.",
+)
+def dedup_cluster_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_bucket=1000)
+    return dedup.dedup_clusters(pairs)
