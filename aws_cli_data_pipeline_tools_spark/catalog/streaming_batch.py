@@ -498,3 +498,48 @@ def streaming_enrich_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_enrich_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
     st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
     return spark.table(name).orderBy("win_start", "c_mktsegment")
+
+
+@register(
+    "asof_join_forward_tol",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, CAST(ts AS TIMESTAMP)
+), j AS (
+  SELECT l.event_id, l.user_id, l.ts, r.click_value, r.ts AS r_ts
+  FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN r_ts IS NOT NULL AND epoch(r_ts) - epoch(ts) <= 1800
+            THEN click_value END AS click_value
+FROM j ORDER BY event_id
+""",
+    tags=("streaming", "asof"),
+    notes="FORWARD as-of with tolerance: each purchase attaches the next "
+    "click within 30 minutes (pandas merge_asof(direction='forward', "
+    "tolerance=...) semantics). Same union+window plan as backward, "
+    "descending order; oracle = DuckDB forward ASOF + an epoch-gap gate.",
+)
+def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    out = asof_join(
+        purchases, clicks, on="ts", by="user_id",
+        direction="forward", tolerance_seconds=1800,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("click_value_right").alias("click_value"),
+    ).orderBy("event_id")

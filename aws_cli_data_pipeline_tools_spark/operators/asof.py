@@ -30,7 +30,16 @@ def asof_join(
     by: str | list[str],
     right_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
+    """``direction='backward'`` (default) attaches the latest right row with
+    ``right.on <= left.on``; ``'forward'`` the earliest with ``right.on >=
+    left.on`` (same union+window plan, descending order). ``tolerance_seconds``
+    nulls out matches farther than the tolerance from the left timestamp —
+    the pandas ``merge_asof(tolerance=...)`` contract."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, not {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
     right_cols = right_cols or [
         c for c in right.columns if c not in set(by) | {on}
@@ -42,6 +51,10 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
 
     carried = [f"{c}{suffix}" for c in right_cols]
+    if tolerance_seconds is not None:
+        # carry the matched right timestamp too, to gate on the gap
+        right_cols = [*right_cols, on]
+        carried = [*carried, "__r_on"]
     l_norm = l_tag.select(
         *by,
         F.col(on),
@@ -62,12 +75,22 @@ def asof_join(
     )
 
     unioned = r_norm.unionByName(l_norm)
+    order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.withColumns(
         {n: F.last(n, ignorenulls=True).over(w) for n in carried}
     )
-    return filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.col(on).cast("double") - F.col("__r_on").cast("double")
+        )
+        keep = F.col("__r_on").isNotNull() & (gap <= tolerance_seconds)
+        out = out.withColumns(
+            {n: F.when(keep, F.col(n)) for n in carried if n != "__r_on"}
+        ).drop("__r_on")
+    return out

@@ -71,6 +71,39 @@ def test_asof_join_backward(spark):
     assert len(out) == 3               # left rows preserved exactly
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(30)), (3, 200, _ts(5))],
+        "event_id bigint, user_id bigint, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(12), 1.0), (100, _ts(30), 2.0), (200, _ts(50), 9.0)],
+        "user_id bigint, ts timestamp, value double",
+    )
+    fwd = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward"
+        ).collect()
+    }
+    assert fwd[1].value_right == 1.0  # earliest right >= 00:10 is 00:12
+    assert fwd[2].value_right == 2.0  # equal timestamps match (>=)
+    assert fwd[3].value_right == 9.0  # 00:50 is the next after 00:05
+    tol = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward",
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert tol[1].value_right == 1.0   # 2 min gap within 10 min tolerance
+    assert tol[3].value_right is None  # 45 min gap nulled out
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="ts", by="user_id", direction="nearest")
+
+
 def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
