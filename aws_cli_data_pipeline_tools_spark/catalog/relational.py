@@ -1064,3 +1064,100 @@ ORDER BY o_orderkey
     "nth_value over an explicit full frame; deterministic via total "
     "ordering tiebreaks. Same SQL both engines (WINDOW clause).",
 )
+
+
+# --- statistical aggregates / arg-extrema / time-range windows / timezones -----
+# Layer B fill-out (SURVEY §2.B aggregation + window + date/time rows): the
+# reference forwards these verbatim to Trino (aws-athena.sh:27); Spark and
+# DuckDB both implement the ANSI binary-statistics and frame surface.
+
+register_sql(
+    "stats_corr_regr",
+    sql="""
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6)             AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2)       AS covar_qp,
+       round(covar_pop(l_quantity, l_discount), 6)             AS covar_qd,
+       round(regr_slope(l_extendedprice, l_quantity), 4)       AS slope_price_qty,
+       round(regr_intercept(l_extendedprice, l_quantity), 2)   AS icept_price_qty,
+       round(regr_r2(l_extendedprice, l_quantity), 6)          AS r2_price_qty,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("aggregation", "statistics"),
+    notes="ANSI binary statistical aggregates (corr/covar/regr_* linear-fit "
+    "family) — single-pass co-moment accumulation, partial+final agg in "
+    "Spark (one shuffle of 3 groups x constant state). Rounding absorbs "
+    "cross-engine summation-order ulps.",
+)
+
+register_sql(
+    "agg_minmax_by",
+    sql="""
+SELECT o_orderstatus,
+       max_by(o_totalprice, o_orderkey)    AS price_at_max_key,
+       min_by(o_totalprice, o_orderkey)    AS price_at_min_key,
+       max_by(o_orderpriority, o_orderkey) AS priority_at_max_key,
+       count(*)                            AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregation", "arg-extrema"),
+    notes="max_by/min_by (arg_max/arg_min) — the row-attribute-at-extremum "
+    "aggregate; deterministic because the ordering key o_orderkey is unique. "
+    "Same SQL on both engines (DuckDB aliases arg_max as max_by).",
+)
+
+register_sql(
+    "window_rolling_time",
+    sql="""
+SELECT event_id, user_id,
+       count(*) OVER w                    AS n_1h,
+       round(sum(value) OVER w, 5)        AS sum_1h,
+       round(avg(value) OVER w, 6)        AS avg_1h,
+       round(min(value) OVER w, 6)        AS min_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+""",
+    tags=("window", "time-series"),
+    notes="Event-time rolling aggregates via a RANGE frame bounded by a "
+    "calendar interval (the time-series rolling-metric idiom; frames are "
+    "value-bounded so tied timestamps are peers — deterministic under any "
+    "intra-partition order). One shuffle on user_id.",
+)
+
+register_sql(
+    "timezone_funcs",
+    spark_sql="""
+SELECT event_id,
+       date_format(from_utc_timestamp(ts, 'Asia/Tokyo'),
+                   'yyyy-MM-dd HH:mm:ss')                     AS tokyo_wall,
+       hour(from_utc_timestamp(ts, 'America/New_York'))       AS ny_hour,
+       date_format(to_utc_timestamp(from_utc_timestamp(ts, 'Asia/Tokyo'),
+                                    'Asia/Tokyo'),
+                   'yyyy-MM-dd HH:mm:ss')                     AS utc_roundtrip
+FROM events
+ORDER BY event_id
+""",
+    duck_sql="""
+SELECT event_id,
+       strftime((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo',
+                '%Y-%m-%d %H:%M:%S')                          AS tokyo_wall,
+       hour((ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York') AS ny_hour,
+       strftime(((ts AT TIME ZONE 'UTC') AT TIME ZONE 'Asia/Tokyo')
+                AT TIME ZONE 'Asia/Tokyo' AT TIME ZONE 'UTC',
+                '%Y-%m-%d %H:%M:%S')                          AS utc_roundtrip
+FROM events
+ORDER BY event_id
+""",
+    tags=("functions", "datetime", "timezone"),
+    notes="UTC<->zone wall-clock conversion across a DST-observing zone "
+    "(America/New_York) — Spark from_utc_timestamp/to_utc_timestamp vs "
+    "DuckDB double AT TIME ZONE (ICU); both consult the IANA tzdb. "
+    "Narrow projection, no shuffle.",
+)
