@@ -280,3 +280,33 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_words", "split")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_chunk_windows",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+), pos AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w), 1), 48)) AS chunk_start
+  FROM toks
+)
+SELECT doc_id, chunk_start,
+       CAST(least(64, len(w) - chunk_start + 1) AS INT) AS chunk_len,
+       array_to_string(list_slice(w, chunk_start, chunk_start + 63), ' ')
+         AS chunk_text
+FROM pos
+ORDER BY doc_id, chunk_start
+""",
+    tags=("llmops", "curation", "chunking"),
+    notes="Sliding-window chunking: 64-token windows every 48 tokens "
+    "(16-token overlap) — curation.chunk_documents; narrow "
+    "sequence+explode expansion, no shuffle (SURVEY §2 north-star text "
+    "surface).",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return curation.chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
+        "doc_id", "chunk_start"
+    )

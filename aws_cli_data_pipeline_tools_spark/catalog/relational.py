@@ -1161,3 +1161,70 @@ ORDER BY event_id
     "DuckDB double AT TIME ZONE (ICU); both consult the IANA tzdb. "
     "Narrow projection, no shuffle.",
 )
+
+register_sql(
+    "agg_string_concat",
+    spark_sql="""
+SELECT r_name,
+       concat_ws('|', sort_array(collect_list(n_name))) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    duck_sql="""
+SELECT r_name,
+       string_agg(n_name, '|' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+""",
+    tags=("aggregation", "string"),
+    notes="String aggregation (LISTAGG/string_agg) — Spark spells the "
+    "deterministic form concat_ws over sort_array(collect_list(..)); the "
+    "explicit sort replaces DuckDB's WITHIN-GROUP ORDER BY, keeping the "
+    "result order-insensitive to shuffle nondeterminism.",
+)
+
+register_sql(
+    "string_similarity",
+    sql="""
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist,
+       round(1.0 - CAST(levenshtein(a.n_name, b.n_name) AS DOUBLE)
+                 / greatest(length(a.n_name), length(b.n_name)), 4) AS sim
+FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey
+WHERE levenshtein(a.n_name, b.n_name) <= 6
+ORDER BY name_a, name_b
+""",
+    tags=("functions", "string", "fuzzy"),
+    notes="Edit-distance fuzzy matching (levenshtein + normalized "
+    "similarity) over a self-join — the small-dim fuzzy-join shape; at "
+    "scale the quadratic pair space is first pruned by a blocking key "
+    "(see dedup_ngram_jaccard / dedup_simhash for the blocked variants).",
+)
+
+register_sql(
+    "regexp_extract_all_funcs",
+    spark_sql="""
+SELECT doc_id,
+       concat_ws(',', regexp_extract_all(text, '[0-9]+', 0))   AS all_numbers,
+       size(regexp_extract_all(text, '[A-Z][a-z]+', 0))        AS n_capitalized,
+       size(regexp_extract_all(text, '[a-zA-Z]{7,}', 0))       AS n_long_words
+FROM documents
+ORDER BY doc_id
+""",
+    duck_sql="""
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(text, '[0-9]+'), ','), '') AS all_numbers,
+       len(regexp_extract_all(text, '[A-Z][a-z]+'))             AS n_capitalized,
+       len(regexp_extract_all(text, '[a-zA-Z]{7,}'))            AS n_long_words
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("functions", "string", "regex"),
+    notes="Multi-match regex extraction (regexp_extract_all) — the "
+    "pattern-mining primitive behind PII scans and token filters; pure "
+    "codegen projection, no shuffle.",
+)

@@ -214,3 +214,53 @@ def pack_sequences(
         tokens.alias(token_col),
         F.floor(cum_excl / F.lit(budget)).cast("int").alias(bin_col),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window document chunking: each document's whitespace tokens
+    are cut into windows of ``chunk_tokens`` starting every ``stride``
+    tokens (overlap = chunk_tokens - stride), the context-window prep step
+    for training/RAG corpora.
+
+    Emits (id, chunk_start, chunk_len, chunk_text). The expansion is
+    NARROW — sequence+explode multiplies each row into its own chunks with
+    no shuffle, so it pipelines into whatever partitioning the corpus
+    already has; at 100 TB the output is written straight back out without
+    ever re-keying. Trailing windows shorter than ``chunk_tokens`` are
+    kept (the tokenizer pads downstream); a document shorter than one
+    stride yields exactly one chunk.
+
+    Token = whitespace word, the portable stand-in for BPE counts (same
+    contract as :func:`pack_sequences`).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    w = F.split(F.col(text_col), r"\s+")
+    return (
+        df.select(F.col(id_col), w.alias("__w"))
+        .select(
+            id_col,
+            "__w",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("__w"), F.lit(1)), F.lit(stride)
+                )
+            ).alias("chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_start",
+            F.least(
+                F.lit(chunk_tokens), F.size("__w") - F.col("chunk_start") + 1
+            ).alias("chunk_len"),
+            F.concat_ws(
+                " ", F.slice(F.col("__w"), F.col("chunk_start"), chunk_tokens)
+            ).alias("chunk_text"),
+        )
+    )

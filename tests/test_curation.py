@@ -98,3 +98,31 @@ def test_pack_sequences_per_shard_independent(spark):
     rows = [(1, "a b", "x"), (2, "c d", "y")]
     out = curation.pack_sequences(_docs(spark, rows), budget=100).collect()
     assert all(r.bin_id == 0 for r in out)  # each shard restarts at bin 0
+
+
+def test_chunk_documents_windows(spark):
+    # 10 tokens, chunk 4, stride 3 → starts 1,4,7,10; lens 4,4,4,1
+    text = " ".join(f"w{i}" for i in range(1, 11))
+    out = curation.chunk_documents(
+        _docs(spark, [(1, text, "s")]), chunk_tokens=4, stride=3
+    ).orderBy("chunk_start").collect()
+    assert [r.chunk_start for r in out] == [1, 4, 7, 10]
+    assert [r.chunk_len for r in out] == [4, 4, 4, 1]
+    assert out[0].chunk_text == "w1 w2 w3 w4"
+    assert out[1].chunk_text == "w4 w5 w6 w7"  # 1-token overlap
+    assert out[-1].chunk_text == "w10"
+
+
+def test_chunk_documents_short_and_exact(spark):
+    rows = [(1, "only two", "s"), (2, "a b c d e f", "s")]
+    out = curation.chunk_documents(
+        _docs(spark, rows), chunk_tokens=3, stride=3
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_text == "only two"
+    # exact multiple: starts 1,4 — no empty trailing chunk
+    assert [r.chunk_start for r in sorted(by_doc[2], key=lambda r: r.chunk_start)] == [1, 4]
+    with pytest.raises(ValueError, match="positive"):
+        curation.chunk_documents(_docs(spark, rows), chunk_tokens=0)
