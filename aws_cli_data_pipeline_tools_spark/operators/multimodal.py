@@ -157,7 +157,9 @@ def sniff_image_headers(
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        batches, schema=f"{id_col} bigint, format string, width int, height int, n_bytes int"
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "format string, width int, height int, n_bytes int",
     )
 
 
@@ -243,7 +245,8 @@ def sniff_audio_headers(
     return df.select(id_col, payload_col).mapInPandas(
         batches,
         schema=(
-            f"{id_col} bigint, format string, sample_rate int, "
+            f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+            "format string, sample_rate int, "
             "channels int, duration_ms bigint, n_bytes int"
         ),
     )

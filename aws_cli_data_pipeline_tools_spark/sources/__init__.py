@@ -199,3 +199,24 @@ def write_zordered(
         .drop("__z")
     )
     out.write.format(fmt).mode(mode).save(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None, recursive: bool = False
+) -> DataFrame:
+    """Multimodal ingestion: raw files as rows via the ``binaryFile``
+    source — schema (path, modificationTime, length, content:binary).
+
+    The idiomatic scale path from an object store full of images/audio to
+    the header-sniffing / decode operators (operators/multimodal): one
+    file per row, scan parallelized across executors, with pushdown on
+    the file-metadata columns (a ``length < N`` filter prunes files before
+    content bytes are read). ``glob`` → ``pathGlobFilter`` selects by
+    extension server-side; ``recursive`` walks nested directories.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)

@@ -337,3 +337,31 @@ def test_sniff_audio_headers_real_formats(spark):
     assert (got[3].format, got[3].sample_rate, got[3].channels) == ("mp3", 44100, 2)
     assert got[3].duration_ms == int(417 * 100 * 8 / 128000 * 1000)
     assert got[4].format is None and got[4].n_bytes == 9
+
+
+def test_read_binary_files_to_sniffer(spark, tmp_path):
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        sniff_image_headers,
+    )
+    from aws_cli_data_pipeline_tools_spark.sources import read_binary_files
+
+    def png(w, h):
+        return (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big") + b"\x08\x06" * 10)
+
+    (tmp_path / "a.png").write_bytes(png(640, 480))
+    (tmp_path / "b.png").write_bytes(png(32, 16))
+    (tmp_path / "notes.txt").write_bytes(b"not an image")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    assert df.count() == 2  # glob filtered the .txt server-side
+
+    got = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in sniff_image_headers(
+            df, id_col="path", payload_col="content"
+        ).collect()
+    }
+    assert (got["a.png"].format, got["a.png"].width, got["a.png"].height) == ("png", 640, 480)
+    assert (got["b.png"].width, got["b.png"].height) == (32, 16)
