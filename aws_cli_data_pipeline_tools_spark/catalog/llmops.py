@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, textstats
 from ..sources import load_table
-from . import register
+from . import register, register_sql
 
 # ---------------------------------------------------------------- text stats
 
@@ -856,3 +856,32 @@ def dedup_cluster_groups_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_bucket=1000)
     return dedup.dedup_clusters(pairs)
+
+
+register_sql(
+    "embedding_avg_pool",
+    spark_sql="""
+SELECT label, pos,
+       round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 6)
+         AS avg_v,
+       count(*) AS n_vecs
+FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+GROUP BY label, pos
+ORDER BY label, pos
+""",
+    duck_sql="""
+SELECT label, i - 1 AS pos,
+       round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,10))) AS DOUBLE)
+             / count(embedding[i]), 6) AS avg_v,
+       count(*) AS n_vecs
+FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+GROUP BY label, i
+ORDER BY label, pos
+""",
+    tags=("llmops", "embedding", "aggregation"),
+    notes="Per-class embedding average pooling (centroid in long form): "
+    "posexplode -> (label, pos) hash agg — fully partial-aggregated, one "
+    "shuffle of n_labels x dim tiny groups; the class-centroid / "
+    "mean-pooling step of embedding pipelines. Decimal-sum discipline for "
+    "cross-engine bit equality.",
+)
