@@ -1228,3 +1228,26 @@ ORDER BY doc_id
     "pattern-mining primitive behind PII scans and token filters; pure "
     "codegen projection, no shuffle.",
 )
+
+register_sql(
+    "event_transitions",
+    sql="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+)
+SELECT prev, event_type AS next, count(*) AS n
+FROM seq
+WHERE prev IS NOT NULL
+GROUP BY prev, next
+ORDER BY n DESC, prev, next
+""",
+    tags=("window", "analytics", "sessionization"),
+    notes="First-order Markov transition counts over per-user event "
+    "sequences (lag window + hash agg) — the journey-analysis primitive "
+    "next to funnel_view_click_purchase; one shuffle on user_id, then a "
+    "tiny transition-matrix aggregate. Deterministic via the event_id "
+    "tie-break.",
+)
