@@ -885,3 +885,50 @@ ORDER BY label, pos
     "mean-pooling step of embedding pipelines. Decimal-sum discipline for "
     "cross-engine bit equality.",
 )
+
+
+register_sql(
+    "doc_unigram_logprob",
+    spark_sql="""
+WITH toks AS (
+  SELECT doc_id, explode(split(text, '\\\\s+')) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n FROM vocab
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(CAST(-ln(v.cnt / CAST(tot.n AS DOUBLE))
+                           AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         AS mean_neg_logprob
+FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    duck_sql="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(cnt) AS n FROM vocab
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(CAST(-ln(v.cnt / CAST(tot.n AS DOUBLE))
+                           AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         AS mean_neg_logprob
+FROM toks t JOIN vocab v ON t.tok = v.tok CROSS JOIN tot
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="CCNet-style unigram language-model quality score: corpus "
+    "unigram frequencies -> per-doc mean negative log-probability (high = "
+    "rare/garbled text, low = stereotypical text). Vocab join is keyed on "
+    "the token (shuffle-colocated with the token explode); the 1-row "
+    "total broadcasts. Decimal-sum over the ln terms for cross-engine "
+    "determinism.",
+)

@@ -47,6 +47,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "decontaminate_train_eval",
     "text_repetition",
+    "doc_chunk_windows",
+    "embedding_avg_pool",
 ]
 
 
