@@ -543,3 +543,51 @@ def asof_join_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts",
         F.col("click_value_right").alias("click_value"),
     ).orderBy("event_id")
+
+
+@register(
+    "streaming_session_live",
+    oracle=f"""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events,
+       {dsum('value')} AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "live", "session"),
+    notes="REAL session_window streaming run: readStream(events) → "
+    "watermark → gap-based session agg (30 min) → availableNow drain. "
+    "Spark session semantics: a session ENDS gap after its last event "
+    "(session_end = max(ts) + gap) and a new one starts when the "
+    "inter-event gap is >= the gap duration — the oracle's lag/cumsum "
+    "twin replays exactly that (>= split, +interval end).",
+)
+def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,10)")
+    )
+    agg = st.session_counts(stream).withColumn(
+        "sum_value", F.round(F.col("sum_value").cast("double"), 5)
+    )
+    name = f"q_stream_session_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
+    return spark.table(name).orderBy("user_id", "session_start")
