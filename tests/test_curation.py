@@ -126,3 +126,23 @@ def test_chunk_documents_short_and_exact(spark):
     assert [r.chunk_start for r in sorted(by_doc[2], key=lambda r: r.chunk_start)] == [1, 4]
     with pytest.raises(ValueError, match="positive"):
         curation.chunk_documents(_docs(spark, rows), chunk_tokens=0)
+
+
+def test_chunk_documents_plan_is_narrow(spark, sf_dir):
+    # chunking must not shuffle: the explode pipelines into the scan's
+    # partitioning (the 100 TB posture — chunks written back without re-key)
+    from aws_cli_data_pipeline_tools_spark import plans
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    out = curation.chunk_documents(load_table(spark, "documents", sf_dir))
+    f = plans.facts(out)
+    assert f.n_shuffles == 0, plans.executed_plan(out)
+    # column pruning: only doc_id + text reach the scan
+    assert f.scan_columns() <= {"doc_id", "text"}
+
+
+def test_chunk_documents_partition_count_preserved(spark):
+    rows = [(i, "a b c d e f g h", "s") for i in range(20)]
+    df = _docs(spark, rows).repartition(7)
+    out = curation.chunk_documents(df, chunk_tokens=4, stride=4)
+    assert out.rdd.getNumPartitions() == 7
