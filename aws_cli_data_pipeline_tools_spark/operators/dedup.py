@@ -85,6 +85,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_bucket: int = 1000,
     prefix_filter: bool = False,
+    persist_index: bool = True,
 ) -> DataFrame:
     """Exact k-gram Jaccard similarity for every document pair sharing at
     least one shingle — the inverted-index join pattern.
@@ -105,6 +106,16 @@ def ngram_jaccard_pairs(
     pairs. Identical output (pytest parity); costs two extra linear
     shuffles (df counts + per-doc rarity sort), so the plain index wins on
     small or duplicate-dense inputs.
+
+    ``persist_index``: the capped inverted index feeds THREE consumers
+    (df-count branch + both self-join sides) and exchange reuse does not
+    fire across the anti-join, so by default it is persisted
+    (MEMORY_AND_DISK) to shingle the corpus once instead of three times
+    (~25-30 % wall at sf0.1). Blocks are reclaimed by the ContextCleaner
+    once the result frame is garbage collected. Pass ``False`` on
+    cache-constrained clusters where recomputing the narrow
+    shingle+explode from the scan is cheaper than spilling an index that
+    is several times the corpus size.
     """
     if prefix_filter:
         return _ngram_jaccard_prefix(df, id_col, text_col, k, threshold, max_bucket)
@@ -130,6 +141,10 @@ def ngram_jaccard_pairs(
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
         hot = freq.filter(F.col("df_") > max_bucket).drop("df_")
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    if persist_index:
+        from pyspark import StorageLevel
+
+        inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
