@@ -156,6 +156,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     top_n: int = 5,
     min_df: int = 1,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document.
 
@@ -170,6 +171,13 @@ def tfidf_top_terms(
     the vocab is small), and a per-doc window over ≤ |doc's vocab| rows.
     The corpus count N is a scalar literal-free cross join of a 1-row agg —
     no driver action, no collect.
+
+    ``persist_tf``: the (doc, token, tf) aggregate feeds both the df
+    aggregate and the scoring join, and the join's injected
+    isnotnull(token) filter defeats exchange reuse — persisting it
+    (MEMORY_AND_DISK, ContextCleaner-reclaimed) tokenizes the corpus once
+    instead of twice. Opt out where the pair table would spill more than
+    re-tokenizing costs.
     """
     toks = df.select(
         F.col(id_col),
@@ -178,6 +186,10 @@ def tfidf_top_terms(
         ).alias("token"),
     )
     tf = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
