@@ -156,7 +156,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     top_n: int = 5,
     min_df: int = 1,
-    persist_tf: bool = True,
+    persist_tf: bool = False,
 ) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document.
 
@@ -174,10 +174,14 @@ def tfidf_top_terms(
 
     ``persist_tf``: the (doc, token, tf) aggregate feeds both the df
     aggregate and the scoring join, and the join's injected
-    isnotnull(token) filter defeats exchange reuse — persisting it
-    (MEMORY_AND_DISK, ContextCleaner-reclaimed) tokenizes the corpus once
-    instead of twice. Opt out where the pair table would spill more than
-    re-tokenizing costs.
+    isnotnull(token) filter defeats exchange reuse, so the corpus is
+    tokenized twice. Persisting it (MEMORY_AND_DISK) trades that
+    recompute for cache IO — measured SLOWER at fixture scale (regex
+    tokenize + partial agg is narrow and cheap vs writing/reading the
+    pair table), so the default is False; turn on when tokenization
+    dominates (very long documents) or the scan is remote/expensive.
+    Contrast ngram_jaccard_pairs.persist_index, where the indexed subtree
+    feeds THREE consumers and the recompute is 3x — there caching wins.
     """
     toks = df.select(
         F.col(id_col),
