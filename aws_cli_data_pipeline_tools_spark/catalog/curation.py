@@ -310,3 +310,44 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.chunk_documents(docs, chunk_tokens=64, stride=48).orderBy(
         "doc_id", "chunk_start"
     )
+
+
+@register(
+    "corpus_diff_versions",
+    oracle="""
+WITH b AS (
+  SELECT doc_id AS id,
+         md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_base
+  FROM documents WHERE doc_id % 10 <> 0
+), t AS (
+  SELECT doc_id AS id,
+         md5(lower(trim(regexp_replace(
+           CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END,
+           '\\s+', ' ', 'g')))) AS fp_target
+  FROM documents WHERE doc_id % 10 <> 3
+)
+SELECT coalesce(b.id, t.id) AS id, fp_base, fp_target,
+       CASE WHEN fp_base IS NULL THEN 'added'
+            WHEN fp_target IS NULL THEN 'removed'
+            WHEN fp_base = fp_target THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM b FULL OUTER JOIN t ON b.id = t.id
+ORDER BY id
+""",
+    tags=("llmops", "curation", "diff"),
+    notes="Corpus snapshot diff (curation.corpus_diff): added/removed/"
+    "changed/unchanged via canonical-fingerprint full-outer join — the "
+    "corpus-level analog of the reference's profile vimdiff "
+    "(aws-athena.sh:161-198). Base drops doc_id%10=0, target drops %10=3 "
+    "and edits %7=0, so all four statuses appear.",
+)
+def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    target = docs.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return curation.corpus_diff(base, target).orderBy("id")

@@ -264,3 +264,38 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+def corpus_diff(
+    base: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff of two corpus versions: which documents were added,
+    removed, changed, or unchanged between ``base`` and ``target`` —
+    the corpus-level analog of the reference's table-profile vimdiff
+    (aws-athena.sh:161-198), where the comparator was a human reading two
+    aligned profiles; here it is a fingerprint equi-join.
+
+    Content identity is the md5 of whitespace-normalized text (same
+    canonicalization as textstats.fingerprint), so formatting-only edits
+    don't count as changes. One full-outer hash join on the id — at
+    100 TB both sides shuffle once on ``id_col``; with both snapshots
+    written id-bucketed (sources.write_sorted) the join is co-located
+    and shuffle-free.
+    """
+    fp = lambda c: F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))  # noqa: E731
+    b = base.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fp_base"))
+    t = target.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fp_target"))
+    joined = b.join(t, "id", "full_outer")
+    return joined.select(
+        "id",
+        "fp_base",
+        "fp_target",
+        F.when(F.col("fp_base").isNull(), F.lit("added"))
+        .when(F.col("fp_target").isNull(), F.lit("removed"))
+        .when(F.col("fp_base") == F.col("fp_target"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

@@ -146,3 +146,13 @@ def test_chunk_documents_partition_count_preserved(spark):
     df = _docs(spark, rows).repartition(7)
     out = curation.chunk_documents(df, chunk_tokens=4, stride=4)
     assert out.rdd.getNumPartitions() == 7
+
+
+def test_corpus_diff_statuses(spark):
+    base = _docs(spark, [(1, "same text", "s"), (2, "old text", "s"), (3, "gone", "s"),
+                         (4, "spaced   out", "s")])
+    target = _docs(spark, [(1, "same text", "s"), (2, "new text", "s"), (5, "fresh", "s"),
+                           (4, "spaced out", "s")])
+    got = {r.id: r.status for r in curation.corpus_diff(base, target).collect()}
+    # whitespace-only difference (doc 4) is NOT a change — canonical fingerprint
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 5: "added"}
