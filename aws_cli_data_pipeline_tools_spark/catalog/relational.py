@@ -1251,3 +1251,32 @@ ORDER BY n DESC, prev, next
     "tiny transition-matrix aggregate. Deterministic via the event_id "
     "tie-break.",
 )
+
+register_sql(
+    "variant_funcs",
+    spark_sql="""
+SELECT event_id,
+       variant_get(parse_json(props), '$.k', 'int')      AS k_val,
+       schema_of_variant(parse_json(props))              AS props_schema,
+       CAST(variant_get(parse_json(props), '$.missing', 'string') IS NULL
+            AS INT)                                      AS missing_is_null
+FROM events
+ORDER BY event_id
+""",
+    duck_sql="""
+SELECT event_id,
+       CAST(props->>'$.k' AS INT)                        AS k_val,
+       'OBJECT<k: BIGINT>'                               AS props_schema,
+       CAST(props->>'$.missing' IS NULL AS INT)          AS missing_is_null
+FROM events
+ORDER BY event_id
+""",
+    tags=("functions", "json", "variant"),
+    notes="Spark 4 VARIANT surface for semi-structured columns: parse_json "
+    "-> binary variant, typed path extraction via variant_get, "
+    "schema_of_variant. The oracle replays the extraction through DuckDB's "
+    "JSON operators (props is uniformly {\"k\": int} per FIXTURES.md, so "
+    "the variant schema is the constant OBJECT<k: BIGINT>). VARIANT keeps "
+    "shredded binary instead of re-parsing JSON text per access — the "
+    "scale path for heterogeneous event payloads.",
+)
