@@ -168,3 +168,40 @@ def information_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("int").alias("n_columns"))
         .orderBy("table_name")
     )
+
+
+@register(
+    "profile_strings_customer",
+    oracle="""
+WITH s AS (
+  SELECT count(c_name) AS n0, count(DISTINCT c_name) AS n1,
+         round(CAST(sum(CAST(length(c_name) AS DECIMAL(38,10))) AS DOUBLE)
+               / count(c_name), 5) AS n2,
+         min(length(c_name)) AS n3, max(length(c_name)) AS n4,
+         count(CASE WHEN c_name = '' THEN 1 END) AS n5,
+         count(c_mktsegment) AS m0, count(DISTINCT c_mktsegment) AS m1,
+         round(CAST(sum(CAST(length(c_mktsegment) AS DECIMAL(38,10))) AS DOUBLE)
+               / count(c_mktsegment), 5) AS m2,
+         min(length(c_mktsegment)) AS m3, max(length(c_mktsegment)) AS m4,
+         count(CASE WHEN c_mktsegment = '' THEN 1 END) AS m5
+  FROM customer
+)
+SELECT agg_type, CAST(c_name AS DOUBLE) AS c_name,
+       CAST(c_mktsegment AS DOUBLE) AS c_mktsegment FROM (
+  SELECT '1. count' AS agg_type, n0 AS c_name, m0 AS c_mktsegment FROM s
+  UNION ALL SELECT '2. count_distinct', n1, m1 FROM s
+  UNION ALL SELECT '3. avg_len', n2, m2 FROM s
+  UNION ALL SELECT '4. min_len', n3, m3 FROM s
+  UNION ALL SELECT '5. max_len', n4, m4 FROM s
+  UNION ALL SELECT '6. empty', n5, m5 FROM s
+) ORDER BY agg_type
+""",
+    tags=("profiler", "strings"),
+    notes="String-column profile (profiler.profile_strings) — the SURVEY "
+    "§1.2 flagged extension beyond the reference's numeric-only regex "
+    "(aws-athena.sh:68): count/distinct/length stats/empty per string "
+    "column, same split-agg single-scan discipline and numbered-label "
+    "ordering as the numeric profiler.",
+)
+def profile_strings_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile_strings(load_table(spark, "customer", sf_dir))

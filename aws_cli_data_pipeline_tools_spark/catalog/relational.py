@@ -1280,3 +1280,36 @@ ORDER BY event_id
     "shredded binary instead of re-parsing JSON text per access — the "
     "scale path for heterogeneous event payloads.",
 )
+
+register_sql(
+    "xml_funcs",
+    spark_sql="""
+WITH x AS (
+  SELECT event_id,
+         concat('<e><id>', CAST(event_id AS STRING), '</id><t>', event_type,
+                '</t><v>', CAST(round(value, 2) AS STRING), '</v></e>') AS doc
+  FROM events
+)
+SELECT event_id,
+       from_xml(doc, 'id BIGINT, t STRING, v DOUBLE').id AS xml_id,
+       from_xml(doc, 'id BIGINT, t STRING, v DOUBLE').t  AS xml_type,
+       xpath_int(doc, '/e/id')                            AS xpath_id,
+       xpath_string(doc, '/e/t')                          AS xpath_type
+FROM x
+ORDER BY event_id
+""",
+    duck_sql="""
+SELECT event_id,
+       event_id   AS xml_id,
+       event_type AS xml_type,
+       CAST(event_id AS INT) AS xpath_id,
+       event_type AS xpath_type
+FROM events
+ORDER BY event_id
+""",
+    tags=("functions", "xml"),
+    notes="XML surface (Spark 4 from_xml schema-typed parse + legacy "
+    "xpath_* extraction) via encode-then-decode round-trip — same "
+    "oracle pattern as the multimodal header round-trips: the DuckDB twin "
+    "replays the identity the round-trip must preserve. Narrow projection.",
+)

@@ -234,3 +234,61 @@ def profile_diff(
         out.append(tcol.alias(f"{c}_target"))
         out.append(bcol.eqNullSafe(tcol).alias(f"{c}_equal"))
     return joined.select(*out).orderBy("agg_type")
+
+
+#: String-profile statistic labels — same numbered-label convention as
+#: AGG_LABELS (aws-athena.sh:81-100); the reference profiles numerics only
+#: (:68 regex), so this is the SURVEY §1.2 flagged extension, not parity.
+STRING_AGG_LABELS = [
+    "1. count",
+    "2. count_distinct",
+    "3. avg_len",
+    "4. min_len",
+    "5. max_len",
+    "6. empty",
+]
+
+
+def string_columns(df: DataFrame) -> list[str]:
+    """Schema-only selection of string columns (the profiler's non-numeric
+    complement — SURVEY §1.2 optional extension)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)]
+
+
+def profile_strings(df: DataFrame) -> DataFrame:
+    """Wide string profile: one row per statistic, one column per string
+    column — count/distinct/length stats/empty-count, all doubles.
+
+    Same execution discipline as the numeric profiler: ONE plain codegen
+    agg (count + length stats + empty) and ONE distinct agg, each a single
+    fully-partial-aggregated scan pass, crossJoined (1-row joins are
+    free), stacked, sorted by label.
+    """
+    cols = string_columns(df)
+    if not cols:
+        return _empty_profile(df, cols)
+
+    def basic_exprs(c: str) -> list[Column]:
+        q = F.col(c)
+        ln = F.length(q)
+        return [
+            F.count(q).cast("double").alias(f"{c}__0"),
+            F.round(F.avg(ln.cast("decimal(38,10)")).cast("double"), 5).alias(f"{c}__2"),
+            F.min(ln).cast("double").alias(f"{c}__3"),
+            F.max(ln).cast("double").alias(f"{c}__4"),
+            F.count(F.when(q == "", 1)).cast("double").alias(f"{c}__5"),
+        ]
+
+    basic = df.agg(*[e for c in cols for e in basic_exprs(c)])
+    distinct = df.agg(
+        *[F.count_distinct(F.col(c)).cast("double").alias(f"{c}__1") for c in cols]
+    )
+    row = basic.crossJoin(distinct)
+
+    stack_args: list[Column] = []
+    for i, label in enumerate(STRING_AGG_LABELS):
+        stack_args.append(F.lit(label))
+        stack_args.extend(F.col(f"{c}__{i}") for c in cols)
+    return row.select(
+        F.stack(F.lit(len(STRING_AGG_LABELS)), *stack_args).alias("agg_type", *cols)
+    ).orderBy("agg_type")

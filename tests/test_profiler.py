@@ -113,3 +113,22 @@ def test_profile_scan_count_plan(spark, sf_dir):
     li = load_table(spark, "lineitem", sf_dir)
     plan = profiler.profile(li)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") + plan.count("BatchScan") == 3
+
+
+def test_profile_strings_stats_and_edges(spark):
+    df = spark.createDataFrame(
+        [("a", ""), ("bb", None), ("a", "xyz")], ["s1", "s2"]
+    )
+    rows = {r.agg_type: r for r in profiler.profile_strings(df).collect()}
+    assert list(rows) == profiler.STRING_AGG_LABELS  # ordered by label
+    assert rows["1. count"].s1 == 3.0 and rows["1. count"].s2 == 2.0  # non-null
+    assert rows["2. count_distinct"].s1 == 2.0
+    assert rows["3. avg_len"].s2 == 1.5  # ('' + 'xyz') / 2, nulls excluded
+    assert rows["4. min_len"].s2 == 0.0 and rows["5. max_len"].s2 == 3.0
+    assert rows["6. empty"].s2 == 1.0 and rows["6. empty"].s1 == 0.0
+
+
+def test_profile_strings_no_string_columns(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["a", "b"])
+    out = profiler.profile_strings(df)
+    assert out.count() == 0 and out.columns == ["agg_type"]
