@@ -205,3 +205,30 @@ SELECT agg_type, CAST(c_name AS DOUBLE) AS c_name,
 )
 def profile_strings_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiler.profile_strings(load_table(spark, "customer", sf_dir))
+
+
+@register(
+    "profile_temporal_orders",
+    oracle="""
+WITH s AS (
+  SELECT count(o_orderdate) AS c0, count(DISTINCT o_orderdate) AS c1,
+         min(epoch(o_orderdate)) AS c2, max(epoch(o_orderdate)) AS c3,
+         round((max(epoch(o_orderdate)) - min(epoch(o_orderdate)))
+               / 86400.0, 5) AS c4
+  FROM orders
+)
+SELECT agg_type, CAST(o_orderdate AS DOUBLE) AS o_orderdate FROM (
+  SELECT '1. count' AS agg_type, c0 AS o_orderdate FROM s
+  UNION ALL SELECT '2. count_distinct', c1 FROM s
+  UNION ALL SELECT '3. min_epoch_s', c2 FROM s
+  UNION ALL SELECT '4. max_epoch_s', c3 FROM s
+  UNION ALL SELECT '5. span_days', c4 FROM s
+) ORDER BY agg_type
+""",
+    tags=("profiler", "temporal"),
+    notes="Temporal-column profile (profiler.profile_temporal) — §1.2 "
+    "extension: count/distinct/min/max epoch-seconds/span-days per "
+    "date/timestamp column, split-agg single-scan discipline.",
+)
+def profile_temporal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile_temporal(load_table(spark, "orders", sf_dir))

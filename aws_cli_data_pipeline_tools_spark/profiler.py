@@ -292,3 +292,63 @@ def profile_strings(df: DataFrame) -> DataFrame:
     return row.select(
         F.stack(F.lit(len(STRING_AGG_LABELS)), *stack_args).alias("agg_type", *cols)
     ).orderBy("agg_type")
+
+
+#: Temporal-profile labels (same numbered convention; §1.2 extension).
+TEMPORAL_AGG_LABELS = [
+    "1. count",
+    "2. count_distinct",
+    "3. min_epoch_s",
+    "4. max_epoch_s",
+    "5. span_days",
+]
+
+
+def temporal_columns(df: DataFrame) -> list[str]:
+    """Schema-only selection of date/timestamp columns."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.DateType, T.TimestampType, T.TimestampNTZType))
+    ]
+
+
+def profile_temporal(df: DataFrame) -> DataFrame:
+    """Wide temporal profile: count/distinct/min/max (as epoch seconds) and
+    span in days per date/timestamp column — completes the profiler family
+    (numeric = reference parity, string + temporal = SURVEY §1.2 flagged
+    extensions). Same split-agg single-scan discipline.
+    """
+    cols = temporal_columns(df)
+    if not cols:
+        return _empty_profile(df, cols)
+
+    def epoch(c: str) -> Column:
+        return F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+
+    basic = df.agg(
+        *[
+            e
+            for c in cols
+            for e in (
+                F.count(F.col(c)).cast("double").alias(f"{c}__0"),
+                F.min(epoch(c)).alias(f"{c}__2"),
+                F.max(epoch(c)).alias(f"{c}__3"),
+                F.round(
+                    (F.max(epoch(c)) - F.min(epoch(c))) / F.lit(86400.0), 5
+                ).alias(f"{c}__4"),
+            )
+        ]
+    )
+    distinct = df.agg(
+        *[F.count_distinct(F.col(c)).cast("double").alias(f"{c}__1") for c in cols]
+    )
+    row = basic.crossJoin(distinct)
+
+    stack_args: list[Column] = []
+    for i, label in enumerate(TEMPORAL_AGG_LABELS):
+        stack_args.append(F.lit(label))
+        stack_args.extend(F.col(f"{c}__{i}") for c in cols)
+    return row.select(
+        F.stack(F.lit(len(TEMPORAL_AGG_LABELS)), *stack_args).alias("agg_type", *cols)
+    ).orderBy("agg_type")

@@ -132,3 +132,16 @@ def test_profile_strings_no_string_columns(spark):
     df = spark.createDataFrame([(1, 2.0)], ["a", "b"])
     out = profiler.profile_strings(df)
     assert out.count() == 0 and out.columns == ["agg_type"]
+
+
+def test_profile_temporal_stats(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),), (dt.datetime(2024, 1, 3),), (None,)], ["ts"]
+    )
+    rows = {r.agg_type: r.ts for r in profiler.profile_temporal(df).collect()}
+    assert list(rows) == profiler.TEMPORAL_AGG_LABELS
+    assert rows["1. count"] == 2.0 and rows["2. count_distinct"] == 2.0
+    assert rows["5. span_days"] == 2.0
+    assert profiler.profile_temporal(spark.createDataFrame([(1,)], ["x"])).count() == 0
