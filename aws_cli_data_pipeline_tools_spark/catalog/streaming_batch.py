@@ -591,3 +591,30 @@ def streaming_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_session_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
     st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@register(
+    "events_distinct_sketch_cascade",
+    oracle=None,  # Datasketches HLL has no DuckDB twin — rows-only; the
+    # estimate-vs-exact bound is pytest-asserted (test_rollup_sampling).
+    tags=("streaming", "rollup", "sketch"),
+    notes="Mergeable-sketch distinct cascade: hourly hll_sketch_agg(user_id) "
+    "pre-aggregates, day-level distincts via hll_union_agg WITHOUT "
+    "re-scanning raw — THE 100 TB pattern for distinct-count rollups "
+    "(store tiny sketches per grain, merge upward; exact count_distinct "
+    "cannot merge). One raw shuffle to hours; the day merge shuffles "
+    "n_hours sketch blobs.",
+)
+def events_distinct_sketch_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"), F.count("*").alias("n_events"))
+    return (
+        hourly.groupBy(F.date_trunc("day", F.col("hour_start")).alias("day_start"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("day_start")
+    )

@@ -98,3 +98,25 @@ def test_cascade_rollup_reuses_hourly_exchange(spark, sf_dir):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_distinct_sketch_cascade_matches_exact(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    got = {
+        r.day_start: r.approx_users
+        for r in all_specs()["events_distinct_sketch_cascade"].fn(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    exact = {
+        r.day_start: r.n
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day_start"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for day, est in got.items():
+        # HLL default lgConfigK=12 → rel std err ~1.6%; allow 5%
+        assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
