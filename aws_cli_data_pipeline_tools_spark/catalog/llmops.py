@@ -932,3 +932,32 @@ ORDER BY t.doc_id
     "total broadcasts. Decimal-sum over the ln terms for cross-engine "
     "determinism.",
 )
+
+
+@register(
+    "vocab_heavy_hitters_approx",
+    oracle=None,  # Datasketches frequent-items has no DuckDB twin —
+    # rows-only; exactness vs the true top-k is pytest-asserted.
+    tags=("llmops", "text", "sketch"),
+    notes="Approximate heavy hitters over the token stream via "
+    "approx_top_k (Datasketches frequent-items): ONE pass, fixed "
+    "maxItemsTracked state per partition, mergeable partials — the "
+    "scale path when the vocabulary itself no longer fits a hash "
+    "aggregate (exact twin: vocab_top_tokens). Estimates are exact "
+    "while distinct tokens <= maxItemsTracked.",
+)
+def vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token")
+    )
+    top = toks.select(
+        F.expr("approx_top_k(token, 20, 100000)").alias("hh")
+    ).select(F.explode("hh").alias("e"))
+    return top.select(
+        F.col("e.item").alias("token"), F.col("e.count").alias("est_count")
+    ).orderBy(F.col("est_count").desc(), "token")

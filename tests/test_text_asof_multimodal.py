@@ -365,3 +365,21 @@ def test_read_binary_files_to_sniffer(spark, tmp_path):
     }
     assert (got["a.png"].format, got["a.png"].width, got["a.png"].height) == ("png", 640, 480)
     assert (got["b.png"].width, got["b.png"].height) == (32, 16)
+
+
+def test_vocab_heavy_hitters_exact_while_tracked(spark, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+    specs = all_specs()
+    approx = specs["vocab_heavy_hitters_approx"].fn(spark, sf_dir).collect()
+    exact = {
+        r.token: r.n for r in specs["vocab_top_tokens"].fn(spark, sf_dir).collect()
+    }
+    assert len(approx) == 20
+    counts = sorted(exact.values(), reverse=True)
+    boundary = counts[19] if len(counts) >= 20 else 0
+    for r in approx:
+        if r.token in exact:
+            assert r.est_count == exact[r.token], r
+        # every returned count must be at least the exact 20th count
+        assert r.est_count >= boundary
