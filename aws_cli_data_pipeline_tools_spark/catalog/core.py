@@ -232,3 +232,56 @@ SELECT agg_type, CAST(o_orderdate AS DOUBLE) AS o_orderdate FROM (
 )
 def profile_temporal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiler.profile_temporal(load_table(spark, "orders", sf_dir))
+
+
+@register(
+    "dq_checks_orders",
+    oracle="""
+WITH b AS (
+  SELECT count(*) AS n,
+         CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS DOUBLE)
+           / count(*) AS null_frac,
+         CAST(count(o_orderkey) AS DOUBLE)
+           - count(DISTINCT o_orderkey) AS dup_cnt,
+         CAST(count(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                         AND o_orderstatus IS NOT NULL THEN 1 END)
+              AS DOUBLE) AS bad_status,
+         CAST(count(CASE WHEN o_totalprice < 0 OR o_totalprice > 1000000
+                         THEN 1 END) AS DOUBLE) AS out_of_range
+  FROM orders
+)
+SELECT rule, "column", metric, threshold, passed FROM (
+  SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+         round(null_frac, 6) AS metric, 0.0 AS threshold,
+         null_frac <= 0.0 AS passed FROM b
+  UNION ALL
+  SELECT 'unique', 'o_orderkey', round(dup_cnt, 6), 0.0, dup_cnt <= 0.0 FROM b
+  UNION ALL
+  SELECT 'accepted_values', 'o_orderstatus', round(bad_status, 6), 0.0,
+         bad_status <= 0.0 FROM b
+  UNION ALL
+  SELECT 'in_range', 'o_totalprice', round(out_of_range, 6), 0.0,
+         out_of_range <= 0.0 FROM b
+)
+ORDER BY rule, "column"
+""",
+    tags=("quality", "constraints"),
+    notes="Deequ/dbt-style data-quality gate (operators/quality.py): key "
+    "uniqueness + null fraction + accepted values + range compiled into "
+    "ONE scan (plus one distinct agg crossJoined, the profiler's "
+    "split-agg discipline) — the programmatic form of the reference's "
+    "eyeball vimdiff validation.",
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    orders = load_table(spark, "orders", sf_dir)
+    return Q.check_constraints(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+        ],
+    ).orderBy("rule", "column")

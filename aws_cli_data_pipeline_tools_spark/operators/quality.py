@@ -1,0 +1,103 @@
+"""Data-quality constraint checking (Deequ/dbt-tests style) in ONE pass.
+
+A large-scale pipeline gates writes on expectations: key uniqueness,
+null fractions, accepted values, ranges. The reference's profiler is the
+eyeball version of this (vimdiff over two profiles, aws-athena.sh:161-198);
+``check_constraints`` is the programmatic gate: every rule compiles to an
+aggregate expression in a single scan (plus one COUNT DISTINCT agg for
+uniqueness rules, crossJoined — the profiler's split-agg discipline), and
+the result is a per-rule report row, so a 100 TB validation costs one
+fully partial-aggregated pass regardless of rule count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["not_null", "unique", "accepted_values", "in_range", "check_constraints"]
+
+
+def not_null(col: str, max_null_frac: float = 0.0) -> dict:
+    """Fraction of NULLs in ``col`` must be <= ``max_null_frac``."""
+    return {"rule": "not_null", "column": col, "threshold": float(max_null_frac)}
+
+
+def unique(col: str) -> dict:
+    """``col`` must have no duplicate non-null values (key constraint)."""
+    return {"rule": "unique", "column": col, "threshold": 0.0}
+
+
+def accepted_values(col: str, values: list) -> dict:
+    """Every non-null value of ``col`` must be in ``values``."""
+    return {"rule": "accepted_values", "column": col, "threshold": 0.0,
+            "values": list(values)}
+
+
+def in_range(col: str, lo, hi) -> dict:
+    """Every non-null value of ``col`` must satisfy lo <= v <= hi."""
+    return {"rule": "in_range", "column": col, "threshold": 0.0,
+            "lo": lo, "hi": hi}
+
+
+def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` in one scan (+ one distinct agg if
+    any uniqueness rule). Returns one row per rule:
+    (rule, column, metric, threshold, passed) where ``metric`` is the
+    violation measure (null fraction / duplicate count / out-of-set count /
+    out-of-range count) and ``passed = metric <= threshold``.
+    """
+    if not rules:
+        raise ValueError("no rules given")
+    basic_exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    distinct_exprs: list[Column] = []
+    for i, r in enumerate(rules):
+        c = F.col(r["column"])
+        kind = r["rule"]
+        if kind == "not_null":
+            basic_exprs.append(
+                (F.count(F.when(c.isNull(), 1)) / F.count(F.lit(1)))
+                .cast("double").alias(f"__m{i}")
+            )
+        elif kind == "unique":
+            basic_exprs.append(F.count(c).cast("double").alias(f"__cnt{i}"))
+            distinct_exprs.append(
+                F.count_distinct(c).cast("double").alias(f"__d{i}")
+            )
+        elif kind == "accepted_values":
+            basic_exprs.append(
+                F.count(F.when(~c.isin(r["values"]) & c.isNotNull(), 1))
+                .cast("double").alias(f"__m{i}")
+            )
+        elif kind == "in_range":
+            basic_exprs.append(
+                F.count(
+                    F.when((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])), 1)
+                ).cast("double").alias(f"__m{i}")
+            )
+        else:
+            raise ValueError(f"unknown rule kind: {kind!r}")
+    row = df.agg(*basic_exprs)
+    if distinct_exprs:
+        row = row.crossJoin(df.agg(*distinct_exprs))
+
+    reports: list[Column] = []
+    for i, r in enumerate(rules):
+        metric = (
+            F.col(f"__cnt{i}") - F.col(f"__d{i}")
+            if r["rule"] == "unique"
+            else F.col(f"__m{i}")
+        )
+        reports.append(
+            F.struct(
+                F.lit(r["rule"]).alias("rule"),
+                F.lit(r["column"]).alias("column"),
+                F.round(metric, 6).alias("metric"),
+                F.lit(r["threshold"]).cast("double").alias("threshold"),
+                (metric <= F.lit(r["threshold"])).alias("passed"),
+            )
+        )
+    return (
+        row.select(F.explode(F.array(*reports)).alias("r"))
+        .select("r.rule", "r.column", "r.metric", "r.threshold", "r.passed")
+    )

@@ -145,3 +145,37 @@ def test_profile_temporal_stats(spark):
     assert rows["1. count"] == 2.0 and rows["2. count_distinct"] == 2.0
     assert rows["5. span_days"] == 2.0
     assert profiler.profile_temporal(spark.createDataFrame([(1,)], ["x"])).count() == 0
+
+
+def test_check_constraints_catches_violations(spark):
+    from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", -2.0), (None, "z", 50.0)],
+        "k int, s string, v double",
+    )
+    rows = Q.check_constraints(
+        df,
+        [
+            Q.not_null("k"),                      # 1/3 null -> fail
+            Q.not_null("k", max_null_frac=0.5),   # within budget -> pass
+            Q.unique("k"),                        # dup (1,1) -> fail
+            Q.accepted_values("s", ["a", "b"]),   # 'z' -> fail
+            Q.in_range("v", 0, 10),               # -2 and 50 -> fail
+            Q.unique("s"),                        # all distinct -> pass
+        ],
+    ).collect()
+    assert not rows[0].passed and rows[0].metric == round(1 / 3, 6)
+    assert rows[1].passed  # same rule, relaxed threshold
+    out = {(r.rule, r.column): r for r in rows[2:]}
+    assert out[("unique", "k")].metric == 1.0 and not out[("unique", "k")].passed
+    assert out[("accepted_values", "s")].metric == 1.0
+    assert out[("in_range", "v")].metric == 2.0
+    assert out[("unique", "s")].passed
+    # threshold variant passes
+    rows = Q.check_constraints(df, [Q.not_null("k", 0.5)]).collect()
+    assert rows[0].passed
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no rules"):
+        Q.check_constraints(df, [])
