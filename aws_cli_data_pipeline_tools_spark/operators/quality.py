@@ -101,3 +101,24 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         row.select(F.explode(F.array(*reports)).alias("r"))
         .select("r.rule", "r.column", "r.metric", "r.threshold", "r.passed")
     )
+
+
+def observe_metrics(
+    df: DataFrame, metrics: dict[str, Column]
+) -> tuple[DataFrame, "object"]:
+    """Attach free pipeline metrics to a plan via ``df.observe``: the
+    aggregates are computed DURING whatever action materializes the frame
+    (a write, typically) — zero extra scan, unlike running a separate
+    validation query. Returns (observed_df, observation); read
+    ``observation.get`` AFTER the action completes.
+
+    The operational companion to :func:`check_constraints`: constraints
+    gate a dataset with their own pass, observe_metrics rides along with
+    the production write (row counts, null counts, sums for
+    reconciliation) — at 100 TB that difference is a full scan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = df.observe(obs, *[e.alias(k) for k, e in metrics.items()])
+    return out, obs

@@ -179,3 +179,20 @@ def test_check_constraints_catches_violations(spark):
 
     with _pytest.raises(ValueError, match="no rules"):
         Q.check_constraints(df, [])
+
+
+def test_observe_metrics_rides_the_write(spark, tmp_path):
+    from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out, obs = Q.observe_metrics(
+        df,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "sum_v": F.sum("v"),
+            "n_null_v": F.count(F.when(F.col("v").isNull(), 1)),
+        },
+    )
+    out.write.format("noop").mode("overwrite").save()  # the production action
+    got = obs.get
+    assert got == {"n_rows": 100, "sum_v": 9900, "n_null_v": 0}
