@@ -1313,3 +1313,143 @@ ORDER BY event_id
     "oracle pattern as the multimodal header round-trips: the DuckDB twin "
     "replays the identity the round-trip must preserve. Narrow projection.",
 )
+
+
+# --- TPC-H-shaped composite analytics (capability-parity stress shapes) --------
+# The reference forwards arbitrary Trino SQL (aws-athena.sh:27); these
+# replicate the planner shapes of the classic TPC-H queries expressible over
+# the fixture schema (no partsupp table -> Q2/Q11/Q16/Q20 family omitted).
+
+register_sql(
+    "returned_item_report",
+    sql=f"""
+SELECT c_custkey, c_name,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       round(CAST(max(c_acctbal) AS DOUBLE), 2) AS acctbal,
+       max(n_name) AS nation
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("join", "composite", "tpch"),
+    notes="TPC-H Q10-shaped returned-item report: 4-way join (2 broadcast "
+    "dims), filtered fact, top-20 by aggregated revenue.",
+)
+
+register_sql(
+    "conditional_bucket_agg",
+    sql="""
+SELECT year(l_shipdate) AS ship_year,
+       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS high_line_count,
+       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+""",
+    tags=("agg", "composite", "tpch"),
+    notes="TPC-H Q12-shaped conditional bucket counts: CASE-filtered "
+    "aggregates over a fact-fact join, grouped by derived year.",
+)
+
+register_sql(
+    "promo_revenue_share",
+    sql=f"""
+SELECT year(l_shipdate) AS ship_year,
+       round(100.0 * {dsum('CASE WHEN p_size <= 10 THEN l_extendedprice * (1 - l_discount) ELSE 0 END')}
+             / {dsum('l_extendedprice * (1 - l_discount)')}, 5) AS small_part_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY year(l_shipdate)
+ORDER BY ship_year
+""",
+    tags=("agg", "composite", "tpch"),
+    notes="TPC-H Q14-shaped conditional revenue share: ratio of two "
+    "conditional sums in ONE aggregation pass (no second scan).",
+)
+
+register_sql(
+    "large_quantity_orders",
+    sql=f"""
+SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS totalprice,
+       {dsum('l_quantity')} AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(l_quantity) > 150
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    tags=("agg", "composite", "tpch"),
+    notes="TPC-H Q18-shaped large-quantity orders: group-by over a 3-way "
+    "join with a HAVING threshold on the aggregate, top-100.",
+)
+
+register_sql(
+    "disjunctive_predicate_scan",
+    sql=f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 40)
+   OR (p_size BETWEEN 25 AND 50 AND l_quantity >= 45)
+""",
+    tags=("filter", "composite", "tpch"),
+    notes="TPC-H Q19-shaped disjunctive predicate: OR of AND-groups "
+    "spanning both join sides — exercises CNF conversion / partial "
+    "pushdown of the per-side conjuncts.",
+)
+
+register_sql(
+    "idle_customers_anti",
+    sql="""
+SELECT right(c_name, 1) AS code,
+       count(*) AS n_custs,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 5)
+         AS total_bal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY right(c_name, 1)
+ORDER BY code
+""",
+    tags=("subquery", "composite", "tpch"),
+    notes="TPC-H Q22-shaped: scalar-subquery threshold + NOT EXISTS "
+    "anti-join, grouped by a derived code (the well-funded customers "
+    "with no large orders).",
+)
+
+register_sql(
+    "cross_nation_trade",
+    sql=f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS ship_year,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS volume
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_nationkey < 3 AND cn.n_nationkey < 3
+  AND sn.n_nationkey <> cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+""",
+    tags=("join", "composite", "tpch"),
+    notes="TPC-H Q7-shaped cross-nation trade volume: the same dim table "
+    "joined twice under different aliases with an inequality between the "
+    "two join keys, grouped by both legs.",
+)
