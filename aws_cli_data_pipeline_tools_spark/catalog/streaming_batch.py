@@ -618,3 +618,37 @@ def events_distinct_sketch_cascade(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day_start")
     )
+
+
+@register(
+    "streaming_sliding_live",
+    oracle=f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+              // 1800) * 1800) AS TIMESTAMP) AS t30
+  FROM events
+), expanded AS (
+  SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win_start, value FROM e
+)
+SELECT win_start, count(*) AS n_events, {dsum('value')} AS sum_value
+FROM expanded GROUP BY 1 ORDER BY win_start
+""",
+    tags=("streaming", "live", "window"),
+    notes="REAL sliding-window streaming run (1 h window / 30 min slide): "
+    "readStream -> watermark -> F.window agg -> availableNow drain; "
+    "complete-mode bounded replay equals the batch twin "
+    "events_sliding_1h_30m's expansion oracle.",
+)
+def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(38,10)")
+    )
+    agg = st.sliding_counts(stream).withColumn(
+        "sum_value", F.round(F.col("sum_value").cast("double"), 5)
+    )
+    name = f"q_stream_sliding_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
+    return spark.table(name).orderBy("win_start")
