@@ -652,3 +652,28 @@ def streaming_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_sliding_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
     st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
     return spark.table(name).orderBy("win_start")
+
+
+@register(
+    "streaming_dedup_live",
+    oracle="""
+SELECT DISTINCT user_id, event_type FROM events
+ORDER BY user_id, event_type
+""",
+    tags=("streaming", "live", "dedup"),
+    notes="REAL dropDuplicatesWithinWatermark streaming run: one emitted "
+    "row per (user_id, event_type) key with bounded event-time state. "
+    "Only the KEY columns are projected — which payload row wins depends "
+    "on micro-batch processing order (legitimately nondeterministic), but "
+    "the emitted key set is exact, so the oracle is SELECT DISTINCT. The "
+    "deterministic keep-first-by-event-time variant is the batch twin "
+    "events_dedup_first.",
+)
+def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    out = st.dedup_stream(stream).select("user_id", "event_type")
+    name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(out, name, output_mode="append", shuffle_partitions=8)
+    return spark.table(name).orderBy("user_id", "event_type")
