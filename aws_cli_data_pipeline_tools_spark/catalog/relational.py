@@ -1453,3 +1453,36 @@ ORDER BY supp_nation, cust_nation, ship_year
     "joined twice under different aliases with an inequality between the "
     "two join keys, grouped by both legs.",
 )
+
+register_sql(
+    "recursive_cte_calendar",
+    spark_sql="""
+WITH RECURSIVE cal(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT date_add(d, 1) FROM cal WHERE d < DATE '1995-01-31'
+)
+SELECT cal.d AS day, count(o_orderkey) AS n_orders
+FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+GROUP BY cal.d
+ORDER BY day
+""",
+    duck_sql="""
+WITH RECURSIVE cal(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + 1 FROM cal WHERE d < DATE '1995-01-31'
+)
+SELECT cal.d AS day, count(o_orderkey) AS n_orders
+FROM cal LEFT JOIN orders ON CAST(o_orderdate AS DATE) = cal.d
+GROUP BY cal.d
+ORDER BY day
+""",
+    tags=("subquery", "recursive"),
+    notes="WITH RECURSIVE (Spark 4) — iterative calendar expansion joined "
+    "back to facts (the recursive form of the gapfill grid; bounded depth "
+    "= 31 iterations, well under the recursion limit). The transitive-"
+    "closure workload stays on the label-propagation operator "
+    "(dedup_cluster_groups_exact) which scales where row-per-iteration "
+    "recursion cannot.",
+)
