@@ -15,7 +15,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["not_null", "unique", "accepted_values", "in_range", "check_constraints"]
+__all__ = [
+    "not_null",
+    "unique",
+    "accepted_values",
+    "in_range",
+    "satisfies",
+    "check_constraints",
+]
 
 
 def not_null(col: str, max_null_frac: float = 0.0) -> dict:
@@ -38,6 +45,14 @@ def in_range(col: str, lo, hi) -> dict:
     """Every non-null value of ``col`` must satisfy lo <= v <= hi."""
     return {"rule": "in_range", "column": col, "threshold": 0.0,
             "lo": lo, "hi": hi}
+
+
+def satisfies(name: str, predicate_sql: str, max_violations: float = 0.0) -> dict:
+    """Generic escape hatch: count rows where ``predicate_sql`` is NOT
+    satisfied (false or NULL — a row that can't prove the invariant
+    violates it). ``name`` labels the report row's column field."""
+    return {"rule": "satisfies", "column": name, "threshold": float(max_violations),
+            "predicate": predicate_sql}
 
 
 def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
@@ -74,6 +89,12 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
                 F.count(
                     F.when((c < F.lit(r["lo"])) | (c > F.lit(r["hi"])), 1)
                 ).cast("double").alias(f"__m{i}")
+            )
+        elif kind == "satisfies":
+            pred = F.expr(r["predicate"])
+            basic_exprs.append(
+                F.count(F.when(~F.coalesce(pred, F.lit(False)), 1))
+                .cast("double").alias(f"__m{i}")
             )
         else:
             raise ValueError(f"unknown rule kind: {kind!r}")

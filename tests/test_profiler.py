@@ -196,3 +196,22 @@ def test_observe_metrics_rides_the_write(spark, tmp_path):
     out.write.format("noop").mode("overwrite").save()  # the production action
     got = obs.get
     assert got == {"n_rows": 100, "sum_v": 9900, "n_null_v": 0}
+
+
+def test_satisfies_custom_predicate(spark):
+    from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, -5.0)], "k int, v double"
+    )
+    rows = Q.check_constraints(
+        df,
+        [
+            Q.satisfies("v_pos_when_known", "v IS NULL OR v > 0", 0),
+            Q.satisfies("v_known_and_pos", "v > 0", 0),  # NULL counts as violation
+            Q.satisfies("loose", "v > 0", 2),
+        ],
+    ).collect()
+    assert rows[0].metric == 1.0 and not rows[0].passed  # only -5 violates
+    assert rows[1].metric == 2.0  # NULL row + -5
+    assert rows[2].passed  # within budget
