@@ -351,3 +351,32 @@ def corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return curation.corpus_diff(base, target).orderBy("id")
+
+
+@register(
+    "importance_sample_quality",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE least(greatest(CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0) >= 1.0
+   OR substr(md5(CAST(doc_id AS VARCHAR) || 'isq'), 1, 8)
+      < lpad(lower(to_hex(CAST(floor(least(greatest(
+            CAST(n_chars AS DOUBLE) / 800.0, 0.0), 1.0) * 4294967296.0)
+            AS BIGINT))), 8, '0')
+ORDER BY doc_id
+""",
+    tags=("llmops", "curation", "sampling"),
+    notes="Deterministic importance sampling "
+    "(sampling.importance_sample): keep probability = per-row weight "
+    "(here length-proportional, the quality-weighted downsampling shape) "
+    "via the portable md5-bucket threshold; narrow, RNG-free, "
+    "append-stable. Oracle replays the identical hex arithmetic.",
+)
+def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import importance_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.col("n_chars").cast("double") / F.lit(800.0)
+    return importance_sample(docs, w, "doc_id", salt="isq").select(
+        "doc_id", "lang", "source", "n_chars"
+    ).orderBy("doc_id")

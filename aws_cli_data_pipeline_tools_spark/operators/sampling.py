@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["split_thresholds", "hash_bucket_expr", "hash_split",
-           "split_case_sql", "seeded_sample_by"]
+           "split_case_sql", "seeded_sample_by", "importance_sample"]
 
 _HEX_SPAN = 16**8  # first 8 md5 hex chars
 
@@ -91,3 +91,29 @@ def seeded_sample_by(
 ) -> DataFrame:
     """Stratified sample: per-stratum Bernoulli rates (Spark sampleBy)."""
     return df.sampleBy(strat_col, fractions, seed=seed)
+
+
+def importance_sample(
+    df: DataFrame,
+    weight: Column,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-row weighted sampling: keep each row with
+    probability ``weight`` (clamped to [0, 1]) — quality-weighted corpus
+    downsampling without RNG state.
+
+    Keep rule: md5-bucket(key) < floor(weight · 16⁸) as 8-hex-char strings
+    (same portable discipline as hash_split; floor() explicitly, because
+    double→bigint CAST truncates on Spark but rounds on DuckDB). Narrow —
+    no shuffle, no action; appending the same rows later keeps identical
+    decisions (append-stable like hash_split).
+    """
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(w * F.lit(float(_HEX_SPAN))).cast("bigint"))),
+        8,
+        "0",
+    )
+    bucket = hash_bucket_expr(F.col(key_col), salt)
+    return df.filter((w >= 1.0) | (bucket < thr))

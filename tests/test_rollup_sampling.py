@@ -120,3 +120,24 @@ def test_distinct_sketch_cascade_matches_exact(spark, sf_dir):
     for day, est in got.items():
         # HLL default lgConfigK=12 → rel std err ~1.6%; allow 5%
         assert abs(est - exact[day]) <= max(1, 0.05 * exact[day]), (day, est, exact[day])
+
+
+def test_importance_sample_determinism_and_bounds(spark):
+    import pyspark.sql.functions as F
+    from aws_cli_data_pipeline_tools_spark.operators.sampling import importance_sample
+
+    df = spark.range(2000).withColumn("w", (F.col("id") % 10) / 10.0)
+    all_kept = importance_sample(df, F.lit(1.0), "id")
+    assert all_kept.count() == 2000  # weight 1 keeps everything
+    assert importance_sample(df, F.lit(0.0), "id").count() == 0
+    kept = importance_sample(df, F.col("w"), "id")
+    n = kept.count()
+    # E[kept] = 2000 * mean(w) = 2000 * 0.45 = 900; loose uniform bound
+    assert 700 < n < 1100
+    # deterministic: same rows on re-evaluation
+    ids1 = {r.id for r in kept.collect()}
+    ids2 = {r.id for r in importance_sample(df, F.col("w"), "id").collect()}
+    assert ids1 == ids2
+    # append-stable: decisions on a subset are the same as in the full set
+    sub = importance_sample(df.filter(F.col("id") < 500), F.col("w"), "id")
+    assert {r.id for r in sub.collect()} == {i for i in ids1 if i < 500}
