@@ -1486,3 +1486,42 @@ ORDER BY day
     "(dedup_cluster_groups_exact) which scales where row-per-iteration "
     "recursion cannot.",
 )
+
+register_sql(
+    "cohort_retention",
+    spark_sql="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+  FROM events
+), firstwk AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+)
+SELECT f.cohort_wk,
+       CAST(datediff(uw.wk, f.cohort_wk) / 7 AS INT) AS week_n,
+       count(*) AS n_users
+FROM uw JOIN firstwk f ON uw.user_id = f.user_id
+GROUP BY f.cohort_wk, CAST(datediff(uw.wk, f.cohort_wk) / 7 AS INT)
+ORDER BY cohort_wk, week_n
+""",
+    duck_sql="""
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS wk
+  FROM events
+), firstwk AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY user_id
+)
+SELECT f.cohort_wk,
+       CAST((uw.wk - f.cohort_wk) / 7 AS INT) AS week_n,
+       count(*) AS n_users
+FROM uw JOIN firstwk f ON uw.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_wk, week_n
+""",
+    tags=("agg", "analytics", "cohort"),
+    notes="Cohort retention: first-seen week per user (cohort) x active "
+    "weeks since — the product-analytics retention triangle. Two hash "
+    "aggs + a user-keyed self-join (colocated: both sides partition on "
+    "user_id). Week truncation is Monday-start on both engines.",
+)
