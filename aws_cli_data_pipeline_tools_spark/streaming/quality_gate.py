@@ -1,0 +1,52 @@
+"""Streaming data-quality gate: per-micro-batch constraint checks with
+quarantine routing — the foreachBatch composition of
+``operators.quality.check_constraints`` with a file sink.
+
+The production-ingest pattern: every micro-batch is validated BEFORE it
+reaches the main table; batches that violate any constraint land in a
+quarantine directory (with the violation report) instead of silently
+corrupting downstream consumers. State is per-batch only — the gate adds
+one extra aggregation pass over each (small) micro-batch, not over the
+table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from ..operators import quality
+
+
+def gated_parquet_sink(
+    stream: DataFrame,
+    rules: list[dict],
+    good_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+):
+    """Start an availableNow foreachBatch query writing passing batches to
+    ``good_dir`` and failing ones to ``quarantine_dir`` (with a
+    ``_report_<batch>.json`` of per-rule metrics). Returns the handle;
+    caller awaits termination."""
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        report = quality.check_constraints(batch, rules).collect()
+        ok = all(r.passed for r in report)
+        dst = good_dir if ok else quarantine_dir
+        batch.write.mode("append").parquet(dst)
+        if not ok:
+            os.makedirs(quarantine_dir, exist_ok=True)
+            with open(
+                os.path.join(quarantine_dir, f"_report_{batch_id}.json"), "w"
+            ) as f:
+                json.dump([r.asDict() for r in report], f, default=str)
+
+    return (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -165,3 +165,46 @@ def test_foreachbatch_upsert_latest_wins(spark, sf_dir, tmp_path):
     gt = {(r.user_id, r.event_type): r.ts for r in got.collect()}
     wt = {(r.user_id, r.event_type): r.ts for r in want.collect()}
     assert gt == wt and len(g) == len(wnt)
+
+
+def test_quality_gate_quarantines_bad_batches(spark, tmp_path):
+    import json
+
+    from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+    from aws_cli_data_pipeline_tools_spark.streaming.quality_gate import (
+        gated_parquet_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch files arrive one per micro-batch (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, 5.0), (2, 7.0)], "k int, v double").coalesce(
+        1
+    ).write.parquet(str(src / "f0"))
+    spark.createDataFrame([(3, -1.0), (3, 2.0)], "k int, v double").coalesce(
+        1
+    ).write.parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("k int, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = gated_parquet_sink(
+        stream,
+        [Q.unique("k"), Q.in_range("v", 0, 100)],
+        good_dir=str(tmp_path / "good"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(str(tmp_path / "good"))
+    bad = spark.read.parquet(str(tmp_path / "quarantine"))
+    assert {r.k for r in good.collect()} == {1, 2}
+    assert {r.k for r in bad.collect()} == {3}  # dup key + out-of-range v
+    reports = list((tmp_path / "quarantine").glob("_report_*.json"))
+    assert len(reports) == 1
+    rep = json.loads(reports[0].read_text())
+    failed = {r["rule"] for r in rep if not r["passed"]}
+    assert failed == {"unique", "in_range"}
