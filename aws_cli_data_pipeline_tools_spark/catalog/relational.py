@@ -1525,3 +1525,67 @@ ORDER BY cohort_wk, week_n
     "aggs + a user-keyed self-join (colocated: both sides partition on "
     "user_id). Week truncation is Monday-start on both engines.",
 )
+
+register_sql(
+    "array_funcs2",
+    spark_sql="""
+WITH w AS (SELECT doc_id, slice(split(text, ' '), 1, 6) AS a FROM documents)
+SELECT doc_id,
+       array_position(a, try_element_at(a, 3))            AS pos3,
+       concat_ws(' ', array_remove(a, try_element_at(a, 1))) AS removed_first,
+       size(array_compact(a))                             AS n_nonnull,
+       concat_ws(' ', flatten(array(slice(a, 1, 2), slice(a, 4, 2)))) AS flat_sel,
+       concat_ws(' ', reverse(a))                         AS reversed
+FROM w ORDER BY doc_id
+""",
+    duck_sql="""
+WITH w AS (SELECT doc_id,
+                  list_slice(regexp_split_to_array(text, ' '), 1, 6) AS a
+           FROM documents)
+SELECT doc_id,
+       list_position(a, a[3])                             AS pos3,
+       array_to_string(list_filter(a, x -> x != a[1]), ' ') AS removed_first,
+       len(list_filter(a, x -> x IS NOT NULL))            AS n_nonnull,
+       array_to_string(flatten([list_slice(a, 1, 2), list_slice(a, 4, 5)]), ' ')
+                                                          AS flat_sel,
+       array_to_string(list_reverse(a), ' ')              AS reversed
+FROM w ORDER BY doc_id
+""",
+    tags=("functions", "array"),
+    notes="Second array-surface slice: position/remove/compact/flatten/"
+    "reverse (Spark names vs DuckDB list_* twins). try_element_at on the "
+    "Spark side because ANSI element_at throws on out-of-bounds where "
+    "DuckDB subscripts return NULL.",
+)
+
+register_sql(
+    "explode_outer_nulls",
+    spark_sql="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN array()
+              ELSE slice(split(text, ' '), 1, 3) END AS a
+  FROM documents
+)
+SELECT doc_id, w
+FROM t LATERAL VIEW OUTER explode(a) AS w
+ORDER BY doc_id, w
+""",
+    duck_sql="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN []
+              ELSE list_slice(regexp_split_to_array(text, ' '), 1, 3) END AS a
+  FROM documents
+)
+SELECT doc_id, unnest(a) AS w FROM t
+UNION ALL
+SELECT doc_id, NULL AS w FROM t WHERE len(a) = 0
+ORDER BY doc_id, w
+""",
+    tags=("functions", "array", "explode"),
+    notes="OUTER explode semantics: rows with empty arrays survive with a "
+    "NULL element (plain explode silently drops them — the classic "
+    "row-loss bug in flattening pipelines); DuckDB twin reconstructs the "
+    "outer behavior with a UNION of the empty-array rows.",
+)
