@@ -1589,3 +1589,36 @@ ORDER BY doc_id, w
     "row-loss bug in flattening pipelines); DuckDB twin reconstructs the "
     "outer behavior with a UNION of the empty-array rows.",
 )
+
+register_sql(
+    "string_funcs2",
+    spark_sql="""
+SELECT p_partkey,
+       translate(p_brand, '#', '-')      AS brand_t,
+       repeat(left(p_name, 2), 2)        AS rep2,
+       reverse(p_brand)                  AS brand_rev,
+       ascii(p_name)                     AS first_ascii,
+       chr(ascii(p_name) + 1)            AS next_chr,
+       right(p_name, 3)                  AS name_tail,
+       instr(p_name, 'a')                AS a_pos,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad
+FROM part
+ORDER BY p_partkey
+""",
+    duck_sql="""
+SELECT p_partkey,
+       translate(p_brand, '#', '-')      AS brand_t,
+       repeat(left(p_name, 2), 2)        AS rep2,
+       reverse(p_brand)                  AS brand_rev,
+       ascii(p_name)                     AS first_ascii,
+       chr(ascii(p_name) + 1)            AS next_chr,
+       right(p_name, 3)                  AS name_tail,
+       strpos(p_name, 'a')               AS a_pos,
+       lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+FROM part
+ORDER BY p_partkey
+""",
+    tags=("functions", "string"),
+    notes="Second string-surface slice: translate/repeat/reverse/ascii/chr/"
+    "left/right/instr(=strpos)/lpad — pure codegen projections.",
+)
