@@ -1622,3 +1622,43 @@ ORDER BY p_partkey
     notes="Second string-surface slice: translate/repeat/reverse/ascii/chr/"
     "left/right/instr(=strpos)/lpad — pure codegen projections.",
 )
+
+register_sql(
+    "math_funcs2",
+    sql="""
+SELECT l_orderkey, l_linenumber,
+       round(sin(l_quantity), 6)                 AS sin_q,
+       round(cos(l_quantity), 6)                 AS cos_q,
+       round(atan2(l_quantity, l_linenumber), 6) AS atan2_ql,
+       round(degrees(l_discount), 6)             AS deg_d,
+       round(radians(l_tax), 6)                  AS rad_t,
+       CAST(sign(l_quantity - 25) AS INT)        AS sign_q,
+       round(cbrt(l_quantity), 6)                AS cbrt_q,
+       round(log10(l_extendedprice), 6)          AS log10_p,
+       round(log2(l_quantity), 6)                AS log2_q,
+       greatest(l_quantity, l_linenumber * 10.0) AS g,
+       least(l_quantity, l_linenumber * 10.0)    AS l
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("functions", "math"),
+    notes="Second math-surface slice: trig/atan2/degree conversion/sign/"
+    "cbrt/logs/greatest/least — identical SQL on both engines; both use "
+    "the same IEEE libm-correct rounding at 6 decimals.",
+)
+
+register_sql(
+    "bool_aggregates",
+    sql="""
+SELECT o_orderstatus,
+       bool_and(o_totalprice > 1000)   AS all_over_1k,
+       bool_or(o_totalprice > 400000)  AS any_over_400k,
+       count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS n_over_200k
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("aggregation", "boolean"),
+    notes="Boolean aggregates (bool_and/bool_or = ANSI every/any) — "
+    "partial-aggregated single-bit state.",
+)
