@@ -1662,3 +1662,31 @@ ORDER BY o_orderstatus
     notes="Boolean aggregates (bool_and/bool_or = ANSI every/any) — "
     "partial-aggregated single-bit state.",
 )
+
+register_sql(
+    "date_funcs3",
+    spark_sql="""
+SELECT o_orderkey,
+       quarter(o_orderdate)                    AS qtr,
+       dayofyear(CAST(o_orderdate AS DATE))    AS doy,
+       weekofyear(CAST(o_orderdate AS DATE))   AS iso_week,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) AS INT) AS dow_sun1,
+       date_part('month', o_orderdate)         AS mo_part
+FROM orders
+ORDER BY o_orderkey
+""",
+    duck_sql="""
+SELECT o_orderkey,
+       quarter(o_orderdate)                    AS qtr,
+       dayofyear(CAST(o_orderdate AS DATE))    AS doy,
+       weekofyear(CAST(o_orderdate AS DATE))   AS iso_week,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_sun1,
+       date_part('month', o_orderdate)         AS mo_part
+FROM orders
+ORDER BY o_orderkey
+""",
+    tags=("functions", "datetime"),
+    notes="Third date-surface slice: quarter/dayofyear/ISO week/date_part; "
+    "dayofweek dialect shift (Spark Sunday=1, DuckDB Sunday=0 — the twin "
+    "adds 1), same discipline as date_funcs' extract(DOW).",
+)
