@@ -1690,3 +1690,38 @@ ORDER BY o_orderkey
     "dayofweek dialect shift (Spark Sunday=1, DuckDB Sunday=0 — the twin "
     "adds 1), same discipline as date_funcs' extract(DOW).",
 )
+
+register_sql(
+    "map_funcs2",
+    spark_sql="""
+WITH seg AS (SELECT c_mktsegment AS s, count(*) AS n FROM customer GROUP BY 1),
+lo AS (SELECT map_from_entries(collect_list(struct(s, n))) AS mm
+       FROM seg WHERE s < 'F'),
+hi AS (SELECT map_from_entries(collect_list(struct(s, n))) AS mm
+       FROM seg WHERE s >= 'F')
+SELECT cardinality(map_concat(lo.mm, hi.mm)) AS n_keys,
+       concat_ws(',', array_sort(map_keys(map_concat(lo.mm, hi.mm))))
+         AS all_keys,
+       try_element_at(map_concat(lo.mm, hi.mm), 'BUILDING') AS bld_n,
+       try_element_at(map_concat(lo.mm, hi.mm), 'NOPE') IS NULL
+         AS missing_is_null
+FROM lo CROSS JOIN hi
+""",
+    duck_sql="""
+WITH seg AS (SELECT c_mktsegment AS s, count(*) AS n FROM customer GROUP BY 1),
+lo AS (SELECT map(list(s ORDER BY s), list(n ORDER BY s)) AS mm
+       FROM seg WHERE s < 'F'),
+hi AS (SELECT map(list(s ORDER BY s), list(n ORDER BY s)) AS mm
+       FROM seg WHERE s >= 'F')
+SELECT cardinality(map_concat(lo.mm, hi.mm)) AS n_keys,
+       array_to_string(list_sort(map_keys(map_concat(lo.mm, hi.mm))), ',')
+         AS all_keys,
+       map_concat(lo.mm, hi.mm)['BUILDING'][1] AS bld_n,
+       len(map_concat(lo.mm, hi.mm)['NOPE']) = 0 AS missing_is_null
+FROM lo CROSS JOIN hi
+""",
+    tags=("functions", "map"),
+    notes="Second map-surface slice: map_concat/cardinality/map_keys + "
+    "missing-key semantics (Spark ANSI element_at throws, so "
+    "try_element_at; DuckDB subscripts return an empty list).",
+)
