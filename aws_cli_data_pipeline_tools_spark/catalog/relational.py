@@ -1725,3 +1725,29 @@ FROM lo CROSS JOIN hi
     "missing-key semantics (Spark ANSI element_at throws, so "
     "try_element_at; DuckDB subscripts return an empty list).",
 )
+
+register_sql(
+    "agg_percentile_disc",
+    spark_sql="""
+SELECT o_orderstatus,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY o_totalprice) AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    duck_sql="""
+SELECT o_orderstatus,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5)  AS p50,
+       quantile_disc(o_totalprice, 0.9)  AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("agg", "percentile"),
+    notes="Discrete (lower-value) percentiles via ANSI WITHIN GROUP "
+    "ordered-set syntax ≙ DuckDB quantile_disc — returns actual data "
+    "values, so cross-engine equality is exact with no rounding.",
+)
