@@ -49,6 +49,7 @@ HEADLINE = [
     "text_repetition",
     "doc_chunk_windows",
     "embedding_avg_pool",
+    "streaming_tumbling_live",
 ]
 
 
