@@ -1751,3 +1751,33 @@ ORDER BY o_orderstatus
     "ordered-set syntax ≙ DuckDB quantile_disc — returns actual data "
     "values, so cross-engine equality is exact with no rounding.",
 )
+
+register_sql(
+    "conditional_format_funcs",
+    spark_sql="""
+SELECT s_suppkey,
+       nvl(s_acctbal, 0.0)                          AS bal_nvl,
+       nvl2(s_acctbal, 'known', 'unknown')          AS bal_nvl2,
+       nanvl(CAST('NaN' AS DOUBLE), s_acctbal)      AS nan_guard,
+       format_string('%05d:%s', CAST(s_suppkey AS INT), s_name) AS tagged,
+       if(s_acctbal < 0, 'debt', 'credit')          AS bal_if
+FROM supplier
+ORDER BY s_suppkey
+""",
+    duck_sql="""
+SELECT s_suppkey,
+       coalesce(s_acctbal, 0.0)                     AS bal_nvl,
+       CASE WHEN s_acctbal IS NOT NULL THEN 'known' ELSE 'unknown' END
+                                                    AS bal_nvl2,
+       s_acctbal                                    AS nan_guard,
+       printf('%05d:%s', CAST(s_suppkey AS INT), s_name) AS tagged,
+       CASE WHEN s_acctbal < 0 THEN 'debt' ELSE 'credit' END AS bal_if
+FROM supplier
+ORDER BY s_suppkey
+""",
+    tags=("functions", "conditional"),
+    notes="Null-handling sugar (nvl/nvl2/nanvl/if) desugared to the ANSI "
+    "forms on DuckDB, plus printf-style format_string. nanvl replaces "
+    "NaN (not NULL) — exercised with a literal NaN so the twin is the "
+    "replacement column itself.",
+)
