@@ -1781,3 +1781,29 @@ ORDER BY s_suppkey
     "NaN (not NULL) — exercised with a literal NaN so the twin is the "
     "replacement column itself.",
 )
+
+register_sql(
+    "agg_array_collect",
+    spark_sql="""
+SELECT n_regionkey,
+       sort_array(collect_set(substring(n_name, 1, 1))) AS initials,
+       size(collect_set(n_name))                        AS n_distinct_names,
+       sort_array(collect_list(n_nationkey))            AS all_keys
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    duck_sql="""
+SELECT n_regionkey,
+       list_sort(list_distinct(list(substring(n_name, 1, 1)))) AS initials,
+       len(list_distinct(list(n_name)))                 AS n_distinct_names,
+       list_sort(list(n_nationkey))                     AS all_keys
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("aggregation", "array"),
+    notes="Array-building aggregates: collect_set (distinct) and "
+    "collect_list, both sorted for shuffle-order determinism — the "
+    "group-to-array primitive behind feature bagging.",
+)
