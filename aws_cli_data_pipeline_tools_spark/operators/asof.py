@@ -5,12 +5,19 @@ right row with ``right.on <= left.on`` within the same ``by`` group (backward
 as-of; the time-series point-in-time join).
 
 Implementation is the union+window idiom (no Pandas, no per-key collect):
-tag both sides, union on (by, on), and carry the last non-null right-side
-payload forward with ``last(..., ignorenulls=True)`` over a
+tag both sides, union on (by, on), and carry the last right-side payload
+forward with ``last(struct(...), ignorenulls=True)`` over a
 rows-unbounded-preceding window — one shuffle on ``by`` + one sort, identical
 asymptotics to a sort-merge join. Ties (equal timestamps) resolve to the
 right row (right sorts before left at the same instant), matching the
 ``<=`` contract.
+
+All carried right columns travel inside ONE struct, so every output row's
+right-side values (and the matched right timestamp used by the tolerance
+gate) come from the SAME right row. A struct whose fields are all NULL is
+still a non-NULL struct value, so a nearest right row with NULLs attaches
+its own NULLs — the pandas ``merge_asof`` contract — rather than backfilling
+individual columns from older rows.
 
 At scale: partition count follows spark.sql.shuffle.partitions / AQE; a hot
 ``by`` key degrades to a single-partition sort exactly like any windowed op
@@ -21,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -51,26 +59,34 @@ def asof_join(
     ).withColumn("__side", F.lit(0))
 
     carried = [f"{c}{suffix}" for c in right_cols]
-    if tolerance_seconds is not None:
-        # carry the matched right timestamp too, to gate on the gap
-        right_cols = [*right_cols, on]
-        carried = [*carried, "__r_on"]
+    # always carry the matched right timestamp inside the payload struct: the
+    # tolerance gate needs it, and it costs nothing when unused (dropped below)
+    payload_cols = [*right_cols, on]
+    payload_names = [*carried, "__r_on"]
+    payload_type = T.StructType(
+        [
+            T.StructField(n, right.schema[c].dataType)
+            for c, n in zip(payload_cols, payload_names)
+        ]
+    )
+    left_rest = [c for c in left.columns if c not in set(by) | {on}]
     l_norm = l_tag.select(
         *by,
         F.col(on),
         "__side",
-        *[F.lit(None).cast(right.schema[c].dataType).alias(n) for c, n in zip(right_cols, carried)],
-        *[F.col(c) for c in left.columns if c not in set(by) | {on}],
+        F.lit(None).cast(payload_type).alias("__r_payload"),
+        *[F.col(c) for c in left_rest],
     )
     r_norm = r_tag.select(
         *by,
         F.col(on),
         "__side",
-        *[F.col(c).alias(n) for c, n in zip(right_cols, carried)],
+        F.struct(
+            *[F.col(c).alias(n) for c, n in zip(payload_cols, payload_names)]
+        ).alias("__r_payload"),
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-            if c not in set(by) | {on}
+            for c in left_rest
         ],
     )
 
@@ -81,16 +97,21 @@ def asof_join(
         .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.withColumns(
-        {n: F.last(n, ignorenulls=True).over(w) for n in carried}
+    # one ignorenulls fill of the whole struct: all carried values + __r_on
+    # are unpacked from the SAME matched right row
+    filled = unioned.withColumn(
+        "__m", F.last("__r_payload", ignorenulls=True).over(w)
     )
-    out = filled.filter(F.col("__side") == 1).drop("__side")
+    out = filled.filter(F.col("__side") == 1).select(
+        *by,
+        F.col(on),
+        *[F.col(f"__m.{n}").alias(n) for n in payload_names],
+        *[F.col(c) for c in left_rest],
+    )
     if tolerance_seconds is not None:
         gap = F.abs(
             F.col(on).cast("double") - F.col("__r_on").cast("double")
         )
         keep = F.col("__r_on").isNotNull() & (gap <= tolerance_seconds)
-        out = out.withColumns(
-            {n: F.when(keep, F.col(n)) for n in carried if n != "__r_on"}
-        ).drop("__r_on")
-    return out
+        out = out.withColumns({n: F.when(keep, F.col(n)) for n in carried})
+    return out.drop("__r_on")

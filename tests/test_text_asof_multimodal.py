@@ -104,6 +104,38 @@ def test_asof_join_forward_and_tolerance(spark):
         asof_join(left, right, on="ts", by="user_id", direction="nearest")
 
 
+def test_asof_join_null_carried_columns_atomic(spark):
+    """A NULL in the nearest right row must attach as NULL — not backfill
+    that one column from an older right row (and with tolerance, a stale
+    value must never pass the gap gate). Regression for the per-column
+    last(ignorenulls) fill."""
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10))], "event_id bigint, user_id bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(1), 7.0, "old"), (100, _ts(9), None, "new")],
+        "user_id bigint, ts timestamp, value double, tag string",
+    )
+    out = asof_join(left, right, on="ts", by="user_id").collect()[0]
+    # nearest right row (00:09) carries value=NULL, tag='new' — atomically
+    assert out.value_right is None
+    assert out.tag_right == "new"
+    # tolerance: the 00:09 row is within 5 min; its NULL value must stay NULL
+    # (the old 7.0 from 00:01 — 9 min away — must not leak through the gate)
+    tol = asof_join(
+        left, right, on="ts", by="user_id", tolerance_seconds=300
+    ).collect()[0]
+    assert tol.value_right is None
+    assert tol.tag_right == "new"
+    # all-NULL-fields nearest row in both carried columns
+    right2 = spark.createDataFrame(
+        [(100, _ts(1), 7.0, "old"), (100, _ts(9), None, None)],
+        "user_id bigint, ts timestamp, value double, tag string",
+    )
+    out2 = asof_join(left, right2, on="ts", by="user_id").collect()[0]
+    assert out2.value_right is None and out2.tag_right is None
+
+
 def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
