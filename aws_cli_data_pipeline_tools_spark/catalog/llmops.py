@@ -870,12 +870,17 @@ GROUP BY label, pos
 ORDER BY label, pos
 """,
     duck_sql="""
-SELECT label, i - 1 AS pos,
-       round(CAST(sum(CAST(embedding[i] AS DECIMAL(38,10))) AS DOUBLE)
-             / count(embedding[i]), 6) AS avg_v,
+SELECT label, pos,
+       round(CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(v), 6)
+         AS avg_v,
        count(*) AS n_vecs
-FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
-GROUP BY label, i
+FROM (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+GROUP BY label, pos
 ORDER BY label, pos
 """,
     tags=("llmops", "embedding", "aggregation"),

@@ -70,9 +70,16 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         c = F.col(r["column"])
         kind = r["rule"]
         if kind == "not_null":
+            # 0/0 on an empty input errors under ANSI (and is NULL
+            # otherwise); try_divide + coalesce to 0.0 so empty batches
+            # pass vacuously instead of failing or yielding passed=NULL
             basic_exprs.append(
-                (F.count(F.when(c.isNull(), 1)) / F.count(F.lit(1)))
-                .cast("double").alias(f"__m{i}")
+                F.coalesce(
+                    F.try_divide(
+                        F.count(F.when(c.isNull(), 1)), F.count(F.lit(1))
+                    ),
+                    F.lit(0.0),
+                ).cast("double").alias(f"__m{i}")
             )
         elif kind == "unique":
             basic_exprs.append(F.count(c).cast("double").alias(f"__cnt{i}"))

@@ -167,7 +167,9 @@ def write_zordered(
     ZORDER provides; pruning ratios pytest-asserted in test_layout.py).
 
     Cost: one tiny min/max aggregate (1 row to the driver) + the same
-    range-partition shuffle write_sorted pays. Ties and NULLs order last.
+    range-partition shuffle write_sorted pays. NULL cell values encode as
+    bucket 0 (cluster with the low corner); an entirely-NULL column gets a
+    constant code — the write stays valid, that dimension just can't prune.
     """
     from pyspark.sql import functions as F
 
@@ -177,10 +179,19 @@ def write_zordered(
     ).collect()[0]
 
     def scaled(c, lo, hi):
+        if lo is None or hi is None:
+            # entirely-NULL cluster column: no spread to encode — constant
+            # code keeps the write valid (that dimension just can't prune)
+            return F.lit(0).cast("long")
         span = float(hi - lo) or 1.0
         return F.least(
             F.lit(65535),
-            F.floor((F.col(c).cast("double") - F.lit(float(lo))) / span * 65535),
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(float(lo))) / span * 65535
+                ),
+                F.lit(0),  # NULL values in a partially-null column sort first
+            ),
         ).cast("long")
 
     a16 = scaled(col_a, bounds.a_lo, bounds.a_hi)

@@ -36,7 +36,13 @@ def gated_parquet_sink(
         report = quality.check_constraints(batch, rules).collect()
         ok = all(r.passed for r in report)
         dst = good_dir if ok else quarantine_dir
-        batch.write.mode("append").parquet(dst)
+        # Idempotent on micro-batch replay: each batch owns a partition
+        # directory (batch_id=N) and overwrite replaces any partial output
+        # from a failed earlier attempt, so a replayed batch_id never
+        # duplicates rows. Readers see batch_id as a partition column.
+        batch.write.mode("overwrite").parquet(
+            os.path.join(dst, f"batch_id={batch_id}")
+        )
         if not ok:
             os.makedirs(quarantine_dir, exist_ok=True)
             with open(

@@ -93,3 +93,28 @@ def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
     # content preserved
     zn = spark.read.parquet(zdst).count()
     assert zn == li.count()
+
+
+def test_write_zordered_null_columns(spark, tmp_path):
+    from aws_cli_data_pipeline_tools_spark.sources import write_zordered
+
+    # entirely-NULL cluster column: write must succeed (constant code)
+    df = spark.createDataFrame(
+        [(i, None) for i in range(100)], "a int, b double"
+    )
+    dst = str(tmp_path / "all_null")
+    write_zordered(df, dst, "a", "b", n_files=4)
+    assert spark.read.parquet(dst).count() == 100
+
+    # partially-NULL column: NULL cells get code 0, nothing is dropped
+    df2 = spark.createDataFrame(
+        [(i, float(i) if i % 3 else None) for i in range(100)],
+        "a int, b double",
+    )
+    dst2 = str(tmp_path / "some_null")
+    write_zordered(df2, dst2, "a", "b", n_files=4)
+    got = spark.read.parquet(dst2)
+    assert got.count() == 100
+    assert got.filter(F.col("b").isNull()).count() == df2.filter(
+        F.col("b").isNull()
+    ).count()

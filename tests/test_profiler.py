@@ -181,6 +181,25 @@ def test_check_constraints_catches_violations(spark):
         Q.check_constraints(df, [])
 
 
+def test_check_constraints_empty_input_passes_vacuously(spark):
+    from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+
+    df = spark.createDataFrame([], "k int, s string, v double")
+    rows = Q.check_constraints(
+        df,
+        [
+            Q.not_null("k"),          # 0/0 must coalesce to 0.0, not NULL
+            Q.unique("k"),
+            Q.accepted_values("s", ["a"]),
+            Q.in_range("v", 0, 10),
+            Q.satisfies("p", "v > 0", 0),
+        ],
+    ).collect()
+    for r in rows:
+        assert r.passed is True, (r.rule, r.metric)
+        assert r.metric == 0.0
+
+
 def test_observe_metrics_rides_the_write(spark, tmp_path):
     from aws_cli_data_pipeline_tools_spark.operators import quality as Q
 

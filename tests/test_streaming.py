@@ -208,3 +208,19 @@ def test_quality_gate_quarantines_bad_batches(spark, tmp_path):
     rep = json.loads(reports[0].read_text())
     failed = {r["rule"] for r in rep if not r["passed"]}
     assert failed == {"unique", "in_range"}
+
+    # Replay safety: wipe the checkpoint so the same source replays with the
+    # same batch ids — per-batch_id overwrite must not duplicate any rows.
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q2 = gated_parquet_sink(
+        stream,
+        [Q.unique("k"), Q.in_range("v", 0, 100)],
+        good_dir=str(tmp_path / "good"),
+        quarantine_dir=str(tmp_path / "quarantine"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "good")).count() == 2
+    assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 2
