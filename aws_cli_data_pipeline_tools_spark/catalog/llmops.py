@@ -3,9 +3,12 @@ analysis, multimodal columns (SURVEY.md §7 step 6; BASELINE.json north_star).
 
 Oracle-checkable entries get full DuckDB SQL twins (inverted-index jaccard,
 cosine pairs/top-k, text stats, lang-id, fingerprints, canonical dedup).
-Hash-based candidates generation (MinHash/SimHash — xxhash64 has no DuckDB
-equivalent) registers rows-only; its correctness is pytest-verified against
-the exact operators on planted duplicates.
+The MinHash/SimHash family runs in ``portable=True`` mode here (md5-derived
+60-bit hashes instead of xxhash64), so the full pipeline — shingle hashes,
+a·h+b mod p signatures, LSH bands, pigeonhole blocks, exact verification —
+is replayed as generated DuckDB SQL with the same seeded parameters; only
+genuinely sketch-valued entries (HLL, frequent-items, LSH/IVF ANN) remain
+rows-only with pytest/recall invariants.
 """
 
 from __future__ import annotations
@@ -208,13 +211,91 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable-hash MinHash/SimHash oracles: the Spark side runs portable=True
+# (md5-derived hashes, functions.portable_hash64) and the DuckDB SQL below is
+# GENERATED with the same seeded (a_i, b_i) draw (functions.minhash_params),
+# replaying hash → signature → band → exact-verify arithmetic bit-for-bit.
+
+_DUCK_P = 2147483647  # functions.MINHASH_PRIME
+
+
+def _duck_phash(expr: str) -> str:
+    """DuckDB twin of functions.portable_hash64 (first 15 md5 hex → int64)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _duck_minhash_sig_cte(num_perm: int, seed: int) -> str:
+    """CTE chain ``docs → shw → hsd → sig``: distinct 3-word shingles,
+    portable hashes mod p, and the num_perm-entry MinHash signature."""
+    from ..functions import minhash_params
+
+    sig_entries = ",\n    ".join(
+        f"list_min(list_transform(hsh, h -> ({a}*h + {b}) % {_DUCK_P}))"
+        for a, b in minhash_params(num_perm, seed)
+    )
+    return f"""docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+), shw AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM docs WHERE len(words) >= 3
+), hsd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(shingles,
+             s -> {_duck_phash('s')} % {_DUCK_P})) AS hsh
+  FROM shw
+), sig AS (
+  SELECT doc_id, hsh, [
+    {sig_entries}
+  ] AS sig FROM hsd WHERE len(hsh) > 0
+)"""
+
+
+def _duck_band_cte(num_perm: int, bands: int) -> str:
+    """CTE ``bands``: one (doc_id, band-key) row per band; the key encodes
+    the band index plus that band's signature slice, so equality ⇔ same LSH
+    bucket (Spark keys on xxhash64 of the slice — same equivalence)."""
+    rpb = num_perm // bands
+    parts = " || ',' || ".join(
+        f"CAST(sig[{rpb}*b + {j + 1}] AS VARCHAR)" for j in range(rpb)
+    )
+    return f"""bands AS (
+  SELECT doc_id, unnest(list_transform(generate_series(0, {bands - 1}),
+      b -> CAST(b AS VARCHAR) || ':' || {parts})) AS bk
+  FROM sig
+)"""
+
+
+_DUCK_MINHASH_SCORE = """
+         round(len(list_filter(generate_series(1, {np}),
+               i -> sa.sig[i] = sb.sig[i])) / {np}.0, 6) AS est_jaccard,
+         round(len(list_intersect(sa.hsh, sb.hsh))
+               / CAST(len(list_distinct(list_concat(sa.hsh, sb.hsh))) AS DOUBLE),
+               6) AS jaccard"""
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # xxhash64 signatures have no DuckDB twin — rows-only +
-    # pytest parity with dedup_ngram_jaccard on the same threshold.
+    oracle=f"""
+WITH {_duck_minhash_sig_cte(64, 1)}, {_duck_band_cte(64, 32)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk)
+  WHERE a.doc_id < b.doc_id
+), scored AS (
+  SELECT c.id_a, c.id_b,{_DUCK_MINHASH_SCORE.format(np=64)}
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY id_a, id_b
+""",
     tags=("llmops", "dedup"),
     notes="MinHash(64 perms) + LSH(32 bands × 2 rows) candidates, exact "
-    "Jaccard verified ≥ 0.5. Candidate recall at j=0.5 is 1-(1-0.5²)³² ≈ 0.9999.",
+    "Jaccard verified ≥ 0.5; portable md5-hash mode so the DuckDB oracle "
+    "replays signatures/banding with the identical seeded parameter draw. "
+    "Candidate recall at j=0.5 is 1-(1-0.5²)³² ≈ 0.9999.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(
@@ -223,17 +304,63 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=64,
         bands=32,
         threshold=0.5,
+        portable=True,
     )
+
+
+def _duck_simhash_sql() -> str:
+    """Generated SimHash oracle: 60-bit portable word hashes, per-bit ±1
+    votes, packed signature, 4-block pigeonhole candidates, Hamming ≤ 3."""
+    votes = ",\n    ".join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for i in range(60)
+    )
+    blocks = ", ".join(
+        f"CAST({b} AS VARCHAR) || ':' || CAST((sim // {1 << (16 * b)}) % 65536 AS VARCHAR)"
+        for b in range(4)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS wrd
+  FROM documents
+), hh AS (
+  SELECT doc_id, {_duck_phash('wrd')} AS h FROM w
+), v AS (
+  SELECT doc_id,
+    {votes}
+  FROM hh GROUP BY doc_id
+), s AS (
+  SELECT doc_id, ({packed}) AS sim FROM v
+), blocks AS (
+  SELECT doc_id, sim, unnest([{blocks}]) AS bk FROM s
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sim AS sim_a, b.sim AS sim_b
+  FROM blocks a JOIN blocks b USING (bk)
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64-based — rows-only; pytest covers planted dups.
+    oracle=_duck_simhash_sql(),
     tags=("llmops", "dedup"),
-    notes="64-bit SimHash, Hamming ≤ 3 via pigeonhole 4-block join.",
+    notes="SimHash (60 effective bits in portable md5-hash mode), Hamming "
+    "≤ 3 via pigeonhole 4-block join; oracle replays the per-bit vote and "
+    "block arithmetic.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+    return dedup.simhash_pairs(
+        load_table(spark, "documents", sf_dir), max_hamming=3, portable=True
+    )
 
 
 _DUCK_DOT = (
@@ -653,15 +780,28 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_incremental_minhash",
-    oracle=None,  # xxhash64 banding + numpy permutations: not DuckDB-replayable;
-    # pytest proves probe ≡ cross-pair slice of the full LSH self-join
+    oracle=f"""
+WITH {_duck_minhash_sig_cte(64, 1)}, {_duck_band_cte(64, 16)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS corpus_id, b.doc_id AS batch_id
+  FROM bands a JOIN bands b USING (bk)
+  WHERE a.doc_id % 10 != 0 AND b.doc_id % 10 = 0
+), scored AS (
+  SELECT c.corpus_id, c.batch_id,{_DUCK_MINHASH_SCORE.format(np=64)}
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.corpus_id
+  JOIN sig sb ON sb.doc_id = c.batch_id
+)
+SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY corpus_id, batch_id
+""",
     tags=("llmops", "dedup", "incremental"),
     notes="Incremental ingestion dedup (operators/dedup.build_minhash_index "
     "+ minhash_index_probe): 90% of documents become a persisted LSH index "
     "(docs + range-clustered band table); the remaining 10% probe it as a "
     "new batch — batch signatures broadcast against the band scan, corpus "
-    "never re-shingled or shuffled. Rows-only by design (same reason as "
-    "dedup_minhash_lsh).",
+    "never re-shingled or shuffled. Portable md5-hash mode; the oracle "
+    "replays the corpus/batch band join (16 bands × 4 rows) and exact "
+    "verification with the same seeded parameters.",
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
@@ -676,8 +816,8 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
     )
-    build_minhash_index(corpus, path)
-    return minhash_index_probe(spark, path, batch)
+    build_minhash_index(corpus, path, portable=True)
+    return minhash_index_probe(spark, path, batch, portable=True)
 
 
 @register(

@@ -59,16 +59,41 @@ def word_shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
 MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2^31 - 1
 
 
-def shingle_hashes(shingles: Column) -> Column:
-    """xxhash64 of each shingle, reduced mod MINHASH_PRIME.
+def portable_hash64(col: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as int64.
+
+    The cross-engine twin is DuckDB's
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`` — identical
+    values, which is what lets MinHash/SimHash register real DuckDB oracles
+    (same discipline as sampling.hash_bucket_expr). 15 hex chars = 60 bits
+    keeps the value positive in a signed long. ~2-3× the cost of xxhash64,
+    so the non-portable default stays xxhash64 on hot paths.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) universal-hash parameter draw shared by every MinHash
+    implementation in this repo (expression, Arrow UDF, and the generated
+    DuckDB oracle SQL) — one definition so they can never drift."""
+    rnd = __import__("random").Random(seed)
+    p = MINHASH_PRIME
+    return [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+
+
+def shingle_hashes(shingles: Column, portable: bool = False) -> Column:
+    """Per-shingle int64 hash reduced mod MINHASH_PRIME — xxhash64 by
+    default, md5-derived (``portable_hash64``) when ``portable`` so a DuckDB
+    oracle can replay the arithmetic.
 
     Materialize this as its OWN column before calling
     ``minhash_signature_from_hashes``: lambda subtrees are not
     common-subexpression-eliminated, so hashing inline inside each of the
     num_perm transforms would re-hash every shingle string num_perm times.
     """
+    h = portable_hash64 if portable else F.xxhash64
     return F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_PRIME))
+        shingles, lambda s: F.pmod(h(s), F.lit(MINHASH_PRIME))
     )
 
 
@@ -83,8 +108,7 @@ def minhash_signature_from_hashes(
     scale-path for MinHash on 100 TB of documents.
     """
     p = MINHASH_PRIME
-    rnd = __import__("random").Random(seed)
-    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    params = minhash_params(num_perm, seed)
 
     def perm_min(a: int, b: int):
         return F.array_min(
@@ -130,8 +154,7 @@ def minhash_signatures_arrow(num_perm: int = 64, seed: int = 1):
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
     p = MINHASH_PRIME
-    rnd = __import__("random").Random(seed)
-    params = [(rnd.randrange(1, p), rnd.randrange(0, p)) for _ in range(num_perm)]
+    params = minhash_params(num_perm, seed)
     a_arr = np.array([a for a, _ in params], dtype=np.int64)
     b_arr = np.array([b for _, b in params], dtype=np.int64)
 

@@ -25,6 +25,7 @@ from ..functions import (
     MINHASH_PRIME,
     hamming64,
     minhash_signatures_arrow,
+    portable_hash64,
     shingle_hashes,
     vec_dot,
     vec_norm,
@@ -266,6 +267,7 @@ def minhash_sides(
     k: int = 3,
     num_perm: int = 64,
     seed: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-document (id, shingle-hash set, MinHash signature) frame — the
     shared front half of LSH pair generation and the persisted index.
@@ -278,12 +280,16 @@ def minhash_sides(
     don't each re-run shingling (3 scans otherwise). Empty-shingle docs are
     dropped (they can never be near-dups; keeping them would bucket every
     empty doc together on the sentinel signature).
+
+    ``portable=True`` swaps xxhash64 shingle hashing for the md5-derived
+    ``portable_hash64`` so the whole pipeline (hashes → signatures → bands →
+    exact Jaccard) is replayable as DuckDB SQL — the oracle-checked mode.
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingle_hashes(word_shingles(F.col(text_col), k))).alias(
-            "hsh"
-        ),
+        F.array_distinct(
+            shingle_hashes(word_shingles(F.col(text_col), k), portable=portable)
+        ).alias("hsh"),
     )
     return (
         shingled.filter(F.size("hsh") > 0)
@@ -326,6 +332,8 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     verify_exact: bool = True,
+    seed: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash + LSH banding candidate pairs, optionally exact-verified.
 
@@ -342,7 +350,7 @@ def minhash_lsh_pairs(
     mode (``verify_exact=False``) returns banding candidates with the
     signature-agreement estimate.
     """
-    sides = minhash_sides(df, id_col, text_col, k, num_perm)
+    sides = minhash_sides(df, id_col, text_col, k, num_perm, seed, portable)
     band_entries = minhash_band_entries(sides, num_perm, bands)
 
     cand = (
@@ -388,6 +396,7 @@ def build_minhash_index(
     bands: int = 16,
     seed: int = 1,
     n_files: int = 8,
+    portable: bool = False,
 ) -> None:
     """Persist a MinHash-LSH dedup index for incremental ingestion: the
     per-doc frame (``docs/``: id, shingle-hash set, signature) plus the
@@ -398,7 +407,7 @@ def build_minhash_index(
     :func:`minhash_index_probe` without re-shingling or self-joining the
     corpus — the 100 TB ingestion pattern (the IVF analog for text).
     """
-    sides = minhash_sides(df, id_col, text_col, k, num_perm, seed)
+    sides = minhash_sides(df, id_col, text_col, k, num_perm, seed, portable)
     sides.write.mode("overwrite").parquet(f"{path}/docs")
     (
         minhash_band_entries(sides, num_perm, bands)
@@ -420,6 +429,7 @@ def minhash_index_probe(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 1,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs between a new ``batch`` and an indexed corpus
     (:func:`build_minhash_index` with the SAME k/num_perm/bands/seed).
@@ -431,7 +441,7 @@ def minhash_index_probe(
     (corpus_id, batch_id, est_jaccard, jaccard ≥ threshold), exact-verified
     on the stored shingle-hash sets.
     """
-    batch_sides = minhash_sides(batch, id_col, text_col, k, num_perm, seed)
+    batch_sides = minhash_sides(batch, id_col, text_col, k, num_perm, seed, portable)
     batch_bands = minhash_band_entries(batch_sides, num_perm, bands)
 
     idx_bands = spark.read.parquet(f"{path}/bands")
@@ -482,6 +492,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball of ``max_hamming``.
 
@@ -489,6 +500,11 @@ def simhash_pairs(
     blocks; any pair within distance d ≤ max_hamming agrees exactly on at
     least one block, so an equi-join per block finds all such pairs with no
     O(n²) scan. Distance verified with xor+bit_count.
+
+    ``portable=True`` hashes words with the 60-bit md5-derived
+    ``portable_hash64`` instead of xxhash64 (bits 60-63 of the signature
+    are then constantly 0 — harmless for both pigeonhole completeness and
+    Hamming distances), making the operator DuckDB-oracle-replayable.
     """
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
@@ -497,10 +513,11 @@ def simhash_pairs(
     # and map-side combined — per-word rows never cross the wire, only
     # (id, 64 ints) partials do. Same result, ~10× faster.
     masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    word_hash = portable_hash64 if portable else F.xxhash64
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
-    ).withColumn("h", F.xxhash64("w")).drop("w")
+    ).withColumn("h", word_hash(F.col("w"))).drop("w")
     votes = words.groupBy("id").agg(
         *[
             F.sum(

@@ -87,6 +87,57 @@ def test_minhash_matches_exact_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_portable_mode_matches_xxhash_pair_sets(spark, sf_dir):
+    """portable=True (md5 hashes, the oracle-checked mode) must find the
+    same verified near-dup pair sets as the xxhash64 default — the hash
+    family changes, the exact-Jaccard contract doesn't."""
+    docs = load_table(spark, "documents", sf_dir)
+    for portable in (False, True):
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.minhash_lsh_pairs(
+                docs, k=3, num_perm=64, bands=32, threshold=0.5,
+                portable=portable,
+            ).collect()
+        }
+        if portable:
+            assert got == base
+        else:
+            base = got
+    # portable simhash: planted identical/permuted docs still at distance 0
+    planted = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "zeta epsilon delta gamma beta alpha"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup.simhash_pairs(planted, max_hamming=3, portable=True).collect()
+    }
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    """The Spark conv(md5) expression and the DuckDB hex-cast twin must
+    agree value-for-value — the foundation of every portable-hash oracle."""
+    import duckdb
+
+    from aws_cli_data_pipeline_tools_spark.functions import portable_hash64
+
+    vals = ["", "a", "alpha beta gamma", "日本語", "x" * 500]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", [v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
 def test_simhash_identical_distance_zero(planted):
     pairs = {
         (r.id_a, r.id_b): r.hamming
