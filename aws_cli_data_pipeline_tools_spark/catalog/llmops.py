@@ -967,6 +967,134 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.sniff_audio_headers(media).orderBy("media_id")
 
 
+def _bmp_header_hex(w: int, h: int) -> str:
+    """Constant BITMAPFILEHEADER+BITMAPINFOHEADER for a 24-bit BI_RGB w×h
+    BMP, as hex for a JVM unhex literal (layout per the public spec)."""
+    import struct
+
+    row_size = ((24 * w + 31) // 32) * 4
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + row_size * h, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h, 0, 0, 0, 0)
+    )
+    return hdr.hex().upper()
+
+
+@register(
+    "multimodal_bmp_pixels",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4) % 256 AS DOUBLE)) AS bs,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4 + 1) % 256 AS DOUBLE)) AS gs,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4 + 2) % 256 AS DOUBLE)) AS rs
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_sum(bs)/6.0 AS mb, list_sum(gs)/6.0 AS mg, list_sum(rs)/6.0 AS mr
+  FROM m
+)
+SELECT doc_id AS media_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST(6 AS INT) AS n_pixels,
+       round(mb, 6) AS mean_b, round(mg, 6) AS mean_g, round(mr, 6) AS mean_r,
+       round(0.299*mr + 0.587*mg + 0.114*mb, 6) AS mean_luma
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL BMP pixel decode (operators/multimodal.decode_bmp_pixels): "
+    "valid 3×2 24-bit BI_RGB payloads packed from doc_id arithmetic with "
+    "JVM expressions (bottom-up rows, 4-byte padding), decoded back by the "
+    "numpy row-walk; the oracle replays the per-pixel channel arithmetic. "
+    "Closes the uncompressed half of the decode_media stub.",
+)
+def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def b1(col):  # 1-byte binary of an int expression in [0, 256)
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), 2, "0"))
+
+    parts = [F.unhex(F.lit(_bmp_header_hex(3, 2)))]
+    for y in (1, 0):  # positive height ⇒ rows stored bottom-up
+        for x in range(3):
+            for c in range(3):
+                parts.append(
+                    b1((F.col("doc_id") * 7 + y * 16 + x * 4 + c) % 256)
+                )
+        parts.append(F.unhex(F.lit("000000")))  # row pad: 9 → 12 bytes
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
+    )
+    out = multimodal.decode_bmp_pixels(media)
+    return out.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_wav_pcm",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, list_transform(generate_series(0, 7),
+      i -> CAST((doc_id*13 + i*5) % 2001 - 1000 AS DOUBLE)) AS smp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 8)*1000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels, CAST(8 AS BIGINT) AS n_frames,
+       round(list_sum(list_transform(smp, x -> abs(x)))/8.0, 6) AS mean_abs,
+       round(sqrt(list_sum(list_transform(smp, x -> x*x))/8.0), 6) AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL WAV PCM decode (operators/multimodal.decode_wav_samples): "
+    "valid 16-bit mono PCM payloads (8 signed samples from doc_id "
+    "arithmetic, packed little-endian two's-complement with JVM "
+    "expressions) decoded back by the numpy frame parse; the oracle "
+    "replays the amplitude statistics. Audio twin of multimodal_bmp_pixels.",
+)
+def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def le(col, n_bytes):  # n-byte little-endian binary of an int expression
+        hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+        rev = F.concat(
+            *[F.substring(hx, i * 2 + 1, 2) for i in range(n_bytes - 1, -1, -1)]
+        )
+        return F.unhex(rev)
+
+    rate = F.lit(8000) + (F.col("doc_id") % 8) * 1000
+    parts = [
+        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(36 + 16), 4),
+        F.encode(F.lit("WAVE"), "utf-8"),
+        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
+        le(F.lit(1), 2), le(F.lit(1), 2), le(rate, 4), le(rate * 2, 4),
+        le(F.lit(2), 2), le(F.lit(16), 2),
+        F.encode(F.lit("data"), "utf-8"), le(F.lit(16), 4),
+    ]
+    for i in range(8):
+        s_i = (F.col("doc_id") * 13 + i * 5) % 2001 - 1000
+        parts.append(le((s_i + 65536) % 65536, 2))  # two's complement int16
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
+    )
+    out = multimodal.decode_wav_samples(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "n_frames",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    ).orderBy("media_id")
+
+
 @register(
     "dedup_cluster_groups_exact",
     oracle=f"""

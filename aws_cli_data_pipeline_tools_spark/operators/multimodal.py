@@ -3,11 +3,17 @@
 Design (north-star): image/audio/video cells are ``binary`` columns paired
 with a typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so executors stream batches
-without materializing whole partitions. The actual codec step is STUBBED
-(image/audio libraries are not in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, which substitutes a
-deterministic fake decoder so the Spark-side plumbing — schema, batching,
-partitioning — is real and testable end-to-end.
+without materializing whole partitions.
+
+Decode coverage: the UNCOMPRESSED formats decode for real — BMP pixel rows
+(``decode_bmp_pixels``) and WAV PCM sample frames (``decode_wav_samples``)
+are pure byte arithmetic from the public specs, no codec library needed —
+and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by
+the sniffers below. Only compressed-codec payload decode (PNG/JPEG/GIF
+pixels, FLAC/MP3 samples) remains stubbed: those libraries are not in this
+container, so ``decode_media`` raises ``NotImplementedError`` for them
+unless ``fake=True`` substitutes the deterministic fake decoder (keeps the
+Spark-side plumbing — schema, batching, partitioning — testable end-to-end).
 
 MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
 payloads in parquet binary columns (or pointers to object storage), metadata
@@ -63,23 +69,208 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feature
 
 
+def _decode_bmp_array(b: bytes):
+    """Real BMP pixel decode → (width, height, HxWx3 uint8 array in logical
+    top-down BGR order), or None if not a decodable BMP.
+
+    Covers the uncompressed common case — BITMAPINFOHEADER (or larger), 24
+    bits per pixel, BI_RGB — with pure byte arithmetic from the public spec:
+    pixel data offset at file-header bytes 10-13, rows padded to 4 bytes,
+    positive height stored bottom-up (negative = top-down DIB).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    hdr_size = struct.unpack("<I", b[14:18])[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    comp = struct.unpack("<I", b[30:34])[0]
+    if comp != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    height = abs(h)
+    row_size = ((bpp * w + 31) // 32) * 4
+    if len(b) < data_off + row_size * height:
+        return None
+    rows = np.frombuffer(
+        b, dtype=np.uint8, offset=data_off, count=row_size * height
+    ).reshape(height, row_size)
+    px = rows[:, : w * 3].reshape(height, w, 3)
+    return w, height, (px[::-1] if h > 0 else px)
+
+
+def _decode_wav_array(b: bytes):
+    """Real WAV PCM decode → (sample_rate, channels, n_frames, float64
+    sample array), or None if not PCM WAV.
+
+    RIFF chunk walk (same as ``_sniff_audio``), then raw frames: format tag
+    1 (PCM) only; 16-bit samples are signed little-endian, 8-bit unsigned
+    centered at 128 — both per the public RIFF/WAVE spec, no codec library.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, fmt = 12, None
+    data = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = struct.unpack("<I", b[i + 4 : i + 8])[0]
+        if cid == b"fmt " and i + 24 <= len(b):
+            tag, channels, rate = struct.unpack("<HHI", b[i + 8 : i + 16])
+            block_align, bits = struct.unpack("<HH", b[i + 20 : i + 24])
+            fmt = (tag, channels, rate, block_align, bits)
+        elif cid == b"data":
+            data = b[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        return None
+    tag, channels, rate, block_align, bits = fmt
+    if tag != 1 or channels < 1 or bits not in (8, 16):
+        return None
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    n_frames = len(data) // block_align if block_align else 0
+    return rate, channels, n_frames, samples
+
+
+def decode_bmp_pixels(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode for BMP payloads (24-bit BI_RGB), Arrow-batched:
+    per item → (width, height, n_pixels, per-channel means, Rec.601 mean
+    luma). Non-BMP / truncated payloads yield NULL stats rows (they are
+    data, not errors, at corpus scale). Pixel means are orientation- and
+    padding-invariant by construction; ``_decode_bmp_array`` preserves
+    logical row order for future per-pixel stages.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "width": [], "height": [],
+                "n_pixels": [], "mean_b": [], "mean_g": [], "mean_r": [],
+                "mean_luma": [],
+            }
+            for p in pdf[payload_col]:
+                dec = _decode_bmp_array(bytes(p))
+                if dec is None:
+                    for k in ("width", "height", "n_pixels", "mean_b",
+                              "mean_g", "mean_r", "mean_luma"):
+                        out[k].append(None)
+                    continue
+                w, h, px = dec
+                chan = px.reshape(-1, 3).astype("float64")
+                mb, mg, mr = (chan[:, c].mean() for c in range(3))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_b"].append(mb)
+                out["mean_g"].append(mg)
+                out["mean_r"].append(mr)
+                out["mean_luma"].append(0.299 * mr + 0.587 * mg + 0.114 * mb)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "width int, height int, n_pixels int, mean_b double, mean_g double, "
+        "mean_r double, mean_luma double",
+    )
+
+
+def decode_wav_samples(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL PCM decode for WAV payloads (8/16-bit), Arrow-batched: per item
+    → (sample_rate, channels, n_frames, mean |amplitude|, RMS, peak). The
+    audio twin of ``decode_bmp_pixels``; non-PCM / truncated payloads yield
+    NULL stats rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "sample_rate": [], "channels": [],
+                "n_frames": [], "mean_abs": [], "rms": [], "peak": [],
+            }
+            for p in pdf[payload_col]:
+                dec = _decode_wav_array(bytes(p))
+                if dec is None or dec[3].size == 0:
+                    for k in ("sample_rate", "channels", "n_frames",
+                              "mean_abs", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, channels, n_frames, s = dec
+                a = np.abs(s)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["n_frames"].append(n_frames)
+                out["mean_abs"].append(a.mean())
+                out["rms"].append(float(np.sqrt((s * s).mean())))
+                out["peak"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "sample_rate int, channels int, n_frames bigint, mean_abs double, "
+        "rms double, peak int",
+    )
+
+
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode binary payloads into per-item features via mapInPandas.
 
     Arrow-batched: each executor receives pandas batches of (media_id,
     media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
-    The real decode path is a stub — see module docstring.
+
+    Real decode paths: BMP pixels (feature = per-channel means + Rec.601
+    luma, /255) and WAV PCM samples (feature = mean|s| / RMS / peak,
+    /32768). Compressed codecs (PNG/JPEG/GIF pixels, FLAC/MP3 samples) have
+    no library in this container: such payloads raise ``NotImplementedError``
+    from the executor unless ``fake=True`` substitutes the deterministic
+    fake decoder for them.
     """
-    if not fake:
-        raise NotImplementedError(
-            "real image/audio decode requires codec libraries not present in "
-            "this environment; pass fake=True for the deterministic test decoder"
-        )
+
+    def decode_one(p: bytes) -> tuple:
+        bmp = _decode_bmp_array(p)
+        if bmp is not None:
+            w, h, px = bmp
+            chan = px.reshape(-1, 3).astype("float64")
+            mb, mg, mr = (chan[:, c].mean() for c in range(3))
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+        wav = _decode_wav_array(p)
+        if wav is not None and wav[3].size:
+            import numpy as np
+
+            _, _, _, s = wav
+            a = np.abs(s)
+            stats = [a.mean(), float(np.sqrt((s * s).mean())), float(a.max())]
+            return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
+        if not fake:
+            raise NotImplementedError(
+                "payload is not an uncompressed BMP/WAV; compressed-codec "
+                "decode requires libraries not present in this environment "
+                "(pass fake=True for the deterministic test decoder)"
+            )
+        return _fake_decode(p)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf["payload"]
-            decoded = [_fake_decode(bytes(p)) for p in payloads]
+            decoded = [decode_one(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

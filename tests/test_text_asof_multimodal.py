@@ -136,11 +136,95 @@ def test_asof_join_null_carried_columns_atomic(spark):
     assert out2.value_right is None and out2.tag_right is None
 
 
+def _bmp_bytes(w, h, pixel_fn, top_down=False):
+    """Handcrafted 24-bit BI_RGB BMP: pixel_fn(x, y) -> (b, g, r)."""
+    import struct
+
+    row_size = ((24 * w + 31) // 32) * 4
+    hdr = b"BM" + struct.pack("<IHHI", 54 + row_size * h, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        row_size * h, 0, 0, 0, 0,
+    )
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    rows = []
+    for y in ys:
+        row = b"".join(bytes(pixel_fn(x, y)) for x in range(w))
+        rows.append(row + b"\x00" * (row_size - 3 * w))
+    return hdr + info + b"".join(rows)
+
+
+def _wav_bytes(rate, channels, samples, bits=16):
+    """Handcrafted PCM WAV (16-bit signed LE or 8-bit unsigned)."""
+    import struct
+
+    if bits == 16:
+        data = b"".join(struct.pack("<h", s) for s in samples)
+    else:
+        data = bytes(s + 128 for s in samples)
+    block = channels * bits // 8
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_bmp_pixels_real(spark):
+    # orientation: bottom-up storage must come back in logical top-down order
+    bot = _bmp_bytes(3, 2, lambda x, y: (x, 10 * y, 100 + x + y))
+    top = _bmp_bytes(3, 2, lambda x, y: (x, 10 * y, 100 + x + y), top_down=True)
+    w, h, px = multimodal._decode_bmp_array(bot)
+    assert (w, h) == (3, 2)
+    assert tuple(px[0, 0]) == (0, 0, 100)    # logical top-left (y=0)
+    assert tuple(px[1, 2]) == (2, 10, 103)   # logical bottom-right (y=1)
+    _, _, px_td = multimodal._decode_bmp_array(top)
+    assert (px == px_td).all()
+    df = spark.createDataFrame(
+        [(1, bot), (2, b"not a bmp")], "media_id bigint, payload binary"
+    )
+    out = {r.media_id: r for r in multimodal.decode_bmp_pixels(df).collect()}
+    assert out[1].n_pixels == 6
+    assert out[1].mean_b == 1.0            # mean of x over 3x2 grid
+    assert out[1].mean_g == 5.0            # mean of 10*y
+    assert out[1].mean_r == 101.5          # 100 + mean(x+y)
+    assert abs(
+        out[1].mean_luma - (0.299 * 101.5 + 0.587 * 5.0 + 0.114 * 1.0)
+    ) < 1e-12
+    assert out[2].width is None and out[2].mean_b is None
+
+
+def test_decode_wav_samples_real(spark):
+    s16 = [0, 1000, -1000, 32767, -32768]
+    w16 = _wav_bytes(16000, 1, s16)
+    w8 = _wav_bytes(8000, 1, [-128, 0, 127], bits=8)
+    df = spark.createDataFrame(
+        [(1, w16), (2, w8), (3, b"RIFFjunk")], "media_id bigint, payload binary"
+    )
+    out = {r.media_id: r for r in multimodal.decode_wav_samples(df).collect()}
+    assert (out[1].sample_rate, out[1].channels, out[1].n_frames) == (16000, 1, 5)
+    assert out[1].mean_abs == sum(abs(s) for s in s16) / 5
+    assert out[1].peak == 32768
+    assert abs(out[1].rms - (sum(s * s for s in s16) / 5) ** 0.5) < 1e-9
+    assert (out[2].sample_rate, out[2].n_frames, out[2].peak) == (8000, 3, 128)
+    assert out[3].sample_rate is None
+
+
 def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(df)
+    # compressed/unknown payloads still raise (from the executor) without fake
+    with pytest.raises(Exception, match="not an uncompressed BMP/WAV"):
+        multimodal.decode_media(df).collect()
+    # real path: a BMP payload decodes without fake
+    bmp_df = spark.createDataFrame(
+        [(9, "image", _bmp_bytes(2, 2, lambda x, y: (255, 0, 0)))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    real = multimodal.decode_media(bmp_df).collect()[0]
+    assert (real.width, real.height) == (2, 2)
+    assert real.feature[0] == 1.0  # mean_b / 255
     out = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
     assert out[1].n_bytes == len(b"payload-one")
     assert len(out[1].feature) == 8
