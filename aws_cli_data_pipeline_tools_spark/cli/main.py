@@ -118,10 +118,14 @@ def main(argv: list[str] | None = None) -> int:
         df = engine.workgroups()
         if args.name:
             df = df.filter(df.name == args.name)
-            if df.count() == 0:
-                print(f"workgroup not found: {args.name}", file=sys.stderr)
-                return 1
-        print(engine.render(df, args.max_rows), end="")
+        # single fetch: render once and detect not-found from the rendered
+        # text (header-only ⇒ zero data rows) instead of a separate count()
+        # job that would execute the query twice
+        out = engine.render(df, args.max_rows)
+        if args.name and out.count("\n") <= 1:
+            print(f"workgroup not found: {args.name}", file=sys.stderr)
+            return 1
+        print(out, end="")
         return 0
 
     if args.tool == "catalog":

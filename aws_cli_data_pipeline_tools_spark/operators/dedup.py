@@ -576,6 +576,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a duplicate-pair graph → dedup groups.
 
@@ -589,15 +590,28 @@ def dedup_clusters(
     overwhelmingly tiny cliques/chains, so 3-4 rounds typically suffice; the
     loop exits early on convergence (count of changed labels == 0 — a cheap
     action on the aggregated frame, not a collect of labels).
+
+    Lineage across rounds must be cut (else round N re-executes the whole
+    upstream pair generation N times). Default is ``localCheckpoint`` —
+    executor-local blocks, fine in local mode but lost with an executor on
+    a real cluster (the truncated lineage cannot recompute them). Pass
+    ``checkpoint_dir`` for the long-running-cluster path: reliable
+    ``checkpoint()`` to that fault-tolerant directory (HDFS/object store),
+    surviving executor loss mid-iteration.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _materialize(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        # materialize once: every propagation round joins edges, and without
-        # this the whole upstream pair-generation pipeline (MinHash/LSH…)
-        # would re-execute per round.
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -620,7 +634,7 @@ def dedup_clusters(
                 (F.col("nbr_label") < F.col("label")).alias("changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        new_labels = _materialize(new_labels)  # cut lineage per round
         n_changed = new_labels.filter("changed").count()
         labels = new_labels.drop("changed")
         if n_changed == 0:

@@ -30,6 +30,30 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert len(out) == n + 1
 
 
+def test_dedup_clusters_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir path: same labels as the localCheckpoint default, and
+    RDD checkpoint files actually land in the fault-tolerant directory —
+    the executor-loss-safe mode for long cluster runs."""
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)] + [(20, 21)], "id_a bigint, id_b bigint"
+    )
+    out = {
+        r.id: r.group_id
+        for r in dedup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    want = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
+    assert out == want
+    assert set(out.values()) == {0, 20}
+    # reliable checkpoints were written (not executor-local blocks)
+    written = [
+        os.path.join(d, f) for d, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert written, "no checkpoint files in checkpoint_dir"
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """bucketBy co-located join: both sides bucketed on the key → the join
     plans with zero Exchange nodes (the 100 TB repeated-join layout)."""

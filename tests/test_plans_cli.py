@@ -67,8 +67,17 @@ def test_cli_vimdiff(capsys, monkeypatch, sf_dir):
 def test_cli_workgroups_and_functions(capsys):
     assert cli_main(["workgroups"]) == 0
     assert "primary" in capsys.readouterr().out
+    assert cli_main(["workgroups", "primary"]) == 0
+    assert "primary" in capsys.readouterr().out
     assert cli_main(["workgroups", "missing-wg"]) == 1
     capsys.readouterr()
+    # single-fetch discipline: the workgroups path must not run the query
+    # twice via a separate count() before rendering
+    import inspect
+
+    from aws_cli_data_pipeline_tools_spark.cli import main as cli_mod
+
+    assert ".count()" not in inspect.getsource(cli_mod)
     assert cli_main(["functions", "list"]) == 0  # empty registry: no output
     assert cli_main(["functions", "invoke", "nope", "{}"]) == 1
 

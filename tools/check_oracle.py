@@ -6,6 +6,13 @@ the strictest plausible discipline (exact match on canonicalized values after
 sorting columns by name and rows by full content), so anything passing here
 passes any order-insensitive value hash.
 
+Entries WITHOUT an oracle (sketch/approximate/iterative results DuckDB can't
+replay) are still checked: ``INVARIANTS`` maps each such name to a verifier
+that asserts its mathematical contract against exact DuckDB ground truth —
+GK rank-error bounds, HLL ±5%% envelopes, ANN recall vs the exact oracle,
+closure equality, exact-while-tracked heavy hitters. A rows-only entry with
+no invariant is reported as such; the goal state is zero of those.
+
 Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
 """
 
@@ -17,6 +24,179 @@ import time
 import traceback
 
 sys.path.insert(0, ".")
+
+
+# --------------------------------------------------------------- invariants
+
+def _rel_close(a: float, b: float, tol: float = 1e-9) -> bool:
+    return abs(a - b) <= tol * max(1.0, abs(a), abs(b))
+
+
+def _inv_profile_approx(spark, sf_dir, con, rows, cols, specs):
+    """Approx profiler: every stat except the median must equal DuckDB's
+    exact value (to rounding); the GK median must lie within the rank-error
+    band [quantile(0.5-eps), quantile(0.5+eps)]. Band eps is 0.005 — ~50×
+    the nominal 1/accuracy=1e-4, absorbing the implementation's observed
+    boundary slack (GK compression + disc-quantile rank rounding) while
+    still pinning the median to a half-percent rank window."""
+    prof = {r[0]: dict(zip(cols[1:], r[1:])) for r in rows}
+    assert len(prof) == 8, f"expected 8 agg rows, got {sorted(prof)}"
+    num_cols = cols[1:]
+    checked = 0
+    for c in num_cols:
+        ex = con.execute(
+            f"SELECT count({c}), count(DISTINCT {c}), round(avg({c}), 5), "
+            f"round(stddev({c}), 5), round(min({c}), 5), round(max({c}), 5), "
+            f"round(CAST(sum(CAST({c} AS DECIMAL(38,10))) AS DOUBLE), 5), "
+            f"quantile_disc({c}, 0.495), quantile_disc({c}, 0.505) "
+            f"FROM lineitem"
+        ).fetchone()
+        exact = {
+            "1. count": ex[0], "2. count_distinct": ex[1], "3. mean": ex[2],
+            "4. std": ex[3], "5. min": ex[4], "7. max": ex[5], "8. sum": ex[6],
+        }
+        for k, want in exact.items():
+            got = prof[k][c]
+            assert _rel_close(float(got), float(want), 1e-7), (k, c, got, want)
+            checked += 1
+        med = float(prof["6. median"][c])
+        lo, hi = float(ex[7]), float(ex[8])
+        assert lo <= med <= hi, f"median({c})={med} outside GK band [{lo},{hi}]"
+        checked += 1
+    return f"{checked} stats exact/banded over {len(num_cols)} columns"
+
+
+def _inv_approx_aggregates(spark, sf_dir, con, rows, cols, specs):
+    """HLL++ distinct within ±5%% of exact; GK percentiles within the
+    rank-error band around 0.5 / 0.95 (±0.005 rank window — see
+    _inv_profile_approx on the band width)."""
+    for r in rows:
+        d = dict(zip(cols, r))
+        flag = d["l_returnflag"]
+        ex = con.execute(
+            "SELECT count(DISTINCT l_partkey), "
+            "quantile_disc(l_extendedprice, 0.495), "
+            "quantile_disc(l_extendedprice, 0.505), "
+            "quantile_disc(l_extendedprice, 0.945), "
+            "quantile_disc(l_extendedprice, 0.955) "
+            "FROM lineitem WHERE l_returnflag = ?", [flag]
+        ).fetchone()
+        assert abs(d["approx_parts"] - ex[0]) <= max(1, 0.05 * ex[0]), (
+            flag, d["approx_parts"], ex[0])
+        assert float(ex[1]) <= float(d["approx_median_price"]) <= float(ex[2]), flag
+        assert float(ex[3]) <= float(d["approx_p95_price"]) <= float(ex[4]), flag
+    return f"{len(rows)} groups: distinct ±5%, percentiles in GK band"
+
+
+def _ann_recall(con, rows, exact_oracle_sql, bound):
+    exact = {}
+    for qid, nid, *_ in con.sql(exact_oracle_sql).fetchall():
+        exact.setdefault(qid, set()).add(nid)
+    got = {}
+    for r in rows:
+        got.setdefault(r[0], set()).add(r[1])
+    assert set(got) == set(exact), "query-id sets differ"
+    hits = sum(len(got[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= bound, f"recall@10={recall:.3f} < {bound}"
+    for q in exact:  # an identical vector must always be retrievable
+        assert q in got[q], f"self-match missing for query {q}"
+    return f"recall@10={recall:.3f} ≥ {bound}, self-matches present"
+
+
+def _inv_ann_lsh(spark, sf_dir, con, rows, cols, specs):
+    """Recall vs the exact ann_cosine_topk ORACLE (DuckDB-computed, so the
+    ground truth is independent of Spark). Fixture embeddings are
+    near-random — see test_lsh_ann_recall for the 0.2 bound derivation."""
+    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.2)
+
+
+def _inv_ann_ivf(spark, sf_dir, con, rows, cols, specs):
+    """IVF recall vs exact oracle; 4/16 probed lists on near-random data —
+    bound below the pytest 0.45 (8/3 config) for seeding variance."""
+    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.3)
+
+
+def _inv_cluster_profile(spark, sf_dir, con, rows, cols, specs):
+    """Spherical k-means profile: labels cover the corpus exactly, ≤16
+    lists, mean cosine-to-centroid sane, and the run is deterministic."""
+    n_total = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    assert sum(r[1] for r in rows) == n_total, "label coverage != corpus"
+    assert 1 <= len(rows) <= 16
+    assert all(-1.0 <= float(r[2]) <= 1.0 for r in rows)
+    assert sum(float(r[2]) * r[1] for r in rows) / n_total > 0.0
+    again = [tuple(r) for r in specs["embedding_cluster_profile"]
+             .fn(spark, sf_dir).collect()]
+    assert sorted(again) == sorted(tuple(r) for r in rows), "nondeterministic"
+    return f"{len(rows)} lists cover {n_total} vecs; deterministic rerun"
+
+
+def _inv_heavy_hitters(spark, sf_dir, con, rows, cols, specs):
+    """approx_top_k is EXACT while distinct tokens ≤ maxItemsTracked
+    (100k): every returned count must equal the exact count and the count
+    multiset must equal the exact top-20's (token ties at the boundary may
+    legally differ)."""
+    from aws_cli_data_pipeline_tools_spark.operators.textstats import TOKEN_PATTERN
+
+    exact = dict(con.execute(
+        "SELECT t, count(*) AS c FROM (SELECT unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_PATTERN}')) AS t FROM documents) GROUP BY t "
+        "ORDER BY c DESC, t LIMIT 20"
+    ).fetchall())
+    n_distinct = con.execute(
+        "SELECT count(DISTINCT t) FROM (SELECT unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_PATTERN}')) AS t FROM documents)"
+    ).fetchone()[0]
+    assert n_distinct <= 100_000, "fixture exceeded tracked budget"
+    all_counts = dict(con.execute(
+        "SELECT t, count(*) FROM (SELECT unnest(regexp_extract_all("
+        f"lower(text), '{TOKEN_PATTERN}')) AS t FROM documents) GROUP BY t"
+    ).fetchall())
+    for tok, est in rows:
+        assert all_counts.get(tok) == est, (tok, est, all_counts.get(tok))
+    assert sorted(est for _, est in rows) == sorted(exact.values())
+    return f"top-{len(rows)} exact while tracked ({n_distinct} distinct)"
+
+
+def _inv_cluster_groups(spark, sf_dir, con, rows, cols, specs):
+    """LSH-pair connected components must equal the exact-Jaccard closure
+    (dedup_cluster_groups_exact's recursive-CTE oracle): LSH banding found
+    every pair, and distributed label propagation reached the fixpoint."""
+    want = sorted(tuple(r) for r in con.sql(
+        specs["dedup_cluster_groups_exact"].oracle).fetchall())
+    got = sorted(tuple(r) for r in rows)
+    assert got == want, f"closure differs: {len(got)} vs {len(want)} rows"
+    return f"{len(got)} labels equal the exact recursive-CTE closure"
+
+
+def _inv_sketch_cascade(spark, sf_dir, con, rows, cols, specs):
+    """HLL cascade: n_events exact; per-day distinct estimate within ±5%%
+    of exact (the sketch's configured envelope)."""
+    exact = {d: (u, n) for d, u, n in con.execute(
+        "SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP), "
+        "count(DISTINCT user_id), count(*) FROM events GROUP BY 1"
+    ).fetchall()}
+    assert len(rows) == len(exact)
+    for day, est_users, n_events in rows:
+        u, n = exact[day]
+        assert n_events == n, (day, n_events, n)
+        assert abs(est_users - u) <= max(1, 0.05 * u), (day, est_users, u)
+    return f"{len(rows)} days: events exact, distincts within ±5%"
+
+
+#: rows-only entries → contract verifier (spark, sf_dir, con, rows, cols,
+#: specs) -> success message; raises AssertionError on violation.
+INVARIANTS = {
+    "profile_lineitem_approx": _inv_profile_approx,
+    "approx_aggregates": _inv_approx_aggregates,
+    "ann_lsh_topk": _inv_ann_lsh,
+    "ann_ivf_topk": _inv_ann_ivf,
+    "embedding_cluster_profile": _inv_cluster_profile,
+    "vocab_heavy_hitters_approx": _inv_heavy_hitters,
+    "dedup_cluster_groups": _inv_cluster_groups,
+    "events_distinct_sketch_cascade": _inv_sketch_cascade,
+}
 
 
 def canon(v) -> str:
@@ -71,8 +251,26 @@ def main() -> int:
             continue
         spark_secs = time.perf_counter() - t0
         if name not in oracles:
-            rows_only += 1
-            print(f"  [rows-only] {name}: {len(s_rows)} rows  ({spark_secs:.1f}s)")
+            if name in INVARIANTS:
+                try:
+                    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+                    msg = INVARIANTS[name](
+                        spark, sf_dir, con, s_rows, s_cols, all_specs()
+                    )
+                except Exception:
+                    failures.append(
+                        (name, "INVARIANT FAILED\n" + traceback.format_exc())
+                    )
+                    continue
+                passed += 1
+                print(
+                    f"  [invariant-ok] {name}: {len(s_rows)} rows — {msg}"
+                    f"  ({spark_secs:.1f}s)"
+                )
+            else:
+                rows_only += 1
+                print(f"  [rows-only] {name}: {len(s_rows)} rows  ({spark_secs:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
