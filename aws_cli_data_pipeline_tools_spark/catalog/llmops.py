@@ -211,6 +211,71 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = "subscribe to our newsletter for daily updates and exclusive content"
+
+
+@register(
+    "dedup_lines_c4",
+    oracle=f"""
+WITH src AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+), built AS (
+  SELECT doc_id,
+         list_transform(
+             generate_series(0, CAST(floor((len(words) + 7) / 8) AS INT) - 1),
+             i -> array_to_string(words[i*8+1 : i*8+8], ' ')) AS lines
+  FROM src
+), docs2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN list_append(lines, '{_BOILER}')
+              ELSE lines END AS lines
+  FROM built
+), lns AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(lines) - 1)) AS pos,
+         unnest(lines) AS line
+  FROM docs2
+), ranked AS (
+  SELECT doc_id, pos, line,
+         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+  FROM lns
+), agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, count(*) AS n_lines FROM lns GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+       coalesce(a.text_dedup, '') AS text_dedup
+FROM totals t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+    tags=("llmops", "dedup", "curation"),
+    notes="C4-style global exact line dedup (operators/dedup.line_dedup): "
+    "documents are line-structured (8-word chunks) with a boilerplate line "
+    "planted on every 5th doc; each distinct line survives only at its "
+    "first (doc_id, pos) occurrence and docs are reassembled in order — "
+    "the web-corpus boilerplate-removal pass. Oracle replays the "
+    "first-occurrence window + ordered string_agg.",
+)
+def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), r"\s+")
+    n_chunks = F.floor((F.size(words) + 7) / F.lit(8)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
+    )
+    base = F.array_join(lines_arr, "\n")
+    text2 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(base, F.lit("\n" + _BOILER))
+    ).otherwise(base)
+    return dedup.line_dedup(
+        docs.select("doc_id", text2.alias("text"))
+    ).orderBy("doc_id")
+
+
 # Portable-hash MinHash/SimHash oracles: the Spark side runs portable=True
 # (md5-derived hashes, functions.portable_hash64) and the DuckDB SQL below is
 # GENERATED with the same seeded (a_i, b_i) draw (functions.minhash_params),
@@ -965,6 +1030,54 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return multimodal.sniff_audio_headers(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_video_meta",
+    oracle="""
+SELECT doc_id AS media_id, 'mp4' AS format, 'isom' AS major_brand,
+       CAST(600 AS INT) AS timescale,
+       CAST((1 + doc_id % 50) * 1000 AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+       CAST(140 + 8 * (doc_id % 3) AS INT) AS n_bytes
+FROM documents ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="Video member of the multimodal round-trips: minimal valid "
+    "ISO-BMFF payloads (ftyp + moov{mvhd v0 + 1-3 trak boxes}) packed "
+    "big-endian from doc_id arithmetic with JVM expressions, parsed back "
+    "by sniff_video_headers' box walk; timescale 600 with duration "
+    "(1+doc_id%50)*600 makes duration_ms an exact integer the oracle "
+    "replays. Populates meta.duration_ms for frame_sample_plan.",
+)
+def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def be32(col):  # 4-byte big-endian binary of an int expression
+        return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
+
+    dur = (F.lit(1) + F.col("doc_id") % 50) * 600
+    n_trak = F.lit(1) + F.col("doc_id") % 3
+    mvhd = F.concat(
+        be32(F.lit(108)), F.encode(F.lit("mvhd"), "utf-8"),
+        F.unhex(F.lit("00" * 4)),   # version 0 + flags
+        F.unhex(F.lit("00" * 8)),   # creation + modification time
+        be32(F.lit(600)), be32(dur),
+        F.unhex(F.lit("00" * 80)),  # rate/volume/reserved/matrix/next_track
+    )
+    trak = F.concat(be32(F.lit(8)), F.encode(F.lit("trak"), "utf-8"))
+    empty = F.unhex(F.lit(""))
+    payload = F.concat(
+        be32(F.lit(16)), F.encode(F.lit("ftyp"), "utf-8"),
+        F.encode(F.lit("isom"), "utf-8"), F.unhex(F.lit("00000200")),
+        be32(F.lit(116) + n_trak * 8), F.encode(F.lit("moov"), "utf-8"),
+        mvhd,
+        trak,
+        F.when(F.col("doc_id") % 3 >= 1, trak).otherwise(empty),
+        F.when(F.col("doc_id") % 3 >= 2, trak).otherwise(empty),
+    )
+    media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    return multimodal.sniff_video_headers(media).orderBy("media_id")
 
 
 def _bmp_header_hex(w: int, h: int) -> str:

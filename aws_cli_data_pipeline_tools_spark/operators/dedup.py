@@ -571,6 +571,61 @@ def simhash_pairs(
     )
 
 
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style global exact line dedup: every distinct line is kept only
+    at its FIRST corpus occurrence (minimal (doc id, position)); later
+    occurrences are dropped and each document is reassembled from its
+    surviving lines in original order. The classic boilerplate-removal
+    pass of web-scale training corpora (C4 applied it to three-sentence
+    spans; the unit here is the ``sep``-delimited line).
+
+    Output: (id, n_lines, n_kept, text_dedup); documents whose every line
+    first appeared elsewhere come back with n_kept=0 and empty text.
+
+    Plan: one posexplode (narrow) → first-occurrence agg on the line key
+    (map-side combinable min(struct(id, pos))) → postings join back on the
+    line → per-doc reassembly agg. Three shuffles total, all keyed — no
+    driver-side state. Skew note: a mega-duplicated boilerplate line puts
+    its whole posting list in one reduce partition; AQE skew-join handles
+    the join side, and at 100 TB the line key would be an 8-byte hash
+    (kept as the raw string here so the DuckDB oracle can replay exactly).
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+    first = lines.groupBy("line").agg(F.min(F.struct("id", "pos")).alias("k"))
+    kept = lines.join(first, "line").filter(
+        (F.col("id") == F.col("k.id")) & (F.col("pos") == F.col("k.pos"))
+    )
+    per_doc = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",

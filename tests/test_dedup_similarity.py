@@ -87,6 +87,30 @@ def test_minhash_matches_exact_on_fixture(spark, sf_dir):
     assert lsh == exact
 
 
+def test_line_dedup_c4_semantics(spark):
+    """Global first-occurrence wins; within-doc repeats dedup too; docs
+    reduced to nothing come back empty; line order is preserved."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one\nboiler plate\nalpha two"),
+            (2, "boiler plate\nbeta one\nboiler plate"),
+            (3, "boiler plate"),
+            (4, "gamma\ngamma\ngamma two"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1].text_dedup == "alpha one\nboiler plate\nalpha two"
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    # doc 2: boiler first seen in doc 1; its own internal repeat also drops
+    assert out[2].text_dedup == "beta one"
+    assert (out[2].n_lines, out[2].n_kept) == (3, 1)
+    # doc 3 loses its only line entirely
+    assert (out[3].n_kept, out[3].text_dedup) == (0, "")
+    # doc 4: internal duplicate collapses to the first position
+    assert out[4].text_dedup == "gamma\ngamma two"
+
+
 def test_portable_mode_matches_xxhash_pair_sets(spark, sf_dir):
     """portable=True (md5 hashes, the oracle-checked mode) must find the
     same verified near-dup pair sets as the xxhash64 default — the hash

@@ -211,6 +211,49 @@ def test_decode_wav_samples_real(spark):
     assert out[3].sample_rate is None
 
 
+def _mp4_bytes(timescale, duration, n_tracks=1, version=0, largesize=False):
+    """Handcrafted minimal ISO-BMFF: ftyp + moov{mvhd + n trak}."""
+    import struct
+
+    if version == 0:
+        mvhd_body = (
+            b"\x00\x00\x00\x00" + b"\x00" * 8
+            + struct.pack(">II", timescale, duration) + b"\x00" * 80
+        )
+    else:
+        mvhd_body = (
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", timescale, duration) + b"\x00" * 80
+        )
+    mvhd = struct.pack(">I", 8 + len(mvhd_body)) + b"mvhd" + mvhd_body
+    traks = (struct.pack(">I", 8) + b"trak") * n_tracks
+    inner = mvhd + traks
+    if largesize:
+        moov = struct.pack(">I", 1) + b"moov" + struct.pack(">Q", 16 + len(inner)) + inner
+    else:
+        moov = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_sniff_video_headers_real(spark):
+    rows = [
+        (1, _mp4_bytes(600, 1200, n_tracks=2)),             # mvhd v0
+        (2, _mp4_bytes(90000, 90000 * 7, version=1)),        # mvhd v1, 64-bit dur
+        (3, _mp4_bytes(1000, 2500, largesize=True)),         # 64-bit moov size
+        (4, b"\x1a\x45\xdf\xa3" + b"webmdata"),              # Matroska magic
+        (5, b"not a video"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in multimodal.sniff_video_headers(df).collect()}
+    assert (out[1].format, out[1].major_brand) == ("mp4", "isom")
+    assert (out[1].timescale, out[1].duration_ms, out[1].n_tracks) == (600, 2000, 2)
+    assert (out[2].timescale, out[2].duration_ms) == (90000, 7000)
+    assert (out[3].duration_ms, out[3].n_tracks) == (2500, 1)
+    assert out[4].format == "mkv" and out[4].duration_ms is None
+    assert out[5].format is None
+
+
 def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
