@@ -1347,3 +1347,62 @@ def vocab_heavy_hitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         F.col("e.item").alias("token"), F.col("e.count").alias("est_count")
     ).orderBy(F.col("est_count").desc(), "token")
+
+
+def _duck_required_words() -> str:
+    words = ", ".join(f"'{w}'" for w in textstats.GOPHER_REQUIRED_WORDS)
+    return f"[{words}]"
+
+
+@register(
+    "text_gopher_rules",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id,
+         {_DUCK_WORDS} AS words,
+         string_split(text, chr(10)) AS lines,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+         len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) AS n_symbols
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         n_nonspace / nullif(CAST(len(words) AS DOUBLE), 0.0) AS mwl,
+         n_symbols / nullif(CAST(len(words) AS DOUBLE), 0.0) AS swr,
+         len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+           / nullif(CAST(len(lines) AS DOUBLE), 0.0) AS fbl,
+         len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+           / nullif(CAST(len(lines) AS DOUBLE), 0.0) AS fel,
+         len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+           / nullif(CAST(len(words) AS DOUBLE), 0.0) AS faw,
+         len(list_filter(words,
+             w -> list_contains({_duck_required_words()}, lower(w)))) AS n_req
+  FROM base
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(swr, 6) AS symbol_word_ratio,
+       round(fbl, 6) AS frac_bullet_lines,
+       round(fel, 6) AS frac_ellipsis_lines,
+       round(faw, 6) AS frac_alpha_words,
+       n_req AS n_required_hits,
+       (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3 AND 10)
+         AND swr <= 0.1 AND fbl <= 0.9 AND fel <= 0.3 AND faw >= 0.8
+         AND n_req >= 2 AS passes_gopher
+FROM feat ORDER BY doc_id
+""",
+    tags=("llmops", "text", "curation"),
+    notes="Gopher-style rule filter (Rae et al. 2021 public recipe): word "
+    "count / mean word length bands, symbol-per-word and bullet/ellipsis "
+    "line fractions, alpha-word fraction, required-word hits — all codegen "
+    "JVM expressions, no shuffle. The oracle replays every rule in DuckDB "
+    "list lambdas.",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.gopher_quality_flags(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+        "frac_bullet_lines", "frac_ellipsis_lines", "frac_alpha_words",
+        "n_required_hits", "passes_gopher",
+    ).orderBy("doc_id")

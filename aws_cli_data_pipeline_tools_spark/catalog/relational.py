@@ -1807,3 +1807,48 @@ ORDER BY n_regionkey
     "collect_list, both sorted for shuffle-order determinism — the "
     "group-to-array primitive behind feature bagging.",
 )
+
+register_sql(
+    "lambda_array_funcs",
+    spark_sql="""
+WITH base AS (
+  SELECT n_nationkey,
+         transform(sequence(1, n_nationkey % 5 + 3),
+                   x -> CAST(x AS BIGINT))                    AS xs
+  FROM nation
+)
+SELECT n_nationkey,
+       transform(xs, x -> x * x)                              AS squares,
+       filter(xs, x -> x % 2 = 0)                             AS evens,
+       exists(xs, x -> x % 7 = 0)                             AS has_mult7,
+       forall(xs, x -> x < 7)                                 AS all_small,
+       aggregate(xs, CAST(0 AS BIGINT), (acc, x) -> acc + x)  AS fold_sum,
+       zip_with(xs, reverse(xs), (a, b) -> a + b)             AS palin_sum
+FROM base
+ORDER BY n_nationkey
+""",
+    duck_sql="""
+WITH base AS (
+  SELECT n_nationkey, generate_series(1, n_nationkey % 5 + 3) AS xs
+  FROM nation
+)
+SELECT n_nationkey,
+       list_transform(xs, x -> x * x)                         AS squares,
+       list_filter(xs, x -> x % 2 = 0)                        AS evens,
+       len(list_filter(xs, x -> x % 7 = 0)) > 0               AS has_mult7,
+       len(list_filter(xs, x -> NOT (x < 7))) = 0             AS all_small,
+       CAST(list_sum(xs) AS BIGINT)                           AS fold_sum,
+       list_transform(generate_series(1, len(xs)),
+                      i -> xs[i] + list_reverse(xs)[i])       AS palin_sum
+FROM base
+ORDER BY n_nationkey
+""",
+    tags=("functions", "array", "lambda"),
+    notes="Higher-order lambda functions over arrays — the Catalyst "
+    "codegen path for per-element logic without any Python UDF: "
+    "transform/filter/exists/forall/aggregate(fold)/zip_with. DuckDB "
+    "replays exists/forall via list_filter cardinality and zip_with via "
+    "an index-lambda (its list_zip yields structs); the fold is list_sum "
+    "cast back from HUGEINT. Trino/Athena exposes the same lambda surface "
+    "(pass-through Layer B, aws-athena.sh:27).",
+)

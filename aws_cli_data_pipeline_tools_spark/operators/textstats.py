@@ -304,3 +304,67 @@ def repetition_stats(
         )
     )
     return narrow.join(top2, id_col, "left").orderBy(id_col)
+
+
+#: Gopher "required words" (Rae et al. 2021, §A1.1 public recipe): a doc must
+#: contain at least 2 of these common English words to pass the rule filter.
+GOPHER_REQUIRED_WORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021, public recipe).
+
+    Per-document features + the composite ``passes_gopher`` flag, all as
+    codegen JVM expressions (no shuffle; pipelines with the scan at 100 TB):
+
+    - ``n_words`` in [50, 100_000]
+    - ``mean_word_len`` in [3, 10]
+    - ``symbol_word_ratio`` (#, ellipsis per word) <= 0.1
+    - ``frac_bullet_lines`` (lines starting with a bullet) <= 0.9
+    - ``frac_ellipsis_lines`` (lines ending with an ellipsis) <= 0.3
+    - ``frac_alpha_words`` (words containing a letter) >= 0.8
+    - ``n_required_hits`` (GOPHER_REQUIRED_WORDS occurrences) >= 2
+
+    The fixture documents are single-line, so the line-fraction rules are
+    degenerate there (0.0); pytest exercises them on planted multi-line docs.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    nwd = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mean_word_len = F.length(F.regexp_replace(t, r"\s+", "")) / nwd
+    lines = F.split(t, r"\n")
+    nld = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    bullet = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))) / nld
+    ellipsis = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))) / nld
+    )
+    symbol_ratio = F.regexp_count(t, F.lit(r"[#…]|\.\.\.")) / nwd
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike(r"[A-Za-z]"))) / nwd
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_req = F.size(F.filter(words, lambda w: F.array_contains(req, F.lower(w))))
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100000)
+        & (mean_word_len >= 3)
+        & (mean_word_len <= 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet <= 0.9)
+        & (ellipsis <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_req >= 2)
+    )
+    return df.withColumns(
+        {
+            "n_words": n_words,
+            "mean_word_len": F.round(mean_word_len, 6),
+            "symbol_word_ratio": F.round(symbol_ratio, 6),
+            "frac_bullet_lines": F.round(bullet, 6),
+            "frac_ellipsis_lines": F.round(ellipsis, 6),
+            "frac_alpha_words": F.round(alpha_frac, 6),
+            "n_required_hits": n_req,
+            "passes_gopher": passes,
+        }
+    )

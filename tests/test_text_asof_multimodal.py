@@ -542,3 +542,43 @@ def test_vocab_heavy_hitters_exact_while_tracked(spark, sf_dir):
             assert r.est_count == exact[r.token], r
         # every returned count must be at least the exact 20th count
         assert r.est_count >= boundary
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Line-based and word-based Gopher rules on planted multi-line docs
+    (the fixture documents are single-line, so the line rules are only
+    exercised here)."""
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to be free "
+        "with plenty of words that have normal shape and length " * 3
+    ).strip()
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dots = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = " ".join("#tag" for _ in range(60))
+    df = spark.createDataFrame(
+        [
+            (1, good),
+            (2, bullets),
+            (3, dots),
+            (4, symbols),
+            (5, "short doc"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_quality_flags(df).collect()
+    }
+    assert out[1]["passes_gopher"] is True
+    assert out[1]["n_required_hits"] >= 2
+    # all-bullet doc: frac_bullet_lines = 1.0 > 0.9 → fail
+    assert out[2]["frac_bullet_lines"] == 1.0
+    assert out[2]["passes_gopher"] is False
+    # all-ellipsis doc: frac_ellipsis_lines = 1.0 > 0.3 → fail
+    assert out[3]["frac_ellipsis_lines"] == 1.0
+    assert out[3]["passes_gopher"] is False
+    # one '#' per word → symbol_word_ratio 1.0 > 0.1 → fail
+    assert out[4]["symbol_word_ratio"] == 1.0
+    assert out[4]["passes_gopher"] is False
+    # 2 words < 50 → fail
+    assert out[5]["passes_gopher"] is False
