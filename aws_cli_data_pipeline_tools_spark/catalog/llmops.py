@@ -1406,3 +1406,56 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_bullet_lines", "frac_ellipsis_lines", "frac_alpha_words",
         "n_required_hits", "passes_gopher",
     ).orderBy("doc_id")
+
+
+@register(
+    "anonymize_customer_ids",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_name IS NULL THEN NULL
+            ELSE sha256('corpus-v1' || '|' || c_name) END AS c_name,
+       c_mktsegment
+FROM customer ORDER BY c_custkey
+""",
+    tags=("llmops", "anonymize"),
+    notes="Deterministic salted SHA-256 pseudonymization of an identifier "
+    "column (operators/anonymize.py) — narrow codegen sha2, join-preserving "
+    "across tables/runs; DuckDB's sha256 produces the identical hex digest.",
+)
+def anonymize_customer_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymize import pseudonymize
+
+    cust = load_table(spark, "customer", sf_dir)
+    return pseudonymize(cust, ["c_name"], salt="corpus-v1").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    ).orderBy("c_custkey")
+
+
+@register(
+    "k_anonymity_customer",
+    oracle="""
+WITH sizes AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT sum(sz) AS n_rows,
+       count(*) AS n_groups,
+       min(sz) AS min_group_size,
+       sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS n_small_groups,
+       sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS rows_at_risk,
+       round(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END)
+             / CAST(sum(sz) AS DOUBLE), 6) AS frac_at_risk
+FROM sizes
+""",
+    tags=("llmops", "anonymize"),
+    notes="k-anonymity audit (k=10) over the (nation, segment) "
+    "quasi-identifier pair: equivalence-class sizes in one hash-agg "
+    "shuffle, then a single-row rollup — the release gate that says "
+    "whether pseudonymized rows are still re-identifiable by their "
+    "quasi-identifiers.",
+)
+def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymize import k_anonymity_report
+
+    cust = load_table(spark, "customer", sf_dir)
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=10)

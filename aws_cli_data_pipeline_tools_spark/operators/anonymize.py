@@ -1,0 +1,72 @@
+"""PII-safe pseudonymization and k-anonymity auditing.
+
+Training-data pipelines ship identifiers (user names, emails, device ids)
+that must not survive into a training corpus. Two first-class operators:
+
+- :func:`pseudonymize` — deterministic salted SHA-256 replacement of
+  identifier columns. Narrow, codegen (``sha2`` is a JVM built-in): no
+  shuffle, pipelines with the scan at any scale. Deterministic so the same
+  identity maps to the same token across tables/runs (join-preserving),
+  unlike random UUIDs.
+- :func:`k_anonymity_report` — audits a quasi-identifier combination: how
+  many equivalence classes exist, how many are smaller than ``k``, and what
+  fraction of rows sit in those at-risk classes. One hash-aggregate shuffle
+  on the quasi keys + a single-row rollup.
+
+The reference has no anonymization surface (its profiler ships raw values,
+aws-athena.sh:64-125); this is a north-star extension for LLM-corpus
+hygiene, same family as ``textstats.redact_pii``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str = ""
+) -> DataFrame:
+    """Replace each column in ``cols`` with hex SHA-256 of ``salt|value``.
+
+    NULLs stay NULL (a hash of the salt alone would create a fake shared
+    identity). The salt guards against rainbow-table reversal of
+    low-entropy identifiers; rotate it per corpus release to unlink
+    releases.
+    """
+    out = {}
+    for c in cols:
+        col = F.col(c)
+        out[c] = F.when(
+            col.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.sha2(F.concat(F.lit(salt), F.lit("|"), col), 256))
+    return df.withColumns(out)
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """Single-row k-anonymity audit over a quasi-identifier combination.
+
+    Columns: ``n_rows``, ``n_groups`` (equivalence classes),
+    ``min_group_size``, ``n_small_groups`` (size < k), ``rows_at_risk``
+    (rows in those classes), ``frac_at_risk``. A dataset is k-anonymous
+    for these quasi-identifiers iff ``n_small_groups = 0``.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("sz").alias("min_group_size"),
+        F.sum(F.when(F.col("sz") < k, 1).otherwise(0)).alias(
+            "n_small_groups"
+        ),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(0)).alias(
+            "rows_at_risk"
+        ),
+    ).withColumn(
+        "frac_at_risk",
+        F.round(
+            F.col("rows_at_risk") / F.col("n_rows").cast("double"), 6
+        ),
+    )

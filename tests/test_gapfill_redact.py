@@ -88,3 +88,36 @@ def test_histogram_buckets_cover_all_rows(spark, sf_dir):
     assert sum(r.n_rows for r in rows) == load_table(
         spark, "lineitem", sf_dir
     ).count()
+
+
+def test_pseudonymize_null_and_determinism(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.anonymize import (
+        pseudonymize,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alice"), (2, None), (3, "alice")], "id bigint, name string"
+    )
+    out = {r["id"]: r["name"] for r in pseudonymize(df, ["name"], "s").collect()}
+    assert out[2] is None
+    assert out[1] == out[3]  # join-preserving determinism
+    assert len(out[1]) == 64 and out[1] != "alice"
+    # different salt → different token (unlinkable across releases)
+    out2 = {r["id"]: r["name"] for r in pseudonymize(df, ["name"], "t").collect()}
+    assert out2[1] != out[1]
+
+
+def test_k_anonymity_report_arithmetic(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.anonymize import (
+        k_anonymity_report,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("b", 1)] * 2 + [("c", 2)],
+        "g string, v int",
+    )
+    r = k_anonymity_report(df, ["g"], k=3).collect()[0]
+    assert r["n_rows"] == 8 and r["n_groups"] == 3
+    assert r["min_group_size"] == 1
+    assert r["n_small_groups"] == 2 and r["rows_at_risk"] == 3
+    assert abs(r["frac_at_risk"] - 0.375) < 1e-9
