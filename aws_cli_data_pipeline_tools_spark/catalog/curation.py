@@ -380,3 +380,37 @@ def importance_sample_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_sample(docs, w, "doc_id", salt="isq").select(
         "doc_id", "lang", "source", "n_chars"
     ).orderBy("doc_id")
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+WITH ev_g AS (
+  SELECT DISTINCT g FROM ({_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 = 0")})
+), tr_g AS (
+  {_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 <> 0")}
+), dirty AS (
+  SELECT DISTINCT doc_id FROM tr_g WHERE g IN (SELECT g FROM ev_g)
+)
+SELECT doc_id, lang, source FROM documents
+WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dirty)
+ORDER BY doc_id
+""",
+    tags=("llmops", "curation", "bloom"),
+    notes="Two-phase decontamination: distributed Bloom filter "
+    "(map<word,bits> built with a bit_or hash-agg, broadcast at "
+    "num_bits/8 bytes regardless of gram count) prefilters the corpus "
+    "grams, then an exact semi join confirms the survivors — no false "
+    "negatives, FPs removed, so the result (and the oracle) is exactly "
+    "the exact decontamination. The scale path when the reference gram "
+    "set outgrows an exact broadcast.",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        curation.bloom_decontaminate(train, ev, n=5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )

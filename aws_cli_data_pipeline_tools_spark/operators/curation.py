@@ -299,3 +299,104 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+# ------------------------------------------------------------------ bloom
+
+def build_bloom(
+    keys: DataFrame, key_col: str, num_bits: int, k: int
+) -> DataFrame:
+    """Distributed Bloom filter build over an int64 key column.
+
+    Returns a ONE-ROW DataFrame with column ``bf``: a ``map<bigint,bigint>``
+    from 64-bit-word index to its OR-ed bits. Probe positions are k
+    independent seeded hashes ``pmod(xxhash64(key, j), num_bits)`` — seeding
+    xxhash64 with the probe index avoids the double-hashing overflow games
+    ANSI mode would reject. The build is a narrow explode + one hash-agg
+    (``bit_or``) shuffle of at most ``num_bits/64`` word rows; the result is
+    filter-sized (≤ num_bits/8 bytes), never corpus-sized, so it broadcasts
+    even when the key set itself is too large to broadcast exactly.
+    """
+    pos = (
+        f"explode(transform(sequence(0, {k - 1}), "
+        f"j -> pmod(xxhash64({key_col}, j), CAST({num_bits} AS BIGINT))))"
+    )
+    return (
+        keys.select(F.expr(pos).alias("pos"))
+        .groupBy(F.expr("pos DIV 64").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(pmod(pos, 64) AS INT)))"
+            ).alias("bits")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("bf")
+        )
+    )
+
+
+def bloom_contains_expr(
+    bf_col: str, key_col: str, num_bits: int, k: int
+) -> Column:
+    """Codegen membership test against a :func:`build_bloom` map column.
+
+    All-k-probes-set via ``forall`` over the same seeded hashes; a missing
+    map word reads as 0 (bit unset). No false negatives by construction.
+    """
+    return F.expr(
+        f"""forall(sequence(0, {k - 1}), j ->
+  (coalesce(element_at({bf_col},
+       pmod(xxhash64({key_col}, j), CAST({num_bits} AS BIGINT)) DIV 64),
+     CAST(0 AS BIGINT))
+   & shiftleft(CAST(1 AS BIGINT),
+       CAST(pmod(pmod(xxhash64({key_col}, j), CAST({num_bits} AS BIGINT)),
+                 64) AS INT))) != 0)"""
+    )
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_bits: int = 1 << 20,
+    k: int = 5,
+) -> DataFrame:
+    """Two-phase eval decontamination: Bloom prefilter + exact confirm.
+
+    Same result as :func:`decontaminate` — the Bloom filter has no false
+    negatives, and its false positives are removed by an exact semi join on
+    the surviving grams — but the broadcast object is the filter
+    (num_bits/8 bytes regardless of gram count), not the gram set itself.
+    This is the scale path when the reference set outgrows an exact
+    broadcast (e.g. decontaminating against billions of seen n-grams): the
+    corpus side stays narrow (shingle → probe → filter), and only the
+    bloom-surviving candidate grams — contaminated fraction + FP rate —
+    reach the exact confirm join, which AQE sizes as it likes.
+    """
+    grams = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams(eval_df).select("g").distinct()
+    bloom = build_bloom(eval_grams, "g", num_bits, k)
+    cand = (
+        grams(train)
+        .crossJoin(F.broadcast(bloom))
+        .where(bloom_contains_expr("bf", "g", num_bits, k))
+        .select("id", "g")
+    )
+    dirty = (
+        cand.join(eval_grams, "g", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return train.join(dirty, id_col, "left_anti")

@@ -156,3 +156,43 @@ def test_corpus_diff_statuses(spark):
     got = {r.id: r.status for r in curation.corpus_diff(base, target).collect()}
     # whitespace-only difference (doc 4) is NOT a change — canonical fingerprint
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "unchanged", 5: "added"}
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """Bloom prefilter + exact confirm must equal plain decontaminate —
+    including under a deliberately tiny filter (high FP rate): false
+    positives are scrubbed by the confirm join, false negatives are
+    impossible by construction."""
+    train = _docs(
+        spark,
+        [(i, f"w{i} a b c d e f g h common tail {i}", "s") for i in range(30)]
+        + [(99, "alpha beta gamma delta epsilon zeta", "s")],
+    )
+    ev = _docs(spark, [(100, "alpha beta gamma delta epsilon", "e")])
+    exact = sorted(
+        r.doc_id for r in curation.decontaminate(train, ev, n=5).collect()
+    )
+    for bits in (1 << 20, 64):  # roomy and absurdly small
+        got = sorted(
+            r.doc_id
+            for r in curation.bloom_decontaminate(
+                train, ev, n=5, num_bits=bits
+            ).collect()
+        )
+        assert got == exact, f"num_bits={bits}"
+
+
+def test_build_bloom_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    keys = spark.range(500).select(F.xxhash64("id").alias("g"))
+    bloom = curation.build_bloom(keys, "g", num_bits=1 << 16, k=5)
+    hits = (
+        keys.crossJoin(F.broadcast(bloom))
+        .where(curation.bloom_contains_expr("bf", "g", 1 << 16, 5))
+        .count()
+    )
+    assert hits == 500  # every inserted key must test positive
+    # filter is filter-sized: at most num_bits/64 map entries
+    n_words = bloom.select(F.size("bf")).collect()[0][0]
+    assert n_words <= (1 << 16) // 64
