@@ -414,3 +414,33 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "shuffle_shards_train",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'v1|shard'), 1, 8))::BIGINT
+              % 8 AS INT) AS shard,
+         substr(md5(CAST(doc_id AS VARCHAR) || 'v1|order'), 1, 8) AS ob
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ob, doc_id) AS BIGINT) AS pos
+FROM s ORDER BY shard, pos
+""",
+    tags=("llmops", "curation"),
+    notes="Deterministic training-order shuffle into 8 shards "
+    "(curation.shuffle_shards): shard = md5-bucket mod n (narrow, "
+    "append-stable), within-shard order = an independent md5 bucket — no "
+    "global-order window, the rank is partitioned by shard so the shuffle "
+    "carries each shard to one reducer. The corpus→tokenizer-shards step.",
+)
+def shuffle_shards_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        curation.shuffle_shards(docs, "doc_id", 8, salt="v1")
+        .select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
+        .orderBy("shard", "pos")
+    )

@@ -1852,3 +1852,28 @@ ORDER BY n_nationkey
     "cast back from HUGEINT. Trino/Athena exposes the same lambda surface "
     "(pass-through Layer B, aws-athena.sh:27).",
 )
+
+register_sql(
+    "window_ntile_bins",
+    sql="""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         ntile(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS bin
+  FROM documents
+)
+SELECT lang, bin,
+       count(*)                 AS n_docs,
+       min(n_chars)             AS lo_chars,
+       max(n_chars)             AS hi_chars,
+       round(avg(n_chars), 6)   AS mean_chars
+FROM t
+GROUP BY lang, bin
+ORDER BY lang, bin
+""",
+    tags=("window", "llmops"),
+    notes="ntile equal-frequency binning, partitioned per language so no "
+    "global-order single-partition window — the quality/length "
+    "quartile-binning step behind mixture construction. Identical ANSI "
+    "semantics on both engines (doc_id tiebreak makes the frame a total "
+    "order).",
+)

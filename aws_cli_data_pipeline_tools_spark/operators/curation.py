@@ -400,3 +400,36 @@ def bloom_decontaminate(
         .distinct()
     )
     return train.join(dirty, id_col, "left_anti")
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle into ``n_shards`` shards.
+
+    The step between a curated corpus and tokenizer shards: break
+    source/time locality so every shard (and every prefix of the epoch) is
+    an unbiased sample. Shard = md5-bucket of the key mod n_shards (narrow,
+    RNG-free, append-stable); within-shard position = rank by a SECOND
+    md5 bucket (different salt) so shard choice and intra-shard order are
+    independent. One shuffle, partitioned by shard — the window never sees
+    more than one shard, so there is no global-order single-partition
+    bottleneck; writing with ``partitionBy(shard)`` streams each shard in
+    training order.
+    """
+    key = F.col(key_col)
+    shard = F.pmod(
+        F.conv(hash_bucket_expr(key, salt + "|shard"), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    ).cast("int")
+    order_bucket = hash_bucket_expr(key, salt + "|order")
+    w = Window.partitionBy(shard_col).orderBy(order_bucket, key)
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+    )

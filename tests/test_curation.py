@@ -196,3 +196,22 @@ def test_build_bloom_no_false_negatives(spark):
     # filter is filter-sized: at most num_bits/64 map entries
     n_words = bloom.select(F.size("bf")).collect()[0][0]
     assert n_words <= (1 << 16) // 64
+
+
+def test_shuffle_shards_properties(spark):
+    df = _docs(spark, [(i, f"doc {i}", "s") for i in range(200)])
+    out = curation.shuffle_shards(df, "doc_id", 4, salt="t").collect()
+    shards = {}
+    for r in out:
+        shards.setdefault(r["shard"], []).append(r["pos"])
+    assert set(shards) <= set(range(4))
+    # positions are 1..len contiguous within each shard
+    for s, ps in shards.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # deterministic + append-stable: re-running on a subset keeps shard choice
+    sub = curation.shuffle_shards(
+        df.filter("doc_id < 100"), "doc_id", 4, salt="t"
+    ).collect()
+    full = {r["doc_id"]: r["shard"] for r in out}
+    for r in sub:
+        assert full[r["doc_id"]] == r["shard"]
