@@ -1877,3 +1877,62 @@ ORDER BY lang, bin
     "semantics on both engines (doc_id tiebreak makes the frame a total "
     "order).",
 )
+
+register_sql(
+    "generator_funcs",
+    spark_sql="""
+WITH m AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 500 = 0
+),
+s AS (
+  SELECT k, stack(2, 'full', p, 'half', p / 2) AS (metric, val) FROM m
+),
+i AS (
+  SELECT k, inline(array(named_struct('metric', 'neg', 'val', -p))) FROM m
+)
+SELECT * FROM s UNION ALL SELECT * FROM i ORDER BY k, metric
+""",
+    duck_sql="""
+WITH m AS (
+  SELECT o_orderkey AS k, o_totalprice AS p FROM orders WHERE o_orderkey % 500 = 0
+)
+SELECT k, 'full' AS metric, p AS val FROM m
+UNION ALL SELECT k, 'half', p / 2 FROM m
+UNION ALL SELECT k, 'neg', -p FROM m
+ORDER BY k, metric
+""",
+    tags=("functions", "generator"),
+    notes="Row-generator expressions: stack(n, ...) in the SELECT list and "
+    "inline(array<struct>) — Spark's table-generating melt constructors "
+    "(the codegen twins of UNPIVOT). DuckDB replays both as UNION ALL "
+    "branches; Trino reaches the same shape via VALUES CROSS JOIN "
+    "(pass-through Layer B, aws-athena.sh:27).",
+)
+
+register_sql(
+    "modern_sql_sugar",
+    spark_sql="""
+WITH t AS (SELECT * EXCEPT (o_custkey, o_orderdate) FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38, 10))) AS DOUBLE), 2)
+         AS sum_price
+FROM t
+GROUP BY ALL
+ORDER BY ALL
+""",
+    duck_sql="""
+WITH t AS (SELECT * EXCLUDE (o_custkey, o_orderdate) FROM orders)
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38, 10))) AS DOUBLE), 2)
+         AS sum_price
+FROM t
+GROUP BY ALL
+ORDER BY ALL
+""",
+    tags=("sql", "sugar"),
+    notes="Modern SQL sugar both engines ship: star-projection pruning "
+    "(Spark * EXCEPT ≙ DuckDB * EXCLUDE) and GROUP BY ALL / ORDER BY ALL "
+    "inference. Decimal-sum discipline keeps the aggregate hash-exact.",
+)

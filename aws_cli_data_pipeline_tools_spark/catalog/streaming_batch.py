@@ -677,3 +677,39 @@ def streaming_dedup_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
     st.run_to_memory(out, name, output_mode="append", shuffle_partitions=8)
     return spark.table(name).orderBy("user_id", "event_type")
+
+
+@register(
+    "events_ewma_value",
+    oracle="""
+WITH v AS (
+  SELECT event_id, user_id, value,
+         list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+  FROM events WHERE user_id < 20
+)
+SELECT event_id, user_id,
+       round(
+         list_sum(list_transform(generate_series(1, len(vals)),
+                                 i -> vals[i] * pow(0.5, len(vals) - i)))
+         / ((1.0 - pow(0.5, len(vals))) / 0.5), 6) AS ewma
+FROM v ORDER BY user_id, event_id
+""",
+    tags=("timeseries", "window"),
+    notes="Per-user EWMA over the last 16 events (operators/gapfill.ewma, "
+    "pandas ewm(adjust=True) semantics on a bounded frame): partitioned "
+    "window collect_list + codegen array-lambda fold — no global-order "
+    "window, O(window) per row. decay=0.5 makes weights exact binary "
+    "powers, so both engines produce bit-identical doubles.",
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gapfill import ewma
+
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 20)
+    return (
+        ewma(ev, ["user_id"], ["ts", "event_id"], "value",
+             decay=0.5, window=16)
+        .select("event_id", "user_id", "ewma")
+        .orderBy("user_id", "event_id")
+    )

@@ -62,3 +62,41 @@ def gapfill(
         )
         .orderBy(key_col, "bucket")
     )
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str],
+    value_col: str,
+    decay: float = 0.5,
+    window: int = 16,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average over the last ``window`` rows.
+
+    Weight for lag k is ``decay^k``, normalized by the finite-series sum
+    (1 - decay^n)/(1 - decay) — pandas ``ewm(adjust=True)`` semantics over
+    a bounded frame. One partitioned window shuffle (no global order); the
+    weighted fold is a codegen array lambda over the frame's collect_list,
+    so per-row cost is O(window). With decay=0.5 the weights are exact
+    binary powers, making the result bit-reproducible across engines.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(1 - window, Window.currentRow)
+    )
+    df2 = df.withColumn(
+        "__vals", F.collect_list(F.col(value_col).cast("double")).over(w)
+    )
+    num = F.expr(
+        f"aggregate(transform(__vals, (x, i) -> "
+        f"x * pow(CAST({decay} AS DOUBLE), size(__vals) - 1 - i)), "
+        f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+    )
+    den = F.expr(
+        f"(1.0 - pow(CAST({decay} AS DOUBLE), size(__vals)))"
+        f" / (1.0 - CAST({decay} AS DOUBLE))"
+    )
+    return df2.withColumn(out_col, F.round(num / den, 6)).drop("__vals")

@@ -121,3 +121,27 @@ def test_k_anonymity_report_arithmetic(spark):
     assert r["min_group_size"] == 1
     assert r["n_small_groups"] == 2 and r["rows_at_risk"] == 3
     assert abs(r["frac_at_risk"] - 0.375) < 1e-9
+
+
+def test_ewma_matches_pandas_adjust(spark):
+    import pandas as pd
+
+    from aws_cli_data_pipeline_tools_spark.operators.gapfill import ewma
+
+    vals = [1.0, 2.0, 4.0, 8.0, 3.0, -1.0]
+    df = spark.createDataFrame(
+        [(i, "u", v) for i, v in enumerate(vals)], "t int, k string, v double"
+    )
+    out = (
+        ewma(df, ["k"], ["t"], "v", decay=0.5, window=16)
+        .orderBy("t")
+        .collect()
+    )
+    # pandas ewm(adjust=True) with alpha = 1 - decay
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for r, w in zip(out, want):
+        assert abs(r["ewma"] - round(w, 6)) < 1e-9
+    # bounded window: with window=2 only the last 2 rows contribute
+    out2 = ewma(df, ["k"], ["t"], "v", decay=0.5, window=2).orderBy("t").collect()
+    # weights 1, 0.5 normalized by 1.5 → (3*0.5 + -1*1)/1.5
+    assert abs(out2[-1]["ewma"] - round((3.0 * 0.5 + -1.0) / 1.5, 6)) < 1e-9
