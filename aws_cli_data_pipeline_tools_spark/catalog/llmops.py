@@ -1459,3 +1459,34 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, "customer", sf_dir)
     return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+@register(
+    "dedup_shared_substring",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(substr(text, i, 32)), 1, 15)) AS BIGINT) AS g
+  FROM documents,
+       unnest(generate_series(1, greatest(0, len(text) - 31))) AS t(i)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*) AS n_shared_windows
+FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2 ORDER BY id_a, id_b
+""",
+    tags=("llmops", "dedup"),
+    notes="Exact long-common-substring detection (Lee et al. 2022 "
+    "semantics at 32-char window granularity) via an inverted index on "
+    "hashed char windows — no false negatives at the window size, no "
+    "suffix array needed. Portable md5-derived 60-bit hashes let the "
+    "oracle replay the pipeline hash-for-hash; the xxhash64 fast path "
+    "and the hot-window quadratic cap are the production knobs "
+    "(operators/dedup.py shared_span_pairs).",
+)
+def dedup_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        dedup.shared_span_pairs(docs, span=32, portable=True)
+        .orderBy("id_a", "id_b")
+    )

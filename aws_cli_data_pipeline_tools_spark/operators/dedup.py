@@ -915,3 +915,63 @@ def embedding_cosine_pairs(
         .orderBy("id_a", "id_b")
     )
     return pairs
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span: int = 32,
+    portable: bool = False,
+    max_postings: int = 0,
+) -> DataFrame:
+    """Exact long-common-substring duplicate detection at window granularity.
+
+    Two documents share a common substring of length >= ``span`` iff they
+    share at least one exact ``span``-char window — so an inverted index on
+    hashed char windows detects Lee-et-al-style substring duplication
+    (train-data memorization spans) with NO false negatives at the window
+    size, without building a distributed suffix array. Returns
+    ``(id_a, id_b, n_shared_windows)`` with ``id_a < id_b``.
+
+    Plan: narrow char-window explode (O(total chars) posting rows, 8-byte
+    hashed keys), DISTINCT (doc, window) postings, self-equi-join on the
+    window hash, pair aggregate. ``max_postings > 0`` drops windows that
+    occur in more than that many docs via the same broadcast anti-join cap
+    as :func:`ngram_jaccard_pairs` — boilerplate banners otherwise create
+    quadratic pair blow-up; dropped windows are the corpus-wide-common
+    ones, which are boilerplate by construction, not memorization spans.
+    ``portable=True`` uses the md5-derived 60-bit hash so a DuckDB oracle
+    replays the pipeline hash-for-hash.
+    """
+    t = F.col(text_col)
+    hashfn = portable_hash64 if portable else F.xxhash64
+    grams = F.when(
+        F.length(t) >= span,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (span - 1)),
+            lambda i: hashfn(t.substr(i, F.lit(span))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    posting = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    if max_postings > 0:
+        hot = (
+            posting.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_postings)
+            .select("g")
+        )
+        posting = posting.join(F.broadcast(hot), "g", "left_anti")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

@@ -402,3 +402,37 @@ def test_ngram_jaccard_prefix_filter_parity(spark, sf_dir):
         ).collect()
     )
     assert plain == pref and len(plain) > 0
+
+
+def test_shared_span_pairs_detects_long_common_substring(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import (
+        shared_span_pairs,
+    )
+
+    common = "this exact forty-character span is shared!"  # 42 chars
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + common + " tail a"),
+            (2, "other start " + common + " different end"),
+            (3, "no overlap with anyone at all here truly"),
+            (4, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = shared_span_pairs(df, span=32).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    # the shared region includes both flanking spaces: 44 chars → 13 windows
+    assert pairs[0].n_shared_windows == 44 - 32 + 1
+    # portable mode must find the identical pair set
+    ppairs = shared_span_pairs(df, span=32, portable=True).collect()
+    assert [(r.id_a, r.id_b) for r in ppairs] == [(1, 2)]
+    # hot-window cap: a window present in ALL docs gets dropped
+    boiler = "B" * 40
+    df2 = spark.createDataFrame(
+        [(i, f"doc {i} unique part {i} " + boiler) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    capped = shared_span_pairs(df2, span=32, max_postings=3).count()
+    assert capped == 0  # boilerplate window exceeded cap → no pairs
+    uncapped = shared_span_pairs(df2, span=32).count()
+    assert uncapped == 15  # all C(6,2) pairs without the cap
