@@ -1490,3 +1490,123 @@ def dedup_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.shared_span_pairs(docs, span=32, portable=True)
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "vocab_growth_curve",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+),
+cps AS (SELECT unnest([100, 200, 300, 400, 500]) AS checkpoint),
+per_doc AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1),
+firsts AS (SELECT token, min(doc_id) AS fd FROM toks GROUP BY 1)
+SELECT c.checkpoint,
+       CAST((SELECT sum(n) FROM per_doc WHERE doc_id < c.checkpoint)
+            AS BIGINT) AS n_tokens,
+       (SELECT count(*) FROM firsts WHERE fd < c.checkpoint)
+         AS n_distinct_tokens
+FROM cps c ORDER BY checkpoint
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Heaps'-law vocabulary growth: distinct-token and total-token "
+    "counts at doc-count checkpoints, computed from per-token FIRST "
+    "occurrence (one token-keyed hash agg — the corpus is never re-scanned "
+    "per checkpoint) and per-doc totals, fanned out against a 5-row "
+    "broadcast checkpoint table. Exact integers — no estimator drift.",
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token"),
+    )
+    cps = spark.createDataFrame(
+        [(c,) for c in (100, 200, 300, 400, 500)], "checkpoint bigint"
+    )
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    firsts = toks.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    tot = (
+        per_doc.crossJoin(F.broadcast(cps))
+        .filter(F.col("doc_id") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    dist = (
+        firsts.crossJoin(F.broadcast(cps))
+        .filter(F.col("fd") < F.col("checkpoint"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
+    )
+    return tot.join(dist, "checkpoint").orderBy("checkpoint")
+
+
+@register(
+    "oov_rate_docs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 64
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END)
+         AS n_oov,
+       round(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                      THEN 0 ELSE 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+FROM toks GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Per-document out-of-vocabulary rate against the deterministic "
+    "top-64 corpus vocabulary: tokenizer-coverage audit before committing "
+    "to a vocab. The vocab is model-sized and broadcast; the corpus side "
+    "is one narrow explode + one doc-keyed hash agg.",
+)
+def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), "token")
+        .limit(64)
+        .select("token", F.lit(1).alias("__in"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.round(
+                F.col("n_oov") / F.col("n_tokens").cast("double"), 6
+            ),
+        )
+        .orderBy("doc_id")
+    )
