@@ -50,6 +50,13 @@ HEADLINE = [
     "doc_chunk_windows",
     "embedding_avg_pool",
     "streaming_tumbling_live",
+    # round-3 additions:
+    "decontaminate_bloom",
+    "dedup_shared_substring",
+    "text_gopher_rules",
+    "shuffle_shards_train",
+    "events_ewma_value",
+    "oov_rate_docs",
 ]
 
 
