@@ -1610,3 +1610,74 @@ def oov_rate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_png_pixels",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4) % 256 AS DOUBLE)) AS rs,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4 + 1) % 256 AS DOUBLE)) AS gs,
+         list_transform(generate_series(0, 5),
+             i -> CAST((doc_id*7 + (i // 3)*16 + (i % 3)*4 + 2) % 256 AS DOUBLE)) AS bs
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_sum(rs)/6.0 AS mr, list_sum(gs)/6.0 AS mg, list_sum(bs)/6.0 AS mb
+  FROM m
+)
+SELECT doc_id AS media_id, CAST(3 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST(3 AS INT) AS channels, CAST(6 AS INT) AS n_pixels,
+       round(mr, 6) AS mean_r, round(mg, 6) AS mean_g, round(mb, 6) AS mean_b,
+       round(0.299*mr + 0.587*mg + 0.114*mb, 6) AS mean_luma
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL PNG pixel decode (operators/multimodal.decode_png_pixels): "
+    "3×2 RGB payloads DEFLATE-compressed with the minimal in-repo encoder, "
+    "per-row filter type (doc_id+y)%5 so ALL FIVE spec filters "
+    "(None/Sub/Up/Average/Paeth) are inflated and unfiltered across the "
+    "corpus; the oracle replays the per-pixel channel arithmetic, which "
+    "only matches if every unfilter path is exact. PNG's DEFLATE is stdlib "
+    "zlib — no external codec. Closes the PNG half of the compressed-decode "
+    "stub; JPEG/GIF remain library-gated.",
+)
+def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.zeros((2, 3, 3), np.uint8)
+                for y in range(2):
+                    for x in range(3):
+                        base = d * 7 + y * 16 + x * 4
+                        px[y, x] = [
+                            base % 256, (base + 1) % 256, (base + 2) % 256
+                        ]
+                payloads.append(
+                    multimodal.encode_png(px, [(d + y) % 5 for y in range(2)])
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id bigint, payload binary")
+    out = multimodal.decode_png_pixels(media)
+    return out.select(
+        "media_id", "width", "height", "channels", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")

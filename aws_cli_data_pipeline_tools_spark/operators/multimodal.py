@@ -5,12 +5,13 @@ with a typed metadata struct; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so executors stream batches
 without materializing whole partitions.
 
-Decode coverage: the UNCOMPRESSED formats decode for real — BMP pixel rows
-(``decode_bmp_pixels``) and WAV PCM sample frames (``decode_wav_samples``)
-are pure byte arithmetic from the public specs, no codec library needed —
-and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by
-the sniffers below. Only compressed-codec payload decode (PNG/JPEG/GIF
-pixels, FLAC/MP3 samples) remains stubbed: those libraries are not in this
+Decode coverage: BMP pixel rows (``decode_bmp_pixels``), WAV PCM sample
+frames (``decode_wav_samples``), and PNG pixels (``decode_png_pixels`` —
+PNG's only compression is DEFLATE, which is stdlib ``zlib``, so inflate +
+the five spec unfilter paths need no external codec) all decode for real,
+and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real
+by the sniffers below. Only truly-external codec decode (JPEG/GIF pixels,
+FLAC/MP3 samples) remains stubbed: those libraries are not in this
 container, so ``decode_media`` raises ``NotImplementedError`` for them
 unless ``fake=True`` substitutes the deterministic fake decoder (keeps the
 Spark-side plumbing — schema, batching, partitioning — testable end-to-end).
@@ -235,10 +236,11 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     Arrow-batched: each executor receives pandas batches of (media_id,
     media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
 
-    Real decode paths: BMP pixels (feature = per-channel means + Rec.601
-    luma, /255) and WAV PCM samples (feature = mean|s| / RMS / peak,
-    /32768). Compressed codecs (PNG/JPEG/GIF pixels, FLAC/MP3 samples) have
-    no library in this container: such payloads raise ``NotImplementedError``
+    Real decode paths: BMP and PNG pixels (feature = per-channel means +
+    Rec.601 luma, /255 — PNG's DEFLATE is stdlib ``zlib``, no external
+    codec) and WAV PCM samples (feature = mean|s| / RMS / peak, /32768).
+    Truly external codecs (JPEG/GIF pixels, FLAC/MP3 samples) have no
+    library in this container: such payloads raise ``NotImplementedError``
     from the executor unless ``fake=True`` substitutes the deterministic
     fake decoder for them.
     """
@@ -251,6 +253,16 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             mb, mg, mr = (chan[:, c].mean() for c in range(3))
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
             return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+        png = _decode_png_array(p)
+        if png is not None:
+            w, h, channels, px = png
+            chan = px.reshape(-1, channels).astype("float64")
+            if channels >= 3:
+                mr, mg, mb = (chan[:, c].mean() for c in range(3))
+            else:
+                mr = mg = mb = chan[:, 0].mean()
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
         wav = _decode_wav_array(p)
         if wav is not None and wav[3].size:
             import numpy as np
@@ -261,8 +273,8 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
         if not fake:
             raise NotImplementedError(
-                "payload is not an uncompressed BMP/WAV; compressed-codec "
-                "decode requires libraries not present in this environment "
+                "payload is not a BMP/PNG/PCM-WAV; JPEG/GIF/FLAC/MP3 decode "
+                "requires codec libraries not present in this environment "
                 "(pass fake=True for the deterministic test decoder)"
             )
         return _fake_decode(p)
@@ -584,3 +596,199 @@ def text_as_binary_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         F.octet_length(b).alias("n_bytes"),
         F.md5(b).alias("payload_md5"),
     ).orderBy(id_col)
+
+
+# ----------------------------------------------------------------- png
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: PNG color type → channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png_array(b: bytes):
+    """Real PNG pixel decode → (width, height, channels, HxWxC uint8), or
+    None if not a decodable PNG.
+
+    PNG's only compression is DEFLATE, which ships in the Python standard
+    library (``zlib``) — so unlike JPEG/FLAC/MP3 no external codec is
+    needed: chunk walk (IHDR/IDAT/IEND), inflate, then per-scanline
+    unfiltering of the five public-spec filter types (None/Sub/Up/Average/
+    Paeth). Covers 8-bit depth, color types 0/2/4/6, non-interlaced.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    i, ihdr, idat = 8, None, b""
+    while i + 8 <= len(b):
+        ln = struct.unpack(">I", b[i : i + 4])[0]
+        typ = b[i + 4 : i + 8]
+        if typ == b"IHDR":
+            ihdr = b[i + 8 : i + 8 + ln]
+        elif typ == b"IDAT":
+            idat += b[i + 8 : i + 8 + ln]
+        elif typ == b"IEND":
+            break
+        i += 12 + ln
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h = struct.unpack(">II", ihdr[:8])
+    depth, ctype, comp, filt, inter = ihdr[8:13]
+    channels = _PNG_CHANNELS.get(ctype)
+    if depth != 8 or channels is None or comp or filt or inter:
+        return None
+    if w <= 0 or h <= 0:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    rows = np.frombuffer(
+        raw[: h * (stride + 1)], dtype=np.uint8
+    ).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up: full-row vector add
+            cur = (line + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need the left neighbor
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + ((a + up) >> 1)
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                    v = line[x] + pred
+                cur[x] = v & 0xFF
+        else:
+            return None
+        out[y] = cur.astype(np.uint8)
+    return w, h, channels, out.reshape(h, w, channels)
+
+
+def encode_png(px, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (fixtures/tests): 8-bit gray/GA/RGB/RGBA, filter
+    type selectable per row so the decoder's five unfilter paths can be
+    exercised deterministically. Inverse of :func:`_decode_png_array`.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    bpp = channels
+    stride = w * channels
+    flat = px.reshape(h, stride).astype(np.int32)
+    lines = []
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode for PNG payloads, Arrow-batched: per item →
+    (width, height, channels, n_pixels, per-channel means in RGB order,
+    Rec.601 mean luma). Grayscale maps its single channel to all of
+    r/g/b; alpha channels are excluded from the means. Non-PNG /
+    truncated / unsupported-variant payloads yield NULL stats rows.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "width": [], "height": [],
+                "channels": [], "n_pixels": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "mean_luma": [],
+            }
+            cols = ("width", "height", "channels", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "mean_luma")
+            for p in pdf[payload_col]:
+                dec = _decode_png_array(bytes(p))
+                if dec is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                w, h, channels, px = dec
+                chan = px.reshape(-1, channels).astype("float64")
+                if channels >= 3:
+                    mr, mg, mb = (chan[:, c].mean() for c in range(3))
+                else:  # gray / gray+alpha: channel 0 is the luminance
+                    mr = mg = mb = chan[:, 0].mean()
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(channels)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["mean_luma"].append(0.299 * mr + 0.587 * mg + 0.114 * mb)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "width int, height int, channels int, n_pixels int, mean_r double, "
+        "mean_g double, mean_b double, mean_luma double",
+    )

@@ -258,7 +258,7 @@ def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
     # compressed/unknown payloads still raise (from the executor) without fake
-    with pytest.raises(Exception, match="not an uncompressed BMP/WAV"):
+    with pytest.raises(Exception, match="not a BMP/PNG/PCM-WAV"):
         multimodal.decode_media(df).collect()
     # real path: a BMP payload decodes without fake
     bmp_df = spark.createDataFrame(
@@ -582,3 +582,49 @@ def test_gopher_quality_flags_rules(spark):
     assert out[4]["passes_gopher"] is False
     # 2 words < 50 → fail
     assert out[5]["passes_gopher"] is False
+
+
+def test_decode_png_pixels_real(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_png_pixels, encode_png,
+    )
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    gray = np.array([[0, 128], [255, 64]], dtype=np.uint8)
+    rgba = np.full((2, 2, 4), 200, dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(rgb, [0, 1, 2, 3, 4]))),
+        (2, bytearray(encode_png(gray))),
+        (3, bytearray(encode_png(rgba, [4]))),
+        (4, bytearray(b"not a png at all")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in decode_png_pixels(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (3, 2, 3)
+    # channel means of arange(18) stepping 3: R=[0..15 step3]+...
+    assert abs(out[1]["mean_r"] - np.arange(0, 18, 3).mean()) < 1e-9
+    assert abs(out[1]["mean_g"] - np.arange(1, 18, 3).mean()) < 1e-9
+    assert (out[2]["channels"], out[2]["n_pixels"]) == (1, 4)
+    assert abs(out[2]["mean_r"] - (0 + 128 + 255 + 64) / 4.0) < 1e-9
+    assert out[2]["mean_r"] == out[2]["mean_b"]  # gray maps to all channels
+    assert out[3]["channels"] == 4 and abs(out[3]["mean_r"] - 200.0) < 1e-9
+    assert out[4]["width"] is None  # malformed → NULL stats, not an error
+
+
+def test_decode_media_png_real_path(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_media, encode_png,
+    )
+
+    px = np.full((2, 2, 3), 100, dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_png(px, [2, 4])))]
+    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
+    # feature = [mb, mg, mr, luma]/255 + zero padding (float32 storage)
+    assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6
+    assert abs(r["feature"][3] - 100.0 / 255.0) < 1e-6
