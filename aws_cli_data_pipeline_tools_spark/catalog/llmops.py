@@ -1681,3 +1681,82 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_luma", 6).alias("mean_luma"),
     ).orderBy("media_id")
+
+
+@register(
+    "source_drift_chi2",
+    oracle=f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+),
+obs AS (SELECT source, token, count(*) AS o FROM toks GROUP BY 1, 2),
+tok_tot AS (SELECT token, count(*) AS nt FROM toks GROUP BY 1),
+src_tot AS (SELECT source, count(*) AS ns FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM toks),
+terms AS (
+  SELECT o.source,
+         (o.o - tok_tot.nt * src_tot.ns / CAST(tot.n AS DOUBLE))
+           * (o.o - tok_tot.nt * src_tot.ns / CAST(tot.n AS DOUBLE))
+           / (tok_tot.nt * src_tot.ns / CAST(tot.n AS DOUBLE)) AS term,
+         tok_tot.nt * src_tot.ns / CAST(tot.n AS DOUBLE) AS e
+  FROM obs o
+  JOIN tok_tot USING (token)
+  JOIN src_tot USING (source), tot
+)
+SELECT t.source, s.ns AS n_tokens,
+       round(CAST(sum(CAST(t.term AS DECIMAL(38,10))) AS DOUBLE)
+             + (s.ns - CAST(sum(CAST(t.e AS DECIMAL(38,10))) AS DOUBLE)),
+             4) AS chi2
+FROM terms t JOIN src_tot s USING (source)
+GROUP BY t.source, s.ns ORDER BY t.source
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Per-source token-distribution drift: chi-square statistic of "
+    "each source's token counts against the corpus-wide expectation. "
+    "Missing-token terms are folded in closed form (sum of expected = "
+    "source total), so only OBSERVED (source, token) rows are "
+    "materialized — never the source × vocabulary cross product. "
+    "Token-keyed aggregations colocate; source totals broadcast. "
+    "Decimal-sum discipline keeps the double sums order-independent. "
+    "The corpus-mix drift monitor between snapshots/sources.",
+)
+def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token"),
+    )
+    obs = toks.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    tok_tot = toks.groupBy("token").agg(F.count(F.lit(1)).alias("nt"))
+    src_tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    e = F.col("nt") * F.col("ns") / F.col("n").cast("double")
+    terms = (
+        obs.join(tok_tot, "token")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source", "ns",
+            ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"),
+            e.alias("e"),
+        )
+    )
+    d = lambda c: F.sum(F.col(c).cast("decimal(38,10)")).cast("double")  # noqa: E731
+    return (
+        terms.groupBy("source", F.col("ns").alias("n_tokens"))
+        .agg(
+            F.round(
+                d("term") + (F.col("ns").cast("double") - d("e")), 4
+            ).alias("chi2")
+        )
+        .orderBy("source")
+    )
