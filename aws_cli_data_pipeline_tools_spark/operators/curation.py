@@ -386,7 +386,14 @@ def bloom_decontaminate(
             )
         ).alias("g"),
     )
-    eval_grams = grams(eval_df).select("g").distinct()
+    from pyspark import StorageLevel
+
+    # the eval gram set feeds TWO consumers (bloom build + exact confirm);
+    # persisting it avoids re-shingling the eval side across the two jobs
+    eval_grams = (
+        grams(eval_df).select("g").distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bloom = build_bloom(eval_grams, "g", num_bits, k)
     cand = (
         grams(train)
