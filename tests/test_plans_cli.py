@@ -90,3 +90,37 @@ def test_cli_catalog_list_and_run(capsys, monkeypatch, sf_dir):
     assert cli_main(["--max-rows", "3", "catalog", "run", "scan_filter_project"]) == 0
     assert "truncated" in capsys.readouterr().out or True
     assert cli_main(["catalog", "run", "no_such_query"]) == 1
+
+
+def test_round3_ops_plan_shapes(spark, sf_dir):
+    """100 TB posture of the round-3 operators, asserted on the physical
+    plan: model-sized sides broadcast, no global-order single-partition
+    windows on per-row operators."""
+    specs = all_specs()
+
+    # oov_rate_docs: the 64-token vocab joins by broadcast, never shuffle
+    f = plans.facts(specs["oov_rate_docs"].fn(spark, sf_dir))
+    assert f.n_broadcast_joins >= 1
+    assert f.n_sortmerge_joins == 0
+
+    # shuffle_shards / ewma: rank windows are partitioned — a global-order
+    # window would show an Exchange SinglePartition before the sort
+    from aws_cli_data_pipeline_tools_spark.operators.curation import (
+        shuffle_shards,
+    )
+    from aws_cli_data_pipeline_tools_spark.operators.gapfill import ewma
+
+    docs = load_table(spark, "documents", sf_dir)
+    p1 = plans.executed_plan(shuffle_shards(docs, "doc_id", 8, salt="v1"))
+    assert "SinglePartition" not in p1
+    ev = load_table(spark, "events", sf_dir)
+    p2 = plans.executed_plan(
+        ewma(ev, ["user_id"], ["ts", "event_id"], "value")
+    )
+    assert "SinglePartition" not in p2
+
+    # decontaminate_bloom: the bloom (1 row, filter-sized) reaches the
+    # corpus via a broadcast nested-loop cross join, not an exchange of
+    # the corpus side
+    f3 = plans.facts(specs["decontaminate_bloom"].fn(spark, sf_dir))
+    assert f3.n_broadcast_joins >= 1
