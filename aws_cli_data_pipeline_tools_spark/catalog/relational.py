@@ -1936,3 +1936,62 @@ ORDER BY ALL
     "(Spark * EXCEPT ≙ DuckDB * EXCLUDE) and GROUP BY ALL / ORDER BY ALL "
     "inference. Decimal-sum discipline keeps the aggregate hash-exact.",
 )
+
+
+from . import register  # noqa: E402 — DataFrame-backed entries below
+
+
+@register(
+    "winsorized_price_stats",
+    oracle="""
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_disc(l_extendedprice, 0.05) AS lo,
+         quantile_disc(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY 1
+), w AS (
+  SELECT l.l_returnflag,
+         least(greatest(l.l_extendedprice, b.lo), b.hi) AS p,
+         CASE WHEN l.l_extendedprice < b.lo
+                OR l.l_extendedprice > b.hi THEN 1 ELSE 0 END AS clipped
+  FROM lineitem l JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       sum(clipped) AS n_clipped,
+       round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4)
+         AS mean_winsorized
+FROM w GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("agg", "robust", "llmops"),
+    notes="Winsorized robust mean (operators/quality.winsorize): per-group "
+    "5th/95th DISCRETE percentiles (actual data values — exact cross-engine, "
+    "no interpolation), broadcast back, narrow least/greatest clip; the "
+    "corpus is never shuffled. The outlier-robust score-normalization step "
+    "for heuristic quality signals. Decimal-sum discipline on the mean.",
+)
+def winsorized_price_stats(spark, sf_dir):
+    from ..operators.quality import winsorize
+    from ..sources import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, "lineitem", sf_dir)
+    w = winsorize(li, ["l_returnflag"], "l_extendedprice")
+    clipped = F.when(
+        F.col("l_extendedprice") != F.col("l_extendedprice_w"), 1
+    ).otherwise(0)
+    return (
+        w.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(clipped).alias("n_clipped"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice_w").cast("decimal(38,10)")
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("l_returnflag")
+    )

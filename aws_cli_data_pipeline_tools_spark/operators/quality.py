@@ -150,3 +150,50 @@ def observe_metrics(
     obs = Observation()
     out = df.observe(obs, *[e.alias(k) for k, e in metrics.items()])
     return out, obs
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lo_p, hi_p] discrete percentiles.
+
+    The outlier-robust score normalization step quality pipelines apply
+    before averaging heuristic signals (a single pathological doc must not
+    drag a source's mean). Discrete (lower-value) percentiles — actual data
+    values, so cross-engine equality is exact with no interpolation
+    rounding. Plan: one grouped ObjectHashAggregate over the groups for the
+    bounds (model-sized: one row per group), broadcast back, then a narrow
+    least/greatest clip — the corpus itself is never shuffled.
+
+    Adds ``out_col`` (default ``{value_col}_w``) plus ``__lo``/``__hi``
+    are not retained; NULL values stay NULL.
+    """
+    out_col = out_col or f"{value_col}_w"
+    bounds = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile_disc({lo_p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("__lo"),
+        F.expr(
+            f"percentile_disc({hi_p}) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .withColumn(
+            out_col,
+            # greatest/least SKIP NULLs (a NULL value would clamp to the
+            # bound) — guard so NULL in stays NULL out
+            F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(
+                F.least(
+                    F.greatest(F.col(value_col), F.col("__lo")),
+                    F.col("__hi"),
+                )
+            ),
+        )
+        .drop("__lo", "__hi")
+    )

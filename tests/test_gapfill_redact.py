@@ -145,3 +145,24 @@ def test_ewma_matches_pandas_adjust(spark):
     out2 = ewma(df, ["k"], ["t"], "v", decay=0.5, window=2).orderBy("t").collect()
     # weights 1, 0.5 normalized by 1.5 → (3*0.5 + -1*1)/1.5
     assert abs(out2[-1]["ewma"] - round((3.0 * 0.5 + -1.0) / 1.5, 6)) < 1e-9
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.quality import winsorize
+
+    rows = [("a", float(v)) for v in range(1, 21)] + [("a", 1000.0), ("b", 5.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", lo_p=0.05, hi_p=0.95)
+    got = {(r["g"], r["v"]): r["v_w"] for r in out.collect()}
+    # discrete p95 of group a's 21 values is a real data value; the 1000.0
+    # outlier clips to it, in-range values are untouched
+    assert got[("a", 1000.0)] == 20.0
+    assert got[("a", 10.0)] == 10.0
+    # p05 of 21 values: cume_dist(1.0)=1/21 < 0.05 → discrete p05 is 2.0,
+    # so the low tail clips UP to it
+    assert got[("a", 1.0)] == 2.0
+    assert got[("b", 5.0)] == 5.0  # single-value group: lo = hi = value
+    # NULLs stay NULL
+    df2 = spark.createDataFrame([("a", None), ("a", 2.0)], "g string, v double")
+    r = {r["v"]: r["v_w"] for r in winsorize(df2, ["g"], "v").collect()}
+    assert r[None] is None
