@@ -1760,3 +1760,99 @@ def source_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         len(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS n_toks,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+           AS canon
+  FROM documents
+),
+langp AS (
+  SELECT lang, count(*) / CAST((SELECT count(*) FROM base) AS DOUBLE) AS p
+  FROM base GROUP BY lang
+),
+srcp AS (
+  SELECT count(*) / CAST((SELECT count(*) FROM base) AS DOUBLE) AS share
+  FROM base GROUP BY source
+)
+SELECT (SELECT count(*) FROM base) AS n_docs,
+       (SELECT count(DISTINCT source) FROM base) AS n_sources,
+       (SELECT count(DISTINCT lang) FROM base) AS n_langs,
+       (SELECT CAST(sum(n_toks) AS BIGINT) FROM base) AS total_tokens,
+       (SELECT round(CAST(sum(CAST(n_toks AS DECIMAL(38,10))) AS DOUBLE)
+                     / count(*), 4) FROM base) AS mean_doc_tokens,
+       (SELECT round(1.0 - count(DISTINCT canon) / CAST(count(*) AS DOUBLE), 6)
+          FROM base) AS exact_dup_rate,
+       (SELECT round(CAST(sum(CAST(-p * log2(p) AS DECIMAL(38,12)))
+                          AS DOUBLE), 6) FROM langp) AS lang_entropy_bits,
+       (SELECT round(max(share), 6) FROM srcp) AS top_source_share
+""",
+    tags=("llmops", "stats", "report"),
+    notes="One-row dataset card — the datasheet a corpus release ships "
+    "with: sizes, token totals, canonical exact-dup rate, language-mix "
+    "Shannon entropy (bits, decimal-sum order-independent), and "
+    "largest-source concentration. Composes the catalog's tokenization / "
+    "canonical-fingerprint building blocks in two scans and model-sized "
+    "aggregates; every statistic is exact (no sketches) so the DuckDB "
+    "twin matches hash-for-hash.",
+)
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("n_toks"),
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.split(F.col("text"), r"\s+")))
+        ).alias("canon"),
+    )
+    overall = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("n_toks").cast("decimal(38,10)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_doc_tokens"),
+        F.round(
+            1.0 - F.countDistinct("canon") / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("exact_dup_rate"),
+    )
+    n_docs = base.agg(F.count(F.lit(1)).alias("__n"))
+    langp = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_docs))
+        .select((F.col("c") / F.col("__n").cast("double")).alias("p"))
+    )
+    ent = langp.agg(
+        F.round(
+            F.sum(
+                (-F.col("p") * F.log2("p")).cast("decimal(38,12)")
+            ).cast("double"),
+            6,
+        ).alias("lang_entropy_bits")
+    )
+    srcp = (
+        base.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .crossJoin(F.broadcast(n_docs))
+        .agg(
+            F.round(
+                F.max(F.col("c") / F.col("__n").cast("double")), 6
+            ).alias("top_source_share")
+        )
+    )
+    return overall.crossJoin(F.broadcast(ent)).crossJoin(F.broadcast(srcp))
