@@ -1995,3 +1995,47 @@ def winsorized_price_stats(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "mad_outlier_counts",
+    oracle="""
+WITH med AS (
+  SELECT o_orderstatus, quantile_disc(o_totalprice, 0.5) AS m
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT o.o_orderstatus, o.o_totalprice, med.m,
+         abs(o.o_totalprice - med.m) AS resid
+  FROM orders o JOIN med USING (o_orderstatus)
+), mad AS (
+  SELECT o_orderstatus, quantile_disc(resid, 0.5) AS d
+  FROM r GROUP BY 1
+)
+SELECT r.o_orderstatus,
+       count(*) AS n_rows,
+       sum(CASE WHEN r.resid > 3.0 * mad.d THEN 1 ELSE 0 END) AS n_outliers
+FROM r JOIN mad USING (o_orderstatus)
+GROUP BY r.o_orderstatus ORDER BY r.o_orderstatus
+""",
+    tags=("agg", "robust", "llmops"),
+    notes="MAD-based robust outlier gate (operators/quality.mad_outliers): "
+    "per-group discrete median and median-absolute-deviation — exact "
+    "data values cross-engine — broadcast back, narrow flagging; the "
+    "corpus never shuffles. The heavy-tail-safe twin of the stddev gate.",
+)
+def mad_outlier_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.quality import mad_outliers
+    from ..sources import load_table
+
+    o = load_table(spark, "orders", sf_dir)
+    flagged = mad_outliers(o, ["o_orderstatus"], "o_totalprice", k=3.0)
+    return (
+        flagged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("is_outlier").cast("int")).alias("n_outliers"),
+        )
+        .orderBy("o_orderstatus")
+    )

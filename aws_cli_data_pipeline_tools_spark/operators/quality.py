@@ -197,3 +197,40 @@ def winsorize(
         )
         .drop("__lo", "__hi")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Flag rows where |x − median| > k · MAD within their group.
+
+    Median and MAD use DISCRETE percentiles (actual data values — exact
+    cross-engine). Two grouped aggregates (median, then MAD of the
+    residuals), both model-sized and broadcast back; the corpus itself is
+    never shuffled. The scale-free outlier gate for heuristic quality
+    scores — robust where mean/stddev gates break under heavy tails.
+    Adds ``__median``, ``__mad``, ``is_outlier``; NULL values flag NULL.
+    """
+    med = df.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
+        ).alias("__median")
+    )
+    with_med = df.join(F.broadcast(med), group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(
+            f"percentile_disc(0.5) WITHIN GROUP "
+            f"(ORDER BY abs({value_col} - __median))"
+        ).alias("__mad")
+    )
+    return with_med.join(F.broadcast(mad), group_cols).withColumn(
+        "is_outlier",
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("boolean"))
+        .otherwise(
+            F.abs(F.col(value_col) - F.col("__median"))
+            > F.lit(k) * F.col("__mad")
+        ),
+    )

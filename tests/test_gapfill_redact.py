@@ -166,3 +166,19 @@ def test_winsorize_clips_to_group_percentiles(spark):
     df2 = spark.createDataFrame([("a", None), ("a", 2.0)], "g string, v double")
     r = {r["v"]: r["v_w"] for r in winsorize(df2, ["g"], "v").collect()}
     assert r[None] is None
+
+
+def test_mad_outliers_flags_and_nulls(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.quality import (
+        mad_outliers,
+    )
+
+    rows = [("a", float(v)) for v in [10, 11, 12, 13, 14, 100]] + [("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in mad_outliers(df, ["g"], "v", k=3.0).collect()}
+    # median of 6 values (disc) = 12.0; residuals [2,1,0,1,2,88] → MAD = 1.0
+    assert out[100.0]["__median"] == 12.0 and out[100.0]["__mad"] == 1.0
+    assert out[100.0]["is_outlier"] is True
+    assert out[12.0]["is_outlier"] is False
+    assert out[14.0]["is_outlier"] is False  # resid 2 <= 3*MAD
+    assert out[None]["is_outlier"] is None
