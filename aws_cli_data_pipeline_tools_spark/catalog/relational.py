@@ -2039,3 +2039,22 @@ def mad_outlier_counts(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+register_sql(
+    "agg_sugar_funcs",
+    sql="""
+SELECT o_orderstatus,
+       count_if(o_totalprice > 100000)        AS n_big,
+       round(median(o_totalprice), 4)         AS med_price,
+       round(median(o_orderkey), 1)           AS med_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("agg", "sugar"),
+    notes="Aggregate sugar both engines ship verbatim: count_if "
+    "(conditional count without FILTER/CASE) and median() (interpolated "
+    "— identical two-middle averaging on both engines, exercised on an "
+    "even-count integer column via med_key).",
+)
