@@ -2058,3 +2058,37 @@ ORDER BY o_orderstatus
     "— identical two-middle averaging on both engines, exercised on an "
     "even-count integer column via med_key).",
 )
+
+
+register_sql(
+    "quantile_grid_onepass",
+    spark_sql="""
+SELECT l_returnflag,
+       percentile_disc(0.1) WITHIN GROUP (ORDER BY l_quantity) AS q10,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS q50,
+       percentile_disc(0.75) WITHIN GROUP (ORDER BY l_quantity) AS q75,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_quantity) AS q99
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    duck_sql="""
+SELECT l_returnflag,
+       l_quantity_q[1] AS q10, l_quantity_q[2] AS q25, l_quantity_q[3] AS q50,
+       l_quantity_q[4] AS q75, l_quantity_q[5] AS q99
+FROM (
+  SELECT l_returnflag,
+         quantile_disc(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.99])
+           AS l_quantity_q
+  FROM lineitem GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+""",
+    tags=("agg", "percentile"),
+    notes="Full quantile grid in ONE aggregation pass per group — the "
+    "distribution summary behind length/score banding decisions. Spark "
+    "plans the five ordered-set aggregates into a single "
+    "ObjectHashAggregate scan; DuckDB takes the array-parameter form. "
+    "Discrete quantiles → exact cross-engine values.",
+)

@@ -713,3 +713,33 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ewma")
         .orderBy("user_id", "event_id")
     )
+
+
+register_sql(
+    "events_time_bucket_15min",
+    spark_sql="""
+SELECT window(ts, '15 minutes').start AS bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 5)
+         AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY window(ts, '15 minutes')
+ORDER BY bucket
+""",
+    duck_sql="""
+SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 5)
+         AS sum_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+ORDER BY bucket
+""",
+    tags=("timeseries", "window"),
+    notes="Sub-hour time-bucket downsampling: Spark's window(ts, '15 "
+    "minutes') tumbling GROUP BY ≙ DuckDB time_bucket — epoch-aligned "
+    "on both engines. The batch twin of the streaming tumbling path at "
+    "finer-than-hour grain; filter pushed to the scan.",
+)
