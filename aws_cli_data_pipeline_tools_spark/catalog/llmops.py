@@ -1856,3 +1856,71 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return overall.crossJoin(F.broadcast(ent)).crossJoin(F.broadcast(srcp))
+
+
+@register(
+    "doc_novelty_3gram",
+    oracle=f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 2),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+    FROM (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents)
+  )
+),
+firsts AS (SELECT gram, min(doc_id) AS fd FROM g GROUP BY gram),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+novel AS (
+  SELECT g.doc_id, count(*) AS n_novel
+  FROM g JOIN firsts USING (gram) WHERE firsts.fd = g.doc_id
+  GROUP BY g.doc_id
+)
+SELECT p.doc_id, p.n_grams,
+       coalesce(n.n_novel, 0) AS n_novel,
+       round(coalesce(n.n_novel, 0) / CAST(p.n_grams AS DOUBLE), 6)
+         AS novelty
+FROM per_doc p LEFT JOIN novel n USING (doc_id)
+ORDER BY p.doc_id
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Per-document 3-gram novelty: the fraction of a doc's DISTINCT "
+    "word 3-grams whose corpus-wide first occurrence (min doc_id) is this "
+    "doc — boilerplate-heavy docs score near 0, fresh content near 1. "
+    "Gram-keyed first-occurrence agg and the novelty join share the same "
+    "key, so the join is colocated after one shuffle; per-doc counts are "
+    "a second narrow agg. Exact integers (at 100 TB the gram key would be "
+    "xxhash64-hashed to 8 bytes — here raw strings keep the oracle "
+    "byte-identical).",
+)
+def doc_novelty_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    g = docs.select(
+        "doc_id",
+        F.explode_outer(
+            word_shingles(F.col("text"), 3)
+        ).alias("gram"),
+    ).where(F.col("gram").isNotNull()).distinct()
+    firsts = g.groupBy("gram").agg(F.min("doc_id").alias("fd"))
+    per_doc = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        g.join(firsts, "gram")
+        .where(F.col("fd") == F.col("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0))
+                / F.col("n_grams").cast("double"),
+                6,
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
