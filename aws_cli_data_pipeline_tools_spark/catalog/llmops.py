@@ -1924,3 +1924,52 @@ def doc_novelty_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _duck_lang_margin_sql() -> str:
+    cands = ",\n    ".join(
+        "{{'lang': '{lang}', 'score': len(list_filter(words, w -> "
+        "list_contains({stop}, w))) / nullif(CAST(len(words) AS DOUBLE), 0.0)}}".format(
+            lang=lang, stop=_duck_stoplist(lang)
+        )
+        for lang in sorted(textstats.STOPWORDS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_transform({_DUCK_WORDS}, x -> lower(x)) AS words
+  FROM documents
+), sc AS (
+  SELECT doc_id, unnest([
+    {cands}
+  ]) AS c FROM base
+), r AS (
+  SELECT doc_id, c.lang AS lang, c.score AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c.score DESC, c.lang) AS rn
+  FROM sc
+)
+SELECT a.doc_id,
+       CASE WHEN a.score > 0 THEN a.lang ELSE 'und' END AS lang_pred,
+       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred2,
+       round(coalesce(a.score, 0.0) - coalesce(b.score, 0.0), 6) AS lang_margin
+FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+ORDER BY a.doc_id
+"""
+
+
+@register(
+    "text_lang_margin",
+    oracle=_duck_lang_margin_sql(),
+    tags=("llmops", "text"),
+    notes="Language-ID confidence: top-two stopword-fraction score gap + "
+    "runner-up language (lang_id(with_margin=True)) — the ambiguity signal "
+    "for routing low-margin docs to quarantine/review. Same codegen array "
+    "ranking as text_lang_id, no extra scan.",
+)
+def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        textstats.lang_id(docs, with_margin=True)
+        .select("doc_id", "lang_pred", "lang_pred2", "lang_margin")
+        .orderBy("doc_id")
+    )

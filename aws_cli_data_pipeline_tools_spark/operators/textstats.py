@@ -90,12 +90,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", with_margin: bool = False
+) -> DataFrame:
     """Stopword-fraction language ID over STOPWORDS languages.
 
     Per language: fraction of tokens in that language's stopword list; the
     argmax wins, alphabetical tie-break, 'und' (undetermined) if all scores
-    are zero. Deterministic; JVM-side only.
+    are zero. Deterministic; JVM-side only. ``with_margin`` adds the
+    runner-up language and the top-two score gap — the confidence signal
+    routing pipelines use to quarantine ambiguous docs.
     """
     t = F.col(text_col)
     words = F.transform(_words(t), F.lower)
@@ -124,12 +128,27 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     best = F.element_at(ranked, 1)
-    return df.withColumns(
+    out = df.withColumns(
         {
             "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
             "lang_score": F.round(F.coalesce(best["score"], F.lit(0.0)), 6),
         }
     )
+    if with_margin:
+        second = F.element_at(ranked, 2)
+        out = out.withColumns(
+            {
+                "lang_pred2": F.when(
+                    second["score"] > 0, second["lang"]
+                ).otherwise(F.lit("und")),
+                "lang_margin": F.round(
+                    F.coalesce(best["score"], F.lit(0.0))
+                    - F.coalesce(second["score"], F.lit(0.0)),
+                    6,
+                ),
+            }
+        )
+    return out
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
