@@ -743,3 +743,72 @@ ORDER BY bucket
     "on both engines. The batch twin of the streaming tumbling path at "
     "finer-than-hour grain; filter pushed to the scan.",
 )
+
+
+_SESSION_NUMBERED_SPARK = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+"""
+
+_SESSION_NUMBERED_DUCK = """
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+"""
+
+register_sql(
+    "session_entry_exit",
+    spark_sql=_SESSION_NUMBERED_SPARK + """
+SELECT user_id, session_id,
+       min_by(event_type,
+              format_string('%020d|%010d', unix_micros(ts), event_id))
+         AS entry_type,
+       max_by(event_type,
+              format_string('%020d|%010d', unix_micros(ts), event_id))
+         AS exit_type,
+       count(*) AS n_events,
+       max(unix_micros(ts)) - min(unix_micros(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    duck_sql=_SESSION_NUMBERED_DUCK + """
+SELECT user_id, session_id,
+       arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
+         AS entry_type,
+       arg_max(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
+         AS exit_type,
+       count(*) AS n_events,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("timeseries", "session"),
+    notes="Per-session entry/exit analysis: first and last event type via "
+    "min_by/max_by ≙ arg_min/arg_max on a zero-padded (ts, event_id) "
+    "string key — a total order, so arg-extrema are deterministic on both "
+    "engines — plus exact integer microsecond durations. Same 30-min-gap "
+    "lag/cumsum sessionization as events_sessionized, one extra hash agg.",
+)
