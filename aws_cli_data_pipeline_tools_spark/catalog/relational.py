@@ -2092,3 +2092,56 @@ ORDER BY l_returnflag
     "ObjectHashAggregate scan; DuckDB takes the array-parameter form. "
     "Discrete quantiles → exact cross-engine values.",
 )
+
+
+register_sql(
+    "window_share_of_total",
+    sql="""
+SELECT o_orderkey, o_orderstatus,
+       round(o_totalprice /
+             CAST(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+                  OVER (PARTITION BY o_orderstatus) AS DOUBLE), 9)
+         AS share_of_status
+FROM orders
+WHERE o_orderkey % 100 = 0
+ORDER BY o_orderkey
+""",
+    tags=("window", "agg"),
+    notes="Share-of-total (ratio_to_report analog): each row's fraction of "
+    "its partition's sum. The window sum uses the decimal-cast discipline "
+    "so the denominator is aggregation-order-independent — a raw double "
+    "window sum would hash-differ across engines/partitionings.",
+)
+
+register_sql(
+    "null_safe_ops",
+    spark_sql="""
+SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+       a.v <=> b.v                 AS eq_nullsafe,
+       NOT (a.v <=> b.v)           AS ne_nullsafe,
+       a.v = b.v                   AS eq_plain
+FROM (SELECT n_nationkey, IF(n_nationkey % 3 = 0, NULL, n_regionkey) AS v
+      FROM nation) a
+JOIN (SELECT n_nationkey, IF(n_nationkey % 4 = 0, NULL, n_regionkey) AS v
+      FROM nation) b
+  ON a.n_nationkey = b.n_nationkey
+ORDER BY k1
+""",
+    duck_sql="""
+SELECT a.n_nationkey AS k1, b.n_nationkey AS k2,
+       a.v IS NOT DISTINCT FROM b.v AS eq_nullsafe,
+       a.v IS DISTINCT FROM b.v     AS ne_nullsafe,
+       a.v = b.v                    AS eq_plain
+FROM (SELECT n_nationkey, CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                               ELSE n_regionkey END AS v FROM nation) a
+JOIN (SELECT n_nationkey, CASE WHEN n_nationkey % 4 = 0 THEN NULL
+                               ELSE n_regionkey END AS v FROM nation) b
+  ON a.n_nationkey = b.n_nationkey
+ORDER BY k1
+""",
+    tags=("sql", "null"),
+    notes="Null-safe comparison semantics: Spark's <=> ≙ ANSI IS NOT "
+    "DISTINCT FROM — NULL<=>NULL is TRUE, NULL<=>x is FALSE, while plain "
+    "= yields NULL (visible in eq_plain). The join-key trap behind "
+    "nullable dedup/merge keys.",
+)
