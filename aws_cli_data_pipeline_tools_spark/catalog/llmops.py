@@ -1973,3 +1973,65 @@ def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang_pred", "lang_pred2", "lang_margin")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+WITH e AS (
+  SELECT unnest(generate_series(1, len(embedding))) AS pos1,
+         embedding
+  FROM embeddings
+), v AS (
+  SELECT pos1 - 1 AS pos, CAST(embedding[pos1] AS DOUBLE) AS x FROM e
+)
+SELECT pos,
+       count(*) AS n,
+       round(CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*), 6)
+         AS mean,
+       round(sqrt(greatest(
+         (CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)
+          - CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+            * CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+         / (count(*) - 1), 0.0)), 6) AS std,
+       round(min(x), 6) AS lo,
+       round(max(x), 6) AS hi
+FROM v GROUP BY pos ORDER BY pos
+""",
+    tags=("llmops", "embedding", "stats"),
+    notes="Per-dimension embedding distribution profile (mean/std/min/max "
+    "per position): the drift/normalization audit before indexing or "
+    "quantizing a vector corpus. posexplode → one (pos)-keyed hash agg; "
+    "std is computed FROM exact decimal sum and sum-of-squares (the "
+    "two-moment identity), so it is aggregation-order-independent — a raw "
+    "stddev over doubles would hash-differ across engines.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    v = emb.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select("pos", F.col("xf").cast("double").alias("x"))
+    dsum = F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+    dsumsq = F.sum(
+        (F.col("x") * F.col("x")).cast("decimal(38,12)")
+    ).cast("double")
+    n = F.count(F.lit(1))
+    return (
+        v.groupBy("pos")
+        .agg(
+            n.alias("n"),
+            F.round(dsum / n, 6).alias("mean"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (dsumsq - dsum * dsum / n) / (n - F.lit(1)),
+                        F.lit(0.0),
+                    )
+                ),
+                6,
+            ).alias("std"),
+            F.round(F.min("x"), 6).alias("lo"),
+            F.round(F.max("x"), 6).alias("hi"),
+        )
+        .orderBy("pos")
+    )
