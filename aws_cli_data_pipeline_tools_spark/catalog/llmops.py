@@ -2035,3 +2035,52 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+WITH n AS (
+  SELECT vec_id, label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id, label,
+       list_transform(embedding,
+           x -> round(CAST(x AS DOUBLE) / nullif(nrm, 0.0), 6)) AS unit,
+       round(nrm, 6) AS norm
+FROM n
+WHERE vec_id % 10 = 0
+ORDER BY vec_id
+""",
+    tags=("llmops", "embedding"),
+    notes="L2 normalization to unit vectors — the prerequisite for "
+    "cosine-as-dot-product ANN and int8 quantization. Pure codegen array "
+    "lambdas (no UDF, no shuffle); the squared-norm fold is sequential "
+    "left-to-right on both engines so the doubles agree bit-for-bit "
+    "before the final rounding. Zero vectors map to NULL components "
+    "rather than NaN.",
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).filter(
+        F.col("vec_id") % 10 == 0
+    )
+    xd = lambda x: x.cast("double")  # noqa: E731
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + xd(x) * xd(x),
+        )
+    )
+    with_n = emb.withColumn("nrm", nrm)
+    return with_n.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(xd(x) / F.nullif(F.col("nrm"), F.lit(0.0)), 6),
+        ).alias("unit"),
+        F.round("nrm", 6).alias("norm"),
+    ).orderBy("vec_id")
