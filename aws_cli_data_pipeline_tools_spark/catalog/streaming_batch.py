@@ -812,3 +812,55 @@ ORDER BY user_id, session_id
     "engines — plus exact integer microsecond durations. Same 30-min-gap "
     "lag/cumsum sessionization as events_sessionized, one extra hash agg.",
 )
+
+
+register_sql(
+    "user_activity_streaks",
+    spark_sql="""
+WITH hrs AS (
+  SELECT DISTINCT user_id,
+         unix_micros(ts) DIV 3600000000 AS hr
+  FROM events
+), isl AS (
+  SELECT user_id, hr,
+         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr)
+           AS island
+  FROM hrs
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       max(streak_len) AS longest_streak_hours
+FROM (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM isl GROUP BY user_id, island
+)
+GROUP BY user_id
+ORDER BY user_id
+""",
+    duck_sql="""
+WITH hrs AS (
+  SELECT DISTINCT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hr
+  FROM events
+), isl AS (
+  SELECT user_id, hr,
+         hr - row_number() OVER (PARTITION BY user_id ORDER BY hr)
+           AS island
+  FROM hrs
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       max(streak_len) AS longest_streak_hours
+FROM (
+  SELECT user_id, island, count(*) AS streak_len
+  FROM isl GROUP BY user_id, island
+)
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("timeseries", "window"),
+    notes="Gaps-and-islands per user: contiguous active-hour runs via the "
+    "classic hr − row_number island key, then per-user streak count and "
+    "longest streak. All windows partitioned by user — no global-order "
+    "bottleneck; integer hour buckets keep both engines exact.",
+)
