@@ -2084,3 +2084,95 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit"),
         F.round("nrm", 6).alias("norm"),
     ).orderBy("vec_id")
+
+
+@register(
+    "token_cooccurrence_pmi",
+    oracle=f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+             AS token
+    FROM documents
+  )
+),
+vocab AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 64
+),
+vt AS (SELECT doc_id, token FROM toks WHERE token IN (SELECT token FROM vocab)),
+df AS (SELECT token, count(*) AS c FROM vt GROUP BY token),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+pairs AS (
+  SELECT a.token AS t1, b.token AS t2, count(*) AS c_ab
+  FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+)
+SELECT p.t1, p.t2, p.c_ab,
+       round(ln((p.c_ab * CAST(n.n_docs AS DOUBLE)) / (da.c * db.c)), 6)
+         AS pmi
+FROM pairs p
+JOIN df da ON da.token = p.t1
+JOIN df db ON db.token = p.t2, n
+ORDER BY p.c_ab DESC, p.t1, p.t2 LIMIT 50
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Collocation mining: pointwise mutual information of token "
+    "pairs co-occurring in a document, restricted to the top-64 vocab "
+    "(broadcast filter) so per-doc pair fan-out is bounded at C(64,2) — "
+    "the cap that keeps the pair explosion constant-bounded at any "
+    "corpus size. PMI is one log of a ratio of exact integer counts, so "
+    "both engines agree to rounding.",
+)
+def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token"),
+    ).distinct()
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.col("__n").desc(), "token")
+        .limit(64)
+        .select("token")
+    )
+    vt = toks.join(F.broadcast(vocab), "token", "left_semi")
+    dfreq = vt.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a, b = vt.alias("a"), vt.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.token") < F.col("b.token")),
+        )
+        .groupBy(
+            F.col("a.token").alias("t1"), F.col("b.token").alias("t2")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(dfreq.withColumnRenamed("token", "t1")
+                   .withColumnRenamed("c", "ca")), "t1")
+        .join(F.broadcast(dfreq.withColumnRenamed("token", "t2")
+              .withColumnRenamed("c", "cb")), "t2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "t1", "t2", "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") * F.col("n_docs").cast("double"))
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("c_ab").desc(), "t1", "t2")
+        .limit(50)
+    )
