@@ -2176,3 +2176,34 @@ def token_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "t1", "t2")
         .limit(50)
     )
+
+
+@register(
+    "text_encoding_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       octet_length(CAST(text AS BLOB)) - length(text) AS extra_bytes,
+       round((octet_length(CAST(text AS BLOB)) - length(text))
+             / CAST(length(text) AS DOUBLE), 6) AS multibyte_load
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+    notes="UTF-8 weight audit: characters vs encoded bytes per doc "
+    "(octet_length − length = continuation bytes). CJK/emoji-heavy docs "
+    "cost 2-3 bytes and often >1 token per character — this is the "
+    "storage-and-token budgeting signal per doc/source. Narrow codegen, "
+    "no shuffle.",
+)
+def text_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    nb = F.octet_length("text")
+    nc = F.length("text")
+    return docs.select(
+        "doc_id",
+        nc.alias("n_chars"),
+        nb.alias("n_bytes"),
+        (nb - nc).alias("extra_bytes"),
+        F.round((nb - nc) / nc.cast("double"), 6).alias("multibyte_load"),
+    ).orderBy("doc_id")
