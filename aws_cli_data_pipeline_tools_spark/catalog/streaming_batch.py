@@ -864,3 +864,35 @@ ORDER BY user_id
     "longest streak. All windows partitioned by user — no global-order "
     "bottleneck; integer hour buckets keep both engines exact.",
 )
+
+
+register_sql(
+    "events_distinct_bitmap_cascade",
+    spark_sql="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         bitmap_bucket_number(user_id) AS bkt,
+         bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+  FROM events GROUP BY 1, 2
+), daily AS (
+  SELECT CAST(date_trunc('day', h) AS DATE) AS day, bkt,
+         bitmap_or_agg(bm) AS bm
+  FROM hourly GROUP BY 1, 2
+)
+SELECT day, CAST(sum(bitmap_count(bm)) AS BIGINT) AS n_users
+FROM daily GROUP BY day ORDER BY day
+""",
+    duck_sql="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1 ORDER BY day
+""",
+    tags=("timeseries", "rollup", "bitmap"),
+    notes="EXACT distinct-user day rollup from mergeable hourly bitmaps "
+    "(Spark 3.5 bitmap_construct_agg / bitmap_or_agg / bitmap_count), "
+    "bucketed by bitmap_bucket_number so each 32k id range owns its own "
+    "bitmap — the exact counterpart of the HLL sketch cascade "
+    "(events_distinct_sketch_cascade): same one-raw-scan merge shape, "
+    "zero estimation error, memory ∝ distinct ids / 8 bits. The oracle "
+    "is the plain COUNT(DISTINCT) the cascade must reproduce exactly.",
+)
