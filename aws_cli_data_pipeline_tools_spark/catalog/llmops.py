@@ -1438,11 +1438,13 @@ WITH sizes AS (
   SELECT c_nationkey, c_mktsegment, count(*) AS sz
   FROM customer GROUP BY c_nationkey, c_mktsegment
 )
-SELECT sum(sz) AS n_rows,
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
        count(*) AS n_groups,
        min(sz) AS min_group_size,
-       sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS n_small_groups,
-       sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS rows_at_risk,
+       CAST(sum(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_groups,
+       CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
        round(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END)
              / CAST(sum(sz) AS DOUBLE), 6) AS frac_at_risk
 FROM sizes
@@ -1469,10 +1471,12 @@ WITH g AS (
          CAST(('0x' || substr(md5(substr(text, i, 32)), 1, 15)) AS BIGINT) AS g
   FROM documents,
        unnest(generate_series(1, greatest(0, len(text) - 31))) AS t(i)
-)
+),
+hot AS (SELECT g FROM g GROUP BY g HAVING count(*) > 64),
+kept AS (SELECT * FROM g WHERE g NOT IN (SELECT g FROM hot))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        count(*) AS n_shared_windows
-FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
 GROUP BY 1, 2 ORDER BY id_a, id_b
 """,
     tags=("llmops", "dedup"),
@@ -1480,14 +1484,18 @@ GROUP BY 1, 2 ORDER BY id_a, id_b
     "semantics at 32-char window granularity) via an inverted index on "
     "hashed char windows — no false negatives at the window size, no "
     "suffix array needed. Portable md5-derived 60-bit hashes let the "
-    "oracle replay the pipeline hash-for-hash; the xxhash64 fast path "
-    "and the hot-window quadratic cap are the production knobs "
+    "oracle replay the pipeline hash-for-hash (incl. the hot-window "
+    "drop, mirrored as the HAVING>64 exclusion). max_postings=64 caps "
+    "the per-window self-join fan-out at C(64,2) pairs, bounding the "
+    "skewed-key quadratic blow-up corpus-wide boilerplate would "
+    "otherwise cause; dropped windows occur in >64 docs, i.e. are "
+    "boilerplate by construction, not memorization spans "
     "(operators/dedup.py shared_span_pairs).",
 )
 def dedup_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
-        dedup.shared_span_pairs(docs, span=32, portable=True)
+        dedup.shared_span_pairs(docs, span=32, portable=True, max_postings=64)
         .orderBy("id_a", "id_b")
     )
 
@@ -1563,7 +1571,8 @@ vocab AS (
 )
 SELECT doc_id,
        count(*) AS n_tokens,
-       sum(CASE WHEN token IN (SELECT token FROM vocab) THEN 0 ELSE 1 END)
+       CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                     THEN 0 ELSE 1 END) AS BIGINT)
          AS n_oov,
        round(sum(CASE WHEN token IN (SELECT token FROM vocab)
                       THEN 0 ELSE 1 END)
@@ -1676,6 +1685,85 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = multimodal.decode_png_pixels(media)
     return out.select(
         "media_id", "width", "height", "channels", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_gif_pixels",
+    oracle="""
+WITH pal AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3),
+             j -> CAST((doc_id*11 + j*31) % 256 AS DOUBLE)) AS rs,
+         list_transform(generate_series(0, 3),
+             j -> CAST((doc_id*11 + j*31 + 97) % 256 AS DOUBLE)) AS gs,
+         list_transform(generate_series(0, 3),
+             j -> CAST((doc_id*11 + j*31 + 201) % 256 AS DOUBLE)) AS bs
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_sum(rs)/4.0 AS mr, list_sum(gs)/4.0 AS mg, list_sum(bs)/4.0 AS mb
+  FROM pal
+)
+SELECT doc_id AS media_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(4 AS INT) AS n_colors, CAST(16 AS INT) AS n_pixels,
+       round(mr, 6) AS mean_r, round(mg, 6) AS mean_g, round(mb, 6) AS mean_b,
+       round(0.299*mr + 0.587*mg + 0.114*mb, 6) AS mean_luma
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL GIF pixel decode (operators/multimodal.decode_gif_pixels): "
+    "4×4 frames with a 4-color doc_id-arithmetic palette, LZW-compressed "
+    "by the in-repo encoder; interlacing (doc_id%2), version 87a/89a "
+    "(doc_id%3) and a graphic-control extension (doc_id%6) vary across "
+    "the corpus yet must decode to identical pixel stats — the oracle "
+    "replays the palette arithmetic (each color appears exactly 4× in "
+    "the (doc_id+3y+x)%4 index pattern, so means are uniform over the "
+    "palette) and only matches if LZW decode, de-interlacing, and "
+    "extension skipping are all exact. GIF's LZW is pure-spec bit "
+    "arithmetic — no external codec. Closes the GIF half of the "
+    "compressed-decode stub; JPEG alone remains library-gated.",
+)
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                pal = np.zeros((4, 3), np.uint8)
+                for j in range(4):
+                    base = d * 11 + j * 31
+                    pal[j] = [base % 256, (base + 97) % 256, (base + 201) % 256]
+                idx = np.fromfunction(
+                    lambda y, x: (d + 3 * y + x) % 4, (4, 4), dtype=int
+                )
+                payloads.append(
+                    multimodal.encode_gif(
+                        pal[idx],
+                        interlaced=bool(d % 2),
+                        version=b"87a" if d % 3 == 0 else b"89a",
+                        with_gce=(d % 6 == 1),
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id bigint, payload binary")
+    out = multimodal.decode_gif_pixels(media)
+    return out.select(
+        "media_id", "width", "height", "n_colors", "n_pixels",
         F.round("mean_r", 6).alias("mean_r"),
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),

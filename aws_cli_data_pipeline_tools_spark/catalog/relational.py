@@ -1958,7 +1958,7 @@ WITH b AS (
 )
 SELECT l_returnflag,
        count(*) AS n_rows,
-       sum(clipped) AS n_clipped,
+       CAST(sum(clipped) AS BIGINT) AS n_clipped,
        round(CAST(sum(CAST(p AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4)
          AS mean_winsorized
 FROM w GROUP BY l_returnflag ORDER BY l_returnflag
@@ -2013,7 +2013,8 @@ WITH med AS (
 )
 SELECT r.o_orderstatus,
        count(*) AS n_rows,
-       sum(CASE WHEN r.resid > 3.0 * mad.d THEN 1 ELSE 0 END) AS n_outliers
+       CAST(sum(CASE WHEN r.resid > 3.0 * mad.d THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
 FROM r JOIN mad USING (o_orderstatus)
 GROUP BY r.o_orderstatus ORDER BY r.o_orderstatus
 """,
@@ -2045,7 +2046,7 @@ register_sql(
     "agg_sugar_funcs",
     sql="""
 SELECT o_orderstatus,
-       count_if(o_totalprice > 100000)        AS n_big,
+       CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
        round(median(o_totalprice), 4)         AS med_price,
        round(median(o_orderkey), 1)           AS med_key
 FROM orders

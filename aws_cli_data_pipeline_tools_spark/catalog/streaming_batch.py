@@ -113,7 +113,7 @@ WITH base AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM marked
 )
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, {dsum('value')} AS sum_value
 FROM numbered
@@ -794,7 +794,7 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id
 """,
     duck_sql=_SESSION_NUMBERED_DUCK + """
-SELECT user_id, session_id,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
          AS entry_type,
        arg_max(event_type, printf('%020d|%010d', epoch_us(ts), event_id))

@@ -6,15 +6,18 @@ run as Arrow-batched ``mapInPandas`` stages so executors stream batches
 without materializing whole partitions.
 
 Decode coverage: BMP pixel rows (``decode_bmp_pixels``), WAV PCM sample
-frames (``decode_wav_samples``), and PNG pixels (``decode_png_pixels`` —
+frames (``decode_wav_samples``), PNG pixels (``decode_png_pixels`` —
 PNG's only compression is DEFLATE, which is stdlib ``zlib``, so inflate +
-the five spec unfilter paths need no external codec) all decode for real,
-and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real
-by the sniffers below. Only truly-external codec decode (JPEG/GIF pixels,
-FLAC/MP3 samples) remains stubbed: those libraries are not in this
-container, so ``decode_media`` raises ``NotImplementedError`` for them
-unless ``fake=True`` substitutes the deterministic fake decoder (keeps the
-Spark-side plumbing — schema, batching, partitioning — testable end-to-end).
+the five spec unfilter paths need no external codec), and GIF pixels
+(``decode_gif_pixels`` — GIF's only compression is LZW, pure bit
+arithmetic from the public GIF89a spec, implemented below) all decode for
+real, and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for
+real by the sniffers below. Only truly-external codec decode (JPEG
+pixels, FLAC/MP3 samples) remains stubbed: those libraries are not in
+this container, so ``decode_media`` raises ``NotImplementedError`` for
+them unless ``fake=True`` substitutes the deterministic fake decoder
+(keeps the Spark-side plumbing — schema, batching, partitioning —
+testable end-to-end).
 
 MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
 payloads in parquet binary columns (or pointers to object storage), metadata
@@ -236,13 +239,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     Arrow-batched: each executor receives pandas batches of (media_id,
     media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
 
-    Real decode paths: BMP and PNG pixels (feature = per-channel means +
-    Rec.601 luma, /255 — PNG's DEFLATE is stdlib ``zlib``, no external
-    codec) and WAV PCM samples (feature = mean|s| / RMS / peak, /32768).
-    Truly external codecs (JPEG/GIF pixels, FLAC/MP3 samples) have no
-    library in this container: such payloads raise ``NotImplementedError``
-    from the executor unless ``fake=True`` substitutes the deterministic
-    fake decoder for them.
+    Real decode paths: BMP, PNG, and GIF pixels (feature = per-channel
+    means + Rec.601 luma, /255 — PNG's DEFLATE is stdlib ``zlib``; GIF's
+    LZW is implemented pure-spec in this module; no external codec) and
+    WAV PCM samples (feature = mean|s| / RMS / peak, /32768). Truly
+    external codecs (JPEG pixels, FLAC/MP3 samples) have no library in
+    this container: such payloads raise ``NotImplementedError`` from the
+    executor unless ``fake=True`` substitutes the deterministic fake
+    decoder for them.
     """
 
     def decode_one(p: bytes) -> tuple:
@@ -263,6 +267,13 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                 mr = mg = mb = chan[:, 0].mean()
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
             return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+        gif = _decode_gif_array(p)
+        if gif is not None:
+            w, h, _, px = gif
+            chan = px.reshape(-1, 3).astype("float64")
+            mr, mg, mb = (chan[:, c].mean() for c in range(3))
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
         wav = _decode_wav_array(p)
         if wav is not None and wav[3].size:
             import numpy as np
@@ -273,7 +284,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
         if not fake:
             raise NotImplementedError(
-                "payload is not a BMP/PNG/PCM-WAV; JPEG/GIF/FLAC/MP3 decode "
+                "payload is not a BMP/PNG/GIF/PCM-WAV; JPEG/FLAC/MP3 decode "
                 "requires codec libraries not present in this environment "
                 "(pass fake=True for the deterministic test decoder)"
             )
@@ -662,22 +673,37 @@ def _decode_png_array(b: bytes):
             cur = line
         elif f == 2:  # Up: full-row vector add
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub/Average/Paeth need the left neighbor
+        elif f == 1:
+            # Sub: cur[x] = line[x] + cur[x-bpp]; per channel lane this is
+            # a running sum mod 256 — one vectorized cumsum per lane
+            # instead of a per-byte Python loop.
+            cur = np.empty(stride, np.int32)
+            for lane in range(bpp):  # int64 cumsum: no overflow on wide rows
+                cur[lane::bpp] = np.cumsum(line[lane::bpp], dtype=np.int64) & 0xFF
+        elif f in (3, 4):
+            # Average/Paeth are sequential in x (left neighbor feeds the
+            # predictor) but vectorize across the bpp channel lanes: one
+            # Python iteration per PIXEL column, not per byte.
             cur = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                up = prev[x]
-                if f == 1:
-                    v = line[x] + a
-                elif f == 3:
-                    v = line[x] + ((a + up) >> 1)
+            lineP = line.reshape(-1, bpp)
+            prevP = prev.reshape(-1, bpp)
+            curP = cur.reshape(-1, bpp)
+            zero = np.zeros(bpp, np.int32)
+            for x in range(w):
+                a = curP[x - 1] if x else zero
+                up = prevP[x]
+                if f == 3:
+                    curP[x] = (lineP[x] + ((a + up) >> 1)) & 0xFF
                 else:
-                    c = prev[x - bpp] if x >= bpp else 0
+                    c = prevP[x - 1] if x else zero
                     p = a + up - c
-                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
-                    v = line[x] + pred
-                cur[x] = v & 0xFF
+                    pa = np.abs(p - a)
+                    pb = np.abs(p - up)
+                    pc = np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, up, c)
+                    )
+                    curP[x] = (lineP[x] + pred) & 0xFF
         else:
             return None
         out[y] = cur.astype(np.uint8)
@@ -790,5 +816,294 @@ def decode_png_pixels(
         batches,
         schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
         "width int, height int, channels int, n_pixels int, mean_r double, "
+        "mean_g double, mean_b double, mean_luma double",
+    )
+
+# ----------------------------------------------------------------- gif
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """GIF-variant LZW decode → uint8 index array of length <= n_pixels,
+    or None on malformed streams. Pure-spec (GIF89a appendix F): codes are
+    read LSB-first, dictionary starts at 2**min_code_size single-byte
+    entries, CLEAR resets, code width grows to 12 bits then defers until
+    the next CLEAR."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    max_width = 12
+
+    out = bytearray()
+    # dictionary as a list of bytes; indices are the codes
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_code_size + 1
+    prev = None
+
+    acc = 0
+    nbits = 0
+    pos = 0
+    while len(out) < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            return None  # out-of-range code: corrupt stream
+        out += entry
+        if prev is not None:
+            if len(table) < (1 << max_width):
+                table.append(prev + entry[:1])
+                if len(table) == (1 << width) and width < max_width:
+                    width += 1
+        prev = entry
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+#: interlace passes: (row offset, row step) in pass order (GIF89a §23)
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Storage order of rows in an interlaced GIF frame of height h."""
+    return [y for off, step in _GIF_INTERLACE for y in range(off, h, step)]
+
+
+def _decode_gif_array(b: bytes):
+    """Real GIF pixel decode → (width, height, n_colors, HxWx3 uint8 RGB)
+    for the FIRST image frame, or None if not a decodable GIF.
+
+    GIF's only compression is LZW, which is pure bit arithmetic from the
+    public GIF89a spec — like PNG's stdlib-zlib DEFLATE, no external codec
+    is needed. Covers 87a and 89a, global and local color tables,
+    interlaced and sequential frames; extension blocks (graphic control,
+    comment, application) are skipped per the sub-block grammar. Truncated
+    streams, missing color tables, or palette-range violations yield None
+    (data, not errors, at corpus scale)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = b[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if i + 3 * n > len(b):
+            return None
+        gct = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+        i += 3 * n
+    while i < len(b):
+        blk = b[i]
+        if blk == 0x3B:  # trailer
+            return None
+        if blk == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(b) and b[i]:
+                i += 1 + b[i]
+            i += 1
+            continue
+        if blk != 0x2C:
+            return None
+        # image descriptor
+        if i + 10 > len(b):
+            return None
+        _, _, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+        ipacked = b[i + 9]
+        i += 10
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            if i + 3 * n > len(b):
+                return None
+            table = np.frombuffer(b, np.uint8, 3 * n, i).reshape(n, 3)
+            i += 3 * n
+        if table is None or w <= 0 or h <= 0 or i >= len(b):
+            return None
+        min_code = b[i]
+        i += 1
+        if not 2 <= min_code <= 8:
+            return None
+        chunks = []
+        while i < len(b) and b[i]:
+            ln = b[i]
+            chunks.append(b[i + 1 : i + 1 + ln])
+            i += 1 + ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code, w * h)
+        if idx is None or idx.size < w * h:
+            return None
+        if idx.max(initial=0) >= len(table):
+            return None
+        px = table[idx].reshape(h, w, 3)
+        if ipacked & 0x40:  # interlaced: rows are stored in pass order
+            order = _gif_interlace_order(h)
+            logical = np.empty_like(px)
+            logical[order] = px
+            px = logical
+        return w, h, len(table), px
+    return None
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-variant LZW encode (real greedy dictionary compressor, not the
+    all-literals shortcut) — exercises the decoder's dictionary growth,
+    code-width bumps, and CLEAR handling in round-trip tests."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    cur = b""
+    for v in bytes(bytearray(int(x) for x in indices)):
+        nxt = cur + bytes([v])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < (1 << 12):
+            table[nxt] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # table full: reset so the decoder's deferred-clear path runs
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([v])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    px,
+    interlaced: bool = False,
+    version: bytes = b"89a",
+    with_gce: bool = False,
+) -> bytes:
+    """Minimal GIF encoder (fixtures/tests): single frame, RGB pixels with
+    <= 256 distinct colors (palette built from the data), optional
+    interlacing and a skippable graphic-control extension. Inverse of
+    :func:`_decode_gif_array`."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    palette, idx = np.unique(flat, axis=0, return_inverse=True)
+    n = len(palette)
+    if n > 256:
+        raise ValueError(f"{n} distinct colors > 256")
+    size_exp = 0  # color table holds 2 << size_exp entries (spec: 2..256)
+    while (2 << size_exp) < n:
+        size_exp += 1
+    table_n = 2 << size_exp
+    min_code = max(2, size_exp + 1)
+
+    pal = np.zeros((table_n, 3), np.uint8)
+    pal[:n] = palette
+    idx2 = idx.reshape(h, w)
+    if interlaced:
+        idx2 = idx2[_gif_interlace_order(h)]
+
+    out = bytearray()
+    out += b"GIF" + version
+    out += struct.pack("<HHBBB", w, h, 0x80 | size_exp, 0, 0)
+    out += pal.tobytes()
+    if with_gce:
+        out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # no-op graphic control
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlaced else 0)
+    out.append(min_code)
+    data = _gif_lzw_encode(idx2.reshape(-1), min_code)
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out.append(len(sub))
+        out += sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif_pixels(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode for GIF payloads (87a/89a, interlaced or not),
+    Arrow-batched: per item → (width, height, n_colors, n_pixels, RGB
+    channel means, Rec.601 mean luma) of the first frame. GIF's LZW is
+    pure-spec bit arithmetic — no external codec. Non-GIF / truncated /
+    malformed payloads yield NULL stats rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "width": [], "height": [],
+                "n_colors": [], "n_pixels": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "mean_luma": [],
+            }
+            cols = ("width", "height", "n_colors", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "mean_luma")
+            for p in pdf[payload_col]:
+                dec = _decode_gif_array(bytes(p))
+                if dec is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                w, h, n_colors, px = dec
+                chan = px.reshape(-1, 3).astype("float64")
+                mr, mg, mb = (chan[:, c].mean() for c in range(3))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_colors"].append(n_colors)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["mean_luma"].append(0.299 * mr + 0.587 * mg + 0.114 * mb)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "width int, height int, n_colors int, n_pixels int, mean_r double, "
         "mean_g double, mean_b double, mean_luma double",
     )

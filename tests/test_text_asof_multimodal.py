@@ -258,7 +258,7 @@ def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
     # compressed/unknown payloads still raise (from the executor) without fake
-    with pytest.raises(Exception, match="not a BMP/PNG/PCM-WAV"):
+    with pytest.raises(Exception, match="not a BMP/PNG/GIF/PCM-WAV"):
         multimodal.decode_media(df).collect()
     # real path: a BMP payload decodes without fake
     bmp_df = spark.createDataFrame(
@@ -626,5 +626,83 @@ def test_decode_media_png_real_path(spark):
     r = decode_media(df).collect()[0]
     assert (r["width"], r["height"]) == (2, 2)
     # feature = [mb, mg, mr, luma]/255 + zero padding (float32 storage)
+    assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6
+    assert abs(r["feature"][3] - 100.0 / 255.0) < 1e-6
+
+
+def test_gif_lzw_roundtrip_pure():
+    """Codec-level: random palettes/sizes, both versions, interlaced or
+    not, GCE present or not — every round-trip must be pixel-exact, and a
+    large frame must exercise 12-bit codes + the table-full CLEAR reset."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        _decode_gif_array, _sniff_dims, encode_gif,
+    )
+
+    rng = np.random.RandomState(7)
+    for trial in range(12):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        ncol = rng.randint(1, 257)
+        pal = rng.randint(0, 256, (ncol, 3), np.uint8)
+        px = pal[rng.randint(0, ncol, (h, w))]
+        b = encode_gif(
+            px,
+            interlaced=bool(trial % 2),
+            version=b"87a" if trial % 3 == 0 else b"89a",
+            with_gce=trial % 5 == 0 and trial % 3 != 0,
+        )
+        assert _sniff_dims(b) == ("gif", w, h)
+        dec = _decode_gif_array(b)
+        assert dec is not None and np.array_equal(dec[3], px)
+    # big interlaced frame: forces code-width growth to 12 bits and the
+    # deferred-clear table reset in both encoder and decoder
+    pal = rng.randint(0, 256, (256, 3), np.uint8)
+    px = pal[rng.randint(0, 256, (200, 300))]
+    dec = _decode_gif_array(encode_gif(px, interlaced=True))
+    assert dec is not None and np.array_equal(dec[3], px)
+    # malformed → None (never an exception)
+    assert _decode_gif_array(b"GIF89a") is None
+    assert _decode_gif_array(b"not a gif") is None
+    whole = encode_gif(px)
+    assert _decode_gif_array(whole[: len(whole) // 2]) is None
+
+
+def test_decode_gif_pixels_real(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_gif_pixels, encode_gif,
+    )
+
+    pal = np.array([[10, 20, 30], [200, 100, 0]], np.uint8)
+    px = pal[np.array([[0, 1], [1, 1]])]
+    rows = [
+        (1, bytearray(encode_gif(px))),
+        (2, bytearray(encode_gif(px, interlaced=True, version=b"87a"))),
+        (3, bytearray(b"GIF89a truncated")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in decode_gif_pixels(df).collect()}
+    want_r = (10 + 3 * 200) / 4.0
+    assert (out[1]["width"], out[1]["height"], out[1]["n_colors"]) == (2, 2, 2)
+    assert abs(out[1]["mean_r"] - want_r) < 1e-9
+    # interlacing must not change decoded stats
+    assert out[2]["mean_r"] == out[1]["mean_r"]
+    assert out[3]["width"] is None  # malformed → NULL stats, not an error
+
+
+def test_decode_media_gif_real_path(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_media, encode_gif,
+    )
+
+    px = np.full((2, 2, 3), 100, dtype=np.uint8)
+    rows = [(1, "image", bytearray(encode_gif(px)))]
+    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
+    r = decode_media(df).collect()[0]
+    assert (r["width"], r["height"]) == (2, 2)
     assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6
     assert abs(r["feature"][3] - 100.0 / 255.0) < 1e-6

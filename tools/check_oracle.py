@@ -275,9 +275,22 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
+            d_types = [str(t).upper() for t in rel.types]
             d_rows = [tuple(r) for r in rel.fetchall()]
         except Exception:
             failures.append((name, "DUCKDB ERROR\n" + traceback.format_exc()))
+            continue
+
+        # The driver's value hash is TYPE-sensitive: DuckDB HUGEINT (int128,
+        # e.g. from bare sum() over integers) has no Spark twin and breaks
+        # the hash even when every value matches (round-3 k_anonymity red
+        # row). Fail here so the oracle gets an explicit BIGINT cast.
+        hug = [c for c, t in zip(d_cols, d_types) if "HUGEINT" in t]
+        if hug:
+            failures.append(
+                (name, f"ORACLE TYPES: HUGEINT columns {hug} — cast to "
+                       "BIGINT in the oracle SQL (driver hash is typed)")
+            )
             continue
 
         sc, sd = frame_to_canon(s_cols, s_rows)
