@@ -496,10 +496,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate — recall vs exact is pytest-asserted instead.
+    oracle=None,  # approximate — recall vs exact is gate/pytest-asserted.
     tags=("llmops", "similarity"),
-    notes="Multi-table random-hyperplane LSH ANN (6 planes × 8 tables), "
-    "exact rerank of bucket candidates.",
+    notes="Multi-table random-hyperplane LSH ANN (5 planes × 16 tables), "
+    "exact rerank of bucket candidates. Operating point measured on the "
+    "near-random fixture (BASELINE.md recall curve): recall@10 = 0.76 at "
+    "0.40 candidate fraction — on isotropic random vectors recall ~ "
+    "1-(1-(1-θ/π)^planes)^tables and neighbors sit at cosine ≈ 0.28, so "
+    "high recall is intrinsically expensive; clustered production "
+    "embeddings sit far up the same curve at far lower cost.",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -507,18 +512,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.lsh_ann_topk(
-        emb, queries, k=10, n_planes=6, n_tables=8, query_id_col="query_id",
+        emb, queries, k=10, n_planes=5, n_tables=16, query_id_col="query_id",
         dim=64,  # embeddings fixture contract (FIXTURES.md) — no first() probe
     )
 
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate — recall vs exact is pytest-asserted instead.
+    oracle=None,  # approximate — recall vs exact is gate/pytest-asserted.
     tags=("llmops", "similarity"),
-    notes="IVF ANN: 16 Lloyd-refined cosine centroids, 4-probe candidate "
+    notes="IVF ANN: 16 Lloyd-refined cosine centroids, 8-probe candidate "
     "join on list_id, exact rerank. At scale the labeled corpus persists "
-    "partitionBy(list_id) so probes become partition-pruned scans.",
+    "partitionBy(list_id) so probes become partition-pruned scans. "
+    "Operating point measured on the near-random fixture (BASELINE.md "
+    "recall curve): recall@10 = 0.78 at 8/16 probed lists — isotropic "
+    "random vectors give IVF no density to adapt to, so recall tracks "
+    "the probed fraction plus a small locality bonus; clustered "
+    "production embeddings reach the same recall at a much smaller "
+    "probed fraction.",
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -526,7 +537,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return similarity.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=4, query_id_col="query_id"
+        emb, queries, k=10, n_centroids=16, n_probe=8, query_id_col="query_id"
     )
 
 
@@ -1553,7 +1564,21 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("checkpoint")
         .agg(F.count(F.lit(1)).alias("n_distinct_tokens"))
     )
-    return tot.join(dist, "checkpoint").orderBy("checkpoint")
+    # left-join FROM the checkpoint table so a checkpoint preceding every
+    # doc_id still emits a row, matching the oracle's scalar subqueries:
+    # sum over an empty set is NULL, count over an empty set is 0
+    return (
+        cps.join(tot, "checkpoint", "left")
+        .join(dist, "checkpoint", "left")
+        .select(
+            "checkpoint",
+            "n_tokens",
+            F.coalesce("n_distinct_tokens", F.lit(0)).alias(
+                "n_distinct_tokens"
+            ),
+        )
+        .orderBy("checkpoint")
+    )
 
 
 @register(

@@ -377,6 +377,12 @@ def bloom_decontaminate(
     corpus side stays narrow (shingle → probe → filter), and only the
     bloom-surviving candidate grams — contaminated fraction + FP rate —
     reach the exact confirm join, which AQE sizes as it likes.
+
+    The eval gram set is persisted (MEMORY_AND_DISK) because it feeds two
+    consumers. The returned DataFrame carries a ``release_cache()``
+    callable — call it after the terminal action to unpersist; otherwise
+    the cache lives until session end (one eval-gram set, not a growth
+    leak per call, only if callers release).
     """
     grams = lambda df: df.select(  # noqa: E731
         F.col(id_col).alias("id"),
@@ -406,7 +412,10 @@ def bloom_decontaminate(
         .select(F.col("id").alias(id_col))
         .distinct()
     )
-    return train.join(dirty, id_col, "left_anti")
+    out = train.join(dirty, id_col, "left_anti")
+    # expose the cache handle so callers can unpersist after their action
+    out.release_cache = lambda: eval_grams.unpersist()
+    return out
 
 
 def shuffle_shards(

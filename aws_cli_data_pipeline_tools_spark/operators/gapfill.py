@@ -75,28 +75,52 @@ def ewma(
 ) -> DataFrame:
     """Exponentially weighted moving average over the last ``window`` rows.
 
-    Weight for lag k is ``decay^k``, normalized by the finite-series sum
-    (1 - decay^n)/(1 - decay) — pandas ``ewm(adjust=True)`` semantics over
-    a bounded frame. One partitioned window shuffle (no global order); the
-    weighted fold is a codegen array lambda over the frame's collect_list,
-    so per-row cost is O(window). With decay=0.5 the weights are exact
-    binary powers, making the result bit-reproducible across engines.
+    Weight for lag k is ``decay^k``, normalized by the sum of weights at
+    present (non-NULL) observations — pandas ``ewm(adjust=True,
+    ignore_na=False)`` semantics over a bounded frame: NULL rows
+    contribute nothing but still advance the positional decay (weights
+    are keyed to the row offset, not the list index), and a row whose own
+    value is NULL gets the decay-weighted mean of its predecessors. One
+    partitioned window shuffle (no global order); the weighted fold is a
+    codegen array lambda over the frame's collect_list of (offset, value)
+    structs, so per-row cost is O(window). With decay=0.5 the weights are
+    exact binary powers, making the result bit-reproducible across
+    engines.
+
+    ``window`` must be in [1, 4096]: the frame materializes O(window)
+    structs per row, so an unbounded (or huge) frame would turn a narrow
+    window pass into per-row O(partition) memory — chain bounded frames
+    (see the rollup cascade) instead of raising the cap.
     """
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order_by)
-        .rowsBetween(1 - window, Window.currentRow)
-    )
-    df2 = df.withColumn(
-        "__vals", F.collect_list(F.col(value_col).cast("double")).over(w)
+    if not 1 <= window <= 4096:
+        raise ValueError(
+            f"ewma window must be in [1, 4096], got {window}: the frame "
+            "holds O(window) state per row; for longer horizons chain "
+            "bounded frames (operators/rollup.py cascade) instead"
+        )
+    order_w = Window.partitionBy(*keys).orderBy(*order_by)
+    frame = order_w.rowsBetween(1 - window, Window.currentRow)
+    d = f"CAST({decay} AS DOUBLE)"
+    df2 = df.withColumn("__rn", F.row_number().over(order_w)).withColumn(
+        "__pairs",
+        F.collect_list(
+            F.struct(
+                F.col("__rn").alias("i"),
+                F.col(value_col).cast("double").alias("v"),
+            )
+        ).over(frame),
     )
     num = F.expr(
-        f"aggregate(transform(__vals, (x, i) -> "
-        f"x * pow(CAST({decay} AS DOUBLE), size(__vals) - 1 - i)), "
-        f"CAST(0 AS DOUBLE), (a, b) -> a + b)"
+        f"aggregate(__pairs, CAST(0 AS DOUBLE), (a, p) -> "
+        f"a + coalesce(p.v * pow({d}, __rn - p.i), CAST(0 AS DOUBLE)))"
     )
     den = F.expr(
-        f"(1.0 - pow(CAST({decay} AS DOUBLE), size(__vals)))"
-        f" / (1.0 - CAST({decay} AS DOUBLE))"
+        f"aggregate(__pairs, CAST(0 AS DOUBLE), (a, p) -> "
+        f"a + CASE WHEN p.v IS NULL THEN CAST(0 AS DOUBLE) "
+        f"ELSE pow({d}, __rn - p.i) END)"
     )
-    return df2.withColumn(out_col, F.round(num / den, 6)).drop("__vals")
+    return (
+        df2.withColumn(
+            out_col, F.round(F.when(den > 0, num / den), 6)
+        ).drop("__rn", "__pairs")
+    )

@@ -237,15 +237,16 @@ def test_lsh_ann_recall(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     exact = similarity.cosine_topk(emb, q, k=10)
-    approx = similarity.lsh_ann_topk(emb, q, k=10, n_planes=6, n_tables=8)
+    # the registered operating point (BASELINE.md recall curve): fixture
+    # embeddings are near-random (true neighbors at cosine ~0.28, i.e.
+    # ~74 deg), where 5 planes x 16 tables measures recall@10 = 0.77 at
+    # ~0.4 candidate fraction. Real corpora with actual near-dups sit far
+    # right of this curve at far lower cost.
+    approx = similarity.lsh_ann_topk(emb, q, k=10, n_planes=5, n_tables=16)
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    # fixture embeddings are near-random (true neighbors at cosine ~0.35,
-    # i.e. ~70 deg): hyperplane collision prob is ~0.61 per plane, so theory
-    # gives union-recall ~0.36 at 6 planes x 8 tables. Real corpora with
-    # actual near-dups sit far right of this regime.
-    assert recall >= 0.2
+    assert recall >= 0.7
     # self-match must always be found (identical vector → same buckets)
     assert all((qid, qid) in a for qid in range(10))
 

@@ -182,3 +182,27 @@ def test_mad_outliers_flags_and_nulls(spark):
     assert out[12.0]["is_outlier"] is False
     assert out[14.0]["is_outlier"] is False  # resid 2 <= 3*MAD
     assert out[None]["is_outlier"] is None
+
+
+def test_ewma_null_positional_decay_and_window_guard(spark):
+    """pandas ewm(adjust=True, ignore_na=False) parity WITH NULLs: a NULL
+    row contributes nothing but still advances the positional decay, and
+    its own ewma is the decay-weighted mean of its predecessors."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.gapfill import ewma
+
+    vals = [1.0, None, 5.0, None, None, 2.0]
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(vals)], "k string, t int, v double"
+    )
+    out = ewma(df, ["k"], ["t"], "v", decay=0.5, window=16).orderBy("t").collect()
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True, ignore_na=False).mean()
+    for r, w in zip(out, want):
+        assert abs(r["ewma"] - round(w, 6)) < 1e-9, (r["t"], r["ewma"], w)
+
+    with _pytest.raises(ValueError, match=r"\[1, 4096\]"):
+        ewma(df, ["k"], ["t"], "v", window=0)
+    with _pytest.raises(ValueError, match=r"\[1, 4096\]"):
+        ewma(df, ["k"], ["t"], "v", window=100_000)

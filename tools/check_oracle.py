@@ -107,15 +107,18 @@ def _ann_recall(con, rows, exact_oracle_sql, bound):
 
 def _inv_ann_lsh(spark, sf_dir, con, rows, cols, specs):
     """Recall vs the exact ann_cosine_topk ORACLE (DuckDB-computed, so the
-    ground truth is independent of Spark). Fixture embeddings are
-    near-random — see test_lsh_ann_recall for the 0.2 bound derivation."""
-    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.2)
+    ground truth is independent of Spark). Operating point 5 planes × 16
+    tables measures recall@10 = 0.76 on the near-random fixture
+    (BASELINE.md recall curve); floor 0.7 = the shippable bar, 3 hits of
+    deterministic headroom."""
+    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
 
 
 def _inv_ann_ivf(spark, sf_dir, con, rows, cols, specs):
-    """IVF recall vs exact oracle; 4/16 probed lists on near-random data —
-    bound below the pytest 0.45 (8/3 config) for seeding variance."""
-    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.3)
+    """IVF recall vs exact oracle; 8/16 probed lists measure recall@10 =
+    0.78 on the near-random fixture (BASELINE.md recall curve); floor 0.7
+    leaves 4 hits of headroom over Lloyd float-order jitter."""
+    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
 
 
 def _inv_cluster_profile(spark, sf_dir, con, rows, cols, specs):
