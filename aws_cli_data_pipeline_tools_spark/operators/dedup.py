@@ -957,7 +957,17 @@ def shared_span_pairs(
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
         .distinct()
     )
+    release = None
     if max_postings > 0:
+        from pyspark import StorageLevel
+
+        # the posting index feeds THREE consumers (hot-window count + both
+        # self-join sides); without a persist the narrow explode+distinct
+        # subtree re-executes for each — measured 2x wall on the capped
+        # path at sf0.1. Cache it once; ~16 bytes/row, far smaller than
+        # the corpus text it derives from.
+        posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+        release = posting.unpersist
         hot = (
             posting.groupBy("g")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -967,7 +977,7 @@ def shared_span_pairs(
         posting = posting.join(F.broadcast(hot), "g", "left_anti")
     a = posting.alias("a")
     b = posting.alias("b")
-    return (
+    out = (
         a.join(b, "g")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(
@@ -975,3 +985,7 @@ def shared_span_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+    if release is not None:
+        # callers can unpersist the posting cache after their action
+        out.release_cache = release
+    return out

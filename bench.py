@@ -57,6 +57,10 @@ HEADLINE = [
     "shuffle_shards_train",
     "events_ewma_value",
     "oov_rate_docs",
+    # round-4 additions:
+    "multimodal_png_pixels",  # Python-side inflate+unfilter in Arrow batches
+    "multimodal_gif_pixels",  # Python-side LZW decode in Arrow batches
+    "ann_lsh_topk",           # retuned operating point (recall 0.76)
 ]
 
 
