@@ -1797,6 +1797,70 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_pixels",
+    oracle="""
+WITH s AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(0, 5),
+             i -> CAST(2 * ((doc_id*7 + i) % 128) AS DOUBLE))) / 6.0 AS m
+  FROM documents
+)
+SELECT doc_id AS media_id, CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(1 AS INT) AS channels, CAST(384 AS INT) AS n_pixels,
+       round(m, 6) AS mean_luma
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL baseline-JPEG pixel decode (operators/multimodal."
+    "decode_jpeg_pixels): 16×24 grayscale images of six flat 8×8 blocks "
+    "whose EVEN values are doc_id arithmetic — a flat block with even "
+    "value v quantizes to DC=(v-128)/2 exactly and inverse-DCTs back to "
+    "v exactly, so the decoded image equals the input and the oracle "
+    "replays the block-mean arithmetic in closed form. The decode runs "
+    "the full pure-spec ITU T.81 path (canonical Huffman entropy decode "
+    "with DC prediction across 6 blocks per image, dequantize, exact "
+    "float IDCT); any defect in marker parsing, Huffman tables, bit "
+    "unstuffing, DC diff coding, or the IDCT breaks the identity. AC "
+    "coefficients, RGB, and 4:2:0 subsampling are covered by the "
+    "reference-pipeline-equality pytest (entropy layer is lossless, so "
+    "decode must match the numpy FDCT→quant→dequant→IDCT pipeline "
+    "bit-for-bit). Closes the last image-codec stub: BMP/PNG/GIF/JPEG "
+    "all decode for real; only FLAC/MP3 sample synthesis remains "
+    "library-gated.",
+)
+def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = np.zeros((16, 24), np.uint8)
+                for r in range(2):
+                    for c in range(3):
+                        px[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = (
+                            2 * ((d * 7 + r * 3 + c) % 128)
+                        )
+                payloads.append(multimodal.encode_jpeg(px))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id bigint, payload binary")
+    out = multimodal.decode_jpeg_pixels(media)
+    return out.select(
+        "media_id", "width", "height", "channels", "n_pixels",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    ).orderBy("media_id")
+
+
+@register(
     "source_drift_chi2",
     oracle=f"""
 WITH toks AS (

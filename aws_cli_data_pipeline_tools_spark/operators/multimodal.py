@@ -10,14 +10,16 @@ frames (``decode_wav_samples``), PNG pixels (``decode_png_pixels`` —
 PNG's only compression is DEFLATE, which is stdlib ``zlib``, so inflate +
 the five spec unfilter paths need no external codec), and GIF pixels
 (``decode_gif_pixels`` — GIF's only compression is LZW, pure bit
-arithmetic from the public GIF89a spec, implemented below) all decode for
-real, and header metadata for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for
-real by the sniffers below. Only truly-external codec decode (JPEG
-pixels, FLAC/MP3 samples) remains stubbed: those libraries are not in
-this container, so ``decode_media`` raises ``NotImplementedError`` for
-them unless ``fake=True`` substitutes the deterministic fake decoder
-(keeps the Spark-side plumbing — schema, batching, partitioning —
-testable end-to-end).
+arithmetic from the public GIF89a spec, implemented below), and baseline
+JPEG pixels (``decode_jpeg_pixels`` — full pure-spec ITU T.81 sequential
+path: canonical Huffman entropy decode, dequantize, exact float IDCT,
+chroma upsampling, YCbCr→RGB) all decode for real, and header metadata
+for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by the sniffers
+below. Only FLAC/MP3 *sample* decode remains stubbed (subband synthesis
+needs a real codec library, absent in this container): ``decode_media``
+raises ``NotImplementedError`` for those unless ``fake=True``
+substitutes the deterministic fake decoder (keeps the Spark-side
+plumbing — schema, batching, partitioning — testable end-to-end).
 
 MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
 payloads in parquet binary columns (or pointers to object storage), metadata
@@ -239,12 +241,12 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     Arrow-batched: each executor receives pandas batches of (media_id,
     media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
 
-    Real decode paths: BMP, PNG, and GIF pixels (feature = per-channel
-    means + Rec.601 luma, /255 — PNG's DEFLATE is stdlib ``zlib``; GIF's
-    LZW is implemented pure-spec in this module; no external codec) and
-    WAV PCM samples (feature = mean|s| / RMS / peak, /32768). Truly
-    external codecs (JPEG pixels, FLAC/MP3 samples) have no library in
-    this container: such payloads raise ``NotImplementedError`` from the
+    Real decode paths: BMP, PNG, GIF, and baseline JPEG pixels (feature =
+    per-channel means + Rec.601 luma, /255 — PNG's DEFLATE is stdlib
+    ``zlib``; GIF's LZW and JPEG's Huffman+IDCT are implemented pure-spec
+    in this module; no external codec) and WAV PCM samples (feature =
+    mean|s| / RMS / peak, /32768). Only FLAC/MP3 sample decode has no
+    in-repo path: such payloads raise ``NotImplementedError`` from the
     executor unless ``fake=True`` substitutes the deterministic fake
     decoder for them.
     """
@@ -274,6 +276,16 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             mr, mg, mb = (chan[:, c].mean() for c in range(3))
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
             return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+        jpg = _decode_jpeg_array(p)
+        if jpg is not None:
+            w, h, channels, px = jpg
+            chan = px.reshape(-1, channels).astype("float64")
+            if channels == 3:
+                mr, mg, mb = (chan[:, c].mean() for c in range(3))
+            else:
+                mr = mg = mb = chan[:, 0].mean()
+            luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
         wav = _decode_wav_array(p)
         if wav is not None and wav[3].size:
             import numpy as np
@@ -284,9 +296,10 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
         if not fake:
             raise NotImplementedError(
-                "payload is not a BMP/PNG/GIF/PCM-WAV; JPEG/FLAC/MP3 decode "
-                "requires codec libraries not present in this environment "
-                "(pass fake=True for the deterministic test decoder)"
+                "payload is not a BMP/PNG/GIF/JPEG/PCM-WAV; FLAC/MP3 sample "
+                "decode requires codec libraries not present in this "
+                "environment (pass fake=True for the deterministic test "
+                "decoder)"
             )
         return _fake_decode(p)
 
@@ -1105,5 +1118,580 @@ def decode_gif_pixels(
         batches,
         schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
         "width int, height int, n_colors int, n_pixels int, mean_r double, "
+        "mean_g double, mean_b double, mean_luma double",
+    )
+
+# ----------------------------------------------------------------- jpeg
+
+#: zig-zag scan order: index i of the scan → (row, col) in the 8x8 block
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Annex K.1 luminance quantization table (quality-50 base), zig-zag order
+_JPEG_STD_LUMA_Q = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+#: Annex K.3 standard luminance DC Huffman spec: (bits[1..16], values)
+_JPEG_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_STD_DC_VALS = list(range(12))
+#: Annex K.3 standard luminance AC Huffman spec
+_JPEG_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """JPEG Annex C canonical code assignment → {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Inverse of :func:`_huff_decode_table`: {value: (code, length)}."""
+    return {
+        v: (code, ln) for (ln, code), v in _huff_decode_table(bits, vals).items()
+    }
+
+
+class _JpegBitReader:
+    """MSB-first entropy-coded-segment reader with 0xFF00 byte unstuffing;
+    RSTn markers terminate the current scan interval (reset handled by the
+    caller). Raises EOFError past the end."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise EOFError
+        b = d[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 < len(d) and d[self.pos + 1] == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise EOFError  # a real marker ends the segment
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid Huffman code")
+
+    def align(self) -> None:
+        self.nbits = 0
+
+    def at_marker(self) -> int | None:
+        """Peek: next bytes are 0xFF <marker != 0>? Return marker or None."""
+        d, p = self.data, self.pos
+        if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
+            return d[p + 1]
+        return None
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DIFF/AC value extension (spec F.2.2.1): t-bit magnitude → signed."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+_IDCT_BASIS = None
+
+
+def _idct_8x8(coef):
+    """Exact float 2-D inverse DCT (spec A.3.3) via a precomputed 64x64
+    basis matmul — vectorized, no scipy."""
+    import numpy as np
+
+    global _IDCT_BASIS
+    if _IDCT_BASIS is None:
+        b = np.zeros((64, 64))
+        for u in range(8):
+            cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+            for v in range(8):
+                cv = (1.0 / np.sqrt(2.0)) if v == 0 else 1.0
+                for x in range(8):
+                    for y in range(8):
+                        b[x * 8 + y, u * 8 + v] = (
+                            0.25 * cu * cv
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+        _IDCT_BASIS = b
+    return (_IDCT_BASIS @ coef.reshape(64)).reshape(8, 8)
+
+
+def _decode_jpeg_array(b: bytes):
+    """Real baseline JPEG decode → (width, height, channels, HxWxC uint8),
+    or None if not a decodable baseline JPEG.
+
+    Pure-spec (ITU T.81) sequential baseline: marker walk (DQT/SOF0/DHT/
+    DRI/SOS), canonical Huffman entropy decode with byte unstuffing and
+    restart-marker handling, dequantize + de-zigzag, exact float IDCT,
+    per-component DC prediction, chroma upsampling for 4:2:0/4:2:2/4:1:1
+    grids, YCbCr→RGB (JFIF full-range). Grayscale (1 component) and YCbCr
+    (3 components) only; progressive/arithmetic/12-bit variants → None.
+    """
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    try:
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                i += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            seg = b[i + 4 : i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables: not baseline-common
+                    tbl = np.zeros(64)
+                    for z in range(64):
+                        tbl[_JPEG_ZIGZAG[z]] = seg[j + 1 + z]
+                    qt[tq] = tbl.reshape(8, 8)
+                    j += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = seg[0]
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for c in range(nc):
+                    cid, sf, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    comps.append((cid, sf >> 4, sf & 0x0F, tq))
+                frame = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                            0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame types
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 0x0F
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    tbl = _huff_decode_table(bits, vals)
+                    (huff_dc if tc == 0 else huff_ac)[th] = tbl
+                    j += 17 + nv
+            elif marker == 0xDD:  # DRI
+                restart_interval = int.from_bytes(seg[0:2], "big")
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                ns = seg[0]
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan.append((cs, tt >> 4, tt & 0x0F))
+                i = i + 2 + seg_len
+                return _jpeg_decode_scan(
+                    b, i, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            i += 2 + seg_len
+    except (IndexError, ValueError, EOFError, KeyError):
+        return None
+    return None
+
+
+def _jpeg_decode_scan(
+    b, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    import numpy as np
+
+    w, h, comps = frame
+    if w <= 0 or h <= 0:
+        return None
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+
+    # per-component sampled planes
+    planes = {}
+    for cid, ch, cv, tq in comps:
+        planes[cid] = np.zeros((mcus_y * cv * 8, mcus_x * ch * 8))
+
+    scan_by_cid = {s[0]: s for s in scan}
+    reader = _JpegBitReader(b, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    try:
+        n_mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                    reader.align()
+                    m = reader.at_marker()
+                    if m is not None and 0xD0 <= m <= 0xD7:
+                        reader.pos += 2
+                        pred = {cid: 0 for cid, *_ in comps}
+                for cid, ch, cv, tq in comps:
+                    _, td, ta = scan_by_cid[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coef = np.zeros(64)
+                            t = reader.read_huff(huff_dc[td])
+                            diff = _jpeg_extend(reader.read_bits(t), t)
+                            pred[cid] += diff
+                            coef[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = reader.read_huff(huff_ac[ta])
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return None
+                                coef[k] = _jpeg_extend(reader.read_bits(s), s)
+                                k += 1
+                            dz = np.zeros(64)
+                            dz[np.array(_JPEG_ZIGZAG)] = coef
+                            block = _idct_8x8(
+                                dz.reshape(8, 8) * qt[tq]
+                            ) + 128.0
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+                n_mcu += 1
+    except (EOFError, ValueError, KeyError, IndexError):
+        return None
+
+    out_planes = []
+    for cid, ch, cv, tq in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:  # nearest-neighbor chroma upsample
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        px = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, px[:, :, None]
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    bl = y + 1.772 * cb
+    px = np.clip(np.round(np.stack([r, g, bl], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+    return w, h, 3, px
+
+
+class _JpegBitWriter:
+    """MSB-first entropy writer with 0xFF byte stuffing (spec B.1.1.5)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_fdct_8x8(block):
+    """Forward 2-D DCT — exact float transpose of :func:`_idct_8x8`'s
+    basis (orthonormal pair, so roundtrip is identity to float precision).
+    """
+    import numpy as np
+
+    _idct_8x8(np.zeros((8, 8)))  # ensure basis built
+    return (_IDCT_BASIS.T @ block.reshape(64)).reshape(8, 8)
+
+
+def _jpeg_category(v: int) -> int:
+    """Bit-category of a DIFF/AC value (spec F.1.2.1.2)."""
+    return abs(v).bit_length()
+
+
+def _jpeg_mag_bits(v: int, t: int) -> int:
+    """Magnitude bits for value v of category t (one's-complement for
+    negatives — inverse of :func:`_jpeg_extend`)."""
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def quantize_jpeg_blocks(px):
+    """Reference numpy pipeline: pad → FDCT → quantize (std luma table)
+    per 8x8 block → DEQUANTIZE → IDCT → clip. What a baseline decoder must
+    reproduce EXACTLY for a single-component image (entropy coding is
+    lossless); used by tests to pin the decoder bit-for-bit."""
+    import numpy as np
+
+    q = np.zeros(64)
+    for z in range(64):
+        q[_JPEG_ZIGZAG[z]] = _JPEG_STD_LUMA_Q[z]
+    q = q.reshape(8, 8)
+    h, w = px.shape
+    H = (h + 7) // 8 * 8
+    W = (w + 7) // 8 * 8
+    padded = np.pad(px.astype(np.float64), ((0, H - h), (0, W - w)), "edge")
+    out = np.zeros((H, W))
+    for y0 in range(0, H, 8):
+        for x0 in range(0, W, 8):
+            blk = padded[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+            coef = np.round(_jpeg_fdct_8x8(blk) / q)
+            out[y0 : y0 + 8, x0 : x0 + 8] = _idct_8x8(coef * q) + 128.0
+    return np.clip(np.round(out[:h, :w]), 0, 255).astype(np.uint8)
+
+
+def encode_jpeg(px, subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG encoder (fixtures/tests): 8-bit grayscale or
+    RGB, Annex K quantization + Huffman tables (luma tables for every
+    component), 4:4:4 by default or 4:2:0 with ``subsample=True`` (2x2
+    mean chroma, exercises the decoder's MCU interleave + upsampling).
+    Inverse of :func:`_decode_jpeg_array` up to quantization loss — the
+    entropy layer itself is lossless, which the tests exploit.
+    """
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2 or px.shape[2] == 1
+    if not gray and subsample is False:
+        pass  # 4:4:4 RGB
+    q = np.zeros(64)
+    for z in range(64):
+        q[_JPEG_ZIGZAG[z]] = _JPEG_STD_LUMA_Q[z]
+    q = q.reshape(8, 8)
+    dc_enc = _huff_encode_table(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS)
+    ac_enc = _huff_encode_table(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS)
+
+    if gray:
+        planes = [px.reshape(px.shape[0], px.shape[1]).astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        r = px[:, :, 0].astype(np.float64)
+        g = px[:, :, 1].astype(np.float64)
+        b = px[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            h, w = y.shape
+            H2 = (h + 1) // 2 * 2
+            W2 = (w + 1) // 2 * 2
+            cbp = np.pad(cb, ((0, H2 - h), (0, W2 - w)), "edge")
+            crp = np.pad(cr, ((0, H2 - h), (0, W2 - w)), "edge")
+            cb = cbp.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(H2 // 2, 2, W2 // 2, 2).mean(axis=(1, 3))
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+        planes = [y, cb, cr]
+
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # pad every plane to its full MCU grid
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        PH = mcus_y * sv * 8
+        PW = mcus_x * sh * 8
+        padded.append(
+            np.pad(p, ((0, PH - p.shape[0]), (0, PW - p.shape[1])), "edge")
+        )
+
+    writer = _JpegBitWriter()
+    zz = np.array(_JPEG_ZIGZAG)
+    pred = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        blk = p[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coef = np.round(_jpeg_fdct_8x8(blk) / q).astype(int)
+                        zcoef = coef.reshape(64)[zz]
+                        diff = int(zcoef[0]) - pred[ci]
+                        pred[ci] = int(zcoef[0])
+                        t = _jpeg_category(diff)
+                        code, ln = dc_enc[t]
+                        writer.write(code, ln)
+                        if t:
+                            writer.write(_jpeg_mag_bits(diff, t), t)
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if zcoef[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            v = int(zcoef[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_enc[0xF0]  # ZRL
+                                writer.write(code, ln)
+                                run -= 16
+                            t = _jpeg_category(v)
+                            code, ln = ac_enc[(run << 4) | t]
+                            writer.write(code, ln)
+                            writer.write(_jpeg_mag_bits(v, t), t)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_enc[0x00]  # EOB
+                            writer.write(code, ln)
+    data = writer.flush()
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    seg(0xDB, bytes([0x00]) + bytes(_JPEG_STD_LUMA_Q))
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    seg(0xC0, sof)
+    seg(0xC4, bytes([0x00]) + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
+    seg(0xC4, bytes([0x10]) + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, sos)
+    out.extend(data)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def decode_jpeg_pixels(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL pixel decode for baseline JPEG payloads, Arrow-batched: per
+    item → (width, height, channels, n_pixels, RGB channel means, Rec.601
+    mean luma). Grayscale maps its single channel to all of r/g/b. The
+    full pure-spec path — Huffman entropy decode, dequantize, exact float
+    IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB — no codec library.
+    Non-JPEG / truncated / progressive payloads yield NULL stats rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "width": [], "height": [],
+                "channels": [], "n_pixels": [], "mean_r": [], "mean_g": [],
+                "mean_b": [], "mean_luma": [],
+            }
+            cols = ("width", "height", "channels", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "mean_luma")
+            for p in pdf[payload_col]:
+                dec = _decode_jpeg_array(bytes(p))
+                if dec is None:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                w, h, channels, px = dec
+                chan = px.reshape(-1, channels).astype("float64")
+                if channels == 3:
+                    mr, mg, mb = (chan[:, c].mean() for c in range(3))
+                else:
+                    mr = mg = mb = chan[:, 0].mean()
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(channels)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["mean_luma"].append(0.299 * mr + 0.587 * mg + 0.114 * mb)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "width int, height int, channels int, n_pixels int, mean_r double, "
         "mean_g double, mean_b double, mean_luma double",
     )

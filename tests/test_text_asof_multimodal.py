@@ -258,7 +258,7 @@ def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
     # compressed/unknown payloads still raise (from the executor) without fake
-    with pytest.raises(Exception, match="not a BMP/PNG/GIF/PCM-WAV"):
+    with pytest.raises(Exception, match="not a BMP/PNG/GIF/JPEG/PCM-WAV"):
         multimodal.decode_media(df).collect()
     # real path: a BMP payload decodes without fake
     bmp_df = spark.createDataFrame(
@@ -706,3 +706,85 @@ def test_decode_media_gif_real_path(spark):
     assert (r["width"], r["height"]) == (2, 2)
     assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6
     assert abs(r["feature"][3] - 100.0 / 255.0) < 1e-6
+
+
+def test_jpeg_decoder_matches_reference_pipeline_exactly():
+    """The entropy layer (Huffman + bitstream + markers) is LOSSLESS, so
+    for single-component images the decoder must reproduce the numpy
+    FDCT→quant→dequant→IDCT reference pipeline bit-for-bit — pixel loss
+    may come only from quantization, which both sides share."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        _decode_jpeg_array, encode_jpeg, quantize_jpeg_blocks, _sniff_dims,
+    )
+
+    rng = np.random.RandomState(3)
+    for h, w in [(8, 8), (16, 24), (13, 21), (1, 1), (40, 40)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        px = np.clip(
+            80 + 1.5 * xx + 0.9 * yy + rng.randint(-6, 7, (h, w)), 0, 255
+        ).astype(np.uint8)
+        b = encode_jpeg(px)
+        assert _sniff_dims(b) == ("jpeg", w, h)
+        dec = _decode_jpeg_array(b)
+        assert dec is not None and dec[:3] == (w, h, 1)
+        ref = quantize_jpeg_blocks(px)
+        assert np.array_equal(dec[3][:, :, 0], ref), (h, w)
+
+
+def test_jpeg_color_and_subsampling_roundtrip():
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        _decode_jpeg_array, encode_jpeg,
+    )
+
+    h, w = 24, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [
+            np.clip(60 + 2 * xx, 0, 255),
+            np.clip(40 + 2 * yy, 0, 255),
+            np.clip(120 + xx + yy, 0, 255),
+        ],
+        -1,
+    ).astype(np.uint8)
+    for sub in (False, True):  # 4:4:4 and 4:2:0 (MCU interleave + upsample)
+        dec = _decode_jpeg_array(encode_jpeg(px, subsample=sub))
+        assert dec is not None and dec[:3] == (w, h, 3)
+        err = np.abs(dec[3].astype(int) - px.astype(int)).mean()
+        assert err < 6.0, (sub, err)
+    # malformed → None, never an exception
+    assert _decode_jpeg_array(b"\xff\xd8\xff\xd9") is None
+    assert _decode_jpeg_array(b"not a jpeg") is None
+    whole = encode_jpeg(px)
+    assert _decode_jpeg_array(whole[: len(whole) // 2]) is None
+
+
+def test_decode_jpeg_pixels_and_media_path(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_jpeg_pixels, decode_media, encode_jpeg,
+    )
+
+    flat = np.full((8, 8), 100, np.uint8)  # even value → exact identity
+    rows = [
+        (1, bytearray(encode_jpeg(flat))),
+        (2, bytearray(b"\xff\xd8 truncated")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in decode_jpeg_pixels(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (8, 8, 1)
+    assert abs(out[1]["mean_luma"] - 100.0) < 1e-9
+    assert out[1]["mean_r"] == out[1]["mean_b"]  # gray maps to all channels
+    assert out[2]["width"] is None  # malformed → NULL stats
+
+    mdf = spark.createDataFrame(
+        [(1, "image", bytearray(encode_jpeg(flat)))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    r = decode_media(mdf).collect()[0]
+    assert (r["width"], r["height"]) == (8, 8)
+    assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6

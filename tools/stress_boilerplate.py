@@ -1,0 +1,93 @@
+"""Boilerplate-dense 10× scale-stress for shared_span_pairs (BASELINE.md).
+
+The shared-substring detector's one quadratic risk is a corpus-common
+boilerplate span: every 32-char window of a banner shared by D documents
+joins D×(D-1)/2 pairs — quadratic in the banner's document frequency, not
+in corpus size. This script plants a fixed 64-char banner on 10%% of docs,
+scales the corpus 10× by shifted-id replication (banner density constant,
+so banner doc-frequency grows 10× → uncapped pair output grows ~100×),
+and times the operator capped (max_postings=64) vs uncapped at both
+scales. The recorded claim: the cap turns the blow-up into linear-ish
+scaling while keeping every non-boilerplate pair (windows dropped by the
+cap occur in >64 docs — boilerplate by construction).
+
+Usage: python tools/stress_boilerplate.py [sf_dir] [--skip-uncapped-10x]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+BANNER = (
+    "This document is provided under the corpus terms of use v2. "
+    "All rights reserved."
+)  # > 32 chars → ~60 shared windows per tagged doc
+
+
+def timed(label: str, action):
+    t0 = time.perf_counter()
+    n = action()
+    secs = time.perf_counter() - t0
+    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
+    return secs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    skip_uncapped_10x = "--skip-uncapped-10x" in sys.argv
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-boilerplate")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    # plant the banner on 10% of docs (doc_id % 10 == 0)
+    tagged = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" " + BANNER))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    n1 = tagged.count()
+
+    shift = 1_000_000
+    ten = tagged
+    for i in range(1, 10):
+        ten = ten.unionAll(
+            tagged.select(
+                (F.col("doc_id") + i * shift).alias("doc_id"), "text"
+            )
+        )
+    ten = ten.persist()
+    n10 = ten.count()
+    print(f"1x = {n1} docs, 10x = {n10} docs, banner on 10%")
+
+    def run(df, cap):
+        return lambda: dedup.shared_span_pairs(
+            df, span=32, max_postings=cap
+        ).count()
+
+    # warmup
+    dedup.shared_span_pairs(tagged.limit(500), span=32).count()
+
+    t1_cap = timed("capped(64)   1x", run(tagged, 64))
+    t1_unc = timed("uncapped     1x", run(tagged, 0))
+    t10_cap = timed("capped(64)  10x", run(ten, 64))
+    print(f"  capped exponent: {math.log10(t10_cap / t1_cap):.2f} "
+          "(1.0 = linear)")
+    if not skip_uncapped_10x:
+        t10_unc = timed("uncapped    10x", run(ten, 0))
+        print(f"  uncapped exponent: {math.log10(t10_unc / t1_unc):.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
