@@ -1861,6 +1861,73 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_flac_samples",
+    oracle="""
+WITH s AS (
+  SELECT doc_id, list_transform(generate_series(0, 7),
+      i -> CAST((doc_id*13 + i*5) % 2001 - 1000 AS DOUBLE)) AS smp
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 8)*1000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS channels, CAST(16 AS INT) AS bits_per_sample,
+       CAST(8 AS BIGINT) AS n_frames,
+       round(list_sum(list_transform(smp, x -> abs(x)))/8.0, 6) AS mean_abs,
+       round(sqrt(list_sum(list_transform(smp, x -> x*x))/8.0), 6) AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM s ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL FLAC sample decode (operators/flac + multimodal."
+    "decode_flac_samples): the same 8 doc_id-arithmetic samples as "
+    "multimodal_wav_pcm, but compressed with the in-repo FLAC encoder "
+    "(fixed-order-2 prediction + real Rice-coded residuals) and decoded "
+    "back through the full pure-spec bit path — STREAMINFO parse, frame "
+    "sync, subframe decode, Rice/zigzag, predictor reconstruction. FLAC "
+    "is LOSSLESS, so the oracle replays the amplitude statistics exactly; "
+    "any defect in the Rice arithmetic or predictor breaks the match. "
+    "Audio twin of multimodal_jpeg_pixels; MP3 alone remains "
+    "library-gated.",
+)
+def multimodal_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from ..operators import multimodal
+    from ..operators.flac import encode_flac
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                smp = np.array(
+                    [(d * 13 + i * 5) % 2001 - 1000 for i in range(8)],
+                    np.int64,
+                )
+                payloads.append(
+                    encode_flac(
+                        smp, sample_rate=8000 + (d % 8) * 1000, bps=16,
+                        fixed_order=2, blocksize=8,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(gen, schema="media_id bigint, payload binary")
+    out = multimodal.decode_flac_samples(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "bits_per_sample", "n_frames",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    ).orderBy("media_id")
+
+
+@register(
     "source_drift_chi2",
     oracle=f"""
 WITH toks AS (

@@ -1,0 +1,445 @@
+"""Pure-spec FLAC decode/encode (no codec library).
+
+FLAC's compression is LPC/fixed prediction + Rice-coded residuals — all
+bit arithmetic from the public format spec (xiph.org / RFC 9639), like
+PNG's DEFLATE and GIF's LZW: nothing requires an external codec. The
+decoder covers the sequential baseline a corpus crawler meets: 8/16/24
+bit, constant/verbatim/fixed(0-4)/LPC subframes, 4-bit and 5-bit Rice
+partitions with escape codes, independent / left-side / right-side /
+mid-side stereo, wasted bits, UTF-8 frame numbers, variable and fixed
+blocking. CRCs are parsed but not verified (corpus decode favors
+permissiveness; truncated/malformed streams yield None).
+
+The in-repo encoder (fixtures/tests) writes verbatim or fixed-order-2
+subframes with real Rice coding so round-trips exercise the decoder's
+arithmetic; FLAC is LOSSLESS, so decode(encode(x)) == x exactly — which
+is what lets the catalog query carry an exact DuckDB oracle.
+
+Reference parity note: the reference reaches audio only as opaque S3
+objects (aws-cli-data-pipeline-tools passes bytes through Athena/Lambda);
+this module implements the decode the Spark-side pipeline needs.
+"""
+
+from __future__ import annotations
+
+
+class _BitReader:
+    """MSB-first bit reader over bytes; raises EOFError past the end."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise EOFError
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("runaway unary")
+        return q
+
+    def align(self) -> None:
+        self.nbits -= self.nbits % 8
+
+    def byte_pos(self) -> int:
+        return self.pos - self.nbits // 8
+
+
+_FLAC_BLOCKSIZES = {
+    1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+    13: 8192, 14: 16384, 15: 32768,
+}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+#: fixed-predictor coefficients by order (spec: orders 0-4)
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _read_utf8_number(br: _BitReader) -> int:
+    """UTF-8-style variable-length frame/sample number (up to 36 bits)."""
+    b0 = br.read(8)
+    if b0 < 0x80:
+        return b0
+    n = 0
+    mask = 0x40
+    while b0 & mask:
+        n += 1
+        mask >>= 1
+    if n == 0 or n > 6:
+        raise ValueError("bad utf8 number")
+    v = b0 & (mask - 1)
+    for _ in range(n):
+        c = br.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("bad utf8 continuation")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _read_residual(br: _BitReader, blocksize: int, order: int) -> list[int]:
+    """Rice-coded residual: 2-bit method, 4-bit partition order, per
+    partition a 4/5-bit parameter (escape → raw bits)."""
+    method = br.read(2)
+    if method > 1:
+        raise ValueError("bad residual method")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    porder = br.read(4)
+    n_part = 1 << porder
+    out = []
+    for p in range(n_part):
+        n = (blocksize >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("bad partition")
+        param = br.read(plen)
+        if param == escape:
+            bits = br.read(5)
+            for _ in range(n):
+                out.append(br.read_signed(bits) if bits else 0)
+        else:
+            for _ in range(n):
+                q = br.read_unary()
+                r = br.read(param) if param else 0
+                u = (q << param) | r
+                out.append((u >> 1) ^ -(u & 1))  # zigzag
+    return out
+
+
+def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
+    if br.read(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = 1 + br.read_unary()
+    eff = bps - wasted
+    if stype == 0:  # constant
+        v = br.read_signed(eff)
+        samples = [v] * blocksize
+    elif stype == 1:  # verbatim
+        samples = [br.read_signed(eff) for _ in range(blocksize)]
+    elif 8 <= stype <= 12:  # fixed order 0-4
+        order = stype - 8
+        warm = [br.read_signed(eff) for _ in range(order)]
+        resid = _read_residual(br, blocksize, order)
+        samples = list(warm)
+        coefs = _FIXED_COEFS[order]
+        for r in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(r + pred)
+    elif stype >= 32:  # LPC, order 1-32
+        order = stype - 31
+        warm = [br.read_signed(eff) for _ in range(order)]
+        prec = br.read(4) + 1
+        if prec == 16:
+            raise ValueError("invalid lpc precision")
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise ValueError("negative lpc shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        resid = _read_residual(br, blocksize, order)
+        samples = list(warm)
+        for r in resid:
+            pred = sum(c * samples[-i - 1] for i, c in enumerate(coefs))
+            samples.append(r + (pred >> shift))
+    else:
+        raise ValueError(f"reserved subframe type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def decode_flac(b: bytes):
+    """Real FLAC decode → (sample_rate, channels, bits_per_sample,
+    numpy int32 array of shape (n_samples, channels)), or None if not a
+    decodable FLAC stream."""
+    import numpy as np
+
+    if len(b) < 42 or b[:4] != b"fLaC":
+        return None
+    # metadata block walk; STREAMINFO is mandatory first
+    i = 4
+    rate = channels = bps = None
+    total = 0
+    last = False
+    first = True
+    while not last and i + 4 <= len(b):
+        hdr = b[i]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        ln = int.from_bytes(b[i + 1 : i + 4], "big")
+        if first:
+            if btype != 0 or ln < 34:
+                return None
+            si = b[i + 4 : i + 4 + 34]
+            rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+            channels = ((si[12] >> 1) & 0x7) + 1
+            bps = (((si[12] & 1) << 4) | (si[13] >> 4)) + 1
+            total = ((si[13] & 0x0F) << 32) | int.from_bytes(si[14:18], "big")
+            first = False
+        i += 4 + ln
+    if rate in (None, 0) or bps is None:
+        return None
+
+    out = []
+    br = _BitReader(b, i)
+    try:
+        while True:
+            # frame sync: 14 bits 0b11111111111110
+            try:
+                sync = br.read(14)
+            except EOFError:
+                break
+            if sync != 0x3FFE:
+                return None
+            br.read(1)  # reserved
+            br.read(1)  # blocking strategy
+            bs_code = br.read(4)
+            sr_code = br.read(4)
+            ch_code = br.read(4)
+            ss_code = br.read(3)
+            br.read(1)  # reserved
+            _read_utf8_number(br)
+            if bs_code == 0:
+                raise ValueError("reserved blocksize code")
+            elif bs_code == 6:
+                blocksize = br.read(8) + 1
+            elif bs_code == 7:
+                blocksize = br.read(16) + 1
+            else:
+                blocksize = _FLAC_BLOCKSIZES[bs_code]
+            if sr_code == 12:
+                br.read(8)
+            elif sr_code in (13, 14):
+                br.read(16)
+            fbps = _FLAC_SAMPLE_SIZES.get(ss_code, bps)
+            br.read(8)  # CRC-8 (not verified)
+
+            if ch_code < 8:
+                nch = ch_code + 1
+                chans = [
+                    _decode_subframe(br, blocksize, fbps) for _ in range(nch)
+                ]
+            elif ch_code == 8:  # left/side
+                left = _decode_subframe(br, blocksize, fbps)
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                chans = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                right = _decode_subframe(br, blocksize, fbps)
+                chans = [[r + s for r, s in zip(right, side)], right]
+            elif ch_code == 10:  # mid/side
+                mid = _decode_subframe(br, blocksize, fbps)
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                lr = []
+                for m, s in zip(mid, side):
+                    mm = (m << 1) | (s & 1)
+                    lr.append(((mm + s) >> 1, (mm - s) >> 1))
+                chans = [[p[0] for p in lr], [p[1] for p in lr]]
+            else:
+                raise ValueError("reserved channel assignment")
+            if len(chans) != channels:
+                raise ValueError("channel count mismatch")
+            br.align()
+            br.read(16)  # frame CRC-16 (not verified)
+            out.append(
+                np.array(chans, dtype=np.int64).T
+            )
+    except (EOFError, ValueError, KeyError, IndexError):
+        return None
+    if not out:
+        return None
+    samples = np.concatenate(out, axis=0)
+    if total and len(samples) > total:
+        samples = samples[:total]
+    return rate, channels, bps, samples.astype(np.int32)
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.out)
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8 poly 0x07 (frame header CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    """CRC-16 poly 0x8005 (frame CRC)."""
+    crc = 0
+    for byte in data:
+        crc ^= byte << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def encode_flac(
+    samples, sample_rate: int = 8000, bps: int = 16, fixed_order: int = 2,
+    blocksize: int = 4096,
+) -> bytes:
+    """Minimal FLAC encoder (fixtures/tests): independent channels, one
+    STREAMINFO block, verbatim (``fixed_order=None``) or fixed-order
+    subframes with real Rice-coded residuals (single partition, best
+    4-bit parameter). Lossless — :func:`decode_flac` returns the input
+    exactly. ``samples``: int array (n,) or (n, channels)."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, channels = s.shape
+    lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+    if s.min() < lo or s.max() > hi:
+        raise ValueError("samples exceed bps range")
+
+    out = bytearray(b"fLaC")
+    si = bytearray(34)
+    si[0:2] = blocksize.to_bytes(2, "big")  # min block
+    si[2:4] = blocksize.to_bytes(2, "big")  # max block
+    # min/max frame size unknown (0)
+    si[10] = (sample_rate >> 12) & 0xFF
+    si[11] = (sample_rate >> 4) & 0xFF
+    si[12] = ((sample_rate & 0xF) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4)
+    si[13] = (((bps - 1) & 0xF) << 4) | ((n >> 32) & 0xF)
+    si[14:18] = (n & 0xFFFFFFFF).to_bytes(4, "big")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+
+    def utf8_number(v: int) -> bytes:
+        if v < 0x80:
+            return bytes([v])
+        seq = []
+        nbytes = 1
+        while v >= (1 << (6 + 5 * nbytes)) and nbytes < 6:
+            nbytes += 1
+        lead_bits = 6 - nbytes
+        parts = []
+        for _ in range(nbytes):
+            parts.append(0x80 | (v & 0x3F))
+            v >>= 6
+        lead = (0xFF << (lead_bits + 1)) & 0xFF | v
+        return bytes([lead] + list(reversed(parts)))
+
+    frame_no = 0
+    for start in range(0, n, blocksize):
+        blk = s[start : start + blocksize]
+        bs = len(blk)
+        bw = _BitWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)  # fixed blocking
+        bw.write(7, 4)  # blocksize: 16-bit field
+        bw.write(0, 4)  # sample rate: from STREAMINFO
+        bw.write(channels - 1, 4)  # independent channels
+        ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps]
+        bw.write(ss_code, 3)
+        bw.write(0, 1)
+        bw.align()
+        hdr = bytearray(bw.bytes())
+        hdr += utf8_number(frame_no)
+        hdr += (bs - 1).to_bytes(2, "big")
+        hdr.append(_crc8(bytes(hdr)))
+
+        body = _BitWriter()
+        for c in range(channels):
+            chan = blk[:, c]
+            body.write(0, 1)
+            order = fixed_order
+            if order is None or bs <= (order or 0):
+                body.write(1, 6)  # verbatim
+                body.write(0, 1)
+                for v in chan:
+                    body.write(int(v), bps)
+                continue
+            body.write(8 + order, 6)  # fixed subframe
+            body.write(0, 1)  # no wasted bits
+            for v in chan[:order]:
+                body.write(int(v), bps)
+            coefs = _FIXED_COEFS[order]
+            hist = [int(v) for v in chan[:order]]
+            resid = []
+            for v in chan[order:]:
+                pred = sum(cc * hist[-i - 1] for i, cc in enumerate(coefs))
+                resid.append(int(v) - pred)
+                hist.append(int(v))
+            # zigzag + best single-partition 4-bit rice parameter
+            uz = [(r << 1) ^ (r >> 63) for r in np.asarray(resid, np.int64)]
+            uz = [int(u) for u in uz]
+            best_p, best_cost = 0, None
+            for p in range(15):
+                cost = sum((u >> p) + 1 + p for u in uz)
+                if best_cost is None or cost < best_cost:
+                    best_p, best_cost = p, cost
+            body.write(0, 2)  # 4-bit rice
+            body.write(0, 4)  # partition order 0
+            body.write(best_p, 4)
+            for u in uz:
+                body.write_unary(u >> best_p)
+                if best_p:
+                    body.write(u & ((1 << best_p) - 1), best_p)
+        body.align()
+        payload = bytes(hdr) + body.bytes()
+        payload += _crc16(payload).to_bytes(2, "big")
+        out += payload
+        frame_no += 1
+    return bytes(out)

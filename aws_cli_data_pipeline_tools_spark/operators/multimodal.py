@@ -13,13 +13,15 @@ the five spec unfilter paths need no external codec), and GIF pixels
 arithmetic from the public GIF89a spec, implemented below), and baseline
 JPEG pixels (``decode_jpeg_pixels`` — full pure-spec ITU T.81 sequential
 path: canonical Huffman entropy decode, dequantize, exact float IDCT,
-chroma upsampling, YCbCr→RGB) all decode for real, and header metadata
-for PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by the sniffers
-below. Only FLAC/MP3 *sample* decode remains stubbed (subband synthesis
+chroma upsampling, YCbCr→RGB), and FLAC samples
+(``decode_flac_samples`` — Rice/LPC bit arithmetic, see
+``operators/flac``) all decode for real, and header metadata for
+PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by the sniffers below.
+Only MP3 *sample* decode remains stubbed (polyphase subband synthesis
 needs a real codec library, absent in this container): ``decode_media``
-raises ``NotImplementedError`` for those unless ``fake=True``
-substitutes the deterministic fake decoder (keeps the Spark-side
-plumbing — schema, batching, partitioning — testable end-to-end).
+raises ``NotImplementedError`` for it unless ``fake=True`` substitutes
+the deterministic fake decoder (keeps the Spark-side plumbing — schema,
+batching, partitioning — testable end-to-end).
 
 MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
 payloads in parquet binary columns (or pointers to object storage), metadata
@@ -244,11 +246,12 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     Real decode paths: BMP, PNG, GIF, and baseline JPEG pixels (feature =
     per-channel means + Rec.601 luma, /255 — PNG's DEFLATE is stdlib
     ``zlib``; GIF's LZW and JPEG's Huffman+IDCT are implemented pure-spec
-    in this module; no external codec) and WAV PCM samples (feature =
-    mean|s| / RMS / peak, /32768). Only FLAC/MP3 sample decode has no
-    in-repo path: such payloads raise ``NotImplementedError`` from the
-    executor unless ``fake=True`` substitutes the deterministic fake
-    decoder for them.
+    in this module; no external codec), WAV PCM samples (feature =
+    mean|s| / RMS / peak, /32768), and FLAC samples (same stats, scaled
+    by the stream's bit depth; pure-spec Rice/LPC decode in
+    ``operators/flac``). Only MP3 sample decode has no in-repo path:
+    such payloads raise ``NotImplementedError`` from the executor unless
+    ``fake=True`` substitutes the deterministic fake decoder for them.
     """
 
     def decode_one(p: bytes) -> tuple:
@@ -294,9 +297,21 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             a = np.abs(s)
             stats = [a.mean(), float(np.sqrt((s * s).mean())), float(a.max())]
             return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
+        from .flac import decode_flac
+
+        flac = decode_flac(p)
+        if flac is not None and flac[3].size:
+            import numpy as np
+
+            _, _, bps, s = flac
+            s = s.astype(np.float64)
+            a = np.abs(s)
+            scale = float(1 << (bps - 1))
+            stats = [a.mean(), float(np.sqrt((s * s).mean())), float(a.max())]
+            return None, None, [v / scale for v in stats] + [0.0] * 5
         if not fake:
             raise NotImplementedError(
-                "payload is not a BMP/PNG/GIF/JPEG/PCM-WAV; FLAC/MP3 sample "
+                "payload is not a BMP/PNG/GIF/JPEG/PCM-WAV/FLAC; MP3 sample "
                 "decode requires codec libraries not present in this "
                 "environment (pass fake=True for the deterministic test "
                 "decoder)"
@@ -1694,4 +1709,55 @@ def decode_jpeg_pixels(
         schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
         "width int, height int, channels int, n_pixels int, mean_r double, "
         "mean_g double, mean_b double, mean_luma double",
+    )
+
+
+# ----------------------------------------------------------------- flac
+
+def decode_flac_samples(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL sample decode for FLAC payloads (operators/flac: pure-spec
+    Rice/LPC bit arithmetic, no codec library), Arrow-batched: per item →
+    (sample_rate, channels, bits_per_sample, n_frames, mean |amplitude|,
+    RMS, peak). FLAC is lossless, so the statistics are exact functions
+    of the original samples — which is what lets the catalog query carry
+    an exact DuckDB oracle. Non-FLAC / truncated payloads yield NULL
+    stats rows."""
+    from .flac import decode_flac
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {
+                id_col: pdf[id_col], "sample_rate": [], "channels": [],
+                "bits_per_sample": [], "n_frames": [], "mean_abs": [],
+                "rms": [], "peak": [],
+            }
+            cols = ("sample_rate", "channels", "bits_per_sample",
+                    "n_frames", "mean_abs", "rms", "peak")
+            for p in pdf[payload_col]:
+                dec = decode_flac(bytes(p))
+                if dec is None or dec[3].size == 0:
+                    for k in cols:
+                        out[k].append(None)
+                    continue
+                rate, channels, bps, s = dec
+                s = s.astype(np.float64)
+                a = np.abs(s)
+                out["sample_rate"].append(rate)
+                out["channels"].append(channels)
+                out["bits_per_sample"].append(bps)
+                out["n_frames"].append(s.shape[0])
+                out["mean_abs"].append(a.mean())
+                out["rms"].append(float(np.sqrt((s * s).mean())))
+                out["peak"].append(int(a.max()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        batches,
+        schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
+        "sample_rate int, channels int, bits_per_sample int, "
+        "n_frames bigint, mean_abs double, rms double, peak int",
     )

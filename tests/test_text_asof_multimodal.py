@@ -258,7 +258,7 @@ def test_decode_media_stub_and_fake(spark):
     rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
     df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
     # compressed/unknown payloads still raise (from the executor) without fake
-    with pytest.raises(Exception, match="not a BMP/PNG/GIF/JPEG/PCM-WAV"):
+    with pytest.raises(Exception, match="not a BMP/PNG/GIF/JPEG/PCM-WAV/FLAC"):
         multimodal.decode_media(df).collect()
     # real path: a BMP payload decodes without fake
     bmp_df = spark.createDataFrame(
@@ -788,3 +788,68 @@ def test_decode_jpeg_pixels_and_media_path(spark):
     r = decode_media(mdf).collect()[0]
     assert (r["width"], r["height"]) == (8, 8)
     assert abs(r["feature"][0] - 100.0 / 255.0) < 1e-6
+
+
+def test_flac_lossless_roundtrip_pure():
+    """Codec-level: FLAC is lossless — decode(encode(x)) == x exactly
+    across bit depths, channel counts, subframe types, and blocksizes."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.flac import (
+        decode_flac, encode_flac,
+    )
+
+    rng = np.random.RandomState(5)
+    for trial in range(6):
+        n = rng.randint(1, 700)  # small: the bit loop is pure Python
+        ch = rng.randint(1, 3)
+        bps = [8, 16, 24][trial % 3]
+        lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
+        if trial % 2:
+            s = rng.randint(lo, hi + 1, (n, ch))  # white noise (rice worst case)
+        else:
+            t = np.arange(n)[:, None]
+            s = (np.sin(t * 0.01) * (hi // 2)).astype(np.int64) + rng.randint(
+                -50, 51, (n, ch)
+            )
+        b = encode_flac(
+            s, sample_rate=44100, bps=bps,
+            fixed_order=[None, 0, 1, 2][trial % 4],
+            blocksize=[4096, 192, 250][trial % 3],
+        )
+        dec = decode_flac(b)
+        assert dec is not None and dec[:3] == (44100, ch, bps)
+        assert np.array_equal(dec[3], s), trial
+    # malformed → None
+    assert decode_flac(b"fLaC") is None
+    assert decode_flac(b[: len(b) // 2]) is None
+    assert decode_flac(b"RIFFxxxx") is None
+
+
+def test_decode_flac_samples_and_media_path(spark):
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.flac import encode_flac
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_flac_samples, decode_media,
+    )
+
+    s = np.array([100, -200, 300, -400], np.int64)
+    rows = [
+        (1, bytearray(encode_flac(s, sample_rate=8000, bps=16))),
+        (2, bytearray(b"fLaC truncated")),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in decode_flac_samples(df).collect()}
+    assert (out[1]["sample_rate"], out[1]["channels"]) == (8000, 1)
+    assert (out[1]["bits_per_sample"], out[1]["n_frames"]) == (16, 4)
+    assert abs(out[1]["mean_abs"] - 250.0) < 1e-9
+    assert out[1]["peak"] == 400
+    assert out[2]["sample_rate"] is None  # malformed → NULL stats
+
+    mdf = spark.createDataFrame(
+        [(1, "audio", bytearray(encode_flac(s, bps=16)))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    r = decode_media(mdf).collect()[0]
+    assert abs(r["feature"][2] - 400.0 / 32768.0) < 1e-6  # peak scaled by bps
