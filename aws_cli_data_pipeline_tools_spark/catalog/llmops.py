@@ -2451,3 +2451,175 @@ def text_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (nb - nc).alias("extra_bytes"),
         F.round((nb - nc) / nc.cast("double"), 6).alias("multibyte_load"),
     ).orderBy("doc_id")
+
+
+@register(
+    "avro_roundtrip_orders",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE), 4)
+         AS sum_price,
+       min(CAST(o_orderdate AS TIMESTAMP)) AS first_order,
+       max(CAST(o_orderdate AS TIMESTAMP)) AS last_order
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    tags=("sources", "avro"),
+    notes="Avro interop WITHOUT the spark-avro jar (sources/avro_fallback: "
+    "pure-spec Object Container File codec — zigzag-varint binary "
+    "encoding, [null,T] unions, timestamp-micros logical type, raw-"
+    "DEFLATE blocks via stdlib zlib): orders is written to Avro "
+    "executor-side (one container per partition, one block per Arrow "
+    "batch), read back via binaryFile + Arrow-batched decode, and "
+    "aggregated; the oracle runs the same aggregate on the ORIGINAL "
+    "parquet, so the hash matches only if every long/string/double/"
+    "timestamp survived the Avro byte round-trip exactly. The jar path "
+    "(sources.reader('avro')) remains the full-fidelity route when "
+    "available.",
+)
+def avro_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.avro_fallback import read_avro, write_avro
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), "sparkgraft_avro_roundtrip_orders"
+    )
+    shutil.rmtree(path, ignore_errors=True)  # rerun-safe overwrite
+    write_avro(orders, path)
+    back = read_avro(spark, path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,10)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "zipf_slope_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+    AS token
+  FROM documents
+),
+counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, token) AS r
+  FROM counts
+)
+SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(r AS DOUBLE))), 4)
+         AS r2
+FROM ranked WHERE r <= 256
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Zipf's-law fit: OLS slope of ln(frequency) vs ln(rank) over "
+    "the top-256 tokens (ties broken by token so both engines rank "
+    "identically) — a natural-language health check for a corpus (clean "
+    "text sits near -1; boilerplate/spam flattens or steepens the "
+    "curve). One token hash-agg + one 256-row window; regr_slope/regr_r2 "
+    "are the same two-moment aggregates on both engines, rounded at 4.",
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    # two-phase top-k: the global sort-limit is TakeOrderedAndProject
+    # (distributed partial top-k, no single-partition full-vocab sort);
+    # the rank window then only ever sees 256 rows
+    top = counts.orderBy(F.col("c").desc(), "token").limit(256)
+    w = Window.orderBy(F.col("c").desc(), "token")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    lc = F.log(F.col("c").cast("double"))
+    lr = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.round(F.regr_slope(lc, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lc, lr), 4).alias("r2"),
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         octet_length(encode(text)) AS n_bytes,
+         len(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS n_tokens,
+         len(regexp_extract_all(text, '\\S+')) AS n_words
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(n_bytes) / CAST(sum(n_tokens) AS DOUBLE), 4)
+         AS bytes_per_token,
+       round(sum(n_tokens) / CAST(sum(n_words) AS DOUBLE), 4)
+         AS tokens_per_word
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Tokenizer fertility audit per language: UTF-8 bytes per token "
+    "and tokens per whitespace word — the budgeting numbers that decide "
+    "how many documents fit a token budget per language and which "
+    "languages a byte-level tokenizer penalizes. Integer sums are exact "
+    "(CAST BIGINT per the HUGEINT oracle rule); one narrow projection + "
+    "one lang-keyed hash agg.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "lang",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("n_bytes"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(textstats.TOKEN_PATTERN), 0
+            )
+        ).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "n_words"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_bytes") / F.sum("n_tokens").cast("double"), 4
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum("n_tokens") / F.sum("n_words").cast("double"), 4
+            ).alias("tokens_per_word"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,367 @@
+"""Pure-Python Avro Object Container File read/write (no spark-avro jar).
+
+The offline container lacks the ``spark-avro`` datasource jar (README
+"Known environment limitation"), but the Avro 1.x container format is
+pure-spec implementable with the stdlib: ``Obj\\x01`` magic, a metadata
+map carrying the writer schema JSON and codec, 16-byte sync markers, and
+blocks of zigzag-varint binary-encoded records, optionally raw-DEFLATE
+compressed (stdlib ``zlib``). This module is the fallback path that
+keeps Avro interop REAL in this environment:
+
+- :func:`write_avro` — distributed: each partition serializes its rows
+  to one container file from the executor (``mapInPandas`` side-effect
+  write, same layout contract as a parquet part-file directory).
+- :func:`read_avro` — distributed: ``binaryFile`` ingestion of the
+  ``part-*.avro`` files, then Arrow-batched per-file decode on the
+  executors; only the schema peek reads one file driver-side.
+
+Type coverage (the common interop subset, documented): null, boolean,
+int, long, float, double, string, bytes, nullable unions of those, and
+``long.timestamp-micros`` (Spark TimestampType). Nested records/arrays/
+maps and other codecs are out of scope for the fallback — the jar path
+(``sources.reader("avro")``) remains the full-fidelity route when
+available (skipif-gated ``test_roundtrip_avro``).
+
+When the reference reads Avro it does so through Athena's SerDe
+(SURVEY.md §2.B scans row); here the engine itself carries the format.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+_SYNC = bytes(range(16))  # fixed deterministic sync marker
+
+
+# ------------------------------------------------------------ binary codec
+
+def _write_long(out: bytearray, v: int) -> None:
+    v = (v << 1) ^ (v >> 63)  # zigzag
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)  # un-zigzag
+
+
+def _spark_to_avro_schema(schema) -> list[tuple[str, str, bool]]:
+    """Spark StructType → [(name, avro primitive, nullable)]; raises on
+    types outside the documented fallback subset."""
+    from pyspark.sql import types as T
+
+    prim = {
+        T.BooleanType: "boolean", T.IntegerType: "int", T.LongType: "long",
+        T.FloatType: "float", T.DoubleType: "double", T.StringType: "string",
+        T.BinaryType: "bytes", T.TimestampType: "timestamp-micros",
+        T.ShortType: "int", T.ByteType: "int", T.DateType: "date",
+    }
+    out = []
+    for f in schema.fields:
+        t = prim.get(type(f.dataType))
+        if t is None:
+            raise ValueError(
+                f"avro fallback does not cover {f.dataType.simpleString()} "
+                f"(field {f.name}); use the spark-avro jar path"
+            )
+        out.append((f.name, t, f.nullable))
+    return out
+
+
+def _avro_schema_json(fields: list[tuple[str, str, bool]], name: str) -> str:
+    fs = []
+    for fname, t, nullable in fields:
+        if t == "timestamp-micros":
+            ft: object = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t == "date":
+            ft = {"type": "int", "logicalType": "date"}
+        else:
+            ft = t
+        fs.append({"name": fname, "type": ["null", ft] if nullable else ft})
+    return json.dumps(
+        {"type": "record", "name": name, "fields": fs}, sort_keys=True
+    )
+
+
+def _encode_value(out: bytearray, t: str, v) -> None:
+    if t in ("long", "int"):
+        _write_long(out, int(v))
+    elif t == "timestamp-micros":
+        import pandas as pd
+
+        _write_long(out, int(pd.Timestamp(v).value // 1000))
+    elif t == "date":
+        import datetime
+
+        _write_long(out, (v - datetime.date(1970, 1, 1)).days)
+    elif t == "double":
+        out += struct.pack("<d", float(v))
+    elif t == "float":
+        out += struct.pack("<f", float(v))
+    elif t == "boolean":
+        out.append(1 if v else 0)
+    elif t == "string":
+        enc = str(v).encode("utf-8")
+        _write_long(out, len(enc))
+        out += enc
+    elif t == "bytes":
+        enc = bytes(v)
+        _write_long(out, len(enc))
+        out += enc
+    else:  # pragma: no cover
+        raise ValueError(t)
+
+
+def _decode_value(buf: io.BytesIO, t: str):
+    if t in ("long", "int"):
+        return _read_long(buf)
+    if t == "timestamp-micros":
+        import pandas as pd
+
+        return pd.Timestamp(_read_long(buf) * 1000)
+    if t == "date":
+        import datetime
+
+        return datetime.date(1970, 1, 1) + datetime.timedelta(
+            days=_read_long(buf)
+        )
+    if t == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if t == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if t == "boolean":
+        return buf.read(1)[0] == 1
+    if t == "string":
+        n = _read_long(buf)
+        return buf.read(n).decode("utf-8")
+    if t == "bytes":
+        n = _read_long(buf)
+        return bytearray(buf.read(n))
+    raise ValueError(t)  # pragma: no cover
+
+
+# --------------------------------------------------------------- container
+
+def _header_bytes(fields: list[tuple[str, str, bool]], codec: str) -> bytes:
+    schema_json = _avro_schema_json(fields, "sparkgraft_record")
+    out = bytearray(_MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        _encode_value(out, "string", k)
+        _encode_value(out, "bytes", v)
+    _write_long(out, 0)  # end of metadata map
+    out += _SYNC
+    return bytes(out)
+
+
+def _block_bytes(
+    fields: list[tuple[str, str, bool]], rows, codec: str
+) -> bytes:
+    block = bytearray()
+    n = 0
+    for row in rows:
+        for (fname, t, nullable), v in zip(fields, row):
+            if nullable:
+                if v is None:
+                    _write_long(block, 0)  # union branch: null
+                    continue
+                _write_long(block, 1)  # union branch: value
+            _encode_value(block, t, v)
+        n += 1
+    if not n:
+        return b""
+    payload = (
+        zlib.compress(bytes(block), 6)[2:-4]  # raw deflate per spec
+        if codec == "deflate"
+        else bytes(block)
+    )
+    out = bytearray()
+    _write_long(out, n)
+    _write_long(out, len(payload))
+    out += payload
+    out += _SYNC
+    return bytes(out)
+
+
+def _container_bytes(
+    fields: list[tuple[str, str, bool]], rows, codec: str = "deflate"
+) -> bytes:
+    return _header_bytes(fields, codec) + _block_bytes(fields, rows, codec)
+
+
+def _parse_container(b: bytes):
+    """→ (fields, rows) or raises ValueError on malformed input."""
+    if b[:4] != _MAGIC:
+        raise ValueError("not an avro container")
+    buf = io.BytesIO(b[4:])
+    meta = {}
+    while True:
+        cnt = _read_long(buf)
+        if cnt == 0:
+            break
+        if cnt < 0:  # size-prefixed block form
+            _read_long(buf)
+            cnt = -cnt
+        for _ in range(cnt):
+            k = _decode_value(buf, "string")
+            meta[k] = bytes(_decode_value(buf, "bytes"))
+    sync = buf.read(16)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec {codec}")
+    if schema.get("type") != "record":
+        raise ValueError("fallback reads record containers only")
+    fields = []
+    for f in schema["fields"]:
+        ft = f["type"]
+        nullable = False
+        if isinstance(ft, list):
+            branches = [x for x in ft if x != "null"]
+            if len(branches) != 1 or len(ft) != 2:
+                raise ValueError("only [null, T] unions supported")
+            nullable = True
+            ft = branches[0]
+        if isinstance(ft, dict):
+            lt = ft.get("logicalType")
+            if lt == "timestamp-micros" and ft.get("type") == "long":
+                ft = "timestamp-micros"
+            elif lt == "date" and ft.get("type") == "int":
+                ft = "date"
+            else:
+                ft = ft.get("type")
+        if ft not in ("null", "boolean", "int", "long", "float", "double",
+                      "string", "bytes", "timestamp-micros", "date"):
+            raise ValueError(f"unsupported avro type {ft}")
+        fields.append((f["name"], ft, nullable))
+
+    rows = []
+    while True:
+        try:
+            n = _read_long(buf)
+        except EOFError:
+            break
+        size = _read_long(buf)
+        data = buf.read(size)
+        if len(data) != size:
+            raise ValueError("truncated block")
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        rbuf = io.BytesIO(data)
+        for _ in range(n):
+            row = []
+            for fname, t, nullable in fields:
+                if nullable and _read_long(rbuf) == 0:
+                    row.append(None)
+                    continue
+                row.append(_decode_value(rbuf, t))
+            rows.append(tuple(row))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+    return fields, rows
+
+
+# ------------------------------------------------------------- spark layer
+
+def write_avro(df, path: str, codec: str = "deflate") -> int:
+    """Distributed Avro container write: each partition streams its rows
+    executor-side into ``<path>/part-*.avro``, one container BLOCK per
+    Arrow batch — no partition-sized materialization. Returns the number
+    of files written."""
+    import os
+
+    import pandas as pd
+
+    fields = _spark_to_avro_schema(df.schema)
+    names = [f[0] for f in fields]
+    os.makedirs(path, exist_ok=True)
+
+    def writer(it):
+        import threading
+        import uuid
+
+        tag = f"{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
+        fname = os.path.join(path, f"part-{tag}.avro")
+        f = None
+        n_rows = 0
+        for pdf in it:
+            rows = (
+                tuple(None if pd.isna(v) else v for v in tup)
+                for tup in pdf[names].itertuples(index=False, name=None)
+            )
+            blk = _block_bytes(fields, rows, codec)
+            if not blk:
+                continue
+            if f is None:
+                f = open(fname, "wb")
+                f.write(_header_bytes(fields, codec))
+            f.write(blk)
+            n_rows += len(pdf)
+        if f is not None:
+            f.close()
+            yield pd.DataFrame({"file": [fname], "n": [n_rows]})
+
+    done = df.mapInPandas(writer, schema="file string, n long").collect()
+    return len(done)
+
+
+def read_avro(spark, path: str):
+    """Distributed Avro container read: one driver-side schema peek at
+    the first file, then ``binaryFile`` ingestion + Arrow-batched decode
+    of each container on the executors. Files are the parallelism unit
+    (like parquet row-group splits, a container's blocks could split
+    further; the fallback keeps whole-file granularity)."""
+    import glob as globmod
+
+    import pandas as pd
+
+    first = sorted(globmod.glob(f"{path}/part-*.avro"))
+    if not first:
+        raise FileNotFoundError(f"no part-*.avro under {path}")
+    with open(first[0], "rb") as f:
+        fields, _ = _parse_container(f.read())
+
+    spark_types = {
+        "boolean": "boolean", "int": "int", "long": "long",
+        "float": "float", "double": "double", "string": "string",
+        "bytes": "binary", "timestamp-micros": "timestamp", "date": "date",
+    }
+    schema = ", ".join(f"{n} {spark_types[t]}" for n, t, _ in fields)
+    names = [f[0] for f in fields]
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load(f"{path}/part-*.avro")
+        .select("content")
+    )
+
+    def decode(it):
+        for pdf in it:
+            for blob in pdf["content"]:
+                _, rows = _parse_container(bytes(blob))
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    return bin_df.mapInPandas(decode, schema=schema)

@@ -171,3 +171,43 @@ def test_sql_ctas_and_insert_into(spark, sf_dir, tmp_path):
     ).collect()[0].n
     assert after == rest + only_f_1995
     spark.sql("DROP TABLE IF EXISTS orders_ctas")
+
+
+def test_avro_fallback_roundtrip(spark, tmp_path):
+    """Pure-Python Avro container write/read (no spark-avro jar): every
+    supported type must survive the byte round-trip exactly, including
+    NULLs through [null, T] unions and timestamps via timestamp-micros."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        read_avro, write_avro,
+    )
+
+    rows = [
+        (1, "alpha", 1.5, True, bytearray(b"\x00\xff"),
+         datetime.datetime(2024, 1, 15, 12, 30, 45, 123456)),
+        (2, None, -0.25, None, bytearray(b""), None),
+        (3, "héllo ünïcode", 2.0**-40, False, bytearray(b"abc"),
+         datetime.datetime(1969, 12, 31, 23, 59, 59)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "k bigint, s string, d double, b boolean, raw binary, ts timestamp",
+    ).repartition(2)
+    path = str(tmp_path / "avro_out")
+    n_files = write_avro(df, path)
+    assert 1 <= n_files <= 2
+    back = read_avro(spark, path)
+    got = sorted(
+        (tuple(r) for r in back.collect()), key=lambda t: t[0]
+    )
+    want = sorted(
+        (tuple(r) for r in df.collect()), key=lambda t: t[0]
+    )
+    assert got == want
+    # unsupported type → clear error pointing at the jar path
+    import pytest as _pytest
+
+    arr = spark.createDataFrame([(1, [1, 2])], "k bigint, a array<bigint>")
+    with _pytest.raises(ValueError, match="avro fallback"):
+        write_avro(arr, str(tmp_path / "nope"))
