@@ -2623,3 +2623,130 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "bm25_scores_docs",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
+    AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
+  FROM t0
+), t0 AS (SELECT * FROM d), s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM t
+), scored AS (
+  SELECT t.doc_id, t.dl, t.tf0, t.tf1, t.tf2,
+         round(
+           ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+             * t.tf0 * 2.2
+             / (t.tf0 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+             * t.tf1 * 2.2
+             / (t.tf1 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+             * t.tf2 * 2.2
+             / (t.tf2 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE)))), 4)
+           AS bm25
+  FROM t, s
+)
+SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_window, tf2 AS tf_merge, bm25
+FROM scored WHERE bm25 > 0 ORDER BY doc_id
+""",
+    tags=("llmops", "text", "retrieval"),
+    notes="Okapi BM25 scoring of the corpus against a fixed term list "
+    "(operators/textstats.bm25_scores) — the lexical-retrieval scorer "
+    "behind RAG candidate mining and eval-set selection. No token "
+    "explode: per-term tf via size(filter(tokens)) on a single tokenize, "
+    "corpus stats (N/avgdl/df) from one 1-row broadcast agg, and the "
+    "score is a FIXED-ORDER + chain over terms so float summation order "
+    "matches DuckDB exactly (same discipline as the decimal-sum rule; "
+    "ln() cross-engine parity has project precedent in tfidf/entropy/"
+    "PMI oracles).",
+)
+def bm25_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.bm25_scores(
+        docs, ["spark", "window", "merge"]
+    ).orderBy("doc_id")
+
+
+@register(
+    "pagerank_supplier_customer",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+it1 AS (
+  SELECT n.node,
+         CAST(150000 + (850000 * COALESCE(s.s, 0)) // 1000000 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+it2 AS (
+  SELECT n.node,
+         CAST(150000 + (850000 * COALESCE(s.s, 0)) // 1000000 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN it1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+it3 AS (
+  SELECT n.node,
+         CAST(150000 + (850000 * COALESCE(s.s, 0)) // 1000000 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, CAST(SUM(p.pr // d.outdeg) AS BIGINT) AS s
+    FROM edges e JOIN it2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)
+SELECT node, pr FROM it3 ORDER BY node
+""",
+    tags=("llmops", "graph"),
+    notes="Fixed-point integer PageRank (operators/graph."
+    "pagerank_fixed_point), 3 power iterations at damping 0.85 over the "
+    "supplier→customer trade graph (suppliers offset +1e6 to keep node "
+    "ids disjoint). The iteration runs ENTIRELY in bigint micro-units "
+    "with integer division, so there is no float summation order to "
+    "diverge and the DuckDB oracle replays all three iterations "
+    "EXACTLY — the iterative-algorithm analog of the portable-md5 "
+    "MinHash discipline. Per iteration: one src-keyed join, one "
+    "dst-keyed hash agg, one left join — the Pregel plan shape, no "
+    "driver state.",
+)
+def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed_point
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + F.lit(1_000_000)).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, iters=3).orderBy("node")

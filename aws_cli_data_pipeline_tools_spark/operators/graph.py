@@ -1,0 +1,82 @@
+"""Graph algorithms over edge DataFrames.
+
+Connected-components label propagation lives in ``operators/dedup.py``
+(duplicate clustering); this module holds the rank-style iterative
+algorithms. No reference analog (the reference is a batch SQL client,
+``aws-athena.sh:27`` delegation) — this is north-star territory: link
+analysis for crawl-frontier prioritization and source weighting in a
+training-data pipeline.
+
+Determinism discipline: :func:`pagerank_fixed_point` runs the power
+iteration entirely in 64-bit INTEGER micro-units (1.0 = 1_000_000) with
+integer division — float summation order can never perturb a digit, so
+a DuckDB oracle replays every iteration EXACTLY (the same trick as the
+portable-md5 MinHash banding). The cost is quantization of ~1e-6 per
+step, which is far below any ranking-relevant difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point unit: 1.0 == 1_000_000 micro-units
+PPM = 1_000_000
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point PageRank over a directed edge list.
+
+    Each iteration: every source splits its rank equally over its
+    out-edges (``pr DIV outdeg`` — integer division), sums arrive per
+    destination (exact BIGINT sum), and
+    ``new_pr = (1-d) + d * inflow`` is computed in micro-units with
+    integer division by :data:`PPM`. Nodes without in-edges settle at
+    ``PPM - damping_ppm``. Dangling-node mass is dropped (documented;
+    both engines replay identically).
+
+    Scale shape: the classic Pregel-style plan — per iteration one
+    src-keyed broadcast-or-shuffle join (edges × rank), one dst-keyed
+    hash aggregation, one left join back to the node table. Everything
+    is keyed on node ids (no driver state, no collects); ``iters`` is
+    small and fixed, so the lineage chain stays shallow. At 100 TB the
+    edge table is the big side and ranks are the small side — Spark
+    broadcasts ranks when they fit, and AQE handles hub-node skew on
+    the dst aggregation.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base_ppm = PPM - damping_ppm
+    pr = nodes.withColumn("pr", F.lit(PPM).cast("bigint"))
+    for _ in range(iters):
+        contrib = (
+            e.join(pr.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("pr DIV outdeg").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        pr = nodes.join(inflow, "node", "left").select(
+            "node",
+            (
+                F.lit(base_ppm)
+                + F.expr(f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
+                         f" DIV {PPM}")
+            ).cast("bigint").alias("pr"),
+        )
+    return pr

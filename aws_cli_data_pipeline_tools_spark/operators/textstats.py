@@ -387,3 +387,72 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             "passes_gopher": passes,
         }
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance score of every document against a fixed term
+    list (the retrieval scorer behind lexical RAG / eval-set mining).
+
+    Plan shape: one tokenize into an array column, per-term tf via
+    ``size(filter(...))`` — NO token explode/shuffle for scoring; corpus
+    stats (N, avgdl, per-term df) come from one 1-row aggregate that is
+    crossJoin-broadcast back. The per-document score is a FIXED-ORDER
+    ``+`` chain over the term list (not an aggregation), so float
+    summation order is identical on every engine — which is what lets
+    the DuckDB oracle hash-match. idf is the Lucene/ES form
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``, always positive.
+    """
+    arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+    base = df.select(F.col(id_col), arr.alias("__toks")).withColumn(
+        "__dl", F.size("__toks")
+    )
+    def _eq(term: str):
+        # single-arg lambda: a 2-param lambda would make Spark pass the
+        # array INDEX as the second argument (higher-order fn contract)
+        return lambda t: t == F.lit(term)
+
+    tf_cols = {
+        f"__tf_{i}": F.size(F.filter("__toks", _eq(term)))
+        for i, term in enumerate(terms)
+    }
+    base = base.withColumns(tf_cols).drop("__toks")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__total_dl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("int")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("__total_dl") / F.col("__n").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5))
+            / (F.col(f"__df_{i}") + F.lit(0.5))
+        )
+        part = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = part if score is None else score + part  # fixed + chain
+    out = scored.select(
+        F.col(id_col),
+        F.col("__dl").alias("dl"),
+        *[
+            F.col(f"__tf_{i}").alias(f"tf_{t}")
+            for i, t in enumerate(terms)
+        ],
+        F.round(score, 4).alias("bm25"),
+    )
+    return out.filter(F.col("bm25") > 0)

@@ -206,3 +206,54 @@ def test_ewma_null_positional_decay_and_window_guard(spark):
         ewma(df, ["k"], ["t"], "v", window=0)
     with _pytest.raises(ValueError, match=r"\[1, 4096\]"):
         ewma(df, ["k"], ["t"], "v", window=100_000)
+
+
+def test_pagerank_fixed_point_hand_computed(spark):
+    """2-node chain A->B: A settles at (1-d) = 150000 ppm; B's second
+    iteration is 150000 + 850000*150000 DIV 1e6 = 277500 — integer
+    arithmetic, so the values are exact, not approximate. A 2-cycle
+    stays at 1.0 (1e6 ppm) forever."""
+    from aws_cli_data_pipeline_tools_spark.operators.graph import (
+        pagerank_fixed_point,
+    )
+
+    chain = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed_point(chain, iters=2).collect()
+    }
+    assert out[1] == 150_000
+    assert out[2] == 150_000 + (850_000 * 150_000) // 1_000_000
+
+    cycle = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank_fixed_point(cycle, iters=3).collect()
+    }
+    assert out == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_bm25_scores_semantics(spark):
+    """tf monotonicity, absent-term zero score, and the Lucene idf form
+    on a hand-checked 3-doc corpus."""
+    import math
+
+    from aws_cli_data_pipeline_tools_spark.operators.textstats import (
+        bm25_scores,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark row"),
+            (2, "spark row row row"),
+            (3, "row row row row"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in bm25_scores(df, ["spark"]).collect()}
+    assert set(out) == {1, 2}  # doc 3 has no query term → filtered
+    assert out[1]["bm25"] > out[2]["bm25"]  # higher tf, same dl → higher
+    # hand-check doc 2: tf=1, dl=4, avgdl=4, N=3, df=2
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    want = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 4 / 4.0))
+    assert abs(out[2]["bm25"] - round(want, 4)) < 1e-9
