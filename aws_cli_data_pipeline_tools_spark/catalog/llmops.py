@@ -2750,3 +2750,48 @@ def pagerank_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed_point(edges, iters=3).orderBy("node")
+
+
+@register(
+    "embedding_random_projection",
+    oracle="""
+WITH pairs AS (
+  SELECT e.vec_id, j.j, i.i,
+         CASE WHEN CAST(('0x' || substr(
+                md5('jl-v1' || '|' || i.i || '|' || j.j), 1, 15)) AS BIGINT)
+              % 2 = 0
+              THEN CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+              ELSE -CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                               * 1000000) AS BIGINT) END AS sv
+  FROM embeddings e,
+       unnest(generate_series(0, 15)) AS j(j),
+       unnest(generate_series(0, len(e.embedding) - 1)) AS i(i)
+), sums AS (
+  SELECT vec_id, j, CAST(sum(sv) AS BIGINT) AS s
+  FROM pairs GROUP BY vec_id, j
+)
+SELECT vec_id, CAST(j AS INT) AS j,
+       CAST(CASE WHEN s >= 0 THEN (s + 2) // 4
+                 ELSE -(((-s) + 2) // 4) END AS DOUBLE) / 1000000 AS value
+FROM sums ORDER BY vec_id, j
+""",
+    tags=("llmops", "similarity"),
+    notes="Johnson-Lindenstrauss sparse-sign random projection 64→16 "
+    "dims (operators/similarity.random_projection): ±1 signs from "
+    "portable md5 parity of seed|i|j; elements quantized to integer "
+    "micro-units and the signed sum + 0.25 scaling done in exact "
+    "bigint arithmetic with half-away integer division — the same "
+    "fixed-point discipline as pagerank, so the oracle replays the "
+    "projection EXACTLY (engine double→decimal casts differ in "
+    "shortest-repr subtleties; integers don't). The embedding scale "
+    "path: 4× smaller vectors for ANN/clustering at bounded distance "
+    "distortion; at production scale the tiny seed-derived ±1 matrix "
+    "is materialized once and applied as a map-side numpy matmul "
+    "(same shape as the LSH bucketizer).",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return similarity.random_projection(emb, out_dim=16).orderBy(
+        "vec_id", "j"
+    )

@@ -580,3 +580,75 @@ def kmeans_clusters(
             6,
         ).alias("cos_to_centroid"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl-v1",
+) -> DataFrame:
+    """Seeded sparse-sign random projection (Achlioptas/Johnson-
+    Lindenstrauss): ``out_j = sum_i sign(i,j) * v_i / sqrt(out_dim)``
+    with ``sign(i,j) = +/-1`` from the parity of the portable md5 hash of
+    ``seed|i|j`` — the dimensionality-reduction step that shrinks an
+    embedding corpus before ANN/clustering (64→16 dims = 4× less scan,
+    shuffle, and cache for a bounded distance distortion).
+
+    Returned long-form: (id, j, value). Determinism discipline: signs
+    are engine-portable (md5 parity — same construction as
+    ``portable_hash64``), elements are quantized to integer MICRO-UNITS
+    (``round(v * 1e6)`` — a double product is never an exact .5 tie for
+    grid- or float-valued inputs, so both engines round identically),
+    and the signed sum + the 1/sqrt(16)=0.25 scaling run in exact
+    bigint arithmetic with explicit half-away integer division — the
+    same fixed-point discipline as ``graph.pagerank_fixed_point``, so a
+    DuckDB oracle replays the projection EXACTLY. (For ``out_dim`` not
+    a perfect square of a power of two, the scale factor is irrational
+    and the final multiply falls back to double.) At production scale
+    you would materialize the tiny ±1 matrix once (seed-derived,
+    out_dim×in_dim entries) and do a numpy matmul per Arrow batch like
+    ``_bucketize``; this expression form trades that for exact
+    cross-engine replay — both derive identical signs from the seed.
+    """
+    sign_on = lambda i, j: F.pmod(  # noqa: E731  0 → +v, 1 → -v
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), i.cast("string"), j.cast("string"))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    micro = F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda v, i: F.when(
+                sign_on(i, F.col("j")) == 0,
+                F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
+            ).otherwise(
+                -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    if out_dim == 16:
+        # exact: micro-unit sum, half-away-from-zero integer /4
+        quarter = F.when(
+            F.col("__s") >= 0, F.expr("(__s + 2) DIV 4")
+        ).otherwise(-F.expr("((-__s) + 2) DIV 4"))
+        value = (quarter.cast("double") / 1_000_000).alias("value")
+    else:
+        value = F.round(
+            F.col("__s").cast("double") / 1_000_000 / float(out_dim) ** 0.5,
+            6,
+        ).alias("value")
+    return (
+        df.select(id_col, vec_col)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))))
+        .withColumn("__s", micro)
+        .select(F.col(id_col), "j", value)
+    )

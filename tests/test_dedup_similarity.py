@@ -437,3 +437,36 @@ def test_shared_span_pairs_detects_long_common_substring(spark):
     assert capped == 0  # boilerplate window exceeded cap → no pairs
     uncapped = shared_span_pairs(df2, span=32).count()
     assert uncapped == 15  # all C(6,2) pairs without the cap
+
+
+def test_random_projection_jl_distortion(spark, sf_dir):
+    """The projected vectors must (a) replay deterministically, (b)
+    preserve pairwise geometry in the JL sense: the squared-distance
+    estimator is UNBIASED with relative std ~ sqrt(2/16) = 35%, so on
+    near-random vectors (whose true distances concentrate — correlation
+    is the wrong metric there) the per-pair ratio d_proj/d_orig must
+    center on 1 with bounded spread."""
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") < 40)
+    out = similarity.random_projection(emb, out_dim=16).collect()
+    P = np.zeros((40, 16))
+    for r in out:
+        P[r["vec_id"], r["j"]] = r["value"]
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in emb.orderBy("vec_id").collect()]
+    )
+    ratios = []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 3):
+            do = ((X[a] - X[b]) ** 2).sum()
+            dp = ((P[a] - P[b]) ** 2).sum()
+            if do > 0:
+                ratios.append(dp / do)
+    ratios = np.asarray(ratios)
+    assert 0.85 < ratios.mean() < 1.15, ratios.mean()
+    assert ratios.std() < 0.5, ratios.std()
+    # deterministic rerun
+    again = similarity.random_projection(emb, out_dim=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
