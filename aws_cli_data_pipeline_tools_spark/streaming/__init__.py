@@ -105,9 +105,10 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def error_click_join_stream(events: DataFrame, window: str = "6 hours",
-                            watermark: str = "12 hours") -> DataFrame:
-    """Stream-stream inner join: each error joined to the same user's
-    clicks in the ``window`` after it — the streaming twin of
+                            watermark: str = "12 hours",
+                            how: str = "inner") -> DataFrame:
+    """Stream-stream join: each error joined to the same user's clicks
+    in the ``window`` after it — the streaming twin of
     ``operators/rangejoin.point_in_interval_join`` (and of the
     ``range_join_error_clicks`` oracle query).
 
@@ -117,6 +118,15 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     unbounded stream. Without the time bound the state store would grow
     forever (Spark rejects unbounded stream-stream joins in append mode
     for exactly this reason).
+
+    ``how="leftOuter"`` additionally emits null-padded rows for errors
+    that saw no click — but only once the watermark passes the error's
+    join-window end (that is when the engine can PROVE no click is
+    coming). In a bounded availableNow replay the final watermark stops
+    at ``max(ts) - watermark``, so errors within ``watermark + window``
+    of the end of the data legitimately never emit their null row —
+    streaming left-outer is eventual, not batch-equal, at the tail (the
+    oracle twin reproduces exactly this boundary).
     """
     errors = (
         events.filter(F.col("event_type") == "error")
@@ -141,7 +151,7 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
         (errors["user_id"] == clicks["user_id"])
         & (F.col("click_ts") >= F.col("err_ts"))
         & (F.col("click_ts") < F.col("err_ts") + F.expr(f"INTERVAL {window}")),
-        "inner",
+        how,
     ).select(errors["user_id"], "error_id", "err_ts", "click_id", "click_ts")
 
 

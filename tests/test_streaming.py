@@ -224,3 +224,79 @@ def test_quality_gate_quarantines_bad_batches(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "good")).count() == 2
     assert spark.read.parquet(str(tmp_path / "quarantine")).count() == 2
+
+
+def test_stream_stream_left_outer_join_eventual_semantics(spark, sf_dir):
+    """Left-outer stream-stream interval join: matched rows must equal
+    the batch inner join EXACTLY; null-padded rows for unmatched errors
+    are EVENTUAL — one emits only once the watermark provably passes its
+    join window, so in a bounded replay the emitted set must (a) contain
+    every unmatched error whose window closed at least one full
+    watermark before the data ends (guaranteed region), (b) contain
+    ONLY unmatched errors (never a false null row), and (c) exclude
+    errors inside the final watermark+window tail. The exact boundary
+    rows depend on micro-batch splits — which is WHY this is a pytest
+    bound, not an exact oracle query."""
+    import uuid
+
+    from aws_cli_data_pipeline_tools_spark import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    joined = st.error_click_join_stream(
+        stream, window="6 hours", watermark="12 hours", how="leftOuter"
+    )
+    name = f"q_outer_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
+    out = spark.table(name)
+
+    events = load_table(spark, "events", sf_dir)
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), F.col("user_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch_matched = errors.join(
+        clicks,
+        (errors["user_id"] == clicks["user_id"])
+        & (F.col("click_ts") >= F.col("err_ts"))
+        & (F.col("click_ts") < F.col("err_ts") + F.expr("INTERVAL 6 HOURS")),
+    )
+    want_pairs = {
+        (r["error_id"], r["click_id"]) for r in batch_matched.collect()
+    }
+    got_pairs = {
+        (r["error_id"], r["click_id"])
+        for r in out.filter(F.col("click_id").isNotNull()).collect()
+    }
+    assert got_pairs == want_pairs  # inner part is batch-exact
+
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    unmatched = {
+        r["error_id"]
+        for r in errors.join(
+            batch_matched.select("error_id").distinct(), "error_id",
+            "left_anti",
+        ).collect()
+    }
+    got_nulls = {
+        r["error_id"]: r["err_ts"]
+        for r in out.filter(F.col("click_id").isNull()).collect()
+    }
+    # (b) only genuinely unmatched errors ever get a null row
+    assert set(got_nulls) <= unmatched
+    import datetime
+
+    guaranteed = max_ts - datetime.timedelta(hours=12 + 6 + 6)  # 1 batch slack
+    tail = max_ts - datetime.timedelta(hours=12 + 6)
+    err_ts_by_id = {r["error_id"]: r["err_ts"] for r in errors.collect()}
+    missing_in_guaranteed = {
+        e for e in unmatched
+        if err_ts_by_id[e] < guaranteed and e not in got_nulls
+    }
+    # (a) the guaranteed region must be fully emitted (1 batch of slack)
+    assert not missing_in_guaranteed
+    # (c) nothing inside the final watermark+window tail can have emitted
+    assert all(ts <= tail for ts in got_nulls.values())
