@@ -2795,3 +2795,52 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_projection(emb, out_dim=16).orderBy(
         "vec_id", "j"
     )
+
+
+@register(
+    "export_shard_plan",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         octet_length(encode(text)) + 1 AS size_bytes
+  FROM documents
+), planned AS (
+  SELECT bucket, doc_id, size_bytes,
+         CAST(COALESCE(SUM(size_bytes) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 16384
+           AS BIGINT) AS shard
+  FROM sized
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(size_bytes) AS BIGINT) AS n_bytes
+FROM planned GROUP BY bucket, shard ORDER BY bucket, shard
+""",
+    tags=("llmops", "export", "sources"),
+    notes="Byte-budgeted training-shard export plan (sources/export."
+    "shard_plan): 8 parallel buckets (doc_id % 8), 16 KiB budget, shard "
+    "= bytes-before DIV budget via one per-bucket window cumsum — the "
+    "deterministic integer rule a DuckDB window replays exactly. The "
+    "side-effecting JSONL writer (write_jsonl_shards) is pytest-verified "
+    "by read-back; this query is the plan the judge can hash.",
+)
+def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.export import shard_plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    plan = shard_plan(
+        docs,
+        order_col="doc_id",
+        size_col=F.octet_length(F.encode(F.col("text"), "utf-8")) + F.lit(1),
+        budget_bytes=16384,
+        bucket_col=F.pmod(F.col("doc_id"), F.lit(8)),
+    )
+    return (
+        plan.groupBy("bucket", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("size_bytes").alias("n_bytes"),
+        )
+        .orderBy("bucket", "shard")
+    )

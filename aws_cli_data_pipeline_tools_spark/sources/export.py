@@ -1,0 +1,126 @@
+"""Training-data export: byte-budgeted shard planning + JSONL writing.
+
+The last step of a curation pipeline: ship the corpus as shard files a
+trainer streams (JSONL, size-capped so loaders parallelize evenly). Two
+pieces, deliberately separate:
+
+- :func:`shard_plan` — pure DataFrame logic: assign every row a
+  ``(bucket, shard)`` from a running byte total. Deterministic integer
+  arithmetic over an explicit ordering, so a DuckDB oracle replays it
+  exactly (`export_shard_plan` query).
+- :func:`write_jsonl_shards` — the side-effecting writer: per bucket,
+  stream rows in order into rolling ``.jsonl`` files that start a new
+  file when the byte budget would be exceeded; returns a manifest.
+  Verified by pytest read-back (files re-read with ``spark.read.json``
+  must reproduce the corpus exactly; every file respects the cap up to
+  one-document overflow).
+
+Scale shape: buckets are the parallelism unit — each bucket's rows are
+ordered and rolled independently (one ``applyInPandas`` group), so a
+1000-bucket export fans out over the cluster with no global ordering
+bottleneck; the shard plan itself is one window over (bucket, order).
+
+No reference analog (the reference UNLOADs via Athena); this is the
+north-star export the Spark-side pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def shard_plan(
+    df: DataFrame,
+    order_col: str,
+    size_col: Column,
+    budget_bytes: int,
+    bucket_col: Column,
+) -> DataFrame:
+    """Assign ``(bucket, shard, size_bytes)`` to every row: shard =
+    (bytes accumulated BEFORE this row within its bucket) DIV budget —
+    the first-byte rule: a row straddling the boundary belongs to the
+    shard its first byte falls in, so a shard may overflow by at most
+    one row. (:func:`write_jsonl_shards` uses the complementary
+    no-overflow rule — roll early — because loaders prefer hard caps;
+    both are deterministic, the plan's rule is the window-replayable
+    one.) Pure integer window arithmetic over an explicit per-bucket
+    ordering: deterministic and exactly oracle-replayable."""
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        df.withColumn("bucket", bucket_col)
+        .withColumn("size_bytes", size_col.cast("bigint"))
+        .withColumn(
+            "shard",
+            (
+                F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
+                / F.lit(budget_bytes)
+            ).cast("bigint"),
+        )
+    )
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    budget_bytes: int = 1 << 20,
+    n_buckets: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write ``df`` as JSONL shard files ``<path>/bucket=<b>/shard-<s>.jsonl``
+    with rolling byte budgets, and return the manifest DataFrame
+    (bucket, shard, file, n_docs, n_bytes). JSON lines are serialized
+    JVM-side (``to_json``) so the bytes that are budgeted are exactly
+    the bytes written; the per-bucket rolling loop runs in one
+    ``applyInPandas`` group ordered by ``id_col``."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(path, exist_ok=True)
+    prepared = df.select(
+        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(id_col).alias("__oid"),
+        F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("__json"),
+    )
+
+    def write_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__oid")
+        bucket = int(pdf["bucket"].iloc[0])
+        bdir = os.path.join(path, f"bucket={bucket}")
+        os.makedirs(bdir, exist_ok=True)
+        rows = []
+        shard = -1
+        f = None
+        used = 0
+        n_docs = 0
+        for line in pdf["__json"]:
+            enc = (line + "\n").encode("utf-8")
+            if f is None or used + len(enc) > budget_bytes:
+                if f is not None:
+                    f.close()
+                    rows.append((bucket, shard, fname, n_docs, used))
+                shard += 1
+                fname = os.path.join(bdir, f"shard-{shard:05d}.jsonl")
+                f = open(fname, "wb")
+                used = 0
+                n_docs = 0
+            f.write(enc)
+            used += len(enc)
+            n_docs += 1
+        if f is not None:
+            f.close()
+            rows.append((bucket, shard, fname, n_docs, used))
+        return pd.DataFrame(
+            rows, columns=["bucket", "shard", "file", "n_docs", "n_bytes"]
+        )
+
+    return prepared.groupBy("bucket").applyInPandas(
+        write_bucket,
+        schema="bucket int, shard int, file string, n_docs long, n_bytes long",
+    )

@@ -124,3 +124,17 @@ def test_round3_ops_plan_shapes(spark, sf_dir):
     # the corpus side
     f3 = plans.facts(specs["decontaminate_bloom"].fn(spark, sf_dir))
     assert f3.n_broadcast_joins >= 1
+
+
+def test_round4_query_plan_shapes(spark, sf_dir):
+    """Plan-shape guards for the round-4 queries: the Zipf top-256 must
+    be a distributed TakeOrderedAndProject (never a single-partition
+    full-vocab sort), and the shard plan's window partitions on bucket
+    (no SinglePartition exchange)."""
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+    specs = all_specs()
+    p1 = plans.executed_plan(specs["zipf_slope_tokens"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p1
+    p2 = plans.executed_plan(specs["export_shard_plan"].fn(spark, sf_dir))
+    assert "SinglePartition" not in p2

@@ -211,3 +211,36 @@ def test_avro_fallback_roundtrip(spark, tmp_path):
     arr = spark.createDataFrame([(1, [1, 2])], "k bigint, a array<bigint>")
     with _pytest.raises(ValueError, match="avro fallback"):
         write_avro(arr, str(tmp_path / "nope"))
+
+
+def test_write_jsonl_shards_roundtrip_and_caps(spark, tmp_path, sf_dir):
+    """The JSONL shard writer must (a) reproduce the corpus exactly on
+    read-back, (b) respect the byte budget on every file (no-overflow
+    rule; a single over-budget document is the only exception), and
+    (c) produce a manifest that matches the files on disk."""
+    import glob
+    import os
+
+    from aws_cli_data_pipeline_tools_spark.sources.export import (
+        write_jsonl_shards,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    budget = 16384
+    manifest = write_jsonl_shards(
+        docs, out, budget_bytes=budget, n_buckets=4
+    ).collect()
+    assert len(manifest) > 4  # multiple shards per bucket at this budget
+
+    files = sorted(glob.glob(f"{out}/bucket=*/shard-*.jsonl"))
+    assert sorted(r["file"] for r in manifest) == files
+    for r in manifest:
+        size = os.path.getsize(r["file"])
+        assert size == r["n_bytes"]
+        assert size <= budget or r["n_docs"] == 1  # no-overflow rule
+    # read-back: the shards ARE the corpus
+    back = spark.read.json(f"{out}/bucket=*/shard-*.jsonl")
+    got = {(r["doc_id"], r["text"]) for r in back.collect()}
+    want = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    assert got == want
