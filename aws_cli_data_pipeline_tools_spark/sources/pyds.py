@@ -1,0 +1,98 @@
+"""Spark 4 Python DataSource wrapping the pure-Python Avro fallback.
+
+``sources/avro_fallback.py`` gives Avro interop without the spark-avro
+jar; this module registers it as a first-class datasource so the read
+side is idiomatic Spark::
+
+    from aws_cli_data_pipeline_tools_spark.sources.pyds import register_avro_fallback
+    register_avro_fallback(spark)
+    df = spark.read.format("avro_fallback").load("/path/to/dir")
+
+Each ``part-*.avro`` container is one input partition (the same
+whole-file granularity as the ``binaryFile`` route), decoded
+executor-side by the container codec and shipped back as Arrow batches.
+Schema comes from a driver-side peek at the first file — exactly what
+the parquet reader does with footers. The DataSource API (SPARK-44076,
+public in Spark 4) is the idiomatic home for a pure-Python format: the
+planner sees a normal scan with partitions, not a mapInPandas black box.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .avro_fallback import _parse_container
+
+
+class _AvroFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class AvroFallbackDataSource(DataSource):
+    """``spark.read.format("avro_fallback").load(dir)`` over containers
+    written by :func:`sources.avro_fallback.write_avro` (or any Avro
+    writer within the documented type subset)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_fallback"
+
+    def schema(self) -> str:
+        import glob as globmod
+
+        path = self.options.get("path")
+        files = sorted(globmod.glob(f"{path}/part-*.avro"))
+        if not files:
+            raise FileNotFoundError(f"no part-*.avro under {path}")
+        with open(files[0], "rb") as f:
+            fields, _ = _parse_container(f.read())
+        spark_types = {
+            "boolean": "boolean", "int": "int", "long": "long",
+            "float": "float", "double": "double", "string": "string",
+            "bytes": "binary", "timestamp-micros": "timestamp",
+            "date": "date",
+        }
+        return ", ".join(f"{n} {spark_types[t]}" for n, t, _ in fields)
+
+    def reader(self, schema) -> DataSourceReader:
+        return _AvroFallbackReader(self.options.get("path"))
+
+
+class _AvroFallbackReader(DataSourceReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def partitions(self):
+        import glob as globmod
+
+        return [
+            _AvroFilePartition(p)
+            for p in sorted(globmod.glob(f"{self.path}/part-*.avro"))
+        ]
+
+    def read(self, partition):
+        import pandas as pd
+
+        def conv(v):
+            if isinstance(v, bytearray):
+                return bytes(v)
+            if isinstance(v, pd.Timestamp):
+                # container micros are UTC; the DataSource serializer
+                # requires tz-aware timestamps
+                return v.tz_localize("UTC")
+            return v
+
+        with open(partition.path, "rb") as f:
+            _, rows = _parse_container(f.read())
+        for row in rows:
+            yield tuple(conv(v) for v in row)
+
+
+def register_avro_fallback(spark) -> None:
+    """Idempotently register the datasource with a session."""
+    try:
+        spark.dataSource.register(AvroFallbackDataSource)
+    except Exception as exc:  # already registered → fine
+        if "already" not in str(exc).lower():
+            raise

@@ -244,3 +244,42 @@ def test_write_jsonl_shards_roundtrip_and_caps(spark, tmp_path, sf_dir):
     got = {(r["doc_id"], r["text"]) for r in back.collect()}
     want = {(r["doc_id"], r["text"]) for r in docs.collect()}
     assert got == want
+
+
+def test_avro_fallback_python_datasource(spark, tmp_path):
+    """The Spark 4 Python DataSource route (spark.read.format(
+    'avro_fallback')) must return exactly what write_avro wrote, with
+    one input partition per container file."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        write_avro,
+    )
+    from aws_cli_data_pipeline_tools_spark.sources.pyds import (
+        register_avro_fallback,
+    )
+
+    rows = [
+        (1, "alpha", 1.5, datetime.datetime(2024, 1, 15, 12, 30, 45)),
+        (2, None, -0.25, None),
+        (3, "gamma", 0.0, datetime.datetime(1970, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k bigint, s string, d double, ts timestamp"
+    ).repartition(2)
+    path = str(tmp_path / "avro_ds")
+    write_avro(df, path)
+
+    register_avro_fallback(spark)
+    register_avro_fallback(spark)  # idempotent re-register
+    back = spark.read.format("avro_fallback").load(path)
+    assert back.schema.simpleString() == (
+        "struct<k:bigint,s:string,d:double,ts:timestamp>"
+    )
+    got = sorted((tuple(r) for r in back.collect()), key=lambda t: t[0])
+    want = sorted((tuple(r) for r in df.collect()), key=lambda t: t[0])
+    assert got == want
+    # one partition per container file
+    assert back.rdd.getNumPartitions() == len(
+        __import__("glob").glob(f"{path}/part-*.avro")
+    )
