@@ -2844,3 +2844,118 @@ def export_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "shard")
     )
+
+
+@register(
+    "fuzzy_linkage_customers",
+    oracle="""
+WITH blocked AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         levenshtein(a.c_name, b.c_name) AS edit_dist
+  FROM customer a JOIN customer b
+    ON substr(a.c_name, 1, len(a.c_name) - 2)
+     = substr(b.c_name, 1, len(b.c_name) - 2)
+   AND a.c_custkey < b.c_custkey
+)
+SELECT id_a, id_b, CAST(edit_dist AS INT) AS edit_dist
+FROM blocked WHERE edit_dist <= 1
+ORDER BY id_a, id_b
+""",
+    tags=("llmops", "linkage", "fuzzy"),
+    notes="Blocked fuzzy record linkage (operators/dedup."
+    "blocked_fuzzy_pairs): candidate pairs must share a blocking key "
+    "(here the name minus its last two characters — bounded-size blocks "
+    "at ANY scale factor, so no all-pairs join ever forms), then exact "
+    "Levenshtein at distance 1. The scale variant of the small-dim "
+    "string_similarity query; Spark/DuckDB levenshtein parity is "
+    "already established by that shared-SQL entry.",
+)
+def fuzzy_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    block = F.expr("substr(c_name, 1, length(c_name) - 2)")
+    return (
+        dedup.blocked_fuzzy_pairs(
+            cust, "c_custkey", "c_name", [block], max_edit=1
+        )
+        .select("id_a", "id_b", F.col("edit_dist").cast("int").alias("edit_dist"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "scd2_customer_segment",
+    oracle="""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment, c_nationkey,
+         DATE '2024-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+  FROM customer
+), upd AS (
+  SELECT c_custkey, reverse(c_mktsegment) AS c_mktsegment, c_nationkey
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, c_nationkey
+  FROM customer WHERE c_custkey % 5 = 1
+  UNION ALL
+  SELECT c_custkey + 10000000, c_mktsegment, c_nationkey
+  FROM customer WHERE c_custkey % 97 = 0
+), changed AS (
+  SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+  WHERE d.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+     OR d.c_nationkey IS DISTINCT FROM u.c_nationkey
+)
+SELECT c_custkey, c_mktsegment, c_nationkey, valid_from,
+       DATE '2024-06-01' AS valid_to
+FROM dim WHERE c_custkey IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT * FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+UNION ALL
+SELECT u.c_custkey, u.c_mktsegment, u.c_nationkey,
+       DATE '2024-06-01' AS valid_from, CAST(NULL AS DATE) AS valid_to
+FROM upd u
+WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+   OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+ORDER BY c_custkey, valid_from
+""",
+    tags=("llmops", "warehouse", "merge"),
+    notes="SCD type-2 dimension merge (operators/scd.scd2_merge): a "
+    "deterministic update batch (1/5 of keys change segment, 1/5 arrive "
+    "identical and must pass through untouched, ~1%% are brand-new keys) "
+    "applied with full history — changed keys close their open row at "
+    "the effective date and open a new one. One key-equi join decides "
+    "changed/unchanged/new (broadcast-able batch), then pure unions; "
+    "null-safe tracked-column comparison. The MERGE surface the "
+    "reference reaches via Athena CTAS/INSERT patterns.",
+)
+def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.scd import scd2_merge
+
+    cust = load_table(spark, "customer", sf_dir)
+    dim = cust.select(
+        "c_custkey", "c_mktsegment", "c_nationkey",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            "c_custkey",
+            F.reverse(F.col("c_mktsegment")).alias("c_mktsegment"),
+            "c_nationkey",
+        )
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 5 == 1).select(
+                "c_custkey", "c_mktsegment", "c_nationkey"
+            )
+        )
+        .unionAll(
+            cust.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                "c_mktsegment",
+                "c_nationkey",
+            )
+        )
+    )
+    return scd2_merge(
+        dim, updates, "c_custkey", ["c_mktsegment", "c_nationkey"],
+        effective="2024-06-01",
+    ).orderBy("c_custkey", "valid_from")

@@ -989,3 +989,44 @@ def shared_span_pairs(
         # callers can unpersist the posting cache after their action
         out.release_cache = release
     return out
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_exprs: list,
+    max_edit: int = 1,
+) -> DataFrame:
+    """Blocked record linkage: candidate pairs share at least one
+    blocking key (caller-chosen expressions — prefix, length, phonetic,
+    …), then exact Levenshtein filtering at ``max_edit``. The classic
+    scale shape for fuzzy matching: the quadratic pair space is pruned
+    to within-block pairs BEFORE any edit-distance work, and multiple
+    blocking passes (union, deduped) recover pairs a single key would
+    miss — no all-pairs join ever forms. Returns
+    ``(id_a, id_b, edit_dist)`` with ``id_a < id_b``.
+    """
+    out = None
+    for expr in block_exprs:
+        a = df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(text_col).alias("t_a"),
+            expr.alias("blk"),
+        )
+        b = df.select(
+            F.col(id_col).alias("id_b"),
+            F.col(text_col).alias("t_b"),
+            expr.alias("blk"),
+        )
+        pairs = (
+            a.join(b, "blk")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.levenshtein("t_a", "t_b").alias("edit_dist"),
+            )
+            .filter(F.col("edit_dist") <= max_edit)
+        )
+        out = pairs if out is None else out.unionAll(pairs)
+    return out.dropDuplicates(["id_a", "id_b"])

@@ -1,0 +1,74 @@
+"""Slowly-changing-dimension maintenance (SCD type 2).
+
+The warehouse-side MERGE the reference delegates to Athena CTAS/INSERT
+patterns: apply a batch of dimension updates while preserving full
+history — changed keys close their current row (``valid_to`` set) and
+open a new one; unchanged keys pass through untouched; brand-new keys
+open their first row.
+
+Scale shape: one key-equi join between the current dimension and the
+(much smaller) update batch decides changed/unchanged/new — broadcast
+when the batch fits, shuffle-join otherwise — then pure unions; no
+window over the dimension, no driver state. History grows append-only,
+which is exactly what partitioned storage wants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    effective: str,
+) -> DataFrame:
+    """Apply ``updates`` to an SCD2 dimension ``dim`` (which carries
+    ``valid_from``/``valid_to`` columns, open rows having
+    ``valid_to IS NULL``). A key changes iff any tracked column differs
+    (null-safe) from its open row. Returns the full new history:
+
+    - open rows of changed keys, closed at ``effective``
+    - new open rows (``valid_from = effective``) for changed + new keys
+    - everything else unchanged (incl. already-closed history rows)
+    """
+    eff = F.lit(effective).cast("date")
+    open_rows = dim.filter(F.col("valid_to").isNull())
+    closed_rows = dim.filter(F.col("valid_to").isNotNull())
+
+    cmp = [F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}")) for c in tracked_cols]
+    differs = ~cmp[0]
+    for c in cmp[1:]:
+        differs = differs | ~c
+
+    joined = open_rows.alias("cur").join(
+        updates.alias("upd"), F.col(f"cur.{key_col}") == F.col(f"upd.{key_col}")
+    )
+    changed_keys = joined.filter(differs).select(
+        F.col(f"cur.{key_col}").alias(key_col)
+    )
+
+    closing = (
+        open_rows.join(changed_keys, key_col, "left_semi")
+        .withColumn("valid_to", eff)
+    )
+    untouched_open = open_rows.join(changed_keys, key_col, "left_anti")
+
+    existing_keys = open_rows.select(key_col)
+    opening_src = updates.join(changed_keys, key_col, "left_semi").unionAll(
+        updates.join(existing_keys, key_col, "left_anti")  # brand-new keys
+    )
+    opening = opening_src.select(
+        key_col, *tracked_cols
+    ).withColumns({"valid_from": eff, "valid_to": F.lit(None).cast("date")})
+
+    cols = [key_col, *tracked_cols, "valid_from", "valid_to"]
+    return (
+        closed_rows.select(cols)
+        .unionAll(closing.select(cols))
+        .unionAll(untouched_open.select(cols))
+        .unionAll(opening.select(cols))
+    )

@@ -257,3 +257,71 @@ def test_bm25_scores_semantics(spark):
     idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
     want = idf * 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 4 / 4.0))
     assert abs(out[2]["bm25"] - round(want, 4)) < 1e-9
+
+
+def test_scd2_merge_semantics(spark):
+    """Changed key → old row closed + new row opened; identical update →
+    untouched; brand-new key → first open row; NULL-safe tracked compare
+    (NULL -> value counts as a change, NULL == NULL does not)."""
+    from aws_cli_data_pipeline_tools_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            (1, "A", "2024-01-01", None),
+            (2, "B", "2024-01-01", None),
+            (3, None, "2024-01-01", None),
+            (4, "D", "2023-01-01", "2024-01-01"),  # already-closed history
+            (4, "E", "2024-01-01", None),
+        ],
+        "k bigint, seg string, valid_from string, valid_to string",
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    upd = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (3, None), (9, "NEW")], "k bigint, seg string"
+    )
+    out = scd2_merge(dim, upd, "k", ["seg"], "2024-06-01").collect()
+    rows = {(r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"])) for r in out}
+    assert (1, "A", "2024-01-01", "2024-06-01") in rows      # closed
+    assert (1, "A2", "2024-06-01", "None") in rows           # reopened
+    assert (2, "B", "2024-01-01", "None") in rows            # untouched
+    assert (3, None, "2024-01-01", "None") in rows           # NULL==NULL
+    assert (4, "D", "2023-01-01", "2024-01-01") in rows      # history kept
+    assert (4, "E", "2024-01-01", "None") in rows            # no update row
+    assert (9, "NEW", "2024-06-01", "None") in rows          # brand-new
+    assert len(rows) == 7
+
+
+def test_blocked_fuzzy_pairs_multi_block_union(spark):
+    """A pair missed by one blocking key must be recovered by another
+    pass, and the union dedups; distance filtering is exact."""
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "smith john"),
+            (2, "smith johm"),   # edit 1, same prefix AND same suffix
+            (3, "smyth john"),   # edit 1 vs 1, same suffix only
+            (4, "totally else"),
+        ],
+        "id bigint, name string",
+    )
+    prefix = F.expr("substr(name, 1, 4)")
+    suffix = F.expr("substr(name, length(name) - 3, 4)")
+    only_prefix = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_fuzzy_pairs(df, "id", "name", [prefix], 1).collect()
+    }
+    both = {
+        (r["id_a"], r["id_b"])
+        for r in blocked_fuzzy_pairs(
+            df, "id", "name", [prefix, suffix], 1
+        ).collect()
+    }
+    assert (1, 2) in only_prefix and (1, 3) not in only_prefix
+    # (2,3) differs in BOTH words → distance 2, filtered at max_edit=1
+    assert both == {(1, 2), (1, 3)}
