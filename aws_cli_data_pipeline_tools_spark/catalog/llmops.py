@@ -2637,8 +2637,8 @@ WITH d AS (
          CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
          CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
          CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
-  FROM t0
-), t0 AS (SELECT * FROM d), s AS (
+  FROM d
+), s AS (
   SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
          CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
          CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
