@@ -137,3 +137,115 @@ def test_pack_sequences_bin_invariants(tokens, budget):
     # bin indexes may skip only when one doc spans multiple budgets
     for (b1, b2), t in zip(zip(bins, bins[1:]), tokens):
         assert b2 - b1 <= max(1, t // budget + 1)
+
+
+# ------------------------------------------------------------ codec kernels
+
+
+@given(
+    st.integers(1, 12), st.integers(1, 12), st.integers(1, 8),
+    st.booleans(), st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(h, w, ncol, interlaced, rnd):
+    """Any palette-sized RGB image round-trips pixel-exactly through the
+    GIF LZW encoder/decoder, interlaced or not."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        _decode_gif_array, encode_gif,
+    )
+
+    pal = np.array(
+        [[rnd.randrange(256) for _ in range(3)] for _ in range(ncol)],
+        np.uint8,
+    )
+    idx = np.array(
+        [[rnd.randrange(ncol) for _ in range(w)] for _ in range(h)]
+    )
+    px = pal[idx]
+    dec = _decode_gif_array(encode_gif(px, interlaced=interlaced))
+    assert dec is not None
+    assert dec[0] == w and dec[1] == h
+    assert np.array_equal(dec[3], px)
+
+
+@given(
+    st.lists(st.integers(-(1 << 15), (1 << 15) - 1), min_size=1, max_size=200),
+    st.sampled_from([None, 0, 1, 2]),
+    st.sampled_from([192, 64, 4096]),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_lossless_property(samples, order, blocksize):
+    """FLAC is lossless for EVERY int16 signal, every subframe type,
+    every blocksize — including constant runs, alternating extremes,
+    and single-sample streams."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.flac import (
+        decode_flac, encode_flac,
+    )
+
+    s = np.asarray(samples, np.int64)
+    dec = decode_flac(
+        encode_flac(s, sample_rate=8000, bps=16, fixed_order=order,
+                    blocksize=blocksize)
+    )
+    assert dec is not None
+    assert np.array_equal(dec[3][:, 0], s)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(1 << 62), (1 << 62) - 1),
+            st.one_of(st.none(), st.text(max_size=30)),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.one_of(st.none(), st.booleans()),
+            st.binary(max_size=40),
+        ),
+        min_size=0, max_size=50,
+    ),
+    st.sampled_from(["deflate", "null"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_avro_container_roundtrip_property(rows, codec):
+    """Every (long, nullable string, double, nullable bool, bytes) row
+    set round-trips the Avro container codec exactly, both codecs,
+    including empty containers, unicode, and extreme longs."""
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        _container_bytes, _parse_container,
+    )
+
+    fields = [
+        ("k", "long", False), ("s", "string", True), ("d", "double", False),
+        ("b", "boolean", True), ("raw", "bytes", False),
+    ]
+    blob = _container_bytes(fields, rows, codec)
+    got_fields, got_rows = _parse_container(blob)
+    assert [(n, t, nu) for n, t, nu in got_fields] == fields
+    norm = [
+        tuple(bytes(v) if isinstance(v, bytearray) else v for v in r)
+        for r in got_rows
+    ]
+    assert norm == rows
+
+
+@given(st.integers(1, 24), st.integers(1, 24), st.randoms(use_true_random=False))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_grayscale_matches_reference_property(h, w, rnd):
+    """For ANY grayscale image the full decoder must equal the numpy
+    FDCT→quant→dequant→IDCT reference pipeline bit-for-bit (the entropy
+    layer is lossless)."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        _decode_jpeg_array, encode_jpeg, quantize_jpeg_blocks,
+    )
+
+    px = np.array(
+        [[rnd.randrange(256) for _ in range(w)] for _ in range(h)], np.uint8
+    )
+    dec = _decode_jpeg_array(encode_jpeg(px))
+    assert dec is not None and dec[:3] == (w, h, 1)
+    assert np.array_equal(dec[3][:, :, 0], quantize_jpeg_blocks(px))
