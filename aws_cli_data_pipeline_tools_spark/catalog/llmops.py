@@ -2959,3 +2959,106 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, updates, "c_custkey", ["c_mktsegment", "c_nationkey"],
         effective="2024-06-01",
     ).orderBy("c_custkey", "valid_from")
+
+
+_RRF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
+    AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
+  FROM d
+), s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM t
+), bm AS (
+  SELECT t.doc_id,
+         ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+             * t.tf0 * 2.2
+             / (t.tf0 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+             * t.tf1 * 2.2
+             / (t.tf1 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+             * t.tf2 * 2.2
+             / (t.tf2 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+           AS bm25
+  FROM t, s
+), bmr AS (
+  SELECT doc_id, round(bm25, 4) AS bm25 FROM bm WHERE round(bm25, 4) > 0
+), lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+  FROM bmr
+  ORDER BY bm25 DESC, doc_id LIMIT 50
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT c.vec_id AS doc_id,
+         {{cos}} AS cosine
+  FROM q, embeddings c
+), sem AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY cosine DESC, doc_id) AS INT) AS rank_sem
+  FROM sc ORDER BY cosine DESC, doc_id LIMIT 50
+), fused AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         lex.rank_lex, sem.rank_sem,
+         round(COALESCE(1.0 / (60.0 + lex.rank_lex), 0.0)
+               + COALESCE(1.0 / (60.0 + sem.rank_sem), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem, rrf_score,
+       CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+""".format(cos=_duck_cosine('q.qv', 'c.embedding'))
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_RRF_ORACLE,
+    tags=("llmops", "retrieval"),
+    notes="Hybrid retrieval via reciprocal-rank fusion "
+    "(operators/similarity.rrf_fuse): BM25 lexical top-50 + exact-cosine "
+    "semantic top-50 fused with score = 1/(60+r_lex) + 1/(60+r_sem) — the "
+    "standard RAG candidate combiner. Both retrievers prune at corpus "
+    "scale (TakeOrderedAndProject / two-phase top-k); fusion only ever "
+    "joins candidate-sized broadcast sides, and the fused score is a "
+    "fixed + chain so the DuckDB oracle hash-matches.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = (
+        textstats.bm25_scores(docs, ["spark", "window", "merge"])
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(50)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "rank")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    sem = similarity.cosine_topk(emb, qv, k=50).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse({"lex": lex, "sem": sem}, k=60, top=20)

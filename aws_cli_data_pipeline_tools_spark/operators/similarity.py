@@ -652,3 +652,57 @@ def random_projection(
         .withColumn("__s", micro)
         .select(F.col(id_col), "j", value)
     )
+
+
+def rrf_fuse(
+    ranked: "dict[str, DataFrame]",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of a small fixed set of ranked retriever
+    candidate lists (Cormack/Clarke/Buettcher 2009): ``score(d) =
+    Σ_lists 1/(k + rank_list(d))``, the standard hybrid-retrieval
+    combiner for lexical (BM25) + semantic (ANN) candidate sets.
+
+    ``ranked`` maps a list label → DataFrame with (id_col, rank_col);
+    each input must already be a top-N candidate list (the retrievers do
+    the corpus-scale pruning — fusion only ever sees N·lists rows, so
+    every join side here is candidate-sized and broadcast). Documents
+    missing from a list contribute 0 for it, per the original formula.
+
+    Determinism: the fused score is a FIXED ``+`` chain of coalesce terms
+    in the dict's insertion order — not an aggregation — so float summation
+    order is engine/partitioning-independent and a DuckDB oracle can
+    hash-match (same discipline as bm25_scores). Ties break on id.
+    """
+    if not ranked:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    fused = None
+    for label, df in ranked.items():
+        side = df.select(
+            F.col(id_col), F.col(rank_col).alias(f"rank_{label}")
+        )
+        # no broadcast hint: Spark can't broadcast-build a full-outer side
+        # (it logs an unsupported-hint warning); both sides are ≤ top-N
+        # candidate lists, so the sort-merge fallback is over tiny inputs.
+        fused = side if fused is None else fused.join(
+            side, on=id_col, how="full_outer"
+        )
+    score = None
+    for label in ranked:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"rank_{label}")),
+            F.lit(0.0),
+        )
+        score = term if score is None else score + term  # fixed + chain
+    fused = fused.withColumn("rrf_score", F.round(score, 6))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    # the window input is the union of candidate lists (≤ Σ N_list rows),
+    # so the unpartitioned row_number is over a broadcast-sized set.
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top)
+        .orderBy("rank")
+    )
