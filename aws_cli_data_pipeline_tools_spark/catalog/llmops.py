@@ -3062,3 +3062,50 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return similarity.rrf_fuse({"lex": lex, "sem": sem}, k=60, top=20)
+
+
+@register(
+    "hard_negatives_by_lang",
+    oracle=f"""
+WITH lab AS (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), q AS (
+  SELECT vec_id AS query_id, embedding AS qv, lang AS q_lang
+  FROM lab WHERE vec_id < 5
+), sc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.lang AS neighbor_lang,
+         {_duck_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q CROSS JOIN lab c
+  WHERE c.lang IS DISTINCT FROM q.q_lang
+), r AS (
+  SELECT query_id, neighbor_id, neighbor_lang, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT)
+           AS rank
+  FROM sc
+)
+SELECT query_id, neighbor_id, neighbor_lang, cosine, rank FROM r
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    tags=("llmops", "similarity", "retrieval"),
+    notes="Contrastive hard-negative mining "
+    "(operators/similarity.hard_negatives): for 5 query embeddings, the "
+    "top-10 most cosine-similar corpus vectors with a DIFFERENT lang "
+    "label — the negative sampler for contrastive/embedding training. "
+    "Labels come from one co-keyed embeddings⋈documents equi-join; the "
+    "query side broadcasts; top-k is the two-phase narrow-prune + tiny "
+    "window shape shared with cosine_topk (no corpus-wide sort).",
+)
+def hard_negatives_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    lab = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    queries = lab.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding", "lang"
+    )
+    return similarity.hard_negatives(
+        lab, queries, k=10, label_col="lang"
+    ).withColumnRenamed("neighbor_label", "neighbor_lang")

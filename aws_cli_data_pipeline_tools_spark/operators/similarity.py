@@ -706,3 +706,51 @@ def rrf_fuse(
         .filter(F.col("rank") <= top)
         .orderBy("rank")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the top-k
+    most cosine-similar corpus vectors whose label DIFFERS from the
+    query's — the standard negative sampler for contrastive/embedding
+    training (similar content, different class ⇒ informative gradient).
+
+    ``queries``: (query_id_col, vec_col, label_col) — the small side,
+    broadcast. ``corpus``: (id_col, vec_col, label_col) — never collected.
+    Same two-phase top-k shape as cosine_topk: narrow partition-local
+    prune, then a per-query window over ≤ partitions·queries·k survivors.
+    Self-pairs are excluded by the label filter (a query's own corpus row
+    shares its label).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("q_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(~F.col("neighbor_label").eqNullSafe(F.col("q_label")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _rank_topk(_partition_topk(scored, k), k)
