@@ -3109,3 +3109,52 @@ def hard_negatives_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(
         lab, queries, k=10, label_col="lang"
     ).withColumnRenamed("neighbor_label", "neighbor_lang")
+
+
+@register(
+    "text_byte_entropy",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS n
+  FROM documents
+), s AS (
+  SELECT doc_id, n,
+         list_sort(list_transform(generate_series(1, n),
+                                  i -> substr(hx, 2 * i - 1, 2))) AS sb
+  FROM b
+), p AS (
+  SELECT doc_id, n, sb,
+         list_filter(generate_series(1, n),
+                     i -> i = 1 OR sb[i] != sb[i - 1]) AS pos
+  FROM s
+), c AS (
+  SELECT doc_id, n, pos,
+         list_transform(generate_series(1, len(pos)),
+                        j -> coalesce(pos[j + 1], n + 1) - pos[j]) AS cnts
+  FROM p
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       CAST(len(pos) AS INT) AS n_distinct_bytes,
+       CASE WHEN n = 0 THEN NULL ELSE round(
+         -list_sum(list_transform(cnts,
+            c -> (c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))
+                 / ln(2.0))), 6) END AS entropy_bits
+FROM c ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Per-document Shannon entropy over UTF-8 bytes in bits "
+    "(operators/textstats.byte_entropy) — the garbage/binary/random-text "
+    "curation signal. Shuffle-free: the byte histogram is built inside "
+    "each row (hex → \\\\G-anchored split → array_sort → run-length "
+    "boundaries), all JVM array ops, and the entropy fold runs in "
+    "sorted-byte order so DuckDB's list_sum replays it exactly.",
+)
+def text_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        textstats.byte_entropy(docs)
+        .withColumn("n_bytes", F.col("n_bytes").cast("int"))
+        .orderBy("doc_id")
+    )

@@ -456,3 +456,73 @@ def bm25_scores(
         F.round(score, 4).alias("bm25"),
     )
     return out.filter(F.col("bm25") > 0)
+
+
+def byte_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon entropy over UTF-8 BYTES, in bits — the
+    classic garbage/random-text detector (compressed blobs and line noise
+    sit near 8 bits/byte; natural-language text near 4-5; repeated
+    boilerplate lower still).
+
+    Entirely shuffle-free and JVM-side: each row's byte histogram is
+    derived inside the row via array ops — hex-encode, split into 2-char
+    byte strings with the ``\\G`` regex anchor (one regex pass, not a
+    per-index lambda over the hex string), ``array_sort``, then run-length
+    boundaries give the per-byte counts. Bytes (not code points) make the
+    result encoding-exact and engine-portable for any Unicode content.
+
+    Determinism: the entropy sum folds the count list in sorted-byte
+    order via ``aggregate`` — a sequential fold, matching DuckDB's
+    ``list_sum`` over the identically-ordered list (the cosine-oracle
+    precedent). Empty documents yield NULL entropy.
+
+    Each lambda references only pre-bound columns (``__s``, ``__pos``) —
+    never an unbound expression — per the word_shingles CodegenFallback
+    re-evaluation caveat.
+    """
+    n = F.octet_length(F.encode(F.col(text_col), "utf-8"))
+    hx = F.hex(F.encode(F.col(text_col), "utf-8"))
+    step1 = df.select(
+        F.col(id_col),
+        n.alias("__n"),
+        # slice to exactly n elements: Spark's split uses limit=-1, so the
+        # end-of-string \G match leaves a trailing "" element to drop.
+        F.array_sort(F.slice(F.split(hx, r"(?<=\G..)"), F.lit(1), n)).alias(
+            "__s"
+        ),
+    )
+    nn = F.col("__n")
+    s = F.col("__s")
+    step2 = step1.withColumn(
+        "__pos",
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(nn, F.lit(1))),
+            lambda i: (i == 1) | (F.get(s, i - 1) != F.get(s, i - 2)),
+        ),
+    )
+    pos = F.col("__pos")
+    counts = F.transform(
+        pos, lambda p, j: F.coalesce(F.get(pos, j + 1), nn + 1) - p
+    )
+    nd = F.col("__n").cast("double")
+    terms = F.transform(
+        counts,
+        lambda c: (c / nd)
+        * F.log(c / nd)
+        / F.log(F.lit(2.0)),
+    )
+    ent = F.round(
+        -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6
+    )
+    return step2.select(
+        F.col(id_col),
+        F.col("__n").alias("n_bytes"),
+        F.when(nn == 0, F.lit(0)).otherwise(F.size(pos)).alias(
+            "n_distinct_bytes"
+        ),
+        F.when(nn == 0, F.lit(None).cast("double"))
+        .otherwise(ent)
+        .alias("entropy_bits"),
+    )
