@@ -3158,3 +3158,45 @@ def text_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_bytes", F.col("n_bytes").cast("int"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_secret_scan",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '-----BEGIN [A-Z ]*PRIVATE KEY-----')) AS INT) AS n_pem,
+       CAST(len(regexp_extract_all(text,
+         '\bAKIA[0-9A-Z]{16}\b')) AS INT) AS n_key_id,
+       CAST(len(regexp_extract_all(text,
+         '\b[0-9a-f]{40}\b')) AS INT) AS n_hex40,
+       CAST(len(regexp_extract_all(text,
+         '(?i)bearer [a-zA-Z0-9_.=-]{20,}')) AS INT) AS n_bearer,
+       CAST(len(regexp_extract_all(text,
+         '(?i)\b(password|passwd|secret|api_key|apikey|access_token)\s*[:=]\s*[^\s,;]+'))
+         AS INT) AS n_cred_assign,
+       CAST(len(regexp_extract_all(text,
+         '\b[a-z]{2,8}://[^/\s:@]+:[^@\s]+@')) AS INT) AS n_url_creds,
+       (len(regexp_extract_all(text, '-----BEGIN [A-Z ]*PRIVATE KEY-----'))
+        + len(regexp_extract_all(text, '\bAKIA[0-9A-Z]{16}\b'))
+        + len(regexp_extract_all(text, '\b[0-9a-f]{40}\b'))
+        + len(regexp_extract_all(text, '(?i)bearer [a-zA-Z0-9_.=-]{20,}'))
+        + len(regexp_extract_all(text,
+            '(?i)\b(password|passwd|secret|api_key|apikey|access_token)\s*[:=]\s*[^\s,;]+'))
+        + len(regexp_extract_all(text, '\b[a-z]{2,8}://[^/\s:@]+:[^@\s]+@'))
+       ) > 0 AS has_secret
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Pre-training secret/credential hygiene scan "
+    "(operators/textstats.secret_scan): per-document counts for six "
+    "gitleaks-taxonomy categories (PEM key material, provider key IDs, "
+    "40-hex tokens, bearer headers, credential assignments, userinfo "
+    "URLs). Pure codegen regexp_extract_all riding the scan — zero "
+    "shuffle, zero Python; patterns restricted to the Java∩RE2 subset so "
+    "the identical regexes run on Spark, DuckDB, and a Trino/Athena "
+    "pass-through.",
+)
+def text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.secret_scan(docs).orderBy("doc_id")

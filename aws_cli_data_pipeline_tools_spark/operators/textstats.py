@@ -526,3 +526,44 @@ def byte_entropy(
         .otherwise(ent)
         .alias("entropy_bits"),
     )
+
+
+#: Secret-scanning patterns — every regex is restricted to the syntax
+#: subset Java regex and RE2 (DuckDB) share: no lookaround, no backrefs,
+#: \b and (?i) only. Categories follow the public gitleaks/trufflehog
+#: taxonomy: key-material headers, provider key IDs, long hex tokens,
+#: bearer headers, credential assignments, and userinfo-in-URL.
+SECRET_PATTERNS: "dict[str, str]" = {
+    "pem": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "key_id": r"\bAKIA[0-9A-Z]{16}\b",
+    "hex40": r"\b[0-9a-f]{40}\b",
+    "bearer": r"(?i)bearer [a-zA-Z0-9_.=-]{20,}",
+    "cred_assign": r"(?i)\b(password|passwd|secret|api_key|apikey|access_token)\s*[:=]\s*[^\s,;]+",
+    "url_creds": r"\b[a-z]{2,8}://[^/\s:@]+:[^@\s]+@",
+}
+
+
+def secret_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document credential/secret occurrence counts — the pre-training
+    hygiene scan that keeps leaked key material out of a corpus (run it
+    before packing; route ``has_secret`` docs to quarantine/redaction).
+
+    One codegen ``regexp_extract_all`` per category, zero shuffles, zero
+    Python — the whole scan rides the parquet scan's projection. Patterns
+    deliberately stay inside the Java∩RE2 syntax subset so the same
+    regexes run identically on Spark and DuckDB (and in a Trino/Athena
+    pass-through, the reference's engine).
+    """
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        )
+        for name, pat in SECRET_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    total = None
+    for n in counts:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.withColumn("has_secret", total > 0)
