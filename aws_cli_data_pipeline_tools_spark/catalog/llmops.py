@@ -3200,3 +3200,30 @@ FROM documents ORDER BY doc_id
 def text_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.secret_scan(docs).orderBy("doc_id")
+
+
+@register(
+    "bpe_first_merge_pairs",
+    oracle="""
+WITH w AS (
+  SELECT lower(u.t) AS word
+  FROM documents, unnest(regexp_extract_all(text, '[A-Za-z]+')) AS u(t)
+), wc AS (
+  SELECT word, count(*) AS c FROM w GROUP BY word HAVING len(word) >= 2
+), p AS (
+  SELECT substr(word, CAST(g.i AS INT), 2) AS pair, c
+  FROM wc, unnest(generate_series(1, len(word) - 1)) AS g(i)
+)
+SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences
+FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
+""",
+    tags=("llmops", "text", "tokenizer"),
+    notes="First-iteration BPE merge-pair statistics "
+    "(operators/textstats.bpe_pair_counts): corpus-wide adjacent char-pair "
+    "frequencies, computed with the classic trainer trick — aggregate to "
+    "the word vocabulary first, explode pairs over distinct words only "
+    "(O(vocab), not O(corpus)); top-30 via TakeOrderedAndProject.",
+)
+def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.bpe_pair_counts(docs, top_n=30)

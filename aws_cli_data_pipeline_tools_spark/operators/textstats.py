@@ -567,3 +567,42 @@ def secret_scan(
     for n in counts:
         total = F.col(n) if total is None else total + F.col(n)
     return out.withColumn("has_secret", total > 0)
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str = "text", top_n: int = 30
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic a
+    byte-pair-encoding trainer computes for its first merge (Sennrich et
+    al. 2016): the most frequent pair becomes the first merge rule.
+
+    The classic BPE scale trick: aggregate the corpus to its *vocabulary*
+    first (word → count, one token-keyed shuffle with map-side partials),
+    then explode pairs only over distinct words — pair generation is
+    O(vocab), not O(corpus). Final pair aggregate is vocab-sized; top-n is
+    a TakeOrderedAndProject, never a global sort.
+
+    Words are ASCII-alpha runs, lowercased; within-word multiplicity
+    counts (``"aaa"`` contributes 2 × ``aa``).
+    """
+    t = F.col(text_col)
+    words = F.transform(
+        F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0), F.lower
+    )
+    wc = (
+        df.select(F.explode(words).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.length("word") >= 2)
+    )
+    w = F.col("word")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1), lambda i: w.substr(i, F.lit(2))
+    )
+    return (
+        wc.select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "pair")
+        .limit(top_n)
+    )
