@@ -444,3 +444,44 @@ def shuffle_shards_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", F.col("pos").cast("bigint").alias("pos"))
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "temperature_mixture_plan",
+    oracle=r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per
+), s AS (
+  SELECT per.source, per.n_docs, per.n_tokens, tot.total_tokens,
+         CAST(round(sqrt(n_tokens / CAST(total_tokens AS DOUBLE)), 18)
+              AS DECIMAL(38,18)) AS sp
+  FROM per, tot
+), d AS (
+  SELECT CAST(sum(sp) AS DECIMAL(38,18)) AS sp_total FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+       round(CAST(sp AS DOUBLE) / CAST(sp_total AS DOUBLE), 6) AS mix_weight,
+       CAST(round(CAST(sp AS DOUBLE) / CAST(sp_total AS DOUBLE)
+                  * 1000000000.0, 0) AS BIGINT) AS budget_tokens
+FROM s, d ORDER BY source
+""",
+    tags=("llmops", "curation", "sampling"),
+    notes="Temperature-weighted mixing plan (α=0.5, mT5/XLM-R recipe) "
+    "(operators/sampling.temperature_mixture_plan): per-source token "
+    "shares → w ∝ p^α sampling weights → token budgets for a 1B-token "
+    "mix. One source-keyed agg + two 1-row broadcasts; the cross-group "
+    "Σp^α uses the repo's DECIMAL(38,18) fixed-point sum discipline and "
+    "α=0.5 is sqrt (IEEE-exact), so DuckDB replays it bit-for-bit. "
+    "Execute the plan with mixture_resample.",
+)
+def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import temperature_mixture_plan as plan
+
+    docs = load_table(spark, "documents", sf_dir)
+    return plan(docs)

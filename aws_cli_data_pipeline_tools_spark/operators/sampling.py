@@ -117,3 +117,51 @@ def importance_sample(
     )
     bucket = hash_bucket_expr(F.col(key_col), salt)
     return df.filter((w >= 1.0) | (bucket < thr))
+
+
+def temperature_mixture_plan(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    total_budget: int = 1_000_000_000,
+) -> DataFrame:
+    """Temperature-weighted data-mixing plan (α = 0.5): per-group sampling
+    weights ``w_i ∝ p_i^α`` with ``p_i`` the group's token share — the
+    standard low-resource up-weighting recipe (mT5/XLM-R style) that
+    turns corpus composition stats into per-source token budgets for the
+    training mix. Pair with mixture_resample to execute the plan.
+
+    Shape: one group-keyed count/sum aggregate (map-side partials; group
+    cardinality = #sources, tiny), then a 1-row total crossJoin-broadcast
+    back. Determinism discipline: the cross-group Σ p_i^α is summed as
+    DECIMAL(38,18) fixed-point (order-independent, exact) and only then
+    divided — and α = 0.5 is computed as ``sqrt`` (IEEE-exact on every
+    engine), so the DuckDB oracle hash-matches.
+    """
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("__total_tokens"),
+    )
+    p = F.col("n_tokens") / F.col("__total_tokens").cast("double")
+    sp = F.round(F.sqrt(p), 18).cast("decimal(38,18)")
+    scored = per.crossJoin(F.broadcast(tot)).withColumn("__sp", sp)
+    denom = scored.agg(F.sum("__sp").alias("__sp_total"))
+    weight = F.col("__sp").cast("double") / F.col("__sp_total").cast("double")
+    return (
+        scored.crossJoin(F.broadcast(denom))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            "n_tokens",
+            F.round(p, 6).alias("token_share"),
+            F.round(weight, 6).alias("mix_weight"),
+            F.round(weight * F.lit(float(total_budget)), 0)
+            .cast("bigint")
+            .alias("budget_tokens"),
+        )
+        .orderBy(group_col)
+    )
