@@ -3227,3 +3227,57 @@ FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
 def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.bpe_pair_counts(docs, top_n=30)
+
+
+@register(
+    "semdedup_jl_buckets",
+    oracle=f"""
+WITH pairs AS (
+  SELECT e.vec_id, j.j, i.i,
+         CASE WHEN CAST(('0x' || substr(
+                md5('jl-v1' || '|' || i.i || '|' || j.j), 1, 15)) AS BIGINT)
+              % 2 = 0
+              THEN CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                              * 1000000) AS BIGINT)
+              ELSE -CAST(round(CAST(e.embedding[i.i + 1] AS DOUBLE)
+                               * 1000000) AS BIGINT) END AS sv
+  FROM embeddings e,
+       unnest(generate_series(0, 7)) AS j(j),
+       unnest(generate_series(0, len(e.embedding) - 1)) AS i(i)
+), sums AS (
+  SELECT vec_id, j, CAST(sum(sv) AS BIGINT) AS s
+  FROM pairs GROUP BY vec_id, j
+), b AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j)
+                  ELSE 0 END) AS BIGINT) AS bucket
+  FROM sums GROUP BY vec_id
+), lab AS (
+  SELECT b.vec_id, b.bucket, e.embedding
+  FROM b JOIN embeddings e USING (vec_id)
+), cand AS (
+  SELECT a.bucket, a.vec_id AS id_a, c.vec_id AS id_b,
+         {_duck_cosine('a.embedding', 'c.embedding')} AS cosine
+  FROM lab a JOIN lab c
+    ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+)
+SELECT id_b AS vec_id, bucket,
+       min(id_a) AS keeper_id,
+       count(*) AS n_dups,
+       max(cosine) AS max_cosine
+FROM cand WHERE cosine >= 0.2
+GROUP BY id_b, bucket ORDER BY vec_id
+""",
+    tags=("llmops", "dedup", "similarity"),
+    notes="SemDeDup-style semantic dedup (operators/dedup.semdedup_jl): "
+    "8-bit fixed-point JL sign-buckets coarse-partition embedding space "
+    "(seed-derived, model-free — the k-means stand-in), then each doc "
+    "with a lower-id same-bucket neighbor at cosine ≥ 0.2 is dropped in "
+    "favor of that keeper. Pair fan-out is bounded by bucket occupancy "
+    "(raise n_bits with corpus size); the whole pipeline — md5-parity "
+    "signs, bigint micro-unit sums, bucket bits, rounded cosine — "
+    "replays exactly in DuckDB.",
+)
+def semdedup_jl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return dedup.semdedup_jl(emb, threshold=0.2, n_bits=8)

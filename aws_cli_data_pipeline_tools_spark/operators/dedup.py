@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions import (
     MINHASH_PRIME,
+    cosine_similarity,
     hamming64,
     minhash_signatures_arrow,
     portable_hash64,
@@ -1030,3 +1031,74 @@ def blocked_fuzzy_pairs(
         )
         out = pairs if out is None else out.unionAll(pairs)
     return out.dropDuplicates(["id_a", "id_b"])
+
+
+def semdedup_jl(
+    df: DataFrame,
+    threshold: float = 0.2,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl-v1",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    coarse-partition embedding space, then drop every document that has a
+    more-canonical (lower-id) within-partition neighbor above a cosine
+    threshold. Here the partition is the deterministic fixed-point JL
+    sign-bucket (similarity.jl_sign_buckets) instead of a fitted k-means
+    — same pruning effect (near-dups co-bucket), but seed-derived,
+    model-free, and exactly replayable by a SQL oracle.
+
+    Scale posture: the bucket equi-join bounds pair fan-out to within-
+    bucket candidates (2^n_bits partitions; raise n_bits as the corpus
+    grows — expected bucket size, not corpus size, drives cost). The
+    exact cosine runs JVM-side on each candidate pair; no all-pairs, no
+    driver state. Returns one row per DROPPED doc: (id, bucket,
+    keeper_id = smallest same-bucket neighbor over threshold, n_dups,
+    max_cosine).
+    """
+    from .similarity import jl_sign_buckets
+
+    b = jl_sign_buckets(
+        df.select(id_col, vec_col), n_bits=n_bits, id_col=id_col,
+        vec_col=vec_col, seed=seed,
+    )
+    a = b.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        "bucket",
+    )
+    c = b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        "bucket",
+    )
+    pairs = (
+        a.join(c, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            F.round(
+                cosine_similarity(F.col("va"), F.col("vb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy("id_b", "bucket")
+        .agg(
+            F.min("id_a").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cosine").alias("max_cosine"),
+        )
+        .select(
+            F.col("id_b").alias(id_col),
+            "bucket",
+            "keeper_id",
+            "n_dups",
+            "max_cosine",
+        )
+        .orderBy(id_col)
+    )

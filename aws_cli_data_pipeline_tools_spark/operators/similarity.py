@@ -754,3 +754,62 @@ def hard_negatives(
         )
     )
     return _rank_topk(_partition_topk(scored, k), k)
+
+
+def jl_sign_buckets(
+    df: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "jl-v1",
+) -> DataFrame:
+    """Sign-bit bucket of the fixed-point JL projection: ``bucket =
+    Σ_j (s_j >= 0) << j`` over the first ``n_bits`` projected dimensions
+    — a deterministic, engine-portable coarse partition of embedding
+    space (vectors in the same orthant of the projected space share a
+    bucket; near-duplicates almost always do).
+
+    Entirely within-row: each bit's signed micro-unit sum is a separate
+    fixed expression with its dimension index as a LITERAL, and the
+    bucket is a fixed ``+`` chain — no explode, no shuffle, output is
+    (input columns…, bucket). Signs/micro-units replicate
+    random_projection exactly (md5-parity signs, bigint sums), so a
+    DuckDB oracle replays the bucketing hash-for-hash.
+    """
+    sign_on = lambda i, j: F.pmod(  # noqa: E731  0 → +v, 1 → -v
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(seed), i.cast("string"), j.cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+
+    def micro(j: int):
+        return F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda v, i: F.when(
+                    sign_on(i, F.lit(j)) == 0,
+                    F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
+                ).otherwise(
+                    -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(n_bits):
+        term = F.when(micro(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return df.withColumn("bucket", bucket.cast("bigint"))
