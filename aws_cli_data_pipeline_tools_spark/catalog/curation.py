@@ -485,3 +485,45 @@ def temperature_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return plan(docs)
+
+
+@register(
+    "contamination_report_eval",
+    oracle=f"""
+WITH evg AS (
+  SELECT DISTINCT doc_id, g
+  FROM ({_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 = 0")})
+), trg AS (
+  SELECT DISTINCT g
+  FROM ({_DUCK_5GRAMS.format(src="documents WHERE doc_id % 10 <> 0")})
+), per AS (
+  SELECT evg.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN trg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hit
+  FROM evg LEFT JOIN trg ON evg.g = trg.g
+  GROUP BY evg.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       coalesce(per.n_hit, 0) AS n_hit,
+       CASE WHEN coalesce(per.n_grams, 0) > 0
+            THEN round(per.n_hit / CAST(per.n_grams AS DOUBLE), 6) END
+         AS contamination_frac
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("llmops", "curation"),
+    notes="Per-eval-doc contamination fraction "
+    "(operators/curation.contamination_report): share of each eval doc's "
+    "distinct 5-grams present anywhere in train — the benchmark-burn "
+    "report complementing decontaminate. Double-broadcast shape: eval "
+    "gram set → train postings (left-semi probe), hit set (≤ eval grams) "
+    "→ back to eval; the corpus side never shuffles in either pass.",
+)
+def contamination_report_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    return curation.contamination_report(train, ev, n=5)

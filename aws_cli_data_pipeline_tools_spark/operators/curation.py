@@ -449,3 +449,62 @@ def shuffle_shards(
         df.withColumn(shard_col, shard)
         .withColumn(pos_col, F.row_number().over(w))
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-EVAL-doc contamination measurement: what fraction of each eval
+    document's distinct word n-grams appear anywhere in the training
+    corpus — the report a benchmark owner publishes alongside results
+    (decontaminate answers "which train docs to drop"; this answers "how
+    burned is each eval item").
+
+    Scale shape (corpus never shuffles, both directions): (1) eval's
+    DISTINCT gram set broadcasts to the train postings — a left-semi
+    probe, map-side; (2) the surviving hit-gram set is ≤ |eval grams|, so
+    it broadcasts BACK to eval's per-doc grams; (3) the only aggregation
+    keys on eval doc ids. Eval docs too short for any n-gram surface with
+    n_grams = 0 and NULL fraction.
+    """
+    grams = lambda df: df.select(  # noqa: E731  (distinct per doc already)
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    )
+    ev_per_doc = grams(eval_df)
+    ev_set = ev_per_doc.select("g").distinct()
+    hits = (
+        grams(train)
+        .select("g")
+        .join(F.broadcast(ev_set), "g", "left_semi")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    per = (
+        ev_per_doc.join(F.broadcast(hits), "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        eval_df.select(F.col(id_col))
+        .join(per.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(
+                    F.col("n_hit") / F.col("n_grams").cast("double"), 6
+                ),
+            ).alias("contamination_frac"),
+        )
+        .orderBy(id_col)
+    )

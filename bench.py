@@ -61,6 +61,9 @@ HEADLINE = [
     "multimodal_png_pixels",  # Python-side inflate+unfilter in Arrow batches
     "multimodal_gif_pixels",  # Python-side LZW decode in Arrow batches
     "ann_lsh_topk",           # retuned operating point (recall 0.76)
+    "hybrid_rrf_retrieval",   # BM25 + cosine fusion
+    "semdedup_jl_buckets",    # JL sign-bucket semantic dedup
+    "text_byte_entropy",      # within-row byte histogram array ops
 ]
 
 
