@@ -3281,3 +3281,88 @@ GROUP BY id_b, bucket ORDER BY vec_id
 def semdedup_jl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return dedup.semdedup_jl(emb, threshold=0.2, n_bits=8)
+
+
+register_sql(
+    "doc_bigram_logprob",
+    spark_sql="""
+WITH dw AS (
+  SELECT doc_id, split(text, '\\\\s+') AS w FROM documents
+), toks AS (
+  SELECT doc_id, explode(w) AS tok FROM dw
+), uni AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS n FROM uni
+), pairs AS (
+  SELECT doc_id, pc.prev AS prev, pc.cur AS cur
+  FROM dw LATERAL VIEW explode(
+    zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+             slice(w, 2, greatest(size(w) - 1, 0)),
+             (a, b) -> struct(a AS prev, b AS cur))) AS pc
+), bgc AS (
+  SELECT prev, cur, count(*) AS bc FROM pairs GROUP BY prev, cur
+), scored AS (
+  SELECT p.doc_id,
+         -ln(0.7 * (b.bc / CAST(pv.c AS DOUBLE))
+             + 0.3 * (cv.c / CAST(tot.n AS DOUBLE))) AS term
+  FROM pairs p
+  JOIN bgc b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN uni pv ON p.prev = pv.tok
+  JOIN uni cv ON p.cur = cv.tok
+  CROSS JOIN tot
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*), 6) AS mean_neg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.mean_neg_logprob
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""",
+    duck_sql="""
+WITH dw AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok FROM dw
+), uni AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (
+  SELECT sum(c) AS n FROM uni
+), pairs AS (
+  SELECT doc_id, w[CAST(g.i AS INT)] AS prev, w[CAST(g.i AS INT) + 1] AS cur
+  FROM dw, unnest(generate_series(1, len(w) - 1)) AS g(i)
+), bgc AS (
+  SELECT prev, cur, count(*) AS bc FROM pairs GROUP BY prev, cur
+), scored AS (
+  SELECT p.doc_id,
+         -ln(0.7 * (b.bc / CAST(pv.c AS DOUBLE))
+             + 0.3 * (cv.c / CAST(tot.n AS DOUBLE))) AS term
+  FROM pairs p
+  JOIN bgc b ON p.prev = b.prev AND p.cur = b.cur
+  JOIN uni pv ON p.prev = pv.tok
+  JOIN uni cv ON p.cur = cv.tok
+  CROSS JOIN tot
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         round(CAST(sum(CAST(term AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*), 6) AS mean_neg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+       per.mean_neg_logprob
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+ORDER BY d.doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Interpolated-bigram language-model quality score (KenLM-lite): "
+    "P = 0.7·P_ML(cur|prev) + 0.3·P_ML(cur); per-doc mean negative log "
+    "over bigram positions. Bigrams are generated WITHIN each row "
+    "(slice+zip_with, narrow — no positional self-join); the model joins "
+    "are all shuffle-colocated on their token/pair keys; the 1-row total "
+    "broadcasts; decimal-sum over ln terms per the unigram precedent. "
+    "Backoff is implicit: the unigram term keeps every in-vocab bigram "
+    "finite.",
+)
