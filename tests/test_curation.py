@@ -215,3 +215,63 @@ def test_shuffle_shards_properties(spark):
     full = {r["doc_id"]: r["shard"] for r in out}
     for r in sub:
         assert full[r["doc_id"]] == r["shard"]
+
+
+# ---------------------------------------------------------------- round 4 ops
+
+def test_bpe_pair_counts_hand_counted(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaa ab"), (2, "AB x")],  # "x" too short for any pair
+        "doc_id bigint, text string",
+    )
+    got = {r.pair: r.n_occurrences for r in bpe_pair_counts(df).collect()}
+    # "aaa" → aa,aa ; "ab" ×1 + "AB"→"ab" ×1 → ab:2
+    assert got == {"aa": 2, "ab": 2}
+
+
+def test_temperature_mixture_plan_weights(spark):
+    import math
+
+    from aws_cli_data_pipeline_tools_spark.operators.sampling import (
+        temperature_mixture_plan,
+    )
+
+    rows = [("big", "w " * 89 + "w"), ("small", "w " * 9 + "w")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in temperature_mixture_plan(df).collect()}
+    assert got["big"].n_tokens == 90 and got["small"].n_tokens == 10
+    wb = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    assert abs(got["big"].mix_weight - round(wb, 6)) < 1e-9
+    # α=0.5 up-weights the small source above its raw share
+    assert got["small"].mix_weight > 0.1
+    assert got["big"].budget_tokens + got["small"].budget_tokens in (
+        999999999, 1000000000, 1000000001,  # independent rounding
+    )
+
+
+def test_contamination_report_planted(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.curation import (
+        contamination_report,
+    )
+
+    train = spark.createDataFrame(
+        [(100, "one two three four five six")],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (1, "one two three four five seven"),  # 1 of 2 grams hit
+            (2, "alpha beta gamma delta epsilon"),  # 1 gram, no hit
+            (3, "too short"),                       # no 5-grams at all
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in contamination_report(train, ev, n=5).collect()}
+    assert got[1].n_grams == 2 and got[1].n_hit == 1
+    assert abs(got[1].contamination_frac - 0.5) < 1e-9
+    assert got[2].n_grams == 1 and got[2].n_hit == 0
+    assert got[3].n_grams == 0 and got[3].contamination_frac is None

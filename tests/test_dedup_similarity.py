@@ -470,3 +470,80 @@ def test_random_projection_jl_distortion(spark, sf_dir):
     # deterministic rerun
     again = similarity.random_projection(emb, out_dim=16).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------- round 4 ops
+
+def test_rrf_fuse_hand_computed(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id bigint, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse({"lex": lex, "sem": sem}, k=60, top=10).collect()}
+    # doc 20 appears in both lists: 1/62 + 1/61
+    assert abs(out[20].rrf_score - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # docs present in one list only contribute a single term
+    assert abs(out[10].rrf_score - round(1 / 61, 6)) < 1e-9
+    assert abs(out[40].rrf_score - round(1 / 62, 6)) < 1e-9
+    assert out[20].rank == 1  # two-list doc wins
+    # missing rank columns surface as NULLs, not zeros
+    assert out[10].rank_sem is None and out[40].rank_lex is None
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "en"),   # query
+        (1, [0.99, 0.1], "en"),  # nearest overall but SAME label → excluded
+        (2, [0.9, 0.2], "fr"),   # nearest different-label → rank 1
+        (3, [0.0, 1.0], "fr"),   # orthogonal, rank 2
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    q = df.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding", "label"
+    )
+    got = hard_negatives(df, q, k=10).collect()
+    assert [r.neighbor_id for r in got] == [2, 3]
+    assert all(r.neighbor_label == "fr" for r in got)
+
+
+def test_semdedup_drops_identical_vector(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import semdedup_jl
+
+    v = [0.5, -0.25, 0.125, 1.0]
+    rows = [
+        (1, v),
+        (7, v),                       # exact dup of 1 → dropped, keeper 1
+        (9, [-x for x in v]),         # antipodal → different bucket
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    got = semdedup_jl(df, threshold=0.9, n_bits=8).collect()
+    assert len(got) == 1
+    assert got[0].vec_id == 7 and got[0].keeper_id == 1
+    assert got[0].max_cosine == 1.0
+
+
+def test_jl_sign_buckets_deterministic(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import (
+        jl_sign_buckets,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i) / 7, -float(i % 3), 0.25]) for i in range(20)],
+        "vec_id bigint, embedding array<double>",
+    )
+    a = {r.vec_id: r.bucket for r in jl_sign_buckets(df, n_bits=6).collect()}
+    b = {r.vec_id: r.bucket for r in jl_sign_buckets(df, n_bits=6).collect()}
+    assert a == b
+    assert all(0 <= v < 64 for v in a.values())
+    # identical vectors always co-bucket (the semdedup recall guarantee)
+    assert a[0] is not None
