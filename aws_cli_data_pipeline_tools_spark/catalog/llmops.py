@@ -2792,7 +2792,7 @@ FROM sums ORDER BY vec_id, j
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return similarity.random_projection(emb, out_dim=16).orderBy(
+    return similarity.random_projection(emb, out_dim=16, dim=64).orderBy(
         "vec_id", "j"
     )
 
@@ -3280,7 +3280,7 @@ GROUP BY id_b, bucket ORDER BY vec_id
 )
 def semdedup_jl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    return dedup.semdedup_jl(emb, threshold=0.2, n_bits=8)
+    return dedup.semdedup_jl(emb, threshold=0.2, n_bits=8, dim=64)
 
 
 register_sql(

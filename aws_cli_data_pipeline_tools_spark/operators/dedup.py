@@ -1040,6 +1040,7 @@ def semdedup_jl(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "jl-v1",
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     coarse-partition embedding space, then drop every document that has a
@@ -1061,7 +1062,7 @@ def semdedup_jl(
 
     b = jl_sign_buckets(
         df.select(id_col, vec_col), n_bits=n_bits, id_col=id_col,
-        vec_col=vec_col, seed=seed,
+        vec_col=vec_col, seed=seed, dim=dim,
     )
     a = b.select(
         F.col(id_col).alias("id_a"),

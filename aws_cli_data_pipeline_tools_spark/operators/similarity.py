@@ -582,12 +582,37 @@ def kmeans_clusters(
     )
 
 
+def _md5_parity_signs(seed: str, dim: int, out_dim: int) -> list[list[int]]:
+    """±1 sign matrix [j][i] replicating the md5-parity expression form in
+    Python at PLAN-BUILD time — hashlib and Spark agree on the md5 digest
+    of ``seed|i|j``, so these literals are bit-identical to the signs the
+    expression form derives per row; baking them in removes dim×out_dim
+    interpreted md5 evaluations per ROW (the dominant cost of the
+    expression form) while keeping the DuckDB oracle replay unchanged."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}|{i}|{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
 def random_projection(
     df: DataFrame,
     out_dim: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "jl-v1",
+    dim: int | None = None,
 ) -> DataFrame:
     """Seeded sparse-sign random projection (Achlioptas/Johnson-
     Lindenstrauss): ``out_j = sum_i sign(i,j) * v_i / sqrt(out_dim)``
@@ -622,19 +647,41 @@ def random_projection(
         ).cast("bigint"),
         F.lit(2),
     )
-    micro = F.aggregate(
-        F.transform(
-            F.col(vec_col),
-            lambda v, i: F.when(
-                sign_on(i, F.col("j")) == 0,
-                F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
-            ).otherwise(
-                -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
+    if dim is not None:
+        # fast path: known input width → plan-time literal sign matrix;
+        # zip_with's sign-array argument is evaluated once per row, only
+        # the cheap multiply runs per element.
+        signs = _md5_parity_signs(seed, dim, out_dim)
+        sign_mat = F.array(
+            *[F.array(*[F.lit(s) for s in row]) for row in signs]
+        )
+        sel = F.element_at(sign_mat, F.col("j") + 1)
+        micro = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                sel,
+                lambda v, s: F.round(v.cast("double") * 1_000_000, 0).cast(
+                    "bigint"
+                )
+                * s.cast("bigint"),
             ),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+    else:
+        micro = F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda v, i: F.when(
+                    sign_on(i, F.col("j")) == 0,
+                    F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
+                ).otherwise(
+                    -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
     if out_dim == 16:
         # exact: micro-unit sum, half-away-from-zero integer /4
         quarter = F.when(
@@ -762,6 +809,7 @@ def jl_sign_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "jl-v1",
+    dim: int | None = None,
 ) -> DataFrame:
     """Sign-bit bucket of the fixed-point JL projection: ``bucket =
     Σ_j (s_j >= 0) << j`` over the first ``n_bits`` projected dimensions
@@ -793,7 +841,26 @@ def jl_sign_buckets(
         F.lit(2),
     )
 
+    lit_signs = (
+        _md5_parity_signs(seed, dim, n_bits) if dim is not None else None
+    )
+
     def micro(j: int):
+        if lit_signs is not None:
+            # known input width → plan-time literal signs (see
+            # _md5_parity_signs): no per-element md5 at runtime.
+            return F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(s) for s in lit_signs[j]]),
+                    lambda v, s: F.round(
+                        v.cast("double") * 1_000_000, 0
+                    ).cast("bigint")
+                    * s.cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
         return F.aggregate(
             F.transform(
                 F.col(vec_col),

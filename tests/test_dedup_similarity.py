@@ -547,3 +547,31 @@ def test_jl_sign_buckets_deterministic(spark):
     assert all(0 <= v < 64 for v in a.values())
     # identical vectors always co-bucket (the semdedup recall guarantee)
     assert a[0] is not None
+
+
+def test_jl_literal_signs_equal_expression_form(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import (
+        jl_sign_buckets,
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [((i * 37 + d * 11) % 19 - 9) / 7.0 for d in range(12)])
+            for i in range(30)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    slow = random_projection(df, out_dim=16).orderBy("vec_id", "j").collect()
+    fast = (
+        random_projection(df, out_dim=16, dim=12)
+        .orderBy("vec_id", "j")
+        .collect()
+    )
+    assert [tuple(r) for r in slow] == [tuple(r) for r in fast]
+    bs = {r.vec_id: r.bucket for r in jl_sign_buckets(df, n_bits=8).collect()}
+    bf = {
+        r.vec_id: r.bucket
+        for r in jl_sign_buckets(df, n_bits=8, dim=12).collect()
+    }
+    assert bs == bf
