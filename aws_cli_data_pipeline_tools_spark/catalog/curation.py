@@ -527,3 +527,50 @@ def contamination_report_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 10 != 0)
     ev = docs.filter(F.col("doc_id") % 10 == 0)
     return curation.contamination_report(train, ev, n=5)
+
+
+@register(
+    "inference_batch_plan",
+    oracle=r"""
+WITH t AS (
+  SELECT source AS shard, doc_id AS id,
+         CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+  FROM documents
+), arrival AS (
+  SELECT shard, n_tokens,
+         CAST((row_number() OVER (PARTITION BY shard ORDER BY id) - 1) // 8
+              AS INT) AS batch_id
+  FROM t
+), srt AS (
+  SELECT shard, n_tokens,
+         CAST((row_number() OVER (
+                 PARTITION BY shard ORDER BY n_tokens DESC, id) - 1) // 8
+              AS INT) AS batch_id
+  FROM t
+), u AS (
+  SELECT shard, 'arrival' AS strategy, batch_id, n_tokens FROM arrival
+  UNION ALL
+  SELECT shard, 'sorted' AS strategy, batch_id, n_tokens FROM srt
+)
+SELECT shard, strategy, batch_id,
+       count(*) AS n_docs,
+       max(n_tokens) AS max_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) * count(*) AS BIGINT) AS padded_tokens,
+       CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT)
+         AS waste_tokens
+FROM u GROUP BY shard, strategy, batch_id
+ORDER BY shard, strategy, batch_id
+""",
+    tags=("llmops", "curation", "serving"),
+    notes="Inference/training batch padding-waste plan "
+    "(operators/curation.inference_batch_plan): arrival-order vs "
+    "length-sorted batching (batch pads to its max), one row per (shard, "
+    "strategy, batch of 8). Shard-partitioned windows — no global-order "
+    "sort; batches never span shards, matching per-worker serving "
+    "queues. The sorted strategy's waste column quantifies the win of "
+    "length bucketing before GPU serving.",
+)
+def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return curation.inference_batch_plan(docs, batch_size=8)

@@ -508,3 +508,63 @@ def contamination_report(
         )
         .orderBy(id_col)
     )
+
+
+def inference_batch_plan(
+    df: DataFrame,
+    batch_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "source",
+) -> DataFrame:
+    """Padding-waste accounting for fixed-size inference/training batches,
+    comparing ARRIVAL order against LENGTH-SORTED bucketing (the standard
+    serving optimization: batching similar-length sequences slashes pad
+    tokens, since a batch pads every member to its max).
+
+    One row per (shard, strategy, batch): doc count, max/sum tokens,
+    padded token total (max × count) and waste (padded − sum). Windows
+    are PARTITIONED BY the shard column — per-shard ranking keeps the
+    plan parallel at any corpus size (no global-order window); batches
+    never span shards, matching how per-worker serving queues behave.
+    """
+    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    base = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col).alias("id"),
+        toks.alias("n_tokens"),
+    )
+    out = None
+    for strategy, order in (
+        ("arrival", [F.col("id")]),
+        ("sorted", [F.col("n_tokens").desc(), F.col("id")]),
+    ):
+        w = Window.partitionBy("shard").orderBy(*order)
+        batched = base.withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / batch_size).cast("int"),
+        )
+        agg = (
+            batched.groupBy("shard", "batch_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.max("n_tokens").alias("max_tokens"),
+                F.sum("n_tokens").alias("sum_tokens"),
+            )
+            .select(
+                "shard",
+                F.lit(strategy).alias("strategy"),
+                "batch_id",
+                "n_docs",
+                "max_tokens",
+                F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+                (F.col("max_tokens") * F.col("n_docs"))
+                .cast("bigint")
+                .alias("padded_tokens"),
+                (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens"))
+                .cast("bigint")
+                .alias("waste_tokens"),
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out.orderBy("shard", "strategy", "batch_id")
