@@ -3366,3 +3366,35 @@ ORDER BY d.doc_id
     "Backoff is implicit: the unigram term keeps every in-vocab bigram "
     "finite.",
 )
+
+
+_MOJI = textstats.MOJIBAKE_PATTERNS
+
+@register(
+    "text_mojibake_scan",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_MOJI["replacement"]}')) AS INT)
+         AS n_replacement,
+       CAST(len(regexp_extract_all(text, '{_MOJI["control"]}')) AS INT)
+         AS n_control,
+       CAST(len(regexp_extract_all(text, '{_MOJI["mojibake"]}')) AS INT)
+         AS n_mojibake,
+       (len(regexp_extract_all(text, '{_MOJI["replacement"]}'))
+        + len(regexp_extract_all(text, '{_MOJI["control"]}'))
+        + len(regexp_extract_all(text, '{_MOJI["mojibake"]}'))) > 0
+         AS is_damaged
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Encoding-damage scan (operators/textstats.mojibake_scan): "
+    "U+FFFD replacement chars, stray C0 controls, and cp1252 mojibake "
+    "digraphs (Ã¼-class, â€œ-class smart quotes, Â+NBSP) — the "
+    "bad-charset-round-trip detector for scraped corpora. Codegen "
+    "regexp_extract_all riding the scan, zero shuffle; the oracle embeds "
+    "the SAME Java∩RE2 patterns (cross-engine equality proven on crafted "
+    "damage strings in pytest).",
+)
+def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.mojibake_scan(docs).orderBy("doc_id")

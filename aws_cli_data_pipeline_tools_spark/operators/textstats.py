@@ -606,3 +606,38 @@ def bpe_pair_counts(
         .orderBy(F.col("n_occurrences").desc(), "pair")
         .limit(top_n)
     )
+
+
+#: Encoding-damage patterns (Java∩RE2 subset, like SECRET_PATTERNS): the
+#: replacement char a lossy decode leaves behind, C0 controls that never
+#: belong in text, and the classic UTF-8-bytes-read-as-cp1252 mojibake
+#: digraphs (Ã©-style letters, â€œ-style smart quotes, Â+NBSP). High bytes
+#: are written as \x{..} code-point escapes — both engines accept them and
+#: the source stays control-char-free.
+MOJIBAKE_PATTERNS: "dict[str, str]" = {
+    "replacement": "�",
+    "control": r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]",
+    "mojibake": r"Ã[\x{80}-\x{FF}]|â€|Â\x{A0}",
+}
+
+
+def mojibake_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document encoding-damage counts — the curation signal for text
+    that survived a bad charset round-trip (scraped corpora are full of
+    it): U+FFFD replacement chars, stray C0 controls, and cp1252
+    mojibake digraphs. Pure codegen regex riding the scan, zero shuffle;
+    ``is_damaged`` routes to re-decode/drop.
+    """
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        )
+        for name, pat in MOJIBAKE_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    total = None
+    for n in counts:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.withColumn("is_damaged", total > 0)

@@ -903,3 +903,46 @@ def test_byte_entropy_known_values(spark):
     # h:1/5, c3:2/5, a9:2/5
     expect = -(0.2 * math.log2(0.2) + 2 * 0.4 * math.log2(0.4))
     assert abs(out[5].entropy_bits - round(expect, 6)) < 1e-9
+
+
+def test_mojibake_scan_cross_engine(spark):
+    """Spark and DuckDB must count the same damage on crafted strings —
+    the fixture corpus is clean, so this planted set is the real signal."""
+    import duckdb
+    import pandas as pd
+
+    from aws_cli_data_pipeline_tools_spark.operators.textstats import (
+        MOJIBAKE_PATTERNS,
+        mojibake_scan,
+    )
+
+    rows = [
+        (1, "a" + chr(129) + "Ã" + chr(169) + "Â" + chr(160) + chr(9)),
+        (2, "clean text with Ünïcödé and tabs" + chr(9) + "ok"),
+        (3, "�x" + chr(1) + chr(31) + chr(11)),
+        (4, "â€œsmartâ€ quotes and Ã¼ber"),
+        (5, None),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.n_replacement, r.n_control, r.n_mojibake, r.is_damaged)
+        for r in mojibake_scan(sdf).collect()
+    }
+    assert got[1] == (0, 0, 2, True)   # Ã© digraph + Â-NBSP; tab not control
+    assert got[2] == (0, 0, 0, False)  # real Unicode text is NOT damage
+    assert got[3] == (1, 3, 0, True)
+    assert got[4] == (0, 0, 3, True)
+    assert got[5] == (None, None, None, None)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows[:4], columns=["doc_id", "text"]))
+    p = MOJIBAKE_PATTERNS
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""SELECT doc_id,
+              len(regexp_extract_all(text, '{p["replacement"]}')),
+              len(regexp_extract_all(text, '{p["control"]}')),
+              len(regexp_extract_all(text, '{p["mojibake"]}')) FROM t"""
+        ).fetchall()
+    }
+    assert {k: v[:3] for k, v in got.items() if k <= 4} == duck
