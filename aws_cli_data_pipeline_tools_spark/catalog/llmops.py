@@ -3398,3 +3398,38 @@ FROM documents ORDER BY doc_id
 def text_mojibake_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.mojibake_scan(docs).orderBy("doc_id")
+
+
+@register(
+    "l_diversity_customer",
+    oracle="""
+WITH sizes AS (
+  SELECT c_nationkey, count(*) AS sz,
+         count(DISTINCT c_mktsegment) AS nsens
+  FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+       count(*) AS n_groups,
+       min(nsens) AS min_diversity,
+       CAST(sum(CASE WHEN nsens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_diversity_groups,
+       CAST(sum(CASE WHEN nsens < 3 THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       round(sum(CASE WHEN nsens < 3 THEN sz ELSE 0 END)
+             / CAST(sum(sz) AS DOUBLE), 6) AS frac_at_risk
+FROM sizes
+""",
+    tags=("llmops", "anonymize"),
+    notes="l-diversity audit (l=3, quasi = nation, sensitive = market "
+    "segment) (operators/anonymize.l_diversity_report) — k-anonymity's "
+    "complement: flags equivalence classes whose sensitive attribute is "
+    "inferable because fewer than l distinct values appear. One quasi-"
+    "keyed hash agg (count + exact distinct) + a single-row rollup; "
+    "integer sums BIGINT-cast in the oracle per the k_anonymity HUGEINT "
+    "lesson.",
+)
+def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymize import l_diversity_report
+
+    cust = load_table(spark, "customer", sf_dir)
+    return l_diversity_report(cust, ["c_nationkey"], "c_mktsegment", l=3)

@@ -70,3 +70,42 @@ def k_anonymity_report(
             F.col("rows_at_risk") / F.col("n_rows").cast("double"), 6
         ),
     )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement: a class can be large
+    (k-safe) yet still leak if every member shares one sensitive value.
+    Per quasi-identifier equivalence class this counts DISTINCT sensitive
+    values; the 1-row report says how many classes (and rows) fall below
+    ``l`` distinct values — those rows' sensitive attribute is inferable
+    from their quasi-identifiers alone.
+
+    One hash-aggregate shuffle on the quasi keys (count + exact distinct
+    per class — Expand-based, map-side partials) + a single-row rollup,
+    the same plan family as k_anonymity_report.
+    """
+    sizes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.countDistinct(sensitive_col).alias("nsens"),
+    )
+    return sizes.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("nsens").alias("min_diversity"),
+        F.sum((F.col("nsens") < l).cast("int"))
+        .cast("bigint")
+        .alias("n_low_diversity_groups"),
+        F.sum(F.when(F.col("nsens") < l, F.col("sz")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.when(F.col("nsens") < l, F.col("sz")).otherwise(0))
+            / F.sum("sz").cast("double"),
+            6,
+        ).alias("frac_at_risk"),
+    )
