@@ -3433,3 +3433,60 @@ def l_diversity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, "customer", sf_dir)
     return l_diversity_report(cust, ["c_nationkey"], "c_mktsegment", l=3)
+
+
+@register(
+    "mmr_diversified_topk",
+    oracle=f"""
+WITH RECURSIVE q AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), rel AS (
+  SELECT c.vec_id AS id, {_duck_cosine('q.qv', 'c.embedding')} AS rel
+  FROM q, embeddings c
+  ORDER BY rel DESC, id LIMIT 50
+), simmat AS (
+  SELECT a.id AS ida, b.id AS idb,
+         {_duck_cosine('x.embedding', 'y.embedding')} AS sim
+  FROM rel a JOIN rel b ON a.id <> b.id
+  JOIN embeddings x ON x.vec_id = a.id
+  JOIN embeddings y ON y.vec_id = b.id
+), sel AS (
+  SELECT 1 AS step,
+         (SELECT id FROM rel ORDER BY rel DESC, id LIMIT 1) AS picked,
+         [(SELECT id FROM rel ORDER BY rel DESC, id LIMIT 1)] AS ids
+  UNION ALL
+  SELECT sel.step + 1,
+         (SELECT d.id FROM rel d
+          WHERE NOT list_contains(sel.ids, d.id)
+          ORDER BY 0.7 * d.rel - 0.3 * (
+              SELECT max(s.sim) FROM simmat s
+              WHERE s.ida = d.id AND list_contains(sel.ids, s.idb)
+          ) DESC, d.id LIMIT 1),
+         list_append(sel.ids, (SELECT d.id FROM rel d
+          WHERE NOT list_contains(sel.ids, d.id)
+          ORDER BY 0.7 * d.rel - 0.3 * (
+              SELECT max(s.sim) FROM simmat s
+              WHERE s.ida = d.id AND list_contains(sel.ids, s.idb)
+          ) DESC, d.id LIMIT 1))
+  FROM sel WHERE sel.step < 10
+)
+SELECT CAST(sel.step AS INT) AS step, sel.picked AS doc_id,
+       rel.rel AS rel_cosine
+FROM sel JOIN rel ON rel.id = sel.picked ORDER BY step
+""",
+    tags=("llmops", "retrieval", "similarity"),
+    notes="MMR diversified top-10 (operators/similarity.mmr_rerank, "
+    "λ=0.7 over the cosine top-50 pool of query vec 0): greedy "
+    "λ·rel − (1−λ)·max-sim-to-selected — the RAG context diversifier. "
+    "Candidate generation and BOTH similarity surfaces run distributed "
+    "with JVM-rounded cosines; only the pool-sized rel list + pool² sim "
+    "matrix are collected (model-sized, IVF-centroid precedent), so the "
+    "greedy compares exactly the doubles the recursive-CTE DuckDB "
+    "oracle does — every pick replays including ties.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    return similarity.mmr_rerank(emb, q, k=10, pool=50, lambda_=0.7)

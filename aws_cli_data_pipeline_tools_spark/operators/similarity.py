@@ -880,3 +880,75 @@ def jl_sign_buckets(
         term = F.when(micro(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return df.withColumn("bucket", bucket.cast("bigint"))
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    lambda_: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified reranking (Carbonell &
+    Goldstein 1998): greedily pick ``k`` of the top-``pool`` candidates,
+    each step maximizing ``λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`` — the
+    standard RAG/context-window diversifier that stops near-duplicate
+    passages from crowding out coverage.
+
+    Scale split: candidate generation (cosine_topk over the corpus) and
+    BOTH similarity surfaces — relevance and the candidate×candidate
+    matrix — run distributed with JVM-rounded cosines; only the
+    pool-sized (id, rel) list and pool² sim matrix are collected (MODEL-
+    sized, like IVF centroids — never the corpus). The greedy loop then
+    compares exactly the rounded doubles a SQL engine would, so a
+    recursive-CTE DuckDB oracle replays every pick including ties.
+    Single-query form: ``queries`` must be one row (query_id, vec).
+    """
+    rel = cosine_topk(
+        corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
+    ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    cand = rel.join(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ),
+        "id",
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    simmat = (
+        a.join(b, F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.round(
+                cosine_similarity(F.col("a.v"), F.col("b.v")), 6
+            ).alias("sim"),
+        )
+    )
+    rel_rows = {r.id: r.rel for r in rel.collect()}  # pool-sized
+    sim_rows = {}  # pool²-sized
+    for r in simmat.collect():
+        sim_rows[(r.ida, r.idb)] = r.sim
+    selected: list[tuple[int, int, float]] = []
+    chosen: list[int] = []
+    for step in range(1, k + 1):
+        best = None
+        for d, r in rel_rows.items():
+            if d in chosen:
+                continue
+            if chosen:
+                score = lambda_ * r - (1.0 - lambda_) * max(
+                    sim_rows[(d, s)] for s in chosen
+                )
+            else:
+                score = r  # first pick: pure relevance (standard MMR)
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d, r)
+        selected.append((step, best[1], best[2]))
+        chosen.append(best[1])
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        selected, "step int, doc_id bigint, rel_cosine double"
+    )
