@@ -1,0 +1,82 @@
+"""Bucket-occupancy scale-stress for semdedup_jl (BASELINE.md).
+
+The SemDeDup bucket self-join's quadratic risk is FIXED bucket width: at a
+constant ``n_bits``, expected bucket occupancy grows linearly with corpus
+size, so candidate pairs grow ~quadratically. The documented scale rule is
+"raise n_bits with the corpus"; this script measures both policies on a
+10× replicated corpus (shifted ids, vectors reused → dup structure
+preserved):
+
+- fixed 8-bit buckets at 1× and 10× → expect pair count ~×100, time
+  super-linear;
+- scaled buckets (8-bit at 1×, 11-bit ≈ +log2(10) at 10×) → expect pair
+  count ~×10, time near-linear.
+
+Usage: python tools/stress_semdedup.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed(label: str, action):
+    t0 = time.perf_counter()
+    n = action()
+    secs = time.perf_counter() - t0
+    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
+    return secs
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-semdedup")
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    n1 = emb.count()
+    shift = 1_000_000
+    rep = emb
+    for i in range(1, 10):
+        rep = rep.unionAll(
+            emb.select(
+                (F.col("vec_id") + i * shift).alias("vec_id"), "embedding"
+            )
+        )
+    rep = rep.repartition(32)
+    print(f"1x corpus: {n1} vectors; 10x: {n1 * 10}")
+
+    t_1x = timed(
+        "1x, 8-bit buckets",
+        lambda: dedup.semdedup_jl(emb, threshold=0.2, n_bits=8, dim=64).count(),
+    )
+    t_10x_fixed = timed(
+        "10x, 8-bit buckets (FIXED width — the anti-pattern)",
+        lambda: dedup.semdedup_jl(rep, threshold=0.2, n_bits=8, dim=64).count(),
+    )
+    t_10x_scaled = timed(
+        "10x, 11-bit buckets (width scaled with corpus)",
+        lambda: dedup.semdedup_jl(
+            rep, threshold=0.2, n_bits=11, dim=64
+        ).count(),
+    )
+    exp_fixed = math.log(t_10x_fixed / t_1x) / math.log(10)
+    exp_scaled = math.log(t_10x_scaled / t_1x) / math.log(10)
+    print(f"scaling exponent, fixed width : {exp_fixed:.2f}")
+    print(f"scaling exponent, scaled width: {exp_scaled:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
