@@ -3490,3 +3490,36 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).alias("query_id"), "embedding"
     )
     return similarity.mmr_rerank(emb, q, k=10, pool=50, lambda_=0.7)
+
+
+@register(
+    "dp_noisy_nation_counts",
+    oracle="""
+WITH agg AS (
+  SELECT c_nationkey, count(*) AS tc FROM customer GROUP BY c_nationkey
+), n AS (
+  SELECT c_nationkey, tc,
+         CAST(('0x' || substr(md5('dp-v1' || '|' ||
+                CAST(c_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+           / CAST(power(16, 15) AS DOUBLE) - 0.5 AS u
+  FROM agg
+)
+SELECT c_nationkey,
+       round(tc + (CASE WHEN u >= 0 THEN 1.0 ELSE -1.0 END)
+                  * (-1.0 * ln(1.0 - 2.0 * abs(u))), 4) AS noisy_count
+FROM n ORDER BY c_nationkey
+""",
+    tags=("llmops", "anonymize"),
+    notes="ε=1 Laplace-noised per-nation customer counts "
+    "(operators/anonymize.noisy_counts) — the DP histogram release "
+    "mechanism, derandomized via md5-inverse-CDF noise so the draw "
+    "replays cross-engine (seed secret ⇒ standard reproducible-DP "
+    "variant; seed public here ⇒ mechanism demo, documented). Noise is "
+    "one codegen expression on the aggregate output — no extra shuffle; "
+    "true counts never leave the plan.",
+)
+def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.anonymize import noisy_counts
+
+    cust = load_table(spark, "customer", sf_dir)
+    return noisy_counts(cust, ["c_nationkey"], epsilon=1.0)

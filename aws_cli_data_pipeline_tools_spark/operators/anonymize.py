@@ -109,3 +109,42 @@ def l_diversity_report(
             6,
         ).alias("frac_at_risk"),
     )
+
+
+def noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    seed: str = "dp-v1",
+) -> DataFrame:
+    """Laplace-noised group counts — the differential-privacy release
+    mechanism for histograms (sensitivity-1 count queries, noise scale
+    b = 1/ε), DERANDOMIZED: the noise draw is the inverse-CDF transform
+    of a uniform derived from the md5 of ``seed|group`` instead of an
+    RNG. With the seed kept secret this is the standard seeded-noise
+    variant used for reproducible DP pipelines; with the seed public
+    (as in this repo's oracle-checked demo) it demonstrates the exact
+    mechanism shape — scale, symmetry, post-processing — without the
+    formal privacy guarantee. Noise is computed per GROUP (one codegen
+    expression on the aggregate output, no extra shuffle); true counts
+    are dropped from the release projection.
+
+    u ~ Uniform(-0.5, 0.5) from the top 15 md5 hex digits; noise =
+    −b·sign(u)·ln(1 − 2|u|); released = round(count + noise, 4).
+    """
+    b = 1.0 / epsilon
+    agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__true"))
+    key = F.concat_ws(
+        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double")
+        / F.lit(float(16**15))
+        - F.lit(0.5)
+    )
+    mag = -F.lit(b) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+    noise = F.when(u >= 0, mag).otherwise(-mag)
+    return agg.select(
+        *group_cols,
+        F.round(F.col("__true") + noise, 4).alias("noisy_count"),
+    ).orderBy(*group_cols)
