@@ -3523,3 +3523,34 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, "customer", sf_dir)
     return noisy_counts(cust, ["c_nationkey"], epsilon=1.0)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=r"""
+WITH w AS (
+  SELECT source, regexp_split_to_array(text, '\s+') AS w FROM documents
+), hs AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(w, CAST(t.i AS INT), CAST(t.i AS INT) + 4),
+                         ' ') AS g
+  FROM w, unnest(generate_series(1, len(w) - 4)) AS t(i)
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       count(*) AS n_shared_grams
+FROM hs a JOIN hs b ON a.g = b.g AND a.source < b.source
+GROUP BY a.source, b.source
+ORDER BY source_a, source_b
+""",
+    tags=("llmops", "dedup"),
+    notes="Cross-source content-overlap matrix "
+    "(operators/dedup.source_overlap_matrix): DISTINCT shared 5-grams "
+    "per source pair — which feeds mirror/syndicate each other, without "
+    "a full pairwise dedup. DISTINCT (gram, source) reduction BEFORE the "
+    "gram-keyed self-join bounds fan-out at sources-per-gram; output "
+    "<= sources^2, model-sized. Spark joins 8-byte xxhash64 gram keys; "
+    "the oracle joins the gram strings - same set semantics.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.source_overlap_matrix(docs)

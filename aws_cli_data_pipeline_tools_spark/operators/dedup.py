@@ -1103,3 +1103,45 @@ def semdedup_jl(
         )
         .orderBy(id_col)
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source content-overlap matrix: for every source pair (a < b),
+    the number of DISTINCT word n-grams both feeds contain — the
+    dataset-card drill-down that says WHICH feeds share content (mirrors,
+    syndication, common boilerplate), and roughly how much, without
+    waiting for a full pairwise dedup.
+
+    Shape: shingle narrowly per doc (word_shingles — no shuffle), reduce
+    to DISTINCT (gram-hash, source) BEFORE the join — collapsing
+    within-source repeats bounds the self-join fan-out at
+    sources-per-gram (≤ #sources), never docs-per-gram — then one
+    hash-keyed self-join and a source-pair aggregate. Output ≤ sources²
+    rows, model-sized; gram hashes are 8-byte xxhash64 like the
+    ngram-Jaccard index.
+    """
+    hs = df.select(
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+            )
+        ).alias("g"),
+    ).distinct()
+    a, b = hs.alias("a"), hs.alias("b")
+    return (
+        a.join(b, "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+        .orderBy("source_a", "source_b")
+    )
