@@ -3554,3 +3554,94 @@ ORDER BY source_a, source_b
 def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return dedup.source_overlap_matrix(docs)
+
+@register(
+    "hits_supplier_customer",
+    oracle="""
+WITH edges AS (
+  SELECT DISTINCT l.l_suppkey + 1000000 AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS h FROM nodes),
+a1r AS (
+  SELECT e.dst AS node, CAST(sum(h0.h) AS BIGINT) AS r
+  FROM edges e JOIN h0 ON h0.node = e.src GROUP BY e.dst
+),
+a1n AS (
+  SELECT n.node, CAST(coalesce(a1r.r, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN a1r ON n.node = a1r.node
+),
+a1m AS (SELECT max(r) AS m FROM a1n),
+a1 AS (
+  SELECT node, CAST(r * 1000000 // nullif(m, 0) AS BIGINT) AS a
+  FROM a1n, a1m
+),
+h1r AS (
+  SELECT e.src AS node, CAST(sum(a1.a) AS BIGINT) AS r
+  FROM edges e JOIN a1 ON a1.node = e.dst GROUP BY e.src
+),
+h1n AS (
+  SELECT n.node, CAST(coalesce(h1r.r, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN h1r ON n.node = h1r.node
+),
+h1m AS (SELECT max(r) AS m FROM h1n),
+h1 AS (
+  SELECT node, CAST(r * 1000000 // nullif(m, 0) AS BIGINT) AS h
+  FROM h1n, h1m
+),
+a2r AS (
+  SELECT e.dst AS node, CAST(sum(h1.h) AS BIGINT) AS r
+  FROM edges e JOIN h1 ON h1.node = e.src GROUP BY e.dst
+),
+a2n AS (
+  SELECT n.node, CAST(coalesce(a2r.r, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN a2r ON n.node = a2r.node
+),
+a2m AS (SELECT max(r) AS m FROM a2n),
+a2 AS (
+  SELECT node, CAST(r * 1000000 // nullif(m, 0) AS BIGINT) AS a
+  FROM a2n, a2m
+),
+h2r AS (
+  SELECT e.src AS node, CAST(sum(a2.a) AS BIGINT) AS r
+  FROM edges e JOIN a2 ON a2.node = e.dst GROUP BY e.src
+),
+h2n AS (
+  SELECT n.node, CAST(coalesce(h2r.r, 0) AS BIGINT) AS r
+  FROM nodes n LEFT JOIN h2r ON n.node = h2r.node
+),
+h2m AS (SELECT max(r) AS m FROM h2n),
+h2 AS (
+  SELECT node, CAST(r * 1000000 // nullif(m, 0) AS BIGINT) AS h
+  FROM h2n, h2m
+)
+SELECT h2.node AS node, h2.h AS hub, a2.a AS auth
+FROM h2 JOIN a2 ON h2.node = a2.node
+ORDER BY h2.node
+""",
+    tags=("llmops", "graph"),
+    notes="Integer fixed-point HITS hubs/authorities, 2 iterations over "
+    "the supplier→customer trade graph (operators/graph."
+    "hits_fixed_point) — link-analysis source weighting complementing "
+    "PageRank. Max-normalization to micro-units with integer DIV keeps "
+    "every iteration exactly replayable (max is order-independent; L2 "
+    "would reintroduce float order); the oracle unrolls both iterations "
+    "digit-for-digit.",
+)
+def hits_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_fixed_point
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("l_suppkey") + 1_000_000).alias("src"),
+            F.col("o_custkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return hits_fixed_point(edges, iters=2)

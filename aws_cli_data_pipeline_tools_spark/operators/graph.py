@@ -80,3 +80,69 @@ def pagerank_fixed_point(
             ).cast("bigint").alias("pr"),
         )
     return pr
+
+
+def hits_fixed_point(
+    edges: DataFrame,
+    iters: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg hubs & authorities) over a
+    directed edge list — the bipartite-flavored complement to PageRank
+    for source weighting (a hub links to many good authorities; an
+    authority is linked by many good hubs).
+
+    Each iteration: ``auth = Σ hub(in-neighbors)`` then
+    ``hub = Σ auth(out-neighbors)``, each max-normalized to
+    :data:`PPM` micro-units with integer ``DIV`` — max is
+    order-independent and the sums are exact BIGINT, so a DuckDB oracle
+    unrolls every iteration digit-for-digit (the pagerank discipline;
+    L2 normalization would reintroduce float order sensitivity).
+
+    Scale shape per iteration: two node-keyed joins + two hash
+    aggregations + two 1-row max broadcasts — Pregel-style, no driver
+    state; ranks are the broadcastable small side at corpus scale.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def normalize(raw: DataFrame, col: str) -> DataFrame:
+        filled = nodes.join(raw, "node", "left").select(
+            "node",
+            F.coalesce(F.col("r"), F.lit(0).cast("bigint")).alias("r"),
+        )
+        m = filled.agg(F.max("r").alias("m"))
+        return filled.crossJoin(F.broadcast(m)).select(
+            "node",
+            F.expr(f"r * {PPM} DIV nullif(m, 0)")
+            .cast("bigint")
+            .alias(col),
+        )
+
+    hub = nodes.withColumn("hub", F.lit(PPM).cast("bigint"))
+    auth = None
+    for _ in range(iters):
+        a_raw = (
+            e.join(hub.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("r"))
+        )
+        auth = normalize(a_raw, "auth")
+        h_raw = (
+            e.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("r"))
+        )
+        hub = normalize(h_raw, "hub")
+    return (
+        nodes.join(hub, "node").join(auth, "node")
+        .select("node", "hub", "auth")
+        .orderBy("node")
+    )
