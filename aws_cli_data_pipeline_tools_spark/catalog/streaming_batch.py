@@ -896,3 +896,70 @@ FROM events GROUP BY 1 ORDER BY day
     "zero estimation error, memory ∝ distinct ids / 8 bits. The oracle "
     "is the plain COUNT(DISTINCT) the cascade must reproduce exactly.",
 )
+
+
+register_sql(
+    "session_transcripts",
+    spark_sql="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), agg AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         count(*) AS n_turns, min(ts) AS session_start,
+         array_sort(collect_list(struct(ts, event_id, event_type))) AS evs
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, n_turns,
+       array_join(transform(evs,
+         x -> concat(x.event_type, '@',
+                     CAST((unix_micros(x.ts) - unix_micros(session_start))
+                          DIV 1000000 AS STRING))), ' ') AS transcript
+FROM agg ORDER BY user_id, session_id
+""",
+    duck_sql="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), pre AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, ts, event_id,
+         event_type,
+         min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+  FROM numbered
+)
+SELECT user_id, session_id, count(*) AS n_turns,
+       string_agg(event_type || '@' ||
+                  CAST((epoch_us(ts) - epoch_us(session_start)) // 1000000
+                       AS VARCHAR),
+                  ' ' ORDER BY ts, event_id) AS transcript
+FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+    tags=("llmops", "streaming-batch", "curation"),
+    notes="Session-transcript assembly: the event stream becomes ordered "
+    "per-session training text ('type@offset-seconds' turns) — how a "
+    "behavioral corpus is linearized for sequence-model training. Same "
+    "lag/cumsum 30-min sessionization as events_sessionized; the "
+    "transcript is built ENTIRELY inside the session aggregate "
+    "(array_sort(collect_list(struct)) → transform → array_join, "
+    "deterministic by (ts, event_id)) ≙ DuckDB's ordered string_agg — "
+    "no second pass over the events.",
+)
