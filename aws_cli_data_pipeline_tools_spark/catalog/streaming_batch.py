@@ -963,3 +963,98 @@ FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
     "deterministic by (ts, event_id)) ≙ DuckDB's ordered string_agg — "
     "no second pass over the events.",
 )
+
+
+@register(
+    "streaming_drift_live",
+    oracle="""
+WITH obs AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+         event_type, count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+ref AS (SELECT event_type, count(*) AS nt FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM events),
+wtot AS (
+  SELECT win_start, CAST(sum(o) AS BIGINT) AS nw FROM obs GROUP BY 1
+),
+terms AS (
+  SELECT obs.win_start,
+         (obs.o - ref.nt * wtot.nw / CAST(tot.n AS DOUBLE))
+           * (obs.o - ref.nt * wtot.nw / CAST(tot.n AS DOUBLE))
+           / (ref.nt * wtot.nw / CAST(tot.n AS DOUBLE)) AS term,
+         ref.nt * wtot.nw / CAST(tot.n AS DOUBLE) AS e
+  FROM obs
+  JOIN ref USING (event_type)
+  JOIN wtot USING (win_start), tot
+)
+SELECT t.win_start, w.nw AS n_events,
+       round(CAST(sum(CAST(t.term AS DECIMAL(38,10))) AS DOUBLE)
+             + (w.nw - CAST(sum(CAST(t.e AS DECIMAL(38,10))) AS DOUBLE)),
+             4) AS chi2
+FROM terms t JOIN wtot w USING (win_start)
+GROUP BY t.win_start, w.nw ORDER BY t.win_start
+""",
+    tags=("streaming", "live", "stats"),
+    notes="REAL streaming drift monitor: readStream(events) → watermarked "
+    "hourly tumbling counts per event_type (availableNow drain), then "
+    "each window's type distribution is chi-square-scored against the "
+    "static reference distribution (stream-side = windowed counts only; "
+    "scoring joins the drained sink to the broadcast reference — the "
+    "alerting pattern for upstream-feed composition changes). Missing-"
+    "type terms folded closed-form as in source_drift_chi2; decimal-sum "
+    "discipline; oracle = the batch twin over the same events.",
+)
+def streaming_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("o"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "o"
+        )
+    )
+    name = f"q_stream_drift_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
+    obs = spark.table(name)
+    ev = load_table(spark, "events", sf_dir)
+    ref = ev.groupBy("event_type").agg(F.count("*").alias("nt"))
+    tot = ev.agg(F.count("*").alias("n"))
+    # rename the window key on the totals side: both frames descend from
+    # the same memory-sink attributes and a same-name equi-join on them
+    # trips Catalyst's conflicting-attribute check.
+    wtot = obs.groupBy(F.col("win_start").alias("__ws")).agg(
+        F.sum("o").cast("bigint").alias("nw")
+    )
+    exp = F.col("nt") * F.col("nw") / F.col("n").cast("double")
+    terms = (
+        obs.join(F.broadcast(ref), "event_type")
+        .join(wtot, F.col("win_start") == F.col("__ws"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "win_start",
+            "nw",
+            ((F.col("o") - exp) * (F.col("o") - exp) / exp).alias("term"),
+            exp.alias("e"),
+        )
+    )
+    return (
+        terms.groupBy("win_start", "nw")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(38,10)")).cast("double")
+                + (
+                    F.col("nw")
+                    - F.sum(F.col("e").cast("decimal(38,10)")).cast("double")
+                ),
+                4,
+            ).alias("chi2")
+        )
+        .select(
+            "win_start", F.col("nw").alias("n_events"), "chi2"
+        )
+        .orderBy("win_start")
+    )
