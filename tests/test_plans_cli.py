@@ -138,3 +138,48 @@ def test_round4_query_plan_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in p1
     p2 = plans.executed_plan(specs["export_shard_plan"].fn(spark, sf_dir))
     assert "SinglePartition" not in p2
+
+
+def test_round4b_ops_plan_shapes(spark, sf_dir):
+    """100 TB posture of the second round-4 operator batch, asserted on
+    physical plans."""
+    specs = all_specs()
+
+    # hard negatives: query side broadcasts; the corpus is never the
+    # build side of a shuffle join
+    f = plans.facts(specs["hard_negatives_by_lang"].fn(spark, sf_dir))
+    assert f.n_broadcast_joins >= 1
+
+    # contamination report: BOTH probe directions broadcast (eval grams →
+    # train postings, hit set → eval) — corpus side must not sort-merge
+    f2 = plans.facts(specs["contamination_report_eval"].fn(spark, sf_dir))
+    assert f2.n_broadcast_joins >= 2
+    assert f2.n_sortmerge_joins == 0
+
+    # batch plan: shard-partitioned windows — no global-order sort
+    from aws_cli_data_pipeline_tools_spark.operators.curation import (
+        inference_batch_plan,
+    )
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    p = plans.executed_plan(inference_batch_plan(docs))
+    assert "SinglePartition" not in p.split("TakeOrderedAndProject")[-1] or (
+        "SinglePartition" not in p
+    )
+
+    # byte entropy / scans: the OPERATORS are shuffle-free (the catalog
+    # wrappers add an orderBy purely for the oracle's stable compare)
+    from aws_cli_data_pipeline_tools_spark.operators.textstats import (
+        byte_entropy,
+        mojibake_scan,
+        secret_scan,
+    )
+
+    assert plans.facts(byte_entropy(docs)).n_shuffles == 0
+    assert plans.facts(secret_scan(docs)).n_shuffles == 0
+    assert plans.facts(mojibake_scan(docs)).n_shuffles == 0
+
+    # bpe pairs: top-n is TakeOrderedAndProject, never a global sort
+    p6 = plans.executed_plan(specs["bpe_first_merge_pairs"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p6
