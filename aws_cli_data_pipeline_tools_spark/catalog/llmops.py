@@ -3645,3 +3645,51 @@ def hits_supplier_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return hits_fixed_point(edges, iters=2)
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle="""
+WITH sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN embedding[i.i + 1] >= 0 AND i.i < 32
+                  THEN (CAST(1 AS BIGINT) << i.i) ELSE 0 END) AS BIGINT)
+           AS w0,
+         CAST(sum(CASE WHEN embedding[i.i + 1] >= 0 AND i.i >= 32
+                  THEN (CAST(1 AS BIGINT) << (i.i - 32)) ELSE 0 END)
+              AS BIGINT) AS w1
+  FROM embeddings, unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM sig WHERE vec_id < 5
+), d AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1))
+              AS INT) AS hamming_dist
+  FROM q CROSS JOIN sig c
+), r AS (
+  SELECT query_id, neighbor_id, hamming_dist,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY hamming_dist, neighbor_id) AS INT) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, hamming_dist, rank FROM r
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    tags=("llmops", "similarity"),
+    notes="1-bit binary-quantized ANN (operators/similarity."
+    "binary_hamming_topk): sign-bit signatures packed into 32-bit words "
+    "(8 bytes per 64-dim vector — ~32× less scan than float cosine), "
+    "Hamming distance via bit_count(xor), exact top-10 per query with "
+    "id tie-breaks — the faiss-binary first-stage filter before exact "
+    "rerank. Signature packing is one narrow zip_with projection; the "
+    "word arithmetic replays exactly in DuckDB (checked-shift-safe "
+    "32-bit words).",
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.binary_hamming_topk(emb, queries, k=10, dim=64)

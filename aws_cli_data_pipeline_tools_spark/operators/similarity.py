@@ -952,3 +952,77 @@ def mmr_rerank(
     return spark.createDataFrame(
         selected, "step int, doc_id bigint, rel_cosine double"
     )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """1-bit binary quantization + Hamming top-k — the faiss-binary ANN
+    pattern: each vector collapses to sign bits (a 64-dim float vector
+    becomes 8 BYTES), distance is ``bit_count(xor)``, and candidate scan
+    cost drops ~32× vs float cosine. The standard first-stage filter
+    before an exact rerank at corpus scale.
+
+    Signatures are packed into 32-bit words summed as exact bigints
+    (engine-portable — a 1<<63 single-word form overflows DuckDB's
+    checked shift), via zip_with against literal weight arrays — one
+    narrow projection, no Python, no shuffle. Query side broadcasts;
+    top-k is the shared two-phase narrow-prune + tiny-window shape.
+    Ties (equal distance) break on neighbor id, so results replay
+    exactly cross-engine.
+    """
+    assert dim % 32 == 0, "dim must pack into 32-bit words"
+    n_words = dim // 32
+
+    def sig_cols(prefix: str):
+        cols = {}
+        for w in range(n_words):
+            weights = F.array(
+                *[F.lit(1 << b).cast("bigint") for b in range(32)]
+            )
+            word = F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), w * 32 + 1, 32),
+                    weights,
+                    lambda v, wt: F.when(
+                        v.cast("double") >= 0, wt
+                    ).otherwise(F.lit(0).cast("bigint")),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            cols[f"{prefix}{w}"] = word
+        return cols
+
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col)
+        ).withColumns(sig_cols("q")).drop(vec_col)
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col)
+    ).withColumns(sig_cols("c")).drop(vec_col)
+    dist = None
+    for w in range(n_words):
+        term = F.bit_count(F.expr(f"q{w} ^ c{w}"))
+        dist = term if dist is None else dist + term
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(dim) - dist).cast("int").alias("sim"),
+    )
+    ranked = _rank_topk(
+        _partition_topk(scored, k, score_col="sim"), k, score_col="sim"
+    )
+    return ranked.select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(dim) - F.col("sim")).cast("int").alias("hamming_dist"),
+        "rank",
+    )
