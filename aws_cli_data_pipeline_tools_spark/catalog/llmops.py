@@ -3789,3 +3789,46 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+WITH jp AS ({_DUCK_JACCARD.replace("ORDER BY id_a, id_b", "")}),
+sp AS (
+  SELECT doc_id, {_split_case()} AS split FROM documents
+)
+SELECT jp.id_a, jp.id_b, sa.split AS split_a, sb.split AS split_b,
+       jp.jaccard
+FROM jp
+JOIN sp sa ON sa.doc_id = jp.id_a
+JOIN sp sb ON sb.doc_id = jp.id_b
+WHERE sa.split <> sb.split
+ORDER BY id_a, id_b
+""",
+    tags=("llmops", "dedup", "sampling"),
+    notes="Split-leakage audit: near-duplicate pairs (exact 3-gram "
+    "Jaccard ≥ 0.5) that STRADDLE train/valid/test boundaries — the "
+    "held-out sets silently contain paraphrases of training docs unless "
+    "this list is empty (dedup-before-split, or re-assign pairs). "
+    "Composition of hash_split (portable md5 CASE) and "
+    "ngram_jaccard_pairs; the split map joins onto the pair list by id "
+    "(pair-sized, not corpus-sized).",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_bucket=1000
+    )
+    sp = hash_split(docs, "doc_id").select("doc_id", "split")
+    sa = sp.withColumnsRenamed({"doc_id": "id_a", "split": "split_a"})
+    sb = sp.withColumnsRenamed({"doc_id": "id_b", "split": "split_b"})
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )
