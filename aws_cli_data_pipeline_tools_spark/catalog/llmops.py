@@ -3832,3 +3832,59 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "split_a", "split_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_tfidf_cosine",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+           AS token
+  FROM documents
+), tf AS (
+  SELECT id, token, count(*) AS tf FROM toks GROUP BY id, token
+), dfreq0 AS (
+  SELECT token, count(*) AS df_ FROM tf GROUP BY token
+), dfreq AS (
+  SELECT token, df_ FROM dfreq0 WHERE df_ <= 1000
+), tf2 AS (
+  SELECT tf.* FROM tf JOIN dfreq USING (token)
+), n AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf2.id, tf2.token,
+         tf2.tf * ln(n.n / CAST(dfreq.df_ AS DOUBLE)) AS w
+  FROM tf2 JOIN dfreq USING (token), n
+), norms AS (
+  SELECT id,
+         sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,10))) AS DOUBLE)) AS norm
+  FROM w GROUP BY id
+), dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(sum(CAST(a.w * b.w AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM w a JOIN w b ON a.token = b.token AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT d.id_a, d.id_b,
+       round(d.dot / nullif(na.norm * nb.norm, 0.0), 6) AS cosine
+FROM dots d
+JOIN norms na ON na.id = d.id_a
+JOIN norms nb ON nb.id = d.id_b
+WHERE round(d.dot / nullif(na.norm * nb.norm, 0.0), 6) >= 0.9
+ORDER BY id_a, id_b
+""",
+    tags=("llmops", "dedup"),
+    notes="TF-IDF-weighted lexical cosine pairs ≥ 0.9 "
+    "(operators/dedup.tfidf_cosine_pairs) — token-order-free soft dedup "
+    "where rare-term overlap outweighs boilerplate (catches templated "
+    "rewrites Jaccard misses). Inverted-index join with a df ≤ 1000 "
+    "stop-token cap (broadcast anti-join; their idf ≈ 0 anyway); dot "
+    "products and norms in DECIMAL(38,10) fixed-point, so the 6-decimal "
+    "cosine is aggregation-order-independent and replays in DuckDB.",
+)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # 0.9: the fixture corpus shares enough vocabulary that lower cuts
+    # admit topically-similar non-dups (94k pairs at 0.5); 0.9 isolates
+    # the rewrite/near-dup tail (~22 pairs at sf0.01).
+    return dedup.tfidf_cosine_pairs(docs, threshold=0.9, max_bucket=1000)

@@ -1145,3 +1145,96 @@ def source_overlap_matrix(
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
         .orderBy("source_a", "source_b")
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """TF-IDF-weighted lexical cosine similarity for document pairs
+    sharing at least one informative token — the soft-dedup complement
+    to n-gram Jaccard: token-order-free, and rare-term matches count
+    for more than boilerplate overlap (idf weighting), so it catches
+    templated rewrites Jaccard misses.
+
+    Plan: one tokenize+explode → (doc, token, tf) aggregate; token df in
+    a second keyed agg; tokens with df > ``max_bucket`` dropped via a
+    tiny broadcast anti-join (stop-token skew cap — their idf ≈ 0
+    anyway); inverted-index self-join on the token; per-pair dot product
+    and per-doc norms summed as DECIMAL(38,10) fixed-point so the float
+    accumulation order can never flip a 6-decimal digit cross-engine.
+    """
+    from .textstats import TOKEN_PATTERN
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    if max_bucket:
+        hot = dfreq.filter(F.col("df_") > max_bucket).select("token")
+        tf = tf.join(F.broadcast(hot), "token", "left_anti")
+        dfreq = dfreq.filter(F.col("df_") <= max_bucket)
+    n_docs = df.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "token",
+            (
+                F.col("tf")
+                * F.log(F.col("n") / F.col("df_").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("id").agg(
+        F.sqrt(
+            F.sum((F.col("w") * F.col("w")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+        ).alias("norm")
+    )
+    a = w.withColumnsRenamed({"id": "id_a", "w": "w_a"})
+    b = w.withColumnsRenamed({"id": "id_b", "w": "w_b"})
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                (F.col("w_a") * F.col("w_b")).cast("decimal(38,10)")
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.withColumnsRenamed({"id": "id_a", "norm": "norm_a"})
+    nb = norms.withColumnsRenamed({"id": "id_b", "norm": "norm_b"})
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot")
+                / F.nullif(
+                    F.col("norm_a") * F.col("norm_b"), F.lit(0.0)
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
