@@ -3888,3 +3888,75 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # admit topically-similar non-dups (94k pairs at 0.5); 0.9 isolates
     # the rewrite/near-dup tail (~22 pairs at sf0.01).
     return dedup.tfidf_cosine_pairs(docs, threshold=0.9, max_bucket=1000)
+
+
+@register(
+    "bitext_mining_pairs",
+    oracle=f"""
+WITH lab AS (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), en AS (SELECT * FROM lab WHERE lang = 'en'),
+xx AS (SELECT * FROM lab WHERE lang <> 'en'),
+sc AS (
+  SELECT en.vec_id AS en_id, xx.vec_id AS xx_id, xx.lang AS xx_lang,
+         {_duck_cosine('en.embedding', 'xx.embedding')} AS cosine
+  FROM en CROSS JOIN xx
+), r AS (
+  SELECT en_id, xx_id, xx_lang, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY en_id ORDER BY cosine DESC, xx_id) AS INT) AS rank
+  FROM sc WHERE cosine >= 0.25
+)
+SELECT en_id, xx_id, xx_lang, cosine, rank FROM r
+WHERE rank <= 2 ORDER BY en_id, rank
+""",
+    tags=("llmops", "similarity", "curation"),
+    notes="Bitext mining (CCMatrix/LASER shape): for every English doc, "
+    "the top-2 non-English embedding neighbors above cosine 0.25 — the "
+    "margin-based parallel-corpus candidate miner for translation "
+    "training pairs. Reuses the two-phase top-k machinery with the "
+    "smaller language side broadcast; at production scale the xx side "
+    "is the indexed/ANN side and en streams past it.",
+)
+def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine_similarity
+    from ..operators.similarity import _partition_topk, _rank_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    lab = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+    en = F.broadcast(
+        lab.filter(F.col("lang") == "en").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    xx = lab.filter(F.col("lang") != "en").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("lang").alias("xx_lang"),
+    )
+    scored = (
+        en.crossJoin(xx)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "xx_lang",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine"),
+        )
+        # mining margin BEFORE ranking — ranks are within the thresholded
+        # candidate set (matches the oracle's row_number-after-WHERE)
+        .filter(F.col("cosine") >= 0.25)
+    )
+    return _rank_topk(_partition_topk(scored, 2), 2).select(
+        F.col("query_id").alias("en_id"),
+        F.col("neighbor_id").alias("xx_id"),
+        "xx_lang",
+        "cosine",
+        "rank",
+    ).orderBy("en_id", "rank")
