@@ -575,3 +575,43 @@ def test_jl_literal_signs_equal_expression_form(spark):
         for r in jl_sign_buckets(df, n_bits=8, dim=12).collect()
     }
     assert bs == bf
+
+
+def test_hits_hand_computed_star(spark):
+    """Star graph: hub h → {a1, a2}; second hub h2 → {a1}. After any
+    number of iterations a1 (2 in-links incl. the stronger hub) must be
+    the top authority and h the top hub (it links both authorities)."""
+    from aws_cli_data_pipeline_tools_spark.operators.graph import (
+        hits_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(100, 1), (100, 2), (200, 1)], "src bigint, dst bigint"
+    )
+    got = {r.node: r for r in hits_fixed_point(edges, iters=2).collect()}
+    assert got[1].auth == 1_000_000          # max-normalized top authority
+    assert got[100].hub == 1_000_000         # top hub
+    assert got[2].auth < got[1].auth
+    assert got[200].hub < got[100].hub
+    assert got[1].hub == 0 and got[100].auth == 0  # pure sources/sinks
+
+
+def test_binary_hamming_known_vectors(spark):
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import (
+        binary_hamming_topk,
+    )
+
+    v = [1.0] * 64
+    flip8 = [1.0] * 56 + [-1.0] * 8
+    neg = [-1.0] * 64
+    df = spark.createDataFrame(
+        [(0, v), (1, flip8), (2, neg)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = df.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = binary_hamming_topk(df, q, k=3, dim=64).collect()
+    assert [(r.neighbor_id, r.hamming_dist) for r in got] == [
+        (0, 0), (1, 8), (2, 64),
+    ]
