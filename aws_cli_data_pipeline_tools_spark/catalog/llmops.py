@@ -3960,3 +3960,57 @@ def bitext_mining_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         "rank",
     ).orderBy("en_id", "rank")
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT id_a, id_b FROM ({_DUCK_JACCARD})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), members AS (
+  SELECT src AS id, least(src, min(dst)) AS group_id
+  FROM reach GROUP BY src
+), sizes AS (
+  SELECT group_id, count(*) AS cluster_size FROM members GROUP BY group_id
+)
+SELECT cluster_size, count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+""",
+    tags=("llmops", "dedup", "clustering", "stats"),
+    notes="Duplicate-cluster size distribution over the exact Jaccard "
+    "pair graph — the corpus-health histogram that distinguishes 'many "
+    "doc pairs' from 'one giant template cluster' (heavy tails here mean "
+    "keeper selection removes far more than pair counts suggest). "
+    "Label-propagation components → two tiny aggregations; the recursive "
+    "closure replays it in DuckDB.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_bucket=1000
+    )
+    members = dedup.dedup_clusters(pairs)
+    sizes = members.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
