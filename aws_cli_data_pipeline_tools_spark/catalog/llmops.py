@@ -4014,3 +4014,72 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+register_sql(
+    "length_ks_drift",
+    spark_sql="""
+WITH t AS (
+  SELECT doc_id % 2 = 0 AS v1,
+         size(split(text, '\\\\s+')) AS len
+  FROM documents
+), vals AS (
+  SELECT len,
+         sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN v1 THEN 0 ELSE 1 END) AS c2
+  FROM t GROUP BY len
+), tot AS (
+  SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vals
+), cum AS (
+  SELECT len,
+         sum(c1) OVER (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         sum(c2) OVER (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+  FROM vals
+)
+SELECT tot.n1, tot.n2,
+       max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1)) AS d_scaled,
+       round(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1))
+             / CAST(tot.n1 * tot.n2 AS DOUBLE), 6) AS ks_stat
+FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
+""",
+    duck_sql="""
+WITH t AS (
+  SELECT doc_id % 2 = 0 AS v1,
+         len(regexp_split_to_array(text, '\\s+')) AS len
+  FROM documents
+), vals AS (
+  SELECT len,
+         sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS c1,
+         sum(CASE WHEN v1 THEN 0 ELSE 1 END) AS c2
+  FROM t GROUP BY len
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+  FROM vals
+), cum AS (
+  SELECT len,
+         CAST(sum(c1) OVER (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS f1,
+         CAST(sum(c2) OVER (ORDER BY len
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS f2
+  FROM vals
+)
+SELECT tot.n1, tot.n2,
+       CAST(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1)) AS BIGINT)
+         AS d_scaled,
+       round(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1))
+             / CAST(tot.n1 * tot.n2 AS DOUBLE), 6) AS ks_stat
+FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
+""",
+    tags=("llmops", "stats", "quality"),
+    notes="Exact two-sample Kolmogorov-Smirnov statistic between the "
+    "even-doc and odd-doc token-length distributions — the "
+    "distribution-shape drift gate between corpus versions (catches "
+    "truncation/padding regressions a mean would miss). The supremum is "
+    "computed in EXACT integer arithmetic (|f1·n2 − f2·n1|, one division "
+    "at the very end), and the only window runs over the DISTINCT length "
+    "domain — bounded, not corpus-sized.",
+)
