@@ -1058,3 +1058,64 @@ def streaming_drift_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("win_start")
     )
+
+
+@register(
+    "streaming_trending_tokens",
+    oracle="""
+WITH toks AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+         unnest(regexp_extract_all(lower(props), '[a-z]+')) AS token
+  FROM events
+), cnt AS (
+  SELECT win_start, token, count(*) AS n
+  FROM toks GROUP BY win_start, token
+), r AS (
+  SELECT win_start, token, n,
+         CAST(row_number() OVER (
+           PARTITION BY win_start ORDER BY n DESC, token) AS INT) AS rank
+  FROM cnt
+)
+SELECT win_start, token, n, rank FROM r
+WHERE rank <= 3 ORDER BY win_start, rank
+""",
+    tags=("streaming", "live", "text"),
+    notes="REAL streaming trending-token feed: readStream(events) → "
+    "per-event token explode (narrow, rides the stream) → watermarked "
+    "hourly (window, token) counts drained availableNow; the top-3 rank "
+    "runs on the drained sink (rank windows are unsupported inside a "
+    "streaming agg — the split is the documented pattern). Oracle = the "
+    "batch twin. The live dashboard primitive for what a feed is "
+    "suddenly full of.",
+)
+def streaming_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    toks = stream.select(
+        "ts",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("props")), F.lit("[a-z]+"), 0
+            )
+        ).alias("token"),
+    )
+    agg = (
+        toks.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "token")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("win_start"), "token", "n")
+    )
+    name = f"q_stream_trend_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(agg, name, output_mode="complete", shuffle_partitions=8)
+    cnt = spark.table(name)
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("win_start", "rank")
+    )
