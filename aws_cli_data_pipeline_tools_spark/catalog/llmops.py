@@ -4083,3 +4083,143 @@ FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
     "at the very end), and the only window runs over the DISTINCT length "
     "domain — bounded, not corpus-sized.",
 )
+
+
+#: RBO depth weights (1-p)·p^(d-1), p=0.9, d=1..50 — generated ONCE here
+#: and inlined as identical decimal literals into BOTH engines' plans:
+#: Java Math.pow and libm pow may disagree in the last bit, but both
+#: parsers round the same shortest-repr literal to the same double.
+_RBO_P = 0.9
+_RBO_K = 50
+_RBO_WEIGHTS = []
+_w = 1.0 - _RBO_P
+for _d in range(1, _RBO_K + 1):
+    _RBO_WEIGHTS.append((_d, _w))
+    _w *= _RBO_P
+
+_RBO_VALUES_SQL = ", ".join(f"({d}, {w!r})" for d, w in _RBO_WEIGHTS)
+
+
+@register(
+    "rbo_lexical_vs_semantic",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
+    AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
+         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
+         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
+         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
+  FROM d
+), s AS (
+  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM t
+), bm AS (
+  SELECT t.doc_id,
+         ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+             * t.tf0 * 2.2
+             / (t.tf0 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
+             * t.tf1 * 2.2
+             / (t.tf1 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+         + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
+             * t.tf2 * 2.2
+             / (t.tf2 + 1.2 * (1.0 - 0.75
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
+           AS bm25
+  FROM t, s
+), bmr AS (
+  SELECT doc_id, round(bm25, 4) AS bm25 FROM bm WHERE round(bm25, 4) > 0
+), lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY bm25 DESC, doc_id) AS INT) AS r1
+  FROM bmr
+  ORDER BY bm25 DESC, doc_id LIMIT {_RBO_K}
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT c.vec_id AS doc_id,
+         {_duck_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q, embeddings c
+), sem AS (
+  SELECT doc_id, CAST(row_number() OVER (
+           ORDER BY cosine DESC, doc_id) AS INT) AS r2
+  FROM sc ORDER BY cosine DESC, doc_id LIMIT {_RBO_K}
+), commons AS (
+  SELECT lex.doc_id, greatest(lex.r1, sem.r2) AS depth
+  FROM lex JOIN sem ON lex.doc_id = sem.doc_id
+), grid(dd, w) AS (VALUES {_RBO_VALUES_SQL}),
+xd AS (
+  SELECT g.dd, g.w,
+         (SELECT count(*) FROM commons c WHERE c.depth <= g.dd) AS x
+  FROM grid g
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM commons) AS n_common,
+       round(CAST(sum(CAST(x / CAST(dd AS DOUBLE) * w
+                           AS DECIMAL(38,18))) AS DOUBLE), 6) AS rbo
+FROM xd
+""",
+    tags=("llmops", "retrieval", "stats"),
+    notes="Rank-biased overlap (Webber et al. 2010, truncated p=0.9, "
+    "k=50) between the BM25 lexical ranking and the cosine semantic "
+    "ranking for query vec 0 — the retrieval-agreement diagnostic that "
+    "says whether hybrid fusion is worth running (RBO ≈ 1 ⇒ rankers "
+    "agree, fusion adds nothing; ≈ 0 ⇒ complementary). Depth weights "
+    "(1-p)p^(d-1) are generated once and inlined as identical literals "
+    "in both engines (Math.pow vs libm pow can differ in the last bit); "
+    "the depth sum is DECIMAL(38,18) fixed-point.",
+)
+def rbo_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    lex = (
+        textstats.bm25_scores(docs, ["spark", "window", "merge"])
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RBO_K)
+        .withColumn(
+            "r1",
+            F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "r1")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("query_id"), "embedding"
+    )
+    sem = similarity.cosine_topk(emb, qv, k=_RBO_K).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r2")
+    )
+    commons = lex.join(sem, "doc_id").select(
+        "doc_id", F.greatest("r1", "r2").alias("depth")
+    )
+    grid = spark.createDataFrame(_RBO_WEIGHTS, "dd int, w double")
+    xd = (
+        F.broadcast(grid)
+        .join(commons, F.col("depth") <= F.col("dd"), "left")
+        .groupBy("dd", "w")
+        .agg(F.count("doc_id").alias("x"))
+    )
+    n_common = commons.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common")
+    )
+    rbo = xd.agg(
+        F.round(
+            F.sum(
+                (
+                    F.col("x") / F.col("dd").cast("double") * F.col("w")
+                ).cast("decimal(38,18)")
+            ).cast("double"),
+            6,
+        ).alias("rbo")
+    )
+    return n_common.crossJoin(rbo)
