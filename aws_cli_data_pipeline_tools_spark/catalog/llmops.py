@@ -4223,3 +4223,35 @@ def rbo_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rbo")
     )
     return n_common.crossJoin(rbo)
+
+
+@register(
+    "weighted_priority_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang, source, n_chars,
+         round(-ln(CAST(('0x' || substr(md5('wps-v1' || '|' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   / CAST(power(16, 15) AS DOUBLE))
+               / CAST(n_chars AS DOUBLE), 10) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, lang, source, n_chars, priority
+FROM keyed ORDER BY priority, doc_id LIMIT 25
+""",
+    tags=("llmops", "sampling"),
+    notes="Efraimidis-Spirakis weighted priority sampling "
+    "(operators/sampling.weighted_priority_sample): 25 docs drawn "
+    "∝ n_chars via key = −ln(u)/w with a deterministic md5 uniform — "
+    "one-pass, merge-friendly weighted sampling with NO corpus shuffle "
+    "(TakeOrderedAndProject) and no RNG; the identical formula replays "
+    "in DuckDB. The doc-length-weighted subset draw used for eval-set "
+    "construction and data ablations.",
+)
+def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import weighted_priority_sample as wps
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return wps(docs, "n_chars", k=25)

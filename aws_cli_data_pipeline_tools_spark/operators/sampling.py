@@ -165,3 +165,49 @@ def temperature_mixture_plan(
         )
         .orderBy(group_col)
     )
+
+
+def weighted_priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 25,
+    key_col: str = "doc_id",
+    salt: str = "wps-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis-Spirakis
+    priorities: each row gets ``key = -ln(u) / w`` with ``u`` a
+    deterministic md5-derived uniform; the k SMALLEST keys are the
+    sample, with inclusion probability proportional to weight — the
+    one-pass, merge-friendly way to draw a weighted subset of a corpus
+    (no per-stratum quotas, no global weight total needed).
+
+    One narrow projection + one TakeOrderedAndProject — no shuffle of
+    the corpus, no RNG, append-stable per row; the same formula replays
+    in any SQL engine (the hash_split discipline, ln parity per the
+    tfidf/entropy precedent). Zero/negative weights are excluded (their
+    priority would be infinite).
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(salt), F.col(key_col).cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**15))
+    )
+    w = F.col(weight_col).cast("double")
+    key = -F.log(u) / w
+    return (
+        df.filter(w > 0)
+        .withColumn("priority", F.round(key, 10))
+        .orderBy("priority", key_col)
+        .limit(k)
+    )
