@@ -1119,3 +1119,62 @@ def streaming_trending_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("win_start", "rank")
     )
+
+
+register_sql(
+    "events_anomaly_zscore",
+    spark_sql="""
+WITH hourly AS (
+  SELECT event_type, window(ts, '1 hour').start AS hr, count(*) AS n
+  FROM events GROUP BY event_type, window(ts, '1 hour')
+), stats AS (
+  SELECT event_type, hr, n,
+         CAST(sum(CAST(n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(n * n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2,
+         count(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, hr, n, cnt,
+         round((n - s1 / cnt)
+               / nullif(sqrt((s2 - s1 * s1 / cnt) / cnt), 0.0), 4) AS z
+  FROM stats WHERE cnt >= 12
+)
+SELECT event_type, hr, n, CAST(cnt AS BIGINT) AS n_baseline_hours, z
+FROM scored WHERE abs(z) >= 3.0
+ORDER BY event_type, hr
+""",
+    duck_sql="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, hr, n,
+         CAST(sum(CAST(n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s1,
+         CAST(sum(CAST(n * n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2,
+         count(*) OVER w AS cnt
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), scored AS (
+  SELECT event_type, hr, n, cnt,
+         round((n - s1 / cnt)
+               / nullif(sqrt((s2 - s1 * s1 / cnt) / cnt), 0.0), 4) AS z
+  FROM stats WHERE cnt >= 12
+)
+SELECT event_type, hr, n, CAST(cnt AS BIGINT) AS n_baseline_hours, z
+FROM scored WHERE abs(z) >= 3.0
+ORDER BY event_type, hr
+""",
+    tags=("llmops", "streaming-batch", "stats", "quality"),
+    notes="Hourly event-volume anomaly detection: per-type z-score of "
+    "each hour's count against its own TRAILING 24-hour baseline "
+    "(exclusive frame — the current hour can't dilute its own "
+    "baseline; ≥ 12 baseline hours required before alerting). Variance "
+    "from the decimal two-moment identity (aggregation-order-"
+    "independent, the embedding_dim_stats discipline); per-type "
+    "partitioned windows keep the scan parallel. The pipeline-health "
+    "alert for feed outages and volume spikes.",
+)
