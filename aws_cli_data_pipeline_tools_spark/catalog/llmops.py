@@ -4255,3 +4255,66 @@ def weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars"
     )
     return wps(docs, "n_chars", k=25)
+
+
+_INJ = textstats.INJECTION_PATTERNS
+
+@register(
+    "text_injection_scan",
+    oracle=f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_INJ["override"]}')) AS INT)
+         AS n_override,
+       CAST(len(regexp_extract_all(text, '{_INJ["hijack"]}')) AS INT)
+         AS n_hijack,
+       CAST(len(regexp_extract_all(text, '{_INJ["system_leak"]}')) AS INT)
+         AS n_system_leak,
+       CAST(len(regexp_extract_all(text, '{_INJ["exfil"]}')) AS INT)
+         AS n_exfil,
+       (len(regexp_extract_all(text, '{_INJ["override"]}'))
+        + len(regexp_extract_all(text, '{_INJ["hijack"]}'))
+        + len(regexp_extract_all(text, '{_INJ["system_leak"]}'))
+        + len(regexp_extract_all(text, '{_INJ["exfil"]}'))) > 0
+         AS has_injection
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Prompt-injection-bait scan (operators/textstats.injection_scan) "
+    "— data-poisoning hygiene before instruction training: instruction-"
+    "override, role-hijack, system-prompt-leak, and exfil-directive "
+    "pattern counts per document. Same Java∩RE2 codegen regexp shape as "
+    "the secret scan; zero shuffle.",
+)
+def text_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.injection_scan(docs).orderBy("doc_id")
+
+
+@register(
+    "text_instruction_format",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '(?im)^\s*(q|a|question|answer)\s*[:.]')) AS INT) AS n_qa_markers,
+       CAST(len(regexp_extract_all(text,
+         '(?i)<\|?(system|user|assistant|human|bot)\|?>|(?im)^\s*(system|user|assistant)\s*:'))
+         AS INT) AS n_role_tags,
+       CAST(len(regexp_extract_all(text,
+         '(?m)^\s*(step\s+)?[0-9]+[.)]\s')) AS INT) AS n_numbered_steps,
+       (len(regexp_extract_all(text,
+          '(?im)^\s*(q|a|question|answer)\s*[:.]'))
+        + len(regexp_extract_all(text,
+          '(?i)<\|?(system|user|assistant|human|bot)\|?>|(?im)^\s*(system|user|assistant)\s*:'))
+       ) > 0 AS is_instruction_like
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Instruction/chat-format detection "
+    "(operators/textstats.instruction_format_stats): Q:/A: markers, "
+    "chat-template role tags, numbered-step lines — the composition "
+    "signal for routing feeds between SFT and pretraining mixes. "
+    "Codegen regexp only, zero shuffle.",
+)
+def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.instruction_format_stats(docs).orderBy("doc_id")

@@ -641,3 +641,69 @@ def mojibake_scan(
     for n in counts:
         total = F.col(n) if total is None else total + F.col(n)
     return out.withColumn("is_damaged", total > 0)
+
+
+#: Prompt-injection bait patterns (Java∩RE2 subset) — the strings a
+#: poisoned document plants hoping a model trained on it internalizes
+#: compliance. Scrubbing them from training corpora is standard
+#: data-poisoning defense; patterns follow the public taxonomy
+#: (instruction-override, role hijack, exfil directives).
+INJECTION_PATTERNS: "dict[str, str]" = {
+    "override": r"(?i)(ignore|disregard|forget) (all )?(your |the )?(previous|prior|above|earlier) (instructions|prompts|rules|directions)",
+    "hijack": r"(?i)(\byou are now\b|\bpretend (you are|to be)\b|\bact as if\b)",
+    "system_leak": r"(?i)(reveal|print|repeat|show) (your |the )?(system|hidden|initial) (prompt|instructions|message)",
+    "exfil": r"(?i)send (this|it|the (data|contents?)) to\b",
+}
+
+
+def injection_scan(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document prompt-injection-bait counts — the data-poisoning
+    hygiene scan run before a corpus reaches instruction training (same
+    codegen regexp shape as secret_scan: zero shuffle, zero Python)."""
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        )
+        for name, pat in INJECTION_PATTERNS.items()
+    }
+    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    total = None
+    for n in counts:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.withColumn("has_injection", total > 0)
+
+
+def instruction_format_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Instruction/chat-format detection: counts of Q:/A: markers,
+    chat-template role tags, numbered-step lines, and imperative
+    sentence openers — the corpus-composition signal that says how much
+    of a feed is already instruction-shaped (routing for SFT vs
+    pretraining mixes). Codegen regex only, zero shuffle."""
+    t = F.col(text_col)
+    qa = F.size(
+        F.regexp_extract_all(t, F.lit(r"(?im)^\s*(q|a|question|answer)\s*[:.]"), 0)
+    )
+    role = F.size(
+        F.regexp_extract_all(
+            t,
+            F.lit(
+                r"(?i)<\|?(system|user|assistant|human|bot)\|?>"
+                r"|(?im)^\s*(system|user|assistant)\s*:"
+            ),
+            0,
+        )
+    )
+    steps = F.size(
+        F.regexp_extract_all(t, F.lit(r"(?m)^\s*(step\s+)?[0-9]+[.)]\s"), 0)
+    )
+    return df.select(
+        F.col(id_col),
+        qa.alias("n_qa_markers"),
+        role.alias("n_role_tags"),
+        steps.alias("n_numbered_steps"),
+        ((qa + role) > 0).alias("is_instruction_like"),
+    )
