@@ -4300,7 +4300,7 @@ SELECT doc_id,
          '(?i)<\|?(system|user|assistant|human|bot)\|?>|(?im)^\s*(system|user|assistant)\s*:'))
          AS INT) AS n_role_tags,
        CAST(len(regexp_extract_all(text,
-         '(?m)^\s*(step\s+)?[0-9]+[.)]\s')) AS INT) AS n_numbered_steps,
+         '(?im)^\s*(step\s+)?[0-9]+[.)]\s')) AS INT) AS n_numbered_steps,
        (len(regexp_extract_all(text,
           '(?im)^\s*(q|a|question|answer)\s*[:.]'))
         + len(regexp_extract_all(text,

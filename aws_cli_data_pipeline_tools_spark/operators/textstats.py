@@ -698,7 +698,7 @@ def instruction_format_stats(
         )
     )
     steps = F.size(
-        F.regexp_extract_all(t, F.lit(r"(?m)^\s*(step\s+)?[0-9]+[.)]\s"), 0)
+        F.regexp_extract_all(t, F.lit(r"(?im)^\s*(step\s+)?[0-9]+[.)]\s"), 0)
     )
     return df.select(
         F.col(id_col),
