@@ -4318,3 +4318,49 @@ FROM documents ORDER BY doc_id
 def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.instruction_format_stats(docs).orderBy("doc_id")
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+           AS shingles
+  FROM docs WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh
+), inv_all AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), keep AS (
+  SELECT shingle FROM inv_all GROUP BY shingle HAVING count(*) <= 1000
+), inv AS (
+  SELECT i.doc_id, i.shingle FROM inv_all i JOIN keep USING (shingle)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM inv a JOIN inv b USING (shingle)
+  WHERE a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         round(shared / CAST(na.n_sh AS DOUBLE), 6) AS containment
+  FROM pairs JOIN sizes na ON na.doc_id = pairs.id_a
+)
+SELECT * FROM scored WHERE containment >= 0.8 ORDER BY id_a, id_b
+""",
+    tags=("llmops", "dedup"),
+    notes="Asymmetric 3-gram containment ≥ 0.8 "
+    "(operators/dedup.ngram_containment_pairs): |A∩B|/|A| per ORDERED "
+    "pair — the subset-document detector (quoted replies, "
+    "concatenations, boilerplate-wrapped reposts) that symmetric "
+    "Jaccard misses because the union dominates. Same capped "
+    "inverted-index join as the Jaccard path.",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.ngram_containment_pairs(
+        docs, k=3, threshold=0.8, max_bucket=1000
+    )

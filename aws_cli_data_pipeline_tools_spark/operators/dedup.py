@@ -1238,3 +1238,63 @@ def tfidf_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT ``|A∩B| / |A|`` for ordered pairs
+    sharing a shingle — the subset-document detector. Jaccard misses a
+    short doc quoted inside a long one (union dominates); containment of
+    the smaller side ≈ 1 flags exactly that: concatenations, quoted
+    replies, boilerplate-wrapped reposts.
+
+    Same inverted-index shape as ngram_jaccard_pairs (hashed shingles,
+    hot-shingle broadcast-anti-join cap); one extra projection emits BOTH
+    directions of each unordered pair, so the output row (id_a, id_b)
+    means "fraction of id_a's shingles contained in id_b".
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), k).alias("sh"),
+    )
+    inv = shingled.select(
+        "id",
+        F.size("sh").alias("n_sh"),
+        F.explode(
+            F.transform("sh", lambda s: F.xxhash64(s))
+        ).alias("shingle"),
+    )
+    if max_bucket:
+        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
+        hot = freq.filter(F.col("df_") > max_bucket).drop("df_")
+        inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "shingle")
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("a.n_sh").alias("n_a"),
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("shared") / F.nullif(
+                    F.col("n_a").cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
