@@ -1178,3 +1178,68 @@ ORDER BY event_type, hr
     "partitioned windows keep the scan parallel. The pipeline-health "
     "alert for feed outages and volume spikes.",
 )
+
+
+@register(
+    "streaming_session_transcripts_live",
+    oracle="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), pre AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, ts, event_id,
+         event_type,
+         min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+  FROM numbered
+)
+SELECT user_id, session_id, count(*) AS n_turns,
+       string_agg(event_type || '@' ||
+                  CAST((epoch_us(ts) - epoch_us(session_start)) // 1000000
+                       AS VARCHAR),
+                  ' ' ORDER BY ts, event_id) AS transcript
+FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
+""",
+    tags=("streaming", "stateful", "live", "curation"),
+    notes="REAL applyInPandasWithState run "
+    "(streaming/stateful.session_transcripts_stream): arbitrary-state "
+    "30-min-gap sessionizer that BUFFERS each user's open events and "
+    "closes a session only once the watermark passes its last event + "
+    "gap (a data-observed gap alone is unsafe against late arrivals); "
+    "closed sessions emit exactly once, the open tail emits provisional "
+    "update rows, and the drained max-n_turns row per (user, session) "
+    "equals the batch session_transcripts twin EXACTLY — the streaming "
+    "path for linearizing behavioral streams into training text.",
+)
+def streaming_session_transcripts_live(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .. import streaming as st
+    from ..streaming.stateful import session_transcripts_stream
+
+    stream = st.events_file_stream(spark, sf_dir)
+    out = session_transcripts_stream(stream)
+    name = f"q_stream_transcript_{uuid.uuid4().hex[:8]}"
+    st.run_to_memory(out, name, output_mode="update", shuffle_partitions=8)
+    drained = spark.table(name)
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.col("n_turns").desc()
+    )
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "session_id", "n_turns", "transcript")
+        .orderBy("user_id", "session_id")
+    )

@@ -83,3 +83,123 @@ def running_user_totals(events: DataFrame, watermark_delay: str = "10 seconds") 
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# --------------------------------------------------------------- transcripts
+
+TRANSCRIPT_OUTPUT = (
+    "user_id bigint, session_id bigint, n_turns bigint, transcript string,"
+    " closed boolean"
+)
+#: buffered open events as parallel lists + sessions already emitted
+TRANSCRIPT_STATE = "ts_us array<long>, eid array<long>, et array<string>, n_closed bigint"
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, matches the batch sessionizer
+
+
+def _update_transcript_state(
+    key: tuple,
+    batches: "Iterator[pd.DataFrame]",
+    state: GroupState,
+) -> "Iterator[pd.DataFrame]":
+    """Arbitrary-state sessionizer: buffer a user's open events, close a
+    session only once the WATERMARK passes its last event + gap (a
+    data-observed gap alone is not safe — a late event above the
+    watermark could still land inside it), emit closed sessions exactly
+    once and a provisional row for the open tail (update-mode sink; the
+    reader keeps each session's max-n_turns row).
+    """
+    (user_id,) = key
+    ts_us: list
+    eid: list
+    et: list
+    if state.exists:
+        ts_us, eid, et, n_closed = state.get
+        ts_us, eid, et = list(ts_us), list(eid), list(et)
+    else:
+        ts_us, eid, et, n_closed = [], [], [], 0
+    if not state.hasTimedOut:
+        for pdf in batches:
+            for t, e, y in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"]
+            ):
+                ts_us.append(int(t.value // 1_000))
+                eid.append(int(e))
+                et.append(str(y))
+    order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
+    ts_us = [ts_us[i] for i in order]
+    eid = [eid[i] for i in order]
+    et = [et[i] for i in order]
+    wm_us = state.getCurrentWatermarkMs() * 1_000
+    # split buffered events into sessions on > gap
+    bounds = [0]
+    for i in range(1, len(ts_us)):
+        if ts_us[i] - ts_us[i - 1] > SESSION_GAP_US:
+            bounds.append(i)
+    bounds.append(len(ts_us))
+    rows = []
+    keep_from = 0
+    open_offset = 0  # closed blocks are a prefix (blocks sorted by time)
+    for b in range(len(bounds) - 1):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo == hi:
+            continue
+        closed = ts_us[hi - 1] + SESSION_GAP_US <= wm_us
+        start = ts_us[lo]
+        turns = " ".join(
+            f"{et[i]}@{(ts_us[i] - start) // 1_000_000}"
+            for i in range(lo, hi)
+        )
+        if closed:
+            n_closed += 1
+            rows.append((user_id, n_closed, hi - lo, turns, True))
+            keep_from = hi
+        else:
+            # provisional open row; ids continue past the closed counter
+            open_offset += 1
+            rows.append(
+                (user_id, n_closed + open_offset, hi - lo, turns, False)
+            )
+    ts_us = ts_us[keep_from:]
+    eid = eid[keep_from:]
+    et = et[keep_from:]
+    if ts_us:
+        state.update((ts_us, eid, et, n_closed))
+        state.setTimeoutTimestamp(
+            max(
+                ts_us[-1] // 1_000 + SESSION_GAP_US // 1_000,
+                state.getCurrentWatermarkMs() + 1,
+            )
+        )
+    else:
+        state.remove()
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "session_id", "n_turns", "transcript", "closed",
+            ],
+        )
+
+
+
+def session_transcripts_stream(
+    events: DataFrame, watermark_delay: str = "10 seconds"
+) -> DataFrame:
+    """Streaming 30-min-gap session transcripts with exact batch parity:
+    one closed row per session (watermark-confirmed) plus provisional
+    open-tail rows; on a bounded availableNow replay the max-n_turns row
+    per (user, session) equals the batch ``session_transcripts`` twin.
+    """
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_transcript_state,
+            outputStructType=TRANSCRIPT_OUTPUT,
+            stateStructType=TRANSCRIPT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -93,3 +93,109 @@ def test_stateful_running_totals_across_batches(spark, sf_dir, tmp_path):
     }
     assert final == expected
     assert len(rows) > len(expected)  # intermediate per-batch updates exist
+
+
+def test_stateful_transcripts_across_batches(spark, sf_dir, tmp_path):
+    """Arbitrary-state sessionizer: buffered open sessions must survive
+    micro-batch boundaries and close to the exact batch answer. Files
+    split ON TIME ORDER (log-rotation shape) so the second batch stays
+    within watermark bounds — the contract under which the stream is
+    batch-exact."""
+    from aws_cli_data_pipeline_tools_spark.streaming.stateful import (
+        session_transcripts_stream,
+    )
+
+    src_dir = str(tmp_path / "tr_in")
+    os.makedirs(src_dir)
+    ev = load_table(spark, "events", sf_dir).filter(F.col("user_id") < 5)
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(
+        src_dir + "/a"
+    )
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(
+        src_dir + "/b"
+    )
+    files = []
+    for sub in ("a", "b"):
+        for f in os.listdir(f"{src_dir}/{sub}"):
+            if f.endswith(".parquet"):
+                files.append((f"{src_dir}/{sub}/{f}", f"{src_dir}/{sub}_{f}"))
+    for s, d in files:
+        shutil.move(s, d)
+    shutil.rmtree(src_dir + "/a"), shutil.rmtree(src_dir + "/b")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    out = session_transcripts_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_transcripts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_transcripts").collect()
+    best = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        if k not in best or r.n_turns > best[k][0]:
+            best[k] = (r.n_turns, r.transcript)
+    # exact batch twin (same lag/cumsum logic, per user)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "new_s",
+        (
+            (
+                F.unix_micros("ts")
+                - F.lag(F.unix_micros("ts")).over(w)
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull()
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    agg = (
+        marked.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: F.concat_ws(
+                        "@",
+                        x["event_type"],
+                        (
+                            (
+                                F.unix_micros(x["ts"])
+                                - F.min(F.unix_micros("ts"))
+                            )
+                            / 1_000_000
+                        )
+                        .cast("long")
+                        .cast("string"),
+                    ),
+                ),
+                " ",
+            ).alias("transcript"),
+        )
+        .collect()
+    )
+    expected = {
+        (r.user_id, r.session_id): (r.n_turns, r.transcript) for r in agg
+    }
+    assert best == expected
+    assert any(r.closed for r in rows)  # watermark really closed sessions
