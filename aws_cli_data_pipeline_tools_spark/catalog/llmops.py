@@ -4364,3 +4364,68 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(
         docs, k=3, threshold=0.8, max_bucket=1000
     )
+
+
+@register(
+    "multimodal_au_ulaw",
+    oracle="""
+WITH codes AS (
+  SELECT doc_id, list_transform(generate_series(0, 7),
+      i -> (doc_id * 7 + i * 11) % 256) AS cs
+  FROM documents
+), dec AS (
+  SELECT doc_id,
+         list_transform(cs, c ->
+           CASE WHEN (255 - c) >= 128
+                THEN -((((((255 - c) % 16) * 8) + 132)
+                        * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT))
+                       - 132)
+                ELSE ((((((255 - c) % 16) * 8) + 132)
+                       * CAST(power(2, ((255 - c) // 16) % 8) AS BIGINT))
+                      - 132) END) AS smp
+  FROM codes
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(8 AS BIGINT) AS n_samples,
+       round(list_sum(list_transform(smp, x -> abs(CAST(x AS DOUBLE))))
+             / 8.0, 6) AS mean_abs,
+       round(sqrt(list_sum(list_transform(smp,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 8.0), 6)
+         AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM dec ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL G.711 µ-law decode of Sun AU payloads "
+    "(operators/multimodal.decode_au_samples): 8 µ-law code bytes from "
+    "doc_id arithmetic packed into big-endian .snd containers with JVM "
+    "expressions, expanded by the exact closed-form "
+    "t=((mant<<3)+0x84)<<exp integer formula — the one audio codec "
+    "whose DECODE (not just container walk) replays sample-for-sample "
+    "in the DuckDB oracle. Hand-checked against the G.711 extremes "
+    "(0x00→−32124, 0xFF→0).",
+)
+def multimodal_au_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def be(col, n_bytes):  # n-byte big-endian binary of an int expression
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0"))
+
+    parts = [
+        F.encode(F.lit(".snd"), "utf-8"),
+        be(F.lit(24), 4), be(F.lit(8), 4), be(F.lit(1), 4),
+        be(F.lit(8000), 4), be(F.lit(1), 4),
+    ]
+    for i in range(8):
+        parts.append(be((F.col("doc_id") * 7 + i * 11) % 256, 1))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
+    )
+    out = multimodal.decode_au_samples(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    ).orderBy("media_id")

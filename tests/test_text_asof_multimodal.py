@@ -988,3 +988,34 @@ def test_instruction_format_planted(spark):
     assert out[2].n_qa_markers == 4
     assert out[3].n_numbered_steps == 3 and not out[3].is_instruction_like
     assert not out[4].is_instruction_like
+
+
+def test_au_ulaw_decode_known_codes(spark):
+    """G.711 extremes + malformed payloads: 0x00 → −32124, 0xFF → 0,
+    non-AU magic and non-µ-law encodings → NULL rows."""
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_au_samples,
+    )
+
+    def au(codes, enc=1, magic=b".snd"):
+        return (
+            magic + (24).to_bytes(4, "big")
+            + len(codes).to_bytes(4, "big") + enc.to_bytes(4, "big")
+            + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes(codes)
+        )
+
+    rows = [
+        (1, au([0x00])),          # max negative −32124
+        (2, au([0xFF, 0x7F])),    # both zero codes
+        (3, au([0x80])),          # max positive +32124
+        (4, au([0x00], enc=2)),   # 8-bit linear — unsupported → NULL
+        (5, b"RIFFnot-an-au-file....."),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in decode_au_samples(df).collect()}
+    assert out[1].peak == 32124 and out[1].mean_abs == 32124.0
+    assert out[2].peak == 0 and out[2].rms == 0.0
+    assert out[3].peak == 32124
+    assert out[4].sample_rate is None
+    assert out[5].sample_rate is None
