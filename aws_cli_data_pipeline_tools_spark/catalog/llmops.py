@@ -4429,3 +4429,91 @@ def multimodal_au_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     ).orderBy("media_id")
+
+
+@register(
+    "pipeline_hygiene_route",
+    oracle=f"""
+WITH scans AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{{pem}}'))
+         + len(regexp_extract_all(text, '{{key_id}}'))
+         + len(regexp_extract_all(text, '{{hex40}}'))
+         + len(regexp_extract_all(text, '{{bearer}}'))
+         + len(regexp_extract_all(text, '{{cred}}'))
+         + len(regexp_extract_all(text, '{{url}}')) AS n_secrets,
+         len(regexp_extract_all(text, '{{override}}'))
+         + len(regexp_extract_all(text, '{{hijack}}'))
+         + len(regexp_extract_all(text, '{{leak}}'))
+         + len(regexp_extract_all(text, '{{exfil}}')) AS n_injection,
+         len(regexp_extract_all(text, '{{repl}}'))
+         + len(regexp_extract_all(text, '{{ctrl}}'))
+         + len(regexp_extract_all(text, '{{moji}}')) AS n_damage,
+         len(regexp_split_to_array(text, '\\s+')) AS n_words
+  FROM documents
+), routed AS (
+  SELECT doc_id,
+         CASE WHEN n_injection > 0 THEN 'drop'
+              WHEN n_secrets > 0 THEN 'redact'
+              WHEN n_damage > 0 THEN 'quarantine'
+              WHEN n_words < 5 THEN 'too_short'
+              ELSE 'clean' END AS route
+  FROM scans
+)
+SELECT route, count(*) AS n_docs
+FROM routed GROUP BY route ORDER BY route
+""".format(
+        pem=textstats.SECRET_PATTERNS["pem"],
+        key_id=textstats.SECRET_PATTERNS["key_id"],
+        hex40=textstats.SECRET_PATTERNS["hex40"],
+        bearer=textstats.SECRET_PATTERNS["bearer"],
+        cred=textstats.SECRET_PATTERNS["cred_assign"],
+        url=textstats.SECRET_PATTERNS["url_creds"],
+        override=textstats.INJECTION_PATTERNS["override"],
+        hijack=textstats.INJECTION_PATTERNS["hijack"],
+        leak=textstats.INJECTION_PATTERNS["system_leak"],
+        exfil=textstats.INJECTION_PATTERNS["exfil"],
+        repl=textstats.MOJIBAKE_PATTERNS["replacement"],
+        ctrl=textstats.MOJIBAKE_PATTERNS["control"],
+        moji=textstats.MOJIBAKE_PATTERNS["mojibake"],
+    ),
+    tags=("llmops", "curation", "quality"),
+    notes="Hygiene routing policy: every document assigned ONE action by "
+    "priority — drop (injection bait) → redact (secrets) → quarantine "
+    "(encoding damage) → too_short → clean — composing the three scan "
+    "operators into the decision table a curation pipeline executes. "
+    "All scans ride a single codegen pass over the same projection; one "
+    "tiny route aggregate.",
+)
+def pipeline_hygiene_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sec = textstats.secret_scan(docs).withColumnRenamed(
+        "has_secret", "s_flag"
+    ).select("doc_id", "s_flag")
+    inj = textstats.injection_scan(docs).select(
+        "doc_id", F.col("has_injection").alias("i_flag")
+    )
+    dam = textstats.mojibake_scan(docs).select(
+        "doc_id", F.col("is_damaged").alias("d_flag")
+    )
+    words = docs.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_words")
+    )
+    j = (
+        words.join(sec, "doc_id")
+        .join(inj, "doc_id")
+        .join(dam, "doc_id")
+    )
+    route = (
+        F.when(F.col("i_flag"), F.lit("drop"))
+        .when(F.col("s_flag"), F.lit("redact"))
+        .when(F.col("d_flag"), F.lit("quarantine"))
+        .when(F.col("n_words") < 5, F.lit("too_short"))
+        .otherwise(F.lit("clean"))
+    )
+    return (
+        j.select(route.alias("route"))
+        .groupBy("route")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("route")
+    )
