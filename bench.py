@@ -64,6 +64,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval",   # BM25 + cosine fusion
     "semdedup_jl_buckets",    # JL sign-bucket semantic dedup
     "text_byte_entropy",      # within-row byte histogram array ops
+    "dedup_tfidf_cosine",     # idf-weighted inverted-index pair join
+    "streaming_session_transcripts_live",  # arbitrary-state sessionizer
 ]
 
 
