@@ -4517,3 +4517,48 @@ def pipeline_hygiene_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("route")
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+WITH pred AS ({_duck_lang_id_sql().replace("ORDER BY doc_id", "")}),
+joined AS (
+  SELECT d.lang AS lang_true, p.lang_pred
+  FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+)
+SELECT lang_true, lang_pred, count(*) AS n_docs,
+       round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY lang_true)
+                             AS DOUBLE), 6) AS frac_of_true
+FROM joined GROUP BY lang_true, lang_pred
+ORDER BY lang_true, lang_pred
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Lang-ID confusion matrix: the stopword-heuristic classifier's "
+    "predictions crossed against the fixture's TRUE lang labels, with "
+    "per-true-class fractions (recall diagonal) — the classifier-"
+    "evaluation pattern every routing heuristic needs before it gates a "
+    "corpus. One label-keyed join + one tiny (langs²) aggregate; the "
+    "per-class fraction window runs over the langs² aggregate, not the "
+    "corpus.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    joined = docs.select(
+        "doc_id", F.col("lang").alias("lang_true")
+    ).join(pred, "doc_id")
+    agg = joined.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("lang_true")
+    return agg.select(
+        "lang_true",
+        "lang_pred",
+        "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
+        ).alias("frac_of_true"),
+    ).orderBy("lang_true", "lang_pred")
