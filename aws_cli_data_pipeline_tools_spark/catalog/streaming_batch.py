@@ -1243,3 +1243,87 @@ def streaming_session_transcripts_live(
         .select("user_id", "session_id", "n_turns", "transcript")
         .orderBy("user_id", "session_id")
     )
+
+
+register_sql(
+    "session_type_affinity",
+    spark_sql="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), st AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+), n AS (
+  SELECT count(DISTINCT struct(user_id, session_id)) AS n_sessions FROM st
+), single AS (
+  SELECT event_type, count(*) AS c FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.c_ab AS n_cooccur,
+       round(p.c_ab * n.n_sessions
+             / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN single sa ON sa.event_type = p.type_a
+JOIN single sb ON sb.event_type = p.type_b
+CROSS JOIN n
+ORDER BY type_a, type_b
+""",
+    duck_sql="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), st AS (
+  SELECT DISTINCT user_id, session_id, event_type FROM numbered
+), n AS (
+  SELECT count(*) AS n_sessions
+  FROM (SELECT DISTINCT user_id, session_id FROM st)
+), single AS (
+  SELECT event_type, count(*) AS c FROM st GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS c_ab
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_id = b.session_id
+   AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, CAST(p.c_ab AS BIGINT) AS n_cooccur,
+       round(p.c_ab * n.n_sessions
+             / CAST(sa.c * sb.c AS DOUBLE), 6) AS lift
+FROM pairs p
+JOIN single sa ON sa.event_type = p.type_a
+JOIN single sb ON sb.event_type = p.type_b
+CROSS JOIN n
+ORDER BY type_a, type_b
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="Session-level event-type affinity (market-basket lift): which "
+    "behaviors co-occur within the same 30-min session, normalized by "
+    "independence (lift = P(a,b)·N / (P(a)·P(b)·N²) on session counts). "
+    "Same sessionizer CTE as events_sessionized; the pair join runs on "
+    "the DISTINCT (session, type) reduction — ≤ types rows per session, "
+    "so fan-out is bounded at C(types,2) per session at any scale.",
+)
