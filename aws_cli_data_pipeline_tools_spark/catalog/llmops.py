@@ -4562,3 +4562,70 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6
         ).alias("frac_of_true"),
     ).orderBy("lang_true", "lang_pred")
+
+
+register_sql(
+    "curriculum_length_schedule",
+    spark_sql="""
+WITH q AS (
+  SELECT doc_id, size(split(text, '\\\\s+')) AS n_tokens FROM documents
+), bounds AS (
+  SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS b1,
+    percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_tokens) AS b2,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY n_tokens) AS b3
+  FROM q
+), banded AS (
+  SELECT q.doc_id, q.n_tokens,
+         1 + CASE WHEN q.n_tokens > b.b1 THEN 1 ELSE 0 END
+           + CASE WHEN q.n_tokens > b.b2 THEN 1 ELSE 0 END
+           + CASE WHEN q.n_tokens > b.b3 THEN 1 ELSE 0 END AS band
+  FROM q CROSS JOIN bounds b
+), per AS (
+  SELECT band, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM banded GROUP BY band
+)
+SELECT band, n_docs, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM per ORDER BY band
+""",
+    duck_sql="""
+WITH q AS (
+  SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  FROM documents
+), bounds AS (
+  SELECT quantile_disc(n_tokens, 0.25) AS b1,
+         quantile_disc(n_tokens, 0.5) AS b2,
+         quantile_disc(n_tokens, 0.75) AS b3
+  FROM q
+), banded AS (
+  SELECT q.doc_id, q.n_tokens,
+         1 + CASE WHEN q.n_tokens > b.b1 THEN 1 ELSE 0 END
+           + CASE WHEN q.n_tokens > b.b2 THEN 1 ELSE 0 END
+           + CASE WHEN q.n_tokens > b.b3 THEN 1 ELSE 0 END AS band
+  FROM q CROSS JOIN bounds b
+), per AS (
+  SELECT band, count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+  FROM banded GROUP BY band
+)
+SELECT band, n_docs, n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY band
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens
+FROM per ORDER BY band
+""",
+    tags=("llmops", "curation", "sampling"),
+    notes="Short-to-long length-curriculum schedule: documents banded "
+    "into length quartiles by EXACT discrete percentile thresholds (one "
+    "ObjectHashAggregate pass, thresholds broadcast back, CASE "
+    "assignment — no global-order ntile window over the corpus), with "
+    "per-band doc/token totals and the cumulative token schedule the "
+    "curriculum consumes in band order. (A quality-scored variant is "
+    "the same plan with the score substituted; the fixture corpus is "
+    "punctuation-free, so its quality signal is constant and length is "
+    "the honest banding column.)",
+)
