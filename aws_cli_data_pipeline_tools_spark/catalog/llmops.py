@@ -4629,3 +4629,64 @@ FROM per ORDER BY band
     "punctuation-free, so its quality signal is constant and length is "
     "the honest banding column.)",
 )
+
+
+@register(
+    "multimodal_au_alaw",
+    oracle="""
+WITH codes AS (
+  SELECT doc_id, list_transform(generate_series(0, 7),
+      i -> (doc_id * 13 + i * 7) % 256) AS cs
+  FROM documents
+), dec AS (
+  SELECT doc_id,
+         list_transform(cs, c ->
+           CASE WHEN c >= 128 THEN 1 ELSE -1 END *
+           CASE WHEN ((xor(c, 85) // 16) % 8) = 0
+                THEN (xor(c, 85) % 16) * 16 + 8
+                ELSE ((xor(c, 85) % 16) * 16 + 264)
+                     * CAST(power(2, greatest((xor(c, 85) // 16) % 8 - 1,
+                                              0)) AS BIGINT) END) AS smp
+  FROM codes
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+       CAST(8 AS BIGINT) AS n_samples,
+       round(list_sum(list_transform(smp, x -> abs(CAST(x AS DOUBLE))))
+             / 8.0, 6) AS mean_abs,
+       round(sqrt(list_sum(list_transform(smp,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) / 8.0), 6)
+         AS rms,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak
+FROM dec ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="REAL G.711 A-law decode (operators/multimodal."
+    "decode_au_samples, AU encoding 27): xor-0x55 + segment shift "
+    "closed form, sample-for-sample replayed by the oracle — completing "
+    "the G.711 codec pair with µ-law. Hand-checked extremes "
+    "(0xAA→+32256, 0x55→−8).",
+)
+def multimodal_au_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+
+    def be(col, n_bytes):
+        return F.unhex(F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0"))
+
+    parts = [
+        F.encode(F.lit(".snd"), "utf-8"),
+        be(F.lit(24), 4), be(F.lit(8), 4), be(F.lit(27), 4),
+        be(F.lit(8000), 4), be(F.lit(1), 4),
+    ]
+    for i in range(8):
+        parts.append(be((F.col("doc_id") * 13 + i * 7) % 256, 1))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
+    )
+    out = multimodal.decode_au_samples(media)
+    return out.select(
+        "media_id", "sample_rate", "channels", "n_samples",
+        F.round("mean_abs", 6).alias("mean_abs"),
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    ).orderBy("media_id")

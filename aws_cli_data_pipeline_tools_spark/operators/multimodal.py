@@ -1779,17 +1779,27 @@ def _decode_au_array(p: bytes):
     enc = int.from_bytes(p[12:16], "big")
     rate = int.from_bytes(p[16:20], "big")
     channels = int.from_bytes(p[20:24], "big")
-    if enc != 1 or off < 24 or channels < 1:  # 1 = 8-bit G.711 µ-law
-        return None
+    if enc not in (1, 27) or off < 24 or channels < 1:
+        return None  # 1 = G.711 µ-law, 27 = G.711 A-law
     data = p[off : off + size] if size != 0xFFFFFFFF else p[off:]
     if not data:
         return None
-    u = 255 - np.frombuffer(data, dtype=np.uint8).astype(np.int64)
-    mant = u % 16
-    exp = (u // 16) % 8
-    t = ((mant * 8) + 0x84) * (2 ** exp)
-    mag = t - 0x84
-    samples = np.where(u >= 128, -mag, mag)
+    code = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if enc == 1:  # µ-law: complement, then t = ((mant<<3)+0x84)<<exp
+        u = 255 - code
+        mant = u % 16
+        exp = (u // 16) % 8
+        mag = ((mant * 8) + 0x84) * (2 ** exp) - 0x84
+        samples = np.where(u >= 128, -mag, mag)
+    else:  # A-law: xor 0x55, then t = ((mant<<4)+seg-offset)<<(seg-1)
+        a = code ^ 0x55
+        mant = a % 16
+        seg = (a // 16) % 8
+        t = mant * 16
+        mag = np.where(
+            seg == 0, t + 8, (t + 0x108) * (2 ** np.maximum(seg - 1, 0))
+        )
+        samples = np.where(code >= 128, mag, -mag)
     return rate, channels, samples
 
 

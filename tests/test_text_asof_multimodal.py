@@ -1019,3 +1019,27 @@ def test_au_ulaw_decode_known_codes(spark):
     assert out[3].peak == 32124
     assert out[4].sample_rate is None
     assert out[5].sample_rate is None
+
+
+def test_au_alaw_decode_known_codes(spark):
+    """G.711 A-law extremes: 0xAA → +32256, 0x2A → −32256, 0x55 → −8."""
+    from aws_cli_data_pipeline_tools_spark.operators.multimodal import (
+        decode_au_samples,
+    )
+
+    def au(codes):
+        return (
+            b".snd" + (24).to_bytes(4, "big")
+            + len(codes).to_bytes(4, "big") + (27).to_bytes(4, "big")
+            + (8000).to_bytes(4, "big") + (1).to_bytes(4, "big")
+            + bytes(codes)
+        )
+
+    df = spark.createDataFrame(
+        [(1, au([0xAA])), (2, au([0x2A])), (3, au([0x55, 0xD5]))],
+        "media_id bigint, payload binary",
+    )
+    out = {r.media_id: r for r in decode_au_samples(df).collect()}
+    assert out[1].peak == 32256 and out[1].mean_abs == 32256.0
+    assert out[2].peak == 32256 and out[2].rms == 32256.0
+    assert out[3].peak == 8  # quietest codes decode to ±8
