@@ -1327,3 +1327,81 @@ ORDER BY type_a, type_b
     "the DISTINCT (session, type) reduction — ≤ types rows per session, "
     "so fan-out is bounded at C(types,2) per session at any scale.",
 )
+
+
+register_sql(
+    "user_rfm_segments",
+    spark_sql="""
+WITH mx AS (SELECT max(ts) AS now_ts FROM events),
+rfm AS (
+  SELECT user_id,
+         CAST((unix_micros(mx.now_ts) - unix_micros(max(e.ts)))
+              DIV 86400000000 AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2)
+           AS monetary
+  FROM events e CROSS JOIN mx
+  GROUP BY user_id, mx.now_ts
+), bounds AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY recency_days) AS r_med,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY frequency) AS f_med,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY monetary) AS m_med
+  FROM rfm
+), scored AS (
+  SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+         CASE WHEN r.recency_days <= b.r_med THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN r.frequency > b.f_med THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN r.monetary > b.m_med THEN 2 ELSE 1 END AS m_score
+  FROM rfm r CROSS JOIN bounds b
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 2 AND f_score = 2 AND m_score = 2
+              THEN 'champion'
+            WHEN r_score = 2 AND f_score = 2 THEN 'loyal'
+            WHEN r_score = 2 THEN 'recent'
+            WHEN f_score = 2 OR m_score = 2 THEN 'at_risk'
+            ELSE 'hibernating' END AS segment
+FROM scored ORDER BY user_id
+""",
+    duck_sql="""
+WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS now_ts FROM events),
+rfm AS (
+  SELECT user_id,
+         CAST((epoch_us(mx.now_ts) - epoch_us(max(CAST(e.ts AS TIMESTAMP))))
+              // 86400000000 AS BIGINT) AS recency_days,
+         count(*) AS frequency,
+         round(CAST(sum(CAST(e.value AS DECIMAL(38,10))) AS DOUBLE), 2)
+           AS monetary
+  FROM events e CROSS JOIN mx
+  GROUP BY user_id, mx.now_ts
+), bounds AS (
+  SELECT quantile_disc(recency_days, 0.5) AS r_med,
+         quantile_disc(frequency, 0.5) AS f_med,
+         quantile_disc(monetary, 0.5) AS m_med
+  FROM rfm
+), scored AS (
+  SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+         CASE WHEN r.recency_days <= b.r_med THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN r.frequency > b.f_med THEN 2 ELSE 1 END AS f_score,
+         CASE WHEN r.monetary > b.m_med THEN 2 ELSE 1 END AS m_score
+  FROM rfm r CROSS JOIN bounds b
+)
+SELECT user_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CASE WHEN r_score = 2 AND f_score = 2 AND m_score = 2
+              THEN 'champion'
+            WHEN r_score = 2 AND f_score = 2 THEN 'loyal'
+            WHEN r_score = 2 THEN 'recent'
+            WHEN f_score = 2 OR m_score = 2 THEN 'at_risk'
+            ELSE 'hibernating' END AS segment
+FROM scored ORDER BY user_id
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="RFM (recency/frequency/monetary) user segmentation — the "
+    "classic behavioral-analytics operator: one user-keyed aggregate, "
+    "EXACT median thresholds broadcast back (no global ntile window), "
+    "deterministic above/below scoring, named segments. Monetary uses "
+    "the decimal-sum discipline; recency is exact integer day "
+    "arithmetic off the corpus max timestamp.",
+)
