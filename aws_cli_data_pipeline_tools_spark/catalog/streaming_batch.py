@@ -1405,3 +1405,58 @@ FROM scored ORDER BY user_id
     "the decimal-sum discipline; recency is exact integer day "
     "arithmetic off the corpus max timestamp.",
 )
+
+
+register_sql(
+    "funnel_time_to_convert",
+    spark_sql="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN unix_micros(ts) END)
+           AS t_view,
+         min(CASE WHEN event_type = 'purchase' THEN unix_micros(ts) END)
+           AS t_buy
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id, CAST((t_buy - t_view) DIV 1000000 AS BIGINT) AS secs
+  FROM firsts WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+    AND t_buy >= t_view
+)
+SELECT count(*) AS n_converted,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY secs) AS BIGINT)
+         AS p25_secs,
+       CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY secs) AS BIGINT)
+         AS p50_secs,
+       CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY secs) AS BIGINT)
+         AS p90_secs,
+       max(secs) AS max_secs
+FROM conv
+""",
+    duck_sql="""
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_view,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t_buy
+  FROM events GROUP BY user_id
+), conv AS (
+  SELECT user_id, CAST((t_buy - t_view) // 1000000 AS BIGINT) AS secs
+  FROM firsts WHERE t_view IS NOT NULL AND t_buy IS NOT NULL
+    AND t_buy >= t_view
+)
+SELECT count(*) AS n_converted,
+       quantile_disc(secs, 0.25) AS p25_secs,
+       quantile_disc(secs, 0.5) AS p50_secs,
+       quantile_disc(secs, 0.9) AS p90_secs,
+       max(secs) AS max_secs
+FROM conv
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="Funnel latency distribution: per-user first-view → "
+    "first-purchase conversion time, exact discrete percentiles — the "
+    "time-dimension companion to funnel_view_click_purchase (how LONG "
+    "conversion takes, not just whether). One conditional-min hash "
+    "aggregate + one ObjectHashAggregate percentile pass; exact integer "
+    "second arithmetic.",
+)
