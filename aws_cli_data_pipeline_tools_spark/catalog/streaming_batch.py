@@ -1460,3 +1460,66 @@ FROM conv
     "aggregate + one ObjectHashAggregate percentile pass; exact integer "
     "second arithmetic.",
 )
+
+
+#: DFT basis weights cos/sin(2πkh/24) for k=1..4, h=0..23 — computed once
+#: and inlined as identical shortest-repr literals in BOTH engines' plans
+#: (Math.cos vs libm cos can differ in the last bit; parsed literals
+#: can't — the RBO-weights discipline).
+import math as _math
+
+_DFT_GRID_SQL = ", ".join(
+    f"({k}, {h}, {_math.cos(2 * _math.pi * k * h / 24)!r}, "
+    f"{_math.sin(2 * _math.pi * k * h / 24)!r})"
+    for k in range(1, 5)
+    for h in range(24)
+)
+
+register_sql(
+    "events_diurnal_spectrum",
+    spark_sql=f"""
+WITH hourly AS (
+  SELECT hour(ts) AS h, count(*) AS x FROM events GROUP BY hour(ts)
+), grid (k, h, c, s) AS (
+  VALUES {_DFT_GRID_SQL}
+), terms AS (
+  SELECT g.k, hourly.x * g.c AS xc, hourly.x * g.s AS xs
+  FROM grid g JOIN hourly ON hourly.h = g.h
+), sums AS (
+  SELECT k,
+         CAST(sum(CAST(xc AS DECIMAL(38,10))) AS DOUBLE) AS cs,
+         CAST(sum(CAST(xs AS DECIMAL(38,10))) AS DOUBLE) AS sn
+  FROM terms GROUP BY k
+)
+SELECT k, CAST(24 / k AS DOUBLE) AS period_hours,
+       round(cs * cs + sn * sn, 2) AS power
+FROM sums ORDER BY k
+""",
+    duck_sql=f"""
+WITH hourly AS (
+  SELECT hour(CAST(ts AS TIMESTAMP)) AS h, count(*) AS x
+  FROM events GROUP BY 1
+), grid (k, h, c, s) AS (
+  VALUES {_DFT_GRID_SQL}
+), terms AS (
+  SELECT g.k, hourly.x * g.c AS xc, hourly.x * g.s AS xs
+  FROM grid g JOIN hourly ON hourly.h = g.h
+), sums AS (
+  SELECT k,
+         CAST(sum(CAST(xc AS DECIMAL(38,10))) AS DOUBLE) AS cs,
+         CAST(sum(CAST(xs AS DECIMAL(38,10))) AS DOUBLE) AS sn
+  FROM terms GROUP BY k
+)
+SELECT k, CAST(24 / k AS DOUBLE) AS period_hours,
+       round(cs * cs + sn * sn, 2) AS power
+FROM sums ORDER BY k
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="Diurnal spectral signature: DFT power of the hour-of-day "
+    "activity profile at periods 24/12/8/6 h — does the feed breathe "
+    "daily, and at which harmonic (the load-profiling/periodicity "
+    "detector behind traffic forecasting). The 24-point profile is one "
+    "hash aggregate; the 96 cos/sin basis weights are plan-time "
+    "literals identical on both engines, and the projections sum as "
+    "DECIMAL(38,10) fixed-point.",
+)
