@@ -1523,3 +1523,45 @@ FROM sums ORDER BY k
     "literals identical on both engines, and the projections sum as "
     "DECIMAL(38,10) fixed-point.",
 )
+
+
+register_sql(
+    "events_wow_growth",
+    spark_sql="""
+WITH weekly AS (
+  SELECT event_type, weekofyear(ts) AS wk, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+           AS sum_value
+  FROM events GROUP BY event_type, weekofyear(ts)
+)
+SELECT event_type, wk, n, sum_value,
+       n - lag(n) OVER w AS n_delta,
+       round((n - lag(n) OVER w)
+             / nullif(CAST(lag(n) OVER w AS DOUBLE), 0.0) * 100, 4)
+         AS n_pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+ORDER BY event_type, wk
+""",
+    duck_sql="""
+WITH weekly AS (
+  SELECT event_type, weekofyear(CAST(ts AS TIMESTAMP)) AS wk, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
+           AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(wk AS INT) AS wk, n, sum_value,
+       n - lag(n) OVER w AS n_delta,
+       round((n - lag(n) OVER w)
+             / nullif(CAST(lag(n) OVER w AS DOUBLE), 0.0) * 100, 4)
+         AS n_pct_change
+FROM weekly
+WINDOW w AS (PARTITION BY event_type ORDER BY wk)
+ORDER BY event_type, wk
+""",
+    tags=("streaming-batch", "stats", "window"),
+    notes="Week-over-week growth per event type: ISO week totals + lag "
+    "deltas and % change — the core KPI-reporting shape (both engines "
+    "use ISO weekofyear). Per-type partitioned lag windows; decimal "
+    "sums.",
+)
