@@ -574,3 +574,99 @@ ORDER BY shard, strategy, batch_id
 def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return curation.inference_batch_plan(docs, batch_size=8)
+
+
+@register(
+    "curation_attrition_report",
+    oracle=r"""
+WITH canon AS (
+  SELECT doc_id, lang, source,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+             ' ')) AS canon_hash,
+         len(regexp_split_to_array(text, '\s+')) AS n_words
+  FROM documents
+), dedup AS (
+  SELECT * FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY canon_hash)
+         AS is_keeper
+    FROM canon
+  ) WHERE is_keeper
+), lenf AS (
+  SELECT * FROM dedup WHERE n_words BETWEEN 20 AND 5000
+), langf AS (
+  SELECT * FROM lenf WHERE lang <> 'zh'
+), capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || 'cap'), 1, 8), doc_id
+    ) AS rn
+    FROM langf
+  ) WHERE rn <= 10
+), srcs AS (SELECT DISTINCT source FROM documents)
+SELECT srcs.source,
+       coalesce(t.n, 0) AS n_total,
+       coalesce(d.n, 0) AS n_after_dedup,
+       coalesce(l.n, 0) AS n_after_len,
+       coalesce(g.n, 0) AS n_after_lang,
+       coalesce(c.n, 0) AS n_after_cap
+FROM srcs
+LEFT JOIN (SELECT source, count(*) AS n FROM documents GROUP BY source) t
+  ON t.source = srcs.source
+LEFT JOIN (SELECT source, count(*) AS n FROM dedup GROUP BY source) d
+  ON d.source = srcs.source
+LEFT JOIN (SELECT source, count(*) AS n FROM lenf GROUP BY source) l
+  ON l.source = srcs.source
+LEFT JOIN (SELECT source, count(*) AS n FROM langf GROUP BY source) g
+  ON g.source = srcs.source
+LEFT JOIN (SELECT source, count(*) AS n FROM capped GROUP BY source) c
+  ON c.source = srcs.source
+ORDER BY srcs.source
+""",
+    tags=("llmops", "curation", "stats"),
+    notes="Curation attrition report ('where did my data go'): per-source "
+    "survivor counts after EACH stage of the pipeline_curate_corpus "
+    "composition — dedup → length filter → lang filter → per-source cap "
+    "— the observability table a pipeline owner reads before blaming "
+    "the wrong stage. Five source-keyed aggregates over progressively "
+    "filtered frames (each a narrow filter on the previous; the heavy "
+    "ops are the same two shuffles the pipeline itself pays).",
+)
+def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup as ddp
+
+    docs = load_table(spark, "documents", sf_dir)
+    keepers = ddp.canonical_text_dedup(docs).filter(F.col("is_keeper"))
+    with_words = docs.withColumn(
+        "n_words", F.size(F.split("text", r"\s+"))
+    )
+    stage_dedup = with_words.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+    stage_len = stage_dedup.filter(F.col("n_words").between(20, 5000))
+    stage_lang = stage_len.filter(F.col("lang") != "zh")
+    stage_cap = curation.cap_per_stratum(
+        stage_lang, ["source"], 10, "doc_id", salt="cap"
+    )
+
+    def per_src(df, name):
+        return df.groupBy("source").agg(F.count(F.lit(1)).alias(name))
+
+    srcs = docs.select("source").distinct()
+    out = (
+        srcs.join(per_src(docs, "n_total"), "source", "left")
+        .join(per_src(stage_dedup, "n_after_dedup"), "source", "left")
+        .join(per_src(stage_len, "n_after_len"), "source", "left")
+        .join(per_src(stage_lang, "n_after_lang"), "source", "left")
+        .join(per_src(stage_cap, "n_after_cap"), "source", "left")
+    )
+    return out.select(
+        "source",
+        *[
+            F.coalesce(F.col(c), F.lit(0).cast("bigint")).alias(c)
+            for c in (
+                "n_total", "n_after_dedup", "n_after_len",
+                "n_after_lang", "n_after_cap",
+            )
+        ],
+    ).orderBy("source")
