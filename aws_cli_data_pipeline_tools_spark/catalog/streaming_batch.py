@@ -1565,3 +1565,69 @@ ORDER BY event_type, wk
     "use ISO weekofyear). Per-type partitioned lag windows; decimal "
     "sums.",
 )
+
+
+@register(
+    "events_ses_forecast",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS n
+  FROM events GROUP BY 1, 2
+), v AS (
+  SELECT event_type, day, n,
+         list(n) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS vals
+  FROM daily
+), sm AS (
+  SELECT event_type, day, n,
+         round(
+           list_sum(list_transform(generate_series(1, len(vals)),
+                    i -> vals[i] * pow(0.5, len(vals) - i)))
+           / ((1.0 - pow(0.5, len(vals))) / 0.5), 6) AS smoothed
+  FROM v
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       lag(smoothed) OVER (PARTITION BY event_type ORDER BY day)
+         AS forecast,
+       round(abs(n - lag(smoothed) OVER (
+         PARTITION BY event_type ORDER BY day)), 6) AS abs_err
+FROM sm ORDER BY event_type, day
+""",
+    tags=("llmops", "streaming-batch", "timeseries"),
+    notes="Simple-exponential-smoothing 1-step forecast of daily volumes "
+    "per event type: SES level via the bounded-frame EWMA operator "
+    "(decay 0.5 ⇒ exact binary-power weights), yesterday's level = "
+    "today's forecast, absolute error alongside — the capacity-planning "
+    "baseline every volume dashboard starts with. Per-type partitioned "
+    "windows only; frame bounded at 16 days.",
+)
+def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.gapfill import ewma
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    sm = ewma(
+        daily, ["event_type"], ["day"], "n", decay=0.5, window=16,
+        out_col="smoothed",
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        sm.withColumn("forecast", F.lag("smoothed").over(w))
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            "forecast",
+            F.round(F.abs(F.col("n") - F.col("forecast")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
