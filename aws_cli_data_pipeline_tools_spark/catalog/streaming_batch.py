@@ -1631,3 +1631,76 @@ def events_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: Benford first-digit expectations log10(1+1/d) — literals, both engines.
+_BENFORD_VALUES_SQL = "(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)"
+
+
+@register(
+    "values_benford_audit",
+    oracle=f"""
+WITH pos AS (
+  SELECT value FROM events WHERE value > 0
+), digits AS (
+  SELECT CAST(substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1) AS INT)
+    AS d
+  FROM pos
+  WHERE substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1)
+        BETWEEN '1' AND '9'
+), obs AS (
+  SELECT d, count(*) AS n FROM digits GROUP BY d
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
+exp (d, p) AS (VALUES {_BENFORD_VALUES_SQL})
+SELECT exp.d, coalesce(obs.n, 0) AS n_obs,
+       CAST(round(CAST(exp.p AS DOUBLE) * tot.nt, 0) AS BIGINT)
+         AS n_expected,
+       round(coalesce(obs.n, 0) / CAST(tot.nt AS DOUBLE), 6) AS frac_obs,
+       round(CAST(exp.p AS DOUBLE), 6) AS frac_benford
+FROM exp LEFT JOIN obs ON obs.d = exp.d CROSS JOIN tot
+ORDER BY exp.d
+""",
+    tags=("llmops", "stats", "quality"),
+    notes="Benford first-digit audit of event values — the classic "
+    "fabricated-data / unit-mixing detector: observed leading-digit "
+    "frequencies against log10(1+1/d) expectations (inlined as literal "
+    "probabilities, identical both engines). First digit via the "
+    "engines' shared shortest-repr double-to-string prefix on positive "
+    "values; one digit-keyed aggregate.",
+)
+def values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    pos = ev.filter(F.col("value") > 0)
+    d = F.substring(F.col("value").cast("double").cast("string"), 1, 1)
+    digits = pos.select(d.alias("ds")).filter(
+        F.col("ds").between("1", "9")
+    ).select(F.col("ds").cast("int").alias("d"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("nt"))
+    import math as _m
+
+    exp = spark.createDataFrame(
+        [(dd, _m.log10(1 + 1 / dd)) for dd in range(1, 10)],
+        "d int, p double",
+    )
+    return (
+        F.broadcast(exp)
+        .join(obs, "d", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint")).alias(
+                "n_obs"
+            ),
+            F.round(F.col("p") * F.col("nt"), 0)
+            .cast("bigint")
+            .alias("n_expected"),
+            F.round(
+                F.coalesce(F.col("n_obs"), F.lit(0))
+                / F.col("nt").cast("double"),
+                6,
+            ).alias("frac_obs"),
+            F.round(F.col("p"), 6).alias("frac_benford"),
+        )
+        .orderBy("d")
+    )
