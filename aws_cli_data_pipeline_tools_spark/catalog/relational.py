@@ -2146,3 +2146,42 @@ ORDER BY k1
     "= yields NULL (visible in eq_plain). The join-key trap behind "
     "nullable dedup/merge keys.",
 )
+
+
+register_sql(
+    "referential_integrity_audit",
+    sql="""
+SELECT 'lineitem->orders' AS fk, (
+    SELECT count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part', (
+    SELECT count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier', (
+    SELECT count(*) FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer', (
+    SELECT count(*) FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation', (
+    SELECT count(*) FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                      WHERE n.n_nationkey = c.c_nationkey))
+ORDER BY fk
+""",
+    tags=("quality", "joins"),
+    notes="Cross-table referential-integrity audit: orphan-row counts for "
+    "the star schema's five FK relationships via NOT EXISTS anti-joins — "
+    "the multi-table counterpart of dq_checks_orders (constraints within "
+    "one table). Each probe is a left-anti hash join with the dim side "
+    "broadcast when small; zeros on the fixture, nonzero = broken "
+    "ingestion. Same SQL runs on both engines.",
+)
