@@ -2185,3 +2185,56 @@ ORDER BY fk
     "broadcast when small; zeros on the fixture, nonzero = broken "
     "ingestion. Same SQL runs on both engines.",
 )
+
+
+register_sql(
+    "join_skew_report",
+    spark_sql="""
+WITH per_key AS (
+  SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         max(n) AS max_rows,
+         round(avg(n), 6) AS avg_rows,
+         CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT)
+           AS p99_rows
+  FROM per_key
+), top AS (
+  SELECT concat_ws(',', collect_list(CAST(k AS STRING))) AS top5_keys
+  FROM (SELECT k FROM per_key ORDER BY n DESC, k LIMIT 5)
+)
+SELECT s.n_keys, s.n_rows, s.max_rows, s.avg_rows, s.p99_rows,
+       round(s.max_rows / s.avg_rows, 4) AS skew_ratio,
+       t.top5_keys
+FROM stats s CROSS JOIN top t
+""",
+    duck_sql="""
+WITH per_key AS (
+  SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY l_orderkey
+), stats AS (
+  SELECT count(*) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         max(n) AS max_rows,
+         round(avg(n), 6) AS avg_rows,
+         CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_rows
+  FROM per_key
+), top AS (
+  SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY n DESC, k)
+    AS top5_keys
+  FROM (SELECT k, n FROM per_key ORDER BY n DESC, k LIMIT 5)
+)
+SELECT s.n_keys, s.n_rows, s.max_rows, s.avg_rows, s.p99_rows,
+       round(s.max_rows / s.avg_rows, 4) AS skew_ratio,
+       t.top5_keys
+FROM stats s CROSS JOIN top t
+""",
+    tags=("quality", "joins", "stats"),
+    notes="Shuffle-skew auditor for a join key: per-key row counts → "
+    "max/avg/p99, skew ratio, and the top-5 heaviest keys — the "
+    "pre-join diagnosis that decides between plain shuffle, AQE skew "
+    "handling, and explicit salting (operators/skew.py). One key-keyed "
+    "aggregate + a TakeOrderedAndProject top-5; Spark renders the top "
+    "keys from the pre-sorted limit so collect_list order is "
+    "deterministic.",
+)
