@@ -1704,3 +1704,74 @@ def values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+register_sql(
+    "session_top_paths",
+    spark_sql="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), seqs AS (
+  SELECT user_id, session_id,
+         transform(
+           array_sort(collect_list(struct(ts, event_id, event_type))),
+           x -> x.event_type) AS types
+  FROM numbered GROUP BY user_id, session_id
+), tri AS (
+  SELECT explode(
+           transform(sequence(1, size(types) - 2),
+             i -> concat_ws('>', types[i - 1], types[i], types[i + 1])))
+           AS path
+  FROM seqs WHERE size(types) >= 3
+)
+SELECT path, count(*) AS n_sessions_weighted
+FROM tri GROUP BY path
+ORDER BY n_sessions_weighted DESC, path LIMIT 10
+""",
+    duck_sql="""
+WITH base AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+  FROM events
+), marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+), seqs AS (
+  SELECT user_id, session_id,
+         list(event_type ORDER BY ts, event_id) AS types
+  FROM numbered GROUP BY user_id, session_id
+), tri AS (
+  SELECT unnest(list_transform(generate_series(1, len(types) - 2),
+           i -> types[i] || '>' || types[i + 1] || '>' || types[i + 2]))
+           AS path
+  FROM seqs WHERE len(types) >= 3
+)
+SELECT path, count(*) AS n_sessions_weighted
+FROM tri GROUP BY path
+ORDER BY n_sessions_weighted DESC, path LIMIT 10
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="Top-10 three-step behavioral paths within sessions (path "
+    "mining): per-session ordered type sequences built inside the "
+    "session aggregate (array_sort(collect_list(struct)) ≙ DuckDB "
+    "ordered list()), trigram paths sliced WITHIN the row, one "
+    "path-keyed count + TakeOrderedAndProject. The journey-analysis "
+    "complement of event_transitions (first-order) — third-order "
+    "context without a positional self-join.",
+)
