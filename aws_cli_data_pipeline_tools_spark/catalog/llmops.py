@@ -4690,3 +4690,99 @@ def multimodal_au_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     ).orderBy("media_id")
+
+
+@register(
+    "embedding_source_drift",
+    oracle=f"""
+WITH lab AS (
+  SELECT e.vec_id, e.embedding, d.source
+  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), pos AS (
+  SELECT source, i.i AS p,
+         CAST(sum(CAST(embedding[i.i + 1] AS DECIMAL(38,10))) AS DOUBLE)
+           / count(*) AS v
+  FROM lab, unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+  GROUP BY source, i.i
+), cents AS (
+  SELECT source, list(v ORDER BY p) AS c FROM pos GROUP BY source
+), gpos AS (
+  SELECT i.i AS p,
+         CAST(sum(CAST(embedding[i.i + 1] AS DECIMAL(38,10))) AS DOUBLE)
+           / count(*) AS v
+  FROM lab, unnest(generate_series(0, len(embedding) - 1)) AS i(i)
+  GROUP BY i.i
+), g AS (
+  SELECT list(v ORDER BY p) AS c FROM gpos
+), nv AS (
+  SELECT source, count(*) AS n_vecs FROM lab GROUP BY source
+)
+SELECT cents.source, nv.n_vecs,
+       {_duck_cosine('cents.c', 'g.c')} AS cos_to_global
+FROM cents JOIN nv ON nv.source = cents.source CROSS JOIN g
+ORDER BY cents.source
+""",
+    tags=("llmops", "similarity", "stats"),
+    notes="Embedding-space drift per source: each feed's centroid "
+    "(decimal-sum per dimension — order-independent) against the global "
+    "corpus centroid by cosine — low values flag a feed whose content "
+    "occupies a different region of embedding space (domain shift, "
+    "pipeline bug, language drift). Per-(source, dim) aggregates only "
+    "(sources × dims rows); centroid arrays assembled in sorted "
+    "dimension order on both engines.",
+)
+def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import cosine_similarity
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    lab = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "source"
+    )
+    pe = lab.select(
+        "source", F.posexplode("embedding").alias("p", "v")
+    )
+    cents = (
+        pe.groupBy("source", "p")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "v"))),
+                lambda x: x["v"],
+            ).alias("c")
+        )
+    )
+    g = (
+        pe.groupBy("p")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("v")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "v"))),
+                lambda x: x["v"],
+            ).alias("gc")
+        )
+    )
+    nv = lab.groupBy("source").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return (
+        cents.join(nv, "source")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "n_vecs",
+            F.round(
+                cosine_similarity(F.col("c"), F.col("gc")), 6
+            ).alias("cos_to_global"),
+        )
+        .orderBy("source")
+    )
