@@ -1775,3 +1775,85 @@ ORDER BY n_sessions_weighted DESC, path LIMIT 10
     "complement of event_transitions (first-order) — third-order "
     "context without a positional self-join.",
 )
+
+
+register_sql(
+    "user_lookalike_topk",
+    spark_sql="""
+WITH vec AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v2,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v3,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v4,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v5
+  FROM events GROUP BY user_id
+), seeds AS (
+  SELECT * FROM vec WHERE user_id < 3
+), scored AS (
+  SELECT s.user_id AS seed_id, c.user_id AS candidate_id,
+         round((s.v1*c.v1 + s.v2*c.v2 + s.v3*c.v3 + s.v4*c.v4 + s.v5*c.v5)
+               / nullif(sqrt(s.v1*s.v1 + s.v2*s.v2 + s.v3*s.v3
+                             + s.v4*s.v4 + s.v5*s.v5)
+                        * sqrt(c.v1*c.v1 + c.v2*c.v2 + c.v3*c.v3
+                               + c.v4*c.v4 + c.v5*c.v5), 0.0), 6)
+           AS cosine
+  FROM seeds s CROSS JOIN vec c
+  WHERE s.user_id <> c.user_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY seed_id ORDER BY cosine DESC, candidate_id) AS INT)
+      AS rank
+  FROM scored
+)
+SELECT seed_id, candidate_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY seed_id, rank
+""",
+    duck_sql="""
+WITH vec AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v1,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v2,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v3,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v4,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS v5
+  FROM events GROUP BY user_id
+), seeds AS (
+  SELECT * FROM vec WHERE user_id < 3
+), scored AS (
+  SELECT s.user_id AS seed_id, c.user_id AS candidate_id,
+         round((s.v1*c.v1 + s.v2*c.v2 + s.v3*c.v3 + s.v4*c.v4 + s.v5*c.v5)
+               / nullif(sqrt(s.v1*s.v1 + s.v2*s.v2 + s.v3*s.v3
+                             + s.v4*s.v4 + s.v5*s.v5)
+                        * sqrt(c.v1*c.v1 + c.v2*c.v2 + c.v3*c.v3
+                               + c.v4*c.v4 + c.v5*c.v5), 0.0), 6)
+           AS cosine
+  FROM seeds s CROSS JOIN vec c
+  WHERE s.user_id <> c.user_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY seed_id ORDER BY cosine DESC, candidate_id) AS INT)
+      AS rank
+  FROM scored
+)
+SELECT seed_id, candidate_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY seed_id, rank
+""",
+    tags=("llmops", "similarity", "stats"),
+    notes="Behavioral look-alike audiences: users embedded as event-type "
+    "count vectors (one conditional-sum pivot aggregate), top-5 cosine "
+    "neighbors per seed user with a FIXED-ORDER dot product (5 literal "
+    "terms — no aggregation-order float risk). The seed side is tiny "
+    "and broadcast; at production scale the candidate side keeps the "
+    "two-phase top-k shape of similarity.cosine_topk.",
+)
