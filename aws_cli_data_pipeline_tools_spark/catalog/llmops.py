@@ -4786,3 +4786,68 @@ def embedding_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+register_sql(
+    "bigram_freq_of_freqs",
+    spark_sql="""
+WITH dw AS (
+  SELECT split(lower(text), '\\\\s+') AS w FROM documents
+), bg AS (
+  SELECT explode(zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
+                          slice(w, 2, greatest(size(w) - 1, 0)),
+                          (a, b) -> concat(a, ' ', b))) AS b
+  FROM dw
+), vocab AS (
+  SELECT b, count(*) AS c FROM bg GROUP BY b
+), fof AS (
+  SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS freq_band,
+         count(*) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM vocab GROUP BY CASE WHEN c <= 10 THEN c ELSE 11 END
+), tot AS (
+  SELECT CAST(sum(n_types) AS BIGINT) AS v,
+         CAST(sum(n_tokens) AS BIGINT) AS n
+  FROM fof
+)
+SELECT fof.freq_band, fof.n_types, fof.n_tokens,
+       round(fof.n_types / CAST(tot.v AS DOUBLE), 6) AS frac_of_vocab,
+       round(fof.n_tokens / CAST(tot.n AS DOUBLE), 6) AS frac_of_corpus
+FROM fof CROSS JOIN tot
+ORDER BY freq_band
+""",
+    duck_sql="""
+WITH dw AS (
+  SELECT regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+), bg AS (
+  SELECT w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1] AS b
+  FROM dw, unnest(generate_series(1, len(w) - 1)) AS t(i)
+), vocab AS (
+  SELECT b, count(*) AS c FROM bg GROUP BY b
+), fof AS (
+  SELECT CASE WHEN c <= 10 THEN c ELSE 11 END AS freq_band,
+         count(*) AS n_types,
+         CAST(sum(c) AS BIGINT) AS n_tokens
+  FROM vocab GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(n_types) AS BIGINT) AS v,
+         CAST(sum(n_tokens) AS BIGINT) AS n
+  FROM fof
+)
+SELECT CAST(fof.freq_band AS BIGINT) AS freq_band, fof.n_types,
+       fof.n_tokens,
+       round(fof.n_types / CAST(tot.v AS DOUBLE), 6) AS frac_of_vocab,
+       round(fof.n_tokens / CAST(tot.n AS DOUBLE), 6) AS frac_of_corpus
+FROM fof CROSS JOIN tot
+ORDER BY freq_band
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Good-Turing frequency-of-frequencies over BIGRAM types "
+    "(k=1..10 bands + 11+ tail) with vocab/corpus shares — N1/N "
+    "estimates the unseen-bigram mass for smoothing, and the k=1 row is "
+    "the hapax-richness signal. Bigrams are generated WITHIN each row "
+    "(slice+zip_with, no positional self-join); two pair-keyed "
+    "aggregates with map-side partials; the band rollup is 11 rows. "
+    "(Unigram types are degenerate on the fixture's ~31-word "
+    "vocabulary; bigrams give the real spectrum.)",
+)
