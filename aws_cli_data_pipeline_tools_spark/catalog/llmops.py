@@ -4851,3 +4851,73 @@ ORDER BY freq_band
     "(Unigram types are degenerate on the fixture's ~31-word "
     "vocabulary; bigrams give the real spectrum.)",
 )
+
+
+@register(
+    "dedup_mix_shift_audit",
+    oracle=r"""
+WITH canon AS (
+  SELECT doc_id, lang,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+             ' ')) AS ch
+  FROM documents
+), keep AS (
+  SELECT * FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ch) AS is_keeper
+    FROM canon
+  ) WHERE is_keeper
+), before AS (
+  SELECT lang, count(*) AS n FROM canon GROUP BY lang
+), after AS (
+  SELECT lang, count(*) AS n FROM keep GROUP BY lang
+), tb AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM before),
+ta AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM after)
+SELECT b.lang,
+       b.n AS n_before, coalesce(a.n, 0) AS n_after,
+       round(b.n / CAST(tb.t AS DOUBLE), 6) AS frac_before,
+       round(coalesce(a.n, 0) / CAST(ta.t AS DOUBLE), 6) AS frac_after,
+       round(coalesce(a.n, 0) / CAST(ta.t AS DOUBLE)
+             - b.n / CAST(tb.t AS DOUBLE), 6) AS frac_delta
+FROM before b LEFT JOIN after a ON a.lang = b.lang
+CROSS JOIN tb CROSS JOIN ta
+ORDER BY b.lang
+""",
+    tags=("llmops", "dedup", "stats"),
+    notes="Dedup survivor-bias audit: language mix before vs after "
+    "canonical dedup with the composition delta — dedup silently "
+    "reweights a corpus when duplication rates differ by slice (the "
+    "languages that syndicate most lose the most mass). One dedup "
+    "window + two lang-keyed aggregates; the frac deltas are the "
+    "go/no-go signal for rebalancing after dedup.",
+)
+def dedup_mix_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keepers = dedup.canonical_text_dedup(docs).filter(
+        F.col("is_keeper")
+    ).select("doc_id")
+    before = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_before"))
+    after = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    tb = before.agg(F.sum("n_before").cast("bigint").alias("tb"))
+    ta = after.agg(F.sum("n_after").cast("bigint").alias("ta"))
+    fb = F.col("n_before") / F.col("tb").cast("double")
+    fa = F.coalesce(F.col("n_after"), F.lit(0)) / F.col("ta").cast("double")
+    return (
+        before.join(after, "lang", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "lang",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0).cast("bigint")).alias(
+                "n_after"
+            ),
+            F.round(fb, 6).alias("frac_before"),
+            F.round(fa, 6).alias("frac_after"),
+            F.round(fa - fb, 6).alias("frac_delta"),
+        )
+        .orderBy("lang")
+    )
