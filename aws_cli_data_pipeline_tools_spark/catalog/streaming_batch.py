@@ -1857,3 +1857,52 @@ WHERE rank <= 5 ORDER BY seed_id, rank
     "and broadcast; at production scale the candidate side keeps the "
     "two-phase top-k shape of similarity.cosine_topk.",
 )
+
+
+register_sql(
+    "purchase_interval_stats",
+    spark_sql="""
+WITH buys AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT user_id,
+         CAST((unix_micros(ts) - lag(unix_micros(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000000
+           AS BIGINT) AS gap_secs
+  FROM buys
+)
+SELECT count(*) AS n_repeat_purchases,
+       count(DISTINCT user_id) AS n_repeat_buyers,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_secs)
+            AS BIGINT) AS p25_secs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_secs)
+            AS BIGINT) AS p50_secs,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_secs)
+            AS BIGINT) AS p90_secs
+FROM gaps WHERE gap_secs IS NOT NULL
+""",
+    duck_sql="""
+WITH buys AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events WHERE event_type = 'purchase'
+), gaps AS (
+  SELECT user_id,
+         CAST((epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS BIGINT) AS gap_secs
+  FROM buys
+)
+SELECT count(*) AS n_repeat_purchases,
+       count(DISTINCT user_id) AS n_repeat_buyers,
+       quantile_disc(gap_secs, 0.25) AS p25_secs,
+       quantile_disc(gap_secs, 0.5) AS p50_secs,
+       quantile_disc(gap_secs, 0.9) AS p90_secs
+FROM gaps WHERE gap_secs IS NOT NULL
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Repeat-purchase interval distribution: per-user consecutive "
+    "purchase gaps (lag window, exact integer seconds) → count of "
+    "repeat events/buyers + discrete percentiles — the replenishment-"
+    "cycle statistic behind cadence-based segmentation and churn "
+    "windows.",
+)
