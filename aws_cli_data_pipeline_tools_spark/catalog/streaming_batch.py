@@ -1906,3 +1906,55 @@ FROM gaps WHERE gap_secs IS NOT NULL
     "cycle statistic behind cadence-based segmentation and churn "
     "windows.",
 )
+
+
+register_sql(
+    "dau_mau_stickiness",
+    spark_sql="""
+WITH daily AS (
+  SELECT to_date(ts) AS day, count(DISTINCT user_id) AS dau
+  FROM events GROUP BY to_date(ts)
+), monthly AS (
+  SELECT trunc(to_date(ts), 'MM') AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY trunc(to_date(ts), 'MM')
+), d2 AS (
+  SELECT trunc(day, 'MM') AS month,
+         round(avg(dau), 4) AS avg_dau,
+         max(dau) AS peak_dau,
+         count(*) AS n_days
+  FROM daily GROUP BY trunc(day, 'MM')
+)
+SELECT d2.month, d2.n_days, d2.avg_dau, d2.peak_dau, m.mau,
+       round(d2.avg_dau / m.mau, 6) AS stickiness
+FROM d2 JOIN monthly m ON m.month = d2.month
+ORDER BY d2.month
+""",
+    duck_sql="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         count(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+), monthly AS (
+  SELECT CAST(date_trunc('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+         count(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+), d2 AS (
+  SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+         round(avg(dau), 4) AS avg_dau,
+         max(dau) AS peak_dau,
+         count(*) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT d2.month, d2.n_days, d2.avg_dau, d2.peak_dau, m.mau,
+       round(d2.avg_dau / m.mau, 6) AS stickiness
+FROM d2 JOIN monthly m ON m.month = d2.month
+ORDER BY d2.month
+""",
+    tags=("streaming-batch", "stats"),
+    notes="DAU/MAU engagement: per-month average & peak daily actives, "
+    "monthly actives, and the DAU/MAU stickiness ratio — the canonical "
+    "product-health KPI. Two distinct-count aggregates (Expand-based "
+    "exact distinct with partial aggregation) + a month join; avg(dau) "
+    "over integer DAUs is exact-then-rounded.",
+)
