@@ -2238,3 +2238,33 @@ FROM stats s CROSS JOIN top t
     "keys from the pre-sorted limit so collect_list order is "
     "deterministic.",
 )
+
+
+register_sql(
+    "join_7way_snowflake",
+    sql="""
+SELECT r.r_name AS region, n.n_name AS nation, p.p_type AS part_type,
+       count(*) AS n_lineitems,
+       round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(38,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus = 'F' AND p.p_size <= 25
+GROUP BY r.r_name, n.n_name, p.p_type
+HAVING count(*) >= 5
+ORDER BY region, nation, part_type
+""",
+    tags=("joins", "aggregation"),
+    notes="7-way snowflake join over the full star schema (fact + 6 "
+    "dims across two dimension chains) with predicate pushdown on both "
+    "the fact's orders filter and the part filter, decimal-sum revenue, "
+    "and a HAVING prune — the planner-stress shape for join reordering "
+    "and multi-broadcast planning (every dim side is broadcastable; "
+    "Catalyst orders the chain, AQE re-plans at runtime). Same SQL both "
+    "engines.",
+)
