@@ -4921,3 +4921,44 @@ def dedup_mix_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+register_sql(
+    "doc_feature_correlations",
+    spark_sql="""
+WITH f AS (
+  SELECT CAST(size(split(text, '\\\\s+')) AS DOUBLE) AS n_tokens,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(size(array_distinct(split(lower(text), '\\\\s+')))
+              AS DOUBLE) AS n_distinct_words
+  FROM documents
+)
+SELECT round(corr(n_tokens, n_chars), 6) AS corr_tokens_chars,
+       round(corr(n_tokens, n_distinct_words), 6) AS corr_tokens_distinct,
+       round(corr(n_chars, n_distinct_words), 6) AS corr_chars_distinct,
+       count(*) AS n_docs
+FROM f
+""",
+    duck_sql="""
+WITH f AS (
+  SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+           AS n_tokens,
+         CAST(len(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))
+              AS DOUBLE) AS n_distinct_words
+  FROM documents
+)
+SELECT round(corr(n_tokens, n_chars), 6) AS corr_tokens_chars,
+       round(corr(n_tokens, n_distinct_words), 6) AS corr_tokens_distinct,
+       round(corr(n_chars, n_distinct_words), 6) AS corr_chars_distinct,
+       count(*) AS n_docs
+FROM f
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Document feature correlation matrix (tokens × chars × "
+    "distinct-words Pearson r) — the feature-redundancy check before "
+    "building quality filters on correlated signals (two r≈1 features "
+    "add one signal, not two). Single-pass corr aggregates (parity "
+    "proven by the stats_corr_regr precedent); all features computed "
+    "within-row.",
+)
