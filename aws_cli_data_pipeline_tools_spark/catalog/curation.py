@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import curation
 from ..sources import load_table
-from . import register
+from . import register, register_sql
 
 # 5-word-gram SQL (same single-space join as functions.word_shingles).
 _DUCK_5GRAMS = """
@@ -670,3 +670,63 @@ def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
     ).orderBy("source")
+
+
+register_sql(
+    "neyman_allocation_plan",
+    spark_sql="""
+WITH f AS (
+  SELECT source, CAST(size(split(text, '\\\\s+')) AS DOUBLE) AS x
+  FROM documents
+), per AS (
+  SELECT source, count(*) AS n_h,
+         sqrt(greatest(
+           (CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+           / count(*), 0.0)) AS sigma_h
+  FROM f GROUP BY source
+), tot AS (
+  SELECT CAST(sum(CAST(n_h * sigma_h AS DECIMAL(38,10))) AS DOUBLE)
+    AS denom
+  FROM per
+)
+SELECT per.source, per.n_h, round(per.sigma_h, 6) AS sigma_h,
+       CAST(round(1000.0 * per.n_h * per.sigma_h / tot.denom, 0)
+            AS BIGINT) AS n_alloc
+FROM per CROSS JOIN tot
+ORDER BY per.source
+""",
+    duck_sql="""
+WITH f AS (
+  SELECT source, CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+    AS x
+  FROM documents
+), per AS (
+  SELECT source, count(*) AS n_h,
+         sqrt(greatest(
+           (CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(x AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+           / count(*), 0.0)) AS sigma_h
+  FROM f GROUP BY source
+), tot AS (
+  SELECT CAST(sum(CAST(n_h * sigma_h AS DECIMAL(38,10))) AS DOUBLE)
+    AS denom
+  FROM per
+)
+SELECT per.source, per.n_h, round(per.sigma_h, 6) AS sigma_h,
+       CAST(round(1000.0 * per.n_h * per.sigma_h / tot.denom, 0)
+            AS BIGINT) AS n_alloc
+FROM per CROSS JOIN tot
+ORDER BY per.source
+""",
+    tags=("llmops", "curation", "sampling", "stats"),
+    notes="Neyman optimal stratified allocation: per-source sample sizes "
+    "n_h ∝ N_h·σ_h for a 1000-doc audit sample — minimum-variance "
+    "stratification by doc-length spread (high-variance feeds get "
+    "audited harder than their raw share). σ from the decimal "
+    "two-moment identity (order-independent); the cross-stratum "
+    "N·σ sum is DECIMAL(38,10) fixed-point. The statistically-correct "
+    "version of 'sample 5% from each feed'.",
+)
