@@ -183,3 +183,15 @@ def test_round4b_ops_plan_shapes(spark, sf_dir):
     # bpe pairs: top-n is TakeOrderedAndProject, never a global sort
     p6 = plans.executed_plan(specs["bpe_first_merge_pairs"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in p6
+
+
+def test_join_7way_snowflake_broadcasts_dims(spark, sf_dir):
+    """All six dim sides of the snowflake must broadcast — one sort-merge
+    there means a dim crossed the broadcast threshold unnoticed."""
+    specs = all_specs()
+    f = plans.facts(specs["join_7way_snowflake"].fn(spark, sf_dir))
+    assert f.n_broadcast_joins >= 5
+    assert f.n_sortmerge_joins == 0
+    # both pushdown predicates reach their scans
+    plan = plans.executed_plan(specs["join_7way_snowflake"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
