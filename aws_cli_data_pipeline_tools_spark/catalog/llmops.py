@@ -4962,3 +4962,58 @@ FROM f
     "proven by the stats_corr_regr precedent); all features computed "
     "within-row.",
 )
+
+
+register_sql(
+    "token_mass_gini",
+    spark_sql="""
+WITH lens AS (
+  SELECT size(split(text, '\\\\s+')) AS v FROM documents
+), grp AS (
+  SELECT v, count(*) AS c FROM lens GROUP BY v
+), cum AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+  FROM grp
+), parts AS (
+  SELECT CAST(sum(v * (c * p_before + c * (c + 1) DIV 2)) AS BIGINT) AS s,
+         CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS n,
+         CAST(sum(CAST(v AS BIGINT) * c) AS BIGINT) AS m
+  FROM cum
+)
+SELECT n AS n_docs, m AS total_tokens,
+       round(2.0 * s / (CAST(n AS DOUBLE) * m)
+             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM parts
+""",
+    duck_sql="""
+WITH lens AS (
+  SELECT len(regexp_split_to_array(text, '\\s+')) AS v FROM documents
+), grp AS (
+  SELECT v, count(*) AS c FROM lens GROUP BY v
+), cum AS (
+  SELECT v, c,
+         coalesce(sum(c) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
+  FROM grp
+), parts AS (
+  SELECT CAST(sum(v * (c * p_before + c * (c + 1) // 2)) AS BIGINT) AS s,
+         CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(v * c) AS BIGINT) AS m
+  FROM cum
+)
+SELECT n AS n_docs, m AS total_tokens,
+       round(2.0 * s / (CAST(n AS DOUBLE) * m)
+             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM parts
+""",
+    tags=("llmops", "stats", "quality"),
+    notes="Token-mass Gini coefficient: inequality of token distribution "
+    "across documents (0 = uniform, →1 = a few giants hold the corpus) "
+    "— the concentration metric that decides whether doc-level sampling "
+    "weights need length correction. Computed EXACTLY from grouped "
+    "counts over the DISTINCT length domain (the KS-drift trick): "
+    "Σ i·x folded per length value in bigint arithmetic, window only "
+    "over the length domain, one division at the end.",
+)
