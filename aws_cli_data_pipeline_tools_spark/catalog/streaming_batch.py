@@ -1958,3 +1958,45 @@ ORDER BY d2.month
     "exact distinct with partial aggregation) + a month join; avg(dau) "
     "over integer DAUs is exact-then-rounded.",
 )
+
+
+register_sql(
+    "weekly_churn_rates",
+    spark_sql="""
+WITH wk AS (
+  SELECT DISTINCT user_id, weekofyear(ts) AS wk FROM events
+), pairs AS (
+  SELECT a.wk AS wk_from, a.user_id,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM wk a LEFT JOIN wk b
+    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+  WHERE a.wk < (SELECT max(wk) FROM wk)
+)
+SELECT wk_from, count(*) AS n_active,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       round(sum(churned) / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+FROM pairs GROUP BY wk_from ORDER BY wk_from
+""",
+    duck_sql="""
+WITH wk AS (
+  SELECT DISTINCT user_id, weekofyear(CAST(ts AS TIMESTAMP)) AS wk
+  FROM events
+), pairs AS (
+  SELECT a.wk AS wk_from, a.user_id,
+         CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+  FROM wk a LEFT JOIN wk b
+    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+  WHERE a.wk < (SELECT max(wk) FROM wk)
+)
+SELECT CAST(wk_from AS INT) AS wk_from, count(*) AS n_active,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       round(sum(churned) / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+FROM pairs GROUP BY wk_from ORDER BY wk_from
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Week-over-week churn: of users active in week N, the fraction "
+    "absent in week N+1 (final partial week excluded — no next week to "
+    "churn into). One distinct (user, week) reduction + a user-keyed "
+    "self left-join on adjacent weeks — the retention complement of "
+    "cohort_retention's triangle.",
+)
