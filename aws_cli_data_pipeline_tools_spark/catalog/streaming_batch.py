@@ -2000,3 +2000,45 @@ FROM pairs GROUP BY wk_from ORDER BY wk_from
     "self left-join on adjacent weeks — the retention complement of "
     "cohort_retention's triangle.",
 )
+
+
+register_sql(
+    "props_value_quartiles",
+    spark_sql="""
+WITH vals AS (
+  SELECT event_type,
+         CAST(get_json_object(props, '$.k') AS INT) AS k
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_type, count(k) AS n,
+       min(k) AS min_k,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY k) AS INT)
+         AS p25_k,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY k) AS INT)
+         AS p50_k,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY k) AS INT)
+         AS p75_k,
+       max(k) AS max_k
+FROM vals GROUP BY event_type ORDER BY event_type
+""",
+    duck_sql="""
+WITH vals AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events WHERE props IS NOT NULL
+)
+SELECT event_type, count(k) AS n,
+       min(k) AS min_k,
+       CAST(quantile_disc(k, 0.25) AS INT) AS p25_k,
+       CAST(quantile_disc(k, 0.5) AS INT) AS p50_k,
+       CAST(quantile_disc(k, 0.75) AS INT) AS p75_k,
+       max(k) AS max_k
+FROM vals GROUP BY event_type ORDER BY event_type
+""",
+    tags=("streaming-batch", "json", "stats"),
+    notes="Semi-structured property profiling: the JSON props column's "
+    "numeric key extracted (get_json_object ≙ json_extract) and "
+    "quartiled per event type — the schema-on-read exploration shape "
+    "for instrumented payloads. JSON parse rides the scan; one "
+    "type-keyed percentile aggregate.",
+)
