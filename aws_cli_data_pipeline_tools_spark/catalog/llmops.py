@@ -5017,3 +5017,57 @@ FROM parts
     "Σ i·x folded per length value in bigint arithmetic, window only "
     "over the length domain, one division at the end.",
 )
+
+
+register_sql(
+    "charset_profile_by_lang",
+    spark_sql=r"""
+WITH per AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\x{0020}-\\x{007E}]', ''))
+           AS n_ascii,
+         length(regexp_replace(text, '[^\\x{00A0}-\\x{024F}]', ''))
+           AS n_latin_ext,
+         length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', ''))
+           AS n_cjk
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(sum(n_ascii) / CAST(sum(n_chars) AS DOUBLE), 6)
+         AS frac_ascii,
+       round(sum(n_latin_ext) / CAST(sum(n_chars) AS DOUBLE), 6)
+         AS frac_latin_ext,
+       round(sum(n_cjk) / CAST(sum(n_chars) AS DOUBLE), 6) AS frac_cjk
+FROM per GROUP BY lang ORDER BY lang
+""",
+    duck_sql=r"""
+WITH per AS (
+  SELECT lang,
+         len(text) AS n_chars,
+         len(regexp_replace(text, '[^\x{0020}-\x{007E}]', '', 'g'))
+           AS n_ascii,
+         len(regexp_replace(text, '[^\x{00A0}-\x{024F}]', '', 'g'))
+           AS n_latin_ext,
+         len(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g'))
+           AS n_cjk
+  FROM documents
+)
+SELECT lang,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       round(sum(n_ascii) / CAST(sum(n_chars) AS DOUBLE), 6)
+         AS frac_ascii,
+       round(sum(n_latin_ext) / CAST(sum(n_chars) AS DOUBLE), 6)
+         AS frac_latin_ext,
+       round(sum(n_cjk) / CAST(sum(n_chars) AS DOUBLE), 6) AS frac_cjk
+FROM per GROUP BY lang ORDER BY lang
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Per-language script/charset profile: printable-ASCII, "
+    "extended-Latin, and CJK character shares from code-point-class "
+    "regex strips (\\x{..} escapes — the Java∩RE2 subset, mojibake-scan "
+    "precedent) — the script-consistency check that catches docs "
+    "labeled one language but written in another script. Per-row "
+    "regex + one lang-keyed aggregate.",
+)
