@@ -5071,3 +5071,47 @@ FROM per GROUP BY lang ORDER BY lang
     "labeled one language but written in another script. Per-row "
     "regex + one lang-keyed aggregate.",
 )
+
+
+register_sql(
+    "embedding_coverage_audit",
+    sql="""
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM embeddings) AS n_vecs,
+  (SELECT count(*) FROM documents d
+   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                     WHERE e.vec_id = d.doc_id)) AS n_docs_missing_vec,
+  (SELECT count(*) FROM embeddings e
+   WHERE NOT EXISTS (SELECT 1 FROM documents d
+                     WHERE d.doc_id = e.vec_id)) AS n_orphan_vecs,
+  (SELECT count(*) FROM embeddings
+   WHERE size(embedding) <> 64) AS n_wrong_dim,
+  (SELECT count(*) FROM embeddings
+   WHERE exists(embedding, x -> isnan(x) OR x IS NULL))
+    AS n_with_nan
+""",
+    duck_sql="""
+SELECT
+  (SELECT count(*) FROM documents) AS n_docs,
+  (SELECT count(*) FROM embeddings) AS n_vecs,
+  (SELECT count(*) FROM documents d
+   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+                     WHERE e.vec_id = d.doc_id)) AS n_docs_missing_vec,
+  (SELECT count(*) FROM embeddings e
+   WHERE NOT EXISTS (SELECT 1 FROM documents d
+                     WHERE d.doc_id = e.vec_id)) AS n_orphan_vecs,
+  (SELECT count(*) FROM embeddings
+   WHERE len(embedding) <> 64) AS n_wrong_dim,
+  (SELECT count(*) FROM embeddings
+   WHERE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                                         OR x IS NULL)) > 0)
+    AS n_with_nan
+""",
+    tags=("llmops", "quality", "similarity"),
+    notes="Embedding-coverage audit: docs missing vectors, orphan "
+    "vectors, wrong-dimension rows, NaN/NULL components — the ML-table "
+    "referential-integrity and tensor-hygiene gate run before any "
+    "ANN/dedup job trusts the embeddings table. Anti-join probes + "
+    "narrow array checks.",
+)
