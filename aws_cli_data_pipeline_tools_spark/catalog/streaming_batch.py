@@ -2042,3 +2042,48 @@ FROM vals GROUP BY event_type ORDER BY event_type
     "for instrumented payloads. JSON parse rides the scan; one "
     "type-keyed percentile aggregate.",
 )
+
+
+register_sql(
+    "user_behavior_entropy",
+    spark_sql="""
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY user_id
+)
+SELECT cnt.user_id, tot.n AS n_events,
+       count(*) AS n_types,
+       round(CAST(sum(CAST(
+             -(cnt.c / CAST(tot.n AS DOUBLE))
+               * ln(cnt.c / CAST(tot.n AS DOUBLE)) / ln(2.0)
+             AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy_bits
+FROM cnt JOIN tot ON tot.user_id = cnt.user_id
+GROUP BY cnt.user_id, tot.n
+ORDER BY cnt.user_id
+""",
+    duck_sql="""
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c FROM events
+  GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY user_id
+)
+SELECT cnt.user_id, tot.n AS n_events,
+       count(*) AS n_types,
+       round(CAST(sum(CAST(
+             -(cnt.c / CAST(tot.n AS DOUBLE))
+               * ln(cnt.c / CAST(tot.n AS DOUBLE)) / ln(2.0)
+             AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy_bits
+FROM cnt JOIN tot ON tot.user_id = cnt.user_id
+GROUP BY cnt.user_id, tot.n
+ORDER BY cnt.user_id
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Per-user behavioral diversity: Shannon entropy (bits) of each "
+    "user's event-type distribution — 0 = single-behavior bots, "
+    "log2(5) ≈ 2.32 = uniformly diverse — the bot/engagement-shape "
+    "signal. Two user-keyed aggregates; decimal-sum over the ln terms "
+    "per the unigram-LM precedent.",
+)
