@@ -2087,3 +2087,44 @@ ORDER BY cnt.user_id
     "signal. Two user-keyed aggregates; decimal-sum over the ln terms "
     "per the unigram-LM precedent.",
 )
+
+
+register_sql(
+    "funnel_by_hour",
+    spark_sql="""
+WITH v AS (
+  SELECT hour(ts) AS hr, count(DISTINCT user_id) AS n_viewers
+  FROM events WHERE event_type = 'view' GROUP BY hour(ts)
+), p AS (
+  SELECT hour(ts) AS hr, count(DISTINCT user_id) AS n_buyers
+  FROM events WHERE event_type = 'purchase' GROUP BY hour(ts)
+)
+SELECT v.hr, v.n_viewers, coalesce(p.n_buyers, 0) AS n_buyers,
+       round(coalesce(p.n_buyers, 0) / CAST(v.n_viewers AS DOUBLE), 6)
+         AS buyer_viewer_ratio
+FROM v LEFT JOIN p ON p.hr = v.hr
+ORDER BY v.hr
+""",
+    duck_sql="""
+WITH v AS (
+  SELECT hour(CAST(ts AS TIMESTAMP)) AS hr,
+         count(DISTINCT user_id) AS n_viewers
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), p AS (
+  SELECT hour(CAST(ts AS TIMESTAMP)) AS hr,
+         count(DISTINCT user_id) AS n_buyers
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(v.hr AS INT) AS hr, v.n_viewers,
+       coalesce(p.n_buyers, 0) AS n_buyers,
+       round(coalesce(p.n_buyers, 0) / CAST(v.n_viewers AS DOUBLE), 6)
+         AS buyer_viewer_ratio
+FROM v LEFT JOIN p ON p.hr = v.hr
+ORDER BY v.hr
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Hour-of-day conversion pattern: distinct viewers vs distinct "
+    "buyers per hour with the ratio — when the audience actually "
+    "converts (scheduling signal for placements and batch jobs). Two "
+    "filtered distinct-count aggregates + a 24-row join.",
+)
