@@ -5115,3 +5115,49 @@ SELECT
     "ANN/dedup job trusts the embeddings table. Anti-join probes + "
     "narrow array checks.",
 )
+
+
+@register(
+    "embedding_norm_quartiles",
+    oracle="""
+WITH norms AS (
+  SELECT round(sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+  FROM embeddings
+)
+SELECT count(*) AS n_vecs,
+       round(min(nrm), 6) AS min_norm,
+       round(quantile_disc(nrm, 0.25), 6) AS p25_norm,
+       round(quantile_disc(nrm, 0.5), 6) AS p50_norm,
+       round(quantile_disc(nrm, 0.75), 6) AS p75_norm,
+       round(max(nrm), 6) AS max_norm
+FROM norms
+""",
+    tags=("llmops", "similarity", "stats"),
+    notes="Embedding L2-norm distribution (discrete quartiles over "
+    "6-decimal-rounded norms): the pre-ANN sanity check — a wide or "
+    "bimodal norm spread under a dot-product index silently reweights "
+    "neighbors, and near-zero norms flag dead encoder outputs. The "
+    "norm is the same sequential array fold both engines replay "
+    "(cosine-oracle precedent); percentile over the rounded values "
+    "keeps the discrete quantile exact.",
+)
+def embedding_norm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import vec_norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    norms = emb.select(F.round(vec_norm(F.col("embedding")), 6).alias("nrm"))
+    return norms.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY nrm)"), 6
+        ).alias("p25_norm"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY nrm)"), 6
+        ).alias("p50_norm"),
+        F.round(
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY nrm)"), 6
+        ).alias("p75_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
