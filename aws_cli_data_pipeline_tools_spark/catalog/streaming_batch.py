@@ -2128,3 +2128,81 @@ ORDER BY v.hr
     "converts (scheduling signal for placements and batch jobs). Two "
     "filtered distinct-count aggregates + a 24-row join.",
 )
+
+
+register_sql(
+    "event_interarrival_burstiness",
+    spark_sql="""
+WITH gaps AS (
+  SELECT CAST(unix_micros(ts) - lag(unix_micros(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS g
+  FROM events
+), clean AS (SELECT g FROM gaps WHERE g IS NOT NULL)
+SELECT count(*) AS n_gaps,
+       round(CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*) / 1000000, 4) AS mean_gap_secs,
+       round(
+         sqrt(greatest(
+           (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+              / count(*)) / count(*), 0.0))
+         / (CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*)),
+         6) AS cv,
+       round(
+         (sqrt(greatest(
+            (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+             - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*)) / count(*), 0.0))
+          - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+         / (sqrt(greatest(
+            (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+             - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*)) / count(*), 0.0))
+            + CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*)),
+         6) AS burstiness
+FROM clean
+""",
+    duck_sql="""
+WITH gaps AS (
+  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP))
+              - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS DOUBLE) AS g
+  FROM events
+), clean AS (SELECT g FROM gaps WHERE g IS NOT NULL)
+SELECT count(*) AS n_gaps,
+       round(CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*) / 1000000, 4) AS mean_gap_secs,
+       round(
+         sqrt(greatest(
+           (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+              / count(*)) / count(*), 0.0))
+         / (CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*)),
+         6) AS cv,
+       round(
+         (sqrt(greatest(
+            (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+             - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*)) / count(*), 0.0))
+          - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*))
+         / (sqrt(greatest(
+            (CAST(sum(CAST(g * g AS DECIMAL(38,10))) AS DOUBLE)
+             - CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               * CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE)
+               / count(*)) / count(*), 0.0))
+            + CAST(sum(CAST(g AS DECIMAL(38,10))) AS DOUBLE) / count(*)),
+         6) AS burstiness
+FROM clean
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Inter-arrival burstiness: coefficient of variation and the "
+    "Goh-Barabási burstiness parameter B = (σ−μ)/(σ+μ) over per-user "
+    "event gaps (B≈0 Poisson, B→1 heavy-tailed bursts, B→−1 periodic) "
+    "— distinguishes organic traffic from schedulers and replay bots. "
+    "Per-user lag windows; σ from the decimal two-moment identity.",
+)
