@@ -5161,3 +5161,65 @@ def embedding_norm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p75_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle=r"""
+WITH canon AS (
+  SELECT doc_id, source,
+         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+             ' ')) AS ch
+  FROM documents
+), keep AS (
+  SELECT * FROM (
+    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY ch) AS is_keeper
+    FROM canon
+  ) WHERE is_keeper
+)
+SELECT c.source,
+       count(*) AS n_docs,
+       count(*) - coalesce(k.n, 0) AS n_dropped,
+       round((count(*) - coalesce(k.n, 0)) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM canon c
+LEFT JOIN (SELECT source, count(*) AS n FROM keep GROUP BY source) k
+  ON k.source = c.source
+GROUP BY c.source, k.n
+ORDER BY c.source
+""",
+    tags=("llmops", "dedup", "stats"),
+    notes="Per-source exact-duplicate rate: docs dropped by canonical "
+    "dedup as a fraction of each feed — the feed-level drill-down of "
+    "dataset_card's single corpus dup-rate number (a feed at 40% dup "
+    "rate is a mirror; at 0.1% it's organic). One dedup window + one "
+    "source aggregate.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    keepers = dedup.canonical_text_dedup(docs).filter(
+        F.col("is_keeper")
+    ).select("doc_id")
+    total = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kept = (
+        docs.join(keepers, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        total.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            (
+                F.col("n_docs")
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            ).cast("bigint").alias("n_dropped"),
+            F.round(
+                (F.col("n_docs") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )
