@@ -2268,3 +2268,26 @@ ORDER BY region, nation, part_type
     "Catalyst orders the chain, AQE re-plans at runtime). Same SQL both "
     "engines.",
 )
+
+
+register_sql(
+    "price_quantity_regression",
+    sql="""
+SELECT p.p_type AS part_type,
+       count(*) AS n,
+       round(regr_slope(l.l_extendedprice, l.l_quantity), 4) AS slope,
+       round(regr_intercept(l.l_extendedprice, l.l_quantity), 4)
+         AS intercept,
+       round(regr_r2(l.l_extendedprice, l.l_quantity), 6) AS r2
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_type
+HAVING count(*) >= 100
+ORDER BY part_type
+""",
+    tags=("stats", "aggregation", "joins"),
+    notes="Per-part-type linear fit of extended price on quantity "
+    "(regr_slope/intercept/r2, the grouped-regression surface) — the "
+    "per-segment pricing-curve shape on top of the stats_corr_regr "
+    "single-group parity precedent; dim join broadcasts, one grouped "
+    "regression aggregate.",
+)
