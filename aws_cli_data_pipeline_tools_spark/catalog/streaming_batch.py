@@ -2206,3 +2206,72 @@ FROM clean
     "— distinguishes organic traffic from schedulers and replay bots. "
     "Per-user lag windows; σ from the decimal two-moment identity.",
 )
+
+
+#: per-day exponential decay weights 0.5^(age/7) for ages 0..39 — plan-time
+#: literals on both engines (fractional pow parity risk, RBO discipline).
+_DECAY_GRID_SQL = "(0, 1.0), (1, 0.9057236642639067), (2, 0.820335356007638), (3, 0.7429971445684742), (4, 0.6729500963161781), (5, 0.6095068271022377), (6, 0.5520447568369062), (7, 0.5), (8, 0.45286183213195336), (9, 0.4101676780038189), (10, 0.3714985722842371), (11, 0.33647504815808904), (12, 0.3047534135511189), (13, 0.27602237841845306), (14, 0.25), (15, 0.22643091606597668), (16, 0.2050838390019095), (17, 0.18574928614211858), (18, 0.1682375240790445), (19, 0.15237670677555942), (20, 0.13801118920922653), (21, 0.125), (22, 0.11321545803298834), (23, 0.10254191950095475), (24, 0.09287464307105929), (25, 0.08411876203952225), (26, 0.07618835338777971), (27, 0.06900559460461327), (28, 0.0625), (29, 0.05660772901649415), (30, 0.05127095975047737), (31, 0.04643732153552963), (32, 0.04205938101976114), (33, 0.038094176693889856), (34, 0.03450279730230665), (35, 0.03125), (36, 0.028303864508247074), (37, 0.025635479875238686), (38, 0.023218660767764816), (39, 0.02102969050988057)"
+
+
+register_sql(
+    "trending_types_decayed",
+    spark_sql=f"""
+WITH mx AS (SELECT max(to_date(ts)) AS now_d FROM events),
+toks AS (
+  SELECT event_type AS token,
+         datediff(mx.now_d, to_date(ts)) AS age_days
+  FROM events CROSS JOIN mx
+), counts AS (
+  SELECT token, age_days, count(*) AS c FROM toks
+  GROUP BY token, age_days
+), grid (age_days, w) AS (VALUES {_DECAY_GRID_SQL}),
+scored AS (
+  SELECT counts.token,
+         CAST(sum(CAST(counts.c AS BIGINT)) AS BIGINT) AS raw_count,
+         round(CAST(sum(CAST(counts.c * grid.w AS DECIMAL(38,10)))
+                    AS DOUBLE), 6) AS decayed_score
+  FROM counts JOIN grid ON grid.age_days = counts.age_days
+  GROUP BY counts.token
+)
+SELECT token, raw_count, decayed_score,
+       CAST(row_number() OVER (ORDER BY decayed_score DESC, token) AS INT)
+         AS rank
+FROM scored ORDER BY decayed_score DESC, token LIMIT 10
+""",
+    duck_sql=f"""
+WITH mx AS (
+  SELECT max(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+    AS now_d
+  FROM events
+), toks AS (
+  SELECT event_type AS token,
+         datediff('day',
+                  CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE),
+                  mx.now_d) AS age_days
+  FROM events CROSS JOIN mx
+), counts AS (
+  SELECT token, age_days, count(*) AS c FROM toks
+  GROUP BY token, age_days
+), grid (age_days, w) AS (VALUES {_DECAY_GRID_SQL}),
+scored AS (
+  SELECT counts.token,
+         CAST(sum(counts.c) AS BIGINT) AS raw_count,
+         round(CAST(sum(CAST(counts.c * CAST(grid.w AS DOUBLE)
+                             AS DECIMAL(38,10))) AS DOUBLE), 6)
+           AS decayed_score
+  FROM counts JOIN grid ON grid.age_days = counts.age_days
+  GROUP BY counts.token
+)
+SELECT token, raw_count, decayed_score,
+       CAST(row_number() OVER (ORDER BY decayed_score DESC, token) AS INT)
+         AS rank
+FROM scored ORDER BY decayed_score DESC, token LIMIT 10
+""",
+    tags=("llmops", "streaming-batch", "stats"),
+    notes="Time-decayed trending event types: half-life-7-day exponential "
+    "decay on daily counts (decay factors for ages 0-39 inlined "
+    "as literal doubles on both engines — the RBO/DFT literal-weights "
+    "discipline; DuckDB additionally casts its DECIMAL-parsed literals "
+    "back to DOUBLE), decimal-sum scores, top-10 — recency-weighted "
+    "trend detection vs the raw-count ranking.",
+)
