@@ -23,21 +23,38 @@ from pyspark.sql import DataFrame, SparkSession
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _sample_counts() -> dict[str, int]:
-    """How many past driver rounds each query name has appeared in
-    (CORRECTNESS_r*.json). Used to rotate registry order so the driver's
-    first-N sample maximizes first-time coverage every round; the full
-    catalog is independently verified by tools/check_oracle.py."""
+def _sample_history() -> tuple[dict[str, int], set[str]]:
+    """Per-name driver-sample count across past rounds (CORRECTNESS_r*.json)
+    plus the set of names whose LATEST driver row was red (mismatch or
+    harness error). Used to rotate registry order so the driver's first-N
+    sample (a) re-confirms every in-round fix at the hard signal first and
+    (b) maximizes first-time coverage; the full catalog is independently
+    verified by tools/check_oracle.py."""
     counts: dict[str, int] = {}
+    latest_red: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as f:
-                for name in json.load(f):
-                    counts[name] = counts.get(name, 0) + 1
+                rows = json.load(f)
         except (OSError, ValueError):
             continue
-    return counts
+        for name, row in rows.items():
+            counts[name] = counts.get(name, 0) + 1
+            # err == "no_oracle" is the driver's marker for a rows-only
+            # entry (expected weaker check), not a failure.
+            green = (
+                isinstance(row, dict)
+                and (not row.get("err") or row.get("err") == "no_oracle")
+                and row.get("rows_match") is not False
+                and row.get("schema_match") is not False
+                and row.get("hash_match") is not False
+            )
+            if green:
+                latest_red.discard(name)
+            else:
+                latest_red.add(name)
+    return counts, latest_red
 
 
 def _rotated_names() -> list[str]:
@@ -45,14 +62,18 @@ def _rotated_names() -> list[str]:
 
     specs = all_specs()
     names = list(specs)
-    counts = _sample_counts()
+    counts, latest_red = _sample_history()
     order = {n: i for i, n in enumerate(names)}
-    # least-sampled first; within a tie, oracle-backed before rows-only so
+    # previously-red (at latest sample) first so fixes get driver-confirmed;
+    # then least-sampled; within a tie, oracle-backed before rows-only so
     # driver rows carry the strong (hash-checked) signal; then registry order
     return sorted(
         names,
         key=lambda n: (
-            counts.get(n, 0), 0 if specs[n].oracle else 1, order[n]
+            0 if n in latest_red else 1,
+            counts.get(n, 0),
+            0 if specs[n].oracle else 1,
+            order[n],
         ),
     )
 

@@ -54,6 +54,27 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_lineitem_hll",
+    oracle=None,  # HLL distinct (±2% rsd) + GK median have no exact SQL
+    # twin; tools/check_oracle.py invariant-gates every stat (exact on the
+    # moment stats, ±5% envelope on distinct, rank band on median).
+    tags=("profiler", "flagship", "bench"),
+    notes="Two-scan profiler posture for 100 TB fact tables "
+    "(profiler.profile distinct_mode='approx'): approx_count_distinct "
+    "(HLL++) rides inside the plain codegen agg, eliminating the "
+    "Expand-based exact-distinct pass — basic+HLL scan + median scan, "
+    "vs the 3-scan exact variant. The right trade when ~±2% distinct "
+    "counts are acceptable and the table is scan-bound.",
+)
+def profile_lineitem_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profiler.profile(
+        load_table(spark, "lineitem", sf_dir),
+        median_mode="approx",
+        distinct_mode="approx",
+    )
+
+
+@register(
     "profile_orders",
     oracle=oracles.profile_sql("orders", ORDERS_NUM),
     tags=("profiler",),

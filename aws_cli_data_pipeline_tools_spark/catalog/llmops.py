@@ -2290,14 +2290,15 @@ WITH n AS (
               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
          embedding
   FROM embeddings
+  WHERE vec_id % 10 = 0
 )
-SELECT vec_id, label,
-       list_transform(embedding,
-           x -> round(CAST(x AS DOUBLE) / nullif(nrm, 0.0), 6)) AS unit,
-       round(nrm, 6) AS norm
+SELECT vec_id, label, round(nrm, 6) AS norm,
+       unnest(generate_series(1, len(embedding))) - 1 AS pos,
+       unnest(list_transform(embedding,
+           x -> round(CAST(x AS DOUBLE) / nullif(nrm, 0.0), 6)))
+         AS component
 FROM n
-WHERE vec_id % 10 = 0
-ORDER BY vec_id
+ORDER BY vec_id, pos
 """,
     tags=("llmops", "embedding"),
     notes="L2 normalization to unit vectors — the prerequisite for "
@@ -2305,7 +2306,9 @@ ORDER BY vec_id
     "lambdas (no UDF, no shuffle); the squared-norm fold is sequential "
     "left-to-right on both engines so the doubles agree bit-for-bit "
     "before the final rounding. Zero vectors map to NULL components "
-    "rather than NaN.",
+    "rather than NaN. Output is posexploded to scalar "
+    "(vec_id, pos, component) rows — driver value-hashing needs scalar "
+    "column types; the operator itself stays array-native upstream.",
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir).filter(
@@ -2322,12 +2325,16 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_n = emb.withColumn("nrm", nrm)
     return with_n.select(
         "vec_id", "label",
-        F.transform(
-            "embedding",
-            lambda x: F.round(xd(x) / F.nullif(F.col("nrm"), F.lit(0.0)), 6),
-        ).alias("unit"),
         F.round("nrm", 6).alias("norm"),
-    ).orderBy("vec_id")
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(
+                    xd(x) / F.nullif(F.col("nrm"), F.lit(0.0)), 6
+                ),
+            )
+        ).alias("pos", "component"),
+    ).orderBy("vec_id", "pos")
 
 
 @register(
@@ -3703,14 +3710,6 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (bk)
   WHERE a.doc_id < b.doc_id
-), cscore AS (
-  SELECT c.id_a, c.id_b,
-         round(len(list_intersect(sa.hsh, sb.hsh))
-               / CAST(len(list_distinct(list_concat(sa.hsh, sb.hsh)))
-                      AS DOUBLE), 6) AS j
-  FROM cand c
-  JOIN sig sa ON sa.doc_id = c.id_a
-  JOIN sig sb ON sb.doc_id = c.id_b
 ), sizes AS (
   SELECT doc_id, len(shingles) AS n_sh FROM shw
 ), inv AS (
@@ -3727,9 +3726,12 @@ cand AS (
         >= 0.5
 ), m AS (
   SELECT
-    (SELECT count(*) FROM cscore) AS n_candidates,
-    (SELECT count(*) FROM cscore WHERE j >= 0.5) AS tp,
-    (SELECT count(*) FROM cscore WHERE j < 0.5) AS fp,
+    (SELECT count(*) FROM cand) AS n_candidates,
+    (SELECT count(*) FROM cand c JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b) AS tp,
+    (SELECT count(*) FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM truth t
+        WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS fp,
     (SELECT count(*) FROM truth t WHERE NOT EXISTS (
         SELECT 1 FROM cand c
         WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS fn
@@ -3746,6 +3748,9 @@ FROM m
     notes="Dedup self-evaluation ('measure, don't guess'): MinHash+LSH "
     "(64 perms × 32 bands, portable mode) candidate pairs scored against "
     "the EXACT 3-gram-Jaccard ≥ 0.5 truth set on the same shingle space "
+    "— tp = candidate ∧ truth-member, fp = candidate ∉ truth, fn = truth "
+    "∉ candidates (one consistent exact criterion; the signature-"
+    "estimated Jaccard only GENERATES candidates, it never labels them) "
     "— tp/fp/fn, pre-verification candidate precision, and banding "
     "recall, in one 1-row report. Truth comes from the uncapped "
     "inverted-index join (max_bucket=0); both pipelines replay "
@@ -3762,15 +3767,20 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, threshold=0.5, max_bucket=0
     ).select("id_a", "id_b", F.lit(1).alias("in_truth"))
     merged = cands.join(truth, ["id_a", "id_b"], "full_outer")
+    # tp/fp are membership in the EXACT truth set (not the signature-
+    # estimated Jaccard), so precision/recall use one consistent ground
+    # truth — the estimated score only generated the candidates.
+    is_cand = F.col("jaccard").isNotNull()
+    in_truth = F.col("in_truth").isNotNull()
     return merged.agg(
         F.count("jaccard").alias("n_candidates"),
-        F.sum((F.col("jaccard") >= 0.5).cast("int"))
+        F.sum((is_cand & in_truth).cast("int"))
         .cast("bigint")
         .alias("tp"),
-        F.sum((F.col("jaccard") < 0.5).cast("int"))
+        F.sum((is_cand & ~in_truth).cast("int"))
         .cast("bigint")
         .alias("fp"),
-        F.sum(F.col("jaccard").isNull().cast("int"))
+        F.sum((~is_cand).cast("int"))
         .cast("bigint")
         .alias("fn"),
     ).select(

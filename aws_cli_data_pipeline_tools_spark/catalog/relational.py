@@ -1786,18 +1786,21 @@ register_sql(
     "agg_array_collect",
     spark_sql="""
 SELECT n_regionkey,
-       sort_array(collect_set(substring(n_name, 1, 1))) AS initials,
+       array_join(sort_array(collect_set(substring(n_name, 1, 1))), ',')
+                                                        AS initials,
        size(collect_set(n_name))                        AS n_distinct_names,
-       sort_array(collect_list(n_nationkey))            AS all_keys
+       array_join(transform(sort_array(collect_list(n_nationkey)),
+                            x -> CAST(x AS STRING)), ',') AS all_keys
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
 """,
     duck_sql="""
 SELECT n_regionkey,
-       list_sort(list_distinct(list(substring(n_name, 1, 1)))) AS initials,
+       array_to_string(list_sort(list_distinct(list(substring(n_name, 1, 1)))),
+                       ',')                             AS initials,
        len(list_distinct(list(n_name)))                 AS n_distinct_names,
-       list_sort(list(n_nationkey))                     AS all_keys
+       array_to_string(list_sort(list(n_nationkey)), ',') AS all_keys
 FROM nation
 GROUP BY n_regionkey
 ORDER BY n_regionkey
@@ -1805,7 +1808,10 @@ ORDER BY n_regionkey
     tags=("aggregation", "array"),
     notes="Array-building aggregates: collect_set (distinct) and "
     "collect_list, both sorted for shuffle-order determinism — the "
-    "group-to-array primitive behind feature bagging.",
+    "group-to-array primitive behind feature bagging. The registered "
+    "surface joins the sorted arrays to ','-delimited strings so every "
+    "output column is scalar (driver value-hash requirement); the "
+    "collect_set/collect_list aggregation underneath is unchanged.",
 )
 
 register_sql(
@@ -1818,12 +1824,15 @@ WITH base AS (
   FROM nation
 )
 SELECT n_nationkey,
-       transform(xs, x -> x * x)                              AS squares,
-       filter(xs, x -> x % 2 = 0)                             AS evens,
+       array_join(transform(transform(xs, x -> x * x),
+                            v -> CAST(v AS STRING)), ',')     AS squares,
+       array_join(transform(filter(xs, x -> x % 2 = 0),
+                            v -> CAST(v AS STRING)), ',')     AS evens,
        exists(xs, x -> x % 7 = 0)                             AS has_mult7,
        forall(xs, x -> x < 7)                                 AS all_small,
        aggregate(xs, CAST(0 AS BIGINT), (acc, x) -> acc + x)  AS fold_sum,
-       zip_with(xs, reverse(xs), (a, b) -> a + b)             AS palin_sum
+       array_join(transform(zip_with(xs, reverse(xs), (a, b) -> a + b),
+                            v -> CAST(v AS STRING)), ',')     AS palin_sum
 FROM base
 ORDER BY n_nationkey
 """,
@@ -1833,13 +1842,13 @@ WITH base AS (
   FROM nation
 )
 SELECT n_nationkey,
-       list_transform(xs, x -> x * x)                         AS squares,
-       list_filter(xs, x -> x % 2 = 0)                        AS evens,
+       array_to_string(list_transform(xs, x -> x * x), ',')   AS squares,
+       array_to_string(list_filter(xs, x -> x % 2 = 0), ',')  AS evens,
        len(list_filter(xs, x -> x % 7 = 0)) > 0               AS has_mult7,
        len(list_filter(xs, x -> NOT (x < 7))) = 0             AS all_small,
        CAST(list_sum(xs) AS BIGINT)                           AS fold_sum,
-       list_transform(generate_series(1, len(xs)),
-                      i -> xs[i] + list_reverse(xs)[i])       AS palin_sum
+       array_to_string(list_transform(generate_series(1, len(xs)),
+                       i -> xs[i] + list_reverse(xs)[i]), ',') AS palin_sum
 FROM base
 ORDER BY n_nationkey
 """,
@@ -1850,7 +1859,10 @@ ORDER BY n_nationkey
     "replays exists/forall via list_filter cardinality and zip_with via "
     "an index-lambda (its list_zip yields structs); the fold is list_sum "
     "cast back from HUGEINT. Trino/Athena exposes the same lambda surface "
-    "(pass-through Layer B, aws-athena.sh:27).",
+    "(pass-through Layer B, aws-athena.sh:27). Array-valued results are "
+    "joined to ','-delimited strings so the registered output schema is "
+    "all-scalar (driver value-hash requirement); the lambda pipeline "
+    "itself is unchanged.",
 )
 
 register_sql(

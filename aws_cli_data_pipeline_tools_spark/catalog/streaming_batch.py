@@ -1964,12 +1964,12 @@ register_sql(
     "weekly_churn_rates",
     spark_sql="""
 WITH wk AS (
-  SELECT DISTINCT user_id, weekofyear(ts) AS wk FROM events
+  SELECT DISTINCT user_id, trunc(to_date(ts), 'week') AS wk FROM events
 ), pairs AS (
   SELECT a.wk AS wk_from, a.user_id,
          CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
   FROM wk a LEFT JOIN wk b
-    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    ON b.user_id = a.user_id AND b.wk = date_add(a.wk, 7)
   WHERE a.wk < (SELECT max(wk) FROM wk)
 )
 SELECT wk_from, count(*) AS n_active,
@@ -1979,16 +1979,17 @@ FROM pairs GROUP BY wk_from ORDER BY wk_from
 """,
     duck_sql="""
 WITH wk AS (
-  SELECT DISTINCT user_id, weekofyear(CAST(ts AS TIMESTAMP)) AS wk
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
   FROM events
 ), pairs AS (
   SELECT a.wk AS wk_from, a.user_id,
          CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
   FROM wk a LEFT JOIN wk b
-    ON b.user_id = a.user_id AND b.wk = a.wk + 1
+    ON b.user_id = a.user_id AND b.wk = a.wk + 7
   WHERE a.wk < (SELECT max(wk) FROM wk)
 )
-SELECT CAST(wk_from AS INT) AS wk_from, count(*) AS n_active,
+SELECT wk_from, count(*) AS n_active,
        CAST(sum(churned) AS BIGINT) AS n_churned,
        round(sum(churned) / CAST(count(*) AS DOUBLE), 6) AS churn_rate
 FROM pairs GROUP BY wk_from ORDER BY wk_from
@@ -1996,9 +1997,13 @@ FROM pairs GROUP BY wk_from ORDER BY wk_from
     tags=("streaming-batch", "stats"),
     notes="Week-over-week churn: of users active in week N, the fraction "
     "absent in week N+1 (final partial week excluded — no next week to "
-    "churn into). One distinct (user, week) reduction + a user-keyed "
-    "self left-join on adjacent weeks — the retention complement of "
-    "cohort_retention's triangle.",
+    "churn into). Weeks are ISO-Monday calendar dates "
+    "(trunc(date,'week') / date_trunc('week')), not bare weekofyear "
+    "ordinals, so year boundaries neither conflate week N of different "
+    "years nor break the adjacent-week join at the 52/53→1 wrap. One "
+    "distinct (user, week) reduction + a user-keyed self left-join on "
+    "next-calendar-week — the retention complement of cohort_retention's "
+    "triangle.",
 )
 
 
@@ -2228,9 +2233,10 @@ toks AS (
 scored AS (
   SELECT counts.token,
          CAST(sum(CAST(counts.c AS BIGINT)) AS BIGINT) AS raw_count,
-         round(CAST(sum(CAST(counts.c * grid.w AS DECIMAL(38,10)))
+         round(CAST(sum(CAST(counts.c * coalesce(grid.w, 0.0)
+                             AS DECIMAL(38,10)))
                     AS DOUBLE), 6) AS decayed_score
-  FROM counts JOIN grid ON grid.age_days = counts.age_days
+  FROM counts LEFT JOIN grid ON grid.age_days = counts.age_days
   GROUP BY counts.token
 )
 SELECT token, raw_count, decayed_score,
@@ -2256,10 +2262,11 @@ WITH mx AS (
 scored AS (
   SELECT counts.token,
          CAST(sum(counts.c) AS BIGINT) AS raw_count,
-         round(CAST(sum(CAST(counts.c * CAST(grid.w AS DOUBLE)
+         round(CAST(sum(CAST(counts.c
+                             * coalesce(CAST(grid.w AS DOUBLE), 0.0)
                              AS DECIMAL(38,10))) AS DOUBLE), 6)
            AS decayed_score
-  FROM counts JOIN grid ON grid.age_days = counts.age_days
+  FROM counts LEFT JOIN grid ON grid.age_days = counts.age_days
   GROUP BY counts.token
 )
 SELECT token, raw_count, decayed_score,
@@ -2273,5 +2280,8 @@ FROM scored ORDER BY decayed_score DESC, token LIMIT 10
     "as literal doubles on both engines — the RBO/DFT literal-weights "
     "discipline; DuckDB additionally casts its DECIMAL-parsed literals "
     "back to DOUBLE), decimal-sum scores, top-10 — recency-weighted "
-    "trend detection vs the raw-count ranking.",
+    "trend detection vs the raw-count ranking. Events older than the "
+    "40-day grid horizon LEFT-join to weight 0 (0.5^(40/7) < 0.02): they "
+    "still count in raw_count but no longer move the decayed score — the "
+    "documented decay horizon, not a silent row drop.",
 )

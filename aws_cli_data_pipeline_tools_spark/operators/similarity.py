@@ -946,6 +946,10 @@ def mmr_rerank(
             key = (-score, d)
             if best is None or key < best[0]:
                 best = (key, d, r)
+        if best is None:
+            # fewer than k candidates survive the pool prune (tiny corpus):
+            # return the shorter selection instead of crashing mid-greedy.
+            break
         selected.append((step, best[1], best[2]))
         chosen.append(best[1])
     spark = corpus.sparkSession

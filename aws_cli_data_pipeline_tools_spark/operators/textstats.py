@@ -516,13 +516,18 @@ def byte_entropy(
     ent = F.round(
         -F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6
     )
+    # NULL text: octet_length(NULL) is NULL, but greatest(NULL, 1) made the
+    # position filter emit [1] — gate every stat on nn IS NOT NULL so a
+    # NULL document yields NULL across the board (matching the SQL twin),
+    # not a phantom n_distinct_bytes = 1.
     return step2.select(
         F.col(id_col),
         F.col("__n").alias("n_bytes"),
-        F.when(nn == 0, F.lit(0)).otherwise(F.size(pos)).alias(
-            "n_distinct_bytes"
-        ),
-        F.when(nn == 0, F.lit(None).cast("double"))
+        F.when(nn.isNull(), F.lit(None).cast("int"))
+        .when(nn == 0, F.lit(0))
+        .otherwise(F.size(pos))
+        .alias("n_distinct_bytes"),
+        F.when(nn.isNull() | (nn == 0), F.lit(None).cast("double"))
         .otherwise(ent)
         .alias("entropy_bits"),
     )

@@ -56,6 +56,7 @@ AGG_LABELS = [
 ]
 
 MedianMode = Literal["approx", "exact"]
+DistinctMode = Literal["exact", "approx"]
 
 
 def numeric_columns(df: DataFrame) -> list[str]:
@@ -109,7 +110,11 @@ def _stat_exprs(col: str, median_mode: MedianMode, oracle_safe: bool = False) ->
 
 
 def _agg_row(
-    df: DataFrame, cols: list[str], median_mode: MedianMode, oracle_safe: bool
+    df: DataFrame,
+    cols: list[str],
+    median_mode: MedianMode,
+    oracle_safe: bool,
+    distinct_mode: DistinctMode = "exact",
 ) -> DataFrame:
     """One-row DataFrame with all 8×N stat columns.
 
@@ -118,14 +123,31 @@ def _agg_row(
     (ObjectHashAggregate), and plain codegen aggregates in a single agg
     forces everything through an N+1-times-expanded sort-aggregate — ~10×
     slower than the three specialized plans run separately, at any scale.
+
+    ``distinct_mode="approx"`` swaps exact COUNT DISTINCT for HLL++
+    (``approx_count_distinct``, rsd 2%) — a plain partial-aggregable
+    sketch that rides WITH the basic codegen agg, so the Expand-based
+    distinct scan disappears entirely and the profile costs **two**
+    column-pruned passes (basic+HLL, median) instead of three. The 100 TB
+    posture for a wide fact table where ±2.5% distinct counts are fine.
     """
     all_exprs = {
         c: _stat_exprs(c, median_mode, oracle_safe) for c in cols
     }
     basic_idx = [0, 2, 3, 4, 6, 7]  # count, mean, std, min, max, sum
-    basic = df.agg(*[all_exprs[c][i] for c in cols for i in basic_idx])
-    distinct = df.agg(*[all_exprs[c][1] for c in cols])
+    basic_cols = [all_exprs[c][i] for c in cols for i in basic_idx]
     median = df.agg(*[all_exprs[c][5] for c in cols])
+    if distinct_mode == "approx":
+        hll = [
+            F.approx_count_distinct(F.col(c), rsd=0.02)
+            .cast("double")
+            .alias(f"{c}__1")
+            for c in cols
+        ]
+        basic = df.agg(*basic_cols, *hll)
+        return basic.crossJoin(median)
+    basic = df.agg(*basic_cols)
+    distinct = df.agg(*[all_exprs[c][1] for c in cols])
     return basic.crossJoin(distinct).crossJoin(median)
 
 
@@ -137,7 +159,12 @@ def _empty_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     return df.sparkSession.createDataFrame([], schema)
 
 
-def profile(df: DataFrame, median_mode: MedianMode = "approx", oracle_safe: bool = False) -> DataFrame:
+def profile(
+    df: DataFrame,
+    median_mode: MedianMode = "approx",
+    oracle_safe: bool = False,
+    distinct_mode: DistinctMode = "exact",
+) -> DataFrame:
     """Wide profile: one row per statistic, one column per numeric column.
 
     Output schema: ``agg_type string, <col1> double, ... <colN> double``,
@@ -149,12 +176,14 @@ def profile(df: DataFrame, median_mode: MedianMode = "approx", oracle_safe: bool
     COUNT DISTINCT / median buffers — see _agg_row) crossJoined, then a
     stack projection and a sort of 8 rows. Three column-pruned passes, each
     fully partial-aggregated (approx mode) regardless of N columns.
+    ``distinct_mode="approx"`` replaces the exact-distinct pass with an
+    in-scan HLL++ sketch → two passes total (see _agg_row).
     """
     cols = numeric_columns(df)
     if not cols:
         return _empty_profile(df, cols)
 
-    agg_row = _agg_row(df, cols, median_mode, oracle_safe)
+    agg_row = _agg_row(df, cols, median_mode, oracle_safe, distinct_mode)
 
     # stack(8, label_i, <col1>__i, ..., <colN>__i, ...) → 8 rows × (1+N) cols.
     stack_args: list[Column] = []

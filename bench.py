@@ -66,6 +66,8 @@ HEADLINE = [
     "text_byte_entropy",      # within-row byte histogram array ops
     "dedup_tfidf_cosine",     # idf-weighted inverted-index pair join
     "streaming_session_transcripts_live",  # arbitrary-state sessionizer
+    # round-5 additions:
+    "profile_lineitem_hll",   # two-scan profiler (in-scan HLL distinct)
 ]
 
 

@@ -1,0 +1,37 @@
+"""Registration-surface guard: every catalog query must emit an
+all-scalar output schema.
+
+The driver's correctness gate value-hashes query output with a pandas
+order-insensitive canonicalization; Array/Map/Struct-typed columns make
+that hasher throw ``TypeError: unhashable type`` (r4:
+``embedding_normalize``), so a complex-typed registered output is a
+latent driver red even when the query itself is exact vs the oracle.
+Array-native operators stay array-native internally — only the
+REGISTERED projection must flatten (posexplode or array_join) before
+returning.
+
+This sweep builds every registered spec's DataFrame at sf0.001 and
+asserts the analyzed schema is scalar-only, so the r4 class of bug
+cannot recur silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+COMPLEX = (ArrayType, MapType, StructType)
+
+
+def test_all_registered_outputs_are_scalar(spark, sf_dir):
+    offenders: list[tuple[str, str, str]] = []
+    for name, spec in all_specs().items():
+        df = spec.fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, COMPLEX):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, (
+        "registered queries with driver-unhashable complex output columns "
+        f"(flatten with posexplode/array_join): {offenders}"
+    )

@@ -615,3 +615,23 @@ def test_binary_hamming_known_vectors(spark):
     assert [(r.neighbor_id, r.hamming_dist) for r in got] == [
         (0, 0), (1, 8), (2, 64),
     ]
+
+
+def test_mmr_rerank_truncates_when_pool_smaller_than_k(spark):
+    """k > candidate count must yield the shorter selection, not a
+    TypeError mid-greedy (r4 ADVICE)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    q = corpus.filter("vec_id = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = similarity.mmr_rerank(corpus, q, k=10, pool=50).collect()
+    assert len(got) == 3  # every candidate selected, then graceful stop
+    assert [r.step for r in got] == [1, 2, 3]
+    assert got[0].doc_id == 0  # first pick = pure relevance (self)

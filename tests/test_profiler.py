@@ -115,6 +115,29 @@ def test_profile_scan_count_plan(spark, sf_dir):
     assert plan.count("FileScan parquet") + plan.count("BatchScan") == 3
 
 
+def test_profile_hll_two_scans(spark, sf_dir):
+    """distinct_mode='approx' folds the HLL sketch into the basic codegen
+    agg: exactly 2 source scans (basic+HLL, median) — one fewer pass than
+    the exact-distinct plan — and the distinct estimate stays within ±5%
+    of exact (rsd 2%, ~2.5σ)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    df = profiler.profile(li, distinct_mode="approx")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 2
+    rows = {r.agg_type: r for r in df.collect()}
+    exact = {
+        r.agg_type: r
+        for r in profiler.profile(li, median_mode="approx").collect()
+    }
+    for c in ["l_orderkey", "l_quantity", "l_discount"]:
+        got = rows["2. count_distinct"][c]
+        want = exact["2. count_distinct"][c]
+        assert abs(got - want) <= 0.05 * max(want, 1.0), (c, got, want)
+        # non-sketched stats identical between the two modes
+        for label in ["1. count", "3. mean", "8. sum"]:
+            assert rows[label][c] == exact[label][c], (label, c)
+
+
 def test_profile_strings_stats_and_edges(spark):
     df = spark.createDataFrame(
         [("a", ""), ("bb", None), ("a", "xyz")], ["s1", "s2"]

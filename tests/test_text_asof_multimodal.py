@@ -889,8 +889,9 @@ def test_byte_entropy_known_values(spark):
             (1, "aaaa"),          # one symbol → 0 bits
             (2, "abab"),          # two equiprobable symbols → 1 bit
             (3, "abcd"),          # four equiprobable → 2 bits
-            (4, ""),              # empty → NULL
+            (4, ""),              # empty → NULL entropy, 0 distinct
             (5, "héé"),           # UTF-8: h + 2×(c3 a9) → 5 bytes
+            (6, None),            # NULL text → NULL everything
         ],
         "doc_id bigint, text string",
     )
@@ -899,6 +900,9 @@ def test_byte_entropy_known_values(spark):
     assert out[2].entropy_bits == 1.0
     assert out[3].entropy_bits == 2.0
     assert out[4].entropy_bits is None and out[4].n_distinct_bytes == 0
+    assert out[6].n_bytes is None
+    assert out[6].n_distinct_bytes is None  # not the phantom 1 (r4 ADVICE)
+    assert out[6].entropy_bits is None
     assert out[5].n_bytes == 5 and out[5].n_distinct_bytes == 3
     # h:1/5, c3:2/5, a9:2/5
     expect = -(0.2 * math.log2(0.2) + 2 * 0.4 * math.log2(0.4))

@@ -66,6 +66,44 @@ def _inv_profile_approx(spark, sf_dir, con, rows, cols, specs):
     return f"{checked} stats exact/banded over {len(num_cols)} columns"
 
 
+def _inv_profile_hll(spark, sf_dir, con, rows, cols, specs):
+    """Two-scan HLL profiler (distinct_mode='approx'): moment stats exact
+    vs DuckDB (to rounding), HLL++ count_distinct within ±5%% of exact
+    (rsd 2%%, so ~2.5σ), GK median within the rank band — the same
+    discipline as _inv_profile_approx with the distinct row banded."""
+    prof = {r[0]: dict(zip(cols[1:], r[1:])) for r in rows}
+    assert len(prof) == 8, f"expected 8 agg rows, got {sorted(prof)}"
+    num_cols = cols[1:]
+    checked = 0
+    for c in num_cols:
+        ex = con.execute(
+            f"SELECT count({c}), count(DISTINCT {c}), round(avg({c}), 5), "
+            f"round(stddev({c}), 5), round(min({c}), 5), round(max({c}), 5), "
+            f"round(CAST(sum(CAST({c} AS DECIMAL(38,10))) AS DOUBLE), 5), "
+            f"quantile_disc({c}, 0.495), quantile_disc({c}, 0.505) "
+            f"FROM lineitem"
+        ).fetchone()
+        exact = {
+            "1. count": ex[0], "3. mean": ex[2],
+            "4. std": ex[3], "5. min": ex[4], "7. max": ex[5], "8. sum": ex[6],
+        }
+        for k, want in exact.items():
+            got = prof[k][c]
+            assert _rel_close(float(got), float(want), 1e-7), (k, c, got, want)
+            checked += 1
+        hll = float(prof["2. count_distinct"][c])
+        want_d = float(ex[1])
+        assert abs(hll - want_d) <= 0.05 * max(want_d, 1.0), (
+            f"hll_distinct({c})={hll} outside ±5% of exact {want_d}"
+        )
+        checked += 1
+        med = float(prof["6. median"][c])
+        lo, hi = float(ex[7]), float(ex[8])
+        assert lo <= med <= hi, f"median({c})={med} outside GK band [{lo},{hi}]"
+        checked += 1
+    return f"{checked} stats exact/banded over {len(num_cols)} columns"
+
+
 def _inv_approx_aggregates(spark, sf_dir, con, rows, cols, specs):
     """HLL++ distinct within ±5%% of exact; GK percentiles within the
     rank-error band around 0.5 / 0.95 (±0.005 rank window — see
@@ -192,6 +230,7 @@ def _inv_sketch_cascade(spark, sf_dir, con, rows, cols, specs):
 #: specs) -> success message; raises AssertionError on violation.
 INVARIANTS = {
     "profile_lineitem_approx": _inv_profile_approx,
+    "profile_lineitem_hll": _inv_profile_hll,
     "approx_aggregates": _inv_approx_aggregates,
     "ann_lsh_topk": _inv_ann_lsh,
     "ann_ivf_topk": _inv_ann_ivf,
