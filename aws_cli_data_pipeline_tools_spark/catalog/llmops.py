@@ -593,7 +593,7 @@ FROM documents ORDER BY doc_id
 """,
     tags=("llmops", "multimodal"),
     notes="Binary-column plumbing over real fixtures: utf8 payload bytes + "
-    "digest; the codec path itself is the stubbed decode_media mapInPandas.",
+    "digest; the codec path itself is the decode_media mapInPandas stage.",
 )
 def multimodal_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.text_as_binary_stats(load_table(spark, "documents", sf_dir))
@@ -1133,7 +1133,7 @@ FROM s ORDER BY media_id
     "valid 3×2 24-bit BI_RGB payloads packed from doc_id arithmetic with "
     "JVM expressions (bottom-up rows, 4-byte padding), decoded back by the "
     "numpy row-walk; the oracle replays the per-pixel channel arithmetic. "
-    "Closes the uncompressed half of the decode_media stub.",
+    "Closes the uncompressed half of the decode_media image path.",
 )
 def multimodal_bmp_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1715,6 +1715,76 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("mean_luma", 6).alias("mean_luma"),
     ).orderBy("media_id")
+
+
+@register(
+    "multimodal_decode_router",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'ok' ELSE 'unsupported_codec' END
+         AS decode_status,
+       CASE doc_id % 3 WHEN 0 THEN 70 WHEN 1 THEN 68 ELSE 32 END
+         AS n_bytes,
+       CASE doc_id % 3 WHEN 0 THEN 2 END AS width,
+       CASE doc_id % 3 WHEN 0 THEN 2 END AS height
+FROM documents ORDER BY media_id
+""",
+    tags=("llmops", "multimodal"),
+    notes="decode_media status routing end-to-end "
+    "(operators/multimodal.decode_media): a mixed corpus — decodable BMP "
+    "(doc_id%3=0), MPEG1 Layer III frame header (%3=1, sample decode "
+    "unsupported in-container), unrecognized bytes (%3=2) — flows through "
+    "the Arrow-batched mapInPandas decoder and every payload yields a row "
+    "with decode_status 'ok' or 'unsupported_codec' + NULL decode fields "
+    "(no executor raise, the AU unsupported-encoding discipline). The "
+    "oracle replays the construction-determined statuses and payload "
+    "sizes. The array feature column is dropped from the registered "
+    "projection (scalar-schema guard).",
+)
+def multimodal_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+
+    import pandas as pd
+
+    from ..operators import multimodal
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+
+    # 2×2 24bpp BI_RGB red BMP: 54-byte headers + 2 rows × 8 bytes = 70.
+    def bmp_red() -> bytes:
+        row = (b"\x00\x00\xff" * 2).ljust(8, b"\x00")  # BGR, padded to 4B
+        px = row * 2
+        info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(px), 0, 0, 0, 0)
+        hdr = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+        return hdr + info + px
+
+    def gen(it):
+        bmp = bmp_red()
+        mp3ish = b"\xff\xfb\x90\x00" + b"\x00" * 64  # 68 bytes
+        junk = b"\x01" * 32
+        for pdf in it:
+            payloads = [
+                [bmp, mp3ish, junk][int(d) % 3] for d in pdf["doc_id"]
+            ]
+            types = [
+                ["image", "audio", "image"][int(d) % 3] for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": types,
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        gen, schema="media_id bigint, media_type string, payload binary"
+    )
+    return (
+        multimodal.decode_media(media)
+        .select("media_id", "decode_status", "n_bytes", "width", "height")
+        .orderBy("media_id")
+    )
 
 
 @register(

@@ -17,11 +17,13 @@ chroma upsampling, YCbCr→RGB), and FLAC samples
 (``decode_flac_samples`` — Rice/LPC bit arithmetic, see
 ``operators/flac``) all decode for real, and header metadata for
 PNG/GIF/BMP/JPEG/WAV/FLAC/MP3 is parsed for real by the sniffers below.
-Only MP3 *sample* decode remains stubbed (polyphase subband synthesis
+Only MP3 *sample* decode has no in-repo path (polyphase subband synthesis
 needs a real codec library, absent in this container): ``decode_media``
-raises ``NotImplementedError`` for it unless ``fake=True`` substitutes
-the deterministic fake decoder (keeps the Spark-side plumbing — schema,
-batching, partitioning — testable end-to-end).
+classifies such payloads as ``decode_status='unsupported_codec'`` and
+emits NULL decode fields — the same discipline as AU's unsupported
+encodings — so every payload produces a row and nothing raises from an
+executor. Header/CBR-duration metadata for MP3 still parses for real via
+``_sniff_audio``.
 
 MEDIA_SCHEMA is the canonical layout a 100 TB multimodal corpus would use:
 payloads in parquet binary columns (or pointers to object storage), metadata
@@ -63,18 +65,8 @@ MEDIA_SCHEMA = T.StructType(
 
 _DECODE_OUT_SCHEMA = (
     "media_id bigint, media_type string, n_bytes int, sha256 string, "
-    "width int, height int, feature array<float>"
+    "width int, height int, feature array<float>, decode_status string"
 )
-
-
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """Deterministic fake decoder: dimensions + an 8-dim feature vector
-    derived from the payload digest. Stands in for a real codec."""
-    digest = hashlib.sha256(payload).digest()
-    width = 1 + digest[0] % 64
-    height = 1 + digest[1] % 64
-    feature = [b / 255.0 for b in digest[2:10]]
-    return width, height, feature
 
 
 def _decode_bmp_array(b: bytes):
@@ -237,21 +229,25 @@ def decode_wav_samples(
     )
 
 
-def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
+def decode_media(df: DataFrame) -> DataFrame:
     """Decode binary payloads into per-item features via mapInPandas.
 
     Arrow-batched: each executor receives pandas batches of (media_id,
     media_type, payload); output schema is fixed (`_DECODE_OUT_SCHEMA`).
 
-    Real decode paths: BMP, PNG, GIF, and baseline JPEG pixels (feature =
-    per-channel means + Rec.601 luma, /255 — PNG's DEFLATE is stdlib
-    ``zlib``; GIF's LZW and JPEG's Huffman+IDCT are implemented pure-spec
-    in this module; no external codec), WAV PCM samples (feature =
-    mean|s| / RMS / peak, /32768), and FLAC samples (same stats, scaled
-    by the stream's bit depth; pure-spec Rice/LPC decode in
-    ``operators/flac``). Only MP3 sample decode has no in-repo path:
-    such payloads raise ``NotImplementedError`` from the executor unless
-    ``fake=True`` substitutes the deterministic fake decoder for them.
+    Real decode paths (``decode_status='ok'``): BMP, PNG, GIF, and
+    baseline JPEG pixels (feature = per-channel means + Rec.601 luma,
+    /255 — PNG's DEFLATE is stdlib ``zlib``; GIF's LZW and JPEG's
+    Huffman+IDCT are implemented pure-spec in this module; no external
+    codec), WAV PCM samples (feature = mean|s| / RMS / peak, /32768),
+    and FLAC samples (same stats, scaled by the stream's bit depth;
+    pure-spec Rice/LPC decode in ``operators/flac``). Payloads no path
+    can decode (MP3 frames — subband synthesis needs a codec library
+    this container lacks — or unrecognized/truncated bytes) yield
+    ``decode_status='unsupported_codec'`` with NULL width/height/feature:
+    every payload produces a row, nothing raises from an executor, and a
+    caller filters or routes on the status column (the AU unsupported-
+    encoding discipline).
     """
 
     def decode_one(p: bytes) -> tuple:
@@ -261,7 +257,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             chan = px.reshape(-1, 3).astype("float64")
             mb, mg, mr = (chan[:, c].mean() for c in range(3))
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4, "ok"
         png = _decode_png_array(p)
         if png is not None:
             w, h, channels, px = png
@@ -271,14 +267,14 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             else:
                 mr = mg = mb = chan[:, 0].mean()
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4, "ok"
         gif = _decode_gif_array(p)
         if gif is not None:
             w, h, _, px = gif
             chan = px.reshape(-1, 3).astype("float64")
             mr, mg, mb = (chan[:, c].mean() for c in range(3))
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4, "ok"
         jpg = _decode_jpeg_array(p)
         if jpg is not None:
             w, h, channels, px = jpg
@@ -288,7 +284,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             else:
                 mr = mg = mb = chan[:, 0].mean()
             luma = 0.299 * mr + 0.587 * mg + 0.114 * mb
-            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4
+            return w, h, [v / 255.0 for v in (mb, mg, mr, luma)] + [0.0] * 4, "ok"
         wav = _decode_wav_array(p)
         if wav is not None and wav[3].size:
             import numpy as np
@@ -296,7 +292,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             _, _, _, s = wav
             a = np.abs(s)
             stats = [a.mean(), float(np.sqrt((s * s).mean())), float(a.max())]
-            return None, None, [v / 32768.0 for v in stats] + [0.0] * 5
+            return None, None, [v / 32768.0 for v in stats] + [0.0] * 5, "ok"
         from .flac import decode_flac
 
         flac = decode_flac(p)
@@ -308,15 +304,9 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
             a = np.abs(s)
             scale = float(1 << (bps - 1))
             stats = [a.mean(), float(np.sqrt((s * s).mean())), float(a.max())]
-            return None, None, [v / scale for v in stats] + [0.0] * 5
-        if not fake:
-            raise NotImplementedError(
-                "payload is not a BMP/PNG/GIF/JPEG/PCM-WAV/FLAC; MP3 sample "
-                "decode requires codec libraries not present in this "
-                "environment (pass fake=True for the deterministic test "
-                "decoder)"
-            )
-        return _fake_decode(p)
+            return None, None, [v / scale for v in stats] + [0.0] * 5, "ok"
+        # MP3 frames / unrecognized payloads: NULL decode, typed status.
+        return None, None, None, "unsupported_codec"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -331,6 +321,7 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "feature": [d[2] for d in decoded],
+                    "decode_status": [d[3] for d in decoded],
                 }
             )
 
@@ -379,8 +370,8 @@ def sniff_image_headers(
     """REAL metadata decode: container format + pixel dimensions parsed
     from PNG/GIF/BMP/JPEG headers (``_sniff_dims``), Arrow-batched via
     mapInPandas. This is the non-stubbed half of the decode story — header
-    fields are plain struct offsets, so no codec dependency; only pixel
-    decoding remains behind the ``decode_media`` stub. At corpus scale this
+    fields are plain struct offsets, so no codec dependency; pixel decode
+    itself is ``decode_media`` (real for BMP/PNG/GIF/JPEG). At corpus scale this
     stage populates the MEDIA_SCHEMA ``meta`` struct once at ingest so all
     later planning (resize targets, pruning by dims) is metadata-only.
     """
@@ -464,8 +455,9 @@ def sniff_audio_headers(
     """REAL audio metadata decode: format + sample rate + channels +
     duration parsed from WAV/FLAC/MP3 headers (``_sniff_audio``),
     Arrow-batched via mapInPandas — the audio twin of
-    ``sniff_image_headers``. Only PCM sample decoding remains behind the
-    ``decode_media`` stub; at ingest this populates MEDIA_SCHEMA ``meta``
+    ``sniff_image_headers``. Sample decode itself is ``decode_media``
+    (real for WAV/FLAC; MP3 → typed unsupported_codec status); at ingest
+    this populates MEDIA_SCHEMA ``meta``
     (sample_rate/duration_ms) so downstream sampling/windowing plans are
     metadata-only.
     """

@@ -254,27 +254,29 @@ def test_sniff_video_headers_real(spark):
     assert out[5].format is None
 
 
-def test_decode_media_stub_and_fake(spark):
-    rows = [(1, "image", b"payload-one"), (2, "image", b"payload-two")]
-    df = spark.createDataFrame(rows, "media_id bigint, media_type string, payload binary")
-    # compressed/unknown payloads still raise (from the executor) without fake
-    with pytest.raises(Exception, match="not a BMP/PNG/GIF/JPEG/PCM-WAV/FLAC"):
-        multimodal.decode_media(df).collect()
-    # real path: a BMP payload decodes without fake
-    bmp_df = spark.createDataFrame(
-        [(9, "image", _bmp_bytes(2, 2, lambda x, y: (255, 0, 0)))],
-        "media_id bigint, media_type string, payload binary",
+def test_decode_media_status_routing(spark):
+    # a real MPEG1 Layer III frame header (sync + version/layer bits) —
+    # sample decode is unsupported, so it must yield a NULL-decode row
+    # with decode_status='unsupported_codec', never an executor raise.
+    mp3ish = b"\xff\xfb\x90\x00" + b"\x00" * 64
+    rows = [
+        (1, "audio", mp3ish),
+        (2, "image", b"not-any-known-container"),
+        (9, "image", _bmp_bytes(2, 2, lambda x, y: (255, 0, 0))),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id bigint, media_type string, payload binary"
     )
-    real = multimodal.decode_media(bmp_df).collect()[0]
+    out = {r.media_id: r for r in multimodal.decode_media(df).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert r.decode_status == "unsupported_codec"
+        assert r.width is None and r.height is None and r.feature is None
+        assert r.n_bytes > 0 and len(r.sha256) == 64  # plumbing still real
+    real = out[9]
+    assert real.decode_status == "ok"
     assert (real.width, real.height) == (2, 2)
     assert real.feature[0] == 1.0  # mean_b / 255
-    out = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
-    assert out[1].n_bytes == len(b"payload-one")
-    assert len(out[1].feature) == 8
-    assert out[1].sha256 != out[2].sha256
-    # deterministic fake decode
-    again = {r.media_id: r for r in multimodal.decode_media(df, fake=True).collect()}
-    assert out[1].sha256 == again[1].sha256 and out[1].width == again[1].width
 
 
 def test_resize_and_frame_plans(spark):
