@@ -2303,3 +2303,161 @@ ORDER BY part_type
     "single-group parity precedent; dim join broadcasts, one grouped "
     "regression aggregate.",
 )
+
+
+register_sql(
+    "slowest_supplier_orders",
+    sql="""
+WITH sl AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM sl a JOIN supplier s ON s.s_suppkey = a.sk
+WHERE EXISTS (SELECT 1 FROM sl b WHERE b.ok = a.ok AND b.sk <> a.sk)
+  AND NOT EXISTS (SELECT 1 FROM sl c WHERE c.ok = a.ok AND c.sk <> a.sk
+                  AND c.last_ship >= a.last_ship)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("joins", "subquery"),
+    notes="TPC-H Q21-shaped blame report: per multi-supplier order, the "
+    "supplier whose latest ship date strictly trails every other "
+    "supplier's (correlated EXISTS semi-join + NOT EXISTS anti-join on "
+    "the same pre-aggregated per-(order, supplier) spine; the spine "
+    "aggregation is the one real shuffle, both subqueries reuse it). "
+    "The reference reaches this via Athena pass-through "
+    "(aws-athena.sh:27); the sandbox's lineitem has no "
+    "commit/receipt dates, so lateness is last-ship-date based.",
+)
+
+
+register_sql(
+    "important_parts_share",
+    sql="""
+WITH pr AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(38,10))) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(sum(CAST(rev AS DECIMAL(38,10))) AS DOUBLE) AS t FROM pr
+)
+SELECT p.p_partkey, p.p_type, round(pr.rev, 5) AS revenue,
+       round(pr.rev / tot.t, 8) AS share
+FROM pr JOIN part p ON p.p_partkey = pr.l_partkey CROSS JOIN tot
+WHERE pr.rev > tot.t * 0.0005
+ORDER BY revenue DESC, p_partkey
+""",
+    tags=("aggregation", "subquery"),
+    notes="TPC-H Q11-shaped important-stock cut: parts whose revenue "
+    "exceeds a scalar-subquery fraction of total revenue. Decimal-sum "
+    "revenue at both levels so the threshold comparison is the same "
+    "IEEE double on both engines (no boundary flicker); the per-part "
+    "agg is the only fact-table shuffle, the 1-row total cross-joins "
+    "(broadcast).",
+)
+
+
+register_sql(
+    "orders_pareto_8020",
+    sql="""
+WITH cr AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_custkey
+), w AS (
+  SELECT o_custkey, rev,
+         row_number() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+         CAST(sum(CAST(rev AS DECIMAL(38,10))) OVER (
+              ORDER BY rev DESC, o_custkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cum
+  FROM cr
+), tot AS (
+  SELECT CAST(sum(CAST(rev AS DECIMAL(38,10))) AS DOUBLE) AS t,
+         count(*) AS n
+  FROM cr
+)
+SELECT tot.n AS n_customers,
+       min(w.rn) AS n_top,
+       round(CAST(min(w.rn) AS DOUBLE) / tot.n, 6) AS frac_customers,
+       round(min_by(w.cum, w.rn) / tot.t, 6) AS top_share
+FROM w CROSS JOIN tot
+WHERE w.cum >= 0.8 * tot.t
+GROUP BY tot.n, tot.t
+""",
+    tags=("window", "aggregation", "stats"),
+    notes="Pareto concentration report: the minimum number of customers "
+    "covering 80% of revenue and their exact share — the whale-curve "
+    "summary behind sampling-weight and capping decisions. Per-customer "
+    "agg shuffles once; the ranking window runs over the already-"
+    "aggregated |customers| rows (at 100 TB: still customer-cardinality, "
+    "not fact-cardinality — band by revenue bucket first if even that is "
+    "too wide). Decimal running sum so the 80% cut is deterministic "
+    "cross-engine; min_by picks the cum at the cut rank.",
+)
+
+
+register_sql(
+    "weighted_median_price",
+    sql="""
+WITH g AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), c AS (
+  SELECT flag, price, w,
+         CAST(sum(CAST(w AS DECIMAL(38,10))) OVER (
+              PARTITION BY flag ORDER BY price
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cw,
+         CAST(sum(CAST(w AS DECIMAL(38,10))) OVER (PARTITION BY flag)
+           AS DOUBLE) AS tw
+  FROM g
+)
+SELECT flag, min(price) AS weighted_median_price
+FROM c WHERE cw >= tw / 2.0
+GROUP BY flag ORDER BY flag
+""",
+    tags=("window", "stats"),
+    notes="Quantity-weighted median price per return flag: the weighted "
+    "percentile that percentile_disc cannot express — cumulative-weight "
+    "window over the (flag, price) pre-aggregate (domain-sized, not "
+    "fact-sized), first price whose cumulative weight crosses half the "
+    "total. Decimal cumsum in price order on both engines → "
+    "deterministic crossing row.",
+)
+
+
+register_sql(
+    "part_affinity_lift",
+    sql="""
+WITH ot AS (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_type AS t
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), n AS (SELECT count(DISTINCT ok) AS n_orders FROM ot),
+tc AS (SELECT t, count(*) AS c FROM ot GROUP BY t),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS c12
+  FROM ot a JOIN ot b ON a.ok = b.ok AND a.t < b.t
+  GROUP BY a.t, b.t
+)
+SELECT pairs.t1, pairs.t2, pairs.c12,
+       round(pairs.c12 * CAST(n.n_orders AS DOUBLE) / (ta.c * tb.c), 6)
+         AS lift
+FROM pairs JOIN tc ta ON ta.t = pairs.t1 JOIN tc tb ON tb.t = pairs.t2
+CROSS JOIN n
+WHERE pairs.c12 >= 10
+ORDER BY lift DESC, t1, t2
+LIMIT 25
+""",
+    tags=("joins", "stats"),
+    notes="Market-basket 2-itemset lift over part types within orders: "
+    "distinct (order, type) spine, self-join keyed on the order (each "
+    "order contributes C(k,2) type pairs with k small — the join blows "
+    "up per-order, never corpus-quadratic), support floor, lift vs "
+    "independent co-occurrence. The co-curation affinity primitive "
+    "(which data sources co-occur in the same shard/run).",
+)
