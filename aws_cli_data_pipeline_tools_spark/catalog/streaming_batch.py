@@ -2285,3 +2285,208 @@ FROM scored ORDER BY decayed_score DESC, token LIMIT 10
     "still count in raw_count but no longer move the decayed score — the "
     "documented decay horizon, not a silent row drop.",
 )
+
+
+register_sql(
+    "events_autocorrelation",
+    spark_sql="""
+WITH d AS (
+  SELECT to_date(ts) AS day, count(*) AS c FROM events GROUP BY to_date(ts)
+), m AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mu
+  FROM d
+), dev AS (
+  SELECT day, CAST(c AS DOUBLE) - m.mu AS e FROM d CROSS JOIN m
+), den AS (
+  SELECT CAST(sum(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS ss FROM dev
+), ks (k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+pairs AS (
+  SELECT ks.k, a.e AS ea, b.e AS eb
+  FROM ks CROSS JOIN dev a JOIN dev b ON b.day = date_add(a.day, ks.k)
+)
+SELECT p.k AS lag_days, count(*) AS n_pairs,
+       round(CAST(sum(CAST(p.ea * p.eb AS DECIMAL(38,10))) AS DOUBLE)
+             / den.ss, 6) AS acf
+FROM pairs p CROSS JOIN den
+GROUP BY p.k, den.ss
+ORDER BY lag_days
+""",
+    duck_sql="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mu
+  FROM d
+), dev AS (
+  SELECT day, CAST(c AS DOUBLE) - m.mu AS e FROM d CROSS JOIN m
+), den AS (
+  SELECT CAST(sum(CAST(e * e AS DECIMAL(38,10))) AS DOUBLE) AS ss FROM dev
+), ks (k) AS (VALUES (1), (2), (3), (4), (5), (6), (7)),
+pairs AS (
+  SELECT ks.k, a.e AS ea, b.e AS eb
+  FROM ks CROSS JOIN dev a JOIN dev b ON b.day = a.day + ks.k
+)
+SELECT p.k AS lag_days, count(*) AS n_pairs,
+       round(CAST(sum(CAST(p.ea * p.eb AS DECIMAL(38,10))) AS DOUBLE)
+             / den.ss, 6) AS acf
+FROM pairs p CROSS JOIN den
+GROUP BY p.k, den.ss
+ORDER BY lag_days
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Sample autocorrelation of the daily event-count series at lags "
+    "1-7 days — the weekly-seasonality detector complementing "
+    "events_diurnal_spectrum's DFT (a strong lag-7 ACF says weekday "
+    "patterning; near-zero says memoryless traffic). Everything runs on "
+    "the day-aggregated series (|days| rows, never fact-cardinality): "
+    "one count shuffle, then domain-sized self-joins against a 7-row lag "
+    "grid. Deviation products are per-row IEEE doubles; the numerator/"
+    "denominator sums use the decimal order-independence discipline.",
+)
+
+
+register_sql(
+    "events_cusum_changepoint",
+    spark_sql="""
+WITH d AS (
+  SELECT to_date(ts) AS day, count(*) AS c FROM events GROUP BY to_date(ts)
+), m AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mu,
+         count(*) AS n
+  FROM d
+), s AS (
+  SELECT day,
+         CAST(sum(CAST(CAST(c AS DOUBLE) - m.mu AS DECIMAL(38,10))) OVER (
+              ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cusum,
+         m.n AS n_days
+  FROM d CROSS JOIN m
+), cp AS (
+  SELECT day, cusum, n_days FROM s ORDER BY abs(cusum) DESC, day LIMIT 1
+)
+SELECT cp.day AS changepoint_day, round(cp.cusum, 5) AS cusum, cp.n_days,
+       round(CAST(sum(CAST(c AS DECIMAL(38,10)))
+                    FILTER (WHERE d.day <= cp.day) AS DOUBLE)
+             / count(*) FILTER (WHERE d.day <= cp.day), 4) AS pre_mean,
+       round(CAST(sum(CAST(c AS DECIMAL(38,10)))
+                    FILTER (WHERE d.day > cp.day) AS DOUBLE)
+             / count(*) FILTER (WHERE d.day > cp.day), 4) AS post_mean
+FROM d CROSS JOIN cp
+GROUP BY cp.day, cp.cusum, cp.n_days
+""",
+    duck_sql="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(sum(CAST(c AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mu,
+         count(*) AS n
+  FROM d
+), s AS (
+  SELECT day,
+         CAST(sum(CAST(CAST(c AS DOUBLE) - m.mu AS DECIMAL(38,10))) OVER (
+              ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cusum,
+         m.n AS n_days
+  FROM d CROSS JOIN m
+), cp AS (
+  SELECT day, cusum, n_days FROM s ORDER BY abs(cusum) DESC, day LIMIT 1
+)
+SELECT cp.day AS changepoint_day, round(cp.cusum, 5) AS cusum, cp.n_days,
+       round(CAST(sum(CAST(c AS DECIMAL(38,10)))
+                    FILTER (WHERE d.day <= cp.day) AS DOUBLE)
+             / count(*) FILTER (WHERE d.day <= cp.day), 4) AS pre_mean,
+       round(CAST(sum(CAST(c AS DECIMAL(38,10)))
+                    FILTER (WHERE d.day > cp.day) AS DOUBLE)
+             / count(*) FILTER (WHERE d.day > cp.day), 4) AS post_mean
+FROM d CROSS JOIN cp
+GROUP BY cp.day, cp.cusum, cp.n_days
+""",
+    tags=("streaming-batch", "stats"),
+    notes="CUSUM changepoint scan over daily event counts: cumulative "
+    "deviation from the global mean (decimal running sum in day order), "
+    "the |CUSUM|-maximizing day as the level-shift candidate, and the "
+    "pre/post mean split as the effect size — the corpus-ingest "
+    "regression detector (did volume step-change, and when). Day-"
+    "aggregated series only; the argmax is deterministic (tie → earliest "
+    "day).",
+)
+
+
+register_sql(
+    "events_psi_value_drift",
+    spark_sql="""
+WITH e AS (SELECT unix_micros(ts) AS t, value AS v FROM events),
+b AS (
+  SELECT min(t) AS t0, max(t) AS t1, min(v) AS v0, max(v) AS v1 FROM e
+), binned AS (
+  SELECT CASE WHEN e.t < (b.t0 + b.t1) / 2.0 THEN 0 ELSE 1 END AS half,
+         least(CAST(floor((e.v - b.v0) / ((b.v1 - b.v0) / 10.0)) AS INT),
+               9) AS bin
+  FROM e CROSS JOIN b
+), n AS (SELECT half, count(*) AS n FROM binned GROUP BY half),
+c AS (SELECT half, bin, count(*) AS c FROM binned GROUP BY half, bin),
+bins (bin) AS (
+  VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)
+), p AS (
+  SELECT bins.bin,
+         (coalesce(c0.c, 0) + CAST(0.5 AS DOUBLE))
+           / (n0.n + CAST(5.0 AS DOUBLE)) AS p0,
+         (coalesce(c1.c, 0) + CAST(0.5 AS DOUBLE))
+           / (n1.n + CAST(5.0 AS DOUBLE)) AS p1
+  FROM bins
+  LEFT JOIN c c0 ON c0.bin = bins.bin AND c0.half = 0
+  LEFT JOIN c c1 ON c1.bin = bins.bin AND c1.half = 1
+  CROSS JOIN (SELECT n FROM n WHERE half = 0) n0
+  CROSS JOIN (SELECT n FROM n WHERE half = 1) n1
+)
+SELECT bin, round(p0, 6) AS p_first, round(p1, 6) AS p_second,
+       round((p1 - p0) * ln(p1 / p0), 8) AS psi_term
+FROM p ORDER BY bin
+""",
+    duck_sql="""
+WITH e AS (
+  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v FROM events
+), b AS (
+  SELECT min(t) AS t0, max(t) AS t1, min(v) AS v0, max(v) AS v1 FROM e
+), binned AS (
+  SELECT CASE WHEN e.t < (b.t0 + b.t1) / 2.0 THEN 0 ELSE 1 END AS half,
+         least(CAST(floor((e.v - b.v0) / ((b.v1 - b.v0) / 10.0)) AS INT),
+               9) AS bin
+  FROM e CROSS JOIN b
+), n AS (SELECT half, count(*) AS n FROM binned GROUP BY half),
+c AS (SELECT half, bin, count(*) AS c FROM binned GROUP BY half, bin),
+bins (bin) AS (
+  VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8), (9)
+), p AS (
+  SELECT bins.bin,
+         (coalesce(c0.c, 0) + CAST(0.5 AS DOUBLE))
+           / (n0.n + CAST(5.0 AS DOUBLE)) AS p0,
+         (coalesce(c1.c, 0) + CAST(0.5 AS DOUBLE))
+           / (n1.n + CAST(5.0 AS DOUBLE)) AS p1
+  FROM bins
+  LEFT JOIN c c0 ON c0.bin = bins.bin AND c0.half = 0
+  LEFT JOIN c c1 ON c1.bin = bins.bin AND c1.half = 1
+  CROSS JOIN (SELECT n FROM n WHERE half = 0) n0
+  CROSS JOIN (SELECT n FROM n WHERE half = 1) n1
+)
+SELECT bin, round(p0, 6) AS p_first, round(p1, 6) AS p_second,
+       round((p1 - p0) * ln(p1 / p0), 8) AS psi_term
+FROM p ORDER BY bin
+""",
+    tags=("streaming-batch", "stats", "llmops"),
+    notes="Population Stability Index between the first and second time "
+    "half of the events value distribution: 10 equal-width bins over the "
+    "global range, Laplace-smoothed (+0.5/+5) shares so empty bins stay "
+    "finite, per-bin PSI contribution (p2−p1)·ln(p2/p1) — Σ bins is the "
+    "PSI; <0.1 stable, >0.25 action. The standard inter-snapshot drift "
+    "gate next to the KS (shape) and chi-square (token) entries. Two "
+    "fact scans (bounds, then binning) collapsing to tiny bin tables; "
+    "the per-bin terms are single IEEE expressions — no order-dependent "
+    "float sum anywhere.",
+)
