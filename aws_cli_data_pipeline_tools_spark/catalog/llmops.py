@@ -5303,3 +5303,216 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+#: Spark SQL string literals consume one level of backslash escaping
+#: (so '\\s' in the SQL text reaches the regex engine as \s); DuckDB
+#: literals keep backslashes verbatim. Same pattern, per-dialect quoting.
+_PAT_SPARK = textstats.TOKEN_PATTERN.replace("\\", "\\\\")
+_TOKS_SPARK = (
+    "SELECT source, token FROM documents "
+    "LATERAL VIEW explode(regexp_extract_all(lower(text), "
+    f"'{_PAT_SPARK}', 0)) t AS token"
+)
+_TOKS_DUCK = (
+    "SELECT source, unnest(regexp_extract_all(lower(text), "
+    f"'{textstats.TOKEN_PATTERN}')) AS token FROM documents"
+)
+
+_JSD_BODY = """
+top AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 512
+), tc AS (
+  SELECT source, token, count(*) AS c FROM toks
+  WHERE token IN (SELECT token FROM top)
+  GROUP BY source, token
+), tot AS (SELECT source, sum(c) AS n FROM tc GROUP BY source),
+d AS (
+  SELECT tc.source, tc.token, tc.c / CAST(tot.n AS DOUBLE) AS p
+  FROM tc JOIN tot ON tot.source = tc.source
+), srcs AS (SELECT DISTINCT source FROM d),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT DISTINCT pairs.sa, pairs.sb, d.token
+  FROM pairs JOIN d ON d.source = pairs.sa OR d.source = pairs.sb
+), m AS (
+  SELECT u.sa, u.sb,
+         coalesce(da.p, CAST(0.0 AS DOUBLE)) AS pa,
+         coalesce(db.p, CAST(0.0 AS DOUBLE)) AS pb
+  FROM u
+  LEFT JOIN d da ON da.source = u.sa AND da.token = u.token
+  LEFT JOIN d db ON db.source = u.sb AND db.token = u.token
+)
+SELECT sa, sb,
+       round(CAST(sum(CAST(
+           0.5 * (CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb))
+                       ELSE CAST(0.0 AS DOUBLE) END
+                + CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb))
+                       ELSE CAST(0.0 AS DOUBLE) END)
+           AS DECIMAL(38,10))) AS DOUBLE) / ln(2.0), 6) AS jsd_bits
+FROM m GROUP BY sa, sb
+ORDER BY jsd_bits DESC, sa, sb
+LIMIT 20
+"""
+
+register_sql(
+    "js_divergence_sources",
+    spark_sql=f"WITH toks AS ({_TOKS_SPARK}),{_JSD_BODY}",
+    duck_sql=f"WITH toks AS ({_TOKS_DUCK}),{_JSD_BODY}",
+    tags=("llmops", "text", "stats"),
+    notes="Pairwise Jensen-Shannon divergence (bits) between source token "
+    "distributions, restricted-renormalized to the deterministic global "
+    "top-512 vocabulary so the pair×vocab working set is bounded "
+    "(pairs × 512, never pairs × open vocabulary — the 100 TB posture; "
+    "widen the cap, not the shape). Symmetric, bounded [0,1] bit — the "
+    "source-mixture similarity matrix behind mixture reweighting, "
+    "complementing source_drift_chi2's one-vs-corpus test. Per-term "
+    "doubles, decimal term sum, top-20 most-divergent pairs.",
+)
+
+
+register_sql(
+    "hapax_rate_by_source",
+    spark_sql=f"""
+WITH toks AS ({_TOKS_SPARK}),
+tc AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token)
+SELECT source, count(*) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+FROM tc GROUP BY source ORDER BY source
+""",
+    duck_sql=f"""
+WITH toks AS ({_TOKS_DUCK}),
+tc AS (SELECT source, token, count(*) AS c FROM toks GROUP BY source, token)
+SELECT source, count(*) AS vocab,
+       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+FROM tc GROUP BY source ORDER BY source
+""",
+    tags=("llmops", "text", "stats"),
+    notes="Hapax legomenon rate per source: vocabulary size, once-only "
+    "token count, and their ratio — the vocabulary-health signal that "
+    "separates organic text (hapax-heavy, Zipf tail) from templated or "
+    "machine-generated corpora (hapax-poor). One (source, token) hash "
+    "agg then a source-level rollup; pairs with vocab_growth_curve's "
+    "Heaps-law checkpoints.",
+)
+
+
+register_sql(
+    "text_ttr_by_doc",
+    spark_sql=f"""
+SELECT doc_id,
+       size(regexp_extract_all(lower(text), '{_PAT_SPARK}', 0))
+         AS n_tokens,
+       size(array_distinct(
+           regexp_extract_all(lower(text), '{_PAT_SPARK}', 0)))
+         AS n_types,
+       round(size(array_distinct(
+               regexp_extract_all(lower(text),
+                                  '{_PAT_SPARK}', 0)))
+             / nullif(CAST(size(regexp_extract_all(
+                 lower(text), '{_PAT_SPARK}', 0)) AS DOUBLE),
+                 0.0), 6) AS ttr
+FROM documents ORDER BY doc_id
+""",
+    duck_sql=f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
+         AS n_tokens,
+       len(list_distinct(
+           regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')))
+         AS n_types,
+       round(len(list_distinct(regexp_extract_all(
+               lower(text), '{textstats.TOKEN_PATTERN}')))
+             / nullif(CAST(len(regexp_extract_all(
+                 lower(text), '{textstats.TOKEN_PATTERN}')) AS DOUBLE),
+                 0.0), 6) AS ttr
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Type-token ratio per document: within-row tokenize + "
+    "array_distinct, zero shuffle — the lexical-diversity quality "
+    "signal (low TTR = repetitive/boilerplate text) next to "
+    "text_repetition's n-gram repeat fractions. Empty docs → NULL.",
+)
+
+
+register_sql(
+    "text_template_prefixes",
+    spark_sql="""
+SELECT substring(regexp_replace(lower(text), '\\\\s+', ' '), 1, 40)
+         AS prefix,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS example_doc
+FROM documents
+GROUP BY substring(regexp_replace(lower(text), '\\\\s+', ' '), 1, 40)
+HAVING count(*) >= 3
+ORDER BY n_docs DESC, prefix
+LIMIT 25
+""",
+    duck_sql="""
+SELECT substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40)
+         AS prefix,
+       count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       min(doc_id) AS example_doc
+FROM documents
+GROUP BY substring(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 40)
+HAVING count(*) >= 3
+ORDER BY n_docs DESC, prefix
+LIMIT 25
+""",
+    tags=("llmops", "text", "dedup"),
+    notes="Template/boilerplate prefix census: whitespace-normalized "
+    "lowercased 40-char document prefixes with ≥3 occurrences, plus how "
+    "many sources share each — the cheap first-pass boilerplate detector "
+    "before shared-substring dedup (a prefix shared across sources is a "
+    "scraper template, not duplication of content). One hash agg on a "
+    "derived 40-byte key.",
+)
+
+
+register_sql(
+    "text_script_mix",
+    spark_sql="""
+SELECT doc_id,
+       regexp_count(text, '[A-Za-z]') AS n_latin,
+       regexp_count(text, '[0-9]') AS n_digit,
+       regexp_count(text, '[^\\\\t\\\\n\\\\r -~]') AS n_nonascii,
+       round(regexp_count(text, '[^\\\\t\\\\n\\\\r -~]')
+             / nullif(CAST(length(text) AS DOUBLE), 0.0), 6)
+         AS nonascii_frac,
+       (regexp_count(text, '[^\\\\t\\\\n\\\\r -~]') > 0
+        AND regexp_count(text, '[A-Za-z]') > 0) AS is_mixed_script
+FROM documents ORDER BY doc_id
+""",
+    duck_sql="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]')) AS n_latin,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+       len(regexp_extract_all(text, '[^\\t\\n\\r -~]')) AS n_nonascii,
+       round(len(regexp_extract_all(text, '[^\\t\\n\\r -~]'))
+             / nullif(CAST(length(text) AS DOUBLE), 0.0), 6)
+         AS nonascii_frac,
+       (len(regexp_extract_all(text, '[^\\t\\n\\r -~]')) > 0
+        AND len(regexp_extract_all(text, '[A-Za-z]')) > 0)
+         AS is_mixed_script
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text", "quality"),
+    notes="Script-composition profile per document: Latin / digit / "
+    "non-printable-ASCII codepoint counts and the mixed-script flag — "
+    "the homoglyph-spoofing and wrong-language-leak signal that "
+    "charset_profile_by_lang aggregates but cannot attribute to single "
+    "documents. Pure codegen regexp_count riding the scan (Java∩RE2 "
+    "character classes only), zero shuffle.",
+)
