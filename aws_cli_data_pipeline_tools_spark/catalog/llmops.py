@@ -5516,3 +5516,65 @@ FROM documents ORDER BY doc_id
     "documents. Pure codegen regexp_count riding the scan (Java∩RE2 "
     "character classes only), zero shuffle.",
 )
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # no SQL zlib; tools/check_oracle.py invariant recomputes
+    # the exact stdlib-zlib bytes per document in Python and requires
+    # equality on every row (deterministic: input + level fully determine
+    # DEFLATE output), plus ratio sanity bounds.
+    tags=("llmops", "text", "quality"),
+    notes="Per-document zlib compressibility "
+    "(operators/textstats.compression_ratio, level 6): raw/compressed "
+    "byte counts and their ratio — the language-agnostic redundancy "
+    "signal large-corpus curation uses alongside token heuristics "
+    "(boilerplate compresses hard, organic prose ~0.3-0.5, random text "
+    "→1). Arrow-batched mapInPandas, one pass, no shuffle; stdlib zlib "
+    "at a fixed level is bit-deterministic so the invariant gate checks "
+    "exact equality, not bands.",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return textstats.compression_ratio(docs).orderBy("doc_id")
+
+
+_NSP_BODY = """
+tc AS (
+  SELECT token, count(*) AS c FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 64
+), w AS (
+  SELECT token, c, pow(CAST(c AS DOUBLE), 0.75) AS wt FROM tc
+), tot AS (
+  SELECT CAST(sum(CAST(wt AS DECIMAL(38,10))) AS DOUBLE) AS t FROM w
+), cum AS (
+  SELECT token, c, wt,
+         CAST(sum(CAST(wt AS DECIMAL(38,10))) OVER (
+              ORDER BY c DESC, token
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS cw
+  FROM w
+)
+SELECT cum.token, cum.c,
+       round(cum.wt, 6) AS weight,
+       round(cum.wt / tot.t, 8) AS prob,
+       round((cum.cw - cum.wt) / tot.t, 8) AS cum_lo,
+       round(cum.cw / tot.t, 8) AS cum_hi
+FROM cum CROSS JOIN tot
+ORDER BY cum.c DESC, cum.token
+"""
+
+register_sql(
+    "negative_sampling_plan",
+    spark_sql=f"WITH toks AS ({_TOKS_SPARK}),{_NSP_BODY}",
+    duck_sql=f"WITH toks AS ({_TOKS_DUCK}),{_NSP_BODY}",
+    tags=("llmops", "text", "sampling"),
+    notes="word2vec-style negative-sampling table: top-64 tokens weighted "
+    "count^0.75 (the canonical unigram smoothing that up-weights the "
+    "tail), normalized probabilities and half-open cumulative ranges "
+    "[cum_lo, cum_hi) so a uniform draw maps to a token by range lookup "
+    "— the precomputed sampling plan a contrastive-training pipeline "
+    "broadcasts to workers. Decimal cumulative sum in (count desc, "
+    "token) order → deterministic ranges; pow on integer counts is the "
+    "same libm call shape both engines (verified exact by this oracle).",
+)

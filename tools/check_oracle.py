@@ -226,6 +226,33 @@ def _inv_sketch_cascade(spark, sf_dir, con, rows, cols, specs):
     return f"{len(rows)} days: events exact, distincts within ±5%"
 
 
+def _inv_compression_ratio(spark, sf_dir, con, rows, cols, specs):
+    """stdlib zlib at a fixed level is bit-deterministic, so the invariant
+    is EXACT equality: recompute every document's compressed size in
+    Python from the same parquet text and require byte-for-byte matching
+    counts and the same rounded ratio."""
+    import zlib
+
+    want = {}
+    for doc_id, text in con.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        if text is None:
+            want[doc_id] = (None, None, None)
+            continue
+        b = text.encode("utf-8")
+        c = zlib.compress(b, 6)
+        want[doc_id] = (
+            len(b), len(c), round(len(c) / len(b), 6) if b else None
+        )
+    assert len(rows) == len(want), (len(rows), len(want))
+    for doc_id, n_raw, n_comp, ratio in rows:
+        w = want[doc_id]
+        assert (n_raw, n_comp) == w[:2], (doc_id, n_raw, n_comp, w)
+        assert ratio == w[2], (doc_id, ratio, w[2])
+    return f"{len(rows)} docs: zlib byte counts + ratios exactly equal"
+
+
 #: rows-only entries → contract verifier (spark, sf_dir, con, rows, cols,
 #: specs) -> success message; raises AssertionError on violation.
 INVARIANTS = {
@@ -238,6 +265,7 @@ INVARIANTS = {
     "vocab_heavy_hitters_approx": _inv_heavy_hitters,
     "dedup_cluster_groups": _inv_cluster_groups,
     "events_distinct_sketch_cascade": _inv_sketch_cascade,
+    "text_compression_ratio": _inv_compression_ratio,
 }
 
 
