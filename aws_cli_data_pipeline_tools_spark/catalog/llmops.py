@@ -5578,3 +5578,271 @@ register_sql(
     "token) order → deterministic ranges; pow on integer counts is the "
     "same libm call shape both engines (verified exact by this oracle).",
 )
+
+
+@register(
+    "embedding_int8_quant_error",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)))) AS amax,
+         embedding
+  FROM embeddings
+), e AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding, x ->
+             (CAST(x AS DOUBLE)
+              - (CASE WHEN CAST(x AS DOUBLE) * (127.0 / amax) >= 0
+                      THEN floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+                      ELSE ceil(CAST(x AS DOUBLE) * (127.0 / amax) - 0.5)
+                 END) / (127.0 / amax))
+             * (CAST(x AS DOUBLE)
+              - (CASE WHEN CAST(x AS DOUBLE) * (127.0 / amax) >= 0
+                      THEN floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+                      ELSE ceil(CAST(x AS DOUBLE) * (127.0 / amax) - 0.5)
+                 END) / (127.0 / amax))))
+           / len(embedding)) AS rmse
+  FROM q WHERE amax > 0
+)
+SELECT label, count(*) AS n_vecs,
+       round(CAST(sum(CAST(rmse AS DECIMAL(38,10))) AS DOUBLE)
+             / count(*), 8) AS avg_rmse,
+       round(max(rmse), 8) AS max_rmse
+FROM e GROUP BY label ORDER BY label
+""",
+    tags=("llmops", "embedding"),
+    notes="int8 symmetric-quantization error audit per label: each vector "
+    "scaled by 127/max|x|, rounded (explicit half-away-from-zero via "
+    "floor/ceil so both engines round identically — no engine round() "
+    "ambiguity), dequantized, per-vector RMSE from the sequential array "
+    "fold (the embedding_normalize fold-parity discipline), label-level "
+    "decimal-mean. The go/no-go report before shipping the int8 ANN "
+    "path (ann_int8_topk); zero shuffle until the 10-row label agg.",
+)
+def embedding_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    xd = lambda x: x.cast("double")  # noqa: E731
+    amax = F.array_max(F.transform("embedding", lambda x: F.abs(xd(x))))
+    q = emb.withColumn("amax", amax).filter(F.col("amax") > 0)
+    scale = F.lit(127.0) / F.col("amax")
+
+    def rnd(y):  # explicit half-away-from-zero, engine-neutral
+        return F.when(y >= 0, F.floor(y + 0.5)).otherwise(F.ceil(y - 0.5))
+
+    def sq_err(x):
+        d = xd(x) - rnd(xd(x) * scale) / scale
+        return d * d
+
+    rmse = F.sqrt(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda acc, x: acc + sq_err(x)
+        )
+        / F.size("embedding")
+    )
+    e = q.select("label", rmse.alias("rmse"))
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(
+                F.sum(F.col("rmse").cast("decimal(38,10)")).cast("double")
+                / F.count("*"),
+                8,
+            ).alias("avg_rmse"),
+            F.round(F.max("rmse"), 8).alias("max_rmse"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "embedding_standardize",
+    oracle="""
+WITH x AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+), st AS (
+  SELECT pos,
+         CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS mu,
+         sqrt(greatest(
+           (CAST(sum(CAST(v * v AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE)
+              / count(*)) / (count(*) - 1), 0.0)) AS sd
+  FROM x GROUP BY pos
+)
+SELECT x.vec_id, x.pos AS pos,
+       round((x.v - st.mu) / nullif(st.sd, 0.0), 6) AS z
+FROM x JOIN st ON st.pos = x.pos
+WHERE x.vec_id < 5
+ORDER BY x.vec_id, x.pos
+""",
+    tags=("llmops", "embedding"),
+    notes="Per-dimension corpus standardization (feature z-scoring): "
+    "posexplode → 64-group decimal two-moment stats (map-side partial "
+    "agg, the burstiness σ identity), broadcast-joined back onto the "
+    "queried vectors — the whitening prep before PCA/linear probes. "
+    "Stats come from the FULL corpus; only the 5 output vectors "
+    "re-explode on the probe side. Scalar (vec_id, pos, z) output per "
+    "the driver-hash discipline.",
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    n = F.count("*")
+    s1 = F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+    s2 = F.sum((F.col("v") * F.col("v")).cast("decimal(38,10)")).cast(
+        "double"
+    )
+    st = x.groupBy("pos").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                (s2 - s1 * s1 / n) / (n - F.lit(1)), F.lit(0.0)
+            )
+        ).alias("sd"),
+    )
+    return (
+        x.filter(F.col("vec_id") < 5)
+        .join(broadcast(st), "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.round(
+                (F.col("v") - F.col("mu"))
+                / F.nullif(F.col("sd"), F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+@register(
+    "embedding_class_separation",
+    oracle="""
+WITH x AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS m
+  FROM x GROUP BY label, pos
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round(sqrt(CAST(sum(CAST((a.m - b.m) * (a.m - b.m)
+                               AS DECIMAL(38,10))) AS DOUBLE)), 6)
+         AS centroid_l2
+FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+GROUP BY a.label, b.label
+ORDER BY label_a, label_b
+""",
+    tags=("llmops", "embedding", "stats"),
+    notes="Inter-class separation matrix: per-label centroids (decimal "
+    "mean per dimension — one (label, pos) hash agg over the exploded "
+    "corpus), then pairwise centroid L2 distances over the tiny "
+    "labels×dim table (45 pairs × 64 dims — model-sized, never "
+    "corpus-sized). Low inter-centroid distance flags label confusion / "
+    "embedding collapse before training a probe on them.",
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select("label", "pos", F.col("v0").cast("double").alias("v"))
+    c = x.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    diff = F.col("a.m") - F.col("b.m")
+    return (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"),
+            F.col("b.label").alias("label_b"),
+        )
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum((diff * diff).cast("decimal(38,10)")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("centroid_l2")
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+@register(
+    "label_balance_report",
+    oracle="""
+WITH c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c)
+SELECT count(*) AS n_classes,
+       CAST(max(t.total) AS BIGINT) AS n_total,
+       round(CAST(sum(CAST(
+           -(c.n / t.total) * ln(c.n / t.total) / ln(2.0)
+           AS DECIMAL(38,10))) AS DOUBLE), 6) AS entropy_bits,
+       round(exp(CAST(sum(CAST(
+           -(c.n / t.total) * ln(c.n / t.total)
+           AS DECIMAL(38,10))) AS DOUBLE)), 6) AS effective_classes,
+       round(max(c.n) / CAST(min(c.n) AS DOUBLE), 6) AS max_min_ratio
+FROM c CROSS JOIN t
+""",
+    tags=("llmops", "sampling", "stats"),
+    notes="Class-balance audit over the embedding labels: Shannon entropy "
+    "(bits), effective number of classes exp(H) — the perplexity of the "
+    "label distribution, the right single number for 'how balanced' — "
+    "and the max/min imbalance ratio. One label-count agg (10 rows), "
+    "per-term doubles with a decimal term sum; the resample/reweight "
+    "trigger next to mixture_resample_lang.",
+)
+def label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    c = emb.groupBy("label").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").cast("double").alias("total"))
+    p = F.col("n") / F.col("total")
+    return (
+        c.crossJoin(t)
+        .agg(
+            F.count("*").alias("n_classes"),
+            F.max("total").cast("bigint").alias("n_total"),
+            F.round(
+                F.sum(
+                    (-p * F.log(p) / F.log(F.lit(2.0))).cast(
+                        "decimal(38,10)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("entropy_bits"),
+            F.round(
+                F.exp(
+                    F.sum((-p * F.log(p)).cast("decimal(38,10)")).cast(
+                        "double"
+                    )
+                ),
+                6,
+            ).alias("effective_classes"),
+            F.round(
+                F.max("n") / F.min("n").cast("double"), 6
+            ).alias("max_min_ratio"),
+        )
+    )
