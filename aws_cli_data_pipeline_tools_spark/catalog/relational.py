@@ -2461,3 +2461,82 @@ LIMIT 25
     "independent co-occurrence. The co-curation affinity primitive "
     "(which data sources co-occur in the same shard/run).",
 )
+
+
+register_sql(
+    "customer_order_gap_stats",
+    spark_sql="""
+WITH g AS (
+  SELECT o_custkey,
+         datediff(o_orderdate,
+                  lag(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)) AS gap_days
+  FROM orders
+), clean AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+SELECT count(*) AS n_gaps,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p25_days,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p50_days,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p75_days,
+       max(gap_days) AS max_days
+FROM clean
+""",
+    duck_sql="""
+WITH g AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(lag(o_orderdate) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+), clean AS (SELECT gap_days FROM g WHERE gap_days IS NOT NULL)
+SELECT count(*) AS n_gaps,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p25_days,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p50_days,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days) AS INT)
+         AS p75_days,
+       max(gap_days) AS max_days
+FROM clean
+""",
+    tags=("window", "stats"),
+    notes="Inter-order gap distribution: per-customer lag window (one "
+    "customer-keyed shuffle, deterministic orderkey tie-break), then "
+    "discrete quartiles over the gap population — the order-cadence "
+    "twin of purchase_interval_stats on the events stream. "
+    "percentile_disc keeps the values exact cross-engine.",
+)
+
+
+register_sql(
+    "supplier_balance_quartile_revenue",
+    sql="""
+WITH sq AS (
+  SELECT s_suppkey,
+         ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS bal_quartile
+  FROM supplier
+), r AS (
+  SELECT sq.bal_quartile,
+         count(DISTINCT l.l_suppkey) AS n_suppliers,
+         count(*) AS n_lineitems,
+         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(38,10))) AS DOUBLE), 5) AS revenue
+  FROM lineitem l JOIN sq ON sq.s_suppkey = l.l_suppkey
+  GROUP BY sq.bal_quartile
+)
+SELECT bal_quartile, n_suppliers, n_lineitems, revenue,
+       round(revenue / sum(revenue) OVER (), 6) AS revenue_share
+FROM r ORDER BY bal_quartile
+""",
+    tags=("window", "joins", "aggregation"),
+    notes="Revenue by supplier balance quartile: ntile over the small "
+    "dimension (deterministic suppkey tie-break), broadcast-joined onto "
+    "the fact, decimal-sum revenue, share via a 4-row window — does "
+    "financial standing correlate with flow. The quartile table is "
+    "dim-sized; the only fact shuffle is the quartile group agg.",
+)
