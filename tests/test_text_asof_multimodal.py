@@ -1049,3 +1049,26 @@ def test_au_alaw_decode_known_codes(spark):
     assert out[1].peak == 32256 and out[1].mean_abs == 32256.0
     assert out[2].peak == 32256 and out[2].rms == 32256.0
     assert out[3].peak == 8  # quietest codes decode to ±8
+
+
+def test_compression_ratio_edges(spark):
+    import zlib
+
+    df = spark.createDataFrame(
+        [
+            (1, "abab" * 50),       # highly redundant → small ratio
+            (2, ""),                # empty → NULL ratio, 0 bytes
+            (3, None),              # NULL text → NULL everything
+            (4, "héé"),             # multi-byte utf-8 counts BYTES
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in textstats.compression_ratio(df).collect()}
+    want1 = zlib.compress(("abab" * 50).encode(), 6)
+    assert out[1].n_raw_bytes == 200
+    assert out[1].n_compressed_bytes == len(want1)
+    assert out[1].compression_ratio == round(len(want1) / 200, 6)
+    assert out[1].compression_ratio < 0.2  # redundancy compresses hard
+    assert out[2].n_raw_bytes == 0 and out[2].compression_ratio is None
+    assert out[3].n_raw_bytes is None and out[3].compression_ratio is None
+    assert out[4].n_raw_bytes == 5  # h + 2×(c3 a9)
