@@ -57,6 +57,17 @@ def _sample_history() -> tuple[dict[str, int], set[str]]:
     return counts, latest_red
 
 
+#: Names to surface to the driver ahead of the general never-sampled
+#: queue: the most machinery-heavy never-sampled entries (stateful /
+#: watermarked streaming — VERDICT r4 task 7), where a driver row carries
+#: the most new information.
+_PRIORITY_NAMES = (
+    "streaming_session_transcripts_live",
+    "streaming_drift_live",
+    "streaming_trending_tokens",
+)
+
+
 def _rotated_names() -> list[str]:
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
@@ -65,12 +76,14 @@ def _rotated_names() -> list[str]:
     counts, latest_red = _sample_history()
     order = {n: i for i, n in enumerate(names)}
     # previously-red (at latest sample) first so fixes get driver-confirmed;
-    # then least-sampled; within a tie, oracle-backed before rows-only so
-    # driver rows carry the strong (hash-checked) signal; then registry order
+    # then the explicit priority tier (if still unsampled); then
+    # least-sampled; within a tie, oracle-backed before rows-only so driver
+    # rows carry the strong (hash-checked) signal; then registry order
     return sorted(
         names,
         key=lambda n: (
             0 if n in latest_red else 1,
+            0 if n in _PRIORITY_NAMES and counts.get(n, 0) == 0 else 1,
             counts.get(n, 0),
             0 if specs[n].oracle else 1,
             order[n],
