@@ -5846,3 +5846,269 @@ def label_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_min_ratio"),
         )
     )
+
+
+def _duck_pca_iter(i: int) -> str:
+    """One unrolled power-iteration step of the DuckDB twin (matrix-free
+    Xᵀ(Xv): per-vector projections s, then per-dim weighted sums w,
+    then L2 normalization — all decimal-sum exact)."""
+    p = i - 1
+    return f"""s{i} AS (
+  SELECT xc.vec_id,
+         CAST(sum(CAST(xc.x * v{p}.vj AS DECIMAL(38,10))) AS DOUBLE) AS s
+  FROM xc JOIN v{p} ON v{p}.pos = xc.pos GROUP BY xc.vec_id
+), w{i} AS (
+  SELECT xc.pos,
+         CAST(sum(CAST(xc.x * s{i}.s AS DECIMAL(38,10))) AS DOUBLE) AS w
+  FROM xc JOIN s{i} ON s{i}.vec_id = xc.vec_id GROUP BY xc.pos
+), n{i} AS (
+  SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+  FROM w{i}
+), v{i} AS (
+  SELECT pos, w / nrm AS vj FROM w{i} CROSS JOIN n{i}
+)"""
+
+
+@register(
+    "embedding_pca_power_iteration",
+    oracle=f"""
+WITH xe AS (
+  SELECT vec_id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+), mu AS (
+  SELECT pos,
+         CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS m
+  FROM xe GROUP BY pos
+), xc AS (
+  SELECT xe.vec_id, xe.pos, xe.v - mu.m AS x
+  FROM xe JOIN mu ON mu.pos = xe.pos
+), v0 AS (
+  SELECT DISTINCT pos, CAST(0.125 AS DOUBLE) AS vj FROM xc
+), {_duck_pca_iter(1)}, {_duck_pca_iter(2)}, {_duck_pca_iter(3)}
+SELECT v3.pos, round(v3.vj, 6) AS loading,
+       round(n3.nrm, 4) AS power_norm
+FROM v3 CROSS JOIN n3 ORDER BY v3.pos
+""",
+    tags=("llmops", "embedding", "iterative"),
+    notes="Distributed top-principal-component extraction by matrix-free "
+    "power iteration: 3 unrolled rounds of v ← normalize(Xᵀ(Xv)) over "
+    "the mean-centered exploded corpus — per-vector projections (one "
+    "vec-keyed agg) then per-dimension weighted sums (one pos-keyed "
+    "agg) per round, the 64-row v broadcast each time; never a dim×dim "
+    "covariance materialization and never a driver-side collect, so the "
+    "same plan runs at 100 TB (rounds are jobs, X is re-scanned or "
+    "persisted). Every inner product is a decimal sum → bit-equal to "
+    "the unrolled DuckDB twin including the final normalization. "
+    "Deterministic start v0 = 1/8 (unit 64-dim).",
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    xe = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v0")
+    ).select("vec_id", "pos", F.col("v0").cast("double").alias("v"))
+    mu = xe.groupBy("pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    xc = xe.join(broadcast(mu), "pos").select(
+        "vec_id", "pos", (F.col("v") - F.col("m")).alias("x")
+    )
+    # n×64 rows reused by all three iterations (both aggs per round):
+    # bounded working set, the at-scale plan would persist to disk-backed
+    # storage level the same way.
+    xc = xc.persist()
+    v = xc.select("pos").distinct().select(
+        "pos", F.lit(0.125).alias("vj")
+    )
+    nrm_col = None
+    for _ in range(3):
+        s = (
+            xc.join(broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(
+                F.sum((F.col("x") * F.col("vj")).cast("decimal(38,10)"))
+                .cast("double")
+                .alias("s")
+            )
+        )
+        w = (
+            xc.join(s, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum((F.col("x") * F.col("s")).cast("decimal(38,10)"))
+                .cast("double")
+                .alias("w")
+            )
+        )
+        nrm = w.agg(
+            F.sqrt(
+                F.sum((F.col("w") * F.col("w")).cast("decimal(38,10)"))
+                .cast("double")
+            ).alias("nrm")
+        )
+        v = w.crossJoin(broadcast(nrm)).select(
+            "pos", (F.col("w") / F.col("nrm")).alias("vj")
+        )
+        nrm_col = nrm
+    return (
+        v.crossJoin(broadcast(nrm_col))
+        .select(
+            "pos",
+            F.round("vj", 6).alias("loading"),
+            F.round("nrm", 4).alias("power_norm"),
+        )
+        .orderBy("pos")
+    )
+
+
+@register(
+    "embedding_label_outliers",
+    oracle="""
+WITH xe AS (
+  SELECT vec_id, label,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS v
+  FROM embeddings
+), c AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS m
+  FROM xe GROUP BY label, pos
+), d AS (
+  SELECT xe.vec_id, xe.label,
+         sqrt(CAST(sum(CAST((xe.v - c.m) * (xe.v - c.m)
+                            AS DECIMAL(38,10))) AS DOUBLE)) AS dist
+  FROM xe JOIN c ON c.label = xe.label AND c.pos = xe.pos
+  GROUP BY xe.vec_id, xe.label
+), st AS (
+  SELECT label,
+         CAST(sum(CAST(dist AS DECIMAL(38,10))) AS DOUBLE) / count(*)
+           AS mu,
+         sqrt(greatest(
+           (CAST(sum(CAST(dist * dist AS DECIMAL(38,10))) AS DOUBLE)
+            - CAST(sum(CAST(dist AS DECIMAL(38,10))) AS DOUBLE)
+              * CAST(sum(CAST(dist AS DECIMAL(38,10))) AS DOUBLE)
+              / count(*)) / (count(*) - 1), 0.0)) AS sd
+  FROM d GROUP BY label
+)
+SELECT d.vec_id, d.label, round(d.dist, 6) AS dist,
+       round((d.dist - st.mu) / nullif(st.sd, 0.0), 6) AS z
+FROM d JOIN st ON st.label = d.label
+ORDER BY z DESC, vec_id LIMIT 20
+""",
+    tags=("llmops", "embedding", "quality"),
+    notes="Per-label embedding outliers (mislabel / contamination "
+    "detector): distance of every vector to its OWN label centroid, "
+    "z-scored within the label (decimal two-moment σ), top-20 most "
+    "anomalous — the triage list a labeling-QA pass reviews first. One "
+    "(label,pos) centroid agg, one co-keyed distance agg, a label-sized "
+    "stats broadcast; top-20 via TakeOrderedAndProject.",
+)
+def embedding_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    xe = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v0")
+    ).select(
+        "vec_id", "label", "pos", F.col("v0").cast("double").alias("v")
+    )
+    c = xe.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,10)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    diff = F.col("v") - F.col("m")
+    d = (
+        xe.join(broadcast(c), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum((diff * diff).cast("decimal(38,10)")).cast("double")
+            ).alias("dist")
+        )
+    )
+    n = F.count("*")
+    s1 = F.sum(F.col("dist").cast("decimal(38,10)")).cast("double")
+    s2 = F.sum((F.col("dist") * F.col("dist")).cast("decimal(38,10)")).cast(
+        "double"
+    )
+    st = d.groupBy("label").agg(
+        (s1 / n).alias("mu"),
+        F.sqrt(
+            F.greatest((s2 - s1 * s1 / n) / (n - F.lit(1)), F.lit(0.0))
+        ).alias("sd"),
+    )
+    return (
+        d.join(broadcast(st), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round("dist", 6).alias("dist"),
+            F.round(
+                (F.col("dist") - F.col("mu"))
+                / F.nullif(F.col("sd"), F.lit(0.0)),
+                6,
+            ).alias("z"),
+        )
+        .orderBy(F.col("z").desc(), "vec_id")
+        .limit(20)
+    )
+
+
+_FANO_BODY = """
+top AS (
+  SELECT token FROM toks GROUP BY token
+  ORDER BY count(*) DESC, token LIMIT 64
+), dt AS (
+  SELECT doc_id, token, count(*) AS c FROM toks
+  WHERE token IN (SELECT token FROM top)
+  GROUP BY doc_id, token
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM docs_all),
+agg AS (
+  SELECT token,
+         CAST(sum(c) AS BIGINT) AS total_c,
+         CAST(sum(c * c) AS BIGINT) AS total_c2
+  FROM dt GROUP BY token
+)
+SELECT agg.token, agg.total_c,
+       round(agg.total_c / CAST(nd.n AS DOUBLE), 8) AS mean_per_doc,
+       round(((agg.total_c2
+               - agg.total_c * (agg.total_c / CAST(nd.n AS DOUBLE)))
+              / CAST(nd.n AS DOUBLE))
+             / (agg.total_c / CAST(nd.n AS DOUBLE)), 6) AS fano
+FROM agg CROSS JOIN nd
+ORDER BY fano DESC, token
+"""
+
+register_sql(
+    "token_burstiness_fano",
+    spark_sql=(
+        "WITH docs_all AS (SELECT doc_id FROM documents), toks AS "
+        "(SELECT doc_id, token FROM documents LATERAL VIEW "
+        f"explode(regexp_extract_all(lower(text), '{_PAT_SPARK}', 0)) "
+        f"t AS token),{_FANO_BODY}"
+    ),
+    duck_sql=(
+        "WITH docs_all AS (SELECT doc_id FROM documents), toks AS "
+        "(SELECT doc_id, unnest(regexp_extract_all(lower(text), "
+        f"'{textstats.TOKEN_PATTERN}')) AS token FROM documents),"
+        f"{_FANO_BODY}"
+    ),
+    tags=("llmops", "text", "stats"),
+    notes="Token burstiness via the Fano factor (variance/mean of "
+    "per-document counts, zeros included in closed form — absent docs "
+    "contribute 0 to both moments, so only the (doc, token) PRESENT "
+    "rows are ever materialized): Fano ≈ 1 means Poisson scatter "
+    "(function words), Fano ≫ 1 means the token clumps into few "
+    "documents (content/topical words, per Church-Gale burstiness) — "
+    "the signal separating topical vocabulary from glue. Top-64 "
+    "vocabulary bound; integer moment sums, double division at the "
+    "end.",
+)
