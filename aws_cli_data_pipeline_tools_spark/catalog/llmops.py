@@ -5558,7 +5558,7 @@ tc AS (
 SELECT cum.token, cum.c,
        round(cum.wt, 6) AS weight,
        round(cum.wt / tot.t, 8) AS prob,
-       round((cum.cw - cum.wt) / tot.t, 8) AS cum_lo,
+       round((cum.cw - cum.wt) / tot.t, 8) + 0.0 AS cum_lo,
        round(cum.cw / tot.t, 8) AS cum_hi
 FROM cum CROSS JOIN tot
 ORDER BY cum.c DESC, cum.token
@@ -5575,7 +5575,9 @@ register_sql(
     "[cum_lo, cum_hi) so a uniform draw maps to a token by range lookup "
     "— the precomputed sampling plan a contrastive-training pipeline "
     "broadcasts to workers. Decimal cumulative sum in (count desc, "
-    "token) order → deterministic ranges; pow on integer counts is the "
+    "token) order → deterministic ranges; the +0.0 folds the first row's "
+    "IEEE −0.0 lo-subtraction to +0.0 on both engines; pow on integer "
+    "counts is the "
     "same libm call shape both engines (verified exact by this oracle).",
 )
 
