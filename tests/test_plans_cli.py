@@ -195,3 +195,30 @@ def test_join_7way_snowflake_broadcasts_dims(spark, sf_dir):
     # both pushdown predicates reach their scans
     plan = plans.executed_plan(specs["join_7way_snowflake"].fn(spark, sf_dir))
     assert "PushedFilters" in plan
+
+
+def test_round5_ops_broadcast_small_sides(spark, sf_dir):
+    """Round-5 embedding/dim ops: the model-sized side (64-dim stats,
+    centroids, quartile map, v-vector) must broadcast — shuffling the
+    corpus against a 64-row table at 100 TB would be a planning failure."""
+    specs = all_specs()
+    for name, min_bc in [
+        ("embedding_standardize", 1),      # 64-row per-dim stats
+        ("embedding_pca_power_iteration", 3),  # v broadcast per round
+        ("embedding_label_outliers", 2),   # centroids + label stats
+        ("supplier_balance_quartile_revenue", 1),  # dim quartile map
+    ]:
+        f = plans.facts(specs[name].fn(spark, sf_dir))
+        assert f.n_broadcast_joins >= min_bc, (name, f.n_broadcast_joins)
+
+
+def test_pareto_windows_run_on_aggregated_domain(spark, sf_dir):
+    """orders_pareto_8020 / weighted_median_price: the ranking windows
+    must consume the pre-aggregated domain (customers / (flag, price)),
+    never fact-cardinality rows — asserted via the aggregate sitting
+    below the window exchange in the plan."""
+    specs = all_specs()
+    for name in ["orders_pareto_8020", "weighted_median_price"]:
+        plan = plans.executed_plan(specs[name].fn(spark, sf_dir))
+        w = plan.index("Window")
+        assert "HashAggregate" in plan[w:] or "SortAggregate" in plan[w:], name
