@@ -40,8 +40,13 @@ class Engine:
         return render.render_aligned(df, max_rows)
 
     # -- profiler (reference `vimdiff`) ---------------------------------------
-    def profile(self, df: DataFrame, median_mode: str = "approx") -> DataFrame:
-        return profiler.profile(df, median_mode)
+    def profile(
+        self,
+        df: DataFrame,
+        median_mode: str = "approx",
+        distinct_mode: str = "exact",
+    ) -> DataFrame:
+        return profiler.profile(df, median_mode, distinct_mode=distinct_mode)
 
     def profile_long(self, df: DataFrame, median_mode: str = "approx") -> DataFrame:
         return profiler.profile_long(df, median_mode)

@@ -222,3 +222,15 @@ def test_pareto_windows_run_on_aggregated_domain(spark, sf_dir):
         plan = plans.executed_plan(specs[name].fn(spark, sf_dir))
         w = plan.index("Window")
         assert "HashAggregate" in plan[w:] or "SortAggregate" in plan[w:], name
+
+
+def test_cli_profile_command(capsys, monkeypatch, sf_dir):
+    from aws_cli_data_pipeline_tools_spark.cli.main import main as cli_main
+
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["sql", "profile", "orders"]) == 0
+    out = capsys.readouterr().out
+    assert "1. count" in out and "8. sum" in out
+    assert cli_main(["sql", "profile", "orders", "--approx-distinct"]) == 0
+    out2 = capsys.readouterr().out
+    assert "2. count_distinct" in out2
