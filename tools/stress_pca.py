@@ -1,0 +1,92 @@
+"""10x scale-stress for embedding_pca_power_iteration (BASELINE.md).
+
+Corpus: sf embeddings replicated 10x by shifted vec_ids (labels kept).
+Two claims measured:
+
+1. TIME: each power-iteration round is two linear aggregates (vec-keyed
+   projections, pos-keyed weighted sums) + a broadcast of the 64-row v —
+   so wall time must scale ~linearly (exponent ~1.0), never with any
+   pairwise term.
+2. VALUE: replication leaves the centered covariance unchanged, so the
+   top-component loadings must be EXACTLY equal (decimal sums make each
+   round order-independent; the 10x sums are exactly 10x the 1x sums, and
+   the normalization divides the factor away at double precision only in
+   the final w/||w|| step — loadings are compared after round(6)).
+
+Usage: python tools/stress_pca.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+    from aws_cli_data_pipeline_tools_spark.catalog.llmops import (
+        embedding_pca_power_iteration,
+    )
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-pca")
+    emb = load_table(spark, "embeddings", sf_dir)
+    n1 = emb.count()  # warmup + size
+
+    emb10 = emb
+    for i in range(1, 10):
+        emb10 = emb10.unionAll(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    emb10 = emb10.persist()
+    n10 = emb10.count()
+
+    import aws_cli_data_pipeline_tools_spark.sources as sources
+
+    real_load = sources.load_table
+
+    def run(df):
+        # route the catalog fn at the chosen corpus via a load_table shim
+        def fake_load(spark_, name, sf):
+            return df if name == "embeddings" else real_load(spark_, name, sf)
+
+        sources.load_table = fake_load
+        import aws_cli_data_pipeline_tools_spark.catalog.llmops as llmops
+
+        llmops.load_table = fake_load
+        try:
+            t0 = time.perf_counter()
+            rows = embedding_pca_power_iteration(spark, sf_dir).collect()
+            return time.perf_counter() - t0, rows
+        finally:
+            sources.load_table = real_load
+            llmops.load_table = real_load
+
+    run(emb)  # warmup (plan + python workers)
+    t1, r1 = run(emb)
+    t10, r10 = run(emb10)
+
+    import math
+
+    exp = math.log10(max(t10, 1e-9) / max(t1, 1e-9))
+    same = [a.loading for a in r1] == [b.loading for b in r10]
+    print(f"1x  ({n1} vecs): {t1:.2f}s")
+    print(f"10x ({n10} vecs): {t10:.2f}s")
+    print(f"exponent: {exp:.2f}  (1.0 = linear)")
+    print(f"loadings identical under replication: {same}")
+    return 0 if same and exp < 1.4 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
