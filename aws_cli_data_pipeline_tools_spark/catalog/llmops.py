@@ -6114,3 +6114,74 @@ register_sql(
     "vocabulary bound; integer moment sums, double division at the "
     "end.",
 )
+
+
+_CURVE_GRID = [0.25, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+_CURVE_TAIL = (
+    ", grid (t) AS (VALUES "
+    + ", ".join(f"(CAST({t} AS DOUBLE))" for t in _CURVE_GRID)
+    + """),
+f AS (
+  SELECT grid.t, s.id_a, s.id_b
+  FROM scored s JOIN grid ON s.jaccard >= grid.t
+), pc AS (SELECT t, count(*) AS n_pairs FROM f GROUP BY t),
+dc AS (
+  SELECT t, count(DISTINCT d) AS n_docs FROM (
+    SELECT t, id_a AS d FROM f UNION ALL SELECT t, id_b AS d FROM f
+  ) GROUP BY t
+)
+SELECT grid.t AS threshold,
+       coalesce(pc.n_pairs, 0) AS n_pairs,
+       coalesce(dc.n_docs, 0) AS n_docs
+FROM grid LEFT JOIN pc ON pc.t = grid.t LEFT JOIN dc ON dc.t = grid.t
+ORDER BY threshold"""
+)
+
+
+@register(
+    "dedup_jaccard_threshold_curve",
+    oracle=_DUCK_JACCARD.replace(
+        "SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY id_a, id_b",
+        _CURVE_TAIL,
+    ),
+    tags=("llmops", "dedup", "stats"),
+    notes="Threshold-tuning curve for n-gram Jaccard dedup ('measure, "
+    "don't guess'): pair counts and affected-document counts at 8 "
+    "candidate thresholds, all derived from ONE inverted-index pair "
+    "computation at the loosest threshold — the marginal cost of the "
+    "whole curve over a single point is an 8-row broadcast join. The "
+    "operational input for choosing the dedup threshold before a "
+    "production run (where is the knee; how many docs does each step "
+    "actually remove).",
+)
+def dedup_jaccard_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import broadcast
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=min(_CURVE_GRID), max_bucket=1000
+    ).select("id_a", "id_b", "jaccard")
+    grid = spark.createDataFrame(
+        [(t,) for t in _CURVE_GRID], "t double"
+    )
+    f = pairs.crossJoin(broadcast(grid)).filter(
+        F.col("jaccard") >= F.col("t")
+    )
+    pc = f.groupBy("t").agg(F.count("*").alias("n_pairs"))
+    dc = (
+        f.select("t", F.col("id_a").alias("d"))
+        .unionAll(f.select("t", F.col("id_b").alias("d")))
+        .groupBy("t")
+        .agg(F.count_distinct("d").alias("n_docs"))
+    )
+    return (
+        grid.join(pc, "t", "left")
+        .join(dc, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        )
+        .orderBy("threshold")
+    )

@@ -2490,3 +2490,62 @@ FROM p ORDER BY bin
     "the per-bin terms are single IEEE expressions — no order-dependent "
     "float sum anywhere.",
 )
+
+
+register_sql(
+    "events_burst_runs",
+    spark_sql="""
+WITH d AS (
+  SELECT to_date(ts) AS day, count(*) AS c FROM events GROUP BY to_date(ts)
+), med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS m FROM d
+), f AS (
+  SELECT d.day, d.c FROM d CROSS JOIN med WHERE d.c > med.m
+), mn AS (SELECT min(day) AS d0 FROM d),
+g AS (
+  SELECT f.day, f.c,
+         datediff(f.day, mn.d0)
+         - row_number() OVER (ORDER BY f.day) AS grp
+  FROM f CROSS JOIN mn
+)
+SELECT min(day) AS start_day, max(day) AS end_day,
+       count(*) AS n_days,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       max(c) AS peak_daily
+FROM g GROUP BY grp
+ORDER BY n_days DESC, start_day
+LIMIT 10
+""",
+    duck_sql="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+         count(*) AS c
+  FROM events GROUP BY 1
+), med AS (
+  SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY c) AS m FROM d
+), f AS (
+  SELECT d.day, d.c FROM d CROSS JOIN med WHERE d.c > med.m
+), mn AS (SELECT min(day) AS d0 FROM d),
+g AS (
+  SELECT f.day, f.c,
+         datediff('day', mn.d0, f.day)
+         - row_number() OVER (ORDER BY f.day) AS grp
+  FROM f CROSS JOIN mn
+)
+SELECT min(day) AS start_day, max(day) AS end_day,
+       count(*) AS n_days,
+       CAST(sum(c) AS BIGINT) AS total_events,
+       max(c) AS peak_daily
+FROM g GROUP BY grp
+ORDER BY n_days DESC, start_day
+LIMIT 10
+""",
+    tags=("streaming-batch", "stats"),
+    notes="Above-median burst runs (gaps-and-islands): consecutive "
+    "CALENDAR days with volume strictly above the daily median, grouped "
+    "by the day-index-minus-row-number trick — a missing or quiet "
+    "calendar day breaks the run because the index uses real dates, not "
+    "dense row positions. Longest-first top-10 with start/end/total/"
+    "peak — the sustained-surge report complementing "
+    "events_cusum_changepoint's single level-shift.",
+)
