@@ -2307,7 +2307,25 @@ ORDER BY part_type
 
 register_sql(
     "slowest_supplier_orders",
-    sql="""
+    spark_sql="""
+WITH sl AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS last_ship
+  FROM lineitem GROUP BY l_orderkey, l_suppkey
+), w AS (
+  SELECT ok, sk,
+         count(*) OVER (PARTITION BY ok) AS n_sup,
+         rank() OVER (PARTITION BY ok ORDER BY last_ship DESC) AS rk,
+         count(*) OVER (PARTITION BY ok, last_ship) AS n_tied
+  FROM sl
+)
+SELECT s.s_name, count(*) AS numwait
+FROM w JOIN supplier s ON s.s_suppkey = w.sk
+WHERE w.n_sup >= 2 AND w.rk = 1 AND w.n_tied = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    duck_sql="""
 WITH sl AS (
   SELECT l_orderkey AS ok, l_suppkey AS sk, max(l_shipdate) AS last_ship
   FROM lineitem GROUP BY l_orderkey, l_suppkey
@@ -2321,15 +2339,19 @@ GROUP BY s.s_name
 ORDER BY numwait DESC, s_name
 LIMIT 20
 """,
-    tags=("joins", "subquery"),
+    tags=("joins", "subquery", "window"),
     notes="TPC-H Q21-shaped blame report: per multi-supplier order, the "
     "supplier whose latest ship date strictly trails every other "
-    "supplier's (correlated EXISTS semi-join + NOT EXISTS anti-join on "
-    "the same pre-aggregated per-(order, supplier) spine; the spine "
-    "aggregation is the one real shuffle, both subqueries reuse it). "
-    "The reference reaches this via Athena pass-through "
-    "(aws-athena.sh:27); the sandbox's lineitem has no "
-    "commit/receipt dates, so lateness is last-ship-date based.",
+    "supplier's. Spark-first formulation: ONE fact scan → "
+    "per-(order, supplier) spine agg → three windows sharing the same "
+    "order-keyed partitioning (supplier count, latest rank, tie count) "
+    "— Catalyst's EXISTS/NOT-EXISTS planning would re-aggregate the "
+    "spine three times (plan-audited: 4 scans → 2). The DuckDB oracle "
+    "deliberately keeps the correlated EXISTS + NOT EXISTS form, so two "
+    "INDEPENDENT formulations must agree row-for-row. The sandbox's "
+    "lineitem has no commit/receipt dates, so lateness is "
+    "last-ship-date based (reference surface: Athena pass-through, "
+    "aws-athena.sh:27).",
 )
 
 
