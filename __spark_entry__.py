@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 from collections.abc import Callable
 from functools import partial
 
@@ -33,7 +34,14 @@ def _sample_history() -> tuple[dict[str, int], set[str]]:
     counts: dict[str, int] = {}
     latest_red: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    # numeric round order, not lexicographic (r100 would sort before r11)
+    def _round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    for path in sorted(
+        glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
+    ):
         try:
             with open(path) as f:
                 rows = json.load(f)

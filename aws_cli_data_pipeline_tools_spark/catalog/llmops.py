@@ -5922,9 +5922,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         "vec_id", "pos", (F.col("v") - F.col("m")).alias("x")
     )
     # n×64 rows reused by all three iterations (both aggs per round):
-    # bounded working set, the at-scale plan would persist to disk-backed
-    # storage level the same way.
-    xc = xc.persist()
+    # bounded working set, disk-backed so it spills rather than evicts
+    # executor memory at scale. Blocks are reclaimed by the
+    # ContextCleaner once the returned frame is garbage collected (same
+    # contract as operators/dedup.py ngram_jaccard_pairs); callers
+    # running many invocations in one long session can force earlier
+    # release by dropping their reference to the result.
+    from pyspark import StorageLevel
+
+    xc = xc.persist(StorageLevel.MEMORY_AND_DISK)
     v = xc.select("pos").distinct().select(
         "pos", F.lit(0.125).alias("vj")
     )

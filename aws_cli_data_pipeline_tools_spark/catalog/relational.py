@@ -2382,9 +2382,9 @@ ORDER BY revenue DESC, p_partkey
 )
 
 
-register_sql(
+@register(
     "orders_pareto_8020",
-    sql="""
+    oracle="""
 WITH cr AS (
   SELECT o_custkey,
          CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS rev
@@ -2410,21 +2410,68 @@ FROM w CROSS JOIN tot
 WHERE w.cum >= 0.8 * tot.t
 GROUP BY tot.n, tot.t
 """,
-    tags=("window", "aggregation", "stats"),
+    tags=("window", "aggregation", "stats", "scale"),
     notes="Pareto concentration report: the minimum number of customers "
     "covering 80% of revenue and their exact share — the whale-curve "
     "summary behind sampling-weight and capping decisions. Per-customer "
-    "agg shuffles once; the ranking window runs over the already-"
-    "aggregated |customers| rows (at 100 TB: still customer-cardinality, "
-    "not fact-cardinality — band by revenue bucket first if even that is "
-    "too wide). Decimal running sum so the 80% cut is deterministic "
-    "cross-engine; min_by picks the cum at the cut rank.",
+    "agg shuffles once; the ranking then uses operators/cumdist."
+    "binned_cumsum (revenue-range buckets → bucket-partitioned local "
+    "rank/cumsum → broadcast ≤256-row bucket prefix sums), so NO window "
+    "runs unpartitioned over the customer domain — at 100× the 15M-row "
+    "customer dimension never funnels through one task. Decimal split "
+    "sums are exact, so the 80% cut is bit-equal to the oracle's "
+    "single-pass decimal window; min_by picks the cum at the cut rank.",
 )
+def orders_pareto_8020(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.cumdist import binned_cumsum
+    from ..sources import load_table
+
+    orders = load_table(spark, "orders", sf_dir)
+    cr = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    w = binned_cumsum(
+        cr,
+        order_col="rev",
+        value_col="rev",
+        descending=True,
+        tiebreak_cols=("o_custkey",),
+    ).select("rn", F.col("cum_d").cast("double").alias("cum"))
+    tot = cr.agg(
+        F.sum(F.col("rev").cast("decimal(38,10)"))
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") >= 0.8 * F.col("t"))
+        .groupBy("n", "t")
+        .agg(
+            F.min("rn").alias("n_top"),
+            F.min_by("cum", "rn").alias("cum_at"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            F.col("n_top"),
+            F.round(
+                F.col("n_top").cast("double") / F.col("n"), 6
+            ).alias("frac_customers"),
+            F.round(F.col("cum_at") / F.col("t"), 6).alias("top_share"),
+        )
+    )
 
 
-register_sql(
+@register(
     "weighted_median_price",
-    sql="""
+    oracle="""
 WITH g AS (
   SELECT l_returnflag AS flag, l_extendedprice AS price,
          CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS w
@@ -2443,14 +2490,52 @@ SELECT flag, min(price) AS weighted_median_price
 FROM c WHERE cw >= tw / 2.0
 GROUP BY flag ORDER BY flag
 """,
-    tags=("window", "stats"),
+    tags=("window", "stats", "scale"),
     notes="Quantity-weighted median price per return flag: the weighted "
-    "percentile that percentile_disc cannot express — cumulative-weight "
-    "window over the (flag, price) pre-aggregate (domain-sized, not "
-    "fact-sized), first price whose cumulative weight crosses half the "
-    "total. Decimal cumsum in price order on both engines → "
-    "deterministic crossing row.",
+    "percentile that percentile_disc cannot express — cumulative weight "
+    "in price order over the (flag, price) pre-aggregate via "
+    "operators/cumdist.binned_cumsum (price-range buckets within each "
+    "flag, bucket-partitioned local cumsum, broadcast bucket prefix "
+    "sums), so the per-flag window never funnels a wide price domain "
+    "through one task; first price whose cumulative weight crosses half "
+    "the flag total. Decimal split sums are exact → the crossing row is "
+    "bit-equal to the oracle's single-pass decimal window.",
 )
+def weighted_median_price(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.cumdist import binned_cumsum
+    from ..sources import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    g = (
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,10)"))
+            .cast("double")
+            .alias("w")
+        )
+    )
+    c = binned_cumsum(
+        g,
+        order_col="price",
+        value_col="w",
+        part_cols=("flag",),
+        cum_col="cw_d",
+    )
+    tw = g.groupBy("flag").agg(
+        F.sum(F.col("w").cast("decimal(38,10)")).cast("double").alias("tw")
+    )
+    return (
+        c.join(F.broadcast(tw), "flag")
+        .where(F.col("cw_d").cast("double") >= F.col("tw") / 2.0)
+        .groupBy("flag")
+        .agg(F.min("price").alias("weighted_median_price"))
+        .orderBy("flag")
+    )
 
 
 register_sql(

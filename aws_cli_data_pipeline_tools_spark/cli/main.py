@@ -74,7 +74,7 @@ def main(argv: list[str] | None = None) -> int:
     p_prof.add_argument(
         "--approx-distinct",
         action="store_true",
-        help="in-scan HLL distinct (2 passes instead of 3; ±2% rsd)",
+        help="in-scan HLL distinct (2 passes instead of 3; ±2%% rsd)",
     )
 
     p_wg = sub.add_parser("workgroups", help="config profiles (≙ aws-athena-workgroup.sh)")

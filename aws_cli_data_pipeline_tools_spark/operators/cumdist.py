@@ -1,0 +1,123 @@
+"""Scale-safe exact cumulative distributions (two-phase binned cumsum).
+
+A global ``sum(...) OVER (ORDER BY x)`` forces every row through ONE
+window partition — fine when the domain is pre-aggregated and small, a
+single-task straggler when the ordered domain itself is large (15M+
+customers at 100×, a wide price domain, ...). This operator computes the
+same exact rank + running sum with no unpartitioned window over an
+unbounded-cardinality input:
+
+1. **bin** rows by value range of the order column (monotone bucket id,
+   B buckets, bounds from a 1-row broadcast agg — ties share a bucket so
+   ordering correctness is preserved);
+2. **local** rank + decimal running sum per ``(partition, bucket)`` —
+   the only window over data-sized input, and it is bucket-partitioned;
+3. **prefix** per-bucket totals (≤B rows per partition) get their own
+   running sum — a window over a *bounded* domain — and broadcast back;
+4. ``rank = local_rank + preceding_buckets_count`` and
+   ``cum = local_cum + preceding_buckets_sum`` (decimal addition is
+   exact, so the split sum is bit-equal to the single-pass sum).
+
+Reference parity: this backs the Pareto/weighted-median catalog entries
+whose semantics the reference expresses as plain SQL windows delegated
+to Athena (aws-athena.sh:27); here the formulation itself must scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+
+
+def binned_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str | Column,
+    part_cols: Sequence[str] = (),
+    descending: bool = False,
+    tiebreak_cols: Sequence[str] = (),
+    n_buckets: int = 256,
+    rank_col: str = "rn",
+    cum_col: str = "cum_d",
+) -> DataFrame:
+    """Exact rank + decimal running sum of ``value_col`` in
+    ``order_col`` order (then ``tiebreak_cols``), optionally per
+    ``part_cols`` partition, without an unpartitioned window over the
+    input.
+
+    ``order_col`` must be numeric and non-null (bucket bounds come from
+    its min/max). ``value_col`` is cast to decimal(38,10) before
+    summing, so ``cum_col`` is deterministic and engine-portable; the
+    output carries all input columns plus ``rank_col`` (long, 1-based in
+    the global order) and ``cum_col`` (decimal(38,10) inclusive running
+    sum). Cost: one extra tiny agg + one broadcast join versus the
+    naive window; the data-sized window is partitioned ``B`` ways.
+    """
+    parts = list(part_cols)
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    x = F.col(order_col).cast("double")
+
+    if parts:
+        bounds = df.groupBy(*parts).agg(
+            F.min(x).alias("_lo"), F.max(x).alias("_hi")
+        )
+        b = df.join(F.broadcast(bounds), parts)
+    else:
+        bounds = df.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+        b = df.crossJoin(F.broadcast(bounds))
+
+    span = F.col("_hi") - F.col("_lo")
+    pos = (F.col("_hi") - x) if descending else (x - F.col("_lo"))
+    bkt = (
+        F.when(span <= F.lit(0.0), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor(pos / span * n_buckets).cast("int"),
+            )
+        )
+        .alias("_bkt")
+    )
+    b = b.withColumn("_bkt", bkt).drop("_lo", "_hi")
+
+    order = [F.desc(order_col) if descending else F.asc(order_col)]
+    order += [F.asc(c) for c in tiebreak_cols]
+    w_loc = (
+        Window.partitionBy(*parts, "_bkt")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = b.withColumn("_lrn", F.row_number().over(w_loc)).withColumn(
+        "_lcum", F.sum(val.cast(DEC)).over(w_loc)
+    )
+
+    # per-bucket totals: <= n_buckets rows per partition, so the prefix
+    # window below runs over a BOUNDED domain by construction
+    bs = loc.groupBy(*parts, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bn"),
+        F.sum(val.cast(DEC)).alias("_bsum"),
+    )
+    w_pref = (
+        Window.partitionBy(*parts)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pref = bs.select(
+        *parts,
+        "_bkt",
+        F.coalesce(F.sum("_bn").over(w_pref), F.lit(0)).alias("_pcnt"),
+        F.coalesce(
+            F.sum("_bsum").over(w_pref), F.lit(0).cast(DEC)
+        ).alias("_psum"),
+    )
+
+    out = loc.join(F.broadcast(pref), [*parts, "_bkt"]).select(
+        *df.columns,
+        (F.col("_lrn") + F.col("_pcnt")).alias(rank_col),
+        (F.col("_lcum") + F.col("_psum")).cast(DEC).alias(cum_col),
+    )
+    return out

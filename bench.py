@@ -101,6 +101,11 @@ def main() -> None:
         spark.range(32 * 1024).repartition(32).select(_noop_pudf(F.col("id")))
     )
 
+    # self-adjudication: record machine contention so an elevated timing
+    # can be attributed to load without a manual idle re-run (VERDICT r5
+    # adjudicated two contention-only "regressions" by hand)
+    load_start = round(os.getloadavg()[0], 2)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -113,6 +118,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_avg_start": load_start,
+        "load_avg_end": round(os.getloadavg()[0], 2),
     }
     print(json.dumps(out))
     sys.stdout.flush()

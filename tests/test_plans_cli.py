@@ -212,16 +212,26 @@ def test_round5_ops_broadcast_small_sides(spark, sf_dir):
         assert f.n_broadcast_joins >= min_bc, (name, f.n_broadcast_joins)
 
 
-def test_pareto_windows_run_on_aggregated_domain(spark, sf_dir):
-    """orders_pareto_8020 / weighted_median_price: the ranking windows
-    must consume the pre-aggregated domain (customers / (flag, price)),
-    never fact-cardinality rows — asserted via the aggregate sitting
-    below the window exchange in the plan."""
+def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
+    """orders_pareto_8020 / weighted_median_price (r6 rework via
+    operators/cumdist.binned_cumsum): every window over an
+    unbounded-cardinality domain (ordered by rev / price) must be
+    partitioned by the range bucket `_bkt`; the ONLY unpartitioned
+    window allowed is the bucket-prefix cumsum, whose input is the
+    per-bucket aggregate (<= 256 rows by construction) and is
+    recognizable by being ordered by `_bkt` alone."""
+    import re
+
     specs = all_specs()
     for name in ["orders_pareto_8020", "weighted_median_price"]:
         plan = plans.executed_plan(specs[name].fn(spark, sf_dir))
-        w = plan.index("Window")
-        assert "HashAggregate" in plan[w:] or "SortAggregate" in plan[w:], name
+        wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        assert wspecs, name
+        for ws in wspecs:
+            head = ws.split(",")[0].strip()
+            bounded_prefix = head.startswith("_bkt") and "ASC" in head
+            partitioned = re.match(r"(_bkt|flag)#\d+$", head) is not None
+            assert partitioned or bounded_prefix, (name, ws)
 
 
 def test_cli_profile_command(capsys, monkeypatch, sf_dir):

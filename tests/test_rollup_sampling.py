@@ -141,3 +141,50 @@ def test_importance_sample_determinism_and_bounds(spark):
     # append-stable: decisions on a subset are the same as in the full set
     sub = importance_sample(df.filter(F.col("id") < 500), F.col("w"), "id")
     assert {r.id for r in sub.collect()} == {i for i in ids1 if i < 500}
+
+
+def test_binned_cumsum_matches_naive_window(spark):
+    """operators/cumdist.binned_cumsum must be bit-equal to the naive
+    single-partition window (rank + decimal running sum), including
+    ties on the order column, descending order, multi-partition, and
+    the degenerate all-equal-values case (span=0 -> one bucket)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    rows = [
+        # (grp, key, x, val) — includes x-ties within grp
+        ("a", 1, 10.0, 2.0), ("a", 2, 10.0, 3.0), ("a", 3, 5.0, 1.0),
+        ("a", 4, 7.5, 4.0), ("a", 5, 20.0, 0.5),
+        ("b", 1, 3.0, 3.0), ("b", 2, 3.0, 3.0), ("b", 3, 3.0, 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key", "x", "val"])
+
+    for descending in (False, True):
+        order = [F.desc("x") if descending else F.asc("x"), F.asc("key")]
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        naive = df.select(
+            "grp",
+            "key",
+            F.row_number().over(w).alias("rn"),
+            F.sum(F.col("val").cast("decimal(38,10)")).over(w).alias("cum_d"),
+        )
+        got = binned_cumsum(
+            df,
+            order_col="x",
+            value_col="val",
+            part_cols=("grp",),
+            descending=descending,
+            tiebreak_cols=("key",),
+            n_buckets=4,
+        ).select("grp", "key", "rn", "cum_d")
+        ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
+        for r in got.collect():
+            assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (descending, r)
