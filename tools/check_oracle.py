@@ -152,6 +152,35 @@ def _inv_ann_lsh(spark, sf_dir, con, rows, cols, specs):
     return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
 
 
+def _inv_ann_lsh_clustered(spark, sf_dir, con, rows, cols, specs):
+    """Production-shaped fixture: DuckDB replays the planted-cluster corpus
+    bit-identically (duck_clustered_cte — md5-derived doubles) and
+    brute-forces exact top-10; the 8×16 LSH operating point must reach
+    recall ≥ 0.9 at its single-digit candidate fraction (measured curve in
+    BASELINE.md via tools/ann_clustered_curve.py)."""
+    from aws_cli_data_pipeline_tools_spark.catalog.llmops import (
+        _duck_cosine,
+        duck_clustered_cte,
+    )
+
+    sql = f"""
+WITH cv AS ({duck_clustered_cte()}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM cv WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_duck_cosine('q.qv', 'c.embedding')} AS cosine
+  FROM q CROSS JOIN cv c
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id FROM r WHERE rank <= 10
+"""
+    return _ann_recall(con, rows, sql, 0.9)
+
+
 def _inv_ann_ivf(spark, sf_dir, con, rows, cols, specs):
     """IVF recall vs exact oracle; 8/16 probed lists measure recall@10 =
     0.78 on the near-random fixture (BASELINE.md recall curve); floor 0.7
@@ -260,6 +289,7 @@ INVARIANTS = {
     "profile_lineitem_hll": _inv_profile_hll,
     "approx_aggregates": _inv_approx_aggregates,
     "ann_lsh_topk": _inv_ann_lsh,
+    "ann_lsh_topk_clustered": _inv_ann_lsh_clustered,
     "ann_ivf_topk": _inv_ann_ivf,
     "embedding_cluster_profile": _inv_cluster_profile,
     "vocab_heavy_hitters_approx": _inv_heavy_hitters,
