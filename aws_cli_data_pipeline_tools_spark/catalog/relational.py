@@ -26,14 +26,24 @@ register_sql(
     "scan_filter_project",
     sql=f"""
 SELECT l_orderkey, l_linenumber, l_quantity,
-       round(l_extendedprice * (1 - l_discount), 2) AS net_price
+       CAST(round(CAST(l_extendedprice AS DECIMAL(18,4))
+                  * (CAST(1 AS DECIMAL(18,4))
+                     - CAST(l_discount AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS net_price
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
   AND l_discount BETWEEN 0.02 AND 0.04
   AND l_quantity IN (1, 5, 10, 25, 50)
 """,
     tags=("scan", "filter"),
-    notes="Predicate surface: range + BETWEEN + IN, pushed to the parquet scan.",
+    notes="Predicate surface: range + BETWEEN + IN, pushed to the parquet "
+    "scan. Row-level round goes through exact decimal products (the "
+    "decimal-sum discipline's row twin): double×double then round(,2) "
+    "diverges cross-engine on half-way edges — 7/3978 rows at sf0.1 "
+    "(e.g. 66883.5·0.97 → double 64876.994999999995: Spark's "
+    "BigDecimal-repr round gives .99, DuckDB's x·100 lands on an exact "
+    ".5 and gives 64877.0). Decimal(18,4) products are exact "
+    "(64876.99500000) and both engines round half-away-from-zero.",
 )
 
 register_sql(

@@ -188,3 +188,59 @@ def test_binned_cumsum_matches_naive_window(spark):
         ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
         for r in got.collect():
             assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (descending, r)
+
+
+def test_binned_cumsum_randomized_parity(spark):
+    """Seeded randomized parity vs the naive window: heavy value ties,
+    skewed magnitudes, several partitions, both directions, and a bucket
+    count far smaller than the row count (forces multi-row buckets)."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    for seed in (11, 23):
+        rnd = random.Random(seed)
+        rows = [
+            (
+                rnd.choice(["g1", "g2", "g3"]),
+                i,
+                float(rnd.choice([1, 2, 5, 5, 5, 100, 10**6])),
+                round(rnd.uniform(0.0, 50.0), 2),
+            )
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, ["grp", "key", "x", "val"])
+        for descending in (False, True):
+            order = [
+                F.desc("x") if descending else F.asc("x"), F.asc("key")
+            ]
+            w = (
+                Window.partitionBy("grp")
+                .orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            naive = df.select(
+                "grp",
+                "key",
+                F.row_number().over(w).alias("rn"),
+                F.sum(F.col("val").cast("decimal(38,10)"))
+                .over(w)
+                .alias("cum_d"),
+            )
+            got = binned_cumsum(
+                df,
+                order_col="x",
+                value_col="val",
+                part_cols=("grp",),
+                descending=descending,
+                tiebreak_cols=("key",),
+                n_buckets=8,
+            ).select("grp", "key", "rn", "cum_d")
+            ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
+            for r in got.collect():
+                assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (seed, r)

