@@ -2630,9 +2630,9 @@ FROM clean
 )
 
 
-register_sql(
+@register(
     "supplier_balance_quartile_revenue",
-    sql="""
+    oracle="""
 WITH sq AS (
   SELECT s_suppkey,
          ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS bal_quartile
@@ -2650,10 +2650,79 @@ SELECT bal_quartile, n_suppliers, n_lineitems, revenue,
        round(revenue / sum(revenue) OVER (), 6) AS revenue_share
 FROM r ORDER BY bal_quartile
 """,
-    tags=("window", "joins", "aggregation"),
-    notes="Revenue by supplier balance quartile: ntile over the small "
-    "dimension (deterministic suppkey tie-break), broadcast-joined onto "
-    "the fact, decimal-sum revenue, share via a 4-row window — does "
-    "financial standing correlate with flow. The quartile table is "
-    "dim-sized; the only fact shuffle is the quartile group agg.",
+    tags=("window", "joins", "aggregation", "scale"),
+    notes="Revenue by supplier balance quartile (r6 rework): the oracle's "
+    "ntile(4) is replicated without any unpartitioned window over the "
+    "dimension — operators/cumdist.binned_cumsum ranks suppliers by "
+    "(s_acctbal, s_suppkey) via acctbal-range buckets, and the SQL ntile "
+    "bucket-size rule (first n%4 buckets take ceil(n/4) rows) is applied "
+    "to the rank in closed form, so at 100× the supplier dimension never "
+    "funnels through one task. Quartile map broadcast onto the fact "
+    "(decimal-sum revenue, the only fact shuffle is the group agg); "
+    "revenue_share via a broadcast 1-row total over the 4-row result "
+    "instead of OVER().",
 )
+def supplier_balance_quartile_revenue(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..operators.cumdist import binned_cumsum
+    from ..sources import load_table
+
+    sup = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_acctbal"
+    )
+    ranked = binned_cumsum(
+        sup,
+        order_col="s_acctbal",
+        value_col=F.lit(1),
+        tiebreak_cols=("s_suppkey",),
+    )
+    tot_n = sup.agg(F.count(F.lit(1)).alias("n"))
+    # SQL ntile(4): q=n div 4 rows per bucket, the first rem=n%4 buckets
+    # take one extra; rank r maps in closed form (when-branch guards the
+    # q=0 small-n case, where every row lands in the first rem buckets)
+    q = F.floor(F.col("n") / 4)
+    rem = F.col("n") % 4
+    t = rem * (q + 1)
+    r = F.col("rn")
+    bucket = F.when(
+        r <= t, F.floor((r - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((r - t - 1) / q) + 1)
+    sq = (
+        ranked.crossJoin(F.broadcast(tot_n))
+        .select(
+            "s_suppkey", bucket.cast("int").alias("bal_quartile")
+        )
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    rres = (
+        li.join(F.broadcast(sq), li.l_suppkey == sq.s_suppkey)
+        .groupBy("bal_quartile")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice")
+                        * (F.lit(1) - F.col("l_discount"))
+                    ).cast("decimal(38,10)")
+                ).cast("double"),
+                5,
+            ).alias("revenue"),
+        )
+    )
+    tot_rev = rres.agg(F.sum("revenue").alias("tot"))
+    return (
+        rres.crossJoin(F.broadcast(tot_rev))
+        .select(
+            "bal_quartile",
+            "n_suppliers",
+            "n_lineitems",
+            "revenue",
+            F.round(F.col("revenue") / F.col("tot"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("bal_quartile")
+    )

@@ -223,7 +223,11 @@ def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
     import re
 
     specs = all_specs()
-    for name in ["orders_pareto_8020", "weighted_median_price"]:
+    for name in [
+        "orders_pareto_8020",
+        "weighted_median_price",
+        "supplier_balance_quartile_revenue",
+    ]:
         plan = plans.executed_plan(specs[name].fn(spark, sf_dir))
         wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
         assert wspecs, name

@@ -52,10 +52,11 @@ def main() -> int:
         n_windowed += 1
         for ws in wspecs:
             head = ws.split(",")[0].strip()
-            # partitioned window: first element is a bare column ref;
+            # partitioned window: first element is a bare column ref
+            # (with an optional type suffix, e.g. user_id#123L);
             # unpartitioned: first element is an ORDER BY spec
             # ("col#N ASC/DESC NULLS ...") or the frame itself
-            if re.match(r"^[\w.]+#\d+$", head):
+            if re.match(r"^[\w.]+#\d+[A-Za-z]*$", head):
                 continue
             flagged.append((name, ws.strip()))
 
