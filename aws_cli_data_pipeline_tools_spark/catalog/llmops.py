@@ -4177,35 +4177,9 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register_sql(
+@register(
     "length_ks_drift",
-    spark_sql="""
-WITH t AS (
-  SELECT doc_id % 2 = 0 AS v1,
-         size(split(text, '\\\\s+')) AS len
-  FROM documents
-), vals AS (
-  SELECT len,
-         sum(CASE WHEN v1 THEN 1 ELSE 0 END) AS c1,
-         sum(CASE WHEN v1 THEN 0 ELSE 1 END) AS c2
-  FROM t GROUP BY len
-), tot AS (
-  SELECT sum(c1) AS n1, sum(c2) AS n2 FROM vals
-), cum AS (
-  SELECT len,
-         sum(c1) OVER (ORDER BY len
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
-         sum(c2) OVER (ORDER BY len
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
-  FROM vals
-)
-SELECT tot.n1, tot.n2,
-       max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1)) AS d_scaled,
-       round(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1))
-             / CAST(tot.n1 * tot.n2 AS DOUBLE), 6) AS ks_stat
-FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
-""",
-    duck_sql="""
+    oracle="""
 WITH t AS (
   SELECT doc_id % 2 = 0 AS v1,
          len(regexp_split_to_array(text, '\\s+')) AS len
@@ -4241,9 +4215,48 @@ FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
     "distribution-shape drift gate between corpus versions (catches "
     "truncation/padding regressions a mean would miss). The supremum is "
     "computed in EXACT integer arithmetic (|f1·n2 − f2·n1|, one division "
-    "at the very end), and the only window runs over the DISTINCT length "
-    "domain — bounded, not corpus-sized.",
+    "at the very end); the parallel f1/f2 CDFs come from ONE "
+    "operators/cumdist.binned_cumsum pass (r6, extra_values), so even "
+    "the length-domain window is bucket-partitioned.",
 )
+def length_ks_drift(spark, sf_dir):
+    from ..operators.cumdist import binned_cumsum
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("v1"),
+        F.size(F.split("text", r"\s+")).alias("len"),
+    )
+    vals = t.groupBy("len").agg(
+        F.sum(F.when(F.col("v1"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("v1"), 0).otherwise(1)).alias("c2"),
+    )
+    cum = binned_cumsum(
+        vals,
+        order_col="len",
+        value_col="c1",
+        cum_col="f1_d",
+        extra_values={"f2_d": F.col("c2")},
+    ).select(
+        F.col("f1_d").cast("bigint").alias("f1"),
+        F.col("f2_d").cast("bigint").alias("f2"),
+    )
+    tot = vals.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    d = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.max(d).cast("bigint").alias("d_scaled"),
+            F.round(
+                F.max(d) / (F.col("n1") * F.col("n2")).cast("double"), 6
+            ).alias("ks_stat"),
+        )
+        .select("n1", "n2", "d_scaled", "ks_stat")
+    )
 
 
 #: RBO depth weights (1-p)·p^(d-1), p=0.9, d=1..50 — generated ONCE here
@@ -5125,30 +5138,9 @@ FROM f
 )
 
 
-register_sql(
+@register(
     "token_mass_gini",
-    spark_sql="""
-WITH lens AS (
-  SELECT size(split(text, '\\\\s+')) AS v FROM documents
-), grp AS (
-  SELECT v, count(*) AS c FROM lens GROUP BY v
-), cum AS (
-  SELECT v, c,
-         coalesce(sum(c) OVER (ORDER BY v
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
-  FROM grp
-), parts AS (
-  SELECT CAST(sum(v * (c * p_before + c * (c + 1) DIV 2)) AS BIGINT) AS s,
-         CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS n,
-         CAST(sum(CAST(v AS BIGINT) * c) AS BIGINT) AS m
-  FROM cum
-)
-SELECT n AS n_docs, m AS total_tokens,
-       round(2.0 * s / (CAST(n AS DOUBLE) * m)
-             - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
-FROM parts
-""",
-    duck_sql="""
+    oracle="""
 WITH lens AS (
   SELECT len(regexp_split_to_array(text, '\\s+')) AS v FROM documents
 ), grp AS (
@@ -5175,9 +5167,45 @@ FROM parts
     "— the concentration metric that decides whether doc-level sampling "
     "weights need length correction. Computed EXACTLY from grouped "
     "counts over the DISTINCT length domain (the KS-drift trick): "
-    "Σ i·x folded per length value in bigint arithmetic, window only "
-    "over the length domain, one division at the end.",
+    "Σ i·x folded per length value in bigint arithmetic; the exclusive "
+    "prefix count comes from operators/cumdist.binned_cumsum (r6), so "
+    "even the length-domain window is bucket-partitioned — shiftright "
+    "keeps the triangular term in exact integer arithmetic, decimal "
+    "prefix minus own count gives p_before exactly.",
 )
+def token_mass_gini(spark, sf_dir):
+    from ..operators.cumdist import binned_cumsum
+
+    docs = load_table(spark, "documents", sf_dir)
+    lens = docs.select(F.size(F.split("text", r"\s+")).alias("v"))
+    grp = lens.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = binned_cumsum(grp, order_col="v", value_col="c").select(
+        "v",
+        "c",
+        (F.col("cum_d").cast("bigint") - F.col("c")).alias("p_before"),
+    )
+    tri = F.shiftright(F.col("c") * (F.col("c") + 1), 1)
+    parts = cum.agg(
+        F.sum(
+            F.col("v").cast("bigint")
+            * (F.col("c") * F.col("p_before") + tri)
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("v").cast("bigint") * F.col("c"))
+        .cast("bigint")
+        .alias("m"),
+    )
+    return parts.select(
+        F.col("n").alias("n_docs"),
+        F.col("m").alias("total_tokens"),
+        F.round(
+            2.0 * F.col("s") / (F.col("n").cast("double") * F.col("m"))
+            - (F.col("n") + 1) / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
 
 
 register_sql(

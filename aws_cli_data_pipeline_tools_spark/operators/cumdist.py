@@ -43,6 +43,7 @@ def binned_cumsum(
     n_buckets: int = 256,
     rank_col: str = "rn",
     cum_col: str = "cum_d",
+    extra_values: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Exact rank + decimal running sum of ``value_col`` in
     ``order_col`` order (then ``tiebreak_cols``), optionally per
@@ -54,11 +55,18 @@ def binned_cumsum(
     summing, so ``cum_col`` is deterministic and engine-portable; the
     output carries all input columns plus ``rank_col`` (long, 1-based in
     the global order) and ``cum_col`` (decimal(38,10) inclusive running
-    sum). Cost: one extra tiny agg + one broadcast join versus the
+    sum). ``extra_values`` maps additional output column names to value
+    expressions that get their own running sum over the SAME ordering in
+    the same pass (e.g. the two-sample KS statistic's parallel f1/f2
+    CDFs). Cost: one extra tiny agg + one broadcast join versus the
     naive window; the data-sized window is partitioned ``B`` ways.
     """
     parts = list(part_cols)
-    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    sums: dict[str, Column] = {
+        cum_col: F.col(value_col) if isinstance(value_col, str) else value_col
+    }
+    for out_name, expr in (extra_values or {}).items():
+        sums[out_name] = F.col(expr) if isinstance(expr, str) else expr
     x = F.col(order_col).cast("double")
 
     if parts:
@@ -91,15 +99,18 @@ def binned_cumsum(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    loc = b.withColumn("_lrn", F.row_number().over(w_loc)).withColumn(
-        "_lcum", F.sum(val.cast(DEC)).over(w_loc)
-    )
+    loc = b.withColumn("_lrn", F.row_number().over(w_loc))
+    for i, v in enumerate(sums.values()):
+        loc = loc.withColumn(f"_lcum{i}", F.sum(v.cast(DEC)).over(w_loc))
 
     # per-bucket totals: <= n_buckets rows per partition, so the prefix
     # window below runs over a BOUNDED domain by construction
     bs = loc.groupBy(*parts, "_bkt").agg(
         F.count(F.lit(1)).alias("_bn"),
-        F.sum(val.cast(DEC)).alias("_bsum"),
+        *[
+            F.sum(v.cast(DEC)).alias(f"_bsum{i}")
+            for i, v in enumerate(sums.values())
+        ],
     )
     w_pref = (
         Window.partitionBy(*parts)
@@ -110,14 +121,22 @@ def binned_cumsum(
         *parts,
         "_bkt",
         F.coalesce(F.sum("_bn").over(w_pref), F.lit(0)).alias("_pcnt"),
-        F.coalesce(
-            F.sum("_bsum").over(w_pref), F.lit(0).cast(DEC)
-        ).alias("_psum"),
+        *[
+            F.coalesce(
+                F.sum(f"_bsum{i}").over(w_pref), F.lit(0).cast(DEC)
+            ).alias(f"_psum{i}")
+            for i in range(len(sums))
+        ],
     )
 
     out = loc.join(F.broadcast(pref), [*parts, "_bkt"]).select(
         *df.columns,
         (F.col("_lrn") + F.col("_pcnt")).alias(rank_col),
-        (F.col("_lcum") + F.col("_psum")).cast(DEC).alias(cum_col),
+        *[
+            (F.col(f"_lcum{i}") + F.col(f"_psum{i}"))
+            .cast(DEC)
+            .alias(name)
+            for i, name in enumerate(sums)
+        ],
     )
     return out
