@@ -60,6 +60,13 @@ def binned_cumsum(
     the same pass (e.g. the two-sample KS statistic's parallel f1/f2
     CDFs). Cost: one extra tiny agg + one broadcast join versus the
     naive window; the data-sized window is partitioned ``B`` ways.
+
+    Exactness contract: ``cum_col`` is BIT-EQUAL to the single-pass
+    ``sum(value.cast(decimal(38,10))) OVER (...)`` for cumulative
+    magnitudes below 10^18 (the local+prefix addition is performed at
+    decimal(28,10) so decimal Add never trips Spark's precision-loss
+    scale reduction — verified by tools/stress_cumdist.py's exceptAll
+    parity at 1x/10x/20x).
     """
     parts = list(part_cols)
     sums: dict[str, Column] = {
@@ -129,11 +136,21 @@ def binned_cumsum(
         ],
     )
 
+    # Adding two decimal(38,10)s would overflow precision 38 and trigger
+    # Spark's precision-loss rule (result decimal(38,9) — the 10th
+    # decimal digit silently HALF_UP-rounded away, breaking bit-equality
+    # with a single-pass decimal window sum). Downcast both addends to
+    # decimal(28,10) first: the Add result is decimal(29,10) — exact —
+    # and the downcast itself is lossless for |cum| < 10^18.
+    add_t = "decimal(28,10)"
     out = loc.join(F.broadcast(pref), [*parts, "_bkt"]).select(
         *df.columns,
         (F.col("_lrn") + F.col("_pcnt")).alias(rank_col),
         *[
-            (F.col(f"_lcum{i}") + F.col(f"_psum{i}"))
+            (
+                F.col(f"_lcum{i}").cast(add_t)
+                + F.col(f"_psum{i}").cast(add_t)
+            )
             .cast(DEC)
             .alias(name)
             for i, name in enumerate(sums)

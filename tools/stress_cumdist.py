@@ -1,0 +1,111 @@
+"""Scale-stress for operators/cumdist.binned_cumsum (BASELINE.md r6).
+
+Measures the formulation swap behind the r6 window reworks: the naive
+`rank + running sum OVER (ORDER BY v DESC)` (every row through ONE
+window task) versus the two-phase binned cumsum (bucket-partitioned
+local windows + a <=256-row broadcast prefix), over a synthetic ordered
+domain grown from 15k to 6M rows (spark.range + deterministic
+multiplicative-hash values — the domain SHAPE is what matters, not its
+provenance). Also asserts VALUE parity (exceptAll both ways) at every
+size: the decimal(28,10) addition contract must hold bit-for-bit.
+
+Expected shape (and the honest engineering story): the naive window
+WINS at small domains — one in-memory sort beats two extra shuffles —
+and loses once the single task becomes the bottleneck; the catalog uses
+binned_cumsum because the 100 TB dimension (15M+ customers, wide price
+domains) sits far past the crossover, while the oracle-checked sf
+fixtures sit below it. This tool records both sides of that trade.
+
+Usage: python tools/stress_cumdist.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-cumdist")
+
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def best_of(fn, n=3) -> float:
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    print("| domain rows | naive window s | binned_cumsum s | binned/naive |")
+    print("|---|---|---|---|")
+    for n in (15_000, 150_000, 1_500_000, 6_000_000):
+        # deterministic pseudo-random order values with a 2-decimal grid
+        # (Knuth multiplicative hash): ties exist, magnitudes ~5e5
+        d = (
+            spark.range(n)
+            .repartition(32)
+            .select(
+                F.col("id").alias("k"),
+                (
+                    F.pmod(F.col("id") * 2654435761, F.lit(99999991))
+                    / 100.0
+                ).alias("v"),
+            )
+            .persist()
+        )
+        d.count()
+
+        w = Window.orderBy(F.desc("v"), "k").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+
+        def naive_df():
+            return d.select(
+                "k",
+                F.row_number().over(w).alias("rn"),
+                F.sum(F.col("v").cast("decimal(38,10)")).over(w).alias(
+                    "cum_d"
+                ),
+            )
+
+        def binned_df():
+            return binned_cumsum(
+                d,
+                order_col="v",
+                value_col="v",
+                descending=True,
+                tiebreak_cols=("k",),
+            ).select("k", "rn", "cum_d")
+
+        t_naive = best_of(lambda: materialize(naive_df()))
+        t_binned = best_of(lambda: materialize(binned_df()))
+
+        n_diff = (
+            binned_df().exceptAll(naive_df()).count()
+            + naive_df().exceptAll(binned_df()).count()
+        )
+        assert n_diff == 0, f"value mismatch at n={n}: {n_diff} rows"
+
+        print(
+            f"| {n} | {t_naive:.2f} | {t_binned:.2f} "
+            f"| {t_binned / t_naive:.2f}x |"
+        )
+        d.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
