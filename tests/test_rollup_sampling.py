@@ -244,3 +244,37 @@ def test_binned_cumsum_randomized_parity(spark):
             ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
             for r in got.collect():
                 assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (seed, r)
+
+
+def test_binned_cumsum_preserves_tenth_decimal(spark):
+    """Regression guard for the r6 precision-loss bug: adding two
+    decimal(38,10) running sums trips Spark's precision-loss rule
+    (result decimal(38,9)) and silently HALF_UP-rounds the 10th decimal
+    away. Values here carry exactly 10 significant decimals, so any
+    9-dp rounding in the local+prefix addition breaks bit-equality with
+    the naive single-pass window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    rows = [(i, float(i), i * 1.0 + 0.0000000005 + i * 1e-10)
+            for i in range(1, 60)]
+    df = spark.createDataFrame(rows, ["key", "x", "val"])
+    w = (
+        Window.orderBy("x", "key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.select(
+        "key",
+        F.sum(F.col("val").cast("decimal(38,10)")).over(w).alias("cum_d"),
+    )
+    got = binned_cumsum(
+        df, order_col="x", value_col="val", tiebreak_cols=("key",),
+        n_buckets=8,
+    ).select("key", "cum_d")
+    ex = {r.key: r.cum_d for r in naive.collect()}
+    for r in got.collect():
+        assert ex[r.key] == r.cum_d, (r.key, ex[r.key], r.cum_d)
