@@ -44,6 +44,7 @@ def binned_cumsum(
     rank_col: str = "rn",
     cum_col: str = "cum_d",
     extra_values: dict[str, Column] | None = None,
+    bucket_mode: str = "range",
 ) -> DataFrame:
     """Exact rank + decimal running sum of ``value_col`` in
     ``order_col`` order (then ``tiebreak_cols``), optionally per
@@ -74,7 +75,23 @@ def binned_cumsum(
     beyond — use it when the ordered domain is dimension-scale or
     unbounded, which is why the catalog's Pareto/median/ntile/Gini/KS
     entries are on it.
+
+    ``bucket_mode``: ``"range"`` (default) bins by fixed-width value
+    ranges — zero extra passes, but a heavy-tailed domain (revenue,
+    power-law counts) collapses most rows into few buckets and
+    re-creates the straggler. ``"quantile"`` spends one
+    ``percentile_approx`` pass on data-value edges (still broadcast,
+    still no driver collect) so bucket populations stay balanced under
+    ANY value distribution; rows tied on the order column still share a
+    bucket (edges are data values, assignment is a monotone
+    count-of-edges-≤-x), so ordering exactness is unchanged. Only
+    massive tie mass (one value holding a large corpus fraction) can
+    still concentrate a bucket — that mass would occupy adjacent ranks
+    in ANY exact formulation. Measured on a power-law domain in
+    tools/stress_cumdist.py.
     """
+    if bucket_mode not in ("range", "quantile"):
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     parts = list(part_cols)
     sums: dict[str, Column] = {
         cum_col: F.col(value_col) if isinstance(value_col, str) else value_col
@@ -83,28 +100,55 @@ def binned_cumsum(
         sums[out_name] = F.col(expr) if isinstance(expr, str) else expr
     x = F.col(order_col).cast("double")
 
-    if parts:
-        bounds = df.groupBy(*parts).agg(
-            F.min(x).alias("_lo"), F.max(x).alias("_hi")
+    if bucket_mode == "quantile":
+        # data-value bucket edges: one approx-percentile agg (model-sized
+        # result, broadcast — never a driver collect), then bucket =
+        # monotone count of edges <= x (codegen lambda, O(B) per row).
+        # Edge arrays are actual data values, so ties share a bucket.
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        edges = F.percentile_approx(
+            x, F.array(*[F.lit(p) for p in probs]), F.lit(10_000)
+        ).alias("_edges")
+        if parts:
+            eb = df.groupBy(*parts).agg(edges)
+            b = df.join(F.broadcast(eb), parts)
+        else:
+            eb = df.agg(edges)
+            b = df.crossJoin(F.broadcast(eb))
+        n_le = F.aggregate(
+            F.col("_edges"),
+            F.lit(0),
+            lambda acc, e: acc + F.when(x >= e, 1).otherwise(0),
         )
-        b = df.join(F.broadcast(bounds), parts)
+        # descending order walks buckets high→low, so flip the id to
+        # keep bucket order aligned with the sort order
+        bkt = (
+            (F.lit(n_buckets - 1) - n_le) if descending else n_le
+        ).cast("int").alias("_bkt")
+        b = b.withColumn("_bkt", bkt).drop("_edges")
     else:
-        bounds = df.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
-        b = df.crossJoin(F.broadcast(bounds))
-
-    span = F.col("_hi") - F.col("_lo")
-    pos = (F.col("_hi") - x) if descending else (x - F.col("_lo"))
-    bkt = (
-        F.when(span <= F.lit(0.0), F.lit(0))
-        .otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor(pos / span * n_buckets).cast("int"),
+        if parts:
+            bounds = df.groupBy(*parts).agg(
+                F.min(x).alias("_lo"), F.max(x).alias("_hi")
             )
+            b = df.join(F.broadcast(bounds), parts)
+        else:
+            bounds = df.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
+            b = df.crossJoin(F.broadcast(bounds))
+
+        span = F.col("_hi") - F.col("_lo")
+        pos = (F.col("_hi") - x) if descending else (x - F.col("_lo"))
+        bkt = (
+            F.when(span <= F.lit(0.0), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor(pos / span * n_buckets).cast("int"),
+                )
+            )
+            .alias("_bkt")
         )
-        .alias("_bkt")
-    )
-    b = b.withColumn("_bkt", bkt).drop("_lo", "_hi")
+        b = b.withColumn("_bkt", bkt).drop("_lo", "_hi")
 
     order = [F.desc(order_col) if descending else F.asc(order_col)]
     order += [F.asc(c) for c in tiebreak_cols]

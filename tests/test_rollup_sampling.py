@@ -232,18 +232,21 @@ def test_binned_cumsum_randomized_parity(spark):
                 .over(w)
                 .alias("cum_d"),
             )
-            got = binned_cumsum(
-                df,
-                order_col="x",
-                value_col="val",
-                part_cols=("grp",),
-                descending=descending,
-                tiebreak_cols=("key",),
-                n_buckets=8,
-            ).select("grp", "key", "rn", "cum_d")
             ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
-            for r in got.collect():
-                assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (seed, r)
+            for mode in ("range", "quantile"):
+                got = binned_cumsum(
+                    df,
+                    order_col="x",
+                    value_col="val",
+                    part_cols=("grp",),
+                    descending=descending,
+                    tiebreak_cols=("key",),
+                    n_buckets=8,
+                    bucket_mode=mode,
+                ).select("grp", "key", "rn", "cum_d")
+                for r in got.collect():
+                    assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (
+                        seed, mode, r)
 
 
 def test_binned_cumsum_preserves_tenth_decimal(spark):

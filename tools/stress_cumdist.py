@@ -49,21 +49,30 @@ def main() -> int:
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    print("| domain rows | naive window s | binned_cumsum s | binned/naive |")
-    print("|---|---|---|---|")
-    for n in (15_000, 150_000, 1_500_000, 6_000_000):
-        # deterministic pseudo-random order values with a 2-decimal grid
-        # (Knuth multiplicative hash): ties exist, magnitudes ~5e5
+    # uniform: deterministic pseudo-random order values on a 2-decimal
+    # grid (Knuth multiplicative hash); power-law: the same uniforms
+    # pushed through u^8 — a heavy-tailed domain where fixed-width RANGE
+    # buckets collapse (most mass lands in the lowest bucket) and
+    # QUANTILE (data-value-edge) buckets stay balanced
+    shapes = {
+        "uniform": lambda u: u / 100.0,
+        "power-law": lambda u: F.pow(u / 99999991.0, 8) * 1e6,
+    }
+
+    print(
+        "| shape | domain rows | naive s | binned(range) s "
+        "| binned(quantile) s |"
+    )
+    print("|---|---|---|---|---|")
+    for shape, fn_v in shapes.items():
+      for n in (15_000, 150_000, 1_500_000, 6_000_000):
+        if shape == "power-law" and n != 6_000_000:
+            continue  # skew story only needs the big domain
+        u = F.pmod(F.col("id") * 2654435761, F.lit(99999991))
         d = (
             spark.range(n)
             .repartition(32)
-            .select(
-                F.col("id").alias("k"),
-                (
-                    F.pmod(F.col("id") * 2654435761, F.lit(99999991))
-                    / 100.0
-                ).alias("v"),
-            )
+            .select(F.col("id").alias("k"), fn_v(u).alias("v"))
             .persist()
         )
         d.count()
@@ -81,27 +90,32 @@ def main() -> int:
                 ),
             )
 
-        def binned_df():
+        def binned_df(mode):
             return binned_cumsum(
                 d,
                 order_col="v",
                 value_col="v",
                 descending=True,
                 tiebreak_cols=("k",),
+                bucket_mode=mode,
             ).select("k", "rn", "cum_d")
 
         t_naive = best_of(lambda: materialize(naive_df()))
-        t_binned = best_of(lambda: materialize(binned_df()))
+        t_range = best_of(lambda: materialize(binned_df("range")))
+        t_quant = best_of(lambda: materialize(binned_df("quantile")))
 
-        n_diff = (
-            binned_df().exceptAll(naive_df()).count()
-            + naive_df().exceptAll(binned_df()).count()
-        )
-        assert n_diff == 0, f"value mismatch at n={n}: {n_diff} rows"
+        for mode in ("range", "quantile"):
+            n_diff = (
+                binned_df(mode).exceptAll(naive_df()).count()
+                + naive_df().exceptAll(binned_df(mode)).count()
+            )
+            assert n_diff == 0, (
+                f"value mismatch ({shape}, {mode}, n={n}): {n_diff} rows"
+            )
 
         print(
-            f"| {n} | {t_naive:.2f} | {t_binned:.2f} "
-            f"| {t_binned / t_naive:.2f}x |"
+            f"| {shape} | {n} | {t_naive:.2f} | {t_range:.2f} "
+            f"| {t_quant:.2f} |"
         )
         d.unpersist()
     return 0
