@@ -2430,7 +2430,10 @@ GROUP BY tot.n, tot.t
     "runs unpartitioned over the customer domain — at 100× the 15M-row "
     "customer dimension never funnels through one task. Decimal split "
     "sums are exact, so the 80% cut is bit-equal to the oracle's "
-    "single-pass decimal window; min_by picks the cum at the cut rank.",
+    "single-pass decimal window; min_by picks the cum at the cut rank. "
+    "Range buckets fit TPC-H's near-normal per-customer revenue; for "
+    "genuinely heavy-tailed production revenue pass "
+    "bucket_mode='quantile' (same exactness, balanced buckets).",
 )
 def orders_pareto_8020(spark, sf_dir):
     from pyspark.sql import functions as F

@@ -115,17 +115,42 @@ def binned_cumsum(
         else:
             eb = df.agg(edges)
             b = df.crossJoin(F.broadcast(eb))
-        n_le = F.aggregate(
-            F.col("_edges"),
-            F.lit(0),
-            lambda acc, e: acc + F.when(x >= e, 1).otherwise(0),
-        )
+        # count of edges <= x == largest index i with edges[i] <= x
+        # (edges sorted ascending) — binary JUMP search, log2(B) steps of
+        # one element_at + compare each, materialized as successive
+        # columns so the expression tree stays linear (a nested-when
+        # formulation triples per step → 3^8 nodes; a linear F.aggregate
+        # scan costs O(B) per row — measured 1.5x slower than the naive
+        # window at 6M rows before this rewrite)
+        m = len(probs)
+        step = 1
+        while step * 2 <= m:
+            step *= 2
+        cur = "_bs"
+        b = b.withColumn(cur, F.lit(0))
+        i = 0
+        while step >= 1:
+            nxt = f"_bs{i}"
+            cand = (F.col(cur) + F.lit(step)).cast("int")
+            b = b.withColumn(
+                nxt,
+                F.when(
+                    (cand <= F.lit(m))
+                    & (F.element_at("_edges", cand) <= x),
+                    cand,
+                ).otherwise(F.col(cur)),
+            )
+            b = b.drop(cur)
+            cur = nxt
+            i += 1
+            step //= 2
+        n_le = F.col(cur)
         # descending order walks buckets high→low, so flip the id to
         # keep bucket order aligned with the sort order
         bkt = (
             (F.lit(n_buckets - 1) - n_le) if descending else n_le
         ).cast("int").alias("_bkt")
-        b = b.withColumn("_bkt", bkt).drop("_edges")
+        b = b.withColumn("_bkt", bkt).drop("_edges", cur)
     else:
         if parts:
             bounds = df.groupBy(*parts).agg(
