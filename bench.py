@@ -68,6 +68,10 @@ HEADLINE = [
     "streaming_session_transcripts_live",  # arbitrary-state sessionizer
     # round-5 additions:
     "profile_lineitem_hll",   # two-scan profiler (in-scan HLL distinct)
+    # round-6 additions:
+    "orders_pareto_8020",     # binned-cumsum whale curve (no global window)
+    "supplier_balance_quartile_revenue",  # closed-form SQL-ntile via cumdist
+    "ann_lsh_topk_clustered",  # production-shaped LSH operating point
 ]
 
 
