@@ -98,7 +98,20 @@ def binned_cumsum(
     }
     for out_name, expr in (extra_values or {}).items():
         sums[out_name] = F.col(expr) if isinstance(expr, str) else expr
-    x = F.col(order_col).cast("double")
+    # NULL order values would otherwise drop rows SILENTLY (a null
+    # bucket never matches the prefix join) — fail loudly instead; the
+    # guard lives inside the used bucket expression so Catalyst cannot
+    # prune it
+    x_raw = F.col(order_col).cast("double")
+    x = F.when(
+        x_raw.isNull(),
+        F.raise_error(
+            F.lit(
+                f"binned_cumsum: NULL in order column {order_col!r} — "
+                "filter or fill nulls first (nulls have no rank here)"
+            )
+        ).cast("double"),
+    ).otherwise(x_raw)
 
     if bucket_mode == "quantile":
         # data-value bucket edges: one approx-percentile agg (model-sized

@@ -281,3 +281,21 @@ def test_binned_cumsum_preserves_tenth_decimal(spark):
     ex = {r.key: r.cum_d for r in naive.collect()}
     for r in got.collect():
         assert ex[r.key] == r.cum_d, (r.key, ex[r.key], r.cum_d)
+
+
+def test_binned_cumsum_null_order_raises(spark):
+    """NULL order values must raise, not silently drop rows (a null
+    bucket would never match the prefix join)."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, None, 2.0)], ["key", "x", "val"]
+    )
+    with pytest.raises(Exception, match="NULL in order column"):
+        binned_cumsum(
+            df, order_col="x", value_col="val", tiebreak_cols=("key",)
+        ).collect()
