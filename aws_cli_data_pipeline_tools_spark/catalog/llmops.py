@@ -4237,6 +4237,7 @@ def length_ks_drift(spark, sf_dir):
         value_col="c1",
         cum_col="f1_d",
         extra_values={"f2_d": F.col("c2")},
+        bucket_mode="quantile",  # length domains are Zipf-ish at scale
     ).select(
         F.col("f1_d").cast("bigint").alias("f1"),
         F.col("f2_d").cast("bigint").alias("f2"),
@@ -5179,7 +5180,11 @@ def token_mass_gini(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     lens = docs.select(F.size(F.split("text", r"\s+")).alias("v"))
     grp = lens.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
-    cum = binned_cumsum(grp, order_col="v", value_col="c").select(
+    # doc-length domains are Zipf-ish at corpus scale (mass concentrates
+    # at short lengths) — quantile edges keep bucket populations flat
+    cum = binned_cumsum(
+        grp, order_col="v", value_col="c", bucket_mode="quantile"
+    ).select(
         "v",
         "c",
         (F.col("cum_d").cast("bigint") - F.col("c")).alias("p_before"),
