@@ -227,6 +227,8 @@ def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
         "orders_pareto_8020",
         "weighted_median_price",
         "supplier_balance_quartile_revenue",
+        "token_mass_gini",       # quantile bucket mode
+        "length_ks_drift",       # quantile + multi-value mode
     ]:
         plan = plans.executed_plan(specs[name].fn(spark, sf_dir))
         wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
