@@ -15,6 +15,7 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -72,7 +73,45 @@ HEADLINE = [
     "orders_pareto_8020",     # binned-cumsum whale curve (no global window)
     "supplier_balance_quartile_revenue",  # closed-form SQL-ntile via cumdist
     "ann_lsh_topk_clustered",  # production-shaped LSH operating point
+    # round-7 additions:
+    "ann_ivf_topk_clustered",  # IVF n_probe=1: recall 1.00 @ 1/16 scan
 ]
+
+#: Contention-retry rule (VERDICT r6 task 2): a single timed pass makes the
+#: bench contention-sensitive — two rounds running, the only apparent
+#: regressions were driver-side load (events_sessionized r5 at load 7+,
+#: profile_lineitem_hll r6 at load 9.04), both later adjudicated clean by
+#: idle re-runs. Rather than adjudicating after the fact, re-run once any
+#: query whose first pass reads >RETRY_FACTOR× its best recorded driver
+#: timing at the same sf (BENCH_r*.json) while the box is loaded, and
+#: report the min; both passes stay in the JSON so the adjudication trail
+#: is preserved.
+RETRY_FACTOR = 1.3
+RETRY_LOAD = 4.0
+
+
+def _recorded_bands(sf: float | None) -> dict[str, float]:
+    """Per-query best (min) recorded bench timing across past rounds'
+    BENCH_r*.json at the SAME scale factor — the idle-throughput proxy
+    the retry rule compares against. Missing/new queries have no band and
+    are never retried (their first recorded number becomes the band)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    bands: dict[str, float] = {}
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # the driver wraps bench.py's printed JSON under "parsed"
+        if isinstance(rec.get("parsed"), dict):
+            rec = rec["parsed"]
+        if sf is not None and rec.get("sf") != sf:
+            continue
+        for name, sec in (rec.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                bands[name] = min(bands.get(name, float("inf")), float(sec))
+    return bands
 
 
 def main() -> None:
@@ -115,6 +154,23 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(specs[name].fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # self-correction: min-of-2 for out-of-band queries under load (see
+    # RETRY_FACTOR docstring). Retries run after the full pass so the
+    # retried query no longer competes with the pass's own tail.
+    bands = _recorded_bands(sf)
+    retries: dict[str, dict[str, float]] = {}
+    contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
+    if contended:
+        for name, first in list(timings.items()):
+            band = bands.get(name)
+            if band is None or first <= RETRY_FACTOR * band:
+                continue
+            t0 = time.perf_counter()
+            materialize(specs[name].fn(spark, sf_dir))
+            again = round(time.perf_counter() - t0, 3)
+            retries[name] = {"first": first, "retry": again, "band": band}
+            timings[name] = min(first, again)
 
     out = {
         "metric": "headline_total",
