@@ -1584,8 +1584,7 @@ def k_anonymity_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_shared_substring",
     oracle="""
 WITH g AS (
-  SELECT DISTINCT doc_id,
-         CAST(('0x' || substr(md5(substr(text, i, 32)), 1, 15)) AS BIGINT) AS g
+  SELECT DISTINCT doc_id, substr(text, i, 32) AS g
   FROM documents,
        unnest(generate_series(1, greatest(0, len(text) - 31))) AS t(i)
 ),
@@ -1600,19 +1599,25 @@ GROUP BY 1, 2 ORDER BY id_a, id_b
     notes="Exact long-common-substring detection (Lee et al. 2022 "
     "semantics at 32-char window granularity) via an inverted index on "
     "hashed char windows — no false negatives at the window size, no "
-    "suffix array needed. Portable md5-derived 60-bit hashes let the "
-    "oracle replay the pipeline hash-for-hash (incl. the hot-window "
-    "drop, mirrored as the HAVING>64 exclusion). max_postings=64 caps "
-    "the per-window self-join fan-out at C(64,2) pairs, bounding the "
-    "skewed-key quadratic blow-up corpus-wide boilerplate would "
-    "otherwise cause; dropped windows occur in >64 docs, i.e. are "
-    "boilerplate by construction, not memorization spans "
+    "suffix array needed. rolling=True: O(len)-per-doc polynomial "
+    "rolling hash mod 2^64 in an Arrow-batched kernel emitting "
+    "per-doc-unique postings (no DISTINCT shuffle) — measured 2.1x the "
+    "former md5-portable mode at the 10x boilerplate stress "
+    "(tools/stress_boilerplate.py, BASELINE.md r7). Hash values are "
+    "internal: the oracle replays the pipeline on EXACT raw 32-char "
+    "substrings (stronger than the old hash-for-hash md5 replay — zero "
+    "oracle-side collision surface; a Spark-side 64-bit collision would "
+    "surface as a count mismatch, probability ~n²/2^65). "
+    "max_postings=64 caps the per-window self-join fan-out at C(64,2) "
+    "pairs, bounding the skewed-key quadratic blow-up corpus-wide "
+    "boilerplate would otherwise cause; dropped windows occur in >64 "
+    "docs, i.e. are boilerplate by construction, not memorization spans "
     "(operators/dedup.py shared_span_pairs).",
 )
 def dedup_shared_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
-        dedup.shared_span_pairs(docs, span=32, portable=True, max_postings=64)
+        dedup.shared_span_pairs(docs, span=32, rolling=True, max_postings=64)
         .orderBy("id_a", "id_b")
     )
 

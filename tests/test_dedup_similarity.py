@@ -427,6 +427,23 @@ def test_shared_span_pairs_detects_long_common_substring(spark):
     # portable mode must find the identical pair set
     ppairs = shared_span_pairs(df, span=32, portable=True).collect()
     assert [(r.id_a, r.id_b) for r in ppairs] == [(1, 2)]
+    # rolling-hash kernel: identical pairs AND identical window counts
+    rpairs = shared_span_pairs(df, span=32, rolling=True).collect()
+    assert [(r.id_a, r.id_b, r.n_shared_windows) for r in rpairs] == [
+        (1, 2, 44 - 32 + 1)
+    ]
+    # non-ASCII chars: rolling hashes utf-32 code points, matching the
+    # JVM path's character-based substr windows
+    dfu = spark.createDataFrame(
+        [
+            (1, "Ünïcødé prefix → " + common + " tail"),
+            (2, "αβγ start " + common + " Ω end"),
+        ],
+        "doc_id bigint, text string",
+    )
+    assert sorted(
+        map(tuple, shared_span_pairs(dfu, span=32, rolling=True).collect())
+    ) == sorted(map(tuple, shared_span_pairs(dfu, span=32).collect()))
     # hot-window cap: a window present in ALL docs gets dropped
     boiler = "B" * 40
     df2 = spark.createDataFrame(
@@ -435,6 +452,7 @@ def test_shared_span_pairs_detects_long_common_substring(spark):
     )
     capped = shared_span_pairs(df2, span=32, max_postings=3).count()
     assert capped == 0  # boilerplate window exceeded cap → no pairs
+    assert shared_span_pairs(df2, span=32, max_postings=3, rolling=True).count() == 0
     uncapped = shared_span_pairs(df2, span=32).count()
     assert uncapped == 15  # all C(6,2) pairs without the cap
 

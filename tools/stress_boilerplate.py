@@ -70,19 +70,25 @@ def main() -> int:
     n10 = ten.count()
     print(f"1x = {n1} docs, 10x = {n10} docs, banner on 10%")
 
-    def run(df, cap):
+    def run(df, cap, **kw):
         return lambda: dedup.shared_span_pairs(
-            df, span=32, max_postings=cap
+            df, span=32, max_postings=cap, **kw
         ).count()
 
-    # warmup
+    # warmup (both posting kernels: codegen + Python worker pool)
     dedup.shared_span_pairs(tagged.limit(500), span=32).count()
+    dedup.shared_span_pairs(tagged.limit(500), span=32, rolling=True).count()
 
     t1_cap = timed("capped(64)   1x", run(tagged, 64))
+    t1_roll = timed("rolling(64)  1x", run(tagged, 64, rolling=True))
     t1_unc = timed("uncapped     1x", run(tagged, 0))
     t10_cap = timed("capped(64)  10x", run(ten, 64))
+    t10_roll = timed("rolling(64) 10x", run(ten, 64, rolling=True))
     print(f"  capped exponent: {math.log10(t10_cap / t1_cap):.2f} "
           "(1.0 = linear)")
+    print(f"  rolling exponent: {math.log10(t10_roll / t1_roll):.2f}; "
+          f"rolling speedup vs JVM-capped: {t1_cap / t1_roll:.2f}x at 1x, "
+          f"{t10_cap / t10_roll:.2f}x at 10x")
     if not skip_uncapped_10x:
         t10_unc = timed("uncapped    10x", run(ten, 0))
         print(f"  uncapped exponent: {math.log10(t10_unc / t1_unc):.2f}")
