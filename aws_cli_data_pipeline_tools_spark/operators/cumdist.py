@@ -33,6 +33,59 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,10)"
 
 
+def order_domain_skew(
+    df: DataFrame, order_col: str, part_cols: Sequence[str] = ()
+) -> float:
+    """Cheap heavy-tail probe for ``bucket_mode`` selection: the ratio
+    ``r = (max − min) / (p75 − p25)`` of the order column — how many
+    IQR-widths the full range spans. Range-mode buckets are fixed-width
+    slices of (max − min), so the middle HALF of all rows lands in
+    ``n_buckets / r`` of them: a near-uniform domain reads r ≈ 2, a
+    normal-ish domain r ≈ 3–7 (grows slowly with n), and a heavy tail
+    (power-law revenue, token counts) reads r in the tens to thousands —
+    the regime where range binning collapses into a straggler bucket.
+
+    One aggregate over the (usually pre-aggregated) domain; with
+    ``part_cols`` the ratio is computed per partition and the MAX is
+    returned, still via a single 1-row collect (never a per-partition
+    driver loop). Degenerate cases: max == min → 1.0 (any binning is
+    trivially balanced); IQR == 0 with a nonzero range → ``inf`` (a
+    massive tie mass — that mass occupies adjacent ranks in ANY exact
+    formulation, and quantile mode is the no-worse choice).
+    """
+    x = F.col(order_col).cast("double")
+    aggs = [
+        F.min(x).alias("_lo"),
+        F.max(x).alias("_hi"),
+        F.percentile_approx(
+            x, F.array(F.lit(0.25), F.lit(0.75)), F.lit(10_000)
+        ).alias("_q"),
+    ]
+    parts = list(part_cols)
+    per = df.groupBy(*parts).agg(*aggs) if parts else df.agg(*aggs)
+    span = F.col("_hi") - F.col("_lo")
+    iqr = F.element_at("_q", 2) - F.element_at("_q", 1)
+    ratio = (
+        F.when(span <= F.lit(0.0), F.lit(1.0))
+        .when(iqr <= F.lit(0.0), F.lit(float("inf")))
+        .otherwise(span / iqr)
+    )
+    row = per.select(ratio.alias("r")).agg(F.max("r").alias("r")).first()
+    return float(row["r"]) if row and row["r"] is not None else 1.0
+
+
+#: ``bucket_mode="auto"`` rule: quantile when the skew ratio exceeds
+#: ``n_buckets / AUTO_SKEW_DIVISOR`` (default 256/32 = 8) — i.e. when
+#: the middle half of all rows would fill fewer than 32 of the 256
+#: range-mode buckets, a ≥4x occupancy imbalance vs balanced binning.
+#: Measured crossover in tools/stress_cumdist.py: range mode collapses
+#: (7.77 s vs quantile 2.88 s at a 6M power-law domain, r in the
+#: thousands) while TPC-H's near-normal domains (r ≈ 3–7 at sf0.1,
+#: BASELINE.md r7) stay comfortably in range mode, which costs one
+#: less pass.
+AUTO_SKEW_DIVISOR = 32
+
+
 def binned_cumsum(
     df: DataFrame,
     order_col: str,
@@ -52,7 +105,12 @@ def binned_cumsum(
     input.
 
     ``order_col`` must be numeric and non-null (bucket bounds come from
-    its min/max). ``value_col`` is cast to decimal(38,10) before
+    its min/max). ``value_col`` (and every ``extra_values`` expression)
+    must also be non-null: a NULL value poisons its bucket's local
+    running sum (``NULL + prefix = NULL``) where a single-pass window
+    would have skipped it — coalesce to 0 first if NULLs can occur
+    (catalog callers all pass non-null aggregates). ``value_col`` is
+    cast to decimal(38,10) before
     summing, so ``cum_col`` is deterministic and engine-portable; the
     output carries all input columns plus ``rank_col`` (long, 1-based in
     the global order) and ``cum_col`` (decimal(38,10) inclusive running
@@ -88,11 +146,37 @@ def binned_cumsum(
     massive tie mass (one value holding a large corpus fraction) can
     still concentrate a bucket — that mass would occupy adjacent ranks
     in ANY exact formulation. Measured on a power-law domain in
-    tools/stress_cumdist.py.
+    tools/stress_cumdist.py. ``"auto"`` spends one cheap probe
+    (:func:`order_domain_skew` — min/max/IQR of the order column, a
+    1-row collect) and picks quantile iff the skew ratio exceeds
+    ``n_buckets / AUTO_SKEW_DIVISOR`` — the documented rule for catalog
+    entries whose production value distribution is not known a priori.
     """
+    if bucket_mode == "auto":
+        r = order_domain_skew(df, order_col, part_cols)
+        bucket_mode = (
+            "quantile" if r > n_buckets / AUTO_SKEW_DIVISOR else "range"
+        )
     if bucket_mode not in ("range", "quantile"):
         raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
     parts = list(part_cols)
+    # internal helper names + output names must not collide with input
+    # columns: withColumn would silently overwrite a user column and the
+    # final select(*df.columns) would emit internal bucket state as data
+    reserved = {
+        "_bkt", "_lrn", "_edges", "_lo", "_hi", "_bn", "_pcnt", "_bs",
+        rank_col, cum_col, *(extra_values or {}),
+    }
+    reserved.update(f"_bs{i}" for i in range(10))
+    reserved.update(f"_bsum{i}" for i in range(1 + len(extra_values or {})))
+    reserved.update(f"_psum{i}" for i in range(1 + len(extra_values or {})))
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"binned_cumsum: input columns {sorted(clash)} collide with "
+            "reserved internal/output names — rename them or pick "
+            "different rank_col/cum_col/extra_values keys"
+        )
     sums: dict[str, Column] = {
         cum_col: F.col(value_col) if isinstance(value_col, str) else value_col
     }

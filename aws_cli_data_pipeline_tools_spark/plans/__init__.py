@@ -76,3 +76,46 @@ def assert_scan_pruned(df: DataFrame, allowed_columns: set[str]) -> None:
     f = facts(df)
     extra = f.scan_columns() - allowed_columns
     assert not extra, f"scan reads unpruned columns: {sorted(extra)}"
+
+
+def unpartitioned_window_heads(plan: str) -> list[str]:
+    """Head column names (base name before ``#``) of every
+    ``windowspecdefinition`` in an executed-plan string that has NO
+    partition column — i.e. whose first element is already an ORDER BY
+    spec. These funnel their whole input through one task, which is fine
+    only when that input is bounded by construction (a ≤256-row bucket
+    aggregate, a post-LIMIT pool, a calendar-day domain, a fixed label
+    set) and a 100-TB straggler otherwise."""
+    heads: list[str] = []
+    for ws in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+        head = ws.split(",")[0].strip()
+        # partitioned: bare column ref (optional type suffix, user_id#12L)
+        if re.match(r"^[\w.]+#\d+[A-Za-z]*$", head):
+            continue
+        m = re.match(r"^([\w.]+)#", head)
+        heads.append(m.group(1) if m else head[:40])
+    return heads
+
+
+def audit_catalog_windows(
+    spark, sf_dir: str, specs: dict
+) -> tuple[list[tuple[str, str]], int, int]:
+    """Build every catalog entry's executed plan and collect
+    ``(entry_name, head_column)`` for each unpartitioned window spec.
+    Returns ``(flagged, n_checked, n_skipped)``; skipped entries are
+    those whose plan cannot be built (streaming). Shared by
+    tools/audit_windows.py and the pytest regression gate
+    (tests/test_plans_cli.py), so a new entry adding an unbounded
+    unpartitioned window fails CI unless explicitly classified."""
+    flagged: list[tuple[str, str]] = []
+    n_checked = n_skipped = 0
+    for name, spec in sorted(specs.items()):
+        try:
+            plan = executed_plan(spec.fn(spark, sf_dir))
+        except Exception:
+            n_skipped += 1
+            continue
+        n_checked += 1
+        for head in unpartitioned_window_heads(plan):
+            flagged.append((name, head))
+    return flagged, n_checked, n_skipped

@@ -234,10 +234,78 @@ def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
         wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
         assert wspecs, name
         for ws in wspecs:
-            head = ws.split(",")[0].strip()
-            bounded_prefix = head.startswith("_bkt") and "ASC" in head
-            partitioned = re.match(r"(_bkt|flag)#\d+$", head) is not None
-            assert partitioned or bounded_prefix, (name, ws)
+            args = [a.strip() for a in ws.split(",")]
+            # partition columns are the leading args with no sort
+            # direction; ordering args carry ASC/DESC
+            part_cols = []
+            order_cols = []
+            for a in args:
+                if " ASC" in a or " DESC" in a:
+                    order_cols.append(a)
+                elif not order_cols:
+                    part_cols.append(a)
+            # a data-sized window MUST carry _bkt among its partition
+            # columns (a head of 'flag' alone would be a wide per-flag
+            # single-task window — the exact regression this guards);
+            # the only _bkt-free-partition window allowed is the bucket
+            # PREFIX cumsum, recognizable by being ORDERED by _bkt (its
+            # input is the <=256-row per-bucket aggregate)
+            bucket_partitioned = any(
+                a.startswith("_bkt#") for a in part_cols
+            )
+            bounded_prefix = bool(order_cols) and order_cols[0].startswith(
+                "_bkt#"
+            )
+            assert bucket_partitioned or bounded_prefix, (name, ws)
+
+
+#: The full classification of every unpartitioned window the catalog is
+#: ALLOWED to plan, as (entry, window head column) → why its input is
+#: bounded by construction. The audit gate below fails on anything not
+#: in this map, so a future entry adding an unbounded unpartitioned
+#: window (the 100-TB single-task straggler) cannot land silently —
+#: extend this map ONLY with a boundedness argument.
+BOUNDED_UNPARTITIONED_WINDOWS = {
+    ("curriculum_length_schedule", "band"): "fixed band label set",
+    ("events_burst_runs", "day"): "calendar-day domain",
+    ("events_cusum_changepoint", "day"): "calendar-day domain",
+    ("hybrid_rrf_retrieval", "rrf_score"): "post-LIMIT fusion pool",
+    ("hybrid_rrf_retrieval", "bm25"): "post-LIMIT retrieval pool",
+    ("length_ks_drift", "_bkt"): "<=256-row bucket prefix agg",
+    ("negative_sampling_plan", "c"): "vocab-capped token counts",
+    ("orders_pareto_8020", "_bkt"): "<=256-row bucket prefix agg",
+    ("rbo_lexical_vs_semantic", "bm25"): "post-LIMIT retrieval pool",
+    ("supplier_balance_quartile_revenue", "_bkt"):
+        "<=256-row bucket prefix agg",
+    ("token_mass_gini", "_bkt"): "<=256-row bucket prefix agg",
+    ("trending_types_decayed", "decayed_score"): "post-LIMIT trend pool",
+    ("zipf_slope_tokens", "c"): "vocab-capped token counts",
+}
+
+
+def test_no_unclassified_unpartitioned_windows(spark, sf_dir):
+    """Catalog-wide window audit as a regression gate (VERDICT r6 task
+    8): every unpartitioned window spec any entry plans must appear in
+    BOUNDED_UNPARTITIONED_WINDOWS with a boundedness argument. Shares
+    its scanner with tools/audit_windows.py. ~2.5 min for the full
+    catalog — the price of making the 100-TB straggler class
+    unlandable rather than audit-on-request."""
+    specs = all_specs()
+    flagged, n_checked, n_skipped = plans.audit_catalog_windows(
+        spark, sf_dir, specs
+    )
+    # plan-construction must work for (nearly) the whole catalog — a
+    # mass of skips would silently shrink the audit's coverage
+    assert n_checked >= 295, (n_checked, n_skipped)
+    unclassified = [
+        (name, head)
+        for name, head in flagged
+        if (name, head) not in BOUNDED_UNPARTITIONED_WINDOWS
+    ]
+    assert not unclassified, (
+        "unpartitioned windows with no boundedness classification "
+        f"(single-task straggler risk at scale): {unclassified}"
+    )
 
 
 def test_cli_profile_command(capsys, monkeypatch, sf_dir):

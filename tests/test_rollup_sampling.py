@@ -299,3 +299,61 @@ def test_binned_cumsum_null_order_raises(spark):
         binned_cumsum(
             df, order_col="x", value_col="val", tiebreak_cols=("key",)
         ).collect()
+
+
+def test_binned_cumsum_reserved_name_collision_raises(spark):
+    """An input column named like an internal helper (_bkt, rn, cum_d,
+    ...) must raise at entry — withColumn would silently overwrite it
+    and the final projection would emit internal bucket state as data."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    for bad in ("_bkt", "rn", "cum_d", "_lrn"):
+        df = spark.createDataFrame([(1.0, 2.0)], ["x", bad])
+        with pytest.raises(ValueError, match="collide with"):
+            binned_cumsum(df, order_col="x", value_col=bad)
+
+
+def test_order_domain_skew_probe_and_auto_mode(spark):
+    """order_domain_skew: ~1-2 on uniform domains, large on heavy tails,
+    1.0 when degenerate; bucket_mode='auto' stays bit-equal to the naive
+    window on both shapes (it only ever picks between two exact modes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+        order_domain_skew,
+    )
+
+    uni = spark.range(2000).select(
+        (F.col("id") + 1).cast("double").alias("x"), F.lit(1.0).alias("v")
+    )
+    r_uni = order_domain_skew(uni, "x")
+    assert 1.0 <= r_uni < 3.0, r_uni
+    # power-law-ish: x = 1.02^id spans ~8 decades while the IQR stays
+    # within one — range-mode binning would collapse
+    heavy = spark.range(2000).select(
+        F.pow(F.lit(1.02), F.col("id")).alias("x"), F.lit(1.0).alias("v")
+    )
+    r_heavy = order_domain_skew(heavy, "x")
+    assert r_heavy > 256 / 32, r_heavy
+    # degenerate single-value domain
+    one = spark.range(5).select(F.lit(3.0).alias("x"), F.lit(1.0).alias("v"))
+    assert order_domain_skew(one, "x") == 1.0
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    for df in (uni, heavy):
+        want = df.select(
+            "x",
+            F.row_number().over(Window.orderBy("x")).alias("rn"),
+            F.sum(F.col("v").cast("decimal(38,10)")).over(w).alias("cum_d"),
+        )
+        got = binned_cumsum(
+            df, order_col="x", value_col="v", bucket_mode="auto"
+        ).select("x", "rn", "cum_d")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0

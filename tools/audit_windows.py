@@ -17,7 +17,6 @@ Usage: python tools/audit_windows.py [sf_dir] [name_filter ...]
 
 from __future__ import annotations
 
-import re
 import sys
 
 sys.path.insert(0, ".")
@@ -33,42 +32,25 @@ def main() -> int:
 
     spark = get_spark(app_name="audit-windows")
     specs = all_specs()
+    if name_filter:
+        specs = {
+            n: s
+            for n, s in specs.items()
+            if any(f in n for f in name_filter)
+        }
 
-    flagged: list[tuple[str, str]] = []
-    n_checked = n_windowed = n_skipped = 0
-    for name, spec in sorted(specs.items()):
-        if name_filter and not any(f in name for f in name_filter):
-            continue
-        try:
-            plan = plans.executed_plan(spec.fn(spark, sf_dir))
-        except Exception as e:  # streaming entries can't executedPlan()
-            n_skipped += 1
-            print(f"  [skip] {name}: {type(e).__name__}")
-            continue
-        n_checked += 1
-        wspecs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
-        if not wspecs:
-            continue
-        n_windowed += 1
-        for ws in wspecs:
-            head = ws.split(",")[0].strip()
-            # partitioned window: first element is a bare column ref
-            # (with an optional type suffix, e.g. user_id#123L);
-            # unpartitioned: first element is an ORDER BY spec
-            # ("col#N ASC/DESC NULLS ...") or the frame itself
-            if re.match(r"^[\w.]+#\d+[A-Za-z]*$", head):
-                continue
-            flagged.append((name, ws.strip()))
+    flagged, n_checked, n_skipped = plans.audit_catalog_windows(
+        spark, sf_dir, specs
+    )
 
-    print(f"\nchecked {n_checked} entries ({n_windowed} with windows, "
-          f"{n_skipped} skipped)")
+    print(f"\nchecked {n_checked} entries ({n_skipped} skipped)")
     if not flagged:
         print("NO unpartitioned windows found")
         return 0
     print(f"{len(flagged)} unpartitioned window specs "
           f"(classify: bounded-by-construction vs corpus-sized):")
-    for name, ws in flagged:
-        print(f"  {name}: {ws[:110]}")
+    for name, head in flagged:
+        print(f"  {name}: {head}")
     return 0
 
 
