@@ -152,7 +152,23 @@ def binned_cumsum(
     ``n_buckets / AUTO_SKEW_DIVISOR`` — the documented rule for catalog
     entries whose production value distribution is not known a priori.
     """
+    release = None
     if bucket_mode == "auto":
+        from pyspark import StorageLevel
+
+        # the probe is a separate ACTION, so without a persist it would
+        # re-derive the whole domain lineage (fact scan + agg shuffle)
+        # that the caller computed df from — measured +30% on the
+        # weighted-median shape at sf0.1. Persisting the domain turns
+        # the probe into a cache read AND lets the operator's own 2-3
+        # references to df (bounds/edges agg, local window, output join)
+        # reuse the materialization. The domain is pre-aggregated
+        # (dimension-scale), so the cache is bounded; callers can drop
+        # it via the returned DataFrame's release_cache() (same contract
+        # as dedup.shared_span_pairs), else the ContextCleaner reclaims
+        # it when the plan is GC'd.
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        release = df.unpersist
         r = order_domain_skew(df, order_col, part_cols)
         bucket_mode = (
             "quantile" if r > n_buckets / AUTO_SKEW_DIVISOR else "range"
@@ -329,4 +345,8 @@ def binned_cumsum(
             for i, name in enumerate(sums)
         ],
     )
+    if release is not None:
+        # auto mode persisted the input domain — callers can unpersist
+        # after their action
+        out.release_cache = release
     return out
