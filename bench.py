@@ -180,6 +180,14 @@ def main() -> None:
         "sf": sf,
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
+        # contention self-correction trail: per-query {first, retry,
+        "retries": retries,  # band} for every min-of-2 re-run taken
+        "retry_rule": {
+            "factor": RETRY_FACTOR,
+            "load_gate": RETRY_LOAD,
+            "contended": contended,
+            "n_bands": len(bands),
+        },
     }
     print(json.dumps(out))
     sys.stdout.flush()
