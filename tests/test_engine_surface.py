@@ -170,3 +170,30 @@ def test_survey_coverage_map_matches_registry():
         os.chdir(old)
     assert not unlisted, f"registered but missing from SURVEY §8: {sorted(unlisted)}"
     assert not stale, f"SURVEY §8 cites unregistered query-shaped names: {sorted(stale)}"
+
+
+def test_bench_recorded_bands_and_retry_rule():
+    """bench.py's contention self-correction (VERDICT r6 task 2): bands
+    come from prior BENCH_r*.json at the SAME sf (driver wrapper and raw
+    shapes both parse), and the r6 contention artifact
+    (profile_lineitem_hll first-pass 5.06 s vs idle band) must trip the
+    retry predicate while its idle reading must not. No Spark needed."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    bands = bench._recorded_bands(0.1)
+    assert len(bands) >= 38  # the recorded headline history
+    assert all(v > 0 for v in bands.values())
+    assert bench._recorded_bands(0.5) == {}  # sf-mismatched files excluded
+    band = bands["profile_lineitem_hll"]
+    assert 5.06 > bench.RETRY_FACTOR * band     # r6 artifact → retried
+    assert not 3.5 > bench.RETRY_FACTOR * band  # idle reading → no retry
+    # every headline query resolves in the registry
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+    missing = [q for q in bench.HEADLINE if q not in all_specs()]
+    assert not missing, missing
