@@ -444,6 +444,15 @@ def test_shared_span_pairs_detects_long_common_substring(spark):
     assert sorted(
         map(tuple, shared_span_pairs(dfu, span=32, rolling=True).collect())
     ) == sorted(map(tuple, shared_span_pairs(dfu, span=32).collect()))
+    # boundary: a doc of EXACTLY span chars yields one window; the
+    # rolling kernel's prefix arithmetic must agree with the JVM path
+    exact32 = "x" * 32
+    dfe = spark.createDataFrame(
+        [(1, exact32), (2, "pad " + exact32)], "doc_id bigint, text string"
+    )
+    for kw in ({}, {"rolling": True}):
+        e = shared_span_pairs(dfe, span=32, **kw).collect()
+        assert [(r.id_a, r.id_b, r.n_shared_windows) for r in e] == [(1, 2, 1)]
     # hot-window cap: a window present in ALL docs gets dropped
     boiler = "B" * 40
     df2 = spark.createDataFrame(
