@@ -183,7 +183,9 @@ def binned_cumsum(
         "_bkt", "_lrn", "_edges", "_lo", "_hi", "_bn", "_pcnt", "_bs",
         rank_col, cum_col, *(extra_values or {}),
     }
-    reserved.update(f"_bs{i}" for i in range(10))
+    # the quantile jump search emits one _bs{i} column per halving step
+    # (~log2(n_buckets) of them) — size the reserved set to match
+    reserved.update(f"_bs{i}" for i in range(2 + n_buckets.bit_length()))
     reserved.update(f"_bsum{i}" for i in range(1 + len(extra_values or {})))
     reserved.update(f"_psum{i}" for i in range(1 + len(extra_values or {})))
     clash = reserved.intersection(df.columns)
