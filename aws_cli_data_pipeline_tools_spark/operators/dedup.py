@@ -946,36 +946,21 @@ def _rolling_span_postings(
     Windows are CHARACTER-based (utf-32 code points), matching
     ``substr`` semantics in the JVM path and the oracle's ``substr``.
     """
-    import numpy as np
     import pandas as pd
 
     id_field = df.schema[id_col]
     out_schema = f"id {id_field.dataType.simpleString()}, g bigint"
-    binv = pow(_ROLL_B, -1, 1 << 64)
 
     def gen(batches):
-        b = np.uint64(_ROLL_B)
-        bi = np.uint64(binv)
+        import numpy as np
+
         for pdf in batches:
             ids, gs = [], []
             for did, t in zip(pdf["id"].values, pdf["t"].values):
-                if t is None or len(t) < span:
+                u = rolling_window_hashes(t, span, unique=True)
+                if len(u) == 0:
                     continue
-                c = np.frombuffer(
-                    t.encode("utf-32-le"), dtype=np.uint32
-                ).astype(np.uint64)
-                n = len(c)
-                # powers of B and B^{-1} mod 2^64 (cumprod wraps)
-                pw = np.ones(n, dtype=np.uint64)
-                pw[1:] = np.cumprod(np.full(n - 1, b, dtype=np.uint64))
-                ipw = np.ones(n, dtype=np.uint64)
-                ipw[1:] = np.cumprod(np.full(n - 1, bi, dtype=np.uint64))
-                s = np.cumsum(c * ipw)  # S_i, wraps mod 2^64
-                win = s[span - 1:].copy()
-                win[1:] -= s[: n - span]
-                h = win * pw[span - 1:]
-                u = np.unique(h)
-                gs.append(u.view(np.int64))
+                gs.append(u)
                 ids.append(np.full(len(u), did))
             if gs:
                 yield pd.DataFrame(
@@ -984,6 +969,37 @@ def _rolling_span_postings(
 
     narrow = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     return narrow.mapInPandas(gen, out_schema)
+
+
+def rolling_window_hashes(t, span: int, unique: bool = False):
+    """Pure kernel: int64 polynomial hash of every ``span``-char window
+    of ``t`` (utf-32 code points), position-independent — equal window
+    CONTENT ⇒ equal hash anywhere in any document. O(len): prefix sums
+    S_i = Σ c_j·B^(−j) mod 2^64 (numpy uint64 wraparound; B odd ⇒
+    invertible), window hash H(i..e) = (S_e − S_{i−1})·B^e. With
+    ``unique=True`` returns the sorted distinct hashes (what the posting
+    kernel emits). Property-tested against the direct per-window
+    Σ c_j·B^(e−j) definition in tests/test_properties.py."""
+    import numpy as np
+
+    if t is None or len(t) < span:
+        return np.empty(0, dtype=np.int64)
+    b = np.uint64(_ROLL_B)
+    bi = np.uint64(pow(_ROLL_B, -1, 1 << 64))
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+    n = len(c)
+    # powers of B and B^{-1} mod 2^64 (cumprod wraps)
+    pw = np.ones(n, dtype=np.uint64)
+    pw[1:] = np.cumprod(np.full(n - 1, b, dtype=np.uint64))
+    ipw = np.ones(n, dtype=np.uint64)
+    ipw[1:] = np.cumprod(np.full(n - 1, bi, dtype=np.uint64))
+    s = np.cumsum(c * ipw)  # S_i, wraps mod 2^64
+    win = s[span - 1:].copy()
+    win[1:] -= s[: n - span]
+    h = (win * pw[span - 1:]).view(np.int64)
+    return np.unique(h) if unique else h
 
 
 def shared_span_pairs(

@@ -249,3 +249,49 @@ def test_jpeg_grayscale_matches_reference_property(h, w, rnd):
     dec = _decode_jpeg_array(encode_jpeg(px))
     assert dec is not None and dec[:3] == (w, h, 1)
     assert np.array_equal(dec[3][:, :, 0], quantize_jpeg_blocks(px))
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            blacklist_categories=("Cs",)  # no lone surrogates
+        ),
+        min_size=0,
+        max_size=300,
+    ),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=200)
+def test_rolling_window_hashes_match_direct_definition(t, span):
+    """The O(len) prefix-sum rolling hash must equal the direct
+    per-window polynomial Σ c_j·B^(e−j) mod 2^64, and be
+    position-independent: equal window CONTENT gives equal hash wherever
+    it occurs (the property the shared-substring inverted index relies
+    on)."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import (
+        _ROLL_B,
+        rolling_window_hashes,
+    )
+
+    got = rolling_window_hashes(t, span)
+    n = len(t)
+    if n < span:
+        assert len(got) == 0
+        return
+    mask = (1 << 64) - 1
+    want = []
+    for i in range(n - span + 1):
+        h = 0
+        for ch in t[i : i + span]:
+            h = (h * _ROLL_B + ord(ch)) & mask
+        want.append(h)
+    assert [int(x) & mask for x in got] == want
+    # position independence / content determinism on a shifted copy
+    shifted = rolling_window_hashes("ZZZ" + t, span)
+    assert [int(x) & mask for x in shifted[3:]] == want
+    # unique=True emits exactly the distinct window-hash set
+    u = rolling_window_hashes(t, span, unique=True)
+    assert len(u) == len(set(want))
+    assert {int(x) & mask for x in u} == set(want)
