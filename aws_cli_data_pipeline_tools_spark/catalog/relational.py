@@ -2431,12 +2431,13 @@ GROUP BY tot.n, tot.t
     "customer dimension never funnels through one task. Decimal split "
     "sums are exact, so the 80% cut is bit-equal to the oracle's "
     "single-pass decimal window; min_by picks the cum at the cut rank. "
-    "bucket_mode='auto': a cheap order_domain_skew probe (range/IQR "
-    "ratio, one 1-row agg) picks range here (measured r=5.96 at sf0.1, "
-    "threshold 8 — TPC-H per-customer revenue is near-normal) and flips "
-    "to quantile automatically on genuinely heavy-tailed production "
-    "revenue (same exactness, balanced buckets; rule in "
-    "operators/cumdist.py AUTO_SKEW_DIVISOR).",
+    "Bucket mode per the documented order_domain_skew rule (measured "
+    "r=5.96 at sf0.1 vs threshold n_buckets/32=8 → range; TPC-H "
+    "per-customer revenue is near-normal): static here because the "
+    "domain agg is cheap to re-derive, so auto's probe action would "
+    "cost more than it saves (+0.7s measured, BASELINE.md r7) — pass "
+    "bucket_mode='auto' for genuinely unknown/heavy-tailed production "
+    "revenue (same exactness, balanced buckets, one probe pass).",
 )
 def orders_pareto_8020(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -2459,7 +2460,12 @@ def orders_pareto_8020(spark, sf_dir):
         value_col="rev",
         descending=True,
         tiebreak_cols=("o_custkey",),
-        bucket_mode="auto",  # measured skew r=5.96 at sf0.1 → range
+        # documented-rule static choice (order_domain_skew measured
+        # r=5.96 at sf0.1, threshold 8 → range). auto's probe action +
+        # domain persist measured +0.7s here because the per-customer
+        # agg is cheap to recompute — pass "auto" when the revenue
+        # distribution is unknown/heavy-tailed (BASELINE.md r7)
+        bucket_mode="range",
     ).select("rn", F.col("cum_d").cast("double").alias("cum"))
     tot = cr.agg(
         F.sum(F.col("rev").cast("decimal(38,10)"))
@@ -2684,7 +2690,11 @@ def supplier_balance_quartile_revenue(spark, sf_dir):
         order_col="s_acctbal",
         value_col=F.lit(1),
         tiebreak_cols=("s_suppkey",),
-        bucket_mode="auto",  # measured skew r=2.04 at sf0.1 → range
+        # documented-rule static choice (order_domain_skew measured
+        # r=2.04 at sf0.1 → range); the supplier dim is trivially cheap
+        # to re-derive, so auto's probe/persist overhead buys nothing
+        # here — pass "auto" for unknown balance distributions
+        bucket_mode="range",
     )
     tot_n = sup.agg(F.count(F.lit(1)).alias("n"))
     # SQL ntile(4): q=n div 4 rows per bucket, the first rem=n%4 buckets
