@@ -67,13 +67,24 @@ def _sample_history() -> tuple[dict[str, int], set[str]]:
 
 #: Names to surface to the driver ahead of the general never-sampled
 #: queue: the most machinery-heavy never-sampled entries (stateful /
-#: watermarked streaming — VERDICT r4 task 7), where a driver row carries
-#: the most new information.
+#: watermarked streaming — VERDICT r4 task 7; the last four
+#: never-driver-sampled entries — VERDICT r7 task 2), where a driver row
+#: carries the most new information.
 _PRIORITY_NAMES = (
     "streaming_session_transcripts_live",
     "streaming_drift_live",
     "streaming_trending_tokens",
+    "ann_ivf_topk_clustered",
+    "text_compression_ratio",
+    "dedup_cluster_groups",
+    "events_distinct_sketch_cascade",
 )
+
+#: Names to resample EVERY round regardless of sample count: the
+#: oracle-exact twin of the rows-only ``dedup_cluster_groups`` entry, so
+#: the driver round that records the invariant row also records the
+#: hash-checked closure signal next to it (VERDICT r7 task 5).
+_ALWAYS_PRIORITY = ("dedup_cluster_groups_exact",)
 
 
 def _rotated_names() -> list[str]:
@@ -91,7 +102,10 @@ def _rotated_names() -> list[str]:
         names,
         key=lambda n: (
             0 if n in latest_red else 1,
-            0 if n in _PRIORITY_NAMES and counts.get(n, 0) == 0 else 1,
+            0
+            if (n in _PRIORITY_NAMES and counts.get(n, 0) == 0)
+            or n in _ALWAYS_PRIORITY
+            else 1,
             counts.get(n, 0),
             0 if specs[n].oracle else 1,
             order[n],

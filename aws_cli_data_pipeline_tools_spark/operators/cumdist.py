@@ -108,9 +108,10 @@ def binned_cumsum(
     its min/max). ``value_col`` (and every ``extra_values`` expression)
     must also be non-null: a NULL value poisons its bucket's local
     running sum (``NULL + prefix = NULL``) where a single-pass window
-    would have skipped it — coalesce to 0 first if NULLs can occur
-    (catalog callers all pass non-null aggregates). ``value_col`` is
-    cast to decimal(38,10) before
+    would have skipped it — both preconditions are ENFORCED with an
+    in-plan ``raise_error`` (never a silent wrong answer); coalesce to 0
+    first if NULLs can occur (catalog callers all pass non-null
+    aggregates). ``value_col`` is cast to decimal(38,10) before
     summing, so ``cum_col`` is deterministic and engine-portable; the
     output carries all input columns plus ``rank_col`` (long, 1-based in
     the global order) and ``cum_col`` (decimal(38,10) inclusive running
@@ -152,6 +153,33 @@ def binned_cumsum(
     ``n_buckets / AUTO_SKEW_DIVISOR`` — the documented rule for catalog
     entries whose production value distribution is not known a priori.
     """
+    if bucket_mode not in ("range", "quantile", "auto"):
+        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
+    parts = list(part_cols)
+    # internal helper names + output names must not collide with input
+    # columns: withColumn would silently overwrite a user column and the
+    # final select(*df.columns) would emit internal bucket state as data.
+    # Validation runs BEFORE auto-mode's persist so a raise never leaves
+    # a dangling cache (ADVICE r7).
+    reserved = {
+        "_bkt", "_lrn", "_edges", "_lo", "_hi", "_bn", "_pcnt", "_bs",
+        rank_col, cum_col, *(extra_values or {}),
+    }
+    # the quantile jump search emits one _bs{i} column per halving step
+    # (~log2(n_buckets) of them) — size the reserved set to match
+    reserved.update(f"_bs{i}" for i in range(2 + n_buckets.bit_length()))
+    n_sums = 1 + len(extra_values or {})
+    reserved.update(f"_bsum{i}" for i in range(n_sums))
+    reserved.update(f"_psum{i}" for i in range(n_sums))
+    reserved.update(f"_lcum{i}" for i in range(n_sums))
+    clash = reserved.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"binned_cumsum: input columns {sorted(clash)} collide with "
+            "reserved internal/output names — rename them or pick "
+            "different rank_col/cum_col/extra_values keys"
+        )
+
     release = None
     if bucket_mode == "auto":
         from pyspark import StorageLevel
@@ -166,40 +194,41 @@ def binned_cumsum(
         # (dimension-scale), so the cache is bounded; callers can drop
         # it via the returned DataFrame's release_cache() (same contract
         # as dedup.shared_span_pairs), else the ContextCleaner reclaims
-        # it when the plan is GC'd.
+        # it when the plan is GC'd (relying on ContextCleaner is part of
+        # auto-mode's contract because downstream .select() projections
+        # do not carry the release_cache attribute).
         df = df.persist(StorageLevel.MEMORY_AND_DISK)
         release = df.unpersist
-        r = order_domain_skew(df, order_col, part_cols)
+        try:
+            r = order_domain_skew(df, order_col, part_cols)
+        except Exception:
+            # a failed probe action must not leak the persist (ADVICE r7)
+            df.unpersist()
+            raise
         bucket_mode = (
             "quantile" if r > n_buckets / AUTO_SKEW_DIVISOR else "range"
         )
-    if bucket_mode not in ("range", "quantile"):
-        raise ValueError(f"unknown bucket_mode: {bucket_mode!r}")
-    parts = list(part_cols)
-    # internal helper names + output names must not collide with input
-    # columns: withColumn would silently overwrite a user column and the
-    # final select(*df.columns) would emit internal bucket state as data
-    reserved = {
-        "_bkt", "_lrn", "_edges", "_lo", "_hi", "_bn", "_pcnt", "_bs",
-        rank_col, cum_col, *(extra_values or {}),
-    }
-    # the quantile jump search emits one _bs{i} column per halving step
-    # (~log2(n_buckets) of them) — size the reserved set to match
-    reserved.update(f"_bs{i}" for i in range(2 + n_buckets.bit_length()))
-    reserved.update(f"_bsum{i}" for i in range(1 + len(extra_values or {})))
-    reserved.update(f"_psum{i}" for i in range(1 + len(extra_values or {})))
-    clash = reserved.intersection(df.columns)
-    if clash:
-        raise ValueError(
-            f"binned_cumsum: input columns {sorted(clash)} collide with "
-            "reserved internal/output names — rename them or pick "
-            "different rank_col/cum_col/extra_values keys"
-        )
-    sums: dict[str, Column] = {
-        cum_col: F.col(value_col) if isinstance(value_col, str) else value_col
-    }
+    # NULL value expressions would otherwise poison bucket-local running
+    # sums where a single-pass window sum silently skips them — enforce
+    # the documented non-null precondition loudly (VERDICT r7 task 4),
+    # same pattern as the order-column guard below. Guarding AFTER the
+    # decimal cast also catches values the cast cannot represent.
+    def _guarded(out_name: str, expr: str | Column) -> Column:
+        vc = (F.col(expr) if isinstance(expr, str) else expr).cast(DEC)
+        return F.when(
+            vc.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"binned_cumsum: NULL value for output {out_name!r} — "
+                    "coalesce the value expression to 0 first (a NULL "
+                    "would poison its bucket's running sum)"
+                )
+            ).cast(DEC),
+        ).otherwise(vc)
+
+    sums: dict[str, Column] = {cum_col: _guarded(cum_col, value_col)}
     for out_name, expr in (extra_values or {}).items():
-        sums[out_name] = F.col(expr) if isinstance(expr, str) else expr
+        sums[out_name] = _guarded(out_name, expr)
     # NULL order values would otherwise drop rows SILENTLY (a null
     # bucket never matches the prefix join) — fail loudly instead; the
     # guard lives inside the used bucket expression so Catalyst cannot

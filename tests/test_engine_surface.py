@@ -189,6 +189,10 @@ def test_bench_recorded_bands_and_retry_rule():
     assert len(bands) >= 38  # the recorded headline history
     assert all(v > 0 for v in bands.values())
     assert bench._recorded_bands(0.5) == {}  # sf-mismatched files excluded
+    # unrecognized sf_dir → no bands at all (never mix scales; the retry
+    # pass is skipped entirely rather than re-running every query —
+    # ADVICE r7)
+    assert bench._recorded_bands(None) == {}
     band = bands["profile_lineitem_hll"]
     assert 5.06 > bench.RETRY_FACTOR * band     # r6 artifact → retried
     assert not 3.5 > bench.RETRY_FACTOR * band  # idle reading → no retry

@@ -301,6 +301,86 @@ def test_binned_cumsum_null_order_raises(spark):
         ).collect()
 
 
+def test_binned_cumsum_null_value_raises(spark):
+    """NULL value expressions must raise, not poison the bucket-local
+    running sum (VERDICT r7 task 4: the docstring precondition is now
+    enforced behavior, matching the order-column guard)."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, None)], ["key", "x", "val"]
+    )
+    with pytest.raises(Exception, match="NULL value for output"):
+        binned_cumsum(
+            df, order_col="x", value_col="val", tiebreak_cols=("key",)
+        ).collect()
+    # the coalesce-first escape hatch stays exact
+    from pyspark.sql import functions as F
+
+    got = binned_cumsum(
+        df,
+        order_col="x",
+        value_col=F.coalesce(F.col("val"), F.lit(0.0)),
+        tiebreak_cols=("key",),
+    ).select("key", "rn", "cum_d").collect()
+    by_key = {r.key: (r.rn, float(r.cum_d)) for r in got}
+    assert by_key == {1: (1, 1.0), 2: (2, 1.0)}
+
+
+def test_binned_cumsum_internal_lcum_collision_raises(spark):
+    """ADVICE r7: the internal _lcum{i} running-sum columns are reserved
+    too — an input column named _lcum0 must raise, not be silently
+    overwritten and emitted as internal state."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    df = spark.createDataFrame([(1.0, 2.0, 3.0)], ["x", "v", "_lcum0"])
+    with pytest.raises(ValueError, match="collide with"):
+        binned_cumsum(df, order_col="x", value_col="v")
+
+
+def test_binned_cumsum_auto_probe_unpersists_on_error(spark):
+    """ADVICE r7: if the auto-mode probe action fails, the persisted
+    input domain must be released, not leaked until GC."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    # a probe-time failure: order column raises inside the skew probe's
+    # aggregate (division by zero via a crafted expression is flaky —
+    # use raise_error directly, which fails the probe's first action)
+    df = spark.range(10).select(
+        F.raise_error(F.lit("boom")).cast("double").alias("x"),
+        F.lit(1.0).alias("v"),
+    )
+    jsc = spark.sparkContext._jsc.sc()
+
+    def _cached_ids():
+        return {
+            info.id()
+            for info in jsc.getRDDStorageInfo()
+            if info.numCachedPartitions() > 0
+        }
+
+    before = _cached_ids()
+    with pytest.raises(Exception, match="boom"):
+        binned_cumsum(df, order_col="x", value_col="v", bucket_mode="auto")
+    # nothing NEW may remain cached (other suite tests may legitimately
+    # hold persists in the shared session)
+    leaked = _cached_ids() - before
+    assert not leaked, leaked
+
+
 def test_binned_cumsum_reserved_name_collision_raises(spark):
     """An input column named like an internal helper (_bkt, rn, cum_d,
     ...) must raise at entry — withColumn would silently overwrite it
