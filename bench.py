@@ -84,6 +84,50 @@ HEADLINE = [
     "ann_ivf_topk_clustered",  # IVF n_probe=1: recall 1.00 @ 1/16 scan
 ]
 
+#: Bench-only measurements (VERDICT r7 task 7): the persisted-IVF route
+#: (operators/similarity.build_ivf_index + ivf_index_topk) is
+#: plan-asserted in pytest but its economics vs the inline-Lloyd
+#: ann_ivf_topk entry (which re-trains centroids per query batch) belong
+#: in the headline. Not catalog entries — the build is a sink (returns
+#: no DataFrame) and the probe depends on the build's scratch index, so
+#: neither fits the (spark, sf_dir) -> DataFrame oracle contract.
+BENCH_ONLY = ("ann_ivf_index_build", "ann_ivf_index_probe")
+
+
+def _bench_only_runners() -> dict:
+    """Runner callables for BENCH_ONLY, sharing one scratch index dir.
+    ``ann_ivf_index_build`` is the one-time amortizable cost (Lloyd
+    train + partitionBy(list_id) corpus write); ``ann_ivf_index_probe``
+    is the steady-state query cost — a partition-pruned scan of
+    n_probe/n_centroids of the corpus at the SAME operating point as
+    ann_ivf_topk (16 centroids, 8 probes, k=10, 5 queries)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators import similarity
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    idx = os.path.join(tempfile.gettempdir(), "sparkgraft-bench-ivf")
+
+    def build(spark, sf_dir):
+        shutil.rmtree(idx, ignore_errors=True)
+        emb = load_table(spark, "embeddings", sf_dir)
+        similarity.build_ivf_index(emb, idx, n_centroids=16)
+        return None  # the write is the action; nothing to materialize
+
+    def probe(spark, sf_dir):
+        emb = load_table(spark, "embeddings", sf_dir)
+        queries = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_index_topk(
+            spark, idx, queries, k=10, n_probe=8, query_id_col="query_id"
+        )
+
+    return {"ann_ivf_index_build": build, "ann_ivf_index_probe": probe}
+
 #: Contention-retry rule (VERDICT r6 task 2): a single timed pass makes the
 #: bench contention-sensitive — two rounds running, the only apparent
 #: regressions were driver-side load (events_sessionized r5 at load 7+,
@@ -132,6 +176,10 @@ def _recorded_bands(sf: float | None) -> dict[str, float]:
 
 
 def main() -> None:
+    # machine-idle proof: load BEFORE this process spawns the JVM and
+    # runs warmups (load_avg_start below is taken after warmup, so it
+    # includes the bench's own startup work)
+    load_t0 = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -166,11 +214,19 @@ def main() -> None:
     # adjudicated two contention-only "regressions" by hand)
     load_start = round(os.getloadavg()[0], 2)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+    runners = {name: specs[name].fn for name in HEADLINE}
+    runners.update(_bench_only_runners())
+
+    def timed_run(name: str) -> float:
         t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        df = runners[name](spark, sf_dir)
+        if df is not None:
+            materialize(df)
+        return round(time.perf_counter() - t0, 3)
+
+    timings: dict[str, float] = {}
+    for name in runners:
+        timings[name] = timed_run(name)
 
     # self-correction: min-of-2 for out-of-band queries (see RETRY_FACTOR
     # docstring). Retries run after the full pass so the retried query no
@@ -183,9 +239,7 @@ def main() -> None:
         band = bands.get(name)
         if band is None or first <= RETRY_FACTOR * band:
             continue
-        t0 = time.perf_counter()
-        materialize(specs[name].fn(spark, sf_dir))
-        again = round(time.perf_counter() - t0, 3)
+        again = timed_run(name)
         retries[name] = {"first": first, "retry": again, "band": band}
         timings[name] = min(first, again)
 
@@ -221,6 +275,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_avg_t0": load_t0,
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
         "n_retries": len(retries),

@@ -70,7 +70,10 @@ def _source_identifiers() -> set[str]:
     ) + glob.glob("tests/*.py") + glob.glob("tools/*.py"):
         src = open(path).read()
         idents.update(re.findall(r"(?:def|class)\s+(\w+)", src))
-        idents.update(re.findall(r"(\w+)\s*=", src))
+        # assignment targets only — (?!=) keeps `a == b` comparisons from
+        # contributing their LHS to the identifier universe, which would
+        # weaken stale-row detection (ADVICE r7)
+        idents.update(re.findall(r"(\w+)\s*=(?!=)", src))
         # attribute calls (F.hll_sketch_agg, ...) — builtin-function
         # citations in the map resolve through their call sites
         idents.update(re.findall(r"\.(\w+)\(", src))

@@ -11,7 +11,16 @@ scales. The recorded claim: the cap turns the blow-up into linear-ish
 scaling while keeping every non-boilerplate pair (windows dropped by the
 cap occur in >64 docs — boilerplate by construction).
 
+``--mults 1,10,30,100`` (VERDICT r7 task 6) times the capped JVM and
+rolling-hash kernels at each listed corpus multiple instead of the
+default 1×/10× pair, printing the per-decade exponent
+``log(tN/t1)/log(N)`` so the posting-pipeline's scaling curve (not just
+one ratio) lands in BASELINE.md. Uncapped mode only ever runs at 1×/10×
+(its pair output is quadratic in banner doc-frequency by construction —
+that blow-up is the documented reason the cap exists).
+
 Usage: python tools/stress_boilerplate.py [sf_dir] [--skip-uncapped-10x]
+           [--mults 1,10,30,100]
 """
 
 from __future__ import annotations
@@ -39,8 +48,14 @@ def timed(label: str, action):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
     skip_uncapped_10x = "--skip-uncapped-10x" in sys.argv
+    mults = [1, 10]
+    for i, a in enumerate(sys.argv):
+        if a == "--mults" and i + 1 < len(sys.argv):
+            mults = sorted({int(x) for x in sys.argv[i + 1].split(",")})
+    assert mults[0] == 1, "--mults must include 1 (the exponent base)"
 
     from aws_cli_data_pipeline_tools_spark.operators import dedup
     from aws_cli_data_pipeline_tools_spark.session import get_spark
@@ -57,18 +72,26 @@ def main() -> int:
         ).otherwise(F.col("text")).alias("text"),
     )
     n1 = tagged.count()
+    print(f"1x = {n1} docs, banner on 10%", flush=True)
 
-    shift = 1_000_000
-    ten = tagged
-    for i in range(1, 10):
-        ten = ten.unionAll(
-            tagged.select(
-                (F.col("doc_id") + i * shift).alias("doc_id"), "text"
+    # N× corpus by shifted-id replication: banner DENSITY constant, so
+    # banner doc-frequency (the quadratic driver) grows with N
+    shift = 10_000_000
+
+    def scaled(mult):
+        if mult == 1:
+            return tagged
+        out = tagged
+        for i in range(1, mult):
+            out = out.unionAll(
+                tagged.select(
+                    (F.col("doc_id") + i * shift).alias("doc_id"), "text"
+                )
             )
-        )
-    ten = ten.persist()
-    n10 = ten.count()
-    print(f"1x = {n1} docs, 10x = {n10} docs, banner on 10%")
+        # a mult-way union plans mult separate scans of the same file —
+        # repartition once so the timed kernels see a balanced corpus,
+        # persist so replication cost stays out of the timings
+        return out.repartition(32).persist()
 
     def run(df, cap, **kw):
         return lambda: dedup.shared_span_pairs(
@@ -79,19 +102,31 @@ def main() -> int:
     dedup.shared_span_pairs(tagged.limit(500), span=32).count()
     dedup.shared_span_pairs(tagged.limit(500), span=32, rolling=True).count()
 
-    t1_cap = timed("capped(64)   1x", run(tagged, 64))
-    t1_roll = timed("rolling(64)  1x", run(tagged, 64, rolling=True))
-    t1_unc = timed("uncapped     1x", run(tagged, 0))
-    t10_cap = timed("capped(64)  10x", run(ten, 64))
-    t10_roll = timed("rolling(64) 10x", run(ten, 64, rolling=True))
-    print(f"  capped exponent: {math.log10(t10_cap / t1_cap):.2f} "
-          "(1.0 = linear)")
-    print(f"  rolling exponent: {math.log10(t10_roll / t1_roll):.2f}; "
-          f"rolling speedup vs JVM-capped: {t1_cap / t1_roll:.2f}x at 1x, "
-          f"{t10_cap / t10_roll:.2f}x at 10x")
-    if not skip_uncapped_10x:
-        t10_unc = timed("uncapped    10x", run(ten, 0))
-        print(f"  uncapped exponent: {math.log10(t10_unc / t1_unc):.2f}")
+    t_cap: dict[int, float] = {}
+    t_roll: dict[int, float] = {}
+    t_unc: dict[int, float] = {}
+    for mult in mults:
+        df = scaled(mult)
+        if mult > 1:
+            print(f"{mult}x = {df.count()} docs", flush=True)
+        t_cap[mult] = timed(f"capped(64)  {mult}x", run(df, 64))
+        t_roll[mult] = timed(f"rolling(64) {mult}x", run(df, 64, rolling=True))
+        if mult == 1 or (mult == 10 and not skip_uncapped_10x):
+            t_unc[mult] = timed(f"uncapped    {mult}x", run(df, 0))
+        if mult > 1:
+            ex_c = math.log(t_cap[mult] / t_cap[1]) / math.log(mult)
+            ex_r = math.log(t_roll[mult] / t_roll[1]) / math.log(mult)
+            print(
+                f"  @{mult}x: capped exponent {ex_c:.2f}, rolling "
+                f"exponent {ex_r:.2f} (1.0 = linear); rolling speedup "
+                f"vs JVM-capped {t_cap[mult] / t_roll[mult]:.2f}x",
+                flush=True,
+            )
+        if df is not tagged:
+            df.unpersist()
+    if 10 in t_unc:
+        print(f"  uncapped exponent: "
+              f"{math.log10(t_unc[10] / t_unc[1]):.2f}")
     return 0
 
 
