@@ -175,11 +175,33 @@ def _recorded_bands(sf: float | None) -> dict[str, float]:
     return bands
 
 
+def _cpu_probe() -> float:
+    """Deterministic single-process machine-speed probe (seconds,
+    min-of-3): 512² float64 matmul ×8 — a fixed workload whose timing
+    ratio across rounds separates host-speed drift from real query
+    regressions. Round 8 found best-of-day timings uniformly ~1.2× above
+    the min-of-6-rounds bands on an idle box (load_avg_t0 0.33) across
+    every path including untouched pure-JVM queries — adjudicated as a
+    slower host, which this probe would have shown in one field."""
+    import numpy as np
+
+    a = np.arange(512 * 512, dtype=np.float64).reshape(512, 512) / 1e6
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            a = a @ a
+            a /= np.abs(a).max() + 1.0  # keep values bounded
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     # machine-idle proof: load BEFORE this process spawns the JVM and
     # runs warmups (load_avg_start below is taken after warmup, so it
     # includes the bench's own startup work)
     load_t0 = round(os.getloadavg()[0], 2)
+    cpu_probe = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -276,6 +298,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "load_avg_t0": load_t0,
+        "cpu_probe_sec": cpu_probe,
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
         "n_retries": len(retries),

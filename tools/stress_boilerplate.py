@@ -19,8 +19,27 @@ one ratio) lands in BASELINE.md. Uncapped mode only ever runs at 1×/10×
 (its pair output is quadratic in banner doc-frequency by construction —
 that blow-up is the documented reason the cap exists).
 
+``--cipher`` switches replication to per-replica character-substitution
+(replica i permutes the lowercase alphabet + digits by a seeded random
+permutation via ``F.translate``; alphabet rotations were rejected —
+rotation cycles alias batch i%26 back onto digit-free windows of batch
+0): a bijection on the character stream preserves the 1× fixture's
+within-replica pair structure
+EXACTLY (same windows match, same count per replica) while windows are
+disjoint ACROSS replicas — so pair output grows exactly N× (linear)
+while the corpus grows N×. This is the fixture for posting-PIPELINE
+exponents at N ≥ max_postings: plain shifted-id replication at N× gives
+every window doc-frequency N, and once N exceeds the cap the operator
+(correctly) drops every window as boilerplate — pair output collapses
+to 0 and the timing no longer exercises the join (measured r8: 100×
+shifted-id → 0 pairs by cap semantics). Word-interleaving a replica
+token (the round-3 shingle protocol) was tried first and REJECTED for
+this operator: identical tokens padded between words manufacture new
+cross-doc shared char-windows (24× within-batch pair inflation at 10×),
+because 32 consecutive chars now span ~3 content words instead of ~6.
+
 Usage: python tools/stress_boilerplate.py [sf_dir] [--skip-uncapped-10x]
-           [--mults 1,10,30,100]
+           [--mults 1,10,30,100] [--cipher]
 """
 
 from __future__ import annotations
@@ -51,6 +70,7 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     skip_uncapped_10x = "--skip-uncapped-10x" in sys.argv
+    cipher = "--cipher" in sys.argv or "--low-dup" in sys.argv
     mults = [1, 10]
     for i, a in enumerate(sys.argv):
         if a == "--mults" and i + 1 < len(sys.argv):
@@ -81,11 +101,25 @@ def main() -> int:
     def scaled(mult):
         if mult == 1:
             return tagged
+        import random
+
+        alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
         out = tagged
         for i in range(1, mult):
+            if cipher:
+                # seeded per-replica permutation: two distinct random
+                # perms agree on all ~15 letters of a 32-char window
+                # with probability ~(1/36)^15 ≈ 0 — no cross-batch
+                # window collisions, unlike alphabet rotations
+                to = list(alpha)
+                random.Random(7_000 + i).shuffle(to)
+                text = F.translate(F.col("text"), alpha, "".join(to))
+            else:
+                text = F.col("text")
             out = out.unionAll(
                 tagged.select(
-                    (F.col("doc_id") + i * shift).alias("doc_id"), "text"
+                    (F.col("doc_id") + i * shift).alias("doc_id"),
+                    text.alias("text"),
                 )
             )
         # a mult-way union plans mult separate scans of the same file —
