@@ -994,9 +994,13 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
+    # keyed by sf_dir AND pid: same-sf concurrent processes would
+    # otherwise rebuild the index under a reader (same race class as
+    # avro_roundtrip_orders, r8)
     path = os.path.join(
         tempfile.gettempdir(),
-        f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}",
+        f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
+        f"-{os.getpid()}",
     )
     build_minhash_index(corpus, path, portable=True)
     return minhash_index_probe(spark, path, batch, portable=True)
@@ -2675,8 +2679,12 @@ def avro_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
+    # pid-unique scratch: a fixed path races when two PROCESSES run this
+    # entry concurrently (pytest + a check_oracle sweep — one rmtree/
+    # rewrites while the other reads → transient PATH_NOT_FOUND, seen r8)
     path = os.path.join(
-        tempfile.gettempdir(), "sparkgraft_avro_roundtrip_orders"
+        tempfile.gettempdir(),
+        f"sparkgraft_avro_roundtrip_orders-{os.getpid()}",
     )
     shutil.rmtree(path, ignore_errors=True)  # rerun-safe overwrite
     write_avro(orders, path)

@@ -109,7 +109,10 @@ def _bench_only_runners() -> dict:
     from aws_cli_data_pipeline_tools_spark.operators import similarity
     from aws_cli_data_pipeline_tools_spark.sources import load_table
 
-    idx = os.path.join(tempfile.gettempdir(), "sparkgraft-bench-ivf")
+    # pid-unique: two concurrent bench processes must not share an index
+    idx = os.path.join(
+        tempfile.gettempdir(), f"sparkgraft-bench-ivf-{os.getpid()}"
+    )
 
     def build(spark, sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
