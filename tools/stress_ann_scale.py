@@ -1,0 +1,151 @@
+"""Multi-scale (1/10/30/100x) corpus stress for the ANN family.
+
+Completes the r8 scale-curve set (shared-substring, MinHash-LSH,
+decontamination) for the third flagship family. Fixture: exact
+replication with a vec_id shift — every replica carries the SAME
+vectors, so the IVF centroid geometry, per-list occupancy shares, and
+per-query candidate fractions are EXACTLY the 1x fixture's at every
+scale; corpus-side cost is the only thing that grows. (Same
+constant-structure principle as the cipher text fixture: the knob moves
+data volume, not problem shape.)
+
+Measured shapes, fixed 5 queries drawn from the 1x slice:
+- ``cosine_topk``  — brute-force baseline: scored rows exactly N·corpus.
+- ``ivf_topk`` 16 lists / 8 probes — the catalog+bench operating point.
+- ``ivf_topk`` 16 lists / 1 probe  — the probed-fraction floor (reads
+  ~1/16 of the corpus per query on clustered data).
+Expectation: all ~linear in corpus (every stage is a scan/narrow map/
+equi-join on list_id); IVF's win over brute is the constant factor set
+by the probed fraction, which is what partition pruning turns into a
+proportional scan-cost saving at warehouse scale (see
+``build_ivf_index``'s partitionBy posture).
+
+Usage: python tools/stress_ann_scale.py [sf_dir] [--mults 1,10,30,100]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def timed(label: str, action):
+    t0 = time.perf_counter()
+    n = action()
+    secs = time.perf_counter() - t0
+    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
+    return secs
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    mults = [1, 10, 30, 100]
+    for i, a in enumerate(sys.argv):
+        if a == "--mults" and i + 1 < len(sys.argv):
+            mults = sorted({int(x) for x in sys.argv[i + 1].split(",")})
+    assert mults[0] == 1, "--mults must include 1 (the exponent base)"
+
+    from aws_cli_data_pipeline_tools_spark.operators import similarity
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-ann-scale")
+    base = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    queries = (
+        base.filter(F.col("vec_id") % 400 == 0)
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .persist()
+    )
+    queries.count()
+    shift = 10_000_000
+
+    def scaled(mult):
+        if mult == 1:
+            return base
+        # one narrow explode, not a mult-way union: the replication is a
+        # single generator stage regardless of mult, so plan size stays
+        # constant and the fixture itself can't become the bottleneck
+        out = base.select(
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("_rep"),
+        ).select(
+            (
+                F.col("vec_id").cast("long")
+                + F.col("_rep").cast("long") * F.lit(shift).cast("long")
+            ).alias("vec_id"),
+            "embedding",
+        )
+        return out.repartition(32).persist()
+
+    # warmup: JVM + Arrow worker pool on both kernels
+    similarity.cosine_topk(base.limit(200), queries, k=10).count()
+    similarity.ivf_topk(
+        base.limit(400), queries, k=10, n_centroids=4, n_probe=2
+    ).count()
+
+    modes = {
+        "brute_cosine ": lambda c: similarity.cosine_topk(c, queries, k=10),
+        "ivf 16L/8probe": lambda c: similarity.ivf_topk(
+            c, queries, k=10, n_centroids=16, n_probe=8
+        ),
+        "ivf 16L/1probe": lambda c: similarity.ivf_topk(
+            c, queries, k=10, n_centroids=16, n_probe=1
+        ),
+    }
+    t: dict[str, dict[int, float]] = {m: {} for m in modes}
+    for mult in mults:
+        corpus = scaled(mult)
+        n = corpus.count()
+        print(f"{mult}x = {n} vectors", flush=True)
+        for name, fn in modes.items():
+            t[name][mult] = timed(
+                f"{name} {mult}x", lambda f=fn, c=corpus: f(c).count()
+            )
+        if mult > 1:
+            for name in modes:
+                ex = math.log(t[name][mult] / t[name][1]) / math.log(mult)
+                print(
+                    f"  @{mult}x {name}: exponent {ex:.2f} (1.0 = linear)",
+                    flush=True,
+                )
+        if mult == mults[-1]:
+            # the persisted-index route at the top scale: build once
+            # (partitionBy(list_id) corpus write), then the steady-state
+            # probe — the partition-pruned scan that is IVF's actual win
+            # over brute force once the corpus outgrows a single pass
+            import shutil
+            import tempfile
+
+            idx = tempfile.mkdtemp(prefix="stress_ivf_idx_")
+            try:
+                t0 = time.perf_counter()
+                similarity.build_ivf_index(corpus, idx, n_centroids=16)
+                print(
+                    f"  ivf index build {mult}x: "
+                    f"{time.perf_counter() - t0:.2f}s (one-time)",
+                    flush=True,
+                )
+                for tag, probe in (("8probe", 8), ("1probe", 1)):
+                    timed(
+                        f"ivf index {tag} {mult}x",
+                        lambda p=probe: similarity.ivf_index_topk(
+                            spark, idx, queries, k=10, n_probe=p
+                        ).count(),
+                    )
+            finally:
+                shutil.rmtree(idx, ignore_errors=True)
+        if corpus is not base:
+            corpus.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
