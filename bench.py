@@ -290,7 +290,35 @@ def main() -> None:
     except OSError:
         pass  # the sidecar is a convenience copy; stdout already has it
 
-    out = {
+    print(
+        json.dumps(
+            _headline_record(
+                timings,
+                first_pass_total,
+                sf,
+                load_t0,
+                cpu_probe,
+                load_start,
+                len(retries),
+            )
+        )
+    )
+    sys.stdout.flush()
+
+
+def _headline_record(
+    timings, first_pass_total, sf, load_t0, cpu_probe, load_start, n_retries
+):
+    """The FINAL printed line, and nothing else, is what the driver's
+    last-N-bytes stdout capture parses — so its size must be bounded by
+    the headline query count alone. Every per-query field here is a
+    scalar; the unbounded adjudication trail (per-query first/retry/band
+    triples) is printed on its own earlier line and written to
+    BENCH_RETRIES.json (VERDICT r7 finding 1 — the r7 inline trail
+    truncated the headline out of the capture window).
+    test_engine_surface.py::test_bench_headline_line_bounded locks this
+    contract against the full headline at worst-case float widths."""
+    return {
         "metric": "headline_total",
         "value": round(sum(timings.values()), 3),
         # uncorrected single-pass total, so round-over-round deltas can
@@ -304,10 +332,8 @@ def main() -> None:
         "cpu_probe_sec": cpu_probe,
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
-        "n_retries": len(retries),
+        "n_retries": n_retries,
     }
-    print(json.dumps(out))
-    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -201,3 +201,42 @@ def test_bench_recorded_bands_and_retry_rule():
 
     missing = [q for q in bench.HEADLINE if q not in all_specs()]
     assert not missing, missing
+
+
+def test_bench_headline_line_bounded():
+    """The driver's stdout capture is a bounded TAIL; r7's official bench
+    record was lost because an unbounded per-query trail shared the final
+    line with the headline. Lock the contract: the final-line record at
+    the FULL current headline (catalog + bench-only rows) with worst-case
+    float widths stays far under any plausible capture window, contains
+    only scalar per-query fields, and carries no trail keys."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    names = list(bench.HEADLINE) + list(bench.BENCH_ONLY)
+    timings = {n: 99999.999 for n in names}  # worst-case float width
+    out = bench._headline_record(
+        timings,
+        first_pass_total=999999.999,
+        sf=0.1,
+        load_t0=99.99,
+        cpu_probe=99.9999,
+        load_start=99.99,
+        n_retries=len(names),
+    )
+    line = json.dumps(out)
+    assert len(line) < 4096, f"headline line {len(line)}B — capture risk"
+    assert "retries" not in out and "retry_rule" not in out
+    # every value is a scalar or a flat name->scalar map: nothing in the
+    # record can grow with anything but the headline count itself
+    for k, v in out.items():
+        if k == "queries":
+            assert all(isinstance(x, (int, float)) for x in v.values())
+        else:
+            assert isinstance(v, (int, float, str)), (k, type(v))
+    assert json.loads(line) == out
