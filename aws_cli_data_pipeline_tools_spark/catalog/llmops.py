@@ -987,20 +987,19 @@ SELECT * FROM scored WHERE jaccard >= 0.5 ORDER BY corpus_id, batch_id
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from ..operators.dedup import build_minhash_index, minhash_index_probe
+    from ..sources import scratch_dir
 
     docs = load_table(spark, "documents", sf_dir)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    # keyed by sf_dir AND pid: same-sf concurrent processes would
-    # otherwise rebuild the index under a reader (same race class as
-    # avro_roundtrip_orders, r8)
-    path = os.path.join(
-        tempfile.gettempdir(),
+    # keyed by sf_dir AND pid (scratch_dir): same-sf concurrent processes
+    # would otherwise rebuild the index under a reader (same race class
+    # as avro_roundtrip_orders, r8); scratch_dir also atexit-cleans and
+    # reaps dead-pid leftovers so the uniqueness isn't a /tmp leak
+    path = scratch_dir(
         f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
-        f"-{os.getpid()}",
     )
     build_minhash_index(corpus, path, portable=True)
     return minhash_index_probe(spark, path, batch, portable=True)
@@ -2670,10 +2669,9 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     "available.",
 )
 def avro_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
-    import tempfile
 
+    from ..sources import scratch_dir
     from ..sources.avro_fallback import read_avro, write_avro
 
     orders = load_table(spark, "orders", sf_dir).select(
@@ -2681,11 +2679,9 @@ def avro_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pid-unique scratch: a fixed path races when two PROCESSES run this
     # entry concurrently (pytest + a check_oracle sweep — one rmtree/
-    # rewrites while the other reads → transient PATH_NOT_FOUND, seen r8)
-    path = os.path.join(
-        tempfile.gettempdir(),
-        f"sparkgraft_avro_roundtrip_orders-{os.getpid()}",
-    )
+    # rewrites while the other reads → transient PATH_NOT_FOUND, seen r8);
+    # scratch_dir atexit-cleans and reaps dead-pid leftovers
+    path = scratch_dir("sparkgraft-avro-roundtrip-orders")
     shutil.rmtree(path, ignore_errors=True)  # rerun-safe overwrite
     write_avro(orders, path)
     back = read_avro(spark, path)

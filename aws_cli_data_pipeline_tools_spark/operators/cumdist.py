@@ -214,14 +214,30 @@ def binned_cumsum(
     # same pattern as the order-column guard below. Guarding AFTER the
     # decimal cast also catches values the cast cannot represent.
     def _guarded(out_name: str, expr: str | Column) -> Column:
-        vc = (F.col(expr) if isinstance(expr, str) else expr).cast(DEC)
+        raw = F.col(expr) if isinstance(expr, str) else expr
+        vc = raw.cast(DEC)
+        # two distinct failures share the NULL-after-cast symptom and
+        # need OPPOSITE advice: a genuinely-NULL input should be
+        # coalesced to 0, but a non-NULL value the decimal(38,10) cast
+        # can't represent (NaN/inf/|x|>=1e28) must NOT be zeroed — that
+        # would silently corrupt the running sum. Name each case.
         return F.when(
-            vc.isNull(),
+            vc.isNull() & raw.isNull(),
             F.raise_error(
                 F.lit(
                     f"binned_cumsum: NULL value for output {out_name!r} — "
                     "coalesce the value expression to 0 first (a NULL "
                     "would poison its bucket's running sum)"
+                )
+            ).cast(DEC),
+        ).when(
+            vc.isNull(),
+            F.raise_error(
+                F.lit(
+                    f"binned_cumsum: value for output {out_name!r} is not "
+                    "representable as decimal(38,10) (NaN/inf/overflow) — "
+                    "fix or filter the offending rows; do NOT coalesce "
+                    "them to 0"
                 )
             ).cast(DEC),
         ).otherwise(vc)

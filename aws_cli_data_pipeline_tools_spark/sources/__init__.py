@@ -35,6 +35,43 @@ DIM_TABLES = {"region", "nation", "customer", "supplier", "part"}
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def scratch_dir(prefix: str) -> str:
+    """A per-process scratch path under the system temp dir for catalog
+    entries that must write-then-read (avro round-trip, persisted
+    indexes). Three properties, each load-bearing:
+
+    - **pid-unique** — concurrent processes (pytest + a check_oracle
+      sweep + the driver) never rmtree/rewrite a path another process is
+      reading (the transient PATH_NOT_FOUND race seen r8);
+    - **self-cleaning** — an ``atexit`` rmtree per path, so repeated
+      runs don't turn pid-uniqueness into an unbounded /tmp leak (one
+      corpus-sized copy per process, forever);
+    - **stale-reaping** — same-prefix dirs whose ``-{pid}`` suffix names
+      a dead process (a crashed/killed run that never reached atexit)
+      are removed on the next call, bounding total footprint to the set
+      of LIVE processes.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    for entry in os.listdir(tmp):
+        if not entry.startswith(prefix + "-"):
+            continue
+        pid_s = entry.rsplit("-", 1)[-1]
+        if pid_s.isdigit() and int(pid_s) != os.getpid():
+            try:
+                os.kill(int(pid_s), 0)  # 0 = existence probe, no signal
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(tmp, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # alive but other-owned: leave it
+    path = os.path.join(tmp, f"{prefix}-{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table. Columnar parquet scan — Catalyst pushes
     filters/projection into the scan (check .explain for PushedFilters).

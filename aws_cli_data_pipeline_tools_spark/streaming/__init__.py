@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
+from ..sources import scratch_dir as _pid_scratch_dir
 
 
 def events_file_stream(
@@ -34,7 +35,17 @@ def events_file_stream(
     directory it can list) and returns a streaming DataFrame with the same
     schema/µs-timestamp discipline as the batch loader.
     """
-    scratch = scratch_dir or tempfile.mkdtemp(prefix="sparkgraft-stream-")
+    if scratch_dir is None:
+        # mkdtemp INSIDE a pid-keyed parent: each stream still gets its
+        # own source/checkpoint dir, but the parent is atexit-cleaned and
+        # dead-pid-reaped by sources.scratch_dir — the bare mkdtemp this
+        # replaces had leaked ~900 random-suffix dirs across rounds (r8
+        # review), unreclaimable because nothing mapped them to a process
+        parent = _pid_scratch_dir("sparkgraft-stream")
+        os.makedirs(parent, exist_ok=True)
+        scratch = tempfile.mkdtemp(dir=parent)
+    else:
+        scratch = scratch_dir
     src = os.path.join(sf_dir, "events.parquet")
     dst_dir = os.path.join(scratch, "events")
     os.makedirs(dst_dir, exist_ok=True)

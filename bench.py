@@ -102,17 +102,15 @@ def _bench_only_runners() -> dict:
     n_probe/n_centroids of the corpus at the SAME operating point as
     ann_ivf_topk (16 centroids, 8 probes, k=10, 5 queries)."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from aws_cli_data_pipeline_tools_spark.operators import similarity
-    from aws_cli_data_pipeline_tools_spark.sources import load_table
+    from aws_cli_data_pipeline_tools_spark.sources import load_table, scratch_dir
 
-    # pid-unique: two concurrent bench processes must not share an index
-    idx = os.path.join(
-        tempfile.gettempdir(), f"sparkgraft-bench-ivf-{os.getpid()}"
-    )
+    # pid-unique: two concurrent bench processes must not share an index;
+    # scratch_dir atexit-cleans and reaps dead-pid leftovers (no /tmp leak)
+    idx = scratch_dir("sparkgraft-bench-ivf")
 
     def build(spark, sf_dir):
         shutil.rmtree(idx, ignore_errors=True)
@@ -285,8 +283,15 @@ def main() -> None:
     print(json.dumps(trail))
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_RETRIES.json"), "w") as f:
+        dst = os.path.join(here, "BENCH_RETRIES.json")
+        # write-then-rename: concurrent bench processes (the reason the
+        # IVF index path is pid-unique) must never interleave into a
+        # truncated/corrupt sidecar — os.replace is atomic, so the file
+        # is always SOME complete run's trail (last writer wins)
+        tmp = f"{dst}.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(trail, f, indent=2)
+        os.replace(tmp, dst)
     except OSError:
         pass  # the sidecar is a convenience copy; stdout already has it
 

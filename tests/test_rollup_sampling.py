@@ -331,6 +331,34 @@ def test_binned_cumsum_null_value_raises(spark):
     assert by_key == {1: (1, 1.0), 2: (2, 1.0)}
 
 
+def test_binned_cumsum_unrepresentable_value_raises_distinctly(spark):
+    """r8 review: a non-NULL value the decimal(38,10) cast can't
+    represent (inf/NaN/overflow) shares the NULL-after-cast symptom but
+    needs the OPPOSITE advice — the error must NOT tell the user to
+    coalesce to 0 (that would silently zero real data)."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    # inf/NaN cast to NULL even under ANSI and hit the guard; finite
+    # overflow (1e30) raises Spark's own ANSI NUMERIC_VALUE_OUT_OF_RANGE
+    # at the cast itself — either way the failure is loud and neither
+    # message advises coalescing real data to 0
+    for bad in (float("inf"), float("nan"), 1e30):
+        df = spark.createDataFrame(
+            [(1, 1.0, 1.0), (2, 2.0, bad)], ["key", "x", "val"]
+        )
+        with pytest.raises(
+            Exception, match="not representable|cannot be represented"
+        ) as ei:
+            binned_cumsum(
+                df, order_col="x", value_col="val", tiebreak_cols=("key",)
+            ).collect()
+        assert "coalesce the value expression" not in str(ei.value)
+
+
 def test_binned_cumsum_internal_lcum_collision_raises(spark):
     """ADVICE r7: the internal _lcum{i} running-sum columns are reserved
     too — an input column named _lcum0 must raise, not be silently
@@ -375,8 +403,17 @@ def test_binned_cumsum_auto_probe_unpersists_on_error(spark):
     before = _cached_ids()
     with pytest.raises(Exception, match="boom"):
         binned_cumsum(df, order_col="x", value_col="v", bucket_mode="auto")
-    # nothing NEW may remain cached (other suite tests may legitimately
-    # hold persists in the shared session)
+    # The probe fails on its FIRST row, so no partition ever materializes
+    # and getRDDStorageInfo alone can't see the leak (numCachedPartitions
+    # stays 0 either way — the r8 review caught this test as vacuous).
+    # The persist MARKER registers in the cacheManager at .persist() time
+    # regardless of materialization, and storageLevel consults it by
+    # plan: auto-mode persists the input df itself, so a leaked persist
+    # shows here as a non-NONE level on our df.
+    lvl = df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), f"leaked persist marker: {lvl}"
+    # and nothing NEW may remain materialized (other suite tests may
+    # legitimately hold persists in the shared session)
     leaked = _cached_ids() - before
     assert not leaked, leaked
 
