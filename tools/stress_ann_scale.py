@@ -30,26 +30,17 @@ import sys
 import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-
-def timed(label: str, action):
-    t0 = time.perf_counter()
-    n = action()
-    secs = time.perf_counter() - t0
-    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
-    return secs
+from _stress_common import materialize, parse_mults, timed  # noqa: E402
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    mults = [1, 10, 30, 100]
-    for i, a in enumerate(sys.argv):
-        if a == "--mults" and i + 1 < len(sys.argv):
-            mults = sorted({int(x) for x in sys.argv[i + 1].split(",")})
-    assert mults[0] == 1, "--mults must include 1 (the exponent base)"
+    mults = parse_mults(sys.argv, [1, 10, 30, 100])
 
     from aws_cli_data_pipeline_tools_spark.operators import similarity
     from aws_cli_data_pipeline_tools_spark.session import get_spark
@@ -67,11 +58,14 @@ def main() -> int:
     shift = 10_000_000
 
     def scaled(mult):
-        if mult == 1:
-            return base
         # one narrow explode, not a mult-way union: the replication is a
         # single generator stage regardless of mult, so plan size stays
         # constant and the fixture itself can't become the bottleneck
+        # (vector fixture — vec_id shift only, no cipher: replicas must
+        # carry IDENTICAL vectors so IVF geometry is constant; the text
+        # tools' shared cipher fixture lives in _stress_common.py).
+        # materialize() gives 1× the same repartition+persist treatment
+        # as every other point (r8 review: baseline parity).
         out = base.select(
             "vec_id",
             "embedding",
@@ -83,7 +77,7 @@ def main() -> int:
             ).alias("vec_id"),
             "embedding",
         )
-        return out.repartition(32).persist()
+        return materialize(out)
 
     # warmup: JVM + Arrow worker pool on both kernels
     similarity.cosine_topk(base.limit(200), queries, k=10).count()
@@ -107,7 +101,8 @@ def main() -> int:
         print(f"{mult}x = {n} vectors", flush=True)
         for name, fn in modes.items():
             t[name][mult] = timed(
-                f"{name} {mult}x", lambda f=fn, c=corpus: f(c).count()
+                f"{name} {mult}x", lambda f=fn, c=corpus: f(c).count(),
+                repeat=2,
             )
         if mult > 1:
             for name in modes:
@@ -139,11 +134,11 @@ def main() -> int:
                         lambda p=probe: similarity.ivf_index_topk(
                             spark, idx, queries, k=10, n_probe=p
                         ).count(),
+                        repeat=2,
                     )
             finally:
                 shutil.rmtree(idx, ignore_errors=True)
-        if corpus is not base:
-            corpus.unpersist()
+        corpus.unpersist()
     return 0
 
 

@@ -46,11 +46,19 @@ from __future__ import annotations
 
 import math
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 from pyspark.sql import functions as F  # noqa: E402
+
+from _stress_common import (  # noqa: E402
+    cipher_replicated,
+    exponent,
+    materialize,
+    parse_mults,
+    timed,
+)
 
 BANNER = (
     "This document is provided under the corpus terms of use v2. "
@@ -58,24 +66,12 @@ BANNER = (
 )  # > 32 chars → ~60 shared windows per tagged doc
 
 
-def timed(label: str, action):
-    t0 = time.perf_counter()
-    n = action()
-    secs = time.perf_counter() - t0
-    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
-    return secs
-
-
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     skip_uncapped_10x = "--skip-uncapped-10x" in sys.argv
     cipher = "--cipher" in sys.argv or "--low-dup" in sys.argv
-    mults = [1, 10]
-    for i, a in enumerate(sys.argv):
-        if a == "--mults" and i + 1 < len(sys.argv):
-            mults = sorted({int(x) for x in sys.argv[i + 1].split(",")})
-    assert mults[0] == 1, "--mults must include 1 (the exponent base)"
+    mults = parse_mults(sys.argv, [1, 10])
 
     from aws_cli_data_pipeline_tools_spark.operators import dedup
     from aws_cli_data_pipeline_tools_spark.session import get_spark
@@ -94,38 +90,16 @@ def main() -> int:
     n1 = tagged.count()
     print(f"1x = {n1} docs, banner on 10%", flush=True)
 
-    # N× corpus by shifted-id replication: banner DENSITY constant, so
-    # banner doc-frequency (the quadratic driver) grows with N
-    shift = 10_000_000
-
+    # N× corpus via the shared fixture (tools/_stress_common.py): with
+    # --cipher, replica i is a seeded character-permutation bijection
+    # (no cross-batch window collisions); otherwise plain shifted-id
+    # replication, where banner DENSITY stays constant so banner
+    # doc-frequency (the quadratic driver) grows with N. materialize()
+    # gives EVERY point — 1× included — the same repartition + persist +
+    # count treatment, so the replication/scan cost stays out of the
+    # timings at every scale equally (r8 review: baseline parity).
     def scaled(mult):
-        if mult == 1:
-            return tagged
-        import random
-
-        alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
-        out = tagged
-        for i in range(1, mult):
-            if cipher:
-                # seeded per-replica permutation: two distinct random
-                # perms agree on all ~15 letters of a 32-char window
-                # with probability ~(1/36)^15 ≈ 0 — no cross-batch
-                # window collisions, unlike alphabet rotations
-                to = list(alpha)
-                random.Random(7_000 + i).shuffle(to)
-                text = F.translate(F.col("text"), alpha, "".join(to))
-            else:
-                text = F.col("text")
-            out = out.unionAll(
-                tagged.select(
-                    (F.col("doc_id") + i * shift).alias("doc_id"),
-                    text.alias("text"),
-                )
-            )
-        # a mult-way union plans mult separate scans of the same file —
-        # repartition once so the timed kernels see a balanced corpus,
-        # persist so replication cost stays out of the timings
-        return out.repartition(32).persist()
+        return materialize(cipher_replicated(tagged, mult, cipher=cipher))
 
     def run(df, cap, **kw):
         return lambda: dedup.shared_span_pairs(
@@ -143,21 +117,21 @@ def main() -> int:
         df = scaled(mult)
         if mult > 1:
             print(f"{mult}x = {df.count()} docs", flush=True)
-        t_cap[mult] = timed(f"capped(64)  {mult}x", run(df, 64))
-        t_roll[mult] = timed(f"rolling(64) {mult}x", run(df, 64, rolling=True))
+        t_cap[mult] = timed(f"capped(64)  {mult}x", run(df, 64), repeat=2)
+        t_roll[mult] = timed(
+            f"rolling(64) {mult}x", run(df, 64, rolling=True), repeat=2
+        )
         if mult == 1 or (mult == 10 and not skip_uncapped_10x):
             t_unc[mult] = timed(f"uncapped    {mult}x", run(df, 0))
         if mult > 1:
-            ex_c = math.log(t_cap[mult] / t_cap[1]) / math.log(mult)
-            ex_r = math.log(t_roll[mult] / t_roll[1]) / math.log(mult)
             print(
-                f"  @{mult}x: capped exponent {ex_c:.2f}, rolling "
-                f"exponent {ex_r:.2f} (1.0 = linear); rolling speedup "
-                f"vs JVM-capped {t_cap[mult] / t_roll[mult]:.2f}x",
+                f"  @{mult}x: capped exponent {exponent(t_cap, mult):.2f}, "
+                f"rolling exponent {exponent(t_roll, mult):.2f} "
+                f"(1.0 = linear); rolling speedup vs JVM-capped "
+                f"{t_cap[mult] / t_roll[mult]:.2f}x",
                 flush=True,
             )
-        if df is not tagged:
-            df.unpersist()
+        df.unpersist()
     if 10 in t_unc:
         print(f"  uncapped exponent: "
               f"{math.log10(t_unc[10] / t_unc[1]):.2f}")

@@ -2,11 +2,11 @@
 
 Extends the round-2/3 10× spot checks to the next decade for the two
 flagship scale paths, using the r8 cipher-replication fixture
-(tools/stress_boilerplate.py): replica i substitutes characters by a
-seeded permutation, a bijection that preserves within-replica shingle
-structure EXACTLY while shingle sets stay disjoint across replicas — so
-the true near-dup pair count grows exactly N× (linear) while the corpus
-grows N×, with no text-length change.
+(tools/_stress_common.py): replica i substitutes characters by a seeded
+permutation, a bijection that preserves within-replica shingle structure
+EXACTLY while shingle sets stay disjoint across replicas — so the true
+near-dup pair count grows exactly N× (linear) while the corpus grows N×,
+with no text-length change.
 
 Measured shapes:
 - ``minhash_lsh_pairs`` over the N× corpus (the dedup_minhash_lsh
@@ -20,37 +20,38 @@ Measured shapes:
   isolates corpus-side shingle+probe cost. Expectation: ~linear, with
   bloom's broadcast fixed-size regardless of scale.
 
+Baseline parity (r8 review): the 1× point goes through the same
+``materialize()`` (repartition 32 + persist + count) as every N× point,
+and ALL THREE kernels are warmed before the first timing — the original
+tool ran the 1× base raw and never warmed bloom_decontaminate, which
+biased the recorded exponents low (spurious negative 10× readings).
+
 Usage: python tools/stress_minhash_decon.py [sf_dir] [--mults 1,10,30]
 """
 
 from __future__ import annotations
 
-import math
-import random
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
 from pyspark.sql import functions as F  # noqa: E402
 
-
-def timed(label: str, action):
-    t0 = time.perf_counter()
-    n = action()
-    secs = time.perf_counter() - t0
-    print(f"  {label}: {secs:.2f}s  ({n} rows)", flush=True)
-    return secs
+from _stress_common import (  # noqa: E402
+    SHIFT,
+    cipher_replicated,
+    exponent,
+    materialize,
+    parse_mults,
+    timed,
+)
 
 
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
-    mults = [1, 10, 30]
-    for i, a in enumerate(sys.argv):
-        if a == "--mults" and i + 1 < len(sys.argv):
-            mults = sorted({int(x) for x in sys.argv[i + 1].split(",")})
-    assert mults[0] == 1, "--mults must include 1 (the exponent base)"
+    mults = parse_mults(sys.argv, [1, 10, 30])
 
     from aws_cli_data_pipeline_tools_spark.operators import curation, dedup
     from aws_cli_data_pipeline_tools_spark.session import get_spark
@@ -65,56 +66,38 @@ def main() -> int:
         .select("doc_id", "text")
     )
 
-    alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
-    shift = 10_000_000
-
-    def scaled(mult):
-        if mult == 1:
-            return docs
-        out = docs
-        for i in range(1, mult):
-            to = list(alpha)
-            random.Random(7_000 + i).shuffle(to)
-            out = out.unionAll(
-                docs.select(
-                    (F.col("doc_id") + i * shift).alias("doc_id"),
-                    F.translate(F.col("text"), alpha, "".join(to)).alias(
-                        "text"
-                    ),
-                )
-            )
-        return out.repartition(32).persist()
-
-    # warmup: JVM + Arrow worker pool on both kernels
+    # warmup: JVM + Arrow worker pool on ALL timed kernels (bloom too —
+    # its first call pays one-time broadcast-build codegen, r8 review)
     dedup.minhash_lsh_pairs(
         docs.limit(300), k=3, num_perm=64, bands=32, threshold=0.5,
         portable=True,
     ).count()
     curation.decontaminate(docs.limit(300), ev.limit(100), n=5).count()
+    curation.bloom_decontaminate(docs.limit(300), ev.limit(100), n=5).count()
 
     t_mh: dict[int, float] = {}
     t_dx: dict[int, float] = {}
     t_db: dict[int, float] = {}
     for mult in mults:
-        corpus = scaled(mult)
-        n = corpus.count()
-        print(f"{mult}x = {n} docs", flush=True)
+        corpus = materialize(cipher_replicated(docs, mult))
+        print(f"{mult}x = {corpus.count()} docs", flush=True)
         t_mh[mult] = timed(
             f"minhash_lsh      {mult}x",
             lambda c=corpus: dedup.minhash_lsh_pairs(
                 c, k=3, num_perm=64, bands=32, threshold=0.5, portable=True
             ).count(),
+            repeat=2,
         )
-        train = corpus.filter(
-            (F.col("doc_id") % shift) % 10 != 0
-        )
+        train = corpus.filter((F.col("doc_id") % SHIFT) % 10 != 0)
         t_dx[mult] = timed(
             f"decontaminate    {mult}x train vs 1x eval",
             lambda t=train: curation.decontaminate(t, ev, n=5).count(),
+            repeat=2,
         )
         t_db[mult] = timed(
             f"bloom_decontam   {mult}x train vs 1x eval",
             lambda t=train: curation.bloom_decontaminate(t, ev, n=5).count(),
+            repeat=2,
         )
         if mult > 1:
             for name, t in (
@@ -122,11 +105,12 @@ def main() -> int:
                 ("decontaminate", t_dx),
                 ("bloom_decontam", t_db),
             ):
-                ex = math.log(t[mult] / t[1]) / math.log(mult)
-                print(f"  @{mult}x {name}: exponent {ex:.2f} (1.0 = linear)",
-                      flush=True)
-        if corpus is not docs:
-            corpus.unpersist()
+                print(
+                    f"  @{mult}x {name}: exponent {exponent(t, mult):.2f}"
+                    " (1.0 = linear)",
+                    flush=True,
+                )
+        corpus.unpersist()
     return 0
 
 
