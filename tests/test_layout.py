@@ -118,3 +118,55 @@ def test_write_zordered_null_columns(spark, tmp_path):
     assert got.filter(F.col("b").isNull()).count() == df2.filter(
         F.col("b").isNull()
     ).count()
+
+
+def test_scratch_dir_is_pid_unique_and_reaps_dead_pids(tmp_path, monkeypatch):
+    """sources.scratch_dir (r8): pid-unique path, atexit cleanup
+    registered, and same-prefix dirs of DEAD processes reaped on the
+    next call — the three properties that make write-then-read scratch
+    both race-free across processes and leak-free across rounds."""
+    import os
+    import tempfile
+
+    from aws_cli_data_pipeline_tools_spark.sources import scratch_dir
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    # a leftover from a "crashed" process: pid 2^22+1 is above the
+    # default pid_max on Linux, so it cannot name a live process
+    dead = tmp_path / "myscratch-4194305"
+    dead.mkdir()
+    (dead / "payload").write_text("x")
+    # a live-process leftover must be left alone (use our own pid under
+    # a SIBLING name so the helper's own path logic isn't what keeps it)
+    live = tmp_path / f"myscratch-{os.getppid()}"
+    live.mkdir()
+
+    p = scratch_dir("myscratch")
+    assert p == str(tmp_path / f"myscratch-{os.getpid()}")
+    assert not dead.exists(), "dead-pid leftover not reaped"
+    assert live.exists(), "live-pid dir must not be touched"
+    # unrelated prefixes are never considered
+    other = tmp_path / "other-4194305"
+    other.mkdir()
+    scratch_dir("myscratch")
+    assert other.exists()
+
+
+def test_stress_cipher_fixture_is_stable():
+    """The scale curves recorded in BASELINE.md were measured with the
+    seed-7000+i permutation of the 36-char alphabet; the shared fixture
+    (tools/_stress_common.py) must keep producing exactly those
+    permutations or the 'same cipher fixture' cross-tool claim breaks
+    silently."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from _stress_common import ALPHA, SHIFT, cipher_perm
+
+    assert ALPHA == "abcdefghijklmnopqrstuvwxyz0123456789"
+    assert SHIFT == 10_000_000
+    # golden prefixes pinned from the committed r8 measurement runs
+    assert cipher_perm(1)[:12] == "n0mz3fs6rwo2"
+    assert cipher_perm(2)[:12] == "1jhdpu62x4fr"
+    assert sorted(cipher_perm(7)) == sorted(ALPHA)  # bijection
+    assert cipher_perm(2) != cipher_perm(3)
