@@ -200,10 +200,18 @@ def pack_sequences(
     parallelizes across shards instead of one global cumsum — the realistic
     layout, since shards are written independently at scale.
 
-    Token counts are whitespace word counts (the portable stand-in for BPE
-    counts; swap ``token_col`` in from a real tokenizer column when present).
+    Token counts: if ``token_col`` already exists on the input (a real
+    tokenizer's counts, e.g. BPE), it IS the packing currency — the
+    function previously recomputed whitespace counts regardless, silently
+    packing to the wrong budget for callers with real counts (r8 review).
+    Otherwise whitespace word counts are computed and emitted under that
+    name (the portable stand-in for BPE counts).
     """
-    tokens = F.size(F.split(F.col(text_col), r"\s+"))
+    tokens = (
+        F.col(token_col)
+        if token_col in df.columns
+        else F.size(F.split(F.col(text_col), r"\s+"))
+    )
     w = Window.partitionBy(part_col).orderBy(id_col)
     cum_excl = F.coalesce(
         F.sum(tokens).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)

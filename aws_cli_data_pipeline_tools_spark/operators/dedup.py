@@ -305,6 +305,16 @@ def minhash_band_entries(
     """Explode each signature into ``bands`` (band, bkey) rows — same band
     slice hash ⇒ same LSH bucket. bkey is an 8-byte xxhash64 of the slice,
     so the banding shuffle carries (long, long, id), not signature arrays."""
+    if num_perm % bands != 0:
+        # silently flooring rows_per_band would drop the trailing
+        # num_perm % bands signature positions — computed but never
+        # banded, so the effective (bands, rows) threshold curve differs
+        # from what the caller tuned for (r8 review)
+        raise ValueError(
+            f"bands ({bands}) must divide num_perm ({num_perm}): "
+            f"{num_perm % bands} signature positions would be silently "
+            "unused, changing the LSH threshold curve"
+        )
     rows_per_band = num_perm // bands
     return sides.select(
         "id",
@@ -596,9 +606,19 @@ def line_dedup(
     the join side, and at 100 TB the line key would be an 8-byte hash
     (kept as the raw string here so the DuckDB oracle can replay exactly).
     """
+    # F.split interprets its pattern as a Java regex while the
+    # array_join reassembly below uses ``sep`` literally — so a
+    # metacharacter separator ('|', '.', paragraph markers) would split
+    # between every character and reassemble garbage (r8 review).
+    # re.escape emits Java-regex-compatible escapes, making both ends
+    # agree on the LITERAL separator.
+    import re
+
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "line"
+        ),
     )
     first = lines.groupBy("line").agg(F.min(F.struct("id", "pos")).alias("k"))
     kept = lines.join(first, "line").filter(
@@ -856,10 +876,15 @@ def embedding_cosine_pairs(
 
     ``n_planes > 0``: random-hyperplane LSH — bucket by the sign-bit
     signature, pair only within buckets (near-identical vectors collide
-    with high probability), then exact cosine rerank. Hyperplanes are
-    seeded literals baked into the plan: deterministic, no driver state.
-    ``dim`` (vector length) avoids a driver-side probe of the first row;
-    callers that know the schema should pass it.
+    with high probability), then exact cosine rerank. Hyperplanes come
+    from :func:`similarity._hyperplane_tables` (the ONE seeded-Gaussian
+    definition, same generation order as the former inline copy) and the
+    signature is :func:`similarity._bucketize`'s single numpy matmul per
+    Arrow batch — the r8 review found this path re-implementing both as
+    per-plane interpreted JVM expressions, the exact CodegenFallback
+    shape _bucketize's docstring rejects. ``dim`` (vector length) avoids
+    a driver-side probe of the first row; callers that know the schema
+    should pass it.
     """
     if not n_planes:
         if broadcast:
@@ -867,33 +892,18 @@ def embedding_cosine_pairs(
         return _cosine_pairs_blocked(
             df, id_col, vec_col, threshold, n_blocks=n_blocks
         )
-    vecs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("nrm", vec_norm(F.col("v")))
-    if n_planes:
-        import random
+    from .similarity import _bucketize, _hyperplane_tables
 
-        rnd = random.Random(seed)
-        if dim is None:  # fallback probe — one tiny driver action
-            dim = len(df.select(vec_col).first()[0])
-        planes = [
-            [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-        ]
-        sig = F.concat(
-            *[
-                F.when(
-                    vec_dot(
-                        F.col("v"),
-                        F.array(*[F.lit(x) for x in plane]),
-                    )
-                    >= 0,
-                    F.lit("1"),
-                ).otherwise(F.lit("0"))
-                for plane in planes
-            ]
-        )
-        vecs = vecs.withColumn("bucket", sig)
-        joined = vecs.alias("a").join(vecs.alias("b"), ["bucket"])
+    if dim is None:  # fallback probe — one tiny driver action
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplane_tables(dim, n_planes, n_tables=1, seed=seed)
+    vecs = _bucketize(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "id",
+        "v",
+        planes,
+    ).drop("table").withColumn("nrm", vec_norm(F.col("v")))
+    joined = vecs.alias("a").join(vecs.alias("b"), ["bucket"])
 
     dot = F.aggregate(
         F.zip_with(

@@ -75,8 +75,15 @@ def pagerank_fixed_point(
             "node",
             (
                 F.lit(base_ppm)
-                + F.expr(f"({damping_ppm} * coalesce(s, CAST(0 AS BIGINT)))"
-                         f" DIV {PPM}")
+                # decimal(38,0) intermediate: damping_ppm × inflow
+                # overflows BIGINT once one node's inflow mass exceeds
+                # ~1.08e13 micro-units (ANSI crash at web-graph scale,
+                # r8 review); DIV floors identically on decimals, so
+                # results are bit-identical where the old form worked
+                + F.expr(
+                    f"(CAST({damping_ppm} AS DECIMAL(38,0)) * "
+                    f"coalesce(s, CAST(0 AS BIGINT))) DIV {PPM}"
+                )
             ).cast("bigint").alias("pr"),
         )
     return pr
@@ -121,7 +128,12 @@ def hits_fixed_point(
         m = filled.agg(F.max("r").alias("m"))
         return filled.crossJoin(F.broadcast(m)).select(
             "node",
-            F.expr(f"r * {PPM} DIV nullif(m, 0)")
+            # decimal(38,0) intermediate: r × PPM overflows BIGINT for a
+            # hub with in-degree > ~9.2M (every in-neighbor contributes
+            # up to PPM² after the first iteration) — an ANSI crash at
+            # web-graph scale (r8 review); DIV floors identically on
+            # decimals, so in-range results are bit-identical
+            F.expr(f"CAST(r AS DECIMAL(38,0)) * {PPM} DIV nullif(m, 0)")
             .cast("bigint")
             .alias(col),
         )

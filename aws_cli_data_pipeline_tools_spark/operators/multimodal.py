@@ -136,6 +136,12 @@ def _decode_wav_array(b: bytes):
     if tag != 1 or channels < 1 or bits not in (8, 16):
         return None
     if bits == 16:
+        # a payload truncated mid-sample (or whose data-chunk size field
+        # overruns the real bytes, clamped odd by the slice) must yield a
+        # NULL row like every other malformed payload — np.frombuffer on
+        # an odd-length buffer raises, which would fail the whole task
+        # (r8 review); drop the trailing partial sample instead
+        data = data[: len(data) - (len(data) % 2)]
         samples = np.frombuffer(data, dtype="<i2").astype(np.float64)
     else:
         samples = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0

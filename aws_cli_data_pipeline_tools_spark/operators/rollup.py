@@ -44,6 +44,19 @@ def cascade_rollup(
     order = [_GRAIN_ORDER.index(g) for g in grains]  # KeyError → bad grain
     if order != sorted(order) or len(set(order)) != len(order):
         raise ValueError(f"grains must be fine→coarse, got {grains}")
+    # fine→coarse ordering is necessary but NOT sufficient: each level
+    # re-aggregates the previous level's buckets, so every adjacent pair
+    # must actually NEST. ISO weeks don't nest into months/quarters/years
+    # (a week can straddle the boundary: date_trunc('month') would assign
+    # the whole week's partials to the month its Monday falls in, silently
+    # moving cross-boundary events) — so 'week' is only valid as the LAST
+    # grain (r8 review finding).
+    if "week" in grains[:-1]:
+        raise ValueError(
+            "'week' must be the last grain in a cascade: ISO weeks do not "
+            "nest inside months/quarters/years, so no coarser grain can "
+            f"derive from week partials exactly (got {grains})"
+        )
 
     cur = (
         df.select(

@@ -15,7 +15,7 @@ which is exactly what partitioned storage wants.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,6 +36,27 @@ def scd2_merge(
     - everything else unchanged (incl. already-closed history rows)
     """
     eff = F.lit(effective).cast("date")
+    # SQL MERGE rejects a source with multiple rows per key; silently
+    # accepting one would open SEVERAL simultaneously-open rows for that
+    # key — corrupting the one-open-row invariant every later merge
+    # builds on (r8 review). Enforce in-plan, inside the key column
+    # itself so Catalyst can't prune the check (the cumdist guard
+    # discipline); the window is partitioned by key over the SMALL
+    # update batch, so no scale concern.
+    key_type = dict(updates.dtypes)[key_col]
+    updates = updates.withColumn(
+        key_col,
+        F.when(
+            F.count("*").over(Window.partitionBy(key_col)) > 1,
+            F.raise_error(
+                F.lit(
+                    "scd2_merge: updates contain more than one row for a "
+                    "key — resolve the batch to at most one row per key "
+                    "first (SQL MERGE rejects such a source too)"
+                )
+            ).cast(key_type),
+        ).otherwise(F.col(key_col)),
+    )
     open_rows = dim.filter(F.col("valid_to").isNull())
     closed_rows = dim.filter(F.col("valid_to").isNotNull())
 

@@ -906,6 +906,16 @@ def mmr_rerank(
     recursive-CTE DuckDB oracle replays every pick including ties.
     Single-query form: ``queries`` must be one row (query_id, vec).
     """
+    # the greedy loop drops query_id, so >1 query would silently merge
+    # every query's candidate pool into one meaningless mixed ranking —
+    # enforce the documented single-row contract loudly (r8 review);
+    # limit(2) bounds the check at two rows, never a full count
+    if len(queries.limit(2).take(2)) > 1:
+        raise ValueError(
+            "mmr_rerank is single-query: pass exactly one (query_id, vec) "
+            "row; loop over queries (or pin a query_id filter) for multi-"
+            "query reranking"
+        )
     rel = cosine_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
     ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
@@ -953,8 +963,11 @@ def mmr_rerank(
         selected.append((step, best[1], best[2]))
         chosen.append(best[1])
     spark = corpus.sparkSession
+    # doc_id inherits the corpus id column's actual type — a hardcoded
+    # bigint failed at createDataFrame for string/int ids (r8 review)
+    id_type = corpus.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(
-        selected, "step int, doc_id bigint, rel_cosine double"
+        selected, f"step int, doc_id {id_type}, rel_cosine double"
     )
 
 

@@ -255,6 +255,11 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     dropping raw text). Pure codegen regexp chain — no shuffle, no UDF;
     order matters: email first (its local part may contain digits), then
     gov_id (3-2-4) before phone so the narrower shape isn't half-eaten.
+
+    Every input column except ``text_col`` passes through unchanged
+    (``text_col`` is REPLACED by ``redacted_text`` — raw text must not
+    survive a redaction operator); the r8 review found the old form both
+    hardcoded a ``doc_id`` column and silently dropped all others.
     """
     t = F.col(text_col)
     counts = [
@@ -263,7 +268,8 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     ]
     for name, pat in PII_PATTERNS.items():
         t = F.regexp_replace(t, pat, f"<{name}>")
-    return df.select("doc_id", t.alias("redacted_text"), *counts)
+    keep = [c for c in df.columns if c != text_col]
+    return df.select(*keep, t.alias("redacted_text"), *counts)
 
 
 def repetition_stats(

@@ -275,3 +275,25 @@ def test_contamination_report_planted(spark):
     assert abs(got[1].contamination_frac - 0.5) < 1e-9
     assert got[2].n_grams == 1 and got[2].n_hit == 0
     assert got[3].n_grams == 0 and got[3].contamination_frac is None
+
+
+def test_pack_sequences_honors_existing_token_column(spark):
+    """r8 review: a pre-existing token_col (real BPE counts) must be the
+    packing currency, not silently replaced by a whitespace recount."""
+    rows = [
+        ("s", 1, "two words", 8),
+        ("s", 2, "two words", 8),
+        ("s", 3, "two words", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id bigint, text string, n_tokens int"
+    )
+    out = {
+        r.doc_id: r
+        for r in curation.pack_sequences(df, budget=10).collect()
+    }
+    # with BPE counts of 8 each: doc1 starts at 0 (bin 0), doc2 at 8
+    # (bin 0), doc3 at 16 (bin 1); a whitespace recount (2 each) would
+    # put all three in bin 0
+    assert [out[i].bin_id for i in (1, 2, 3)] == [0, 0, 1]
+    assert out[1].n_tokens == 8  # the caller's counts pass through

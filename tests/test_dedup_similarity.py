@@ -111,6 +111,23 @@ def test_line_dedup_c4_semantics(spark):
     assert out[4].text_dedup == "gamma\ngamma two"
 
 
+def test_line_dedup_regex_metachar_separator(spark):
+    """r8 review: F.split takes a Java regex but the reassembly join is
+    literal — a '|' separator used to split between EVERY character and
+    glue garbage back. The separator must be treated literally end to
+    end."""
+    docs = spark.createDataFrame(
+        [(1, "alpha|boiler|beta"), (2, "boiler|gamma")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r for r in dedup.line_dedup(docs, sep="|").collect()
+    }
+    assert (out[1].n_lines, out[1].n_kept) == (3, 3)
+    assert out[1].text_dedup == "alpha|boiler|beta"
+    assert out[2].text_dedup == "gamma"  # boiler first seen in doc 1
+
+
 def test_portable_mode_matches_xxhash_pair_sets(spark, sf_dir):
     """portable=True (md5 hashes, the oracle-checked mode) must find the
     same verified near-dup pair sets as the xxhash64 default — the hash
@@ -623,6 +640,34 @@ def test_hits_hand_computed_star(spark):
     assert got[1].hub == 0 and got[100].auth == 0  # pure sources/sinks
 
 
+def test_graph_normalization_survives_mega_hub(spark, monkeypatch):
+    """r8 review: the max-normalization (r × PPM DIV m) and the pagerank
+    damping product overflowed BIGINT once a node's raw mass exceeded
+    ~9.2e18/PPM — an ANSI crash for any authority with in-degree beyond
+    ~9.2M, i.e. exactly the web-graph hubs the operators target. Shrink
+    the boundary into test range by raising PPM to 1e9: a 20-in-degree
+    authority then drives r×PPM to 2e19 > int64 max, which the old
+    BIGINT expression could not represent; the decimal(38,0)
+    intermediate must return the exact normalized ranks."""
+    from aws_cli_data_pipeline_tools_spark.operators import graph
+
+    monkeypatch.setattr(graph, "PPM", 10**9)
+    edges = spark.createDataFrame(
+        [(i, 1) for i in range(100, 120)] + [(100, 2)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r.node: r for r in graph.hits_fixed_point(edges, iters=1).collect()
+    }
+    assert got[1].auth == 10**9  # 20-hub authority, max-normalized
+    assert 0 < got[2].auth < got[1].auth
+    pr = {
+        r.node: r.pr
+        for r in graph.pagerank_fixed_point(edges, iters=2).collect()
+    }
+    assert pr[1] == max(pr.values())  # the mega-hub ranks top, no crash
+
+
 def test_binary_hamming_known_vectors(spark):
     from aws_cli_data_pipeline_tools_spark.operators.similarity import (
         binary_hamming_topk,
@@ -662,3 +707,56 @@ def test_mmr_rerank_truncates_when_pool_smaller_than_k(spark):
     assert len(got) == 3  # every candidate selected, then graceful stop
     assert [r.step for r in got] == [1, 2, 3]
     assert got[0].doc_id == 0  # first pick = pure relevance (self)
+
+
+def test_mmr_rerank_string_ids_and_single_query_contract(spark):
+    """r8 review: the output schema hardcoded doc_id bigint (string ids
+    crashed at createDataFrame), and a multi-row queries frame silently
+    merged all pools into one mixed ranking instead of erroring."""
+    import pytest
+
+    rows = [
+        ("a", [1.0, 0.0, 0.0]),
+        ("b", [0.9, 0.1, 0.0]),
+        ("c", [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    q = corpus.filter("vec_id = 'a'").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    got = similarity.mmr_rerank(corpus, q, k=2, pool=50).collect()
+    assert [r.doc_id for r in got][0] == "a"  # string ids flow through
+    assert got[0].rel_cosine == 1.0
+    with pytest.raises(ValueError, match="single-query"):
+        similarity.mmr_rerank(corpus, corpus.selectExpr(
+            "vec_id AS query_id", "embedding"
+        ), k=2)
+
+
+def test_embedding_cosine_pairs_lsh_matches_exact_on_near_dups(spark):
+    """r8 review: the n_planes>0 path (now routed through similarity's
+    vectorized _bucketize) must still find the planted near-duplicates
+    the exact path finds — same-orthant vectors always share a bucket."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1, same orthant
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.001, 0.999, 0.0]),  # near-dup of 3
+        (5, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup.embedding_cosine_pairs(
+            df, threshold=0.95, n_planes=6, dim=3
+        ).collect()
+    }
+    assert exact == {(1, 2), (3, 4)}
+    assert set(lsh) == exact  # LSH recall on planted same-orthant dups
+    assert all(c >= 0.95 for c in lsh.values())

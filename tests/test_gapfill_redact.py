@@ -325,3 +325,38 @@ def test_blocked_fuzzy_pairs_multi_block_union(spark):
     assert (1, 2) in only_prefix and (1, 3) not in only_prefix
     # (2,3) differs in BOTH words → distance 2, filtered at max_edit=1
     assert both == {(1, 2), (1, 3)}
+
+
+def test_scd2_merge_rejects_duplicate_update_keys(spark):
+    """r8 review: two update rows for one key would both survive the
+    semi/anti union and open TWO simultaneously-open rows — breaking the
+    one-open-row-per-key invariant silently. SQL MERGE rejects such a
+    source; so do we, in-plan."""
+    import pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", "2024-01-01", None)],
+        "k int, seg string, valid_from string, valid_to string",
+    ).selectExpr(
+        "k", "seg", "cast(valid_from as date) valid_from",
+        "cast(valid_to as date) valid_to",
+    )
+    upd = spark.createDataFrame([(1, "b"), (1, "c")], "k int, seg string")
+    with pytest.raises(Exception, match="more than one row"):
+        scd2_merge(dim, upd, "k", ["seg"], "2024-06-01").collect()
+
+
+def test_redact_pii_preserves_columns_without_doc_id(spark):
+    """r8 review: the operator used to hardcode doc_id (AnalysisException
+    on any frame without one) and drop every other column; now all
+    non-text columns pass through and text_col is replaced."""
+    df = spark.createDataFrame(
+        [("k1", "en", "mail a@b.io now")],
+        ["id", "lang", "text"],
+    )
+    out = redact_pii(df).collect()[0]
+    assert (out.id, out.lang) == ("k1", "en")
+    assert out.n_email == 1 and "<email>" in out.redacted_text
+    assert "text" not in redact_pii(df).columns  # raw text never survives

@@ -52,6 +52,37 @@ def test_cascade_rollup_rejects_misordered_grains(spark):
         cascade_rollup(df, "ts", ("g",), "v", grains=("day", "hour"))
 
 
+def test_cascade_rollup_rejects_week_before_coarser_grain(spark):
+    """r8 review: ISO weeks don't nest into months — a week straddling a
+    month boundary would carry its whole partial into the month of its
+    Monday, silently moving cross-boundary events. 'week' is only legal
+    as the terminal grain."""
+    df = spark.range(1).select(
+        F.current_timestamp().alias("ts"),
+        F.lit("a").alias("g"),
+        F.lit(1.0).alias("v"),
+    )
+    with pytest.raises(ValueError, match="last grain"):
+        cascade_rollup(df, "ts", ("g",), "v", grains=("day", "week", "month"))
+    # week as the terminal grain is fine, and exact vs direct: a fixture
+    # that straddles the Jan/Feb 2024 boundary mid-week (Mon Jan 29 -
+    # Sun Feb 4) is exactly the case the rejected cascade would corrupt
+    import datetime
+
+    rows = [
+        (datetime.datetime(2024, 1, 29, 12), "a", 1.0),  # wk of Jan 29
+        (datetime.datetime(2024, 2, 2, 12), "a", 10.0),  # same ISO week
+        (datetime.datetime(2024, 2, 6, 12), "a", 100.0),  # next week
+    ]
+    df2 = spark.createDataFrame(rows, "ts timestamp, g string, v double")
+    out = cascade_rollup(df2, "ts", ("g",), "v", grains=("day", "week"))
+    weeks = {
+        r.bucket_start.date().isoformat(): r.sum_value
+        for r in out.filter(F.col("grain") == "week").collect()
+    }
+    assert weeks == {"2024-01-29": 11.0, "2024-02-05": 100.0}
+
+
 def test_hash_split_deterministic_and_proportional(spark):
     df = spark.range(20000).withColumnRenamed("id", "k")
     s1 = hash_split(df, "k")

@@ -211,6 +211,24 @@ def test_decode_wav_samples_real(spark):
     assert out[3].sample_rate is None
 
 
+def test_decode_wav_odd_truncation_does_not_fail_task(spark):
+    """r8 review: a 16-bit WAV truncated by one byte mid-sample used to
+    reach np.frombuffer with an odd buffer and raise, failing the WHOLE
+    Spark task — one malformed payload poisoning the batch. It must
+    behave like every other malformed payload: decode what's whole."""
+    s16 = [0, 1000, -1000, 32767]
+    w16 = _wav_bytes(16000, 1, s16)
+    df = spark.createDataFrame(
+        [(1, w16[:-1]), (2, w16)], "media_id bigint, payload binary"
+    )
+    out = {r.media_id: r for r in multimodal.decode_wav_samples(df).collect()}
+    assert out[2].n_frames == 4  # intact twin unaffected
+    # truncated: the trailing partial sample is dropped, no exception —
+    # 3 whole samples [0, 1000, -1000] survive of the declared 4
+    assert out[1].sample_rate == 16000
+    assert (out[1].n_frames, out[1].peak) == (3, 1000)
+
+
 def _mp4_bytes(timescale, duration, n_tracks=1, version=0, largesize=False):
     """Handcrafted minimal ISO-BMFF: ftyp + moov{mvhd + n trak}."""
     import struct
