@@ -1217,7 +1217,8 @@ FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
     "closes a session only once the watermark passes its last event + "
     "gap (a data-observed gap alone is unsafe against late arrivals); "
     "closed sessions emit exactly once, the open tail emits provisional "
-    "update rows, and the drained max-n_turns row per (user, session) "
+    "update rows, and the drained newest (max emit_seq) row per (user, "
+    "session) "
     "equals the batch session_transcripts twin EXACTLY — the streaming "
     "path for linearizing behavioral streams into training text.",
 )
@@ -1234,8 +1235,12 @@ def streaming_session_transcripts_live(
     name = f"q_stream_transcript_{uuid.uuid4().hex[:8]}"
     st.run_to_memory(out, name, output_mode="update", shuffle_partitions=8)
     drained = spark.table(name)
+    # keep each (user, session_id)'s NEWEST emission (max emit_seq), not
+    # its max-n_turns row: provisional ids can shift when a late event
+    # opens an earlier session, so a stale provisional row under a
+    # reused id could out-turn the true one (stateful.TRANSCRIPT_STATE)
     w = Window.partitionBy("user_id", "session_id").orderBy(
-        F.col("n_turns").desc()
+        F.col("emit_seq").desc()
     )
     return (
         drained.withColumn("rn", F.row_number().over(w))

@@ -88,12 +88,27 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     d = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        return normalize_event_ts(df)
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
+    return df
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """The events fixture's ``ts`` normalization, shared by the batch
+    loader and ``streaming.events_file_stream`` so the two paths can
+    never drift (they used to carry two inline copies of this logic —
+    r8 review): int64 nanos (read under ``nanosAsLong``) floor to
+    micros; TIMESTAMP_NTZ columns cast to plain TimestampType (NTZ
+    rejects ``withWatermark`` and diverges from the DuckDB oracle)."""
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 

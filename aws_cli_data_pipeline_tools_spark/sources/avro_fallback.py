@@ -289,14 +289,37 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     """Distributed Avro container write: each partition streams its rows
     executor-side into ``<path>/part-*.avro``, one container BLOCK per
     Arrow batch — no partition-sized materialization. Returns the number
-    of files written."""
+    of files written.
+
+    Two value-fidelity rules (r8 review):
+
+    - Timestamps: Spark hands TimestampType to pandas as tz-NAIVE
+      session-local wall clock, but Avro ``timestamp-micros`` is UTC by
+      spec — so the writer localizes to the session timezone and converts
+      before taking micros. Any Avro reader (this module's, the jar's,
+      fastavro) then agrees on the instant regardless of session tz.
+    - NaN vs null: Arrow→pandas conflates SQL NULL with IEEE NaN for
+      float columns, so the null mask for nullable float/double fields is
+      computed JVM-side (``isnull``) and carried alongside; NaN is a legal
+      Avro double and is encoded as-is, never silently turned into the
+      null union branch (which also crashed non-nullable float fields).
+    """
     import os
 
     import pandas as pd
 
     fields = _spark_to_avro_schema(df.schema)
-    names = [f[0] for f in fields]
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     os.makedirs(path, exist_ok=True)
+
+    mask_of = {}  # float/double field -> its JVM-computed null-mask column
+    aug = df
+    from pyspark.sql import functions as F
+
+    for n, t, nullable in fields:
+        if t in ("float", "double") and nullable:
+            mask_of[n] = f"__isnull_{n}"
+            aug = aug.withColumn(mask_of[n], F.isnull(F.col(n)))
 
     def writer(it):
         import threading
@@ -307,11 +330,31 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
         f = None
         n_rows = 0
         for pdf in it:
-            rows = (
-                tuple(None if pd.isna(v) else v for v in tup)
-                for tup in pdf[names].itertuples(index=False, name=None)
-            )
-            blk = _block_bytes(fields, rows, codec)
+            cols = []
+            for n, t, nullable in fields:
+                s = pdf[n]
+                if t == "timestamp-micros":
+                    s = (
+                        pd.to_datetime(s)
+                        .dt.tz_localize(
+                            session_tz, ambiguous=True,
+                            nonexistent="shift_forward",
+                        )
+                        .dt.tz_convert("UTC")
+                        .dt.tz_localize(None)
+                    )
+                    cols.append([None if pd.isna(v) else v for v in s])
+                elif t in ("float", "double"):
+                    if n in mask_of:
+                        cols.append([
+                            None if isnull else v
+                            for v, isnull in zip(s, pdf[mask_of[n]])
+                        ])
+                    else:
+                        cols.append(list(s))  # NaN is a value, not null
+                else:
+                    cols.append([None if pd.isna(v) else v for v in s])
+            blk = _block_bytes(fields, zip(*cols), codec)
             if not blk:
                 continue
             if f is None:
@@ -323,7 +366,7 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
             f.close()
             yield pd.DataFrame({"file": [fname], "n": [n_rows]})
 
-    done = df.mapInPandas(writer, schema="file string, n long").collect()
+    done = aug.mapInPandas(writer, schema="file string, n long").collect()
     return len(done)
 
 
@@ -336,6 +379,7 @@ def read_avro(spark, path: str):
     import glob as globmod
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
     first = sorted(globmod.glob(f"{path}/part-*.avro"))
     if not first:
@@ -356,12 +400,78 @@ def read_avro(spark, path: str):
         .load(f"{path}/part-*.avro")
         .select("content")
     )
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
+    ts_cols = [n for n, t, _ in fields if t == "timestamp-micros"]
+    # Nullable float/double need a null MASK through the Arrow boundary:
+    # pandas float64 coerces None to NaN and Arrow's from_pandas treats
+    # NaN as null, so SQL NULL and IEEE NaN would merge in either
+    # direction — the mask rides along and the split is restored
+    # JVM-side below (the write side has the mirror-image guard).
+    masked = {
+        n: f"__isnull_{n}"
+        for n, t, nullable in fields
+        if t in ("float", "double") and nullable
+    }
+    # non-nullable float fields carry no SQL NULLs at all, so every
+    # post-Arrow null in them IS a NaN the boundary swallowed
+    plain_float = [
+        n for n, t, nullable in fields
+        if t in ("float", "double") and not nullable
+    ]
+    expect = sorted((n, t) for n, t, _ in fields)
+    internal_schema = schema + "".join(
+        f", {m} boolean" for m in masked.values()
+    )
 
     def decode(it):
         for pdf in it:
             for blob in pdf["content"]:
-                _, rows = _parse_container(bytes(blob))
-                if rows:
-                    yield pd.DataFrame(rows, columns=names)
+                f_fields, rows = _parse_container(bytes(blob))
+                if not rows:
+                    continue
+                # each file decodes with ITS OWN header's field order —
+                # labeling by the first file's names would silently put
+                # values under the wrong columns when another writer
+                # ordered fields differently (r8 review)
+                f_names = [x[0] for x in f_fields]
+                if sorted((n, t) for n, t, _ in f_fields) != expect:
+                    raise ValueError(
+                        f"avro file schema mismatch: expected {expect}, "
+                        f"found {sorted((n, t) for n, t, _ in f_fields)}"
+                    )
+                cols = dict(zip(f_names, zip(*rows)))
+                out = pd.DataFrame({n: pd.Series(cols[n]) for n in names})
+                for n, m in masked.items():
+                    out[m] = pd.Series(
+                        [v is None for v in cols[n]], dtype=bool
+                    )
+                for c in ts_cols:
+                    # container micros are UTC (Avro spec); Spark reads
+                    # naive pandas timestamps as session-local wall clock
+                    out[c] = (
+                        pd.to_datetime(out[c])
+                        .dt.tz_localize("UTC")
+                        .dt.tz_convert(session_tz)
+                        .dt.tz_localize(None)
+                    )
+                yield out
 
-    return bin_df.mapInPandas(decode, schema=schema)
+    res = bin_df.mapInPandas(decode, schema=internal_schema)
+    for n, m in masked.items():
+        # after the Arrow boundary the column is null wherever it was
+        # SQL NULL *or* NaN (from_pandas nulls NaN); the mask says which
+        # was which — unmasked nulls were NaN values
+        res = res.withColumn(
+            n,
+            F.when(F.col(m), F.lit(None)).otherwise(
+                F.coalesce(F.col(n), F.lit(float("nan")).cast("double"))
+            ).cast(dict(res.dtypes)[n]),
+        ).drop(m)
+    for n in plain_float:
+        res = res.withColumn(
+            n,
+            F.coalesce(
+                F.col(n), F.lit(float("nan")).cast("double")
+            ).cast(dict(res.dtypes)[n]),
+        )
+    return res.select(*names)

@@ -55,7 +55,12 @@ def configure_s3a(
     if access_key and secret_key:
         conf.set("fs.s3a.access.key", access_key)
         conf.set("fs.s3a.secret.key", secret_key)
-    conf.set("fs.s3a.aws.credentials.provider", _DEFAULT_PROVIDERS)
+        conf.set("fs.s3a.aws.credentials.provider", _DEFAULT_PROVIDERS)
+    # No explicit keys → leave Hadoop's DEFAULT provider chain untouched:
+    # it includes the IAM instance-profile provider, which is how cluster
+    # deployments authenticate. Overwriting it unconditionally (the old
+    # behavior) silently broke instance-profile auth — exactly the
+    # scenario the docstring promises is a no-op (r8 review).
     if path_style_access:
         conf.set("fs.s3a.path.style.access", "true")
 

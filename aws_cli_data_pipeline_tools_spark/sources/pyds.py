@@ -56,12 +56,15 @@ class AvroFallbackDataSource(DataSource):
         return ", ".join(f"{n} {spark_types[t]}" for n, t, _ in fields)
 
     def reader(self, schema) -> DataSourceReader:
-        return _AvroFallbackReader(self.options.get("path"))
+        return _AvroFallbackReader(
+            self.options.get("path"), [f.name for f in schema.fields]
+        )
 
 
 class _AvroFallbackReader(DataSourceReader):
-    def __init__(self, path: str):
+    def __init__(self, path: str, names: list[str]):
         self.path = path
+        self.names = names  # planner column order (first file's peek)
 
     def partitions(self):
         import glob as globmod
@@ -84,7 +87,21 @@ class _AvroFallbackReader(DataSourceReader):
             return v
 
         with open(partition.path, "rb") as f:
-            _, rows = _parse_container(f.read())
+            f_fields, rows = _parse_container(f.read())
+        # rows follow THIS file's header order; the planner schema came
+        # from the first file — reorder (or reject) rather than emitting
+        # values positionally under the wrong names (r8 review)
+        f_names = [x[0] for x in f_fields]
+        if f_names != self.names:
+            if sorted(f_names) != sorted(self.names):
+                raise ValueError(
+                    f"avro file field mismatch in {partition.path}: "
+                    f"expected {sorted(self.names)}, found {sorted(f_names)}"
+                )
+            idx = [f_names.index(n) for n in self.names]
+            for row in rows:
+                yield tuple(conv(row[i]) for i in idx)
+            return
         for row in rows:
             yield tuple(conv(v) for v in row)
 

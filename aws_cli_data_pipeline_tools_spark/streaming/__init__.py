@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, normalize_event_ts
 from ..sources import scratch_dir as _pid_scratch_dir
 
 
@@ -53,12 +53,12 @@ def events_file_stream(
 
     batch_schema = load_table(spark, "events", sf_dir).schema
     raw_schema = spark.read.parquet(src).schema  # ts: int64 ns or TIMESTAMP_NTZ
-    stream = spark.readStream.schema(raw_schema).parquet(dst_dir)
-    if dict(stream.dtypes)["ts"] == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif dict(stream.dtypes)["ts"] == "timestamp_ntz":
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    assert stream.schema == batch_schema
+    stream = normalize_event_ts(spark.readStream.schema(raw_schema).parquet(dst_dir))
+    if stream.schema != batch_schema:  # explicit: survives python -O
+        raise RuntimeError(
+            f"stream schema {stream.schema.simpleString()} diverged from "
+            f"batch loader schema {batch_schema.simpleString()}"
+        )
     return stream
 
 

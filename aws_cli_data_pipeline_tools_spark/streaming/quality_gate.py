@@ -33,16 +33,24 @@ def gated_parquet_sink(
     caller awaits termination."""
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        report = quality.check_constraints(batch, rules).collect()
-        ok = all(r.passed for r in report)
-        dst = good_dir if ok else quarantine_dir
-        # Idempotent on micro-batch replay: each batch owns a partition
-        # directory (batch_id=N) and overwrite replaces any partial output
-        # from a failed earlier attempt, so a replayed batch_id never
-        # duplicates rows. Readers see batch_id as a partition column.
-        batch.write.mode("overwrite").parquet(
-            os.path.join(dst, f"batch_id={batch_id}")
-        )
+        # two actions consume the batch (constraint agg, then the write);
+        # without persist each re-reads the source — double ingest I/O
+        # per micro-batch on the hot path (r8 review)
+        batch.persist()
+        try:
+            report = quality.check_constraints(batch, rules).collect()
+            ok = all(r.passed for r in report)
+            dst = good_dir if ok else quarantine_dir
+            # Idempotent on micro-batch replay: each batch owns a partition
+            # directory (batch_id=N) and overwrite replaces any partial
+            # output from a failed earlier attempt, so a replayed batch_id
+            # never duplicates rows. Readers see batch_id as a partition
+            # column.
+            batch.write.mode("overwrite").parquet(
+                os.path.join(dst, f"batch_id={batch_id}")
+            )
+        finally:
+            batch.unpersist()
         if not ok:
             os.makedirs(quarantine_dir, exist_ok=True)
             with open(

@@ -25,12 +25,36 @@ from pyspark.sql import functions as F
 
 
 def _latest_per_key(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    # Ties on order_col are broken by a stable content hash, NOT left to
+    # shuffle arrival order: row_number over a non-total ordering would
+    # let a checkpoint-recovery replay of the same batch pick a different
+    # winner, breaking the idempotent-replay contract upsert_batch
+    # documents (r8 review).
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).desc(),
+        F.xxhash64(*[F.col(c) for c in df.columns]).desc(),
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def _recover_swap(path: str) -> None:
+    """Finish a swap a previous process died in the middle of. After
+    ``os.rename(path, old)`` the committed table lives at ``.old`` until
+    ``os.rename(staging, path)`` lands; a crash in that window used to
+    lose the whole table on replay (the handler saw no dir at ``path``
+    and merged the batch against nothing), and a crash before the
+    ``.old`` cleanup made the NEXT swap's rename fail with ENOTEMPTY
+    (r8 review). Called before every read and before every swap."""
+    old = path + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)  # crashed after swap-in, before cleanup
+        else:
+            os.rename(old, path)  # crashed between the two renames
 
 
 def upsert_batch(
@@ -44,7 +68,16 @@ def upsert_batch(
     greatest ``order_col`` per key wins across existing AND batch rows —
     event-time semantics, so out-of-order micro-batches can never clobber
     a newer record with an older one, and a replayed batch is a no-op
-    (idempotent under checkpoint recovery)."""
+    (idempotent under checkpoint recovery).
+
+    Crash safety: the swap is recovery-based, not window-free — if the
+    process dies between the two renames, the committed table survives at
+    ``.old`` and the next call (or replay) restores it before reading.
+    A concurrent READER can still observe the table missing for the swap
+    instant; at warehouse scale the same foreachBatch body targets a
+    table format with real MERGE (module docstring), which removes that
+    window too."""
+    _recover_swap(path)
     fresh = _latest_per_key(batch_df, key_cols, order_col)
     if os.path.isdir(path):
         existing = spark.read.parquet(path)

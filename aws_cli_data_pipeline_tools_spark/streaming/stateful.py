@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, sum_value double, closed boolean"
-STATE_SCHEMA = "n bigint, s double"
+#: last_ms carries the key's max event time ACROSS batches — recomputing
+#: it from the current batch alone let a late-but-valid event rewind the
+#: idle timeout and close the key prematurely (r8 review).
+STATE_SCHEMA = "n bigint, s double, last_ms bigint"
 
 IDLE_TIMEOUT_MS = 30_000  # close a key 30 s (event time) after its last event
 
@@ -39,25 +42,27 @@ def _update_user_state(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        n, s = state.get
+        n, s, _ = state.get
         state.remove()
         yield pd.DataFrame(
             {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [True]}
         )
         return
-    n, s = state.get if state.exists else (0, 0.0)
-    max_ts_ms = 0
+    n, s, last_ms = state.get if state.exists else (0, 0.0, 0)
     for pdf in batches:
         n += len(pdf)
         s += float(pdf["value"].sum())
         batch_max = pdf["ts"].max()
         if pd.notna(batch_max):
-            max_ts_ms = max(max_ts_ms, int(batch_max.value // 1_000_000))
-    state.update((n, s))
-    # Evict when the watermark passes last-event-time + idle window. The
+            last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+    state.update((n, s, last_ms))
+    # Evict when the watermark passes last-event-time + idle window, where
+    # last-event-time is the max over the key's WHOLE history (stored in
+    # state): a micro-batch carrying only a late-but-within-watermark
+    # event must not rewind the timeout below one already scheduled. The
     # timestamp must exceed the current watermark; last event ts + idle
     # always does (the watermark trails the max event time by the delay).
-    timeout_at = max(max_ts_ms + IDLE_TIMEOUT_MS, state.getCurrentWatermarkMs() + 1)
+    timeout_at = max(last_ms + IDLE_TIMEOUT_MS, state.getCurrentWatermarkMs() + 1)
     state.setTimeoutTimestamp(timeout_at)
     yield pd.DataFrame(
         {"user_id": [user_id], "n_events": [n], "sum_value": [s], "closed": [False]}
@@ -89,10 +94,22 @@ def running_user_totals(events: DataFrame, watermark_delay: str = "10 seconds") 
 
 TRANSCRIPT_OUTPUT = (
     "user_id bigint, session_id bigint, n_turns bigint, transcript string,"
-    " closed boolean"
+    " closed boolean, emit_seq bigint"
 )
-#: buffered open events as parallel lists + sessions already emitted
-TRANSCRIPT_STATE = "ts_us array<long>, eid array<long>, et array<string>, n_closed bigint"
+#: buffered open events as parallel lists + sessions already emitted +
+#: a per-key emission counter. ``emit_seq`` exists because PROVISIONAL
+#: session ids are not stable: a late event can open a new earlier
+#: session, shifting every later open block's id up — so a sink can hold
+#: rows for two DIFFERENT sessions under one (user_id, session_id), and
+#: the old max-n_turns reader could keep the stale one (r8 review). The
+#: counter is monotonic per key across batches, so "max emit_seq per
+#: (user, session_id)" always selects the newest view; a closed id is
+#: never reused (later provisional ids all exceed n_closed), so the
+#: closed row is automatically the max-seq row for its id.
+TRANSCRIPT_STATE = (
+    "ts_us array<long>, eid array<long>, et array<string>, n_closed bigint,"
+    " seq bigint"
+)
 
 SESSION_GAP_US = 1_800_000_000  # 30 min, matches the batch sessionizer
 
@@ -107,17 +124,19 @@ def _update_transcript_state(
     data-observed gap alone is not safe — a late event above the
     watermark could still land inside it), emit closed sessions exactly
     once and a provisional row for the open tail (update-mode sink; the
-    reader keeps each session's max-n_turns row).
+    reader keeps each session's max-``emit_seq`` row — see
+    TRANSCRIPT_STATE for why recency, not n_turns, is the correct key).
     """
     (user_id,) = key
     ts_us: list
     eid: list
     et: list
     if state.exists:
-        ts_us, eid, et, n_closed = state.get
+        ts_us, eid, et, n_closed, seq = state.get
         ts_us, eid, et = list(ts_us), list(eid), list(et)
     else:
-        ts_us, eid, et, n_closed = [], [], [], 0
+        ts_us, eid, et, n_closed, seq = [], [], [], 0, 0
+    seq += 1
     if not state.hasTimedOut:
         for pdf in batches:
             for t, e, y in zip(
@@ -140,11 +159,14 @@ def _update_transcript_state(
     rows = []
     keep_from = 0
     open_offset = 0  # closed blocks are a prefix (blocks sorted by time)
+    first_open_last_us = None  # earliest open block's last event
     for b in range(len(bounds) - 1):
         lo, hi = bounds[b], bounds[b + 1]
         if lo == hi:
             continue
         closed = ts_us[hi - 1] + SESSION_GAP_US <= wm_us
+        if not closed and first_open_last_us is None:
+            first_open_last_us = ts_us[hi - 1]
         start = ts_us[lo]
         turns = " ".join(
             f"{et[i]}@{(ts_us[i] - start) // 1_000_000}"
@@ -152,32 +174,45 @@ def _update_transcript_state(
         )
         if closed:
             n_closed += 1
-            rows.append((user_id, n_closed, hi - lo, turns, True))
+            rows.append((user_id, n_closed, hi - lo, turns, True, seq))
             keep_from = hi
         else:
             # provisional open row; ids continue past the closed counter
             open_offset += 1
             rows.append(
-                (user_id, n_closed + open_offset, hi - lo, turns, False)
+                (user_id, n_closed + open_offset, hi - lo, turns, False, seq)
             )
     ts_us = ts_us[keep_from:]
     eid = eid[keep_from:]
     et = et[keep_from:]
+    # State survives even with an empty buffer: removing it would reset
+    # n_closed, and the next session of this user would REUSE an
+    # already-emitted closed session id (diverging from the batch twin's
+    # per-user 1..k numbering — r8 review). One small tuple per user is
+    # the same cardinality as any per-user aggregate; no timeout is set
+    # on an empty buffer, so the lingering state never re-fires.
+    state.update((ts_us, eid, et, n_closed, seq))
     if ts_us:
-        state.update((ts_us, eid, et, n_closed))
+        # Timeout tracks the EARLIEST open block, not the last: with
+        # several open sessions buffered (late data opened an earlier
+        # one), a last-block timeout would delay every earlier closure
+        # until the newest session went idle (r8 review). Each firing
+        # closes the head block and re-arms for the next, so closures
+        # cascade as the watermark allows. An open block always has
+        # last + gap > watermark (else it would have closed above), so
+        # the timestamp is valid.
         state.setTimeoutTimestamp(
             max(
-                ts_us[-1] // 1_000 + SESSION_GAP_US // 1_000,
+                first_open_last_us // 1_000 + SESSION_GAP_US // 1_000,
                 state.getCurrentWatermarkMs() + 1,
             )
         )
-    else:
-        state.remove()
     if rows:
         yield pd.DataFrame(
             rows,
             columns=[
                 "user_id", "session_id", "n_turns", "transcript", "closed",
+                "emit_seq",
             ],
         )
 
@@ -188,8 +223,10 @@ def session_transcripts_stream(
 ) -> DataFrame:
     """Streaming 30-min-gap session transcripts with exact batch parity:
     one closed row per session (watermark-confirmed) plus provisional
-    open-tail rows; on a bounded availableNow replay the max-n_turns row
-    per (user, session) equals the batch ``session_transcripts`` twin.
+    open-tail rows; on a bounded availableNow replay the max-``emit_seq``
+    row per (user, session) equals the batch ``session_transcripts`` twin
+    (recency, not max-n_turns: provisional ids can shift when a late
+    event opens an earlier session — TRANSCRIPT_STATE docs).
     """
     return (
         events.withWatermark("ts", watermark_delay)

@@ -199,3 +199,139 @@ def test_stateful_transcripts_across_batches(spark, sf_dir, tmp_path):
     }
     assert best == expected
     assert any(r.closed for r in rows)  # watermark really closed sessions
+
+
+def test_configure_s3a_without_keys_leaves_provider_chain(spark, monkeypatch):
+    """r8 review: with no explicit keys the default Hadoop provider chain
+    (which includes the IAM instance-profile provider — how clusters
+    authenticate) must be left alone; it used to be overwritten with a
+    Simple+Env+Anonymous chain, breaking instance-profile auth."""
+    monkeypatch.delenv("AWS_ACCESS_KEY_ID", raising=False)
+    monkeypatch.delenv("AWS_SECRET_ACCESS_KEY", raising=False)
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    conf.unset("fs.s3a.aws.credentials.provider")
+    configure_s3a(spark, endpoint="http://localhost:9000")
+    assert conf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert conf.get("fs.s3a.aws.credentials.provider") is None
+
+
+def _write_ordered_files(spark, base_dir, batches, schema):
+    """One parquet file per batch with ascending mtimes, so the file
+    stream source (maxFilesPerTrigger=1) replays them in list order."""
+    src_dir = str(base_dir / "ordered_in")
+    os.makedirs(src_dir, exist_ok=True)
+    for i, rows in enumerate(batches):
+        d = f"{src_dir}/_b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        [f] = [x for x in os.listdir(d) if x.endswith(".parquet")]
+        dst = f"{src_dir}/b{i}.parquet"
+        shutil.move(f"{d}/{f}", dst)
+        shutil.rmtree(d)
+        os.utime(dst, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+    return src_dir
+
+
+def test_stateful_totals_late_event_does_not_rewind_timeout(spark, tmp_path):
+    """r8 review: the idle timeout was recomputed from the CURRENT batch's
+    max event time only, so a micro-batch carrying one late-but-valid
+    event rewound the timeout below the one already scheduled — closing
+    the key prematurely and splitting its running totals. The stored
+    last-event-time must win."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    schema = "user_id bigint, ts timestamp, value double"
+    # batch 1: user 1 up to t=1000s → timeout 1030s, watermark then 990s
+    # batch 2: late event t=991s (above wm) — buggy timeout rewind → 1021s
+    # batch 3: user 2 at t=1035s → wm 1025s: fires 1021s, NOT 1030s
+    src = _write_ordered_files(spark, tmp_path, [
+        [(1, t(100), 1.0), (1, t(1000), 2.0)],
+        [(1, t(991), 4.0)],
+        [(2, t(1035), 8.0)],
+    ], schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_rewind")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    u1 = [r for r in spark.table("t_rewind").collect() if r.user_id == 1]
+    assert not any(r.closed for r in u1), (
+        "late event rewound the idle timeout and closed the key early"
+    )
+    final = max(u1, key=lambda r: r.n_events)
+    assert (final.n_events, final.sum_value) == (3, 7.0)
+
+
+def test_transcripts_late_earlier_session_recency_reader(spark, tmp_path):
+    """r8 review: a late event can open an EARLIER session, shifting every
+    later open block's provisional id up — the sink then holds two
+    different sessions under one (user, session_id), and a max-n_turns
+    reader keeps the stale one. The emit_seq (recency) reader must
+    recover the exact batch numbering, and the head-block timeout must
+    close the late session once the watermark allows."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.streaming.stateful import (
+        session_transcripts_stream,
+    )
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    src = _write_ordered_files(spark, tmp_path, [
+        [(1, t(20000), 1, "A"), (1, t(20100), 2, "B")],  # emitted as id 1
+        [(1, t(10000), 3, "C")],   # late: separate EARLIER session
+        [(1, t(30000), 4, "D")],   # advances wm → closes the 10000s session
+    ], schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        session_transcripts_stream(stream, watermark_delay="3 hours")
+        .writeStream.format("memory")
+        .queryName("t_idshift")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_idshift").collect()
+    # the defect: a stale provisional row for id 1 (the 20000s session)
+    # out-turns the true id-1 session — max-n_turns would keep it
+    stale = max(
+        (r for r in rows if r.session_id == 1), key=lambda r: r.n_turns
+    )
+    assert stale.n_turns == 2 and stale.transcript.startswith("A@")
+    # the recency reader (what the catalog entry uses) is exact
+    best = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        if k not in best or r.emit_seq > best[k].emit_seq:
+            best[k] = r
+    got = {k: (v.n_turns, v.transcript) for k, v in best.items()}
+    assert got == {
+        (1, 1): (1, "C@0"),
+        (1, 2): (2, "A@0 B@100"),
+        (1, 3): (1, "D@0"),
+    }
+    # head-block timeout really closed the late session exactly once
+    closed1 = [r for r in rows if r.session_id == 1 and r.closed]
+    assert len(closed1) == 1 and closed1[0].transcript == "C@0"

@@ -283,3 +283,110 @@ def test_avro_fallback_python_datasource(spark, tmp_path):
     assert back.rdd.getNumPartitions() == len(
         __import__("glob").glob(f"{path}/part-*.avro")
     )
+
+
+def test_avro_fallback_stores_utc_micros(spark, tmp_path):
+    """r8 review: Avro timestamp-micros is UTC by spec, but the writer
+    stored session-LOCAL naive wall-clock micros — any external reader
+    (and the datasource route, which labels micros UTC) saw values
+    shifted by the session-tz offset. Pin a non-UTC session timezone and
+    check the raw container bytes carry the true UTC instant, with both
+    read routes returning the original wall clock."""
+    import datetime
+    import glob as globmod
+
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        _parse_container, read_avro, write_avro,
+    )
+    from aws_cli_data_pipeline_tools_spark.sources.pyds import (
+        register_avro_fallback,
+    )
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        wall = datetime.datetime(2024, 1, 15, 12, 0, 0)
+        df = spark.createDataFrame(
+            [(1, wall)], "k bigint, ts timestamp"
+        ).coalesce(1)
+        # the tz-independent ground truth: the column's true epoch micros
+        true_micros = df.select(F.unix_micros("ts")).collect()[0][0]
+        path = str(tmp_path / "avro_tz")
+        write_avro(df, path)
+        [fname] = globmod.glob(f"{path}/part-*.avro")
+        with open(fname, "rb") as f:
+            _, raw_rows = _parse_container(f.read())
+        # container micros must BE the epoch micros (Avro spec: UTC).
+        # The old writer stored session-local wall clock — under the NY
+        # session tz that's true_micros + 5h, a 5-hour shift for every
+        # external reader.
+        assert raw_rows[0][1].value // 1000 == true_micros
+        # both read routes return the same instant
+        back = read_avro(spark, path)
+        assert back.select(F.unix_micros("ts")).collect()[0][0] == true_micros
+        assert back.collect() == df.collect()
+        register_avro_fallback(spark)
+        ds = spark.read.format("avro_fallback").load(path)
+        assert ds.select(F.unix_micros("ts")).collect()[0][0] == true_micros
+        assert ds.collect() == df.collect()
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
+def test_avro_fallback_nan_is_a_value_not_null(spark, tmp_path):
+    """r8 review: IEEE NaN is a legal Avro double; it used to be written
+    as the null union branch (pd.isna conflates the two), and crashed the
+    write for non-nullable float fields (float(None))."""
+    import math
+
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        read_avro, write_avro,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, None), (3, float("nan"))], "k bigint, d double"
+    ).coalesce(1)
+    path = str(tmp_path / "avro_nan")
+    write_avro(df, path)
+    got = {r.k: r.d for r in read_avro(spark, path).collect()}
+    assert got[1] == 1.5
+    assert got[2] is None  # SQL NULL stays null
+    assert math.isnan(got[3])  # NaN stays a value
+    # non-nullable double carrying NaN: the old path crashed the task
+    nn = spark.range(1).select(
+        F.col("id").alias("k"), F.lit(float("nan")).alias("d")
+    )
+    assert not nn.schema["d"].nullable
+    p2 = str(tmp_path / "avro_nan_nn")
+    write_avro(nn, p2)
+    assert math.isnan(read_avro(spark, p2).collect()[0].d)
+
+
+def test_avro_fallback_mixed_field_order_files(spark, tmp_path):
+    """r8 review: each container decodes with its OWN header field order;
+    a second writer's different order used to land values under the
+    wrong column names with no error (both read routes)."""
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        _container_bytes, read_avro, write_avro,
+    )
+    from aws_cli_data_pipeline_tools_spark.sources.pyds import (
+        register_avro_fallback,
+    )
+
+    df = spark.createDataFrame([(1, 10)], "a bigint, b bigint").coalesce(1)
+    path = str(tmp_path / "avro_order")
+    write_avro(df, path)
+    swapped = _container_bytes(
+        [("b", "long", True), ("a", "long", True)], [(20, 2)]
+    )
+    with open(f"{path}/part-zzz-swapped.avro", "wb") as f:
+        f.write(swapped)  # sorts after the real part file → not the peek
+    got = {r.a: r.b for r in read_avro(spark, path).collect()}
+    assert got == {1: 10, 2: 20}
+    register_avro_fallback(spark)
+    ds = {
+        r.a: r.b
+        for r in spark.read.format("avro_fallback").load(path).collect()
+    }
+    assert ds == {1: 10, 2: 20}

@@ -300,3 +300,61 @@ def test_stream_stream_left_outer_join_eventual_semantics(spark, sf_dir):
     assert not missing_in_guaranteed
     # (c) nothing inside the final watermark+window tail can have emitted
     assert all(ts <= tail for ts in got_nulls.values())
+
+
+def test_upsert_swap_crash_recovery(spark, tmp_path):
+    """r8 review: a crash between the swap's two renames left the
+    committed table at .old — the next call used to merge the batch
+    against NOTHING (silently dropping every prior key), and a leftover
+    .old made the next swap's rename raise ENOTEMPTY."""
+    import os
+
+    from aws_cli_data_pipeline_tools_spark.streaming.sinks import (
+        upsert_batch,
+    )
+
+    path = str(tmp_path / "t")
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, v int, p string"
+    )
+    upsert_batch(spark, b1, path, ["k"], "v")
+    # crash window 1: died after os.rename(path, old), before swap-in
+    os.rename(path, path + ".old")
+    b2 = spark.createDataFrame([(2, 20, "c")], "k int, v int, p string")
+    upsert_batch(spark, b2, path, ["k"], "v")
+    got = {r.k: (r.v, r.p) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (10, "a"), 2: (20, "c")}  # key 1 survived the crash
+    assert not os.path.isdir(path + ".old")
+    # crash window 2: died after swap-in, before .old cleanup — the
+    # stale non-empty .old must not fail the next swap's rename
+    os.makedirs(path + ".old")
+    with open(path + ".old/junk", "w") as f:
+        f.write("stale")
+    b3 = spark.createDataFrame([(3, 30, "d")], "k int, v int, p string")
+    upsert_batch(spark, b3, path, ["k"], "v")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 20, 3: 30}
+    assert not os.path.isdir(path + ".old")
+
+
+def test_upsert_order_tie_breaks_deterministically(spark):
+    """r8 review: ties on order_col must resolve identically on every
+    (re)run — row_number over a non-total order let a checkpoint-recovery
+    replay pick a different winner. The winner is the max content-hash
+    row, a pure function of the data."""
+    from aws_cli_data_pipeline_tools_spark.streaming.sinks import (
+        _latest_per_key,
+    )
+
+    rows = [(1, 5, "x"), (1, 5, "y"), (1, 4, "newer-loses")]
+    df = spark.createDataFrame(rows, "k int, v int, p string")
+    picks = set()
+    for n_parts in (1, 3, 7):  # different physical orders, same answer
+        got = _latest_per_key(df.repartition(n_parts), ["k"], "v").collect()
+        assert len(got) == 1
+        picks.add(got[0].p)
+    assert len(picks) == 1
+    hashed = df.filter("v = 5").select(
+        "p", F.xxhash64("k", "v", "p").alias("h")
+    ).collect()
+    assert picks == {max(hashed, key=lambda r: r.h).p}
