@@ -22,7 +22,7 @@ SELECT doc_id,
        unnest(list_transform(generate_series(1, len(w) - 4),
            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
                 || ' ' || w[i+4])) AS g
-FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM {src})
+FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM {src})
 """
 
 
@@ -159,7 +159,7 @@ def mixture_resample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT source, doc_id,
-         CAST(len(regexp_split_to_array(text, '\\s+')) AS INT) AS n_tokens
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS INT) AS n_tokens
   FROM documents
 )
 SELECT source, doc_id, n_tokens,
@@ -183,7 +183,7 @@ def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     oracle="""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents
 ), narrow AS (
   SELECT doc_id, len(w) AS n_words,
          round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
@@ -227,9 +227,9 @@ def _pipeline_curate_oracle() -> str:
     return f"""
 WITH canon AS (
   SELECT doc_id, lang, source,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), ' '))
            AS canon_hash,
-         len(regexp_split_to_array(text, '\\s+')) AS n_words
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
   FROM documents
 ), clean AS (
   SELECT doc_id, lang, source, n_words
@@ -270,7 +270,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     keepers = dedup.canonical_text_dedup(docs).filter(F.col("is_keeper"))
     clean = (
-        docs.withColumn("n_words", F.size(F.split("text", r"\s+")))
+        docs.withColumn("n_words", F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")))
         .join(keepers.select("doc_id"), "doc_id", "left_semi")
         .filter(F.col("n_words").between(20, 5000) & (F.col("lang") != "zh"))
     )
@@ -286,7 +286,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_chunk_windows",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents
 ), pos AS (
   SELECT doc_id, w,
          unnest(generate_series(1, greatest(len(w), 1), 48)) AS chunk_start
@@ -451,7 +451,7 @@ def shuffle_shards_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH per AS (
   SELECT source, count(*) AS n_docs,
-         CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+         CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source
 ), tot AS (
@@ -534,7 +534,7 @@ def contamination_report_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH t AS (
   SELECT source AS shard, doc_id AS id,
-         CAST(len(regexp_split_to_array(text, '\s+')) AS INT) AS n_tokens
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS INT) AS n_tokens
   FROM documents
 ), arrival AS (
   SELECT shard, n_tokens,
@@ -581,9 +581,9 @@ def inference_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH canon AS (
   SELECT doc_id, lang, source,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
              ' ')) AS canon_hash,
-         len(regexp_split_to_array(text, '\s+')) AS n_words
+         len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_words
   FROM documents
 ), dedup AS (
   SELECT * FROM (
@@ -638,7 +638,7 @@ def curation_attrition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     keepers = ddp.canonical_text_dedup(docs).filter(F.col("is_keeper"))
     with_words = docs.withColumn(
-        "n_words", F.size(F.split("text", r"\s+"))
+        "n_words", F.size(F.array_remove(F.split(F.col("text"), r"\s+"), ""))
     )
     stage_dedup = with_words.join(
         keepers.select("doc_id"), "doc_id", "left_semi"
@@ -676,7 +676,7 @@ register_sql(
     "neyman_allocation_plan",
     spark_sql="""
 WITH f AS (
-  SELECT source, CAST(size(split(text, '\\\\s+')) AS DOUBLE) AS x
+  SELECT source, CAST(size(array_remove(split(text, '\\\\s+'), '')) AS DOUBLE) AS x
   FROM documents
 ), per AS (
   SELECT source, count(*) AS n_h,
@@ -699,7 +699,7 @@ ORDER BY per.source
 """,
     duck_sql="""
 WITH f AS (
-  SELECT source, CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+  SELECT source, CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
     AS x
   FROM documents
 ), per AS (

@@ -22,7 +22,7 @@ from . import register, register_sql
 
 # ---------------------------------------------------------------- text stats
 
-_DUCK_WORDS = "regexp_split_to_array(text, '\\s+')"
+_DUCK_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
 @register(
@@ -149,7 +149,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH c AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), ' '))
            AS canon_hash
   FROM documents
 )
@@ -168,7 +168,7 @@ def dedup_canonical_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DUCK_JACCARD = """
 WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(words) - 2),
@@ -218,7 +218,7 @@ _BOILER = "subscribe to our newsletter for daily updates and exclusive content"
     "dedup_lines_c4",
     oracle=f"""
 WITH src AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words FROM documents
 ), built AS (
   SELECT doc_id,
          list_transform(
@@ -261,7 +261,7 @@ ORDER BY doc_id
 )
 def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    words = F.split(F.col("text"), r"\s+")
+    words = F.array_remove(F.split(F.col("text"), r"\s+"), "")
     n_chunks = F.floor((F.size(words) + 7) / F.lit(8)).cast("int")
     lines_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -299,7 +299,7 @@ def _duck_minhash_sig_cte(num_perm: int, seed: int) -> str:
         for a, b in minhash_params(num_perm, seed)
     )
     return f"""docs AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words FROM documents
 ), shw AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(words) - 2),
@@ -390,7 +390,7 @@ def _duck_simhash_sql() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS wrd
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wrd
   FROM documents
 ), hh AS (
   SELECT doc_id, {_duck_phash('wrd')} AS h FROM w
@@ -654,9 +654,9 @@ def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH canon AS (
   SELECT doc_id,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), ' '))
            AS canon_hash,
-         len(regexp_split_to_array(text, '\\s+')) AS n_words,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words,
          lang, source
   FROM documents
 ), keepers AS (
@@ -678,7 +678,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     deduped = dedup.canonical_text_dedup(docs).filter(F.col("is_keeper"))
     out = (
-        docs.withColumn("n_words", F.size(F.split("text", r"\s+")))
+        docs.withColumn("n_words", F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")))
         .join(deduped.select("doc_id"), "doc_id", "left_semi")
         .filter(F.col("n_words").between(20, 5000) & (F.col("lang") != "zh"))
         .select("doc_id", "lang", "source", "n_words")
@@ -1397,7 +1397,7 @@ register_sql(
     "doc_unigram_logprob",
     spark_sql="""
 WITH toks AS (
-  SELECT doc_id, explode(split(text, '\\\\s+')) AS tok FROM documents
+  SELECT doc_id, explode(array_remove(split(text, '\\\\s+'), '')) AS tok FROM documents
 ), vocab AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
 ), tot AS (
@@ -1414,7 +1414,7 @@ ORDER BY t.doc_id
 """,
     duck_sql="""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS tok
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
   FROM documents
 ), vocab AS (
   SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
@@ -2197,7 +2197,7 @@ WITH base AS (
   SELECT doc_id, lang, source,
          len(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}'))
            AS n_toks,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\\s+')), ' '))
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')), ' '))
            AS canon
   FROM documents
 ),
@@ -2240,7 +2240,7 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_toks"),
         F.md5(
-            F.concat_ws(" ", F.array_sort(F.split(F.col("text"), r"\s+")))
+            F.concat_ws(" ", F.array_sort(F.array_remove(F.split(F.col("text"), r"\s+"), "")))
         ).alias("canon"),
     )
     overall = base.agg(
@@ -3479,7 +3479,7 @@ register_sql(
     "doc_bigram_logprob",
     spark_sql="""
 WITH dw AS (
-  SELECT doc_id, split(text, '\\\\s+') AS w FROM documents
+  SELECT doc_id, array_remove(split(text, '\\\\s+'), '') AS w FROM documents
 ), toks AS (
   SELECT doc_id, explode(w) AS tok FROM dw
 ), uni AS (
@@ -3516,7 +3516,7 @@ ORDER BY d.doc_id
 """,
     duck_sql="""
 WITH dw AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents
 ), toks AS (
   SELECT doc_id, unnest(w) AS tok FROM dw
 ), uni AS (
@@ -3721,7 +3721,7 @@ def dp_noisy_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_overlap_matrix",
     oracle=r"""
 WITH w AS (
-  SELECT source, regexp_split_to_array(text, '\s+') AS w FROM documents
+  SELECT source, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents
 ), hs AS (
   SELECT DISTINCT source,
          array_to_string(list_slice(w, CAST(t.i AS INT), CAST(t.i AS INT) + 4),
@@ -4216,7 +4216,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH t AS (
   SELECT doc_id % 2 = 0 AS v1,
-         len(regexp_split_to_array(text, '\\s+')) AS len
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS len
   FROM documents
 ), vals AS (
   SELECT len,
@@ -4259,7 +4259,7 @@ def length_ks_drift(spark, sf_dir):
     docs = load_table(spark, "documents", sf_dir)
     t = docs.select(
         (F.col("doc_id") % 2 == 0).alias("v1"),
-        F.size(F.split("text", r"\s+")).alias("len"),
+        F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")).alias("len"),
     )
     vals = t.groupBy("len").agg(
         F.sum(F.when(F.col("v1"), 1).otherwise(0)).alias("c1"),
@@ -4536,7 +4536,7 @@ def text_instruction_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_containment",
     oracle="""
 WITH docs AS (
-  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS words FROM documents
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words FROM documents
 ), sh AS (
   SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(words) - 2),
@@ -4661,7 +4661,7 @@ WITH scans AS (
          len(regexp_extract_all(text, '{{repl}}'))
          + len(regexp_extract_all(text, '{{ctrl}}'))
          + len(regexp_extract_all(text, '{{moji}}')) AS n_damage,
-         len(regexp_split_to_array(text, '\\s+')) AS n_words
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_words
   FROM documents
 ), routed AS (
   SELECT doc_id,
@@ -4709,7 +4709,7 @@ def pipeline_hygiene_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("is_damaged").alias("d_flag")
     )
     words = docs.select(
-        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_words")
+        "doc_id", F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")).alias("n_words")
     )
     j = (
         words.join(sec, "doc_id")
@@ -4780,7 +4780,7 @@ register_sql(
     "curriculum_length_schedule",
     spark_sql="""
 WITH q AS (
-  SELECT doc_id, size(split(text, '\\\\s+')) AS n_tokens FROM documents
+  SELECT doc_id, size(array_remove(split(text, '\\\\s+'), '')) AS n_tokens FROM documents
 ), bounds AS (
   SELECT
     percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens) AS b1,
@@ -4806,7 +4806,7 @@ FROM per ORDER BY band
 """,
     duck_sql="""
 WITH q AS (
-  SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 ), bounds AS (
   SELECT quantile_disc(n_tokens, 0.25) AS b1,
@@ -5004,7 +5004,7 @@ register_sql(
     "bigram_freq_of_freqs",
     spark_sql="""
 WITH dw AS (
-  SELECT split(lower(text), '\\\\s+') AS w FROM documents
+  SELECT array_remove(split(lower(text), '\\\\s+'), '') AS w FROM documents
 ), bg AS (
   SELECT explode(zip_with(slice(w, 1, greatest(size(w) - 1, 0)),
                           slice(w, 2, greatest(size(w) - 1, 0)),
@@ -5030,7 +5030,7 @@ ORDER BY freq_band
 """,
     duck_sql="""
 WITH dw AS (
-  SELECT regexp_split_to_array(lower(text), '\\s+') AS w FROM documents
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w FROM documents
 ), bg AS (
   SELECT w[CAST(t.i AS INT)] || ' ' || w[CAST(t.i AS INT) + 1] AS b
   FROM dw, unnest(generate_series(1, len(w) - 1)) AS t(i)
@@ -5070,7 +5070,7 @@ ORDER BY freq_band
     oracle=r"""
 WITH canon AS (
   SELECT doc_id, lang,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
              ' ')) AS ch
   FROM documents
 ), keep AS (
@@ -5139,9 +5139,9 @@ register_sql(
     "doc_feature_correlations",
     spark_sql="""
 WITH f AS (
-  SELECT CAST(size(split(text, '\\\\s+')) AS DOUBLE) AS n_tokens,
+  SELECT CAST(size(array_remove(split(text, '\\\\s+'), '')) AS DOUBLE) AS n_tokens,
          CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(size(array_distinct(split(lower(text), '\\\\s+')))
+         CAST(size(array_distinct(array_remove(split(lower(text), '\\\\s+'), '')))
               AS DOUBLE) AS n_distinct_words
   FROM documents
 )
@@ -5153,10 +5153,10 @@ FROM f
 """,
     duck_sql="""
 WITH f AS (
-  SELECT CAST(len(regexp_split_to_array(text, '\\s+')) AS DOUBLE)
+  SELECT CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE)
            AS n_tokens,
          CAST(len(text) AS DOUBLE) AS n_chars,
-         CAST(len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')))
               AS DOUBLE) AS n_distinct_words
   FROM documents
 )
@@ -5180,7 +5180,7 @@ FROM f
     "token_mass_gini",
     oracle="""
 WITH lens AS (
-  SELECT len(regexp_split_to_array(text, '\\s+')) AS v FROM documents
+  SELECT len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS v FROM documents
 ), grp AS (
   SELECT v, count(*) AS c FROM lens GROUP BY v
 ), cum AS (
@@ -5215,7 +5215,7 @@ def token_mass_gini(spark, sf_dir):
     from ..operators.cumdist import binned_cumsum
 
     docs = load_table(spark, "documents", sf_dir)
-    lens = docs.select(F.size(F.split("text", r"\s+")).alias("v"))
+    lens = docs.select(F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")).alias("v"))
     grp = lens.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
     # auto (order_domain_skew probe): picks range on the fixture's
     # near-uniform distinct-length domain (r=2.03 at sf0.1) and flips to
@@ -5401,7 +5401,7 @@ def embedding_norm_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
 WITH canon AS (
   SELECT doc_id, source,
-         md5(array_to_string(list_sort(regexp_split_to_array(text, '\s+')),
+         md5(array_to_string(list_sort(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')),
              ' ')) AS ch
   FROM documents
 ), keep AS (

@@ -674,14 +674,14 @@ register_sql(
     "explode_unnest",
     spark_sql="""
 SELECT word, count(*) AS n
-FROM (SELECT explode(split(text, '\\\\s+')) AS word FROM documents)
+FROM (SELECT explode(array_remove(split(text, '\\\\s+'), '')) AS word FROM documents)
 GROUP BY word
 ORDER BY n DESC, word
 LIMIT 20
 """,
     duck_sql="""
 SELECT word, count(*) AS n
-FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents)
+FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS word FROM documents)
 GROUP BY word
 ORDER BY n DESC, word
 LIMIT 20
@@ -1539,7 +1539,7 @@ ORDER BY cohort_wk, week_n
 register_sql(
     "array_funcs2",
     spark_sql="""
-WITH w AS (SELECT doc_id, slice(split(text, ' '), 1, 6) AS a FROM documents)
+WITH w AS (SELECT doc_id, slice(split(trim(text), ' '), 1, 6) AS a FROM documents)
 SELECT doc_id,
        array_position(a, try_element_at(a, 3))            AS pos3,
        concat_ws(' ', array_remove(a, try_element_at(a, 1))) AS removed_first,
@@ -1550,7 +1550,7 @@ FROM w ORDER BY doc_id
 """,
     duck_sql="""
 WITH w AS (SELECT doc_id,
-                  list_slice(regexp_split_to_array(text, ' '), 1, 6) AS a
+                  list_slice(regexp_split_to_array(trim(text), ' '), 1, 6) AS a
            FROM documents)
 SELECT doc_id,
        list_position(a, a[3])                             AS pos3,
@@ -1574,7 +1574,7 @@ register_sql(
 WITH t AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 0 THEN array()
-              ELSE slice(split(text, ' '), 1, 3) END AS a
+              ELSE slice(split(trim(text), ' '), 1, 3) END AS a
   FROM documents
 )
 SELECT doc_id, w
@@ -1585,7 +1585,7 @@ ORDER BY doc_id, w
 WITH t AS (
   SELECT doc_id,
          CASE WHEN doc_id % 10 = 0 THEN []
-              ELSE list_slice(regexp_split_to_array(text, ' '), 1, 3) END AS a
+              ELSE list_slice(regexp_split_to_array(trim(text), ' '), 1, 3) END AS a
   FROM documents
 )
 SELECT doc_id, unnest(a) AS w FROM t

@@ -38,8 +38,15 @@ def word_shingles(text: Column, k: int = 3, sep: str = " ") -> Column:
 
     No explode — the shingle set stays a single array cell until the caller
     chooses to explode. Texts shorter than k words yield an empty array.
+
+    Tokenization drops empty tokens (``array_remove(split, '')``):
+    leading/trailing whitespace used to create phantom '' words that
+    changed the shingle set, so two texts identical up to surrounding
+    whitespace missed each other in every Jaccard/MinHash/SimHash
+    consumer (r8 review). Every DuckDB oracle twin mirrors this with
+    ``list_filter(regexp_split_to_array(...), x -> x <> '')``.
     """
-    words = F.split(text, r"\s+")
+    words = F.array_remove(F.split(text, r"\s+"), "")
     n = F.size(words)
     length = F.greatest(n - F.lit(k - 1), F.lit(0))
     grams = F.slice(words, 1, length)
@@ -165,7 +172,10 @@ def minhash_signatures_arrow(num_perm: int = 64, seed: int = 1):
         n = len(hsh)
         if n == 0:
             return pd.Series([], dtype=object)
-        segs = [np.asarray(x, dtype=np.int64) for x in hsh]
+        # NULL arrays get the same all-p sentinel as empty ones —
+        # np.asarray(None) raised, failing the whole task while the
+        # expression twin returned the sentinel (r8 review)
+        segs = [np.asarray(() if x is None else x, dtype=np.int64) for x in hsh]
         lens = np.fromiter((s.size for s in segs), dtype=np.int64, count=n)
         out = np.full((n, num_perm), p, dtype=np.int64)
         ne = np.nonzero(lens > 0)[0]

@@ -53,18 +53,31 @@ def information_schema_columns(
     Metadata-only (reads schemas, not data). ``data_type`` uses Spark
     ``simpleString`` names (``bigint``/``double``/…), which satisfy the same
     numeric regex the reference applies (aws-athena.sh:68).
+
+    ``schema`` is a REAL predicate against each table's actual namespace
+    (temp views live in the session namespace, labeled ``default``): the
+    old implementation stamped the caller's strings onto every row, so
+    ``WHERE table_schema='sales'`` matched ALL tables mislabeled as
+    'sales' (r8 review). ``catalog`` remains a label — Spark sessions
+    here have the single ``spark_catalog``.
     """
     rows = []
-    names = [t.name for t in spark.catalog.listTables()]
-    for name in names:
+    for t in spark.catalog.listTables():
+        name = t.name
+        ns = getattr(t, "namespace", None) or (
+            [t.database] if getattr(t, "database", None) else []
+        )
+        tbl_schema = ns[-1] if ns else "default"  # temp views → session ns
         if table is not None and name != table:
+            continue
+        if schema is not None and tbl_schema != schema:
             continue
         df = spark.table(name)
         for i, f_ in enumerate(df.schema.fields, start=1):
             rows.append(
                 (
                     catalog,
-                    schema,
+                    tbl_schema,
                     name,
                     f_.name,
                     i,
@@ -105,7 +118,10 @@ def list_workgroups(spark: SparkSession) -> DataFrame:
     # 設定なし (Default使用) / なし (:48-49). State has no reference default.
     return df.select(
         "name",
-        F.coalesce("state", F.lit(UNSET)).alias("state"),
+        # no coalesce: State has no reference default (the comment below
+        # was already right — coalescing to the OutputLocation placeholder
+        # 未設定 mislabeled stateless profiles; r8 review). NULL stays NULL.
+        F.col("state"),
         F.when(
             F.col("has_config"),
             F.coalesce("output_location", F.lit(UNSET)),

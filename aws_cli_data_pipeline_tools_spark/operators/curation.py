@@ -210,7 +210,7 @@ def pack_sequences(
     tokens = (
         F.col(token_col)
         if token_col in df.columns
-        else F.size(F.split(F.col(text_col), r"\s+"))
+        else F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
     )
     w = Window.partitionBy(part_col).orderBy(id_col)
     cum_excl = F.coalesce(
@@ -249,7 +249,7 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    w = F.split(F.col(text_col), r"\s+")
+    w = F.array_remove(F.split(F.col(text_col), r"\s+"), "")
     return (
         df.select(F.col(id_col), w.alias("__w"))
         .select(
@@ -536,7 +536,7 @@ def inference_batch_plan(
     plan parallel at any corpus size (no global-order window); batches
     never span shards, matching how per-worker serving queues behave.
     """
-    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    toks = F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
     base = df.select(
         F.col(shard_col).alias("shard"),
         F.col(id_col).alias("id"),

@@ -61,7 +61,7 @@ def canonical_text_dedup(
     Output: one row per doc with its canonical hash, the group keeper
     (min id), group size, and whether this row survives dedup.
     """
-    canon = F.md5(F.concat_ws(" ", F.array_sort(F.split(F.col(text_col), r"\s+"))))
+    canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))))
     with_canon = df.select(F.col(id_col), canon.alias("canon_hash"))
     w_agg = with_canon.groupBy("canon_hash").agg(
         F.min(id_col).alias("keeper_id"), F.count("*").alias("group_size")
@@ -527,7 +527,7 @@ def simhash_pairs(
     word_hash = portable_hash64 if portable else F.xxhash64
     words = df.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.col(text_col), r"\s+")).alias("w"),
+        F.explode(F.array_remove(F.split(F.col(text_col), r"\s+"), "")).alias("w"),
     ).withColumn("h", word_hash(F.col("w"))).drop("w")
     votes = words.groupBy("id").agg(
         *[

@@ -138,7 +138,7 @@ def temperature_mixture_plan(
     divided — and α = 0.5 is computed as ``sqrt`` (IEEE-exact on every
     engine), so the DuckDB oracle hash-matches.
     """
-    toks = F.size(F.split(F.col(text_col), r"\s+"))
+    toks = F.size(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),

@@ -30,7 +30,10 @@ TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def _words(text: Column) -> Column:
-    return F.split(text, r"\s+")
+    # empty tokens removed: surrounding whitespace must not mint phantom
+    # '' words (skews counts/ratios; r8 review). Oracle twins mirror via
+    # list_filter(regexp_split_to_array(...), x -> x <> '').
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

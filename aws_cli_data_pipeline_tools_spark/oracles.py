@@ -4,7 +4,8 @@ The driver verifies every registered query against an ANSI-SQL equivalent run
 by DuckDB on the same parquet tables (``__spark_entry__.py``). For generated
 operators (the profiler family) the oracle SQL is generated here from the same
 stat list as the Spark plan, with the same determinism discipline:
-decimal(38,10) sums for moments, explicit double formulas, round(x, 5) — see
+exact decimal sums for moments (S1 scale 10, S2 scale 4), explicit double
+formulas, round(x, 5) — see
 ``profiler.py`` module docs.
 """
 
@@ -19,7 +20,10 @@ def _stat_sql(c: str, label: str) -> str:
     q = f'"{c}"'
     n = f"CAST(count({q}) AS DOUBLE)"
     s1 = f"CAST(sum(CAST({q} AS DECIMAL(38,10))) AS DOUBLE)"
-    s2 = f"CAST(sum(CAST(CAST({q} AS DOUBLE) * CAST({q} AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE)"
+    # scale 4 mirrors profiler._stat_exprs: decimal(38,10) squares
+    # overflowed for |v| >= ~1e14 (ANSI crash); both engines round the
+    # same doubles to the same scale, so parity is unchanged
+    s2 = f"CAST(sum(CAST(CAST({q} AS DOUBLE) * CAST({q} AS DOUBLE) AS DECIMAL(38,4))) AS DOUBLE)"
     exprs = {
         "1. count": n,
         "2. count_distinct": f"CAST(count(DISTINCT {q}) AS DOUBLE)",

@@ -40,9 +40,40 @@ class PlanFacts:
     codegen_spans: int
 
     def scan_columns(self) -> set[str]:
+        """TOP-LEVEL column names of each ReadSchema struct.
+
+        Parsed depth-aware, not by regex over ``name:``: nested types both
+        truncated the old capture at their first ``>`` (hiding top-level
+        columns listed after them — a silent false PASS in
+        assert_scan_pruned) and leaked their inner field names into the
+        set (r8 review)."""
         cols: set[str] = set()
         for rs in self.read_schemas:
-            cols.update(re.findall(r"(\w+):", rs))
+            depth = 0
+            token: list[str] = []
+            fields: list[str] = []
+            for ch in rs:
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                    if depth < 0:  # the struct's own closing bracket
+                        break
+                elif ch == "," and depth == 0:
+                    fields.append("".join(token))
+                    token = []
+                    continue
+                token.append(ch)
+            if token:
+                fields.append("".join(token))
+            for fld in fields:
+                # a truncated plan line ("..." / "N more fields") leaves a
+                # trailing fragment with no ':' — not a column name
+                if ":" not in fld:
+                    continue
+                name = fld.split(":", 1)[0].strip()
+                if name and "..." not in name:
+                    cols.add(name)
         return cols
 
 
@@ -50,9 +81,10 @@ def facts(df: DataFrame) -> PlanFacts:
     plan = executed_plan(df)
     return PlanFacts(
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
-        # stop at newline too: long plans get truncated mid-struct and an
-        # unanchored [^>]* would swallow unrelated plan lines
-        read_schemas=re.findall(r"ReadSchema: struct<([^>\n]*)", plan),
+        # capture to end of line (scan_columns parses nesting itself);
+        # the old first-'>' stop truncated schemas with struct/map/array
+        # columns (r8 review)
+        read_schemas=re.findall(r"ReadSchema: struct<([^\n]*)", plan),
         n_scans=plan.count("FileScan") + plan.count("BatchScan"),
         n_broadcast_joins=plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
@@ -78,6 +110,26 @@ def assert_scan_pruned(df: DataFrame, allowed_columns: set[str]) -> None:
     assert not extra, f"scan reads unpruned columns: {sorted(extra)}"
 
 
+def _balanced_args(plan: str, key: str) -> list[str]:
+    """Full argument text of every ``key(...)`` call in a plan string,
+    matched with balanced parentheses — a ``[^)]*`` capture truncates at
+    the first ')' inside any nested expression (r8 review)."""
+    out: list[str] = []
+    i = plan.find(key)
+    while i != -1:
+        j = i + len(key)
+        depth = 1
+        while j < len(plan) and depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(plan[i + len(key): j - 1])
+        i = plan.find(key, j)
+    return out
+
+
 def unpartitioned_window_heads(plan: str) -> list[str]:
     """Head column names (base name before ``#``) of every
     ``windowspecdefinition`` in an executed-plan string that has NO
@@ -85,12 +137,29 @@ def unpartitioned_window_heads(plan: str) -> list[str]:
     spec. These funnel their whole input through one task, which is fine
     only when that input is bounded by construction (a ≤256-row bucket
     aggregate, a post-LIMIT pool, a calendar-day domain, a fixed label
-    set) and a 100-TB straggler otherwise."""
+    set) and a 100-TB straggler otherwise.
+
+    The first element is extracted with balanced-paren parsing and
+    classified unpartitioned only when it IS an ordering spec (trailing
+    ASC/DESC): the old first-')'/first-',' split misread windows
+    partitioned by an expression with parens or commas — e.g.
+    ``coalesce(a#1, b#2)`` — as unpartitioned, failing CI on plans that
+    are in fact partitioned (r8 review)."""
     heads: list[str] = []
-    for ws in re.findall(r"windowspecdefinition\(([^)]*)", plan):
-        head = ws.split(",")[0].strip()
-        # partitioned: bare column ref (optional type suffix, user_id#12L)
-        if re.match(r"^[\w.]+#\d+[A-Za-z]*$", head):
+    for ws in _balanced_args(plan, "windowspecdefinition("):
+        depth = 0
+        head = ws
+        for idx, ch in enumerate(ws):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                head = ws[:idx]
+                break
+        head = head.strip()
+        # unpartitioned ⇔ the first element is an ORDER BY spec
+        if not re.search(r"\s(ASC|DESC)(\s+NULLS\s+(FIRST|LAST))?$", head):
             continue
         m = re.match(r"^([\w.]+)#", head)
         heads.append(m.group(1) if m else head[:40])

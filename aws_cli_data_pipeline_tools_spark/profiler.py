@@ -29,9 +29,10 @@ Semantics preserved from the emitted SQL (see SURVEY.md §2 notes):
 Oracle determinism (``oracle_safe=True``): floating-point SUM/AVG/STDDEV over
 doubles are order-dependent — a partitioned Spark sum and a sequential DuckDB
 sum can differ in low bits, which breaks exact value-hash comparison. The
-oracle-safe variant computes the moment statistics from **decimal(38,10)
-sums** (exact, order-independent) with explicit double formulas afterwards,
-so both engines execute bit-identical IEEE arithmetic:
+oracle-safe variant computes the moment statistics from **exact decimal
+sums** (order-independent; S1 at scale 10, S2 at scale 4 — see _stat_exprs
+for the overflow-headroom rationale) with explicit double formulas
+afterwards, so both engines execute bit-identical IEEE arithmetic:
 ``mean = S1/n``, ``std = sqrt((S2 - S1*S1/n) / (n-1))``, ``sum = S1``.
 """
 
@@ -69,14 +70,34 @@ def numeric_columns(df: DataFrame) -> list[str]:
     return [f.name for f in df.schema.fields if isinstance(f.dataType, T.NumericType)]
 
 
-def _stat_exprs(col: str, median_mode: MedianMode, oracle_safe: bool = False) -> list[Column]:
+def _qcol(name: str) -> Column:
+    """Column reference by LITERAL name: F.col parses dots as struct access,
+    so a legal column named 'a.b' resolved via f-string interpolation raised
+    UNRESOLVED_COLUMN across the profiler family (r8 review). Backtick-quote
+    (with `` escaping) so the name is taken verbatim."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _stat_exprs(
+    col: str,
+    median_mode: MedianMode,
+    oracle_safe: bool = False,
+    integral: bool = False,
+) -> list[Column]:
     """The 8 aggregate expressions for one column, in AGG_LABELS order.
 
     Everything is cast to double so the wide profile has a uniform column
     type; mean/std/min/median/max/sum are round(x, 5) per aws-athena.sh:87-100
     (count/count_distinct are integral, round is a no-op on them).
+
+    ``integral`` switches the plain-path SUM to an exact decimal(38,0)
+    accumulator: ANSI mode is pinned on (session.py), and a native bigint
+    SUM overflows — crashing the whole profile — once the column's total
+    mass passes 2^63 (snowflake ids, int64 nanosecond epochs, or simply a
+    100-TB fact table; r8 review). decimal(38,0) is exact like the native
+    sum (so DuckDB twins agree unchanged) with 10^38 of headroom.
     """
-    c = F.col(col)
+    c = _qcol(col)
     median = (
         F.percentile_approx(c, F.lit(0.5))
         if median_mode == "approx"
@@ -85,9 +106,15 @@ def _stat_exprs(col: str, median_mode: MedianMode, oracle_safe: bool = False) ->
     if oracle_safe:
         # Order-independent moments: exact decimal sums, then explicit double
         # formulas (identical IEEE ops on both engines → bitwise-equal output).
+        # s2 accumulates at scale 4, not 10: decimal(38,10) left only 28
+        # integer digits, so sum-of-squares crashed (ANSI) for |v| ≥ ~1e14
+        # (r8 review). Scale 4 is exact for ≤2-decimal data (squares then
+        # have ≤4 decimals) and extends headroom to |v| ≈ 1e17 per value;
+        # oracles.py mirrors the same scale so both engines still round the
+        # same doubles identically.
         n = F.count(c).cast("double")
         s1 = F.sum(c.cast("decimal(38,10)")).cast("double")
-        s2 = F.sum((c.cast("double") * c.cast("double")).cast("decimal(38,10)")).cast("double")
+        s2 = F.sum((c.cast("double") * c.cast("double")).cast("decimal(38,4)")).cast("double")
         mean = s1 / n
         var = (s2 - s1 * s1 / n) / F.nullif(n - F.lit(1.0), F.lit(0.0))
         std = F.sqrt(var)
@@ -95,7 +122,9 @@ def _stat_exprs(col: str, median_mode: MedianMode, oracle_safe: bool = False) ->
     else:
         mean = F.avg(c).cast("double")
         std = F.stddev(c).cast("double")  # sample stddev in both engines
-        sum_ = F.sum(c).cast("double")
+        sum_ = (
+            F.sum(c.cast("decimal(38,0)")) if integral else F.sum(c)
+        ).cast("double")
     exprs = [
         F.count(c).cast("double"),
         F.count_distinct(c).cast("double"),
@@ -132,14 +161,20 @@ def _agg_row(
     posture for a wide fact table where ±2.5% distinct counts are fine.
     """
     all_exprs = {
-        c: _stat_exprs(c, median_mode, oracle_safe) for c in cols
+        c: _stat_exprs(
+            c,
+            median_mode,
+            oracle_safe,
+            integral=isinstance(df.schema[c].dataType, T.IntegralType),
+        )
+        for c in cols
     }
     basic_idx = [0, 2, 3, 4, 6, 7]  # count, mean, std, min, max, sum
     basic_cols = [all_exprs[c][i] for c in cols for i in basic_idx]
     median = df.agg(*[all_exprs[c][5] for c in cols])
     if distinct_mode == "approx":
         hll = [
-            F.approx_count_distinct(F.col(c), rsd=0.02)
+            F.approx_count_distinct(_qcol(c), rsd=0.02)
             .cast("double")
             .alias(f"{c}__1")
             for c in cols
@@ -180,6 +215,11 @@ def profile(
     in-scan HLL++ sketch → two passes total (see _agg_row).
     """
     cols = numeric_columns(df)
+    if "agg_type" in cols:
+        raise ValueError(
+            "profile: a numeric column named 'agg_type' collides with the "
+            "profile's label column — rename it before profiling"
+        )
     if not cols:
         return _empty_profile(df, cols)
 
@@ -189,7 +229,7 @@ def profile(
     stack_args: list[Column] = []
     for i, label in enumerate(AGG_LABELS):
         stack_args.append(F.lit(label))
-        stack_args.extend(F.col(f"{c}__{i}") for c in cols)
+        stack_args.extend(_qcol(f"{c}__{i}") for c in cols)
     stacked = agg_row.select(
         F.stack(F.lit(len(AGG_LABELS)), *stack_args).alias("agg_type", *cols)
     )
@@ -217,7 +257,7 @@ def profile_long(df: DataFrame, median_mode: MedianMode = "approx", oracle_safe:
     stack_args: list[Column] = []
     for c in cols:
         for i, label in enumerate(AGG_LABELS):
-            stack_args.extend([F.lit(c), F.lit(label), F.col(f"{c}__{i}")])
+            stack_args.extend([F.lit(c), F.lit(label), _qcol(f"{c}__{i}")])
         # rows are (column_name, agg_type, result)
     stacked = agg_row.select(
         F.stack(F.lit(len(cols) * len(AGG_LABELS)), *stack_args).alias(
@@ -257,8 +297,9 @@ def profile_diff(
         F.coalesce(F.col("b.agg_type"), F.col("t.agg_type")).alias("agg_type")
     ]
     for c in all_cols:
-        bcol = F.col(f"b.{c}") if c in base_cols else F.lit(None).cast("double")
-        tcol = F.col(f"t.{c}") if c in target_cols else F.lit(None).cast("double")
+        qc = "`" + c.replace("`", "``") + "`"  # literal name (dots legal)
+        bcol = F.col(f"b.{qc}") if c in base_cols else F.lit(None).cast("double")
+        tcol = F.col(f"t.{qc}") if c in target_cols else F.lit(None).cast("double")
         out.append(bcol.alias(f"{c}_base"))
         out.append(tcol.alias(f"{c}_target"))
         out.append(bcol.eqNullSafe(tcol).alias(f"{c}_equal"))
@@ -298,7 +339,7 @@ def profile_strings(df: DataFrame) -> DataFrame:
         return _empty_profile(df, cols)
 
     def basic_exprs(c: str) -> list[Column]:
-        q = F.col(c)
+        q = _qcol(c)
         ln = F.length(q)
         return [
             F.count(q).cast("double").alias(f"{c}__0"),
@@ -310,14 +351,14 @@ def profile_strings(df: DataFrame) -> DataFrame:
 
     basic = df.agg(*[e for c in cols for e in basic_exprs(c)])
     distinct = df.agg(
-        *[F.count_distinct(F.col(c)).cast("double").alias(f"{c}__1") for c in cols]
+        *[F.count_distinct(_qcol(c)).cast("double").alias(f"{c}__1") for c in cols]
     )
     row = basic.crossJoin(distinct)
 
     stack_args: list[Column] = []
     for i, label in enumerate(STRING_AGG_LABELS):
         stack_args.append(F.lit(label))
-        stack_args.extend(F.col(f"{c}__{i}") for c in cols)
+        stack_args.extend(_qcol(f"{c}__{i}") for c in cols)
     return row.select(
         F.stack(F.lit(len(STRING_AGG_LABELS)), *stack_args).alias("agg_type", *cols)
     ).orderBy("agg_type")
@@ -353,14 +394,14 @@ def profile_temporal(df: DataFrame) -> DataFrame:
         return _empty_profile(df, cols)
 
     def epoch(c: str) -> Column:
-        return F.unix_timestamp(F.col(c).cast("timestamp")).cast("double")
+        return F.unix_timestamp(_qcol(c).cast("timestamp")).cast("double")
 
     basic = df.agg(
         *[
             e
             for c in cols
             for e in (
-                F.count(F.col(c)).cast("double").alias(f"{c}__0"),
+                F.count(_qcol(c)).cast("double").alias(f"{c}__0"),
                 F.min(epoch(c)).alias(f"{c}__2"),
                 F.max(epoch(c)).alias(f"{c}__3"),
                 F.round(
@@ -370,14 +411,14 @@ def profile_temporal(df: DataFrame) -> DataFrame:
         ]
     )
     distinct = df.agg(
-        *[F.count_distinct(F.col(c)).cast("double").alias(f"{c}__1") for c in cols]
+        *[F.count_distinct(_qcol(c)).cast("double").alias(f"{c}__1") for c in cols]
     )
     row = basic.crossJoin(distinct)
 
     stack_args: list[Column] = []
     for i, label in enumerate(TEMPORAL_AGG_LABELS):
         stack_args.append(F.lit(label))
-        stack_args.extend(F.col(f"{c}__{i}") for c in cols)
+        stack_args.extend(_qcol(f"{c}__{i}") for c in cols)
     return row.select(
         F.stack(F.lit(len(TEMPORAL_AGG_LABELS)), *stack_args).alias("agg_type", *cols)
     ).orderBy("agg_type")

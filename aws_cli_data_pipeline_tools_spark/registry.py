@@ -31,6 +31,9 @@ class _Entry:
     name: str
     fn: Callable[[dict], dict]
     description: str = ""
+    #: "scalar" (dict→dict, invocable), "grouped_agg" (Series→scalar),
+    #: or "table" (UDTF class) — only scalar entries support invoke/apply
+    kind: str = "scalar"
 
 
 class FunctionRegistry:
@@ -99,7 +102,7 @@ class FunctionRegistry:
         """
         from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-        self._fns[name] = _Entry(name, fn, description)
+        self._fns[name] = _Entry(name, fn, description, kind="grouped_agg")
         self._spark.udf.register(
             name,
             pandas_udf(fn, return_type, functionType=PandasUDFType.GROUPED_AGG),
@@ -119,7 +122,7 @@ class FunctionRegistry:
         regexp_extract_all etc.) expresses the same thing JVM-side; they
         exist for genuinely procedural row expansions.
         """
-        self._fns[name] = _Entry(name, handler_cls, description)
+        self._fns[name] = _Entry(name, handler_cls, description, kind="table")
         self._spark.udtf.register(name, F.udtf(handler_cls, returnType=return_type))
 
     def list(self) -> list[str]:
@@ -138,6 +141,15 @@ class FunctionRegistry:
         evaluation is driver-side — no job needed for one call."""
         if name not in self._fns:
             raise KeyError(f"function not found: {name}")
+        # a UDTF class or Series→scalar aggregate is not a dict→dict
+        # callable — calling it with a payload crashed or returned a class
+        # instance instead of a clear error (r8 review)
+        if self._fns[name].kind != "scalar":
+            raise TypeError(
+                f"function {name!r} is a {self._fns[name].kind} "
+                "registration — use it in SQL (GROUP BY / LATERAL); "
+                "invoke() handles scalar JSON functions only"
+            )
         if isinstance(payload, str):
             try:
                 payload = json.loads(payload)
@@ -151,4 +163,9 @@ class FunctionRegistry:
         Spark's Python runner)."""
         if name not in self._fns:
             raise KeyError(f"function not found: {name}")
+        if self._fns[name].kind != "scalar":
+            raise TypeError(
+                f"function {name!r} is a {self._fns[name].kind} "
+                "registration — apply() maps scalar JSON functions only"
+            )
         return df.withColumn(out_col, F.call_udf(name, F.col(payload_col)))

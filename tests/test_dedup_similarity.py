@@ -760,3 +760,60 @@ def test_embedding_cosine_pairs_lsh_matches_exact_on_near_dups(spark):
     assert exact == {(1, 2), (3, 4)}
     assert set(lsh) == exact  # LSH recall on planted same-orthant dups
     assert all(c >= 0.95 for c in lsh.values())
+
+
+def test_word_shingles_ignore_surrounding_whitespace(spark):
+    """r8 review: leading/trailing whitespace minted phantom '' tokens that
+    changed the shingle set — two texts identical up to padding missed
+    each other in every Jaccard/MinHash/SimHash consumer. Tokenization
+    now drops empty tokens on both engines."""
+    from aws_cli_data_pipeline_tools_spark.functions import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, " a b c"), (3, "a b c "), (4, "\ta b\nc ")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: tuple(r.sh)
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert got[1] == ("a b c",)
+    assert got[2] == got[1] and got[3] == got[1] and got[4] == got[1]
+    # and the padded twins now actually pair up in the jaccard operator
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.99, k=3).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 2), (1, 3), (1, 4)}
+
+
+def test_minhash_arrow_null_array_yields_sentinel(spark):
+    """r8 review: a NULL hash-array row crashed the Arrow MinHash UDF
+    (np.asarray(None)) while the expression twin returned the all-p
+    sentinel — the two paths must agree on the null contract."""
+    from aws_cli_data_pipeline_tools_spark.functions import (
+        MINHASH_PRIME,
+        minhash_signature_from_hashes,
+        minhash_signatures_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [5, 9]), (2, None), (3, [])],
+        "doc_id bigint, hsh array<bigint>",
+    )
+    arrow = {
+        r.doc_id: tuple(r.sig)
+        for r in df.select(
+            "doc_id", minhash_signatures_arrow(8)(F.col("hsh")).alias("sig")
+        ).collect()
+    }
+    expr = {
+        r.doc_id: tuple(r.sig)
+        for r in df.withColumn(
+            "hsh", F.coalesce(F.col("hsh"), F.array().cast("array<bigint>"))
+        ).select(
+            "doc_id",
+            minhash_signature_from_hashes(F.col("hsh"), 8).alias("sig"),
+        ).collect()
+    }
+    assert arrow == expr
+    assert arrow[2] == (MINHASH_PRIME,) * 8  # sentinel, not a crash

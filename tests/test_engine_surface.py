@@ -240,3 +240,56 @@ def test_bench_headline_line_bounded():
         else:
             assert isinstance(v, (int, float, str)), (k, type(v))
     assert json.loads(line) == out
+
+
+def test_invoke_rejects_non_scalar_registrations(spark):
+    """r8 review: invoke() blindly called entry.fn(payload) — a UDTF class
+    or Series→scalar aggregate crashed or returned a class instance; both
+    must be rejected with a clear TypeError."""
+    reg = FunctionRegistry(spark)
+
+    class _T:
+        def eval(self, s):
+            yield (s,)
+
+    reg.register_table("t_kind_check", _T, "x string")
+
+    def geo(s):
+        return float(s.sum())
+
+    reg.register_grouped_agg("g_kind_check", geo, "double")
+    with pytest.raises(TypeError, match="table"):
+        reg.invoke("t_kind_check", "{}")
+    with pytest.raises(TypeError, match="grouped_agg"):
+        reg.invoke("g_kind_check", "{}")
+    with pytest.raises(TypeError, match="table"):
+        reg.apply(spark.range(1), "t_kind_check", "id", "out")
+
+
+def test_information_schema_schema_filter_is_real(spark, sf_dir):
+    """r8 review: the schema arg used to be stamped onto every row instead
+    of filtering, so WHERE table_schema='sales' matched every table. Temp
+    views live in the session namespace labeled 'default'; a nonexistent
+    schema matches nothing."""
+    from aws_cli_data_pipeline_tools_spark.sources import register_views
+
+    register_views(spark, sf_dir, ["region"])
+    got = information_schema_columns(spark, table="region").collect()
+    assert len(got) == len(spark.table("region").columns)
+    assert all(r.table_schema == "default" for r in got)
+    assert (
+        information_schema_columns(spark, schema="sales").count() == 0
+    )
+
+
+def test_list_workgroups_missing_state_stays_null(spark, monkeypatch):
+    """r8 review: a profile without a state rendered the OutputLocation
+    placeholder in the state column; state has no reference default."""
+    from aws_cli_data_pipeline_tools_spark import session as s
+
+    monkeypatch.setitem(
+        s.PROFILES, "stateless", {"output_location": "file:/tmp/x"}
+    )
+    rows = {r["name"]: r for r in list_workgroups(spark).collect()}
+    assert rows["stateless"].state is None
+    assert rows["stateless"].output_location == "file:/tmp/x"

@@ -318,3 +318,41 @@ def test_cli_profile_command(capsys, monkeypatch, sf_dir):
     assert cli_main(["sql", "profile", "orders", "--approx-distinct"]) == 0
     out2 = capsys.readouterr().out
     assert "2. count_distinct" in out2
+
+
+def test_scan_columns_handles_nested_types():
+    """r8 review: the ReadSchema capture stopped at the first '>', hiding
+    top-level columns after a nested type (false PASS in
+    assert_scan_pruned) and leaking nested field names in."""
+    from aws_cli_data_pipeline_tools_spark.plans import PlanFacts
+
+    f = PlanFacts(
+        pushed_filters=[],
+        read_schemas=["meta:struct<x:int,y:map<string,int>>,secret:string"],
+        n_scans=1, n_broadcast_joins=0, n_sortmerge_joins=0,
+        n_shuffles=0, codegen_spans=0,
+    )
+    assert f.scan_columns() == {"meta", "secret"}
+
+
+def test_window_heads_expression_partition_not_flagged():
+    """r8 review: a window PARTITIONED by an expression containing parens
+    or commas (coalesce(a,b)) was misread as unpartitioned (false CI
+    fail); a genuinely unpartitioned spec (leading ORDER BY element) is
+    still flagged."""
+    from aws_cli_data_pipeline_tools_spark.plans import (
+        unpartitioned_window_heads,
+    )
+
+    partitioned = (
+        "Window [sum(v#3L) windowspecdefinition(coalesce(region#5, other#6),"
+        " ts#7 ASC NULLS FIRST, specifiedwindowframe(RangeFrame,"
+        " unboundedpreceding$(), currentrow$())) AS s#9L]"
+    )
+    assert unpartitioned_window_heads(partitioned) == []
+    unpartitioned = (
+        "Window [row_number() windowspecdefinition(ts#7 ASC NULLS FIRST,"
+        " specifiedwindowframe(RowFrame, unboundedpreceding$(),"
+        " currentrow$())) AS rn#11]"
+    )
+    assert unpartitioned_window_heads(unpartitioned) == ["ts"]

@@ -257,3 +257,51 @@ def test_satisfies_custom_predicate(spark):
     assert rows[0].metric == 1.0 and not rows[0].passed  # only -5 violates
     assert rows[1].metric == 2.0  # NULL row + -5
     assert rows[2].passed  # within budget
+
+
+def test_profile_bigint_sum_does_not_overflow(spark):
+    """r8 review: the plain-path SUM ran in the column's native long type,
+    so ANSI mode crashed the whole profile (ARITHMETIC_OVERFLOW) once the
+    column's mass passed 2^63 — snowflake ids, int64 nanosecond epochs,
+    or any 100-TB fact column. The decimal(38,0) accumulator is exact."""
+    df = spark.createDataFrame(
+        [(2 * 10**18,)] * 6, "v bigint"
+    )
+    got = {r.agg_type: r.v for r in profiler.profile(df).collect()}
+    assert got["8. sum"] == 1.2e19
+    assert got["3. mean"] == 2e18
+
+
+def test_profile_oracle_safe_large_magnitude_squares(spark):
+    """r8 review: oracle_safe squared values into decimal(38,10) — only 28
+    integer digits, so |v| >= ~1e14 crashed with NUMERIC_VALUE_OUT_OF_RANGE.
+    Scale 4 extends headroom ~1e6x; std must come back finite."""
+    df = spark.createDataFrame([(1e15,), (2e15,)], "v double")
+    got = {
+        r.agg_type: r.v
+        for r in profiler.profile(
+            df, median_mode="exact", oracle_safe=True
+        ).collect()
+    }
+    assert got["8. sum"] == 3e15
+    assert abs(got["4. std"] - 7.0710678118654752e14) / 1e15 < 1e-6
+
+
+def test_profile_handles_dotted_column_names(spark):
+    """r8 review: F.col parses dots as struct access, so a legal column
+    named 'a.b' raised UNRESOLVED_COLUMN across the profiler family."""
+    df = spark.createDataFrame([(1.0,), (3.0,)], ["a.b"])
+    got = {r.agg_type: r["a.b"] for r in profiler.profile(df).collect()}
+    assert got["1. count"] == 2.0 and got["8. sum"] == 4.0
+    diff = profiler.profile_diff(df, df).collect()
+    assert all(r["a.b_equal"] for r in diff)
+    long = profiler.profile_long(df).collect()
+    assert {r.column_name for r in long} == {"a.b"}
+
+
+def test_profile_rejects_agg_type_column(spark):
+    """A numeric column literally named agg_type would collide with the
+    label column — rejected loudly."""
+    df = spark.createDataFrame([(1.0,)], ["agg_type"])
+    with pytest.raises(ValueError, match="agg_type"):
+        profiler.profile(df)
