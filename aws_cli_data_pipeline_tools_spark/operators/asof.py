@@ -49,12 +49,19 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, not {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
-    right_cols = right_cols or [
-        c for c in right.columns if c not in set(by) | {on}
-    ]
+    # `is not None`, not truthiness: an explicit right_cols=[] means "carry
+    # no payload columns", not "default to all of them" (r8 review)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in set(by) | {on}]
 
     l_tag = left.withColumn("__side", F.lit(1))
-    r_tag = right.select(
+    # A right row with a NULL timestamp can never satisfy right.on <= / >=
+    # left.on — but under the window idiom it SORTS FIRST (asc = NULLS
+    # FIRST) and its payload would forward-fill as a spurious match for
+    # every left row before the first real right row (r8 review). pandas
+    # merge_asof rejects NaT keys; dropping them is the join-semantics
+    # equivalent.
+    r_tag = right.filter(F.col(on).isNotNull()).select(
         *by, F.col(on), *[F.col(c) for c in right_cols]
     ).withColumn("__side", F.lit(0))
 
@@ -102,10 +109,15 @@ def asof_join(
     filled = unioned.withColumn(
         "__m", F.last("__r_payload", ignorenulls=True).over(w)
     )
+    # a LEFT row with a NULL timestamp has no defined as-of position
+    # (under desc/forward it would sort last and grab the final right row)
+    # — it keeps its row but matches nothing, like pandas with a dropped
+    # NaT key
+    matched = F.when(F.col(on).isNotNull(), F.col("__m"))
     out = filled.filter(F.col("__side") == 1).select(
         *by,
         F.col(on),
-        *[F.col(f"__m.{n}").alias(n) for n in payload_names],
+        *[matched.getField(n).alias(n) for n in payload_names],
         *[F.col(c) for c in left_rest],
     )
     if tolerance_seconds is not None:

@@ -352,6 +352,12 @@ def encode_flac(
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if s.min() < lo or s.max() > hi:
         raise ValueError("samples exceed bps range")
+    if not 1 <= channels <= 8:
+        # 4-bit channel field: 0-7 = 1-8 independent channels, 8-10 =
+        # stereo decorrelation modes — 9 channels would ENCODE as a
+        # stereo-mode header and the round-trip would silently return
+        # None at decode instead of failing here (r8 review)
+        raise ValueError(f"channels must be 1..8, got {channels}")
 
     out = bytearray(b"fLaC")
     si = bytearray(34)
@@ -400,12 +406,32 @@ def encode_flac(
         hdr += (bs - 1).to_bytes(2, "big")
         hdr.append(_crc8(bytes(hdr)))
 
+        def _sbits(r: int) -> int:  # two's-complement width of r
+            return (r.bit_length() if r >= 0 else (-r - 1).bit_length()) + 1
+
         body = _BitWriter()
         for c in range(channels):
             chan = blk[:, c]
             body.write(0, 1)
             order = fixed_order
-            if order is None or bs <= (order or 0):
+            resid: list[int] = []
+            raw_bits = 1
+            use_verbatim = order is None or bs <= (order or 0)
+            if not use_verbatim:
+                coefs = _FIXED_COEFS[order]
+                hist = [int(v) for v in chan[:order]]
+                for v in chan[order:]:
+                    pred = sum(
+                        cc * hist[-i - 1] for i, cc in enumerate(coefs)
+                    )
+                    resid.append(int(v) - pred)
+                    hist.append(int(v))
+                raw_bits = max((_sbits(r) for r in resid), default=1)
+                # residuals wider than the escape's 5-bit length field can
+                # describe (possible at bps=32 + high order): verbatim
+                # subframe, the same fallback real encoders use
+                use_verbatim = raw_bits > 31
+            if use_verbatim:
                 body.write(1, 6)  # verbatim
                 body.write(0, 1)
                 for v in chan:
@@ -415,13 +441,6 @@ def encode_flac(
             body.write(0, 1)  # no wasted bits
             for v in chan[:order]:
                 body.write(int(v), bps)
-            coefs = _FIXED_COEFS[order]
-            hist = [int(v) for v in chan[:order]]
-            resid = []
-            for v in chan[order:]:
-                pred = sum(cc * hist[-i - 1] for i, cc in enumerate(coefs))
-                resid.append(int(v) - pred)
-                hist.append(int(v))
             # zigzag + best single-partition 4-bit rice parameter
             uz = [(r << 1) ^ (r >> 63) for r in np.asarray(resid, np.int64)]
             uz = [int(u) for u in uz]
@@ -432,11 +451,22 @@ def encode_flac(
                     best_p, best_cost = p, cost
             body.write(0, 2)  # 4-bit rice
             body.write(0, 4)  # partition order 0
-            body.write(best_p, 4)
-            for u in uz:
-                body.write_unary(u >> best_p)
-                if best_p:
-                    body.write(u & ((1 << best_p) - 1), best_p)
+            # Rice escape (raw-bits) when cheaper: without it, large
+            # residuals emit unary runs past the decoder's runaway-unary
+            # guard and the documented decode(encode(x)) == x round-trip
+            # returned None (r8 review)
+            escape_cost = 5 + raw_bits * len(resid)
+            if best_cost is None or escape_cost < best_cost:
+                body.write(15, 4)  # escape code
+                body.write(raw_bits, 5)
+                for r in resid:
+                    body.write(r, raw_bits)  # write() masks two's compl.
+            else:
+                body.write(best_p, 4)
+                for u in uz:
+                    body.write_unary(u >> best_p)
+                    if best_p:
+                        body.write(u & ((1 << best_p) - 1), best_p)
         body.align()
         payload = bytes(hdr) + body.bytes()
         payload += _crc16(payload).to_bytes(2, "big")

@@ -64,7 +64,10 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     """
     if not rules:
         raise ValueError("no rules given")
-    basic_exprs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    # no seed aggregate: every rule kind contributes its own expression
+    # (rules is non-empty), and a count nothing reads would still be
+    # computed on every — possibly 100 TB — validation scan (r8 review)
+    basic_exprs: list[Column] = []
     distinct_exprs: list[Column] = []
     for i, r in enumerate(rules):
         c = F.col(r["column"])

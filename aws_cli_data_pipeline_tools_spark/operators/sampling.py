@@ -108,6 +108,12 @@ def importance_sample(
     double→bigint CAST truncates on Spark but rounds on DuckDB). Narrow —
     no shuffle, no action; appending the same rows later keeps identical
     decisions (append-stable like hash_split).
+
+    NULL ``key_col`` rows have no bucket: they are kept only when their
+    clamped weight is 1.0 (the ``w >= 1`` short-circuit) and dropped
+    otherwise — identical on both engines (the SQL comparison against a
+    NULL bucket is never true), but weight-dependent; give rows a non-NULL
+    key upstream if NULL-key documents must sample proportionally.
     """
     w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
     thr = F.lpad(
@@ -187,22 +193,15 @@ def weighted_priority_sample(
     tfidf/entropy precedent). Zero/negative weights are excluded (their
     priority would be infinite).
     """
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.lit(salt), F.col(key_col).cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**15))
-    )
+    # the ONE portable md5→int64 definition (functions.portable_hash64),
+    # not an inline copy that could drift from the shared discipline and
+    # its DuckDB twins (r8 review); bigint→double and string→double round
+    # the same 60-bit integer to the same nearest double
+    from ..functions import portable_hash64
+
+    u = portable_hash64(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    ).cast("double") / F.lit(float(16**15))
     w = F.col(weight_col).cast("double")
     key = -F.log(u) / w
     return (

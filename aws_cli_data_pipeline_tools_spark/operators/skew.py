@@ -6,14 +6,31 @@ can't fix: (a) a single hot GROUP BY key that overwhelms one reducer even
 after partial aggregation, (b) a shuffle join where one key's rows exceed an
 executor's memory on *both* sides.
 
-Salting is the standard decomposition: append a random salt in [0, salts) to
-the hot key, aggregate/join on (key, salt), then reduce the salted partials.
+Salting is the standard decomposition: append a salt in [0, salts) to the
+hot key, aggregate/join on (key, salt), then reduce the salted partials.
+
+The salt is a CONTENT HASH of the row, not ``rand()``: a nondeterministic
+salt used as a shuffle key can lose or double-count rows when a stage is
+recomputed after a fetch failure — rand(seed) replays by row POSITION, and
+a recomputed upstream partition may deliver the same rows in a different
+order, migrating them to different (key, salt) reducers while other
+reducers' outputs are reused (r8 review; the same class of bug Spark fixed
+for round-robin repartition by sorting). The content hash is
+order-independent, so replays are exact. Caveat: rows that are fully
+identical share a salt — if a hot key's rows are byte-identical
+duplicates, add a distinguishing column upstream before salting.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _content_salt(df: DataFrame, salts: int) -> Column:
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts)
+    ).cast("int")
 
 
 def salted_count_sum(
@@ -29,7 +46,7 @@ def salted_count_sum(
     identical to the direct groupBy (sums of decimals/longs are
     order-insensitive; use decimal inputs for float exactness).
     """
-    salted = df.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
+    salted = df.withColumn("__salt", _content_salt(df, salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count("*").alias("__n"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
@@ -66,7 +83,7 @@ def salted_join(
             "replicated side would duplicate unmatched rows salts× for "
             "right/full joins"
         )
-    s = skewed.withColumn("__salt", (F.rand(seed=0) * salts).cast("int"))
+    s = skewed.withColumn("__salt", _content_salt(skewed, salts))
     r = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
     )

@@ -51,16 +51,22 @@ def shard_plan(
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # integer DIV, not double '/' + cast: '/' promotes to double, and a
+    # cumulative byte total past 2^53 would lose low bits and assign
+    # boundary rows to a different shard than the oracle's integer DIV
+    # (r8 review) — at the 100-TB scale this module advertises
     return (
         df.withColumn("bucket", bucket_col)
         .withColumn("size_bytes", size_col.cast("bigint"))
         .withColumn(
-            "shard",
-            (
-                F.coalesce(F.sum("size_bytes").over(w), F.lit(0))
-                / F.lit(budget_bytes)
-            ).cast("bigint"),
+            "__cum_before",
+            F.coalesce(F.sum("size_bytes").over(w), F.lit(0)),
         )
+        .withColumn(
+            "shard",
+            F.expr(f"__cum_before DIV {int(budget_bytes)}").cast("bigint"),
+        )
+        .drop("__cum_before")
     )
 
 
@@ -82,9 +88,21 @@ def write_jsonl_shards(
 
     import pandas as pd
 
+    import pyspark.sql.types as T
+
     os.makedirs(path, exist_ok=True)
+    # bucket derivation must be type-agnostic: pmod on a string id casts
+    # to double → NULL → one giant NULL bucket and int(NaN) crashing the
+    # writer (r8 review). Integral ids keep the modulo layout; everything
+    # else buckets by hash.
+    id_type = df.schema[id_col].dataType
+    bucket = (
+        F.pmod(F.col(id_col), F.lit(n_buckets))
+        if isinstance(id_type, T.IntegralType)
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
+    )
     prepared = df.select(
-        F.pmod(F.col(id_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        bucket.cast("int").alias("bucket"),
         F.col(id_col).alias("__oid"),
         F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("__json"),
     )

@@ -390,3 +390,81 @@ def test_avro_fallback_mixed_field_order_files(spark, tmp_path):
         for r in spark.read.format("avro_fallback").load(path).collect()
     }
     assert ds == {1: 10, 2: 20}
+
+
+def test_salt_is_content_derived_and_stable(spark):
+    """r8 review: rand()-derived salts used as shuffle keys can migrate
+    rows between reducers when a stage is recomputed after a fetch
+    failure (rand replays by row position, and recomputed partitions may
+    reorder). The salt must be a pure function of row content — identical
+    across any partitioning of the same data."""
+    rows = [(k, v) for k in range(4) for v in range(50)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    def salts(d):
+        from aws_cli_data_pipeline_tools_spark.operators.skew import (
+            _content_salt,
+        )
+        return {
+            (r.k, r.v): r.s
+            for r in d.withColumn("s", _content_salt(d, 8)).collect()
+        }
+    a = salts(df.repartition(1))
+    b = salts(df.repartition(13))
+    assert a == b  # same row → same salt, regardless of layout
+    assert len(set(a.values())) > 1  # and it actually spreads
+    direct = {
+        (r.k,): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.k,): (r.n_rows, r.sum_v)
+        for r in skew.salted_count_sum(df, ["k"], ["v"], salts=8).collect()
+    }
+    assert salted == direct
+
+
+def test_jsonl_shards_string_ids(spark, tmp_path):
+    """r8 review: pmod on a string doc_id cast to double → NULL → one
+    NULL bucket and int(NaN) crashing the writer. String ids bucket by
+    hash and round-trip exactly."""
+    from aws_cli_data_pipeline_tools_spark.sources.export import (
+        write_jsonl_shards,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"doc-{i:03d}", f"text {i}") for i in range(40)],
+        "doc_id string, text string",
+    )
+    out = str(tmp_path / "sshards")
+    manifest = write_jsonl_shards(
+        docs, out, budget_bytes=256, n_buckets=4
+    ).collect()
+    assert sum(r.n_docs for r in manifest) == 40
+    assert {r.bucket for r in manifest} > {0}  # spread, not one bucket
+    back = spark.read.json(f"{out}/bucket=*/shard-*.jsonl")
+    assert {(r.doc_id, r.text) for r in back.collect()} == {
+        (f"doc-{i:03d}", f"text {i}") for i in range(40)
+    }
+
+
+def test_shard_plan_integer_division_beyond_2_53(spark):
+    """r8 review: shard came from double '/' + cast; cumulative bytes
+    past 2^53 lose low bits and can land boundary rows in the wrong
+    shard vs the integer-DIV oracle. 2^53+3 rounds to 2^53+4 as a double
+    — the exact off-by-one this test pins."""
+    from aws_cli_data_pipeline_tools_spark.sources.export import shard_plan
+
+    big = (1 << 53) + 3
+    df = spark.createDataFrame(
+        [(1, big), (2, 10)], "ord int, sz bigint"
+    )
+    out = {
+        r.ord: r.shard
+        for r in shard_plan(
+            df, "ord", F.col("sz"), budget_bytes=1, bucket_col=F.lit(0)
+        ).collect()
+    }
+    assert out[1] == 0
+    assert out[2] == big  # exactly cum-before DIV 1, not the rounded double

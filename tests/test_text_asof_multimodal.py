@@ -1090,3 +1090,69 @@ def test_compression_ratio_edges(spark):
     assert out[2].n_raw_bytes == 0 and out[2].compression_ratio is None
     assert out[3].n_raw_bytes is None and out[3].compression_ratio is None
     assert out[4].n_raw_bytes == 5  # h + 2×(c3 a9)
+
+
+def test_asof_join_null_timestamps_and_empty_right_cols(spark):
+    """r8 review: a right row with a NULL timestamp sorted FIRST under the
+    window idiom (asc = NULLS FIRST) and forward-filled as a spurious
+    match for early left rows; a left row with a NULL timestamp under
+    direction='forward' (desc order) sorted last and grabbed the final
+    right row. Both must match nothing. And right_cols=[] must mean
+    'carry no payload columns', not 'default to all'."""
+    import datetime
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, t(5), 100), (1, t(50), 101), (1, None, 102)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right = spark.createDataFrame(
+        [(1, None, "poison"), (1, t(40), "real")],
+        "user_id bigint, ts timestamp, label string",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(left, right, on="ts", by="user_id").collect()
+    }
+    assert out[100].label_right is None  # not "poison"
+    assert out[101].label_right == "real"
+    assert out[102].label_right is None  # NULL left ts matches nothing
+    fwd = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, on="ts", by="user_id", direction="forward"
+        ).collect()
+    }
+    assert fwd[100].label_right == "real"
+    assert fwd[101].label_right is None  # nothing at/after t=50
+    assert fwd[102].label_right is None  # NULL left ts, desc order
+    none_carried = asof_join(
+        left, right, on="ts", by="user_id", right_cols=[]
+    )
+    assert "label_right" not in none_carried.columns
+
+
+def test_flac_escape_roundtrip_and_channel_guard(spark):
+    """r8 review: the encoder never emitted the Rice escape code, so
+    full-scale 32-bit residuals produced unary runs past the decoder's
+    runaway guard — decode(encode(x)) returned None; and 9 channels
+    encoded a reserved stereo-mode header instead of raising."""
+    import numpy as np
+
+    from aws_cli_data_pipeline_tools_spark.operators.flac import (
+        decode_flac, encode_flac,
+    )
+
+    ext = np.empty(64, dtype=np.int64)
+    ext[0::2] = (1 << 31) - 1
+    ext[1::2] = -(1 << 31)
+    blob = encode_flac(ext, sample_rate=8000, bps=32, fixed_order=2)
+    dec = decode_flac(blob)
+    assert dec is not None, "escape/verbatim fallback missing"
+    rate, ch, bps, back = dec
+    assert (rate, ch, bps) == (8000, 1, 32)
+    assert np.array_equal(back[:, 0].astype(np.int64), ext)
+    with pytest.raises(ValueError, match="channels"):
+        encode_flac(np.zeros((8, 9), dtype=np.int64), 8000, bps=16)
