@@ -63,7 +63,11 @@ def register_sql(
     """
     s_sql = spark_sql or sql
     d_sql = duck_sql or sql
-    assert s_sql is not None
+    if s_sql is None:  # raise, not assert: survives python -O (r8 review)
+        raise ValueError(
+            f"register_sql({name!r}): pass sql= or spark_sql= — a "
+            "duck_sql-only registration has nothing to execute"
+        )
     if name in REGISTRY:  # same guard as register(): collisions must not
         raise ValueError(f"duplicate query name: {name}")  # shrink the gate
 

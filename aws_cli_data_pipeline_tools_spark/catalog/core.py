@@ -273,7 +273,11 @@ WITH b AS (
 )
 SELECT rule, "column", metric, threshold, passed FROM (
   SELECT 'not_null' AS rule, 'o_custkey' AS "column",
-         round(null_frac, 6) AS metric, 0.0 AS threshold,
+         round(null_frac, 6) AS metric,
+         -- explicit DOUBLE: a bare 0.0 literal is DECIMAL(2,1) in DuckDB
+         -- while Spark's threshold column is double — a typed-hash
+         -- divergence check_oracle's decimal guard now flags
+         CAST(0.0 AS DOUBLE) AS threshold,
          null_frac <= 0.0 AS passed FROM b
   UNION ALL
   SELECT 'unique', 'o_orderkey', round(dup_cnt, 6), 0.0, dup_cnt <= 0.0 FROM b

@@ -97,10 +97,36 @@ def main(argv: list[str] | None = None) -> int:
 
     args = parser.parse_args(argv)
 
+    # metadata-only commands answer from the Python-side registry — no
+    # reason to pay multi-second JVM spin-up + a 16g driver for them
+    # (r8 review)
+    if args.tool == "catalog":
+        from ..catalog import all_specs
+
+        specs = all_specs()
+        if args.cmd == "list":
+            for name, spec in specs.items():
+                tags = ",".join(spec.tags)
+                if args.tag and args.tag not in tags:
+                    continue
+                oracle = "oracled" if spec.oracle else "rows-only"
+                print(f"{name}\t{oracle}\t{tags}")
+            return 0
+        if args.query_name not in specs:  # validate before the JVM too
+            print(f"unknown query: {args.query_name}", file=sys.stderr)
+            return 1
+
     from ..engine import Engine
 
     engine = Engine.local()
     spark = engine.spark
+
+    def _render(df, max_rows):  # every renderer honors the global --tsv
+        return (
+            engine.to_tsv(df, max_rows)
+            if args.tsv
+            else engine.render(df, max_rows)
+        )
 
     if args.tool == "sql":
         # fixture tables resolve by name (README contract): temp views over
@@ -120,7 +146,7 @@ def main(argv: list[str] | None = None) -> int:
             base = _resolve_table(spark, args.base_table)
             target = _resolve_table(spark, args.target_table)
             diff = engine.profile_diff(base, target)
-            print(engine.render(diff, args.max_rows), end="")
+            print(_render(diff, args.max_rows), end="")
             return 0
         if args.cmd == "profile":
             t = _resolve_table(spark, args.table)
@@ -128,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
                 t,
                 distinct_mode="approx" if args.approx_distinct else "exact",
             )
-            print(engine.render(prof, args.max_rows), end="")
+            print(_render(prof, args.max_rows), end="")
             return 0
 
     if args.tool == "workgroups":
@@ -138,7 +164,7 @@ def main(argv: list[str] | None = None) -> int:
         # single fetch: render once and detect not-found from the rendered
         # text (header-only ⇒ zero data rows) instead of a separate count()
         # job that would execute the query twice
-        out = engine.render(df, args.max_rows)
+        out = _render(df, args.max_rows)
         if args.name and out.count("\n") <= 1:
             print(f"workgroup not found: {args.name}", file=sys.stderr)
             return 1
@@ -146,25 +172,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.tool == "catalog":
-        from ..catalog import all_specs
         from ..sources import DEFAULT_SF_DIR
 
-        specs = all_specs()
-        if args.cmd == "list":
-            for name, spec in specs.items():
-                tags = ",".join(spec.tags)
-                if args.tag and args.tag not in tags:
-                    continue
-                oracle = "oracled" if spec.oracle else "rows-only"
-                print(f"{name}\t{oracle}\t{tags}")
-            return 0
-        if args.cmd == "run":
-            if args.query_name not in specs:
-                print(f"unknown query: {args.query_name}", file=sys.stderr)
-                return 1
+        if args.cmd == "run":  # list handled before session creation
             sf_dir = args.sf_dir or os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
             df = specs[args.query_name].fn(spark, sf_dir)
-            print(engine.render(df, args.max_rows), end="")
+            print(_render(df, args.max_rows), end="")
             return 0
 
     if args.tool == "functions":

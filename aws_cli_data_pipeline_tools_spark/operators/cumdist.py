@@ -215,7 +215,11 @@ def binned_cumsum(
     # decimal cast also catches values the cast cannot represent.
     def _guarded(out_name: str, expr: str | Column) -> Column:
         raw = F.col(expr) if isinstance(expr, str) else expr
-        vc = raw.cast(DEC)
+        # try_cast, not cast: under the session's pinned ANSI mode a plain
+        # cast THROWS its generic error on NaN/inf/overflow before the
+        # when() below can name the case — the curated second branch was
+        # unreachable (r8 review); try_cast yields NULL and routes there
+        vc = raw.try_cast(DEC)
         # two distinct failures share the NULL-after-cast symptom and
         # need OPPOSITE advice: a genuinely-NULL input should be
         # coalesced to 0, but a non-NULL value the decimal(38,10) cast

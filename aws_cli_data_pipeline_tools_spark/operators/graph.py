@@ -50,6 +50,9 @@ def pagerank_fixed_point(
     broadcasts ranks when they fit, and AQE handles hub-node skew on
     the dst aggregation.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -111,6 +114,9 @@ def hits_fixed_point(
     aggregations + two 1-row max broadcasts — Pregel-style, no driver
     state; ranks are the broadcastable small side at corpus scale.
     """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )

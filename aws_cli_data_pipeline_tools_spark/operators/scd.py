@@ -35,6 +35,11 @@ def scd2_merge(
     - new open rows (``valid_from = effective``) for changed + new keys
     - everything else unchanged (incl. already-closed history rows)
     """
+    if not tracked_cols:
+        raise ValueError(
+            "scd2_merge: tracked_cols must be non-empty — with nothing "
+            "tracked there is no change to detect"
+        )
     eff = F.lit(effective).cast("date")
     # SQL MERGE rejects a source with multiple rows per key; silently
     # accepting one would open SEVERAL simultaneously-open rows for that

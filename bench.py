@@ -204,7 +204,10 @@ def main() -> None:
     load_t0 = round(os.getloadavg()[0], 2)
     cpu_probe = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    # \d+(\.\d+)? — the greedy [0-9.]+ swallowed a trailing dot
+    # ('sf0.1.bak' -> float('0.1.') ValueError before the JVM even
+    # started; r8 review)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", sf_dir)
     sf = float(m.group(1)) if m else None
 
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs

@@ -356,3 +356,29 @@ def test_window_heads_expression_partition_not_flagged():
         " currentrow$())) AS rn#11]"
     )
     assert unpartitioned_window_heads(unpartitioned) == ["ts"]
+
+
+def test_cli_catalog_list_no_jvm(capsys, monkeypatch):
+    """r8 review: `catalog list` only reads the Python-side registry —
+    it must answer without building a SparkSession (multi-second JVM
+    spin-up + a 16g driver for a metadata listing)."""
+    import aws_cli_data_pipeline_tools_spark.engine as eng
+
+    def boom(*a, **k):  # noqa: ANN001
+        raise AssertionError("catalog list must not build a session")
+
+    monkeypatch.setattr(eng.Engine, "local", classmethod(boom))
+    assert cli_main(["catalog", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "profile_lineitem\toracled" in out
+    # unknown-name validation also answers JVM-free
+    assert cli_main(["catalog", "run", "zz_nope_zz"]) == 1
+
+
+def test_cli_tsv_honored_by_profile(capsys, sf_dir, monkeypatch):
+    """r8 review: the global --tsv flag was silently ignored by
+    sql profile / vimdiff / workgroups / catalog run."""
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", sf_dir)
+    assert cli_main(["--tsv", "sql", "profile", "region"]) == 0
+    out = capsys.readouterr().out
+    assert "\t" in out.splitlines()[0]  # TSV header, not aligned columns

@@ -505,3 +505,42 @@ def test_order_domain_skew_probe_and_auto_mode(spark):
         ).select("x", "rn", "cum_d")
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_graph_and_scd_validate_arguments(spark):
+    """r8 review: iters=0 crashed deep in the join with auth=None, and an
+    empty tracked_cols raised a bare IndexError — both now fail loudly
+    up front like their siblings."""
+    from aws_cli_data_pipeline_tools_spark.operators.graph import (
+        hits_fixed_point, pagerank_fixed_point,
+    )
+    from aws_cli_data_pipeline_tools_spark.operators.scd import scd2_merge
+
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="iters"):
+        hits_fixed_point(edges, iters=0)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank_fixed_point(edges, iters=0)
+    dim = spark.createDataFrame(
+        [(1, "a")], "k int, seg string"
+    ).selectExpr("k", "seg", "CAST('2024-01-01' AS DATE) valid_from",
+                 "CAST(NULL AS DATE) valid_to")
+    upd = spark.createDataFrame([(1, "b")], "k int, seg string")
+    with pytest.raises(ValueError, match="tracked_cols"):
+        scd2_merge(dim, upd, "k", [], "2024-06-01")
+
+
+def test_binned_cumsum_names_unrepresentable_values(spark):
+    """r8 review: under pinned ANSI mode the plain decimal cast threw its
+    generic error before the curated do-NOT-coalesce branch could fire;
+    try_cast makes the named diagnosis reachable."""
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, float("nan"))], "o double, v double"
+    )
+    out = binned_cumsum(df, value_col="v", order_col="o", n_buckets=4)
+    with pytest.raises(Exception, match="not\\s+representable|representable"):
+        out.collect()

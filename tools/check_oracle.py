@@ -411,6 +411,35 @@ def main() -> int:
             )
             continue
 
+        # Same class as the HUGEINT guard: the driver's value hash is
+        # TYPE-sensitive, so a column that is Decimal on exactly one side
+        # (DuckDB DECIMAL vs Spark DOUBLE, or vice versa) can string-match
+        # here yet record a red driver row (r8 review). Detect on the
+        # first row with both sides non-NULL.
+        import decimal as _dec
+
+        for ci, cname in enumerate(d_cols):
+            si = s_cols.index(cname) if cname in s_cols else None
+            if si is None:
+                continue  # column mismatch reported below
+            for srow, drow in zip(s_rows, d_rows):
+                sv, dv = srow[si], drow[ci]
+                if sv is None or dv is None:
+                    continue
+                s_is = isinstance(sv, _dec.Decimal)
+                d_is = isinstance(dv, _dec.Decimal)
+                if s_is != d_is:
+                    failures.append(
+                        (name,
+                         f"ORACLE TYPES: column {cname!r} is "
+                         f"{'DECIMAL' if d_is else 'non-decimal'} in DuckDB "
+                         f"but {'decimal' if s_is else 'non-decimal'} in "
+                         "Spark — align the casts (driver hash is typed)")
+                    )
+                break
+        if failures and failures[-1][0] == name:
+            continue
+
         sc, sd = frame_to_canon(s_cols, s_rows)
         dc, dd = frame_to_canon(d_cols, d_rows)
         if sc != dc:
@@ -432,6 +461,11 @@ def main() -> int:
     print(f"\n{passed} exact-match, {rows_only} rows-only, {len(failures)} failed")
     for name, msg in failures:
         print(f"\n=== FAIL {name} ===\n{msg}")
+    if name_filter and passed == rows_only == len(failures) == 0:
+        # a typo'd filter must not read as a green gate (r8 review)
+        print(f"ERROR: name filter {name_filter} matched no entries",
+              file=sys.stderr)
+        return 2
     return 1 if failures else 0
 
 
