@@ -292,7 +292,7 @@ ORDER BY e.user_id, error_id
 """,
     tags=("join", "range"),
     notes="Big-big range join via the binned rewrite (operators/rangejoin.py):"
-    " clicks landing in a 10-minute window after each error by the same "
+    " clicks landing in a 6-hour window after each error by the same "
     "user. Equi-join on (user_id, time bin) — no nested loop; the DuckDB "
     "oracle states the same predicate as a plain inequality join.",
 )
@@ -1534,41 +1534,48 @@ register_sql(
     "events_wow_growth",
     spark_sql="""
 WITH weekly AS (
-  SELECT event_type, weekofyear(ts) AS wk, count(*) AS n,
+  SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS week_start,
+         count(*) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
            AS sum_value
-  FROM events GROUP BY event_type, weekofyear(ts)
+  FROM events GROUP BY event_type, date_trunc('week', ts)
 )
-SELECT event_type, wk, n, sum_value,
+SELECT event_type, week_start, n, sum_value,
        n - lag(n) OVER w AS n_delta,
        round((n - lag(n) OVER w)
              / nullif(CAST(lag(n) OVER w AS DOUBLE), 0.0) * 100, 4)
          AS n_pct_change
 FROM weekly
-WINDOW w AS (PARTITION BY event_type ORDER BY wk)
-ORDER BY event_type, wk
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+ORDER BY event_type, week_start
 """,
     duck_sql="""
 WITH weekly AS (
-  SELECT event_type, weekofyear(CAST(ts AS TIMESTAMP)) AS wk, count(*) AS n,
+  SELECT event_type,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE)
+           AS week_start,
+         count(*) AS n,
          round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 2)
            AS sum_value
   FROM events GROUP BY 1, 2
 )
-SELECT event_type, CAST(wk AS INT) AS wk, n, sum_value,
+SELECT event_type, week_start, n, sum_value,
        n - lag(n) OVER w AS n_delta,
        round((n - lag(n) OVER w)
              / nullif(CAST(lag(n) OVER w AS DOUBLE), 0.0) * 100, 4)
          AS n_pct_change
 FROM weekly
-WINDOW w AS (PARTITION BY event_type ORDER BY wk)
-ORDER BY event_type, wk
+WINDOW w AS (PARTITION BY event_type ORDER BY week_start)
+ORDER BY event_type, week_start
 """,
     tags=("streaming-batch", "stats", "window"),
-    notes="Week-over-week growth per event type: ISO week totals + lag "
-    "deltas and % change — the core KPI-reporting shape (both engines "
-    "use ISO weekofyear). Per-type partitioned lag windows; decimal "
-    "sums.",
+    notes="Week-over-week growth per event type: ISO-Monday calendar-week "
+    "totals + lag deltas and % change — the core KPI-reporting shape. "
+    "Weeks key on date_trunc('week') START DATES, not bare weekofyear "
+    "ordinals: ordinals conflate week N of different years and misorder "
+    "the lag at the 52/53→1 wrap (r8 review; the same hazard "
+    "weekly_churn_rates already avoids). Per-type partitioned lag "
+    "windows; decimal sums.",
 )
 
 

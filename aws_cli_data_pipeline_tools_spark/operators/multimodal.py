@@ -316,14 +316,17 @@ def decode_media(df: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
-            decoded = [decode_one(bytes(p)) for p in payloads]
+            # one bytes() per payload: the triple conversion copied every
+            # multi-MB buffer three times per row in the hot decode loop
+            # (r8 review)
+            raw = [bytes(p) for p in pdf["payload"]]
+            decoded = [decode_one(b) for b in raw]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(bytes(p)) for p in payloads],
-                    "sha256": [hashlib.sha256(bytes(p)).hexdigest() for p in payloads],
+                    "n_bytes": [len(b) for b in raw],
+                    "sha256": [hashlib.sha256(b).hexdigest() for b in raw],
                     "width": [d[0] for d in decoded],
                     "height": [d[1] for d in decoded],
                     "feature": [d[2] for d in decoded],
@@ -384,14 +387,15 @@ def sniff_image_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sniffed = [_sniff_dims(bytes(p)) for p in pdf[payload_col]]
+            raw = [bytes(p) for p in pdf[payload_col]]
+            sniffed = [_sniff_dims(b) for b in raw]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "format": [s[0] for s in sniffed],
                     "width": [s[1] for s in sniffed],
                     "height": [s[2] for s in sniffed],
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "n_bytes": [len(b) for b in raw],
                 }
             )
 
@@ -470,7 +474,8 @@ def sniff_audio_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sniffed = [_sniff_audio(bytes(p)) for p in pdf[payload_col]]
+            raw = [bytes(p) for p in pdf[payload_col]]
+            sniffed = [_sniff_audio(b) for b in raw]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -478,7 +483,7 @@ def sniff_audio_headers(
                     "sample_rate": [s[1] for s in sniffed],
                     "channels": [s[2] for s in sniffed],
                     "duration_ms": [s[3] for s in sniffed],
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "n_bytes": [len(b) for b in raw],
                 }
             )
 
@@ -569,7 +574,8 @@ def sniff_video_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            sniffed = [_sniff_video(bytes(p)) for p in pdf[payload_col]]
+            raw = [bytes(p) for p in pdf[payload_col]]
+            sniffed = [_sniff_video(b) for b in raw]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -578,7 +584,7 @@ def sniff_video_headers(
                     "timescale": [s[2] for s in sniffed],
                     "duration_ms": [s[3] for s in sniffed],
                     "n_tracks": [s[4] for s in sniffed],
-                    "n_bytes": [len(bytes(p)) for p in pdf[payload_col]],
+                    "n_bytes": [len(b) for b in raw],
                 }
             )
 
@@ -597,12 +603,28 @@ def resize_plan(df: DataFrame, max_side: int = 224) -> DataFrame:
     touch — stays a codegen'd projection; the actual pixel resize would slot
     into the decode_media mapInPandas stage)."""
     w, h = F.col("meta.width"), F.col("meta.height")
-    scale = F.lit(max_side) / F.greatest(w, h).cast("double")
     need = F.greatest(w, h) > max_side
+    # pure integer arithmetic: the FP divide-then-multiply form made the
+    # LONGER side max_side-1 for ~8% of sizes (277*(224/277) floors to
+    # 223 — r8 review). The long side is pinned to max_side exactly; the
+    # short side scales by integer DIV (floor), aspect preserved.
+    long_is_w = w >= h
+    short_scaled_w = F.expr(
+        f"CAST(meta.width AS BIGINT) * {int(max_side)}"
+        " DIV CAST(meta.height AS BIGINT)"
+    )
+    short_scaled_h = F.expr(
+        f"CAST(meta.height AS BIGINT) * {int(max_side)}"
+        " DIV CAST(meta.width AS BIGINT)"
+    )
     return df.withColumns(
         {
-            "target_width": F.when(need, F.floor(w * scale)).otherwise(w).cast("int"),
-            "target_height": F.when(need, F.floor(h * scale)).otherwise(h).cast("int"),
+            "target_width": F.when(
+                need, F.when(long_is_w, F.lit(max_side)).otherwise(short_scaled_w)
+            ).otherwise(w).cast("int"),
+            "target_height": F.when(
+                need, F.when(long_is_w, short_scaled_h).otherwise(F.lit(max_side))
+            ).otherwise(h).cast("int"),
         }
     )
 

@@ -399,6 +399,11 @@ def ivf_index_topk(
     import numpy as np
 
     rows = spark.read.parquet(f"{path}/centroids").collect()
+    if not rows:
+        raise ValueError(
+            f"ivf_index_topk: no centroids under {path}/centroids — run "
+            "build_ivf_index first (empty or corrupt index)"
+        )
     cents = np.zeros((len(rows), len(rows[0]["centroid"])))
     for r in rows:
         cents[r["list_id"]] = r["centroid"]
@@ -406,10 +411,16 @@ def ivf_index_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    probes = _ivf_assign(q, "query_id", "qv", cents, n_probe=n_probe)
-    probe_lists = [
-        r.list_id for r in probes.select("list_id").distinct().collect()
-    ]
+    # collect the (small, broadcastable-by-contract) probe assignments
+    # ONCE and rebind as a local relation: the lazy plan used to execute
+    # the assignment mapInPandas twice — once for the distinct list-id
+    # pull, again inside the broadcast join (r8 review)
+    probes_local = _ivf_assign(
+        q, "query_id", "qv", cents, n_probe=n_probe
+    )
+    probe_rows = probes_local.collect()
+    probes = spark.createDataFrame(probe_rows, probes_local.schema)
+    probe_lists = sorted({r["list_id"] for r in probe_rows})
     labeled = spark.read.parquet(f"{path}/corpus").filter(
         F.col("list_id").isin(probe_lists)  # partition-pruned scan
     )
@@ -455,7 +466,13 @@ def lsh_ann_topk(
     length is known (it is part of the data contract).
     """
     if dim is None:  # fallback probe — one tiny driver action
-        dim = len(corpus.select(vec_col).first()[0])
+        first = corpus.select(vec_col).first()
+        if first is None:
+            raise ValueError(
+                "lsh_ann_topk: corpus is empty — pass dim= or a non-empty "
+                "corpus (the dim probe reads the first row)"
+            )
+        dim = len(first[0])
     planes = _hyperplane_tables(dim, n_planes, n_tables, seed)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
@@ -916,9 +933,14 @@ def mmr_rerank(
             "row; loop over queries (or pin a query_id filter) for multi-"
             "query reranking"
         )
+    # persist: rel is collected below AND feeds cand, whose self-join
+    # re-executes the lineage per alias — without the cache the expensive
+    # corpus-wide cosine_topk scan ran ~3x per call (r8 review)
     rel = cosine_topk(
         corpus, queries, k=pool, id_col=id_col, vec_col=vec_col
-    ).select(F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel"))
+    ).select(
+        F.col("neighbor_id").alias("id"), F.col("cosine").alias("rel")
+    ).persist()
     cand = rel.join(
         corpus.select(
             F.col(id_col).alias("id"), F.col(vec_col).alias("v")
@@ -940,6 +962,7 @@ def mmr_rerank(
     sim_rows = {}  # pool²-sized
     for r in simmat.collect():
         sim_rows[(r.ida, r.idb)] = r.sim
+    rel.unpersist()  # both consumers drained (driver-side greedy next)
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
     for step in range(1, k + 1):

@@ -1156,3 +1156,56 @@ def test_flac_escape_roundtrip_and_channel_guard(spark):
     assert np.array_equal(back[:, 0].astype(np.int64), ext)
     with pytest.raises(ValueError, match="channels"):
         encode_flac(np.zeros((8, 9), dtype=np.int64), 8000, bps=16)
+
+
+def test_resize_plan_pins_long_side_exactly(spark):
+    """r8 review: floor(w * (max/long)) underflowed for ~8% of sizes
+    (277*(224/277) → 223.9999… → 223). The long side must be exactly
+    max_side; the short side scales by integer DIV."""
+    rows = [
+        (1, ("img", 277, 100)),   # FP-underflow width
+        (2, ("img", 100, 277)),   # same, as height
+        (3, ("img", 277, 277)),   # square at an underflow size
+        (4, ("img", 640, 480)),   # the previously-tested case
+        (5, ("img", 100, 80)),    # under max_side: untouched
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id bigint, meta struct<format:string,width:int,height:int>",
+    )
+    got = {
+        r.media_id: (r.target_width, r.target_height)
+        for r in multimodal.resize_plan(df, max_side=224).collect()
+    }
+    assert got[1] == (224, 80)    # 100*224 DIV 277
+    assert got[2] == (80, 224)
+    assert got[3] == (224, 224)   # square pins BOTH sides
+    assert got[4] == (224, 168)
+    assert got[5] == (100, 80)
+
+
+def test_ann_empty_inputs_fail_loudly(spark, tmp_path):
+    """r8 review: the dim probe on an empty corpus raised an opaque
+    'NoneType is not subscriptable', and an empty centroids dataset an
+    IndexError — both now name the problem."""
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.similarity import (
+        ivf_index_topk, lsh_ann_topk,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id bigint, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="corpus is empty"):
+        lsh_ann_topk(empty, q, k=5)
+    idx = str(tmp_path / "empty_ivf")
+    empty.withColumn("list_id", F.lit(0)).write.parquet(f"{idx}/corpus")
+    spark.createDataFrame(
+        [], "list_id int, centroid array<double>"
+    ).write.parquet(f"{idx}/centroids")
+    with _pytest.raises(ValueError, match="no centroids"):
+        ivf_index_topk(spark, idx, q, k=5)

@@ -1,76 +1,62 @@
 """10× scale-stress for the quadratic-risk operator family (BASELINE.md).
 
-Protocol (same as the round-2 spot checks): synthesize a 10× corpus from
-sf0.1 by unioning shifted-id replicas, time each op after a warmup action,
-and report the observed scaling exponent log10(t_10x / t_1x) — 1.0 means
-linear, 2.0 quadratic.
+Reports the observed scaling exponent log10(t_10x / t_1x) — 1.0 means
+linear, 2.0 quadratic — for ngram-Jaccard (plain vs PPJoin prefix
+filter), TF-IDF, and dedup clustering.
 
-Two corpus shapes, because the quadratic-risk ops have opposite worst
-cases:
-- duplicate-DENSE (plain shifted-id union): every doc gets 9 exact
-  replicas — the worst case for prefix filtering (true dups can't be
-  pruned) and for the pair-output itself (45 pairs per 10-replica group).
-  Recorded in round 2.
-- LOW-dup (this script): each replica interleaves a replica-specific
-  token between every word, so shingle sets are disjoint ACROSS replicas
-  and pair density stays the fixture's — the regime where PPJoin prefix
-  filtering is supposed to win. This measures the plain-vs-prefix
-  crossover the operator docstring promises.
+Protocol comes from tools/_stress_common.py (r8 review: this tool used
+to carry its own round-2 protocol with BOTH documented fixture failures
+— the word-interleaving corpus that manufactures cross-replica shingle
+collisions AND ~2× tokens per doc, and an unpersisted/unwarmed 1×
+baseline — so rerunning it reproduced the known-biased round-3
+exponents):
+
+- corpus replication is ``cipher_replicated`` (seeded per-replica
+  character substitution: bijective, so shingle sets are DISJOINT across
+  replicas — the low-dup regime this tool exists to measure — while
+  within-replica pair structure and per-doc work stay exactly the 1×
+  fixture's);
+- every scale point including 1× goes through ``materialize()``
+  (repartition 32 + persist + count) so timed actions never pay
+  non-comparable plan-recompute costs;
+- cells are ``timed`` min-of-2 after the shared warmup.
 
 Usage: python tools/scale_stress.py [sf_dir]
 """
 
 from __future__ import annotations
 
+import math
 import sys
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
 
-from pyspark.sql import functions as F  # noqa: E402
-
-
-def timed(label: str, action):
-    t0 = time.perf_counter()
-    n = action()
-    secs = time.perf_counter() - t0
-    print(f"  {label}: {secs:.2f}s  ({n} rows)")
-    return secs
+from _stress_common import materialize, timed  # noqa: E402
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from _stress_common import cipher_replicated
 
     from aws_cli_data_pipeline_tools_spark.operators import dedup, textstats
     from aws_cli_data_pipeline_tools_spark.session import get_spark
     from aws_cli_data_pipeline_tools_spark.sources import load_table
 
     spark = get_spark(app_name="scale-stress")
-    docs = load_table(spark, "documents", sf_dir)
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
-    # LOW-dup 10x: replica i interleaves token qi between every word, so
-    # every 3-gram of replica i contains qi -> shingle sets disjoint across
-    # replicas; within-replica dup density stays the fixture's.
-    lowdup10 = docs.select(
-        F.col("doc_id"), F.col("text")
-    )
-    parts = []
-    for i in range(10):
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
-                F.regexp_replace(F.col("text"), r"\s+", f" q{i} ").alias("text"),
-            )
-        )
-    lowdup10 = parts[0]
-    for p in parts[1:]:
-        lowdup10 = lowdup10.unionByName(p)
+    docs = materialize(base)
+    lowdup10 = materialize(cipher_replicated(base, 10))
 
-    docs.count()  # warm session
-    lowdup10.count()
+    # shared warmup: exercise the full kernel path once before any cell
+    dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_bucket=1000, prefix_filter=True
+    ).count()
 
-    print("== ngram_jaccard plain vs prefix_filter (LOW-dup corpus) ==")
-    results = {}
+    print("== ngram_jaccard plain vs prefix_filter (cipher low-dup corpus) ==")
+    results: dict[tuple[str, str], float] = {}
     for scale, corpus in (("1x", docs), ("10x", lowdup10)):
         for mode, pf in (("plain", False), ("prefix", True)):
             secs = timed(
@@ -78,52 +64,53 @@ def main() -> int:
                 lambda c=corpus, p=pf: dedup.ngram_jaccard_pairs(
                     c, k=3, threshold=0.5, max_bucket=1000, prefix_filter=p
                 ).count(),
+                repeat=2,
             )
             results[(mode, scale)] = secs
     for mode in ("plain", "prefix"):
-        import math
-
         exp = math.log10(results[(mode, "10x")] / results[(mode, "1x")])
         print(f"  {mode}: scaling exponent {exp:.2f}")
 
-    print("== tfidf_top_terms (LOW-dup corpus) ==")
-    t1 = timed("1x", lambda: textstats.tfidf_top_terms(docs).count())
-    t10 = timed("10x", lambda: textstats.tfidf_top_terms(lowdup10).count())
-    import math
-
+    print("== tfidf_top_terms (cipher low-dup corpus) ==")
+    t1 = timed(
+        "1x", lambda: textstats.tfidf_top_terms(docs).count(), repeat=2
+    )
+    t10 = timed(
+        "10x", lambda: textstats.tfidf_top_terms(lowdup10).count(), repeat=2
+    )
     print(f"  scaling exponent {math.log10(t10 / t1):.2f}")
 
     print("== dedup_clusters ==")
+
     # realistic shape: 10-node cliques (dup groups) at 1x and 10x edges
     def cliques(n_groups: int):
         rows = []
         for g in range(n_groups):
-            base = g * 10
+            b = g * 10
             rows.extend(
-                (base + a, base + b) for a in range(10) for b in range(a + 1, 10)
+                (b + a, b + c)
+                for a in range(10)
+                for c in range(a + 1, 10)
             )
-        return spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+        df = spark.createDataFrame(rows, "id_a bigint, id_b bigint")
+        return materialize(df)
 
+    e1 = cliques(2_000)
+    e10 = cliques(20_000)
+    dedup.dedup_clusters(e1).count()  # warm the iterative path
     c1 = timed(
         "cliques 1x (2k groups, 90k edges)",
-        lambda: dedup.dedup_clusters(cliques(2_000)).count(),
+        lambda: dedup.dedup_clusters(e1).count(),
+        repeat=2,
     )
     c10 = timed(
         "cliques 10x (20k groups, 900k edges)",
-        lambda: dedup.dedup_clusters(cliques(20_000)).count(),
+        lambda: dedup.dedup_clusters(e10).count(),
+        repeat=2,
     )
     print(f"  scaling exponent {math.log10(c10 / c1):.2f}")
-    # adversarial shape: one deep chain (diameter = rounds); wall is
-    # rounds x 2 shuffles, independent of corpus size
-    chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "id_a bigint, id_b bigint"
-    )
-    timed(
-        "deep chain (41 nodes, diameter 40, max_iterations=50)",
-        lambda: dedup.dedup_clusters(chain, max_iterations=50)
-        .filter(F.col("group_id") == 0)
-        .count(),
-    )
+    for h in (docs, lowdup10, e1, e10):
+        h.unpersist()
     return 0
 
 
