@@ -24,14 +24,40 @@ from pyspark.sql import DataFrame, SparkSession
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
-def _sample_history() -> tuple[dict[str, int], set[str]]:
-    """Per-name driver-sample count across past rounds (CORRECTNESS_r*.json)
-    plus the set of names whose LATEST driver row was red (mismatch or
-    harness error). Used to rotate registry order so the driver's first-N
-    sample (a) re-confirms every in-round fix at the hard signal first and
-    (b) maximizes first-time coverage; the full catalog is independently
-    verified by tools/check_oracle.py."""
+def _row_is_red(row) -> bool:
+    """True only for KNOWN-failure driver-row shapes (VERDICT r8 minor 1):
+    an explicit ``False`` in any match field, or an error string recorded
+    without evidence the Spark query ran (``spark_rows`` a non-negative
+    int). The driver's current non-failure marker is ``err ==
+    "no_oracle"`` (rows-only entry); if a FUTURE driver vocabulary adds
+    another non-failure marker, it will — like ``no_oracle`` — come with
+    a real ``spark_rows`` count, so it is not classed red and pinned to
+    the front of the rotation forever. A genuine harness failure (Spark
+    query crashed) cannot record a row count, so it stays red."""
+    if not isinstance(row, dict):
+        return True
+    if any(
+        row.get(k) is False
+        for k in ("rows_match", "schema_match", "hash_match")
+    ):
+        return True
+    err = row.get("err")
+    if not err or err == "no_oracle":
+        return False
+    spark_rows = row.get("spark_rows")
+    return not (isinstance(spark_rows, int) and spark_rows >= 0)
+
+
+def _sample_history() -> tuple[dict[str, int], dict[str, int], set[str]]:
+    """Per-name driver-sample count and LAST-sampled round across past
+    rounds (CORRECTNESS_r*.json), plus the set of names whose LATEST
+    driver row was red (see ``_row_is_red``). Used to rotate registry
+    order so the driver's first-N sample (a) re-confirms every in-round
+    fix at the hard signal first and (b) re-confirms the stalest rows
+    against the current code (VERDICT r8 task 2); the full catalog is
+    independently verified by tools/check_oracle.py."""
     counts: dict[str, int] = {}
+    last_round: dict[str, int] = {}
     latest_red: set[str] = set()
     here = os.path.dirname(os.path.abspath(__file__))
     # numeric round order, not lexicographic (r100 would sort before r11)
@@ -42,6 +68,7 @@ def _sample_history() -> tuple[dict[str, int], set[str]]:
     for path in sorted(
         glob.glob(os.path.join(here, "CORRECTNESS_r*.json")), key=_round_no
     ):
+        rno = _round_no(path)
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -49,20 +76,12 @@ def _sample_history() -> tuple[dict[str, int], set[str]]:
             continue
         for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
-            # err == "no_oracle" is the driver's marker for a rows-only
-            # entry (expected weaker check), not a failure.
-            green = (
-                isinstance(row, dict)
-                and (not row.get("err") or row.get("err") == "no_oracle")
-                and row.get("rows_match") is not False
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
-            )
-            if green:
-                latest_red.discard(name)
-            else:
+            last_round[name] = rno
+            if _row_is_red(row):
                 latest_red.add(name)
-    return counts, latest_red
+            else:
+                latest_red.discard(name)
+    return counts, last_round, latest_red
 
 
 #: Names to surface to the driver ahead of the general never-sampled
@@ -80,32 +99,29 @@ _PRIORITY_NAMES = (
     "events_distinct_sketch_cascade",
 )
 
-#: Names to resample EVERY round regardless of sample count: the
-#: oracle-exact twin of the rows-only ``dedup_cluster_groups`` entry, so
-#: the driver round that records the invariant row also records the
-#: hash-checked closure signal next to it (VERDICT r7 task 5).
-_ALWAYS_PRIORITY = ("dedup_cluster_groups_exact",)
-
 
 def _rotated_names() -> list[str]:
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
     specs = all_specs()
     names = list(specs)
-    counts, latest_red = _sample_history()
+    counts, last_round, latest_red = _sample_history()
     order = {n: i for i, n in enumerate(names)}
     # previously-red (at latest sample) first so fixes get driver-confirmed;
-    # then the explicit priority tier (if still unsampled); then
-    # least-sampled; within a tie, oracle-backed before rows-only so driver
-    # rows carry the strong (hash-checked) signal; then registry order
+    # then the explicit priority tier (if still unsampled — never-sampled
+    # entries have no last_round and already sort first, this only orders
+    # WITHIN that tier); then OLDEST-sampled first (VERDICT r8 task 2:
+    # ~100 entries' only driver rows predate the r8 engine-wide hardening,
+    # so staleness — not sample count — is what a fresh driver row buys
+    # down); then least-sampled; within a tie, oracle-backed before
+    # rows-only so driver rows carry the strong (hash-checked) signal;
+    # then registry order
     return sorted(
         names,
         key=lambda n: (
             0 if n in latest_red else 1,
-            0
-            if (n in _PRIORITY_NAMES and counts.get(n, 0) == 0)
-            or n in _ALWAYS_PRIORITY
-            else 1,
+            0 if (n in _PRIORITY_NAMES and counts.get(n, 0) == 0) else 1,
+            last_round.get(n, -1),
             counts.get(n, 0),
             0 if specs[n].oracle else 1,
             order[n],

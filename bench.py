@@ -145,20 +145,41 @@ RETRY_FACTOR = 1.3
 RETRY_LOAD = 4.0
 
 
-def _recorded_bands(sf: float | None) -> dict[str, float]:
-    """Per-query best (min) recorded bench timing across past rounds'
-    BENCH_r*.json at the SAME scale factor — the idle-throughput proxy
-    the retry rule compares against. Missing/new queries have no band and
-    are never retried (their first recorded number becomes the band).
+#: Probe-ratio clamp for band normalization: the matmul probe itself
+#: varies ~1.7× within a day on this VM class (BASELINE.md r8 notes), so
+#: an unclamped ratio would let probe noise inflate/deflate the retry
+#: threshold arbitrarily. [0.5, 2.0] covers every host-speed regime
+#: observed across rounds 1–8 while bounding the noise contribution.
+PROBE_RATIO_CLAMP = (0.5, 2.0)
 
-    ``sf=None`` (the sf_dir name didn't match the sf regex) returns no
-    bands at all: mixing bands across scale factors would compare an
-    unknown/larger scale's first passes against sf0.1 bests and re-run
-    essentially every query (ADVICE r7)."""
+
+def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
+    """Per-query best recorded bench timing across past rounds'
+    BENCH_r*.json at the SAME scale factor, WITH the host-speed probe the
+    band was recorded at: ``{name: (band_sec, band_probe)}`` (VERDICT r8
+    task 1). Bands from different rounds come from different-speed hosts
+    (the r8 adjudication: a uniformly ~1.2× slower idle box), so "best"
+    is chosen by probe-normalized cost ``sec / probe`` — the
+    machine-independent number — and the retry rule rescales the band to
+    the CURRENT host via ``band × clamp(probe_now / band_probe)``.
+
+    Rounds 1–7 predate ``cpu_probe_sec``; their probes are imputed from
+    the probed round with the most query overlap via the median per-query
+    timing ratio (median over ~40 shared queries is robust to the handful
+    of queries whose real cost changed between rounds). With no probed
+    round at all, bands fall back to raw-seconds minima (probe ``None``
+    → the retry rule applies no rescaling, the pre-r9 behavior).
+
+    Missing/new queries have no band and are never retried (their first
+    recorded number becomes the band). ``sf=None`` (the sf_dir name
+    didn't match the sf regex) returns no bands at all: mixing bands
+    across scale factors would compare an unknown/larger scale's first
+    passes against sf0.1 bests and re-run essentially every query
+    (ADVICE r7)."""
     if sf is None:
         return {}
     here = os.path.dirname(os.path.abspath(__file__))
-    bands: dict[str, float] = {}
+    records: list[tuple[dict[str, float], float | None]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         try:
             with open(path) as f:
@@ -170,10 +191,60 @@ def _recorded_bands(sf: float | None) -> dict[str, float]:
             rec = rec["parsed"]
         if rec.get("sf") != sf:
             continue
-        for name, sec in (rec.get("queries") or {}).items():
-            if isinstance(sec, (int, float)) and sec > 0:
-                bands[name] = min(bands.get(name, float("inf")), float(sec))
+        qs = {
+            name: float(sec)
+            for name, sec in (rec.get("queries") or {}).items()
+            if isinstance(sec, (int, float)) and sec > 0
+        }
+        if not qs:
+            continue
+        probe = rec.get("cpu_probe_sec")
+        probe = float(probe) if isinstance(probe, (int, float)) and probe > 0 else None
+        records.append((qs, probe))
+
+    # impute pre-probe rounds' host speed from the probed round with the
+    # most query overlap (median per-query ratio × that round's probe)
+    probed = [(q, p) for q, p in records if p is not None]
+    normed: list[tuple[dict[str, float], float | None]] = []
+    for qs, probe in records:
+        if probe is None and probed:
+            ref_qs, ref_probe = max(
+                probed, key=lambda qp: len(qp[0].keys() & qs.keys())
+            )
+            ratios = sorted(
+                qs[n] / ref_qs[n]
+                for n in (ref_qs.keys() & qs.keys())
+                if ref_qs[n] > 0
+            )
+            if ratios:
+                probe = ref_probe * ratios[len(ratios) // 2]
+        normed.append((qs, probe))
+
+    bands: dict[str, tuple[float, float | None]] = {}
+    best_cost: dict[str, float] = {}
+    for qs, probe in normed:
+        for name, sec in qs.items():
+            # machine-independent cost when a probe is known; raw seconds
+            # otherwise (all-or-nothing: imputation covers every record
+            # as soon as one probed record exists)
+            cost = sec / probe if probe else sec
+            if cost < best_cost.get(name, float("inf")):
+                best_cost[name] = cost
+                bands[name] = (sec, probe)
     return bands
+
+
+def _retry_threshold(
+    band: float, band_probe: float | None, probe_now: float | None
+) -> float:
+    """Current-host retry threshold: ``RETRY_FACTOR × band``, rescaled by
+    the clamped host-speed ratio when both probes are known (VERDICT r8
+    task 1 — host drift must stop masquerading as regression)."""
+    scale = 1.0
+    if band_probe and probe_now:
+        lo, hi = PROBE_RATIO_CLAMP
+        scale = min(hi, max(lo, probe_now / band_probe))
+    return RETRY_FACTOR * band * scale
 
 
 def _cpu_probe() -> float:
@@ -262,11 +333,21 @@ def main() -> None:
     retries: dict[str, dict[str, float]] = {}
     contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
     for name, first in list(timings.items()):
-        band = bands.get(name)
-        if band is None or first <= RETRY_FACTOR * band:
+        band_rec = bands.get(name)
+        if band_rec is None:
+            continue
+        band, band_probe = band_rec
+        threshold = _retry_threshold(band, band_probe, cpu_probe)
+        if first <= threshold:
             continue
         again = timed_run(name)
-        retries[name] = {"first": first, "retry": again, "band": band}
+        retries[name] = {
+            "first": first,
+            "retry": again,
+            "band": band,
+            "band_probe": band_probe,
+            "threshold": round(threshold, 3),
+        }
         timings[name] = min(first, again)
 
     # the unbounded-size adjudication trail goes on its OWN line (and to
@@ -281,6 +362,11 @@ def main() -> None:
             "load_gate": RETRY_LOAD,
             "contended": contended,
             "n_bands": len(bands),
+            # probe-normalized bands (VERDICT r8 task 1): thresholds are
+            # band × clamp(probe_now/band_probe) so host drift is
+            # adjudicated by the rule, not by prose
+            "cpu_probe_sec": cpu_probe,
+            "probe_ratio_clamp": list(PROBE_RATIO_CLAMP),
         },
     }
     print(json.dumps(trail))

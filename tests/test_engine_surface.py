@@ -187,20 +187,88 @@ def test_bench_recorded_bands_and_retry_rule():
 
     bands = bench._recorded_bands(0.1)
     assert len(bands) >= 38  # the recorded headline history
-    assert all(v > 0 for v in bands.values())
+    assert all(sec > 0 for sec, _probe in bands.values())
+    # probe-normalized bands (VERDICT r8 task 1): r8+ records carry
+    # cpu_probe_sec, and pre-probe rounds are imputed from the probed
+    # round with the most overlap — so once ANY probed record exists at
+    # this sf, every band carries a positive probe
+    assert all(probe and probe > 0 for _sec, probe in bands.values())
     assert bench._recorded_bands(0.5) == {}  # sf-mismatched files excluded
     # unrecognized sf_dir → no bands at all (never mix scales; the retry
     # pass is skipped entirely rather than re-running every query —
     # ADVICE r7)
     assert bench._recorded_bands(None) == {}
-    band = bands["profile_lineitem_hll"]
-    assert 5.06 > bench.RETRY_FACTOR * band     # r6 artifact → retried
-    assert not 3.5 > bench.RETRY_FACTOR * band  # idle reading → no retry
+    band, band_probe = bands["profile_lineitem_hll"]
+    # same-speed host: plain factor rule — the r6 contention artifact
+    # (5.06 s first pass) must trip it, the idle reading must not
+    same = bench._retry_threshold(band, band_probe, band_probe)
+    assert same == bench.RETRY_FACTOR * band
+    assert 5.06 > same and not 3.5 > same
+    # 1.5×-slower host: threshold scales up by exactly the probe ratio,
+    # so uniform host drift no longer masquerades as regression
+    assert bench._retry_threshold(2.0, 0.010, 0.015) == (
+        bench.RETRY_FACTOR * 2.0 * 1.5
+    )
+    # probe noise is clamped (the probe itself swings ~1.7× within a day)
+    lo, hi = bench.PROBE_RATIO_CLAMP
+    assert bench._retry_threshold(2.0, 0.010, 0.10) == bench.RETRY_FACTOR * 2.0 * hi
+    assert bench._retry_threshold(2.0, 0.010, 0.001) == bench.RETRY_FACTOR * 2.0 * lo
+    # unknown probe on either side → no rescaling (pre-r9 behavior)
+    assert bench._retry_threshold(2.0, None, 0.01) == bench.RETRY_FACTOR * 2.0
+    assert bench._retry_threshold(2.0, 0.01, None) == bench.RETRY_FACTOR * 2.0
     # every headline query resolves in the registry
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
     missing = [q for q in bench.HEADLINE if q not in all_specs()]
     assert not missing, missing
+
+
+def test_driver_row_classification_and_rotation():
+    """VERDICT r8 minor 1 + task 2: only known-failure driver-row shapes
+    are red (an unknown future non-failure marker must NOT be pinned to
+    the front of the rotation forever), and the driver sample order
+    re-confirms the STALEST entries first (oldest last-sampled round),
+    so early-round rows get re-checked against the current code."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import __spark_entry__ as entry
+
+    ok = {"rows_match": True, "schema_match": True, "hash_match": True,
+          "spark_rows": 10, "oracle_rows": 10, "err": None}
+    assert not entry._row_is_red(ok)
+    # the driver's current weaker-check marker
+    assert not entry._row_is_red({**ok, "hash_match": None, "err": "no_oracle"})
+    # a FUTURE non-failure marker: unknown err string but the query ran
+    # (spark_rows recorded) and nothing mismatched → not red
+    assert not entry._row_is_red(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": 42, "err": "rows_only_v2"}
+    )
+    # explicit mismatch → red, regardless of err
+    assert entry._row_is_red({**ok, "hash_match": False})
+    assert entry._row_is_red({**ok, "rows_match": False, "err": "no_oracle"})
+    # harness failure: error with no evidence the Spark query ran → red
+    assert entry._row_is_red(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": None, "err": "AnalysisException: ..."}
+    )
+    assert entry._row_is_red("not-a-dict")
+
+    # rotation: among previously-sampled non-red names, last-sampled round
+    # is non-decreasing through the order (stalest first); red-at-latest
+    # names (if any) all come before everything else
+    counts, last_round, latest_red = entry._sample_history()
+    order = entry._rotated_names()
+    assert len(order) == len(set(order))
+    non_red = [n for n in order if n not in latest_red and counts.get(n, 0) > 0]
+    rounds = [last_round[n] for n in non_red]
+    assert rounds == sorted(rounds), "rotation must be stalest-first"
+    if latest_red:
+        cutoff = max(order.index(n) for n in latest_red)
+        assert cutoff < len(latest_red), "red entries must lead the rotation"
 
 
 def test_bench_headline_line_bounded():
