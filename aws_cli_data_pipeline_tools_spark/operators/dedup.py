@@ -363,6 +363,14 @@ def minhash_lsh_pairs(
     """
     sides = minhash_sides(df, id_col, text_col, k, num_perm, seed, portable)
     band_entries = minhash_band_entries(sides, num_perm, bands)
+    # Volume-adaptive banding exchange (VERDICT r8 task 3): bands×24 B
+    # per doc (~0.2-0.5× the text bytes) — far lighter than the span
+    # postings, so this only widens past the session default on corpora
+    # in the 100 GB+ class; pre-partitioning on the bucket key also
+    # aligns both self-join sides (no second banding shuffle).
+    width = _posting_shuffle_width(df, expansion=0.5)
+    if width:
+        band_entries = band_entries.repartition(width, "band", "bkey")
 
     cand = (
         band_entries.alias("a")
@@ -928,6 +936,118 @@ def embedding_cosine_pairs(
     return pairs
 
 
+#: Target post-shuffle payload per partition for posting-shaped
+#: exchanges (matches AQE's advisoryPartitionSizeInBytes default).
+_POSTING_BYTES_PER_PARTITION = 64 << 20
+
+#: Upper clamp for derived shuffle widths — far above any local run,
+#: sane on a 1000-executor cluster.
+_MAX_POSTING_WIDTH = 4096
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate for ``df`` in bytes (file size
+    for parquet scans, cached size for materialized InMemoryRelations),
+    or None when the optimizer reports an unknown/sentinel value. Driver-
+    side plan inspection only — no job runs."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts small scala BigInts to Python int directly; very
+        # large ones may surface as JavaObject → stringify
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # py4j/analysis errors → treat as unknown
+        return None
+    # Catalyst propagates Long.MaxValue-ish sentinels when it has no idea
+    return size if 0 < size < (1 << 50) else None
+
+
+#: Upper bound on how much smaller than raw character count a text
+#: column's plan-time size estimate can plausibly be: columnar cache
+#: compression measured ~6×, parquet text compression ~40× on the
+#: synthetic fixture. Used only as a cheap gate — when even this
+#: pessimistic inflation stays under the session's shuffle budget, the
+#: corpus is provably below the knee and no probe action runs at all.
+_MAX_TEXT_COMPRESSION = 64
+
+
+def _session_shuffle_default(df: DataFrame) -> int:
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200  # Spark's own default
+
+
+def _width_for_bytes(posting_bytes: float, default: int) -> int | None:
+    width = min(
+        int(posting_bytes / _POSTING_BYTES_PER_PARTITION) + 1,
+        _MAX_POSTING_WIDTH,
+    )
+    return width if width > default else None
+
+
+def _posting_shuffle_width(src: DataFrame, expansion: float) -> int | None:
+    """Volume-adaptive shuffle width from the PLAN-TIME input size
+    estimate × ``expansion`` (≈ posting bytes per input byte), sized to
+    ~64 MB per partition and clamped to ``_MAX_POSTING_WIDTH``. Returns
+    None — leave the plan on the session default — when the input size
+    is unknown or the derived width does not exceed
+    ``spark.sql.shuffle.partitions``. Used for exchanges whose volume is
+    well below the measured knee (MinHash banding: ~bands×24 B per doc);
+    the span-posting path, whose knee is real, uses the exact
+    :func:`_span_posting_width` probe instead."""
+    size = _plan_size_bytes(src)
+    if size is None:
+        return None
+    default = _session_shuffle_default(src)
+    return _width_for_bytes(size * expansion, default)
+
+
+def _span_posting_width(
+    src: DataFrame, text_col: str, bytes_per_char: float = 48.0
+) -> int | None:
+    """Exact volume-adaptive width for the span-posting exchange
+    (VERDICT r8 task 3): posting volume is one (id, hash) row per
+    CHARACTER — 16 B serialized, but the partition-sizing constraint is
+    the JOIN-SORT working set (~48 B/row: UnsafeRow layout + sort
+    pointers), which is what actually spills at the knee. So the driver
+    is docs × avg_len × 48 — which plan-size
+    alone underestimates badly for text (columnar cache compresses the
+    100× stress corpus 1 GB chars → 154 MB; parquet, ~40×). Estimated as
+    ``count() × avg(length(text)) over a 50k-row prefix sample`` — the
+    count is metadata-only on parquet scans and O(1) on cached inputs,
+    and the sample's LocalLimit stops each partition early, so both
+    probe actions are bounded.
+
+    Gate first, probe second: when even ``plan_size ×
+    _MAX_TEXT_COMPRESSION × bytes_per_char`` fits the session's shuffle
+    budget (default_partitions × 64 MB), the corpus is provably below
+    the r8 knee (fixed 32 partitions × ~15M postings each → spill,
+    last-decade exponent 1.37 vs 0.72 at 256) and NO probe action runs —
+    the sf0.1 bench path keeps today's plan exactly, with zero added
+    jobs. A session-wide AQE initialPartitionNum=1024 was measured and
+    rejected for this (1.1-1.2× on the posting-heavy bench queries —
+    BASELINE.md r9 notes)."""
+    default = _session_shuffle_default(src)
+    plan = _plan_size_bytes(src)
+    budget = default * _POSTING_BYTES_PER_PARTITION
+    if plan is not None and plan * _MAX_TEXT_COMPRESSION * bytes_per_char <= budget:
+        return None
+    try:
+        n = src.count()
+        if n == 0:
+            return None
+        row = (
+            src.select(F.length(F.col(text_col)).alias("l"))
+            .limit(50_000)
+            .agg(F.avg("l").alias("a"))
+            .first()
+        )
+        avg = float(row["a"] or 0.0)
+    except Exception:
+        return None
+    return _width_for_bytes(n * avg * bytes_per_char, default)
+
+
 #: Rolling-hash parameters (mod 2^64 via numpy uint64 wraparound): odd
 #: multiplier so B is invertible mod 2^64, letting the O(len) prefix-sum
 #: formulation below recover every window hash without a sequential scan.
@@ -1064,6 +1184,20 @@ def shared_span_pairs(
             df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
             .distinct()
         )
+    # Volume-adaptive posting partitioning (VERDICT r8 task 3): one
+    # (id, g) row per character, ~16 B each — at 100× the sf0.1 cipher
+    # fixture that is ~480M rows, which saturates a fixed 32-partition
+    # exchange (~15M rows each → spill; r8 measured last-decade exponent
+    # 1.37 vs 0.72 at 256 partitions). Hash-partitioning by the join key
+    # "g" at a width derived from the input size both fixes the width
+    # AND aligns the persisted layout with every downstream consumer
+    # (the hot-window groupBy("g") and BOTH self-join sides reuse the
+    # partitioning — no further posting-volume exchange in the plan).
+    # Small corpora (derived width <= session default) keep today's plan
+    # exactly, with zero probe actions — see _span_posting_width.
+    width = _span_posting_width(df, text_col)
+    if width:
+        posting = posting.repartition(width, "g")
     release = None
     if max_postings > 0:
         from pyspark import StorageLevel

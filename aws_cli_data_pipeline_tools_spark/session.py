@@ -27,6 +27,17 @@ PROFILES: dict[str, dict[str, Any]] = {
         "output_location": os.path.join(tempfile.gettempdir(), "sparkgraft-results"),
         "encryption": None,  # reference prints a default for missing encryption
         "conf": {
+            # NOTE (r9, VERDICT r8 task 3): a session-wide AQE
+            # coalescePartitions.initialPartitionNum=1024 was measured
+            # and REJECTED — it fixes the posting-exchange saturation
+            # (100× cipher stress 86→46 s) but taxes the posting-heavy
+            # sf0.1 bench queries 1.1-1.2× (headline +4.2%), because a
+            # wide initial exchange costs map-side even when AQE
+            # coalesces the reduce side. The adopted fix is
+            # volume-adaptive widths INSIDE the posting operators
+            # (operators/dedup._posting_shuffle_width) — zero cost below
+            # the knee, proportional width above it. Measurements in
+            # BASELINE.md round-9 notes.
             "spark.sql.shuffle.partitions": "32",
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.coalescePartitions.enabled": "true",

@@ -134,10 +134,16 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     that saw no click — but only once the watermark passes the error's
     join-window end (that is when the engine can PROVE no click is
     coming). In a bounded availableNow replay the final watermark stops
-    at ``max(ts) - watermark``, so errors within ``watermark + window``
+    at ``min(max err_ts, max click_ts) - watermark`` (two watermark
+    nodes, default min policy), so errors within ``watermark + window``
     of the end of the data legitimately never emit their null row —
-    streaming left-outer is eventual, not batch-equal, at the tail (the
-    oracle twin reproduces exactly this boundary).
+    streaming left-outer is eventual, not batch-equal, at the tail.
+    Under the DETERMINISTIC replay (single source file → one data
+    micro-batch, then one no-data batch at the final watermark) the
+    emitted set is exact and SQL-expressible: inner matches plus null
+    rows for unmatched errors with ``err_ts + window < final_wm`` — the
+    ``streaming_join_outer_live`` catalog entry oracle-checks exactly
+    that closure (VERDICT r8 task 4).
     """
     errors = (
         events.filter(F.col("event_type") == "error")

@@ -817,3 +817,40 @@ def test_minhash_arrow_null_array_yields_sentinel(spark):
     }
     assert arrow == expr
     assert arrow[2] == (MINHASH_PRIME,) * 8  # sentinel, not a crash
+
+
+def test_volume_adaptive_posting_width(spark):
+    """VERDICT r8 task 3: the span-posting exchange derives its width
+    from docs × avg_len when the corpus is past the knee, keeps the
+    session default (returns None) below it, and never pays a probe
+    action on provably-small inputs (the plan-size gate)."""
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+
+    # pure width math: below default → None; above → proportional; clamped
+    assert dedup._width_for_bytes(1024, default=32) is None
+    assert dedup._width_for_bytes(32 * (64 << 20), default=32) == 33
+    big = dedup._width_for_bytes(float(1 << 60), default=32)
+    assert big == dedup._MAX_POSTING_WIDTH
+
+    # a tiny corpus: gated out (None) — and today's plan stays untouched
+    docs = spark.createDataFrame(
+        [(i, "lorem ipsum dolor sit amet " * 3) for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    assert dedup._span_posting_width(docs, "text") is None
+    pairs = dedup.shared_span_pairs(docs, span=32, max_postings=64)
+    assert pairs.count() > 0  # 50 identical docs all pair up
+
+    # the exact probe: 2M docs × 200 chars ≈ 19 GB sort working set at
+    # 48 B/char → width must widen past a 32-partition default and track
+    # volume linearly (2× the docs → ~2× the width)
+    wide = spark.range(0, 2_000_000).selectExpr(
+        "id AS doc_id", "repeat('x', 200) AS text"
+    )
+    w1 = dedup._span_posting_width(wide, "text")
+    assert w1 is not None and w1 > 32
+    wider = spark.range(0, 4_000_000).selectExpr(
+        "id AS doc_id", "repeat('x', 200) AS text"
+    )
+    w2 = dedup._span_posting_width(wider, "text")
+    assert w2 is not None and 1.8 * w1 <= w2 <= 2.2 * w1

