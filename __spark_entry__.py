@@ -26,14 +26,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 def _row_is_red(row) -> bool:
     """True only for KNOWN-failure driver-row shapes (VERDICT r8 minor 1):
-    an explicit ``False`` in any match field, or an error string recorded
-    without evidence the Spark query ran (``spark_rows`` a non-negative
-    int). The driver's current non-failure marker is ``err ==
-    "no_oracle"`` (rows-only entry); if a FUTURE driver vocabulary adds
-    another non-failure marker, it will — like ``no_oracle`` — come with
-    a real ``spark_rows`` count, so it is not classed red and pinned to
-    the front of the rotation forever. A genuine harness failure (Spark
-    query crashed) cannot record a row count, so it stays red."""
+    an explicit ``False`` in any match field, or a real error. The
+    driver's current non-failure marker is ``err == "no_oracle"``
+    (rows-only entry); a FUTURE driver vocabulary marker will — like
+    ``no_oracle`` — be a short snake_case token recorded alongside a
+    real ``spark_rows`` count, so such rows are not classed red and
+    pinned to the front of the rotation forever. Exception text
+    ("AnalysisException: ...", "Binder Error: ...") never matches the
+    marker shape (spaces/colons/uppercase), and a crashed Spark query
+    cannot record a row count — both stay red (r9 review hardened the
+    spark_rows-only rule, which would have classed an oracle-side
+    failure green)."""
     if not isinstance(row, dict):
         return True
     if any(
@@ -42,10 +45,15 @@ def _row_is_red(row) -> bool:
     ):
         return True
     err = row.get("err")
-    if not err or err == "no_oracle":
+    if not err:
         return False
     spark_rows = row.get("spark_rows")
-    return not (isinstance(spark_rows, int) and spark_rows >= 0)
+    marker_shaped = isinstance(err, str) and re.fullmatch(
+        r"[a-z][a-z0-9_]{0,39}", err
+    )
+    return not (
+        marker_shaped and isinstance(spark_rows, int) and spark_rows >= 0
+    )
 
 
 def _sample_history() -> tuple[dict[str, int], dict[str, int], set[str]]:

@@ -363,12 +363,19 @@ def minhash_lsh_pairs(
     """
     sides = minhash_sides(df, id_col, text_col, k, num_perm, seed, portable)
     band_entries = minhash_band_entries(sides, num_perm, bands)
-    # Volume-adaptive banding exchange (VERDICT r8 task 3): bands×24 B
-    # per doc (~0.2-0.5× the text bytes) — far lighter than the span
-    # postings, so this only widens past the session default on corpora
-    # in the 100 GB+ class; pre-partitioning on the bucket key also
-    # aligns both self-join sides (no second banding shuffle).
-    width = _posting_shuffle_width(df, expansion=0.5)
+    # Volume-adaptive banding exchange (VERDICT r8 task 3): the banding
+    # self-join shuffles ~bands × 56 B per doc (28 B serialized (band,
+    # bkey, id) row, ~2× in the join sort) — far lighter per character
+    # than the span postings, so this only widens past the session
+    # default on corpora in the ~10M-doc class (at bands=16 / 32-wide
+    # default); pre-partitioning on the bucket key also aligns both
+    # self-join sides (the banding volume is exchanged once). The gate
+    # bound (8 B/char) is sound for avg docs ≥ bands×56/8 ≈ 112 chars —
+    # shorter-doc corpora probe a little earlier than strictly needed,
+    # never later.
+    width = _probed_posting_width(
+        df, text_col, lambda n, avg: n * bands * 56.0, gate_bytes_per_char=8.0
+    )
     if width:
         band_entries = band_entries.repartition(width, "band", "bkey")
 
@@ -985,52 +992,42 @@ def _width_for_bytes(posting_bytes: float, default: int) -> int | None:
     return width if width > default else None
 
 
-def _posting_shuffle_width(src: DataFrame, expansion: float) -> int | None:
-    """Volume-adaptive shuffle width from the PLAN-TIME input size
-    estimate × ``expansion`` (≈ posting bytes per input byte), sized to
-    ~64 MB per partition and clamped to ``_MAX_POSTING_WIDTH``. Returns
-    None — leave the plan on the session default — when the input size
-    is unknown or the derived width does not exceed
-    ``spark.sql.shuffle.partitions``. Used for exchanges whose volume is
-    well below the measured knee (MinHash banding: ~bands×24 B per doc);
-    the span-posting path, whose knee is real, uses the exact
-    :func:`_span_posting_width` probe instead."""
-    size = _plan_size_bytes(src)
-    if size is None:
-        return None
-    default = _session_shuffle_default(src)
-    return _width_for_bytes(size * expansion, default)
-
-
-def _span_posting_width(
-    src: DataFrame, text_col: str, bytes_per_char: float = 48.0
+def _probed_posting_width(
+    src: DataFrame,
+    text_col: str,
+    posting_bytes,
+    gate_bytes_per_char: float,
 ) -> int | None:
-    """Exact volume-adaptive width for the span-posting exchange
-    (VERDICT r8 task 3): posting volume is one (id, hash) row per
-    CHARACTER — 16 B serialized, but the partition-sizing constraint is
-    the JOIN-SORT working set (~48 B/row: UnsafeRow layout + sort
-    pointers), which is what actually spills at the knee. So the driver
-    is docs × avg_len × 48 — which plan-size
-    alone underestimates badly for text (columnar cache compresses the
-    100× stress corpus 1 GB chars → 154 MB; parquet, ~40×). Estimated as
-    ``count() × avg(length(text)) over a 50k-row prefix sample`` — the
-    count is metadata-only on parquet scans and O(1) on cached inputs,
-    and the sample's LocalLimit stops each partition early, so both
-    probe actions are bounded.
+    """Volume-adaptive shuffle width for posting-shaped exchanges
+    (VERDICT r8 task 3), from a measured corpus probe: ``posting_bytes``
+    maps (n_docs, avg_chars) to the exchange's estimated in-memory
+    working-set bytes; the result targets ~64 MB per partition, clamped
+    to ``_MAX_POSTING_WIDTH``, and None (keep the session default plan)
+    when the volume doesn't exceed it.
 
-    Gate first, probe second: when even ``plan_size ×
-    _MAX_TEXT_COMPRESSION × bytes_per_char`` fits the session's shuffle
-    budget (default_partitions × 64 MB), the corpus is provably below
-    the r8 knee (fixed 32 partitions × ~15M postings each → spill,
-    last-decade exponent 1.37 vs 0.72 at 256) and NO probe action runs —
-    the sf0.1 bench path keeps today's plan exactly, with zero added
-    jobs. A session-wide AQE initialPartitionNum=1024 was measured and
-    rejected for this (1.1-1.2× on the posting-heavy bench queries —
-    BASELINE.md r9 notes)."""
+    Probe cost: ``count()`` (metadata-only on parquet scans, O(1) on
+    cached inputs — but a FULL plan execution on uncached derived
+    inputs: callers feeding large transformed corpora should persist
+    them first, as the stress protocol does) + ``avg(length(text))``
+    over a 50k-row prefix LIMIT whose LocalLimit stops every partition
+    early. Gate first, probe second: when even ``plan_size ×
+    _MAX_TEXT_COMPRESSION × gate_bytes_per_char`` fits the session's
+    shuffle budget (default_partitions × 64 MB), the corpus is provably
+    below the r8 knee (fixed 32 partitions spill; last-decade exponent
+    1.37 vs 0.72 at 256) and NO probe action runs — the sf0.1 bench
+    path keeps today's plan exactly, with zero added jobs.
+    ``gate_bytes_per_char`` must upper-bound posting_bytes per raw text
+    character for the gate to be sound. A session-wide AQE
+    initialPartitionNum=1024 was measured and rejected in favor of this
+    (1.1-1.2× tax on the posting-heavy bench queries — BASELINE.md r9
+    notes)."""
     default = _session_shuffle_default(src)
     plan = _plan_size_bytes(src)
     budget = default * _POSTING_BYTES_PER_PARTITION
-    if plan is not None and plan * _MAX_TEXT_COMPRESSION * bytes_per_char <= budget:
+    if (
+        plan is not None
+        and plan * _MAX_TEXT_COMPRESSION * gate_bytes_per_char <= budget
+    ):
         return None
     try:
         n = src.count()
@@ -1045,7 +1042,25 @@ def _span_posting_width(
         avg = float(row["a"] or 0.0)
     except Exception:
         return None
-    return _width_for_bytes(n * avg * bytes_per_char, default)
+    return _width_for_bytes(posting_bytes(n, avg), default)
+
+
+def _span_posting_width(
+    src: DataFrame, text_col: str, bytes_per_char: float = 48.0
+) -> int | None:
+    """Width for the span-posting exchange: one (id, hash) row per
+    CHARACTER — 16 B serialized, but the partition-sizing constraint is
+    the JOIN-SORT working set (~48 B/row: UnsafeRow layout + sort
+    pointers), which is what actually spills at the knee. Plan-size
+    alone underestimates text volume badly (columnar cache compresses
+    the 100× stress corpus 1 GB chars → 154 MB; parquet ~40×), hence
+    the measured probe — see :func:`_probed_posting_width`."""
+    return _probed_posting_width(
+        src,
+        text_col,
+        lambda n, avg: n * avg * bytes_per_char,
+        gate_bytes_per_char=bytes_per_char,
+    )
 
 
 #: Rolling-hash parameters (mod 2^64 via numpy uint64 wraparound): odd
@@ -1166,10 +1181,29 @@ def shared_span_pairs(
     emits per-doc-unique postings, so no global DISTINCT). Mutually
     exclusive with ``portable``.
     """
+    # Volume-adaptive posting partitioning (VERDICT r8 task 3): one
+    # (id, g) row per character — at 100× the sf0.1 cipher fixture that
+    # is ~150M rows, which saturates a fixed 32-partition exchange
+    # (r8 measured last-decade exponent 1.37 vs 0.72 at 256 partitions).
+    # Hash-partitioning by the join key "g" at a width derived from the
+    # corpus volume both fixes the width AND aligns the layout with
+    # every downstream consumer: the DISTINCT (ClusteredDistribution on
+    # (id, g) — satisfied by hash on the subset {g}, so the JVM path's
+    # dedup aggregate runs WITHOUT its own exchange; r9 review caught
+    # the original after-distinct placement, which left the saturated
+    # exchange in place and added a second full shuffle), the
+    # hot-window groupBy("g"), and BOTH self-join sides — the posting
+    # volume is exchanged exactly once. Small corpora (derived width <=
+    # session default) keep today's plan exactly, with zero probe
+    # actions — see _span_posting_width.
+    width = _span_posting_width(df, text_col)
     if rolling:
         if portable:
             raise ValueError("rolling and portable are mutually exclusive")
         posting = _rolling_span_postings(df, id_col, text_col, span)
+        # kernel emits per-doc-unique postings: no DISTINCT to align with
+        if width:
+            posting = posting.repartition(width, "g")
     else:
         t = F.col(text_col)
         hashfn = portable_hash64 if portable else F.xxhash64
@@ -1180,24 +1214,12 @@ def shared_span_pairs(
                 lambda i: hashfn(t.substr(i, F.lit(span))),
             ),
         ).otherwise(F.array().cast("array<bigint>"))
-        posting = (
-            df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
-            .distinct()
+        posting = df.select(
+            F.col(id_col).alias("id"), F.explode(grams).alias("g")
         )
-    # Volume-adaptive posting partitioning (VERDICT r8 task 3): one
-    # (id, g) row per character, ~16 B each — at 100× the sf0.1 cipher
-    # fixture that is ~480M rows, which saturates a fixed 32-partition
-    # exchange (~15M rows each → spill; r8 measured last-decade exponent
-    # 1.37 vs 0.72 at 256 partitions). Hash-partitioning by the join key
-    # "g" at a width derived from the input size both fixes the width
-    # AND aligns the persisted layout with every downstream consumer
-    # (the hot-window groupBy("g") and BOTH self-join sides reuse the
-    # partitioning — no further posting-volume exchange in the plan).
-    # Small corpora (derived width <= session default) keep today's plan
-    # exactly, with zero probe actions — see _span_posting_width.
-    width = _span_posting_width(df, text_col)
-    if width:
-        posting = posting.repartition(width, "g")
+        if width:
+            posting = posting.repartition(width, "g")
+        posting = posting.distinct()
     release = None
     if max_postings > 0:
         from pyspark import StorageLevel

