@@ -263,10 +263,14 @@ def dedup_lines_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = F.array_remove(F.split(F.col("text"), r"\s+"), "")
     n_chunks = F.floor((F.size(words) + 7) / F.lit(8)).cast("int")
-    lines_arr = F.transform(
+    # zero-word doc: sequence(0, -1) would yield the DESCENDING [0, -1]
+    # (Spark defaults step to -1 when start > stop) — two phantom lines
+    # where DuckDB's generate_series(0, -1) is empty (r9 review); emit an
+    # explicitly empty line array instead
+    lines_arr = F.when(n_chunks > 0, F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i * 8 + 1, 8)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     base = F.array_join(lines_arr, "\n")
     text2 = F.when(
         F.col("doc_id") % 5 == 0, F.concat(base, F.lit("\n" + _BOILER))
@@ -997,10 +1001,17 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keyed by sf_dir AND pid (scratch_dir): same-sf concurrent processes
     # would otherwise rebuild the index under a reader (same race class
     # as avro_roundtrip_orders, r8); scratch_dir also atexit-cleans and
-    # reaps dead-pid leftovers so the uniqueness isn't a /tmp leak
-    path = scratch_dir(
-        f"sparkgraft-mhidx-{abs(hash(os.path.abspath(sf_dir))) % 10**8}"
-    )
+    # reaps dead-pid leftovers so the uniqueness isn't a /tmp leak. The
+    # sf_dir digest must be STABLE across processes (md5, not the
+    # per-process-salted builtin hash()) or the reaper — which matches
+    # on its own prefix — can never see another (crashed) process's
+    # dirs and the leak protection is defeated (r9 review).
+    import hashlib
+
+    sf_key = hashlib.md5(
+        os.path.abspath(sf_dir).encode("utf-8")
+    ).hexdigest()[:8]
+    path = scratch_dir(f"sparkgraft-mhidx-{sf_key}")
     build_minhash_index(corpus, path, portable=True)
     return minhash_index_probe(spark, path, batch, portable=True)
 
@@ -1072,6 +1083,22 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _be32(col):
+    """4-byte big-endian binary of an int expression (shared by the
+    multimodal payload packers — r9 review: was redefined nested in four
+    entries; one definition keeps the byte layout single-sourced)."""
+    return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
+
+
+def _le(col, n_bytes):
+    """n-byte little-endian binary of an int expression (see _be32)."""
+    hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
+    rev = F.concat(
+        *[F.substring(hx, i * 2 + 1, 2) for i in range(n_bytes - 1, -1, -1)]
+    )
+    return F.unhex(rev)
+
+
 @register(
     "multimodal_image_meta",
     oracle="""
@@ -1092,16 +1119,13 @@ FROM documents ORDER BY media_id
 def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
-    def be32(col):  # 4-byte big-endian binary of an int expression
-        return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
-
     w = F.lit(1) + F.col("doc_id") % 512
     h = F.lit(1) + F.col("doc_id") % 384
     payload = F.concat(
         F.unhex(F.lit("89504E470D0A1A0A")),  # PNG magic
         F.unhex(F.lit("0000000D")),          # IHDR length 13
         F.encode(F.lit("IHDR"), "utf-8"),
-        be32(w), be32(h),
+        _be32(w), _be32(h),
         F.unhex(F.lit("0806000000")),        # bit depth + color + crc pad
         F.unhex(F.lit("00000000")),
     )
@@ -1129,24 +1153,17 @@ FROM documents ORDER BY media_id
 def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
-    def le(col, n_bytes):  # n-byte little-endian binary of an int expression
-        hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
-        rev = F.concat(
-            *[F.substring(hx, i * 2 + 1, 2) for i in range(n_bytes - 1, -1, -1)]
-        )
-        return F.unhex(rev)
-
     rate = F.lit(8000) + (F.col("doc_id") % 8) * 1000
     channels = F.lit(1) + F.col("doc_id") % 2
     byte_rate = rate * channels * 2
     data_len = byte_rate * (F.lit(1) + F.col("doc_id") % 5)
     payload = F.concat(
-        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(36), 4),
+        F.encode(F.lit("RIFF"), "utf-8"), _le(F.lit(36), 4),
         F.encode(F.lit("WAVE"), "utf-8"),
-        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
-        le(F.lit(1), 2), le(channels, 2), le(rate, 4), le(byte_rate, 4),
-        le(channels * 2, 2), le(F.lit(16), 2),
-        F.encode(F.lit("data"), "utf-8"), le(data_len, 4),
+        F.encode(F.lit("fmt "), "utf-8"), _le(F.lit(16), 4),
+        _le(F.lit(1), 2), _le(channels, 2), _le(rate, 4), _le(byte_rate, 4),
+        _le(channels * 2, 2), _le(F.lit(16), 2),
+        F.encode(F.lit("data"), "utf-8"), _le(data_len, 4),
     )
     media = docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
     return multimodal.sniff_audio_headers(media).orderBy("media_id")
@@ -1173,24 +1190,21 @@ FROM documents ORDER BY media_id
 def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
-    def be32(col):  # 4-byte big-endian binary of an int expression
-        return F.unhex(F.lpad(F.hex(col.cast("int")), 8, "0"))
-
     dur = (F.lit(1) + F.col("doc_id") % 50) * 600
     n_trak = F.lit(1) + F.col("doc_id") % 3
     mvhd = F.concat(
-        be32(F.lit(108)), F.encode(F.lit("mvhd"), "utf-8"),
+        _be32(F.lit(108)), F.encode(F.lit("mvhd"), "utf-8"),
         F.unhex(F.lit("00" * 4)),   # version 0 + flags
         F.unhex(F.lit("00" * 8)),   # creation + modification time
-        be32(F.lit(600)), be32(dur),
+        _be32(F.lit(600)), _be32(dur),
         F.unhex(F.lit("00" * 80)),  # rate/volume/reserved/matrix/next_track
     )
-    trak = F.concat(be32(F.lit(8)), F.encode(F.lit("trak"), "utf-8"))
+    trak = F.concat(_be32(F.lit(8)), F.encode(F.lit("trak"), "utf-8"))
     empty = F.unhex(F.lit(""))
     payload = F.concat(
-        be32(F.lit(16)), F.encode(F.lit("ftyp"), "utf-8"),
+        _be32(F.lit(16)), F.encode(F.lit("ftyp"), "utf-8"),
         F.encode(F.lit("isom"), "utf-8"), F.unhex(F.lit("00000200")),
-        be32(F.lit(116) + n_trak * 8), F.encode(F.lit("moov"), "utf-8"),
+        _be32(F.lit(116) + n_trak * 8), F.encode(F.lit("moov"), "utf-8"),
         mvhd,
         trak,
         F.when(F.col("doc_id") % 3 >= 1, trak).otherwise(empty),
@@ -1297,25 +1311,18 @@ FROM s ORDER BY media_id
 def multimodal_wav_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
 
-    def le(col, n_bytes):  # n-byte little-endian binary of an int expression
-        hx = F.lpad(F.hex(col.cast("bigint")), n_bytes * 2, "0")
-        rev = F.concat(
-            *[F.substring(hx, i * 2 + 1, 2) for i in range(n_bytes - 1, -1, -1)]
-        )
-        return F.unhex(rev)
-
     rate = F.lit(8000) + (F.col("doc_id") % 8) * 1000
     parts = [
-        F.encode(F.lit("RIFF"), "utf-8"), le(F.lit(36 + 16), 4),
+        F.encode(F.lit("RIFF"), "utf-8"), _le(F.lit(36 + 16), 4),
         F.encode(F.lit("WAVE"), "utf-8"),
-        F.encode(F.lit("fmt "), "utf-8"), le(F.lit(16), 4),
-        le(F.lit(1), 2), le(F.lit(1), 2), le(rate, 4), le(rate * 2, 4),
-        le(F.lit(2), 2), le(F.lit(16), 2),
-        F.encode(F.lit("data"), "utf-8"), le(F.lit(16), 4),
+        F.encode(F.lit("fmt "), "utf-8"), _le(F.lit(16), 4),
+        _le(F.lit(1), 2), _le(F.lit(1), 2), _le(rate, 4), _le(rate * 2, 4),
+        _le(F.lit(2), 2), _le(F.lit(16), 2),
+        F.encode(F.lit("data"), "utf-8"), _le(F.lit(16), 4),
     ]
     for i in range(8):
         s_i = (F.col("doc_id") * 13 + i * 5) % 2001 - 1000
-        parts.append(le((s_i + 65536) % 65536, 2))  # two's complement int16
+        parts.append(_le((s_i + 65536) % 65536, 2))  # two's complement int16
     media = docs.select(
         F.col("doc_id").alias("media_id"), F.concat(*parts).alias("payload")
     )
@@ -2621,7 +2628,7 @@ SELECT doc_id,
        octet_length(CAST(text AS BLOB)) AS n_bytes,
        octet_length(CAST(text AS BLOB)) - length(text) AS extra_bytes,
        round((octet_length(CAST(text AS BLOB)) - length(text))
-             / CAST(length(text) AS DOUBLE), 6) AS multibyte_load
+             / CAST(nullif(length(text), 0) AS DOUBLE), 6) AS multibyte_load
 FROM documents ORDER BY doc_id
 """,
     tags=("llmops", "text"),
@@ -2640,7 +2647,13 @@ def text_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         nc.alias("n_chars"),
         nb.alias("n_bytes"),
         (nb - nc).alias("extra_bytes"),
-        F.round((nb - nc) / nc.cast("double"), 6).alias("multibyte_load"),
+        # nullif: an empty doc is NULL load on BOTH engines (DuckDB's
+        # default ieee_floating_point_ops would otherwise yield NaN from
+        # 0/0.0 while Spark yields NULL — r9 review; same discipline as
+        # text_token_stats/text_quality)
+        F.round((nb - nc) / F.nullif(nc.cast("double"), F.lit(0.0)), 6).alias(
+            "multibyte_load"
+        ),
     ).orderBy("doc_id")
 
 
@@ -2817,10 +2830,15 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bm25_scores_docs",
-    oracle=f"""
-WITH d AS (
+#: Shared BM25 oracle kernel (ONE definitional copy — r9 review found
+#: three verbatim ~35-line copies across bm25_scores_docs, _RRF_ORACLE
+#: and rbo_lexical_vs_semantic; a constant/rounding fix missed in one
+#: would silently diverge that entry from textstats.bm25_scores). CTE
+#: chain ``d -> t -> s -> bm -> bmr``: tokenize, per-term tf for the
+#: fixed list (spark, window, merge), corpus stats, raw double BM25
+#: (fixed-order + chain so float summation matches Spark), and the
+#: rounded positive-score projection.
+_DUCK_BM25_CTES = f"""d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
     AS toks
   FROM documents
@@ -2836,10 +2854,9 @@ WITH d AS (
          CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
          CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
   FROM t
-), scored AS (
-  SELECT t.doc_id, t.dl, t.tf0, t.tf1, t.tf2,
-         round(
-           ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
+), bm AS (
+  SELECT t.doc_id,
+         ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
              * t.tf0 * 2.2
              / (t.tf0 + 1.2 * (1.0 - 0.75
                 + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
@@ -2850,12 +2867,23 @@ WITH d AS (
          + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
              * t.tf2 * 2.2
              / (t.tf2 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE)))), 4)
+                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
            AS bm25
   FROM t, s
-)
-SELECT doc_id, dl, tf0 AS tf_spark, tf1 AS tf_window, tf2 AS tf_merge, bm25
-FROM scored WHERE bm25 > 0 ORDER BY doc_id
+), bmr AS (
+  SELECT doc_id, round(bm25, 4) AS bm25 FROM bm WHERE round(bm25, 4) > 0
+)"""
+
+
+@register(
+    "bm25_scores_docs",
+    oracle=f"""
+WITH {_DUCK_BM25_CTES}
+SELECT t.doc_id AS doc_id, t.dl,
+       t.tf0 AS tf_spark, t.tf1 AS tf_window, t.tf2 AS tf_merge,
+       bmr.bm25
+FROM t JOIN bmr ON bmr.doc_id = t.doc_id
+ORDER BY doc_id
 """,
     tags=("llmops", "text", "retrieval"),
     notes="Okapi BM25 scoring of the corpus against a fixed term list "
@@ -3154,41 +3182,7 @@ def scd2_customer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RRF_ORACLE = f"""
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
-    AS toks
-  FROM documents
-), t AS (
-  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
-         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
-         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
-         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
-  FROM d
-), s AS (
-  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
-         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-  FROM t
-), bm AS (
-  SELECT t.doc_id,
-         ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
-             * t.tf0 * 2.2
-             / (t.tf0 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-         + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
-             * t.tf1 * 2.2
-             / (t.tf1 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-         + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
-             * t.tf2 * 2.2
-             / (t.tf2 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-           AS bm25
-  FROM t, s
-), bmr AS (
-  SELECT doc_id, round(bm25, 4) AS bm25 FROM bm WHERE round(bm25, 4) > 0
-), lex AS (
+WITH {_DUCK_BM25_CTES}, lex AS (
   SELECT doc_id, CAST(row_number() OVER (
            ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
   FROM bmr
@@ -3650,13 +3644,13 @@ WITH RECURSIVE q AS (
   SELECT sel.step + 1,
          (SELECT d.id FROM rel d
           WHERE NOT list_contains(sel.ids, d.id)
-          ORDER BY 0.7 * d.rel - 0.3 * (
+          ORDER BY 0.7 * d.rel - (1.0 - 0.7) * (
               SELECT max(s.sim) FROM simmat s
               WHERE s.ida = d.id AND list_contains(sel.ids, s.idb)
           ) DESC, d.id LIMIT 1),
          list_append(sel.ids, (SELECT d.id FROM rel d
           WHERE NOT list_contains(sel.ids, d.id)
-          ORDER BY 0.7 * d.rel - 0.3 * (
+          ORDER BY 0.7 * d.rel - (1.0 - 0.7) * (
               SELECT max(s.sim) FROM simmat s
               WHERE s.ida = d.id AND list_contains(sel.ids, s.idb)
           ) DESC, d.id LIMIT 1))
@@ -4237,10 +4231,13 @@ WITH t AS (
   FROM vals
 )
 SELECT tot.n1, tot.n2,
-       CAST(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1)) AS BIGINT)
-         AS d_scaled,
-       round(max(abs(cum.f1 * tot.n2 - cum.f2 * tot.n1))
-             / CAST(tot.n1 * tot.n2 AS DOUBLE), 6) AS ks_stat
+       max(abs(CAST(cum.f1 AS DECIMAL(38,0)) * tot.n2
+               - CAST(cum.f2 AS DECIMAL(38,0)) * tot.n1)) AS d_scaled,
+       round(CAST(max(abs(CAST(cum.f1 AS DECIMAL(38,0)) * tot.n2
+                          - CAST(cum.f2 AS DECIMAL(38,0)) * tot.n1))
+                  AS DOUBLE)
+             / CAST(CAST(tot.n1 AS DECIMAL(38,0)) * tot.n2 AS DOUBLE), 6)
+         AS ks_stat
 FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
 """,
     tags=("llmops", "stats", "quality"),
@@ -4283,14 +4280,23 @@ def length_ks_drift(spark, sf_dir):
         F.sum("c1").cast("bigint").alias("n1"),
         F.sum("c2").cast("bigint").alias("n2"),
     )
-    d = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    # DECIMAL(38,0) cross products: f1*n2 / n1*n2 overflow int64 once the
+    # per-split count passes ~3e9 docs — the 100-TB regime these notes
+    # advertise (same class the r8 review fixed in pagerank/hits; r9
+    # review found these two still raw). Values fit decimal(38,0)
+    # (≤ ~8e37); ANSI mode turns any residual overflow into an error,
+    # never a silent wrap.
+    f1d = F.col("f1").cast("decimal(38,0)")
+    f2d = F.col("f2").cast("decimal(38,0)")
+    d = F.abs(f1d * F.col("n2") - f2d * F.col("n1"))
+    nn = F.col("n1").cast("decimal(38,0)") * F.col("n2")
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            F.max(d).cast("bigint").alias("d_scaled"),
+            F.max(d).alias("d_scaled"),
             F.round(
-                F.max(d) / (F.col("n1") * F.col("n2")).cast("double"), 6
+                F.max(d).cast("double") / F.max(nn).cast("double"), 6
             ).alias("ks_stat"),
         )
         .select("n1", "n2", "d_scaled", "ks_stat")
@@ -4315,41 +4321,7 @@ _RBO_VALUES_SQL = ", ".join(f"({d}, {w!r})" for d, w in _RBO_WEIGHTS)
 @register(
     "rbo_lexical_vs_semantic",
     oracle=f"""
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')
-    AS toks
-  FROM documents
-), t AS (
-  SELECT doc_id, CAST(len(toks) AS INT) AS dl,
-         CAST(len(list_filter(toks, x -> x = 'spark')) AS INT) AS tf0,
-         CAST(len(list_filter(toks, x -> x = 'window')) AS INT) AS tf1,
-         CAST(len(list_filter(toks, x -> x = 'merge')) AS INT) AS tf2
-  FROM d
-), s AS (
-  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS total_dl,
-         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
-         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
-         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
-  FROM t
-), bm AS (
-  SELECT t.doc_id,
-         ln(1.0 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))
-             * t.tf0 * 2.2
-             / (t.tf0 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-         + ln(1.0 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))
-             * t.tf1 * 2.2
-             / (t.tf1 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-         + ln(1.0 + (s.n - s.df2 + 0.5) / (s.df2 + 0.5))
-             * t.tf2 * 2.2
-             / (t.tf2 + 1.2 * (1.0 - 0.75
-                + 0.75 * t.dl / (s.total_dl / CAST(s.n AS DOUBLE))))
-           AS bm25
-  FROM t, s
-), bmr AS (
-  SELECT doc_id, round(bm25, 4) AS bm25 FROM bm WHERE round(bm25, 4) > 0
-), lex AS (
+WITH {_DUCK_BM25_CTES}, lex AS (
   SELECT doc_id, CAST(row_number() OVER (
            ORDER BY bm25 DESC, doc_id) AS INT) AS r1
   FROM bmr
@@ -4699,32 +4671,34 @@ FROM routed GROUP BY route ORDER BY route
 )
 def pipeline_hygiene_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    sec = textstats.secret_scan(docs).withColumnRenamed(
-        "has_secret", "s_flag"
-    ).select("doc_id", "s_flag")
-    inj = textstats.injection_scan(docs).select(
-        "doc_id", F.col("has_injection").alias("i_flag")
-    )
-    dam = textstats.mojibake_scan(docs).select(
-        "doc_id", F.col("is_damaged").alias("d_flag")
-    )
-    words = docs.select(
-        "doc_id", F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")).alias("n_words")
-    )
-    j = (
-        words.join(sec, "doc_id")
-        .join(inj, "doc_id")
-        .join(dam, "doc_id")
+    # CHAIN the scans with append=True: all three flag families are
+    # narrow regex projections over the same text column, so one frame
+    # carries them in a single codegen pass — the r9 review found the
+    # previous shape joined three corpus-sized scan frames on doc_id
+    # (three shuffle exchanges of pure waste at corpus scale; the notes
+    # already promised the single-pass plan this now actually is)
+    scanned = textstats.mojibake_scan(
+        textstats.injection_scan(
+            textstats.secret_scan(docs, append=True), append=True
+        ),
+        append=True,
+    ).select(
+        "has_secret",
+        "has_injection",
+        "is_damaged",
+        F.size(F.array_remove(F.split(F.col("text"), r"\s+"), "")).alias(
+            "n_words"
+        ),
     )
     route = (
-        F.when(F.col("i_flag"), F.lit("drop"))
-        .when(F.col("s_flag"), F.lit("redact"))
-        .when(F.col("d_flag"), F.lit("quarantine"))
+        F.when(F.col("has_injection"), F.lit("drop"))
+        .when(F.col("has_secret"), F.lit("redact"))
+        .when(F.col("is_damaged"), F.lit("quarantine"))
         .when(F.col("n_words") < 5, F.lit("too_short"))
         .otherwise(F.lit("clean"))
     )
     return (
-        j.select(route.alias("route"))
+        scanned.select(route.alias("route"))
         .groupBy("route")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("route")
@@ -5189,13 +5163,15 @@ WITH lens AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_before
   FROM grp
 ), parts AS (
-  SELECT CAST(sum(v * (c * p_before + c * (c + 1) // 2)) AS BIGINT) AS s,
+  SELECT sum(CAST(v AS DECIMAL(38,0))
+             * (CAST(c AS DECIMAL(38,0)) * p_before + c * (c + 1) // 2))
+           AS s,
          CAST(sum(c) AS BIGINT) AS n,
          CAST(sum(v * c) AS BIGINT) AS m
   FROM cum
 )
 SELECT n AS n_docs, m AS total_tokens,
-       round(2.0 * s / (CAST(n AS DOUBLE) * m)
+       round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * m)
              - (n + 1) / CAST(n AS DOUBLE), 6) AS gini
 FROM parts
 """,
@@ -5229,12 +5205,16 @@ def token_mass_gini(spark, sf_dir):
         (F.col("cum_d").cast("bigint") - F.col("c")).alias("p_before"),
     )
     tri = F.shiftright(F.col("c") * (F.col("c") + 1), 1)
+    # DECIMAL(38,0): c*p_before reaches n^2 (~1e19 at 3e9 docs) and the
+    # v-weighted sum far exceeds int64 at the advertised corpus scale —
+    # same overflow class the r8 review fixed in pagerank/hits (r9
+    # review found this one still raw). ANSI errors on any residual
+    # overflow instead of wrapping.
     parts = cum.agg(
         F.sum(
-            F.col("v").cast("bigint")
-            * (F.col("c") * F.col("p_before") + tri)
+            F.col("v").cast("decimal(38,0)")
+            * (F.col("c").cast("decimal(38,0)") * F.col("p_before") + tri)
         )
-        .cast("bigint")
         .alias("s"),
         F.sum("c").cast("bigint").alias("n"),
         F.sum(F.col("v").cast("bigint") * F.col("c"))
@@ -5245,7 +5225,8 @@ def token_mass_gini(spark, sf_dir):
         F.col("n").alias("n_docs"),
         F.col("m").alias("total_tokens"),
         F.round(
-            2.0 * F.col("s") / (F.col("n").cast("double") * F.col("m"))
+            2.0 * F.col("s").cast("double")
+            / (F.col("n").cast("double") * F.col("m"))
             - (F.col("n") + 1) / F.col("n").cast("double"),
             6,
         ).alias("gini"),

@@ -558,7 +558,10 @@ SECRET_PATTERNS: "dict[str, str]" = {
 
 
 def secret_scan(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Per-document credential/secret occurrence counts — the pre-training
     hygiene scan that keeps leaked key material out of a corpus (run it
@@ -576,7 +579,12 @@ def secret_scan(
         )
         for name, pat in SECRET_PATTERNS.items()
     }
-    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    # append=True keeps every input column (scans compose by CHAINING on
+    # one frame — a single codegen projection, no per-scan doc_id joins;
+    # r9 review: pipeline_hygiene_route previously joined three
+    # corpus-sized scan frames, three shuffles of pure waste)
+    keep = ["*"] if append else [F.col(id_col)]
+    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
     total = None
     for n in counts:
         total = F.col(n) if total is None else total + F.col(n)
@@ -636,7 +644,10 @@ MOJIBAKE_PATTERNS: "dict[str, str]" = {
 
 
 def mojibake_scan(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Per-document encoding-damage counts — the curation signal for text
     that survived a bad charset round-trip (scraped corpora are full of
@@ -650,7 +661,12 @@ def mojibake_scan(
         )
         for name, pat in MOJIBAKE_PATTERNS.items()
     }
-    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    # append=True keeps every input column (scans compose by CHAINING on
+    # one frame — a single codegen projection, no per-scan doc_id joins;
+    # r9 review: pipeline_hygiene_route previously joined three
+    # corpus-sized scan frames, three shuffles of pure waste)
+    keep = ["*"] if append else [F.col(id_col)]
+    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
     total = None
     for n in counts:
         total = F.col(n) if total is None else total + F.col(n)
@@ -671,7 +687,10 @@ INJECTION_PATTERNS: "dict[str, str]" = {
 
 
 def injection_scan(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = False,
 ) -> DataFrame:
     """Per-document prompt-injection-bait counts — the data-poisoning
     hygiene scan run before a corpus reaches instruction training (same
@@ -682,7 +701,12 @@ def injection_scan(
         )
         for name, pat in INJECTION_PATTERNS.items()
     }
-    out = df.select(F.col(id_col), *[c.alias(n) for n, c in counts.items()])
+    # append=True keeps every input column (scans compose by CHAINING on
+    # one frame — a single codegen projection, no per-scan doc_id joins;
+    # r9 review: pipeline_hygiene_route previously joined three
+    # corpus-sized scan frames, three shuffles of pure waste)
+    keep = ["*"] if append else [F.col(id_col)]
+    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
     total = None
     for n in counts:
         total = F.col(n) if total is None else total + F.col(n)
