@@ -370,9 +370,17 @@ WITH errors AS (
   SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
   FROM events WHERE event_type = 'click'
 ), wm AS (
-  SELECT least((SELECT max(err_ts) FROM errors),
-               (SELECT max(click_ts) FROM clicks))
-         - INTERVAL 12 HOUR AS w
+  -- NULL (no null-row emission) when EITHER branch saw no data: Spark's
+  -- min-policy global watermark stays at epoch 0 if one watermark node
+  -- never advances, whereas DuckDB's least() would skip the NULL branch
+  -- (r9 review finding 2)
+  SELECT CASE
+           WHEN (SELECT max(err_ts) FROM errors) IS NULL
+             OR (SELECT max(click_ts) FROM clicks) IS NULL THEN NULL
+           ELSE least((SELECT max(err_ts) FROM errors),
+                      (SELECT max(click_ts) FROM clicks))
+                - INTERVAL 12 HOUR
+         END AS w
 ), matched AS (
   SELECT e.user_id, e.error_id, e.err_ts, c.click_id, c.click_ts
   FROM errors e JOIN clicks c
@@ -385,7 +393,7 @@ UNION ALL
 SELECT e.user_id, e.error_id, e.err_ts, NULL, NULL
 FROM errors e
 WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.error_id)
-  AND e.err_ts + INTERVAL 6 HOUR < (SELECT w FROM wm)
+  AND e.err_ts + INTERVAL 6 HOUR <= (SELECT w FROM wm)
 ORDER BY user_id, error_id, click_id
 """,
     tags=("streaming", "join", "live"),
@@ -395,12 +403,16 @@ ORDER BY user_id, error_id, click_id
     "inner part is batch-exact) followed by one no-data batch at the final "
     "watermark wm = min(max err_ts, max click_ts) - 12h (two watermark "
     "nodes, default min policy), which evicts-and-null-emits exactly the "
-    "unmatched errors whose join window provably closed: err_ts + 6h < wm. "
-    "The oracle replays that closure in SQL — matched rows UNION null rows "
-    "for watermark-closed unmatched errors. Errors inside the tail "
-    "(err_ts + 6h >= wm) hold state at end-of-replay and emit nothing, on "
-    "both engines. Empirically confirmed at sf0.001 (169 null rows) and "
-    "sf0.01 (1743): the emitted null set equals this formula exactly.",
+    "unmatched errors whose join window provably closed: err_ts + 6h <= wm "
+    "(boundary INCLUSIVE — a live repro with err_ts + 6h == wm to the "
+    "microsecond null-emits, r9 review). The oracle replays that closure "
+    "in SQL — matched rows UNION null rows for watermark-closed unmatched "
+    "errors; wm is NULL (no null rows) if either branch saw no data, "
+    "matching the min-policy watermark pinned at epoch 0. Errors inside "
+    "the tail (err_ts + 6h > wm) hold state at end-of-replay and emit "
+    "nothing, on both engines. Empirically confirmed at sf0.001 (169 "
+    "null rows) and sf0.01 (1743): the emitted null set equals this "
+    "formula exactly.",
 )
 def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .. import streaming as st

@@ -141,9 +141,11 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     Under the DETERMINISTIC replay (single source file → one data
     micro-batch, then one no-data batch at the final watermark) the
     emitted set is exact and SQL-expressible: inner matches plus null
-    rows for unmatched errors with ``err_ts + window < final_wm`` — the
-    ``streaming_join_outer_live`` catalog entry oracle-checks exactly
-    that closure (VERDICT r8 task 4).
+    rows for unmatched errors with ``err_ts + window <= final_wm``
+    (boundary inclusive — measured; and no null rows at all if either
+    branch saw no data, since the min-policy watermark then stays at
+    epoch 0) — the ``streaming_join_outer_live`` catalog entry
+    oracle-checks exactly that closure (VERDICT r8 task 4).
     """
     errors = (
         events.filter(F.col("event_type") == "error")
