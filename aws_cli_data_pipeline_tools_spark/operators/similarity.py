@@ -15,6 +15,7 @@ query at scale.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -34,8 +35,28 @@ def _partition_topk(
     Rows are filtered, never recomputed, so downstream values are exactly
     the JVM-scored ones. Memory per worker is O(queries·k) plus one Arrow
     batch: the running top-k folds in one batch at a time.
+
+    NaN discipline (r9 review): Spark orders NaN GREATER than every
+    double while the pandas prune places NaN last — opposite ends, so a
+    NaN-scored row could survive or die depending on which physical
+    partition it landed in, making results partition-dependent. Floating
+    score columns therefore normalize NaN → NULL up front: NULL sorts
+    worst in BOTH phases (pandas NaN-last within each query group,
+    Spark desc() NULLS LAST), restoring the superset invariant and
+    partition-independence. NaN only arises from NaN inputs; zero-norm
+    vectors already score NULL.
     """
     import pandas as pd
+
+    from pyspark.sql.types import DoubleType, FloatType
+
+    if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):
+        scored = scored.withColumn(
+            score_col,
+            F.nanvl(
+                F.col(score_col).cast("double"), F.lit(None).cast("double")
+            ),
+        )
 
     cols = scored.columns
 
@@ -193,6 +214,11 @@ def _ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seeds:
+        # explicit contract error, matching lsh_ann_topk's empty-corpus
+        # guard — np.stack([]) would otherwise raise an opaque "need at
+        # least one array to stack" (r9 review)
+        raise ValueError("corpus is empty: cannot seed k-means centroids")
     cents = np.stack([np.asarray(r[0], dtype=np.float64) for r in seeds])
 
     def normalize(m):
@@ -514,9 +540,15 @@ def quantize_int8(
     scale = F.array_max(v_abs)
     q = F.transform(
         F.col(vec_col),
+        # TINYINT storage: values are bounded in [-127, 127] by
+        # construction, and a 1-byte element is the entire point of the
+        # quantization — cast("int") stored 4-byte elements, the same
+        # width as the float32 input, so the documented 4× memory/scan
+        # reduction never materialized (r9 review). Consumers widen
+        # BEFORE multiplying (127² overflows tinyint under ANSI).
         lambda v: F.when(scale > 0, F.round(v.cast("double") / scale * 127))
         .otherwise(F.lit(0))
-        .cast("int"),
+        .cast("tinyint"),
     )
     return df.select(
         F.col(id_col), scale.cast("double").alias("scale"), q.alias("qvec")
@@ -550,7 +582,11 @@ def int8_topk(
         )
     )
     dot = F.aggregate(
-        F.zip_with("qv", "cv", lambda a, b: (a * b).cast("long")),
+        # widen each operand BEFORE the product: qvec is tinyint storage
+        # and 127·127 overflows a tinyint product under ANSI mode
+        F.zip_with(
+            "qv", "cv", lambda a, b: a.cast("long") * b.cast("long")
+        ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
@@ -596,6 +632,72 @@ def kmeans_clusters(
             cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("centroid")),
             6,
         ).alias("cos_to_centroid"),
+    )
+
+
+def _sign_on(seed: str):
+    """md5-parity ±1 branch selector (0 → +v, 1 → −v) as an expression
+    factory — the ONE definitional copy of the sign derivation shared by
+    :func:`random_projection` and :func:`jl_sign_buckets` (r9 review:
+    was duplicated verbatim; this arithmetic is determinism-critical —
+    it must stay bit-identical to ``_md5_parity_signs`` AND to the
+    DuckDB oracle SQL, so a fix applied to one copy but not the other
+    would silently break the cross-replication contract)."""
+
+    def sel(i, j):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit(seed), i.cast("string"), j.cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+
+    return sel
+
+
+def _micro(v):
+    """Integer micro-unit quantization term (shared; see _sign_on)."""
+    return F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
+
+
+def _lit_sign_micro_sum(vec_col: str, sign_arr):
+    """Signed micro-unit sum with a PLAN-TIME sign array (fast path:
+    zip_with a ±1 literal array — no per-element md5 at runtime)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            sign_arr,
+            lambda v, s: _micro(v) * s.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _md5_signed_micro_sum(vec_col: str, seed: str, j):
+    """Signed micro-unit sum deriving each element's sign from md5
+    parity at runtime (slow path; ``j`` is a Column or an int)."""
+    son = _sign_on(seed)
+    jc = F.lit(j) if isinstance(j, int) else j
+    return F.aggregate(
+        F.transform(
+            F.col(vec_col),
+            lambda v, i: F.when(son(i, jc) == 0, _micro(v)).otherwise(
+                -_micro(v)
+            ),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
 
 
@@ -654,16 +756,6 @@ def random_projection(
     ``_bucketize``; this expression form trades that for exact
     cross-engine replay — both derive identical signs from the seed.
     """
-    sign_on = lambda i, j: F.pmod(  # noqa: E731  0 → +v, 1 → -v
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("|", F.lit(seed), i.cast("string"), j.cast("string"))),
-                1, 15,
-            ),
-            16, 10,
-        ).cast("bigint"),
-        F.lit(2),
-    )
     if dim is not None:
         # fast path: known input width → plan-time literal sign matrix;
         # zip_with's sign-array argument is evaluated once per row, only
@@ -672,39 +764,24 @@ def random_projection(
         sign_mat = F.array(
             *[F.array(*[F.lit(s) for s in row]) for row in signs]
         )
-        sel = F.element_at(sign_mat, F.col("j") + 1)
-        micro = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                sel,
-                lambda v, s: F.round(v.cast("double") * 1_000_000, 0).cast(
-                    "bigint"
-                )
-                * s.cast("bigint"),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        micro = _lit_sign_micro_sum(
+            vec_col, F.element_at(sign_mat, F.col("j") + 1)
         )
     else:
-        micro = F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda v, i: F.when(
-                    sign_on(i, F.col("j")) == 0,
-                    F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
-                ).otherwise(
-                    -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
-                ),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-    if out_dim == 16:
-        # exact: micro-unit sum, half-away-from-zero integer /4
-        quarter = F.when(
-            F.col("__s") >= 0, F.expr("(__s + 2) DIV 4")
-        ).otherwise(-F.expr("((-__s) + 2) DIV 4"))
-        value = (quarter.cast("double") / 1_000_000).alias("value")
+        micro = _md5_signed_micro_sum(vec_col, seed, F.col("j"))
+    root = math.isqrt(out_dim)
+    if root * root == out_dim:
+        # exact for ANY perfect-square out_dim (r9 review: was hardcoded
+        # to the one literal 16, silently sending other perfect squares
+        # down the inexact double path): micro-unit sum, half-away-from-
+        # zero integer division by sqrt(out_dim). For out_dim=16 this is
+        # bit-identical to the original (__s + 2) DIV 4 form the
+        # registered oracle replays.
+        half = root // 2
+        scaled = F.when(
+            F.col("__s") >= 0, F.expr(f"(__s + {half}) DIV {root}")
+        ).otherwise(-F.expr(f"((-__s) + {half}) DIV {root}"))
+        value = (scaled.cast("double") / 1_000_000).alias("value")
     else:
         value = F.round(
             F.col("__s").cast("double") / 1_000_000 / float(out_dim) ** 0.5,
@@ -841,23 +918,6 @@ def jl_sign_buckets(
     random_projection exactly (md5-parity signs, bigint sums), so a
     DuckDB oracle replays the bucketing hash-for-hash.
     """
-    sign_on = lambda i, j: F.pmod(  # noqa: E731  0 → +v, 1 → -v
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.lit(seed), i.cast("string"), j.cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
-        F.lit(2),
-    )
-
     lit_signs = (
         _md5_parity_signs(seed, dim, n_bits) if dim is not None else None
     )
@@ -866,37 +926,36 @@ def jl_sign_buckets(
         if lit_signs is not None:
             # known input width → plan-time literal signs (see
             # _md5_parity_signs): no per-element md5 at runtime.
-            return F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(s) for s in lit_signs[j]]),
-                    lambda v, s: F.round(
-                        v.cast("double") * 1_000_000, 0
-                    ).cast("bigint")
-                    * s.cast("bigint"),
-                ),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
+            return _lit_sign_micro_sum(
+                vec_col, F.array(*[F.lit(s) for s in lit_signs[j]])
             )
-        return F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda v, i: F.when(
-                    sign_on(i, F.lit(j)) == 0,
-                    F.round(v.cast("double") * 1_000_000, 0).cast("bigint"),
-                ).otherwise(
-                    -F.round(v.cast("double") * 1_000_000, 0).cast("bigint")
-                ),
-            ),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
+        return _md5_signed_micro_sum(vec_col, seed, j)
 
     bucket = None
     for j in range(n_bits):
         term = F.when(micro(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    return df.withColumn("bucket", bucket.cast("bigint"))
+    bucket = bucket.cast("bigint")
+    if dim is not None:
+        # in-plan width guard (r9 review): with a mismatched `dim` the
+        # zip_with pads the literal sign array with NULLs, the NULL
+        # poisons every micro sum, and EVERY row silently lands in
+        # bucket 0 — collapsing semantic_dedup into one all-pairs O(n²)
+        # bucket with no visible failure. Same raise_error discipline
+        # as cumdist's precondition guards.
+        bucket = F.when(F.size(F.col(vec_col)) == dim, bucket).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"jl_sign_buckets: vector length != dim={dim} "
+                        "(found length "
+                    ),
+                    F.size(F.col(vec_col)).cast("string"),
+                    F.lit(") — pass the actual embedding width or omit dim"),
+                )
+            ).cast("bigint")
+        )
+    return df.withColumn("bucket", bucket)
 
 
 def mmr_rerank(
@@ -958,10 +1017,18 @@ def mmr_rerank(
             ).alias("sim"),
         )
     )
-    rel_rows = {r.id: r.rel for r in rel.collect()}  # pool-sized
+    # NULL-scored candidates (zero-norm vectors: cosine_similarity
+    # returns NULL) are dropped from the pool — their relevance is
+    # undefined, and keeping None would TypeError in the greedy
+    # arithmetic below (r9 review). Pool members all have non-zero
+    # norms, so their pairwise sims are non-NULL by construction; the
+    # `or 0.0` guards the (unreachable today) NULL pair defensively.
+    rel_rows = {
+        r.id: r.rel for r in rel.collect() if r.rel is not None
+    }  # pool-sized
     sim_rows = {}  # pool²-sized
     for r in simmat.collect():
-        sim_rows[(r.ida, r.idb)] = r.sim
+        sim_rows[(r.ida, r.idb)] = r.sim if r.sim is not None else 0.0
     rel.unpersist()  # both consumers drained (driver-side greedy next)
     selected: list[tuple[int, int, float]] = []
     chosen: list[int] = []
@@ -1017,7 +1084,14 @@ def binary_hamming_topk(
     Ties (equal distance) break on neighbor id, so results replay
     exactly cross-engine.
     """
-    assert dim % 32 == 0, "dim must pack into 32-bit words"
+    if dim % 32 != 0:
+        # explicit contract error (NOT assert: python -O strips asserts,
+        # and a silently truncated signature returns wrong neighbors
+        # with `sim = dim - dist` offset as if full-width — r9 review)
+        raise ValueError(
+            f"binary_hamming_topk: dim={dim} must be a multiple of 32 "
+            "(signatures pack into 32-bit words)"
+        )
     n_words = dim // 32
 
     def sig_cols(prefix: str):

@@ -890,3 +890,67 @@ def test_span_posting_width_single_exchange_plan(spark):
     # sanity on the real operator: tiny corpus → gate keeps plan untouched
     full = out._jdf.queryExecution().executedPlan().toString()
     assert not _re.search(rf"hashpartitioning\(g#\d+L?, {default + 7}\)", full)
+
+
+def test_similarity_r9_review_fixes(spark):
+    """r9 package review: (a) mmr_rerank must not crash on zero-norm
+    vectors (NULL cosine); (b) jl_sign_buckets with a wrong `dim` must
+    raise, not silently bucket everything to 0; (c) quantize_int8 stores
+    1-byte elements and int8_topk still scores exactly; (d) perfect-
+    square out_dims take the exact integer path (fast ≡ slow form);
+    (e) NaN scores rank worst (as NULL) regardless of partitioning;
+    (f) binary_hamming_topk rejects non-multiple-of-32 dims loudly."""
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+            for i in range(20)]
+    rows.append((20, [0.0] * 8))  # zero-norm vector
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    # (a) zero vector present: no TypeError, zero vec never selected
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = similarity.mmr_rerank(emb, q, k=5, pool=10)
+    picked = [r["doc_id"] for r in got.collect()]
+    assert len(picked) == 5 and 20 not in picked
+
+    # (b) wrong dim raises in-plan (raise_error), right dim works
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises(Exception) as ei:
+        similarity.jl_sign_buckets(emb, n_bits=4, dim=16).collect()
+    assert "jl_sign_buckets" in str(ei.value)
+    ok = similarity.jl_sign_buckets(emb, n_bits=4, dim=8)
+    assert ok.filter(F.col("bucket").isNull()).count() == 0
+
+    # (c) tinyint storage + exact integer scoring
+    qz = similarity.quantize_int8(emb)
+    assert qz.schema["qvec"].dataType.simpleString() == "array<tinyint>"
+    topk = similarity.int8_topk(emb, q, k=3)
+    r0 = topk.filter(F.col("rank") == 1).collect()[0]
+    assert r0["neighbor_id"] == 0  # self-match maximal dot
+
+    # (d) perfect-square out_dim: literal-sign fast path == md5 slow path
+    fast = similarity.random_projection(emb, out_dim=4, dim=8)
+    slow = similarity.random_projection(emb, out_dim=4)
+    assert sorted(map(tuple, fast.collect())) == sorted(
+        map(tuple, slow.collect())
+    )
+
+    # (e) a NaN embedding must rank WORST (NULL score), not first
+    nan_rows = rows[:5] + [(99, [math.nan] * 8)]
+    nan_emb = spark.createDataFrame(
+        nan_rows, "vec_id bigint, embedding array<double>"
+    ).repartition(4)
+    got = similarity.cosine_topk(nan_emb, q.limit(1), k=6)
+    recs = {r["neighbor_id"]: (r["rank"], r["cosine"]) for r in got.collect()}
+    assert recs[99][0] == max(r for r, _ in recs.values())  # last
+    assert recs[99][1] is None  # NaN normalized to NULL
+
+    # (f) loud dim contract
+    with _pytest.raises(ValueError, match="multiple of 32"):
+        similarity.binary_hamming_topk(emb, q, dim=48)
