@@ -95,7 +95,7 @@ WITH r AS (
          count(*) OVER (PARTITION BY lang) AS cnt
   FROM documents
 )
-SELECT doc_id, lang FROM r WHERE rn <= ceil(cnt * 0.3) ORDER BY lang, doc_id
+SELECT doc_id, lang FROM r WHERE rn <= ceil(round(cnt * 0.3, 9)) ORDER BY lang, doc_id
 """,
     tags=("llmops", "curation"),
     notes="Exact stratified sample: ceil(30%) of every language, "
@@ -166,7 +166,7 @@ SELECT source, doc_id, n_tokens,
        CAST(floor(coalesce(sum(n_tokens) OVER (
              PARTITION BY source ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
-            AS INT) AS bin_id
+            AS BIGINT) AS bin_id
 FROM t ORDER BY source, doc_id
 """,
     tags=("llmops", "curation"),

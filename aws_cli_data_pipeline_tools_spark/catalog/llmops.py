@@ -4414,9 +4414,9 @@ def rbo_lexical_vs_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH keyed AS (
   SELECT doc_id, lang, source, n_chars,
-         round(-ln(CAST(('0x' || substr(md5('wps-v1' || '|' ||
-                       CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                   / CAST(power(16, 15) AS DOUBLE))
+         round(-ln((CAST(('0x' || substr(md5('wps-v1' || '|' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                   / (CAST(power(16, 15) AS DOUBLE) + 1.0))
                / CAST(n_chars AS DOUBLE), 10) AS priority
   FROM documents WHERE n_chars > 0
 )

@@ -35,6 +35,21 @@ __all__ = [
 ]
 
 
+def _doc_grams(
+    df: DataFrame, id_col: str, text_col: str, n: int, hashed: bool = True
+) -> DataFrame:
+    """(id, g) posting rows of word n-grams — the ONE definitional copy of
+    the gram pipeline shared by contaminated_ids, bloom_decontaminate and
+    contamination_report (r9 review: was pasted three times; a gram-
+    pipeline change applied to one copy but not the others would silently
+    make the decontamination variants disagree). ``hashed=True`` reduces
+    grams to 8-byte xxhash64 keys (what the shuffle/broadcast carries)."""
+    g = word_shingles(F.col(text_col), n)
+    if hashed:
+        g = F.transform(g, lambda s: F.xxhash64(s))
+    return df.select(F.col(id_col).alias("id"), F.explode(g).alias("g"))
+
+
 def contaminated_ids(
     train: DataFrame,
     eval_df: DataFrame,
@@ -52,12 +67,7 @@ def contaminated_ids(
     corpus never shuffles: the only wide ops are on the tiny eval side and
     the matched-id DISTINCT (bounded by the contaminated fraction).
     """
-    grams = lambda df: df.select(  # noqa: E731
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("g"),
-    )
+    grams = lambda df: _doc_grams(df, id_col, text_col, n)  # noqa: E731
     eval_grams = grams(eval_df).select("g").distinct()
     return (
         grams(train)
@@ -132,7 +142,13 @@ def stratified_exact_sample(
     cnt = F.count("*").over(Window.partitionBy(*strata))
     return (
         df.withColumn("__rn", _det_rank(strata, key_col, salt))
-        .withColumn("__quota", F.ceil(cnt * F.lit(frac)))
+        # round(·, 9) before ceil: the raw IEEE product overshoots the
+        # documented exact quota whenever count×frac lands just above an
+        # integer (100 × 0.07 = 7.000000000000001 → ceil 8, not 7 — r9
+        # review); 1e-9 clamps double noise (~1e-11 at corpus counts)
+        # without touching genuinely fractional quotas. The DuckDB
+        # oracle applies the identical round-then-ceil.
+        .withColumn("__quota", F.ceil(F.round(cnt * F.lit(frac), 9)))
         .filter(F.col("__rn") <= F.col("__quota"))
         .drop("__rn", "__quota")
     )
@@ -207,6 +223,11 @@ def pack_sequences(
     Otherwise whitespace word counts are computed and emitted under that
     name (the portable stand-in for BPE counts).
     """
+    if budget <= 0:
+        # same contract guard as chunk_documents (r9 review): budget=0
+        # silently yielded NULL bin_ids (or DIVIDE_BY_ZERO under ANSI),
+        # negative budgets negative bins
+        raise ValueError(f"pack_sequences: budget must be positive, got {budget}")
     tokens = (
         F.col(token_col)
         if token_col in df.columns
@@ -220,7 +241,9 @@ def pack_sequences(
         part_col,
         id_col,
         tokens.alias(token_col),
-        F.floor(cum_excl / F.lit(budget)).cast("int").alias(bin_col),
+        # bigint: a shard can exceed budget × 2^31 tokens at the stated
+        # corpus scale — the int cast silently wrapped bin ids (r9 review)
+        F.floor(cum_excl / F.lit(budget)).cast("bigint").alias(bin_col),
     )
 
 
@@ -294,16 +317,27 @@ def corpus_diff(
     and shuffle-free.
     """
     fp = lambda c: F.md5(F.lower(F.trim(F.regexp_replace(c, r"\s+", " "))))  # noqa: E731
-    b = base.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fp_base"))
-    t = target.select(F.col(id_col).alias("id"), fp(F.col(text_col)).alias("fp_target"))
+    # presence is tested on a non-nullable marker, NOT the fingerprint:
+    # md5(NULL text) is NULL, so a doc present with NULL text would
+    # otherwise be misclassified as added/removed (r9 review)
+    b = base.select(
+        F.col(id_col).alias("id"),
+        fp(F.col(text_col)).alias("fp_base"),
+        F.lit(1).alias("__in_base"),
+    )
+    t = target.select(
+        F.col(id_col).alias("id"),
+        fp(F.col(text_col)).alias("fp_target"),
+        F.lit(1).alias("__in_target"),
+    )
     joined = b.join(t, "id", "full_outer")
     return joined.select(
         "id",
         "fp_base",
         "fp_target",
-        F.when(F.col("fp_base").isNull(), F.lit("added"))
-        .when(F.col("fp_target").isNull(), F.lit("removed"))
-        .when(F.col("fp_base") == F.col("fp_target"), F.lit("unchanged"))
+        F.when(F.col("__in_base").isNull(), F.lit("added"))
+        .when(F.col("__in_target").isNull(), F.lit("removed"))
+        .when(F.col("fp_base").eqNullSafe(F.col("fp_target")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
@@ -392,14 +426,7 @@ def bloom_decontaminate(
     the cache lives until session end (one eval-gram set, not a growth
     leak per call, only if callers release).
     """
-    grams = lambda df: df.select(  # noqa: E731
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
-            )
-        ).alias("g"),
-    )
+    grams = lambda df: _doc_grams(df, id_col, text_col, n)  # noqa: E731
     from pyspark import StorageLevel
 
     # the eval gram set feeds TWO consumers (bloom build + exact confirm);
@@ -446,6 +473,11 @@ def shuffle_shards(
     bottleneck; writing with ``partitionBy(shard)`` streams each shard in
     training order.
     """
+    if n_shards <= 0:
+        # pmod(x, 0) is NULL: every row would land in shard NULL and the
+        # window would sort the whole corpus in ONE partition — exactly
+        # the bottleneck this operator exists to avoid (r9 review)
+        raise ValueError(f"shuffle_shards: n_shards must be positive, got {n_shards}")
     key = F.col(key_col)
     shard = F.pmod(
         F.conv(hash_bucket_expr(key, salt + "|shard"), 16, 10).cast("bigint"),
@@ -479,9 +511,8 @@ def contamination_report(
     keys on eval doc ids. Eval docs too short for any n-gram surface with
     n_grams = 0 and NULL fraction.
     """
-    grams = lambda df: df.select(  # noqa: E731  (distinct per doc already)
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("g"),
+    grams = lambda df: _doc_grams(  # noqa: E731  (unhashed: report keys)
+        df, id_col, text_col, n, hashed=False
     )
     ev_per_doc = grams(eval_df)
     ev_set = ev_per_doc.select("g").distinct()

@@ -35,6 +35,13 @@ def split_thresholds(splits: dict[str, float]) -> list[tuple[str, str]]:
     total = sum(splits.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    neg = {n: f for n, f in splits.items() if f < 0}
+    if neg:
+        # a negative fraction still sums to 1 with the others, but its
+        # hex threshold is a '-'-prefixed string below every bucket, so
+        # that split silently gets ZERO rows and every later cumulative
+        # bound shifts (r9 review)
+        raise ValueError(f"split fractions must be non-negative, got {neg}")
     out, cum = [], 0.0
     for name, frac in splits.items():
         cum += frac
@@ -83,7 +90,13 @@ def split_case_sql(
     clauses = "".join(
         f" WHEN {b} < '{bound}' THEN '{name}'" for name, bound in names[:-1]
     )
-    return f"CASE{clauses} ELSE '{names[-1][0]}' END"
+    # the leading NULL guard mirrors hash_split's NULL-key → NULL-split:
+    # without it a NULL key fell through every WHEN into the ELSE and got
+    # the LAST split name, diverging from the engine (r9 review)
+    return (
+        f"CASE WHEN {key_sql} IS NULL THEN NULL"
+        f"{clauses} ELSE '{names[-1][0]}' END"
+    )
 
 
 def seeded_sample_by(
@@ -148,7 +161,9 @@ def temperature_mixture_plan(
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(toks).alias("n_tokens"),
-    )
+    ).localCheckpoint(eager=False)  # three consumers (tot, denom, final
+    # select) would otherwise each re-embed the full-corpus scan+agg in
+    # the physical plan — lineage-cut like minhash_sides (r9 review)
     tot = per.agg(
         F.sum("n_tokens").alias("__total_tokens"),
     )
@@ -199,9 +214,19 @@ def weighted_priority_sample(
     # the same 60-bit integer to the same nearest double
     from ..functions import portable_hash64
 
-    u = portable_hash64(
-        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
-    ).cast("double") / F.lit(float(16**15))
+    # (hash + 1) / (16^15 + 1): clamps u strictly into (0, 1] — a hash of
+    # exactly 0 (probability 16^-15 per row, reachable over very large
+    # corpora) would make ln(0) NULL, and ascending orderBy sorts NULLs
+    # FIRST, unconditionally including that row regardless of weight (r9
+    # review). The shift changes u by ~1e-18 relative — invisible at the
+    # 10-decimal priority rounding — and the DuckDB twin applies the
+    # identical formula.
+    u = (
+        portable_hash64(
+            F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(float(16**15 + 1))
     w = F.col(weight_col).cast("double")
     key = -F.log(u) / w
     return (

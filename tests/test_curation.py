@@ -297,3 +297,70 @@ def test_pack_sequences_honors_existing_token_column(spark):
     # put all three in bin 0
     assert [out[i].bin_id for i in (1, 2, 3)] == [0, 0, 1]
     assert out[1].n_tokens == 8  # the caller's counts pass through
+
+
+def test_curation_sampling_r9_review_fixes(spark):
+    """r9 package review: (a) stratified quota is float-noise-immune
+    (100×0.07 must keep 7, not 8); (b) corpus_diff classifies NULL-text
+    rows by PRESENCE; (c) pack_sequences/shuffle_shards reject bad args
+    loudly; (d) negative split fractions raise; (e) split_case_sql
+    NULL-guards like hash_split; (f) priority-sample uniform is clamped
+    off 0 (ln(0) would NULL-sort first)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from aws_cli_data_pipeline_tools_spark.operators import curation, sampling
+
+    # (a) 100 rows, frac 0.07 → exactly ceil(7) = 7 rows
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(100)], "doc_id bigint, lang string"
+    )
+    got = curation.stratified_exact_sample(df, ["lang"], 0.07, "doc_id")
+    assert got.count() == 7
+
+    # (b) NULL text on one side: presence wins over fingerprint
+    base = spark.createDataFrame(
+        [(1, None), (2, "same"), (3, None)], "doc_id bigint, text string"
+    )
+    target = spark.createDataFrame(
+        [(1, "now set"), (2, "same"), (3, None)], "doc_id bigint, text string"
+    )
+    st = {r["id"]: r["status"] for r in curation.corpus_diff(base, target).collect()}
+    assert st == {1: "changed", 2: "unchanged", 3: "unchanged"}
+
+    # (c) loud argument contracts
+    with _pytest.raises(ValueError, match="budget"):
+        curation.pack_sequences(base, budget=0)
+    with _pytest.raises(ValueError, match="n_shards"):
+        curation.shuffle_shards(base, "doc_id", n_shards=0)
+    # bin ids are bigint (a shard can exceed budget × 2^31 tokens)
+    packed = curation.pack_sequences(
+        spark.createDataFrame([("s", 1, "a b c")], "source string, doc_id bigint, text string"),
+        budget=2,
+    )
+    assert packed.schema["bin_id"].dataType.simpleString() == "bigint"
+
+    # (d) negative fraction summing to 1 must raise, not silently empty
+    with _pytest.raises(ValueError, match="non-negative"):
+        sampling.split_thresholds({"a": -0.2, "b": 0.6, "c": 0.6})
+
+    # (e) NULL key: the DuckDB CASE twin agrees with hash_split (NULL
+    # split) — run it on DuckDB, the dialect it is generated for
+    import duckdb
+
+    sql = sampling.split_case_sql("k")
+    assert sql.startswith("CASE WHEN k IS NULL THEN NULL")
+    con = duckdb.connect()
+    dsql = sql.replace("k", "CAST(NULL AS VARCHAR)")
+    assert con.execute(f"SELECT {dsql} AS s").fetchone()[0] is None
+    dsql2 = sql.replace("k", "'doc-7'")
+    assert con.execute(f"SELECT {dsql2} AS s").fetchone()[0] in (
+        "train", "valid", "test"
+    )
+
+    # (f) u is strictly positive: priorities never NULL
+    w = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "doc_id bigint, wt int"
+    )
+    pri = sampling.weighted_priority_sample(w, "wt", k=10)
+    assert pri.filter(F.col("priority").isNull()).count() == 0
