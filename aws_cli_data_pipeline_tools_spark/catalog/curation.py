@@ -186,8 +186,9 @@ WITH t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w FROM documents
 ), narrow AS (
   SELECT doc_id, len(w) AS n_words,
-         round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
-           AS dup_word_frac,
+         CASE WHEN len(w) > 0 THEN
+           round(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6)
+         END AS dup_word_frac,
          CASE WHEN len(w) - 2 > 0 THEN
            round(1.0 - len(list_distinct(list_transform(
                    generate_series(1, len(w) - 2),

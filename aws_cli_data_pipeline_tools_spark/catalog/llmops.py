@@ -71,7 +71,9 @@ SELECT doc_id,
          (CASE WHEN n_words BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END)
          + (CASE WHEN n_punct / nullif(n_chars, 0.0) <= 0.2 THEN 0.2 ELSE 0.0 END)
          + (CASE WHEN n_upper / nullif(n_chars, 0.0) <= 0.3 THEN 0.2 ELSE 0.0 END)
-         + least(n_stop / nullif(n_words, 0.0) * 2, 0.2), 6) AS quality
+         + (CASE WHEN n_stop / nullif(n_words, 0.0) IS NULL THEN 0.0
+                 ELSE least(n_stop / nullif(n_words, 0.0) * 2, 0.2) END),
+         6) AS quality
 FROM base ORDER BY doc_id
 """,
     tags=("llmops", "text"),
@@ -925,19 +927,30 @@ WITH planted AS (
               || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
   FROM documents
 )
+-- sequential audit semantics (r9 review): each count is taken on the
+-- text AS THAT REDACTION STEP SEES IT, so counts reconcile exactly with
+-- the output even when one pattern's match consumes another's
+, s1 AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{textstats.PII_PATTERNS["email"]}',
+                        '<email>', 'g') AS t1
+  FROM planted
+), s2 AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{textstats.PII_PATTERNS["gov_id"]}',
+                        '<gov_id>', 'g') AS t2
+  FROM s1
+)
 SELECT doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{textstats.PII_PATTERNS["email"]}', '<email>', 'g'),
-           '{textstats.PII_PATTERNS["gov_id"]}', '<gov_id>', 'g'),
-           '{textstats.PII_PATTERNS["phone"]}', '<phone>', 'g')
-         AS redacted_text,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))
+       regexp_replace(t2, '{textstats.PII_PATTERNS["phone"]}',
+                      '<phone>', 'g') AS redacted_text,
+       CAST(len(regexp_extract_all(t0, '{textstats.PII_PATTERNS["email"]}'))
             AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["gov_id"]}'))
+       CAST(len(regexp_extract_all(t1, '{textstats.PII_PATTERNS["gov_id"]}'))
             AS INT) AS n_gov_id,
-       CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))
+       CAST(len(regexp_extract_all(t2, '{textstats.PII_PATTERNS["phone"]}'))
             AS INT) AS n_phone
-FROM planted ORDER BY doc_id
+FROM s2 ORDER BY doc_id
 """,
     tags=("llmops", "text", "pii"),
     notes="PII redaction audit (operators/textstats.redact_pii) over "

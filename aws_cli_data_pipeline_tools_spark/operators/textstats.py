@@ -81,7 +81,14 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
         + F.when(punct_ratio <= 0.2, F.lit(0.2)).otherwise(F.lit(0.0))
         + F.when(upper_ratio <= 0.3, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.least(stop_ratio * 2, F.lit(0.2))
+        # NULL stop_ratio (zero-word or NULL text) earns ZERO credit:
+        # least() skips NULLs, so the raw form granted such docs the full
+        # 0.2 — boosting whitespace-only garbage past real low-quality
+        # prose in any threshold filter (r9 review; DuckDB twin guarded
+        # identically)
+        + F.when(stop_ratio.isNull(), F.lit(0.0)).otherwise(
+            F.least(stop_ratio * 2, F.lit(0.2))
+        )
     )
     return df.withColumns(
         {
@@ -105,7 +112,13 @@ def lang_id(
     routing pipelines use to quarantine ambiguous docs.
     """
     t = F.col(text_col)
-    words = F.transform(_words(t), F.lower)
+    # tokenize ONCE into a projected column: higher-order lambda subtrees
+    # are CodegenFallback and not common-subexpression-eliminated, so
+    # inlining the split+lower into every per-language filter re-ran the
+    # O(len) tokenization ~6x per row (12x with with_margin) — the same
+    # materialize-first discipline as byte_entropy (r9 review)
+    df = df.withColumn("__lang_words", F.transform(_words(t), F.lower))
+    words = F.col("__lang_words")
     n = F.nullif(F.size(words).cast("double"), F.lit(0.0))
     def contains(litarr):
         # single-arg lambda: a second parameter would make Spark treat it as
@@ -151,7 +164,7 @@ def lang_id(
                 ),
             }
         )
-    return out
+    return out.drop("__lang_words")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -265,11 +278,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     hardcoded a ``doc_id`` column and silently dropped all others.
     """
     t = F.col(text_col)
-    counts = [
-        F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
-        for name, pat in PII_PATTERNS.items()
-    ]
+    # each count is taken on the text AS THIS STEP SEES IT (after the
+    # previous replacements), so the audit counts reconcile exactly with
+    # the sequential redaction output — counting everything on the raw
+    # text could report a category that an earlier pattern had already
+    # consumed (e.g. an email local-part swallowing a phone; r9 review)
+    counts = []
     for name, pat in PII_PATTERNS.items():
+        counts.append(
+            F.regexp_count(t, F.lit(pat)).cast("int").alias(f"n_{name}")
+        )
         t = F.regexp_replace(t, pat, f"<{name}>")
     keep = [c for c in df.columns if c != text_col]
     return df.select(*keep, t.alias("redacted_text"), *counts)
@@ -299,8 +317,16 @@ def repetition_stats(
     narrow = df.select(
         F.col(id_col),
         n.alias("n_words"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double"), 6
+        # when(n > 0): a zero-word doc must yield NULL (the docstring
+        # contract), not an ANSI DIVIDE_BY_ZERO that kills the corpus
+        # job (r9 review; dup_3gram_frac below was already guarded)
+        F.when(
+            n > 0,
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct(words)) / n.cast("double"),
+                6,
+            ),
         ).alias("dup_word_frac"),
         F.when(
             n3 > 0,
@@ -418,6 +444,10 @@ def bm25_scores(
     the DuckDB oracle hash-match. idf is the Lucene/ES form
     ``ln(1 + (N - df + 0.5)/(df + 0.5))``, always positive.
     """
+    if not terms:
+        # an empty term list otherwise surfaces as F.round(None, 4) —
+        # an unrelated PySparkTypeError far from the cause (r9 review)
+        raise ValueError("bm25_scores: terms must be non-empty")
     arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
     base = df.select(F.col(id_col), arr.alias("__toks")).withColumn(
         "__dl", F.size("__toks")
@@ -441,7 +471,12 @@ def bm25_scores(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    avgdl = F.col("__total_dl") / F.col("__n").cast("double")
+    # nullif: an all-empty corpus (avgdl 0) must yield NULL scores — the
+    # bm25 > 0 filter drops them — not an ANSI DIVIDE_BY_ZERO that kills
+    # the job (r9 review; session pins ANSI on)
+    avgdl = F.nullif(
+        F.col("__total_dl") / F.col("__n").cast("double"), F.lit(0.0)
+    )
     norm = F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("__dl") / avgdl
     )
@@ -557,6 +592,34 @@ SECRET_PATTERNS: "dict[str, str]" = {
 }
 
 
+def _pattern_scan(
+    df: DataFrame,
+    patterns: "dict[str, str]",
+    flag_col: str,
+    id_col: str,
+    text_col: str,
+    append: bool,
+) -> DataFrame:
+    """Shared body of secret_scan/mojibake_scan/injection_scan (r9 review:
+    was pasted three times): one codegen ``regexp_extract_all`` count per
+    pattern, an any-hit boolean, and either an (id, counts) projection or
+    — with ``append=True`` — every input column kept so scans compose by
+    CHAINING on one frame (a single codegen projection, no per-scan
+    doc_id joins)."""
+    counts = {
+        f"n_{name}": F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
+        )
+        for name, pat in patterns.items()
+    }
+    keep = ["*"] if append else [F.col(id_col)]
+    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
+    total = None
+    for n in counts:
+        total = F.col(n) if total is None else total + F.col(n)
+    return out.withColumn(flag_col, total > 0)
+
+
 def secret_scan(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -573,22 +636,7 @@ def secret_scan(
     regexes run identically on Spark and DuckDB (and in a Trino/Athena
     pass-through, the reference's engine).
     """
-    counts = {
-        f"n_{name}": F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
-        )
-        for name, pat in SECRET_PATTERNS.items()
-    }
-    # append=True keeps every input column (scans compose by CHAINING on
-    # one frame — a single codegen projection, no per-scan doc_id joins;
-    # r9 review: pipeline_hygiene_route previously joined three
-    # corpus-sized scan frames, three shuffles of pure waste)
-    keep = ["*"] if append else [F.col(id_col)]
-    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
-    total = None
-    for n in counts:
-        total = F.col(n) if total is None else total + F.col(n)
-    return out.withColumn("has_secret", total > 0)
+    return _pattern_scan(df, SECRET_PATTERNS, "has_secret", id_col, text_col, append)
 
 
 def bpe_pair_counts(
@@ -655,22 +703,7 @@ def mojibake_scan(
     mojibake digraphs. Pure codegen regex riding the scan, zero shuffle;
     ``is_damaged`` routes to re-decode/drop.
     """
-    counts = {
-        f"n_{name}": F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
-        )
-        for name, pat in MOJIBAKE_PATTERNS.items()
-    }
-    # append=True keeps every input column (scans compose by CHAINING on
-    # one frame — a single codegen projection, no per-scan doc_id joins;
-    # r9 review: pipeline_hygiene_route previously joined three
-    # corpus-sized scan frames, three shuffles of pure waste)
-    keep = ["*"] if append else [F.col(id_col)]
-    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
-    total = None
-    for n in counts:
-        total = F.col(n) if total is None else total + F.col(n)
-    return out.withColumn("is_damaged", total > 0)
+    return _pattern_scan(df, MOJIBAKE_PATTERNS, "is_damaged", id_col, text_col, append)
 
 
 #: Prompt-injection bait patterns (Java∩RE2 subset) — the strings a
@@ -695,22 +728,7 @@ def injection_scan(
     """Per-document prompt-injection-bait counts — the data-poisoning
     hygiene scan run before a corpus reaches instruction training (same
     codegen regexp shape as secret_scan: zero shuffle, zero Python)."""
-    counts = {
-        f"n_{name}": F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
-        )
-        for name, pat in INJECTION_PATTERNS.items()
-    }
-    # append=True keeps every input column (scans compose by CHAINING on
-    # one frame — a single codegen projection, no per-scan doc_id joins;
-    # r9 review: pipeline_hygiene_route previously joined three
-    # corpus-sized scan frames, three shuffles of pure waste)
-    keep = ["*"] if append else [F.col(id_col)]
-    out = df.select(*keep, *[c.alias(n) for n, c in counts.items()])
-    total = None
-    for n in counts:
-        total = F.col(n) if total is None else total + F.col(n)
-    return out.withColumn("has_injection", total > 0)
+    return _pattern_scan(df, INJECTION_PATTERNS, "has_injection", id_col, text_col, append)
 
 
 def instruction_format_stats(
@@ -797,10 +815,14 @@ def compression_ratio(
                 }
             )
 
+    # id keeps its ACTUAL input type (string/int/bigint ids all valid —
+    # the bigint literal broke UUID/URL-keyed corpora at the Arrow
+    # boundary; r9 review, same fix as _rolling_span_postings)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, text_col).mapInPandas(
         batches,
         schema=(
-            f"{id_col} bigint, n_raw_bytes bigint, "
+            f"{id_col} {id_type}, n_raw_bytes bigint, "
             "n_compressed_bytes bigint, compression_ratio double"
         ),
     )

@@ -1209,3 +1209,51 @@ def test_ann_empty_inputs_fail_loudly(spark, tmp_path):
     ).write.parquet(f"{idx}/centroids")
     with _pytest.raises(ValueError, match="no centroids"):
         ivf_index_topk(spark, idx, q, k=5)
+
+
+def test_textstats_r9_review_fixes(spark):
+    """r9 package review over textstats: zero-word/NULL-text documents
+    must degrade (NULL/zero) instead of crashing under the session's
+    pinned ANSI mode or earning quality credit; audit counts reconcile
+    with sequential redaction; compression_ratio keeps the id type;
+    bm25 contracts fail loudly."""
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat truly"), (2, "   "), (3, None)],
+        "doc_id bigint, text string",
+    )
+    # repetition_stats: zero-word doc → NULL fractions, no DIVIDE_BY_ZERO
+    rep = {r["doc_id"]: r["dup_word_frac"]
+           for r in textstats.repetition_stats(docs).collect()}
+    assert rep[1] is not None and rep[2] is None and rep[3] is None
+
+    # quality_score: whitespace-only doc gets NO stopword credit
+    q = {r["doc_id"]: r["quality"]
+         for r in textstats.quality_score(docs).collect()}
+    assert q[2] == 0.4  # punct 0 + upper 0 credits only, no stop credit
+    assert q[1] > q[2]  # real English prose outranks whitespace
+
+    # bm25: all-empty corpus → empty result (NULL scores filtered), no crash
+    empties = spark.createDataFrame(
+        [(1, " "), (2, "")], "doc_id bigint, text string"
+    )
+    assert textstats.bm25_scores(empties, ["spark"]).count() == 0
+    with _pytest.raises(ValueError, match="terms"):
+        textstats.bm25_scores(docs, [])
+
+    # redact_pii: audit counts reconcile with sequential redaction — the
+    # email local-part consumes the phone shape, so n_phone must be 0
+    overlap = spark.createDataFrame(
+        [(1, "reach +1-555-1234@x.com now")], "doc_id bigint, text string"
+    )
+    r = textstats.redact_pii(overlap).collect()[0]
+    assert r["n_email"] == 1 and r["n_phone"] == 0
+    assert "<email>" in r["redacted_text"] and "<phone>" not in r["redacted_text"]
+
+    # compression_ratio: string ids survive (schema follows the input)
+    sdocs = spark.createDataFrame(
+        [("u-1", "abc abc abc abc")], "doc_id string, text string"
+    )
+    out = textstats.compression_ratio(sdocs).collect()[0]
+    assert out["doc_id"] == "u-1" and out["n_raw_bytes"] == 15
