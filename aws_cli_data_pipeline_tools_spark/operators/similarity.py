@@ -904,6 +904,7 @@ def jl_sign_buckets(
     vec_col: str = "embedding",
     seed: str = "jl-v1",
     dim: int | None = None,
+    validate_dim: bool = True,
 ) -> DataFrame:
     """Sign-bit bucket of the fixed-point JL projection: ``bucket =
     Σ_j (s_j >= 0) << j`` over the first ``n_bits`` projected dimensions
@@ -936,25 +937,26 @@ def jl_sign_buckets(
         term = F.when(micro(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     bucket = bucket.cast("bigint")
-    if dim is not None:
-        # in-plan width guard (r9 review): with a mismatched `dim` the
-        # zip_with pads the literal sign array with NULLs, the NULL
-        # poisons every micro sum, and EVERY row silently lands in
+    if dim is not None and validate_dim:
+        # eager first-row width check (r9 review): with a mismatched
+        # `dim` the zip_with pads the literal sign array with NULLs, the
+        # NULL poisons every micro sum, and EVERY row silently lands in
         # bucket 0 — collapsing semantic_dedup into one all-pairs O(n²)
-        # bucket with no visible failure. Same raise_error discipline
-        # as cumdist's precondition guards.
-        bucket = F.when(F.size(F.col(vec_col)) == dim, bucket).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        f"jl_sign_buckets: vector length != dim={dim} "
-                        "(found length "
-                    ),
-                    F.size(F.col(vec_col)).cast("string"),
-                    F.lit(") — pass the actual embedding width or omit dim"),
-                )
-            ).cast("bigint")
-        )
+        # bucket with no visible failure. An IN-PLAN raise_error guard
+        # (cumdist style) was measured and REJECTED here: any
+        # raise_error in the projection knocks the stage off whole-stage
+        # codegen, +0.9 s (1.4×) on the semdedup entry at sf0.1 in BOTH
+        # the wrapping and additive forms. The eager check is one
+        # first-row job (the mmr limit(2) precedent) and catches the
+        # realistic bug class — a wrong `dim` literal against a
+        # uniform-width corpus; per-row enforcement of mixed-width
+        # corruption is the caller's trade via validate_dim.
+        row = df.select(F.size(F.col(vec_col)).alias("n")).first()
+        if row is not None and row["n"] is not None and row["n"] != dim:
+            raise ValueError(
+                f"jl_sign_buckets: vector length {row['n']} != dim={dim}"
+                " — pass the actual embedding width or omit dim"
+            )
     return df.withColumn("bucket", bucket)
 
 
