@@ -1311,6 +1311,11 @@ def streaming_session_transcripts_live(
     return (
         drained.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        # n_turns == 0 rows are RETRACTIONS (r9): a late event that
+        # merges two buffered open sessions shrinks the live-id set, and
+        # the operator emits a zero-turn row (newest emit_seq) for each
+        # merged-away provisional id so it doesn't stand as a phantom
+        .filter(F.col("n_turns") > 0)
         .select("user_id", "session_id", "n_turns", "transcript")
         .orderBy("user_id", "session_id")
     )

@@ -10,15 +10,23 @@ pieces, deliberately separate:
   exactly (`export_shard_plan` query).
 - :func:`write_jsonl_shards` — the side-effecting writer: per bucket,
   stream rows in order into rolling ``.jsonl`` files that start a new
-  file when the byte budget would be exceeded; returns a manifest.
-  Verified by pytest read-back (files re-read with ``spark.read.json``
-  must reproduce the corpus exactly; every file respects the cap up to
+  file when the byte budget would be exceeded; returns the manifest
+  EAGERLY (the write runs exactly once, inside the call). Verified by
+  pytest read-back (files re-read with ``spark.read.json`` must
+  reproduce the corpus exactly; every file respects the cap up to
   one-document overflow).
 
 Scale shape: buckets are the parallelism unit — each bucket's rows are
-ordered and rolled independently (one ``applyInPandas`` group), so a
+hash-routed to one partition and STREAMED through the rolling writer one
+Arrow batch at a time (``mapInPandas`` over a per-partition sort), so a
 1000-bucket export fans out over the cluster with no global ordering
-bottleneck; the shard plan itself is one window over (bucket, order).
+bottleneck and no requirement that a bucket fit in executor memory (the
+r9 review found the previous ``applyInPandas`` shape materialized each
+bucket as ONE pandas frame — ~100 GB per group at the advertised
+100 TB / 1000-bucket scale). ``path`` must be a filesystem every
+executor AND the driver can see (local in tests, NFS/EFS-style on a
+cluster) — executor-local paths would leave the manifest pointing at
+files the driver cannot read.
 
 No reference analog (the reference UNLOADs via Athena); this is the
 north-star export the Spark-side pipeline needs.
@@ -28,6 +36,12 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Manifest schema shared by the writer's executor side and the eager
+#: driver-side re-materialization.
+_MANIFEST_SCHEMA = (
+    "bucket int, shard int, file string, n_docs long, n_bytes long"
+)
 
 
 def shard_plan(
@@ -45,7 +59,18 @@ def shard_plan(
     no-overflow rule — roll early — because loaders prefer hard caps;
     both are deterministic, the plan's rule is the window-replayable
     one.) Pure integer window arithmetic over an explicit per-bucket
-    ordering: deterministic and exactly oracle-replayable."""
+    ordering: deterministic and exactly oracle-replayable PROVIDED
+    ``order_col`` is unique within each bucket — with duplicate order
+    values the cumsum order among ties is engine/run-dependent and
+    boundary rows can swap shards between runs (r9 review); pass a
+    unique key (doc ids are) or add a tiebreaker upstream."""
+    if budget_bytes <= 0:
+        # DIV 0 yields NULL shards silently under non-ANSI semantics —
+        # a poisoned plan the DuckDB oracle (which raises on // 0) can
+        # no longer replay (r9 review)
+        raise ValueError(
+            f"shard_plan: budget_bytes must be positive, got {budget_bytes}"
+        )
     w = (
         Window.partitionBy("bucket")
         .orderBy(order_col)
@@ -82,19 +107,40 @@ def write_jsonl_shards(
     with rolling byte budgets, and return the manifest DataFrame
     (bucket, shard, file, n_docs, n_bytes). JSON lines are serialized
     JVM-side (``to_json``) so the bytes that are budgeted are exactly
-    the bytes written; the per-bucket rolling loop runs in one
-    ``applyInPandas`` group ordered by ``id_col``."""
+    the bytes written.
+
+    Execution model (r9 review): the write is EAGER — it runs exactly
+    once inside this call and the manifest is returned re-materialized
+    driver-side — because a lazily-returned side effect re-writes every
+    file on each downstream action and a short-circuiting action (e.g.
+    ``.limit(k)``) could skip buckets entirely while appearing to
+    succeed. Rows are hash-routed so each bucket lands wholly in one
+    partition, sorted (bucket, id) within it, and STREAMED through the
+    rolling writer one Arrow batch at a time — per-executor memory is
+    one batch, never a bucket. Task retries re-open files with ``'wb'``
+    (truncate), so a retried partition rewrites its buckets cleanly;
+    don't run with speculative execution against a shared path."""
     import os
 
     import pandas as pd
 
     import pyspark.sql.types as T
 
+    if budget_bytes <= 0:
+        raise ValueError(
+            f"write_jsonl_shards: budget_bytes must be positive, got {budget_bytes}"
+        )
+    if n_buckets <= 0:
+        raise ValueError(
+            f"write_jsonl_shards: n_buckets must be positive, got {n_buckets}"
+        )
     os.makedirs(path, exist_ok=True)
     # bucket derivation must be type-agnostic: pmod on a string id casts
     # to double → NULL → one giant NULL bucket and int(NaN) crashing the
     # writer (r8 review). Integral ids keep the modulo layout; everything
-    # else buckets by hash.
+    # else buckets by hash. NULL ids (either branch: pmod(NULL) and
+    # xxhash64 of an all-NULL struct row can both yield NULL) route to
+    # bucket 0 instead of a NaN group that crashes int() (r9 review).
     id_type = df.schema[id_col].dataType
     bucket = (
         F.pmod(F.col(id_col), F.lit(n_buckets))
@@ -102,43 +148,62 @@ def write_jsonl_shards(
         else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_buckets))
     )
     prepared = df.select(
-        bucket.cast("int").alias("bucket"),
+        F.coalesce(bucket.cast("int"), F.lit(0)).alias("bucket"),
         F.col(id_col).alias("__oid"),
         F.to_json(F.struct(F.col(id_col), F.col(text_col))).alias("__json"),
     )
-
-    def write_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__oid")
-        bucket = int(pdf["bucket"].iloc[0])
-        bdir = os.path.join(path, f"bucket={bucket}")
-        os.makedirs(bdir, exist_ok=True)
-        rows = []
-        shard = -1
-        f = None
-        used = 0
-        n_docs = 0
-        for line in pdf["__json"]:
-            enc = (line + "\n").encode("utf-8")
-            if f is None or used + len(enc) > budget_bytes:
-                if f is not None:
-                    f.close()
-                    rows.append((bucket, shard, fname, n_docs, used))
-                shard += 1
-                fname = os.path.join(bdir, f"shard-{shard:05d}.jsonl")
-                f = open(fname, "wb")
-                used = 0
-                n_docs = 0
-            f.write(enc)
-            used += len(enc)
-            n_docs += 1
-        if f is not None:
-            f.close()
-            rows.append((bucket, shard, fname, n_docs, used))
-        return pd.DataFrame(
-            rows, columns=["bucket", "shard", "file", "n_docs", "n_bytes"]
-        )
-
-    return prepared.groupBy("bucket").applyInPandas(
-        write_bucket,
-        schema="bucket int, shard int, file string, n_docs long, n_bytes long",
+    # each bucket wholly in one partition (hash on the bucket value);
+    # two buckets sharing a partition is fine — the stream writer below
+    # closes/reopens on every bucket transition of the SORTED stream
+    routed = prepared.repartition(n_buckets, "bucket").sortWithinPartitions(
+        "bucket", "__oid"
     )
+
+    def write_stream(batches):
+        rows: list[tuple] = []
+        st = {"bucket": None, "shard": -1, "f": None, "fname": None,
+              "used": 0, "n_docs": 0}
+
+        def close_file():
+            if st["f"] is not None:
+                st["f"].close()
+                rows.append(
+                    (st["bucket"], st["shard"], st["fname"],
+                     st["n_docs"], st["used"])
+                )
+                st["f"] = None
+
+        for pdf in batches:
+            for b, line in zip(pdf["bucket"], pdf["__json"]):
+                b = int(b)
+                if b != st["bucket"]:
+                    close_file()
+                    st["bucket"] = b
+                    st["shard"] = -1
+                    os.makedirs(
+                        os.path.join(path, f"bucket={b}"), exist_ok=True
+                    )
+                enc = (line + "\n").encode("utf-8")
+                if st["f"] is None or st["used"] + len(enc) > budget_bytes:
+                    close_file()
+                    st["shard"] += 1
+                    st["fname"] = os.path.join(
+                        path, f"bucket={st['bucket']}",
+                        f"shard-{st['shard']:05d}.jsonl",
+                    )
+                    st["f"] = open(st["fname"], "wb")
+                    st["used"] = 0
+                    st["n_docs"] = 0
+                st["f"].write(enc)
+                st["used"] += len(enc)
+                st["n_docs"] += 1
+        close_file()
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["bucket", "shard", "file", "n_docs", "n_bytes"]
+            )
+
+    manifest_rows = routed.mapInPandas(
+        write_stream, schema=_MANIFEST_SCHEMA
+    ).collect()  # the EAGER action — the write happens here, exactly once
+    return df.sparkSession.createDataFrame(manifest_rows, _MANIFEST_SCHEMA)

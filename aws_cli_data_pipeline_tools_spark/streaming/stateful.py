@@ -108,7 +108,7 @@ TRANSCRIPT_OUTPUT = (
 #: closed row is automatically the max-seq row for its id.
 TRANSCRIPT_STATE = (
     "ts_us array<long>, eid array<long>, et array<string>, n_closed bigint,"
-    " seq bigint"
+    " seq bigint, max_emitted bigint"
 )
 
 SESSION_GAP_US = 1_800_000_000  # 30 min, matches the batch sessionizer
@@ -132,16 +132,25 @@ def _update_transcript_state(
     eid: list
     et: list
     if state.exists:
-        ts_us, eid, et, n_closed, seq = state.get
+        ts_us, eid, et, n_closed, seq, max_emitted = state.get
         ts_us, eid, et = list(ts_us), list(eid), list(et)
     else:
-        ts_us, eid, et, n_closed, seq = [], [], [], 0, 0
+        ts_us, eid, et, n_closed, seq, max_emitted = [], [], [], 0, 0, 0
     seq += 1
     if not state.hasTimedOut:
         for pdf in batches:
             for t, e, y in zip(
                 pdf["ts"], pdf["event_id"], pdf["event_type"]
             ):
+                if pd.isna(t) or pd.isna(e):
+                    # NULL ts/event_id rows are undefined for
+                    # sessionization — NaT.value is the int64-min
+                    # sentinel (a garbage immediately-closed session
+                    # that permanently shifts this user's session
+                    # numbering off the batch twin), and int(NaN)
+                    # raises, killing the query. Same pd.notna guard
+                    # as _update_user_state (r9 review).
+                    continue
                 ts_us.append(int(t.value // 1_000))
                 eid.append(int(e))
                 et.append(str(y))
@@ -164,7 +173,12 @@ def _update_transcript_state(
         lo, hi = bounds[b], bounds[b + 1]
         if lo == hi:
             continue
-        closed = ts_us[hi - 1] + SESSION_GAP_US <= wm_us
+        # STRICT: Spark's late filter still admits an event with
+        # ts == watermark, and the batch twin splits only on gap
+        # STRICTLY greater — an event at exactly last + gap belongs to
+        # THIS session, so the block may only close once the watermark
+        # has passed beyond that instant (r9 review)
+        closed = ts_us[hi - 1] + SESSION_GAP_US < wm_us
         if not closed and first_open_last_us is None:
             first_open_last_us = ts_us[hi - 1]
         start = ts_us[lo]
@@ -182,6 +196,15 @@ def _update_transcript_state(
             rows.append(
                 (user_id, n_closed + open_offset, hi - lo, turns, False, seq)
             )
+    # a late event can MERGE two buffered open blocks: the number of
+    # live ids shrinks and the old highest provisional row would stand
+    # forever as a phantom session under the max-emit_seq reader (r9
+    # review). Retract ids beyond the current maximum with an n_turns=0
+    # row (newest seq) — readers drop n_turns == 0.
+    cur_max = n_closed + open_offset
+    for sid in range(cur_max + 1, max_emitted + 1):
+        rows.append((user_id, sid, 0, "", False, seq))
+    max_emitted = max(cur_max, n_closed)
     ts_us = ts_us[keep_from:]
     eid = eid[keep_from:]
     et = et[keep_from:]
@@ -191,7 +214,7 @@ def _update_transcript_state(
     # per-user 1..k numbering — r8 review). One small tuple per user is
     # the same cardinality as any per-user aggregate; no timeout is set
     # on an empty buffer, so the lingering state never re-fires.
-    state.update((ts_us, eid, et, n_closed, seq))
+    state.update((ts_us, eid, et, n_closed, seq, max_emitted))
     if ts_us:
         # Timeout tracks the EARLIEST open block, not the last: with
         # several open sessions buffered (late data opened an earlier

@@ -335,3 +335,60 @@ def test_transcripts_late_earlier_session_recency_reader(spark, tmp_path):
     # head-block timeout really closed the late session exactly once
     closed1 = [r for r in rows if r.session_id == 1 and r.closed]
     assert len(closed1) == 1 and closed1[0].transcript == "C@0"
+
+
+def test_transcripts_merge_retracts_phantom_session(spark, tmp_path):
+    """r9 review: a late event that BRIDGES two buffered open sessions
+    merges them into one block — the live-id set shrinks, and without a
+    retraction the old highest provisional row (id 2 here) would stand
+    forever as a phantom session under the max-emit_seq reader. The
+    operator must emit an n_turns=0 retraction for the merged-away id,
+    and the recency reader (with the catalog entry's n_turns > 0 filter)
+    must equal the batch sessionization exactly. NULL ts/event_id rows
+    must be ignored, not crash or shift numbering."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.streaming.stateful import (
+        session_transcripts_stream,
+    )
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    # blocks A (0s) and B (3000s) are > 30min apart -> two open sessions
+    # (ids 1, 2); the late bridge at 1500s stitches them into ONE block.
+    # A NULL-ts and a NULL-id row ride along and must be ignored.
+    src = _write_ordered_files(spark, tmp_path, [
+        [(1, t(0), 1, "A"), (1, t(3000), 2, "B"), (1, None, 9, "junk")],
+        [(1, t(1500), 3, "C"), (1, t(3100), None, "junk")],
+    ], schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        session_transcripts_stream(stream, watermark_delay="3 hours")
+        .writeStream.format("memory")
+        .queryName("t_merge")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("t_merge").collect()
+    # batch 1 emitted provisional ids 1 AND 2; the merge must retract id 2
+    assert any(r.session_id == 2 and r.n_turns > 0 for r in rows)
+    retractions = [r for r in rows if r.n_turns == 0]
+    assert [r.session_id for r in retractions] == [2]
+    # recency reader + the entry's n_turns > 0 filter = the batch answer:
+    # ONE merged session with all three events
+    best = {}
+    for r in rows:
+        k = (r.user_id, r.session_id)
+        if k not in best or r.emit_seq > best[k].emit_seq:
+            best[k] = r
+    live = {k: (v.n_turns, v.transcript)
+            for k, v in best.items() if v.n_turns > 0}
+    assert live == {(1, 1): (3, "A@0 C@1500 B@3000")}
