@@ -479,7 +479,8 @@ SELECT g.event_type, g.bucket,
        last_value(a.sum_value IGNORE NULLS) OVER (
          PARTITION BY g.event_type ORDER BY g.bucket
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
-FROM grid g LEFT JOIN agg a ON g.event_type = a.event_type AND g.bucket = a.bucket
+FROM grid g LEFT JOIN agg a
+  ON g.event_type IS NOT DISTINCT FROM a.event_type AND g.bucket = a.bucket
 ORDER BY g.event_type, g.bucket
 """,
     tags=("timeseries", "gapfill"),
@@ -492,7 +493,8 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return gapfill(
         load_table(spark, "events", sf_dir), "event_type", "ts", "value"
-    )
+    ).orderBy("event_type", "bucket")  # display order lives here, not in
+    # the operator (r9: the baked-in global sort was an extra exchange)
 
 
 # First-touch funnel: per-user min timestamp per stage, strict ordering

@@ -53,6 +53,17 @@ def asof_join(
     # no payload columns", not "default to all of them" (r8 review)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in set(by) | {on}]
+    clash = {f"{c}{suffix}" for c in right_cols} & set(left.columns)
+    if clash:
+        # a left column named like a carried right column would emit
+        # duplicate output names (silently, or AMBIGUOUS_REFERENCE at
+        # plan time when tolerance_seconds is set) — fail at the API
+        # boundary instead (r9 review; rangejoin documents the same
+        # no-collision precondition)
+        raise ValueError(
+            f"asof_join: left columns {sorted(clash)} collide with carried "
+            f"right columns (suffix {suffix!r}) — rename or change suffix"
+        )
 
     l_tag = left.withColumn("__side", F.lit(1))
     # A right row with a NULL timestamp can never satisfy right.on <= / >=

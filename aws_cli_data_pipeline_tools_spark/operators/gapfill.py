@@ -33,6 +33,15 @@ def gapfill(
     span; missing buckets get ``n_events = 0`` and the decimal-exact bucket
     sum forward-filled from the most recent observed bucket (``filled_sum``).
     """
+    # step and grain must describe the same resolution: a step coarser
+    # than the bucket grain makes the LEFT-preserved grid skip observed
+    # buckets — silent data loss from one mismatched default (r9 review)
+    step_unit = step.split()[-1].lower().rstrip("s")
+    if step_unit != grain.lower():
+        raise ValueError(
+            f"gapfill: step {step!r} and grain {grain!r} must use the same "
+            "unit — a coarser step silently drops observed buckets"
+        )
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
     agg = df.groupBy(F.col(key_col), bucket).agg(
         F.count("*").alias("n_events"),
@@ -49,18 +58,27 @@ def gapfill(
             F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
         ).alias("bucket"),
     )
-    fill: Column = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
+    fill = Window.partitionBy(key_col).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        grid.join(agg, [key_col, "bucket"], "left")
-        .select(
-            key_col,
-            "bucket",
-            F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.last("sum_value", ignorenulls=True).over(fill).alias("filled_sum"),
-        )
-        .orderBy(key_col, "bucket")
+    # eqNullSafe on the key: a NULL-key series is a legal group (groupBy
+    # keeps it, bounds/grid generate its buckets), but plain equality
+    # would never re-match its own aggregates — fabricating n_events=0
+    # for buckets that have real data (r9 review; the DuckDB twin uses
+    # IS NOT DISTINCT FROM). The ordering belongs to callers (catalog
+    # wrappers order for display): the baked-in global sort was a third
+    # full exchange the module docstring claimed didn't exist.
+    a = agg.withColumnsRenamed({key_col: "__k", "bucket": "__b"})
+    return grid.join(
+        a,
+        F.col(key_col).eqNullSafe(F.col("__k"))
+        & (F.col("bucket") == F.col("__b")),
+        "left",
+    ).select(
+        key_col,
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(fill).alias("filled_sum"),
     )
 
 
@@ -92,6 +110,14 @@ def ewma(
     window pass into per-row O(partition) memory — chain bounded frames
     (see the rollup cascade) instead of raising the cap.
     """
+    import math as _math
+
+    if not (isinstance(decay, (int, float)) and _math.isfinite(decay)
+            and 0.0 < decay <= 1.0):
+        # negative decay sign-flips weights (den can hit 0 → silent
+        # NULLs), NaN/inf renders an unparseable SQL literal — fail at
+        # the API boundary like the window check below (r9 review)
+        raise ValueError(f"ewma decay must be finite in (0, 1], got {decay}")
     if not 1 <= window <= 4096:
         raise ValueError(
             f"ewma window must be in [1, 4096], got {window}: the frame "

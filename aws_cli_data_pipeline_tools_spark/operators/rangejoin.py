@@ -68,6 +68,13 @@ def point_in_interval_join(
     100 TB posture: both sides shuffle once on (keys…, bin) — AQE handles
     bin skew; no broadcast, no nested loop, no distinct.
     """
+    if bin_width <= 0:
+        # floor(x / 0) is ±Infinity → Long.MIN/MAX garbage bins: matches
+        # silently vanish or collapse into one bin — the cross-product
+        # cliff this operator exists to avoid (r9 review)
+        raise ValueError(
+            f"point_in_interval_join: bin_width must be positive, got {bin_width}"
+        )
     if how != "inner":
         raise ValueError("binned point_in_interval_join supports how='inner'")
     p = points.withColumn("__bin", _bin_of(F.col(point_col), bin_width))

@@ -41,7 +41,9 @@ def cascade_rollup(
     ``grains`` must be ordered fine → coarse so each level can derive from
     the last (validated against date_trunc's hierarchy).
     """
-    order = [_GRAIN_ORDER.index(g) for g in grains]  # KeyError → bad grain
+    if not grains:
+        raise ValueError("cascade_rollup: grains must be non-empty")
+    order = [_GRAIN_ORDER.index(g) for g in grains]  # ValueError → bad grain
     if order != sorted(order) or len(set(order)) != len(order):
         raise ValueError(f"grains must be fine→coarse, got {grains}")
     # fine→coarse ordering is necessary but NOT sufficient: each level

@@ -360,3 +360,48 @@ def test_redact_pii_preserves_columns_without_doc_id(spark):
     assert (out.id, out.lang) == ("k1", "en")
     assert out.n_email == 1 and "<email>" in out.redacted_text
     assert "text" not in redact_pii(df).columns  # raw text never survives
+
+
+def test_gapfill_rangejoin_asof_r9_review_fixes(spark):
+    """r9 package review: NULL-key series must keep its real aggregates
+    (null-safe grid join); mismatched step/grain, non-positive
+    bin_width, out-of-range decay, empty grains, and carried-column
+    collisions must all fail loudly instead of silently corrupting."""
+    import datetime
+
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators import rangejoin, rollup
+    from aws_cli_data_pipeline_tools_spark.operators.asof import asof_join
+    from aws_cli_data_pipeline_tools_spark.operators.gapfill import ewma, gapfill
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def t(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    df = spark.createDataFrame(
+        [(None, t(0), 5.0), (None, t(2), 7.0), ("a", t(0), 1.0)],
+        "k string, ts timestamp, v double",
+    )
+    got = {(r["k"], r["bucket"].hour): (r["n_events"], r["filled_sum"])
+           for r in gapfill(df, "k", "ts", "v").collect()}
+    # the NULL-key series keeps its OWN aggregates (not fabricated zeros)
+    assert got[(None, 0)] == (1, 5.0)
+    assert got[(None, 1)] == (0, 5.0)   # densified + forward-filled
+    assert got[(None, 2)] == (1, 7.0)
+
+    with _pytest.raises(ValueError, match="same unit"):
+        gapfill(df, "k", "ts", "v", step="1 day", grain="hour")
+    with _pytest.raises(ValueError, match="bin_width"):
+        rangejoin.point_in_interval_join(
+            df, df, point_col="ts", start_col="ts", end_col="ts", bin_width=0
+        )
+    with _pytest.raises(ValueError, match="decay"):
+        ewma(df, ["k"], ["ts"], "v", decay=-0.5)
+    with _pytest.raises(ValueError, match="grains"):
+        rollup.cascade_rollup(df, "ts", ("k",), "v", grains=())
+    left = spark.createDataFrame([(1, t(0), 9.0)], "id bigint, ts timestamp, price_right double")
+    right = spark.createDataFrame([(1, t(0), 3.0)], "id bigint, ts timestamp, price double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="ts", by="id")
