@@ -40,6 +40,26 @@ def scd2_merge(
             "scd2_merge: tracked_cols must be non-empty — with nothing "
             "tracked there is no change to detect"
         )
+    # eager ISO-date validation (r9 review): under a non-ANSI session the
+    # string cast would silently yield NULL — closing rows stay OPEN
+    # (valid_to NULL) while new rows open with valid_from NULL, corrupting
+    # the one-open-row invariant; under this repo's ANSI session it would
+    # still only fail mid-job in an executor. Fail fast at the API.
+    import datetime as _dt
+
+    _dt.date.fromisoformat(str(effective))
+    # passthrough columns would be silently DROPPED by the final select
+    # (e.g. an audit column outside key/tracked/validity) — a caller
+    # writing the result back over the dimension would lose them with no
+    # error (r9 review); require the exact SCD2 schema loudly.
+    expected = {key_col, *tracked_cols, "valid_from", "valid_to"}
+    extra = set(dim.columns) - expected
+    if extra:
+        raise ValueError(
+            f"scd2_merge: dim carries columns {sorted(extra)} outside "
+            "key/tracked/validity — include them in tracked_cols or drop "
+            "them first (they would be silently lost)"
+        )
     eff = F.lit(effective).cast("date")
     # SQL MERGE rejects a source with multiple rows per key; silently
     # accepting one would open SEVERAL simultaneously-open rows for that
@@ -60,7 +80,18 @@ def scd2_merge(
                     "first (SQL MERGE rejects such a source too)"
                 )
             ).cast(key_type),
-        ).otherwise(F.col(key_col)),
+        )
+        .when(
+            # a NULL business key would slip the equi-join AND the
+            # left_anti (anti keeps no-match rows) and open a NULL-key
+            # dimension row silently (r9 review)
+            F.col(key_col).isNull(),
+            F.raise_error(
+                F.lit("scd2_merge: updates contain a NULL key — SCD2 "
+                      "business keys must be non-null")
+            ).cast(key_type),
+        )
+        .otherwise(F.col(key_col)),
     )
     open_rows = dim.filter(F.col("valid_to").isNull())
     closed_rows = dim.filter(F.col("valid_to").isNotNull())
@@ -75,11 +106,31 @@ def scd2_merge(
     )
     changed_keys = joined.filter(differs).select(
         F.col(f"cur.{key_col}").alias(key_col)
-    )
+    ).localCheckpoint(eager=False)  # three union branches reference this
+    # (closing / untouched_open / opening_src); without the lineage cut
+    # the dim scan + update-batch window re-embed per branch (r9 review)
 
     closing = (
         open_rows.join(changed_keys, key_col, "left_semi")
-        .withColumn("valid_to", eff)
+        .withColumn(
+            "valid_to",
+            # inverted-interval guard (r9 review): a late/mis-ordered
+            # batch with effective BEFORE an open row's valid_from would
+            # close it as [from, to] with to < from and overlap closed
+            # history — every as-of lookup in the overlap then returns
+            # 0 or 2 rows. Same in-plan raise_error discipline as the
+            # duplicate-key guard above.
+            F.when(
+                F.col("valid_from") > eff,
+                F.raise_error(
+                    F.lit(
+                        "scd2_merge: effective date precedes an open "
+                        "row's valid_from — batches must apply in "
+                        "chronological order"
+                    )
+                ).cast("date"),
+            ).otherwise(eff),
+        )
     )
     untouched_open = open_rows.join(changed_keys, key_col, "left_anti")
 

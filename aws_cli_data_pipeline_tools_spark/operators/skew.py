@@ -27,6 +27,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _validate_salting(df: DataFrame, salts: int, reserved: set) -> None:
+    """Shared argument guard (r9 review): pmod(x, 0) is NULL in this
+    environment, so salts=0 silently empties an inner salted join (NULL
+    never equals the replicated 0..-1 sequence) or funnels every row to
+    one NULL-salt reducer — the exact bottleneck these operators exist
+    to avoid; and a pre-existing column named like an internal temp
+    would be clobbered then dropped, vanishing from the output."""
+    if salts <= 0:
+        raise ValueError(f"salts must be positive, got {salts}")
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input carries reserved column name(s) {sorted(clash)} — "
+            "rename them before salting (they would be clobbered)"
+        )
+
+
 def _content_salt(df: DataFrame, salts: int) -> Column:
     return F.pmod(
         F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salts)
@@ -46,6 +63,9 @@ def salted_count_sum(
     identical to the direct groupBy (sums of decimals/longs are
     order-insensitive; use decimal inputs for float exactness).
     """
+    _validate_salting(
+        df, salts, {"__salt", "__n", *{f"__s_{c}" for c in sum_cols}}
+    )
     salted = df.withColumn("__salt", _content_salt(df, salts))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count("*").alias("__n"),
@@ -83,6 +103,8 @@ def salted_join(
             "replicated side would duplicate unmatched rows salts× for "
             "right/full joins"
         )
+    _validate_salting(skewed, salts, {"__salt"})
+    _validate_salting(small, salts, {"__salt"})
     s = skewed.withColumn("__salt", _content_salt(skewed, salts))
     r = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))

@@ -405,3 +405,43 @@ def test_gapfill_rangejoin_asof_r9_review_fixes(spark):
     right = spark.createDataFrame([(1, t(0), 3.0)], "id bigint, ts timestamp, price double")
     with _pytest.raises(ValueError, match="collide"):
         asof_join(left, right, on="ts", by="id")
+
+
+def test_scd_skew_r9_review_guards(spark):
+    """r9 package review: scd2_merge rejects malformed effective dates,
+    passthrough-column loss, NULL keys, and inverted intervals; the
+    salting operators reject salts<=0 and reserved-name clashes."""
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators import skew
+    from aws_cli_data_pipeline_tools_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "a", dt.date(2024, 7, 1), None)],
+        "k bigint, seg string, valid_from date, valid_to date",
+    )
+    upd = spark.createDataFrame([(1, "b")], "k bigint, seg string")
+    with _pytest.raises(ValueError):
+        scd2_merge(dim, upd, "k", ["seg"], "06/01/2024")  # not ISO
+    lossy = dim.withColumn("loaded_by", F.lit("etl"))
+    with _pytest.raises(ValueError, match="loaded_by"):
+        scd2_merge(lossy, upd, "k", ["seg"], "2024-08-01")
+    nullkey = spark.createDataFrame([(None, "b")], "k bigint, seg string")
+    with _pytest.raises(Exception, match="NULL key"):
+        scd2_merge(dim, nullkey, "k", ["seg"], "2024-08-01").collect()
+    with _pytest.raises(Exception, match="chronological"):
+        scd2_merge(dim, upd, "k", ["seg"], "2024-06-01").collect()
+    # happy path still exact: change closes at effective, opens new row
+    out = scd2_merge(dim, upd, "k", ["seg"], "2024-08-01").collect()
+    assert {(r.seg, str(r.valid_to)) for r in out} == {
+        ("a", "2024-08-01"), ("b", "None"),
+    }
+
+    df = spark.createDataFrame([(1, 2.0)], "k bigint, v double")
+    with _pytest.raises(ValueError, match="salts"):
+        skew.salted_count_sum(df, ["k"], ["v"], salts=0)
+    with _pytest.raises(ValueError, match="salts"):
+        skew.salted_join(df, df, on="k", salts=0)
+    clash = df.withColumn("__salt", F.lit(1))
+    with _pytest.raises(ValueError, match="reserved"):
+        skew.salted_join(clash, df, on="k")
