@@ -369,12 +369,20 @@ def minhash_lsh_pairs(
     # than the span postings, so this only widens past the session
     # default on corpora in the ~10M-doc class (at bands=16 / 32-wide
     # default); pre-partitioning on the bucket key also aligns both
-    # self-join sides (the banding volume is exchanged once). The gate
-    # bound (8 B/char) is sound for avg docs ≥ bands×56/8 ≈ 112 chars —
-    # shorter-doc corpora probe a little earlier than strictly needed,
-    # never later.
+    # self-join sides (the banding volume is exchanged once). The
+    # banding volume is per-DOC, so the gate bounds it from a raw-bytes-
+    # per-ROW floor (≥16 B: 8-byte id + minimal text overhead) — the old
+    # per-char gate (8 B/char) under-bounded corpora with avg docs
+    # < bands×56/8 ≈ 112 chars, skipping the probe exactly when short
+    # docs made the banding volume proportionally heaviest (r10,
+    # ADVICE). The probe itself is count()-only (metadata-cheap), so
+    # firing earlier costs ~nothing.
     width = _probed_posting_width(
-        df, text_col, lambda n, avg: n * bands * 56.0, gate_bytes_per_char=8.0
+        df,
+        text_col,
+        lambda n, avg: n * bands * 56.0,
+        gate_bytes_per_char=bands * 56.0 / 16.0,
+        probe_avg=False,
     )
     if width:
         band_entries = band_entries.repartition(width, "band", "bkey")
@@ -997,6 +1005,7 @@ def _probed_posting_width(
     text_col: str,
     posting_bytes,
     gate_bytes_per_char: float,
+    probe_avg: bool = True,
 ) -> int | None:
     """Volume-adaptive shuffle width for posting-shaped exchanges
     (VERDICT r8 task 3), from a measured corpus probe: ``posting_bytes``
@@ -1020,7 +1029,16 @@ def _probed_posting_width(
     character for the gate to be sound. A session-wide AQE
     initialPartitionNum=1024 was measured and rejected in favor of this
     (1.1-1.2× tax on the posting-heavy bench queries — BASELINE.md r9
-    notes)."""
+    notes).
+
+    ``probe_avg=False`` is the per-DOC volume-model mode (banding-style
+    exchanges whose bytes depend only on row count): the probe is a bare
+    ``count()`` — metadata-only on parquet scans, no avg-length job —
+    and ``gate_bytes_per_char`` should be derived from a raw-bytes-per-
+    ROW floor (e.g. posting_bytes_per_doc / 16 for an 8-byte id plus
+    minimal text overhead) rather than an avg-doc-length assumption,
+    which under-bounds short-doc corpora in the unsafe direction (r10,
+    ADVICE)."""
     default = _session_shuffle_default(src)
     plan = _plan_size_bytes(src)
     budget = default * _POSTING_BYTES_PER_PARTITION
@@ -1033,13 +1051,16 @@ def _probed_posting_width(
         n = src.count()
         if n == 0:
             return None
-        row = (
-            src.select(F.length(F.col(text_col)).alias("l"))
-            .limit(50_000)
-            .agg(F.avg("l").alias("a"))
-            .first()
-        )
-        avg = float(row["a"] or 0.0)
+        if probe_avg:
+            row = (
+                src.select(F.length(F.col(text_col)).alias("l"))
+                .limit(50_000)
+                .agg(F.avg("l").alias("a"))
+                .first()
+            )
+            avg = float(row["a"] or 0.0)
+        else:
+            avg = 0.0
     except Exception:
         return None
     return _width_for_bytes(posting_bytes(n, avg), default)

@@ -35,12 +35,26 @@ def gapfill(
     """
     # step and grain must describe the same resolution: a step coarser
     # than the bucket grain makes the LEFT-preserved grid skip observed
-    # buckets — silent data loss from one mismatched default (r9 review)
-    step_unit = step.split()[-1].lower().rstrip("s")
+    # buckets — silent data loss from one mismatched default (r9 review).
+    # Unit equality alone is not enough: step='2 hours' with grain='hour'
+    # passes the unit check yet still skips every other observed hourly
+    # bucket, so the magnitude must be exactly 1 as well (r10, ADVICE)
+    parts = step.split()
+    step_unit = parts[-1].lower().rstrip("s")
     if step_unit != grain.lower():
         raise ValueError(
             f"gapfill: step {step!r} and grain {grain!r} must use the same "
             "unit — a coarser step silently drops observed buckets"
+        )
+    try:
+        magnitude = float(parts[0]) if len(parts) > 1 else 1.0
+    except ValueError:
+        magnitude = None
+    if magnitude != 1.0:
+        raise ValueError(
+            f"gapfill: step {step!r} must be exactly one {grain} — a "
+            f"multi-{grain} step makes the grid skip observed buckets "
+            "the LEFT join then silently drops"
         )
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("bucket")
     agg = df.groupBy(F.col(key_col), bucket).agg(

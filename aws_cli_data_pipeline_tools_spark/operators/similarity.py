@@ -50,11 +50,15 @@ def _partition_topk(
 
     from pyspark.sql.types import DoubleType, FloatType
 
-    if isinstance(scored.schema[score_col].dataType, (DoubleType, FloatType)):
+    score_type = scored.schema[score_col].dataType
+    if isinstance(score_type, (DoubleType, FloatType)):
+        # nanvl in the column's OWN type: the old unconditional
+        # cast("double") silently widened FloatType score columns,
+        # changing every consumer-visible output schema (r10, ADVICE)
         scored = scored.withColumn(
             score_col,
             F.nanvl(
-                F.col(score_col).cast("double"), F.lit(None).cast("double")
+                F.col(score_col), F.lit(None).cast(score_type.simpleString())
             ),
         )
 

@@ -35,7 +35,8 @@ PROFILES: dict[str, dict[str, Any]] = {
             # wide initial exchange costs map-side even when AQE
             # coalesces the reduce side. The adopted fix is
             # volume-adaptive widths INSIDE the posting operators
-            # (operators/dedup._posting_shuffle_width) — zero cost below
+            # (operators/dedup._probed_posting_width /
+            # _span_posting_width) — zero cost below
             # the knee, proportional width above it. Measurements in
             # BASELINE.md round-9 notes.
             "spark.sql.shuffle.partitions": "32",

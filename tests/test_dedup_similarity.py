@@ -954,3 +954,47 @@ def test_similarity_r9_review_fixes(spark):
     # (f) loud dim contract
     with _pytest.raises(ValueError, match="multiple of 32"):
         similarity.binary_hamming_topk(emb, q, dim=48)
+
+
+def test_partition_topk_preserves_float_schema_r10(spark):
+    """r10 ADVICE: the NaN->NULL normalization must not widen a
+    FloatType score column to double — consumers see the input type."""
+    import math
+
+    from pyspark.sql.types import FloatType
+
+    df = spark.createDataFrame(
+        [(1, 10, float("nan")), (1, 11, 0.5), (1, 12, 0.9)],
+        "query_id int, neighbor_id int, cosine float",
+    )
+    out = similarity._partition_topk(df, k=2)
+    assert isinstance(out.schema["cosine"].dataType, FloatType)
+    rows = {r.neighbor_id: r.cosine for r in out.collect()}
+    # NaN normalized to NULL and pruned below the two real scores
+    assert 10 not in rows or rows[10] is None
+    assert math.isclose(rows[12], 0.9, rel_tol=1e-6)
+
+
+def test_minhash_band_width_gate_per_doc_r10(spark):
+    """r10 ADVICE: the banding-exchange gate is per-doc (count-only
+    probe) — a short-doc corpus must not skip the probe that a
+    112-char-avg assumption would have skipped. Unit-level: the
+    per-doc model ignores avg length and sizes purely from n."""
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import (
+        _probed_posting_width,
+        _width_for_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "ab") for i in range(50)], "doc_id bigint, text string"
+    )
+    # tiny corpus: plan gate or probe must conclude "keep default plan"
+    assert (
+        _probed_posting_width(
+            df, "text", lambda n, avg: n * 16 * 56.0,
+            gate_bytes_per_char=16 * 56.0 / 16.0, probe_avg=False,
+        )
+        is None
+    )
+    # the width math itself: 10M short docs at bands=16 -> widens past 32
+    assert _width_for_bytes(10_000_000 * 16 * 56.0, 32) > 32

@@ -445,3 +445,27 @@ def test_scd_skew_r9_review_guards(spark):
     clash = df.withColumn("__salt", F.lit(1))
     with _pytest.raises(ValueError, match="reserved"):
         skew.salted_join(clash, df, on="k")
+
+
+def test_gapfill_rejects_multi_unit_step_r10(spark):
+    """r10 ADVICE: step='2 hours' with grain='hour' passed the r9
+    unit-equality guard while the grid still skipped every other
+    observed hourly bucket — the exact silent-loss class the guard
+    claims to prevent. Magnitude must be exactly 1."""
+    import datetime
+
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.gapfill import gapfill
+
+    t0 = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("a", t0, 1.0), ("a", t0 + datetime.timedelta(hours=1), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    with _pytest.raises(ValueError, match="exactly one hour"):
+        gapfill(df, "k", "ts", "v", step="2 hours", grain="hour")
+    with _pytest.raises(ValueError, match="exactly one day"):
+        gapfill(df, "k", "ts", "v", step="0 days", grain="day")
+    # magnitude-1 plural form stays legal
+    assert gapfill(df, "k", "ts", "v", step="1 hours", grain="hour").count() == 2
