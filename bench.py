@@ -153,6 +153,24 @@ RETRY_LOAD = 4.0
 PROBE_RATIO_CLAMP = (0.5, 2.0)
 
 
+#: Start/end probe ratio above which a recorded run is treated as
+#: probe-DIVERGENT: host speed changed materially mid-run, so the single
+#: per-run probe mislabels every query timed after the change (the r9
+#: datapoint: 37× probe swing within one afternoon at near-zero
+#: load_avg — CPU steal). Divergent runs are excluded from band
+#: collection and flagged in their own headline (VERDICT r9 task 3).
+PROBE_DIVERGENCE = 1.5
+
+
+def _probe_divergent(start: float | None, end: float | None) -> bool:
+    """True when a run's start/end CPU probes differ by more than
+    ``PROBE_DIVERGENCE`` in either direction — the run's per-query
+    (sec, probe) pairs are then unreliable for band adjudication."""
+    if not start or not end or start <= 0 or end <= 0:
+        return False
+    return max(start, end) / min(start, end) > PROBE_DIVERGENCE
+
+
 def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
     """Per-query best recorded bench timing across past rounds'
     BENCH_r*.json at the SAME scale factor, WITH the host-speed probe the
@@ -200,6 +218,17 @@ def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
             continue
         probe = rec.get("cpu_probe_sec")
         probe = float(probe) if isinstance(probe, (int, float)) and probe > 0 else None
+        probe_end = rec.get("cpu_probe_sec_end")
+        probe_end = (
+            float(probe_end)
+            if isinstance(probe_end, (int, float)) and probe_end > 0
+            else None
+        )
+        # a mid-run host-speed collapse (or recovery) makes the run's
+        # single start probe mislabel late queries — keep such runs out
+        # of the band minima entirely (VERDICT r9 task 3)
+        if _probe_divergent(probe, probe_end):
+            continue
         records.append((qs, probe))
 
     # impute pre-probe rounds' host speed from the probed round with the
@@ -329,6 +358,12 @@ def main() -> None:
     # docstring). Retries run after the full pass so the retried query no
     # longer competes with the pass's own tail.
     first_pass_total = round(sum(timings.values()), 3)
+    # second probe stamp (VERDICT r9 task 3): the r9 37×-in-two-hours
+    # swing proves host speed can collapse MID-run; the end probe (a)
+    # flags such runs (probe_divergent — band collection skips them),
+    # (b) is the fresher scale for the retry thresholds adjudicated now
+    cpu_probe_end = _cpu_probe()
+    probe_divergent = _probe_divergent(cpu_probe, cpu_probe_end)
     bands = _recorded_bands(sf)
     retries: dict[str, dict[str, float]] = {}
     contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
@@ -337,7 +372,7 @@ def main() -> None:
         if band_rec is None:
             continue
         band, band_probe = band_rec
-        threshold = _retry_threshold(band, band_probe, cpu_probe)
+        threshold = _retry_threshold(band, band_probe, cpu_probe_end)
         if first <= threshold:
             continue
         again = timed_run(name)
@@ -364,8 +399,13 @@ def main() -> None:
             "n_bands": len(bands),
             # probe-normalized bands (VERDICT r8 task 1): thresholds are
             # band × clamp(probe_now/band_probe) so host drift is
-            # adjudicated by the rule, not by prose
+            # adjudicated by the rule, not by prose. Thresholds use the
+            # END probe — the fresher read of the host state the retries
+            # actually run under (VERDICT r9 task 3).
             "cpu_probe_sec": cpu_probe,
+            "cpu_probe_sec_end": cpu_probe_end,
+            "probe_divergent": probe_divergent,
+            "probe_divergence": PROBE_DIVERGENCE,
             "probe_ratio_clamp": list(PROBE_RATIO_CLAMP),
         },
     }
@@ -392,8 +432,10 @@ def main() -> None:
                 sf,
                 load_t0,
                 cpu_probe,
+                cpu_probe_end,
                 load_start,
                 len(retries),
+                contended,
             )
         )
     )
@@ -401,7 +443,15 @@ def main() -> None:
 
 
 def _headline_record(
-    timings, first_pass_total, sf, load_t0, cpu_probe, load_start, n_retries
+    timings,
+    first_pass_total,
+    sf,
+    load_t0,
+    cpu_probe,
+    cpu_probe_end,
+    load_start,
+    n_retries,
+    contended,
 ):
     """The FINAL printed line, and nothing else, is what the driver's
     last-N-bytes stdout capture parses — so its size must be bounded by
@@ -424,9 +474,17 @@ def _headline_record(
         "sf": sf,
         "load_avg_t0": load_t0,
         "cpu_probe_sec": cpu_probe,
+        # start/end probe pair (VERDICT r9 task 3): a >1.5× divergence
+        # means host speed changed mid-run — the run's numbers carry an
+        # unreliable speed label and band collection skips the round
+        "cpu_probe_sec_end": cpu_probe_end,
+        "probe_divergent": _probe_divergent(cpu_probe, cpu_probe_end),
         "load_avg_start": load_start,
         "load_avg_end": round(os.getloadavg()[0], 2),
         "n_retries": n_retries,
+        # host-state verdict copied to the top level so a judge reading
+        # BENCH_r{N}.json alone sees it (VERDICT r9 task 6)
+        "contended": contended,
     }
 
 

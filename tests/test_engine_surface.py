@@ -304,8 +304,10 @@ def test_bench_headline_line_bounded():
         sf=0.1,
         load_t0=99.99,
         cpu_probe=99.9999,
+        cpu_probe_end=99.9999,
         load_start=99.99,
         n_retries=len(names),
+        contended=True,
     )
     line = json.dumps(out)
     assert len(line) < 4096, f"headline line {len(line)}B — capture risk"
@@ -316,8 +318,64 @@ def test_bench_headline_line_bounded():
         if k == "queries":
             assert all(isinstance(x, (int, float)) for x in v.values())
         else:
-            assert isinstance(v, (int, float, str)), (k, type(v))
+            assert isinstance(v, (int, float, str, bool)), (k, type(v))
     assert json.loads(line) == out
+    # the judge-facing host-state fields are first-class (VERDICT r9
+    # tasks 3+6): start/end probe pair, divergence verdict, contention
+    assert out["cpu_probe_sec_end"] == 99.9999
+    assert out["probe_divergent"] is False
+    assert out["contended"] is True
+
+
+def test_bench_probe_divergence_rule():
+    """VERDICT r9 task 3: a mid-run host-speed collapse (the measured 37×
+    intra-day probe swing) must (a) flag the run, (b) keep the run's
+    timings out of the band minima — its single start probe mislabels
+    every query timed after the change."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import bench
+
+    # the rule itself, on a synthetic divergent pair
+    assert bench._probe_divergent(0.0134, 0.5076) is True   # the r9 pair
+    assert bench._probe_divergent(0.5076, 0.0134) is True   # either way
+    assert bench._probe_divergent(0.0134, 0.0150) is False  # normal noise
+    assert bench._probe_divergent(0.0134, 0.0134 * 1.49) is False
+    assert bench._probe_divergent(0.0134, 0.0134 * 1.51) is True
+    assert bench._probe_divergent(None, 0.5) is False       # pre-r10 rows
+    assert bench._probe_divergent(0.5, None) is False
+    assert bench._probe_divergent(0.0, 0.5) is False
+
+    # band collection skips a divergent round: write a synthetic
+    # BENCH_r99 with an impossibly-low timing that would otherwise
+    # become every band, flagged divergent — it must not surface
+    here = os.path.dirname(os.path.abspath(bench.__file__))
+    path = os.path.join(here, "BENCH_r99.json")
+    rec = {
+        "metric": "headline_total",
+        "sf": 0.1,
+        "queries": {"pricing_summary": 0.001},
+        "cpu_probe_sec": 0.0134,
+        "cpu_probe_sec_end": 0.5076,
+    }
+    try:
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        bands = bench._recorded_bands(0.1)
+        band, _probe = bands["pricing_summary"]
+        assert band > 0.001, "divergent round poisoned the band minima"
+        # same record with consistent probes IS eligible
+        rec["cpu_probe_sec_end"] = 0.0139
+        with open(path, "w") as f:
+            json.dump(rec, f)
+        band2, _ = bench._recorded_bands(0.1)["pricing_summary"]
+        assert band2 == 0.001
+    finally:
+        os.remove(path)
 
 
 def test_invoke_rejects_non_scalar_registrations(spark):
