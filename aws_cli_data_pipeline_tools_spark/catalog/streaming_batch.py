@@ -426,6 +426,125 @@ def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("user_id", "error_id", "click_id")
 
 
+#: Shared CTE prefix of the three outer-join closure oracles: branch
+#: split, the min-policy final watermark (NULL — no null-row emission —
+#: when either branch saw no data, since Spark's min-policy global
+#: watermark then stays at epoch 0 while DuckDB's least() would skip the
+#: NULL), and the batch-exact inner match set.
+_OJOIN_CTE = """
+WITH errors AS (
+  SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS err_ts
+  FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+), wm AS (
+  SELECT CASE
+           WHEN (SELECT max(err_ts) FROM errors) IS NULL
+             OR (SELECT max(click_ts) FROM clicks) IS NULL THEN NULL
+           ELSE least((SELECT max(err_ts) FROM errors),
+                      (SELECT max(click_ts) FROM clicks))
+                - INTERVAL 12 HOUR
+         END AS w
+), matched AS (
+  SELECT e.user_id, e.error_id, e.err_ts, c.click_id, c.click_ts
+  FROM errors e JOIN clicks c
+    ON c.user_id = e.user_id
+   AND c.click_ts >= e.err_ts
+   AND c.click_ts < e.err_ts + INTERVAL 6 HOUR
+)
+"""
+
+#: Null-padded unmatched-ERROR rows whose join window provably closed
+#: (leftOuter / fullOuter): err_ts + window <= wm, boundary inclusive
+#: (live repro, r9).
+_OJOIN_NULL_ERRORS = """
+SELECT e.user_id, e.error_id, e.err_ts,
+       NULL AS click_id, CAST(NULL AS TIMESTAMP) AS click_ts
+FROM errors e
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.error_id)
+  AND e.err_ts + INTERVAL 6 HOUR <= (SELECT w FROM wm)
+"""
+
+#: Null-padded unmatched-CLICK rows (rightOuter / fullOuter): a future
+#: error matching click c needs err_ts <= click_ts, so the click's
+#: closure has NO + window term — it closes when the watermark passes
+#: click_ts itself (boundary inclusive, measured live at sf0.001: the
+#: emitted null-error set equals click_ts <= wm exactly, r10).
+_OJOIN_NULL_CLICKS = """
+SELECT c.user_id, NULL AS error_id, CAST(NULL AS TIMESTAMP) AS err_ts,
+       c.click_id, c.click_ts
+FROM clicks c
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
+  AND c.click_ts <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "streaming_join_right_live",
+    oracle=_OJOIN_CTE
+    + """
+SELECT user_id, error_id, err_ts, click_id, click_ts FROM matched
+UNION ALL
+"""
+    + _OJOIN_NULL_CLICKS
+    + "ORDER BY user_id, click_id, error_id",
+    tags=("streaming", "join", "live"),
+    notes="REAL stream-stream RIGHT-OUTER interval join (VERDICT r9 task "
+    "4): the mirror of streaming_join_outer_live. Under the deterministic "
+    "availableNow replay the emitted set is matched rows plus null-error "
+    "rows for clicks no error preceded whose closure provably passed: a "
+    "future error matching click c needs err_ts <= click_ts, so the click "
+    "closes when the watermark passes click_ts ITSELF (no + window term "
+    "on this side, unlike the error closure's err_ts + 6h; boundary "
+    "inclusive, measured). wm = min(max err_ts, max click_ts) - 12h via "
+    "the min-policy pair of watermark nodes; NULL (no null rows) if "
+    "either branch saw no data. user_id coalesces across sides in the "
+    "stream (errors-side user_id alone is NULL on unmatched-click rows).",
+)
+def streaming_join_right_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    joined = st.error_click_join_stream(
+        stream, window="6 hours", watermark="12 hours", how="rightOuter"
+    )
+    name = f"q_stream_rjoin_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
+    return spark.table(name).orderBy("user_id", "click_id", "error_id")
+
+
+@register(
+    "streaming_join_full_live",
+    oracle=_OJOIN_CTE
+    + """
+SELECT user_id, error_id, err_ts, click_id, click_ts FROM matched
+UNION ALL
+"""
+    + _OJOIN_NULL_ERRORS
+    + "UNION ALL\n"
+    + _OJOIN_NULL_CLICKS
+    + "ORDER BY user_id, error_id, click_id",
+    tags=("streaming", "join", "live"),
+    notes="REAL stream-stream FULL-OUTER interval join (VERDICT r9 task "
+    "4): both closure sets at once — null-padded unmatched errors once "
+    "err_ts + 6h <= wm (the leftOuter closure) plus null-padded unmatched "
+    "clicks once click_ts <= wm (the rightOuter closure), over the same "
+    "batch-exact inner match set. The two sides share one state store "
+    "and identical eviction windows; only the null-emission differs.",
+)
+def streaming_join_full_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    joined = st.error_click_join_stream(
+        stream, window="6 hours", watermark="12 hours", how="fullOuter"
+    )
+    name = f"q_stream_fjoin_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
+    return spark.table(name).orderBy("user_id", "error_id", "click_id")
+
+
 def _dstat(fn: str, x: str) -> str:
     # min/max through the same decimal(38,10) cast the Spark cascade uses,
     # so both engines round-trip the double identically

@@ -135,6 +135,18 @@ def ngram_jaccard_pairs(
         F.size("sh").alias("n_sh"),
         F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
     )
+    # Volume-adaptive posting exchange (VERDICT r9 task 1): hash-
+    # partition the postings on the join key ONCE, before the df-count
+    # aggregate — the freq groupBy, the broadcast anti-join (partition-
+    # preserving), the persisted index, and BOTH self-join sides then
+    # reuse this single width-sized exchange instead of shuffling the
+    # posting volume at the saturated session default (the r8 knee:
+    # last-decade exponent 1.37 at 32 partitions vs 0.72 at 256).
+    # Below the knee the plan-size gate returns None with zero probe
+    # jobs — the sf0.1 bench plan is unchanged.
+    width = _token_posting_width(df, text_col)
+    if width:
+        inv = inv.repartition(width, "shingle")
     if max_bucket:
         # anti-join against the OVER-cap set: hot shingles are by nature few
         # (a handful of stop-shingles), so the broadcast is tiny and stays
@@ -207,6 +219,12 @@ def _ngram_jaccard_prefix(
         ),
     ).withColumn("n_sh", F.size("hs"))
     post = base.select("id", "n_sh", F.explode("hs").alias("shingle"))
+    # same volume-adaptive posting exchange as the plain index (VERDICT
+    # r9 task 1): one width-sized hash partition on the posting key,
+    # reused by the df-count aggregate, the df join, and the anti-join
+    width = _token_posting_width(df, text_col)
+    if width:
+        post = post.repartition(width, "shingle")
     dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
     if max_bucket:
         post = post.join(
@@ -997,6 +1015,11 @@ def _width_for_bytes(posting_bytes: float, default: int) -> int | None:
         int(posting_bytes / _POSTING_BYTES_PER_PARTITION) + 1,
         _MAX_POSTING_WIDTH,
     )
+    # NOT rounded up to a full task wave: an interleaved min-of-4 A/B at
+    # the 100× cipher corpus (ngram_jaccard, width 48 vs 64 vs 96 vs
+    # off) measured NO difference outside host noise — wave-quantization
+    # loss is below the noise floor on this workload, so the simpler
+    # exact-volume width stands (BASELINE.md round-10 notes).
     return width if width > default else None
 
 
@@ -1081,6 +1104,32 @@ def _span_posting_width(
         text_col,
         lambda n, avg: n * avg * bytes_per_char,
         gate_bytes_per_char=bytes_per_char,
+    )
+
+
+def _token_posting_width(
+    src: DataFrame,
+    text_col: str,
+    bytes_per_token: float = 56.0,
+    chars_per_token: float = 5.0,
+) -> int | None:
+    """Width for TOKEN/SHINGLE-grained posting exchanges (VERDICT r9
+    task 1 — the span/minhash width mechanism extended to the remaining
+    inverted-index paths): one posting row per ~``chars_per_token`` raw
+    characters (avg English word ≈ 5 chars incl. separator — the floor,
+    not the mean, so short-token text widens earlier, never later), each
+    costing ~``bytes_per_token`` in the join-sort working set (id 8 B +
+    hash/count 8 B + key 8 B + UnsafeRow/sort overhead — same 56 B/row
+    constant measured for the banding exchange; token-STRING keys pass
+    64). The gate bound is ``bytes_per_token / chars_per_token`` per raw
+    char, a true upper bound whenever tokens average ≥ chars_per_token
+    characters; below-the-knee corpora (the sf0.1 bench tables) pass the
+    plan-size gate and run ZERO probe jobs — plans unchanged."""
+    return _probed_posting_width(
+        src,
+        text_col,
+        lambda n, avg: n * (avg / chars_per_token) * bytes_per_token,
+        gate_bytes_per_char=bytes_per_token / chars_per_token,
     )
 
 
@@ -1466,7 +1515,24 @@ def tfidf_cosine_pairs(
             )
         ).alias("token"),
     )
+    # Volume-adaptive posting exchanges (VERDICT r9 task 1). Two keyed
+    # exchanges carry the token-posting volume: the (id, token) tf
+    # aggregate and everything keyed on token after it (df count, idf
+    # join, the inverted-index self-join). Widening both to the probed
+    # width keeps each partition's join-sort working set ~64 MB past the
+    # r8 knee; token STRINGS ride these shuffles (not 8-byte hashes —
+    # the idf weight needs the token identity), hence 64 B/row. The
+    # token-keyed repartition sits BEFORE the df-count groupBy so the
+    # aggregate, the idf join, and both self-join sides reuse one
+    # exchange (r9 lesson: after-the-agg placement leaves the saturated
+    # exchange in place AND adds a shuffle). Below the knee the plan-
+    # size gate returns None with zero probe jobs — bench plans intact.
+    width = _token_posting_width(df, text_col, bytes_per_token=64.0)
+    if width:
+        toks = toks.repartition(width, "id", "token")
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    if width:
+        tf = tf.repartition(width, "token")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
     if max_bucket:
         hot = dfreq.filter(F.col("df_") > max_bucket).select("token")
@@ -1559,6 +1625,12 @@ def ngram_containment_pairs(
             F.transform("sh", lambda s: F.xxhash64(s))
         ).alias("shingle"),
     )
+    # volume-adaptive posting exchange, shared with ngram_jaccard_pairs
+    # (VERDICT r9 task 1): one width-sized partition on the join key,
+    # reused by the df-count agg, the anti-join, and both join sides
+    width = _token_posting_width(df, text_col)
+    if width:
+        inv = inv.repartition(width, "shingle")
     if max_bucket:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
         hot = freq.filter(F.col("df_") > max_bucket).drop("df_")

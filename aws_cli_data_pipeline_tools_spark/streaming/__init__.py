@@ -146,7 +146,25 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     branch saw no data, since the min-policy watermark then stays at
     epoch 0) — the ``streaming_join_outer_live`` catalog entry
     oracle-checks exactly that closure (VERDICT r8 task 4).
+
+    ``how="rightOuter"`` is the mirror: null-padded rows for clicks no
+    error preceded, emitted once the watermark proves no matching error
+    can still arrive — a future error needs ``err_ts <= click_ts``, so
+    the click closes when the watermark passes ``click_ts`` itself (no
+    ``+ window`` term on this side; boundary measured by the
+    ``streaming_join_right_live`` oracle). ``how="fullOuter"`` emits
+    both closure sets (``streaming_join_full_live``). Same bounded-state
+    story: every how shares the identical state-eviction windows; only
+    which evicted-unmatched rows get null-emitted differs.
     """
+    supported = ("inner", "leftOuter", "rightOuter", "fullOuter")
+    if how not in supported:
+        # loud contract: Spark would accept batch-only spellings here and
+        # fail later at stream start with an analysis error far from the
+        # call site
+        raise ValueError(
+            f"error_click_join_stream: how={how!r} not in {supported}"
+        )
     errors = (
         events.filter(F.col("event_type") == "error")
         .select(
@@ -165,13 +183,21 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
         )
         .withWatermark("click_ts", watermark)
     )
+    # rightOuter/fullOuter null-pad the ERROR side, so user_id must
+    # coalesce across sides (errors["user_id"] alone is NULL on
+    # unmatched-click rows — r10, VERDICT r9 task 4)
+    user = (
+        F.coalesce(errors["user_id"], clicks["user_id"]).alias("user_id")
+        if how in ("rightOuter", "fullOuter")
+        else errors["user_id"]
+    )
     return errors.join(
         clicks,
         (errors["user_id"] == clicks["user_id"])
         & (F.col("click_ts") >= F.col("err_ts"))
         & (F.col("click_ts") < F.col("err_ts") + F.expr(f"INTERVAL {window}")),
         how,
-    ).select(errors["user_id"], "error_id", "err_ts", "click_id", "click_ts")
+    ).select(user, "error_id", "err_ts", "click_id", "click_ts")
 
 
 def run_to_memory(

@@ -998,3 +998,65 @@ def test_minhash_band_width_gate_per_doc_r10(spark):
     )
     # the width math itself: 10M short docs at bands=16 -> widens past 32
     assert _width_for_bytes(10_000_000 * 16 * 56.0, 32) > 32
+
+
+def test_token_posting_width_zero_probe_below_knee_r10(spark, monkeypatch):
+    """VERDICT r9 task 1 done-condition: at bench scale (sf0.1) the
+    plan-size gate must conclude 'below the knee' WITHOUT running any
+    probe job — the bench queries keep their exact plans. Asserted by
+    making count() explode: the gate must short-circuit first."""
+    import os
+
+    from pyspark.sql import DataFrame as SDF
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "documents.parquet")):
+        pytest.skip("sf0.1 testdata absent")
+    docs = load_table(spark, "documents", sf01).select("doc_id", "text")
+
+    def boom(self):
+        raise AssertionError("probe job ran below the knee")
+
+    monkeypatch.setattr(SDF, "count", boom)
+    # shingle-posting model (jaccard/containment) and the token-string
+    # model (tfidf) both gate out at sf0.1
+    assert dedup._token_posting_width(docs, "text") is None
+    assert dedup._token_posting_width(docs, "text", bytes_per_token=64.0) is None
+
+    # width math for an above-the-knee corpus: 50M docs x 1000 chars at
+    # 56 B per 5-char token ~= 560 GB working set -> far wider than 32
+    w = dedup._width_for_bytes(50e6 * (1000 / 5.0) * 56.0, 32)
+    assert w > 32
+
+
+def test_ngram_paths_parity_with_width_forced_r10(spark, sf_dir):
+    """Forcing the width path (monkeypatched probe) must not change any
+    pair or score: the repartition is placement-only. Covers the plain
+    index, the PPJoin prefix path, containment, and tfidf cosine."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    baseline = {
+        "jac": dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect(),
+        "pre": dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, prefix_filter=True
+        ).collect(),
+        "con": dedup.ngram_containment_pairs(docs, threshold=0.5).collect(),
+        "tfi": dedup.tfidf_cosine_pairs(docs, threshold=0.4).collect(),
+    }
+    assert len(baseline["jac"]) > 0  # fixture has near-dups
+
+    real_probe = dedup._probed_posting_width
+    try:
+        dedup._probed_posting_width = lambda *a, **k: 7  # force odd width
+        forced = {
+            "jac": dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect(),
+            "pre": dedup.ngram_jaccard_pairs(
+                docs, threshold=0.3, prefix_filter=True
+            ).collect(),
+            "con": dedup.ngram_containment_pairs(docs, threshold=0.5).collect(),
+            "tfi": dedup.tfidf_cosine_pairs(docs, threshold=0.4).collect(),
+        }
+    finally:
+        dedup._probed_posting_width = real_probe
+    for key in baseline:
+        assert forced[key] == baseline[key], key

@@ -1,0 +1,139 @@
+"""Cipher scale-stress for the token/shingle inverted-index dedup paths
+and the C4 line-dedup pipeline (VERDICT r9 tasks 1 and 5).
+
+Fixture: the shared cipher-replication protocol (tools/_stress_common.py)
+— replica i rewrites the character stream by a seeded bijective
+permutation, so within-replica shingle/token/line pair structure is
+EXACTLY the 1× fixture's while shingles are disjoint across replicas:
+true output grows exactly N× as the corpus grows N×, making the
+per-decade exponent ``log(tN/t1)/log N`` a pure measure of the
+pipeline's scaling, not of changing duplicate density.
+
+Measured kernels (pick with ``--ops``):
+
+- ``jaccard``     ngram_jaccard_pairs, plain inverted index
+- ``prefix``      ngram_jaccard_pairs(prefix_filter=True), PPJoin path
+- ``containment`` ngram_containment_pairs
+- ``tfidf``       tfidf_cosine_pairs
+- ``line``        line_dedup (C4 exact line dedup)
+
+The r8 finding this guards: a fixed session-default shuffle width puts a
+knee in the curve once the posting volume per partition exceeds memory
+(last-decade exponent 1.37 at 32 partitions vs 0.72 at 256 for the span
+path). Round 9 fixed the span/minhash paths with a probed
+volume-adaptive width; round 10 extends it to the paths measured here —
+the recorded claim is that the knee does NOT appear at the DEFAULT
+profile because the operators widen their own posting exchanges.
+
+All scale points (1× included) get materialize() (repartition 32 +
+persist + count), every kernel is warmed once before timing, and cells
+are min-of-2 — the r8-codified protocol (an unpersisted 1× base biases
+every exponent low).
+
+Timed action: noop-format write (same as bench.py's materialize) — a
+bare ``count()`` would let Catalyst COLUMN-PRUNE the expensive parts of
+some kernels (line_dedup's per-doc reassembly aggregate contributes no
+column count() needs, so count() times a plan without it).
+
+``--no-width`` monkeypatches the probed width OFF (always session
+default) — the A/B that shows the knee the width mechanism removes.
+
+Usage: python tools/stress_ngram_index.py [sf_dir]
+           [--mults 1,10,30,100] [--ops jaccard,line] [--repeat 2]
+           [--no-width]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from _stress_common import (  # noqa: E402
+    cipher_replicated,
+    exponent,
+    materialize,
+    parse_mults,
+    timed,
+)
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    mults = parse_mults(sys.argv, [1, 10, 30])
+    ops = ["jaccard", "line"]
+    repeat = 2
+    for i, a in enumerate(sys.argv):
+        if a == "--ops" and i + 1 < len(sys.argv):
+            ops = sys.argv[i + 1].split(",")
+        if a == "--repeat" and i + 1 < len(sys.argv):
+            repeat = int(sys.argv[i + 1])
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-ngram-index")
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    if "--no-width" in sys.argv:
+        dedup._probed_posting_width = lambda *a, **k: None
+        print("[width mechanism DISABLED - session-default exchanges]")
+
+    def sink(df) -> int:
+        # noop write computes EVERY output column (count() would let
+        # Catalyst prune expensive aggregates that feed no counted col)
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
+    kernels = {
+        # thresholds match the catalog entries so the measured plan is
+        # the registered plan
+        "jaccard": lambda c: dedup.ngram_jaccard_pairs(c, threshold=0.3),
+        "prefix": lambda c: dedup.ngram_jaccard_pairs(
+            c, threshold=0.3, prefix_filter=True
+        ),
+        "containment": lambda c: dedup.ngram_containment_pairs(
+            c, threshold=0.5
+        ),
+        "tfidf": lambda c: dedup.tfidf_cosine_pairs(c, threshold=0.4),
+        "line": lambda c: dedup.line_dedup(c),
+    }
+    unknown = [o for o in ops if o not in kernels]
+    assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
+
+    t: dict[str, dict[int, float]] = {o: {} for o in ops}
+    for mult in mults:
+        corpus = materialize(cipher_replicated(docs, mult))
+        print(f"[{mult}x] corpus rows: {corpus.count()}", flush=True)
+        for op in ops:
+            fn = kernels[op]
+            # warm: codegen + python-worker pool + probe-path JIT
+            sink(fn(corpus.limit(200)))
+            t[op][mult] = timed(
+                f"{op} {mult}x", lambda: sink(fn(corpus)), repeat=repeat
+            )
+        corpus.unpersist()
+
+    print("\n== exponents (log(tN/t1)/log N; 1.0 = linear) ==")
+    for op in ops:
+        for mult in mults[1:]:
+            print(
+                f"  {op} {mult}x: t={t[op][mult]:.2f}s  "
+                f"exp={exponent(t[op], mult):.2f}"
+            )
+        decades = [
+            (a, b) for a, b in zip(mults, mults[1:])
+        ]
+        for a, b in decades:
+            import math
+
+            last = math.log(t[op][b] / t[op][a]) / math.log(b / a)
+            print(f"  {op} last-decade {a}x->{b}x: {last:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
