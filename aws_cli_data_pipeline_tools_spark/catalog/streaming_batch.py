@@ -469,14 +469,18 @@ WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.error_id)
 #: Null-padded unmatched-CLICK rows (rightOuter / fullOuter): a future
 #: error matching click c needs err_ts <= click_ts, so the click's
 #: closure has NO + window term — it closes when the watermark passes
-#: click_ts itself (boundary inclusive, measured live at sf0.001: the
-#: emitted null-error set equals click_ts <= wm exactly, r10).
+#: click_ts itself. Boundary STRICT (< wm), asymmetric with the error
+#: closure's inclusive <=: measured on a synthetic micro-fixture with a
+#: click exactly AT wm (holds state, no emission) and one strictly
+#: below (null-emits) — r10; the sf0.001/sf0.01 fixtures cannot
+#: distinguish the two (no click lands exactly on wm), the synthetic
+#: pytest boundary test locks it.
 _OJOIN_NULL_CLICKS = """
 SELECT c.user_id, NULL AS error_id, CAST(NULL AS TIMESTAMP) AS err_ts,
        c.click_id, c.click_ts
 FROM clicks c
 WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
-  AND c.click_ts <= (SELECT w FROM wm)
+  AND c.click_ts < (SELECT w FROM wm)
 """
 
 
@@ -497,7 +501,8 @@ UNION ALL
     "future error matching click c needs err_ts <= click_ts, so the click "
     "closes when the watermark passes click_ts ITSELF (no + window term "
     "on this side, unlike the error closure's err_ts + 6h; boundary "
-    "inclusive, measured). wm = min(max err_ts, max click_ts) - 12h via "
+    "STRICT <, measured — a click exactly at wm holds state, asymmetric "
+    "with the inclusive error closure). wm = min(max err_ts, max click_ts) - 12h via "
     "the min-policy pair of watermark nodes; NULL (no null rows) if "
     "either branch saw no data. user_id coalesces across sides in the "
     "stream (errors-side user_id alone is NULL on unmatched-click rows).",
@@ -529,7 +534,7 @@ UNION ALL
     notes="REAL stream-stream FULL-OUTER interval join (VERDICT r9 task "
     "4): both closure sets at once — null-padded unmatched errors once "
     "err_ts + 6h <= wm (the leftOuter closure) plus null-padded unmatched "
-    "clicks once click_ts <= wm (the rightOuter closure), over the same "
+    "clicks once click_ts < wm strictly (the rightOuter closure), over the same "
     "batch-exact inner match set. The two sides share one state store "
     "and identical eviction windows; only the null-emission differs.",
 )

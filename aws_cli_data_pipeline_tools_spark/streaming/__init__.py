@@ -150,9 +150,12 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     ``how="rightOuter"`` is the mirror: null-padded rows for clicks no
     error preceded, emitted once the watermark proves no matching error
     can still arrive — a future error needs ``err_ts <= click_ts``, so
-    the click closes when the watermark passes ``click_ts`` itself (no
-    ``+ window`` term on this side; boundary measured by the
-    ``streaming_join_right_live`` oracle). ``how="fullOuter"`` emits
+    the click closes when the watermark STRICTLY passes ``click_ts`` (no
+    ``+ window`` term on this side; boundary strict ``<`` — measured: a
+    click exactly at the final watermark holds state, asymmetric with
+    the error side's inclusive closure; the
+    ``streaming_join_right_live`` oracle and the synthetic boundary
+    pytest lock it). ``how="fullOuter"`` emits
     both closure sets (``streaming_join_full_live``). Same bounded-state
     story: every how shares the identical state-eviction windows; only
     which evicted-unmatched rows get null-emitted differs.
@@ -165,10 +168,15 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
         raise ValueError(
             f"error_click_join_stream: how={how!r} not in {supported}"
         )
+    # Per-branch user-id column names: both branches descend from the
+    # same source frame, so dataframe-qualified attributes
+    # (errors["user_id"]) are flagged ambiguous by the self-join checker
+    # the moment BOTH appear in one expression — which the outer-how
+    # coalesce below needs (r10, VERDICT r9 task 4).
     errors = (
         events.filter(F.col("event_type") == "error")
         .select(
-            "user_id",
+            F.col("user_id").alias("e_user_id"),
             F.col("event_id").alias("error_id"),
             F.col("ts").alias("err_ts"),
         )
@@ -177,23 +185,23 @@ def error_click_join_stream(events: DataFrame, window: str = "6 hours",
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
-            "user_id",
+            F.col("user_id").alias("c_user_id"),
             F.col("event_id").alias("click_id"),
             F.col("ts").alias("click_ts"),
         )
         .withWatermark("click_ts", watermark)
     )
     # rightOuter/fullOuter null-pad the ERROR side, so user_id must
-    # coalesce across sides (errors["user_id"] alone is NULL on
-    # unmatched-click rows — r10, VERDICT r9 task 4)
+    # coalesce across sides (the errors-side value alone is NULL on
+    # unmatched-click rows)
     user = (
-        F.coalesce(errors["user_id"], clicks["user_id"]).alias("user_id")
+        F.coalesce("e_user_id", "c_user_id")
         if how in ("rightOuter", "fullOuter")
-        else errors["user_id"]
-    )
+        else F.col("e_user_id")
+    ).alias("user_id")
     return errors.join(
         clicks,
-        (errors["user_id"] == clicks["user_id"])
+        (F.col("e_user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("err_ts"))
         & (F.col("click_ts") < F.col("err_ts") + F.expr(f"INTERVAL {window}")),
         how,

@@ -361,3 +361,67 @@ def test_upsert_order_tie_breaks_deterministically(spark):
         "p", F.xxhash64("k", "v", "p").alias("h")
     ).collect()
     assert picks == {max(hashed, key=lambda r: r.h).p}
+
+
+def test_stream_stream_right_full_outer_boundary_r10(spark, tmp_path):
+    """VERDICT r9 task 4: rightOuter/fullOuter closure boundaries on a
+    synthetic micro-fixture. wm = min(max err_ts, max click_ts) - 12h =
+    t0+20h. The unmatched click strictly below wm (t0+19h) null-emits;
+    the click exactly AT wm holds state (STRICT < boundary — asymmetric
+    with the error side's inclusive err_ts + 6h <= wm closure); the
+    click past wm holds. The lone error's window end (t0+46h) is past
+    wm, so fullOuter emits no null-click row either. Also: invalid
+    ``how`` fails loudly at the call site."""
+    import datetime as dt
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_cli_data_pipeline_tools_spark import streaming as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    rows = [
+        (1, t0 + 40 * H, 7, "error", 1.0, None),
+        (2, t0 + 19 * H, 7, "click", 1.0, None),  # strictly below wm
+        (4, t0 + 20 * H, 7, "click", 1.0, None),  # exactly at wm
+        (3, t0 + 32 * H, 7, "click", 1.0, None),  # defines max click_ts
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    sf = str(tmp_path / "synth")
+    os.makedirs(sf, exist_ok=True)
+    pq.write_table(tbl, os.path.join(sf, "events.parquet"))
+
+    emitted = {}
+    for how in ("rightOuter", "fullOuter"):
+        stream = st.events_file_stream(spark, sf)
+        joined = st.error_click_join_stream(
+            stream, window="6 hours", watermark="12 hours", how=how
+        )
+        name = f"q_boundary_{uuid.uuid4().hex[:8]}"
+        st.run_to_memory(joined, name, output_mode="append",
+                         shuffle_partitions=4)
+        emitted[how] = {
+            (r["error_id"], r["click_id"])
+            for r in spark.table(name).collect()
+        }
+    # only the strictly-below-wm click emits its null-error row; the
+    # at-wm and past-wm clicks hold; the error holds on both hows
+    assert emitted["rightOuter"] == {(None, 2)}
+    assert emitted["fullOuter"] == {(None, 2)}
+
+    with pytest.raises(ValueError, match="not in"):
+        st.error_click_join_stream(
+            st.events_file_stream(spark, sf), how="left_outer"
+        )
