@@ -360,72 +360,6 @@ def streaming_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "streaming_join_outer_live",
-    oracle="""
-WITH errors AS (
-  SELECT user_id, event_id AS error_id, CAST(ts AS TIMESTAMP) AS err_ts
-  FROM events WHERE event_type = 'error'
-), clicks AS (
-  SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
-  FROM events WHERE event_type = 'click'
-), wm AS (
-  -- NULL (no null-row emission) when EITHER branch saw no data: Spark's
-  -- min-policy global watermark stays at epoch 0 if one watermark node
-  -- never advances, whereas DuckDB's least() would skip the NULL branch
-  -- (r9 review finding 2)
-  SELECT CASE
-           WHEN (SELECT max(err_ts) FROM errors) IS NULL
-             OR (SELECT max(click_ts) FROM clicks) IS NULL THEN NULL
-           ELSE least((SELECT max(err_ts) FROM errors),
-                      (SELECT max(click_ts) FROM clicks))
-                - INTERVAL 12 HOUR
-         END AS w
-), matched AS (
-  SELECT e.user_id, e.error_id, e.err_ts, c.click_id, c.click_ts
-  FROM errors e JOIN clicks c
-    ON c.user_id = e.user_id
-   AND c.click_ts >= e.err_ts
-   AND c.click_ts < e.err_ts + INTERVAL 6 HOUR
-)
-SELECT user_id, error_id, err_ts, click_id, click_ts FROM matched
-UNION ALL
-SELECT e.user_id, e.error_id, e.err_ts, NULL, NULL
-FROM errors e
-WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.error_id = e.error_id)
-  AND e.err_ts + INTERVAL 6 HOUR <= (SELECT w FROM wm)
-ORDER BY user_id, error_id, click_id
-""",
-    tags=("streaming", "join", "live"),
-    notes="REAL stream-stream LEFT-OUTER interval join, oracle-EXACT under "
-    "the deterministic replay (VERDICT r8 task 4): the single-file "
-    "availableNow drain is one data micro-batch (every match found — the "
-    "inner part is batch-exact) followed by one no-data batch at the final "
-    "watermark wm = min(max err_ts, max click_ts) - 12h (two watermark "
-    "nodes, default min policy), which evicts-and-null-emits exactly the "
-    "unmatched errors whose join window provably closed: err_ts + 6h <= wm "
-    "(boundary INCLUSIVE — a live repro with err_ts + 6h == wm to the "
-    "microsecond null-emits, r9 review). The oracle replays that closure "
-    "in SQL — matched rows UNION null rows for watermark-closed unmatched "
-    "errors; wm is NULL (no null rows) if either branch saw no data, "
-    "matching the min-policy watermark pinned at epoch 0. Errors inside "
-    "the tail (err_ts + 6h > wm) hold state at end-of-replay and emit "
-    "nothing, on both engines. Empirically confirmed at sf0.001 (169 "
-    "null rows) and sf0.01 (1743): the emitted null set equals this "
-    "formula exactly.",
-)
-def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .. import streaming as st
-
-    stream = st.events_file_stream(spark, sf_dir)
-    joined = st.error_click_join_stream(
-        stream, window="6 hours", watermark="12 hours", how="leftOuter"
-    )
-    name = f"q_stream_ojoin_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
-    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
-    return spark.table(name).orderBy("user_id", "error_id", "click_id")
-
-
 #: Shared CTE prefix of the three outer-join closure oracles: branch
 #: split, the min-policy final watermark (NULL — no null-row emission —
 #: when either branch saw no data, since Spark's min-policy global
@@ -482,6 +416,47 @@ FROM clicks c
 WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.click_id = c.click_id)
   AND c.click_ts < (SELECT w FROM wm)
 """
+
+
+@register(
+    "streaming_join_outer_live",
+    # shared closure pieces (r10 review: the inline copy of the CTE had
+    # started drifting from the right/full twins the moment they landed)
+    oracle=_OJOIN_CTE
+    + """
+SELECT user_id, error_id, err_ts, click_id, click_ts FROM matched
+UNION ALL
+"""
+    + _OJOIN_NULL_ERRORS
+    + "ORDER BY user_id, error_id, click_id",
+    tags=("streaming", "join", "live"),
+    notes="REAL stream-stream LEFT-OUTER interval join, oracle-EXACT under "
+    "the deterministic replay (VERDICT r8 task 4): the single-file "
+    "availableNow drain is one data micro-batch (every match found — the "
+    "inner part is batch-exact) followed by one no-data batch at the final "
+    "watermark wm = min(max err_ts, max click_ts) - 12h (two watermark "
+    "nodes, default min policy), which evicts-and-null-emits exactly the "
+    "unmatched errors whose join window provably closed: err_ts + 6h <= wm "
+    "(boundary INCLUSIVE — a live repro with err_ts + 6h == wm to the "
+    "microsecond null-emits, r9 review). The oracle replays that closure "
+    "in SQL — matched rows UNION null rows for watermark-closed unmatched "
+    "errors; wm is NULL (no null rows) if either branch saw no data, "
+    "matching the min-policy watermark pinned at epoch 0. Errors inside "
+    "the tail (err_ts + 6h > wm) hold state at end-of-replay and emit "
+    "nothing, on both engines. Empirically confirmed at sf0.001 (169 "
+    "null rows) and sf0.01 (1743): the emitted null set equals this "
+    "formula exactly.",
+)
+def streaming_join_outer_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import streaming as st
+
+    stream = st.events_file_stream(spark, sf_dir)
+    joined = st.error_click_join_stream(
+        stream, window="6 hours", watermark="12 hours", how="leftOuter"
+    )
+    name = f"q_stream_ojoin_{uuid.uuid4().hex[:8]}"  # rerun-safe sink name
+    st.run_to_memory(joined, name, output_mode="append", shuffle_partitions=8)
+    return spark.table(name).orderBy("user_id", "error_id", "click_id")
 
 
 @register(

@@ -389,17 +389,21 @@ def minhash_lsh_pairs(
     # default); pre-partitioning on the bucket key also aligns both
     # self-join sides (the banding volume is exchanged once). The
     # banding volume is per-DOC, so the gate bounds it from a raw-bytes-
-    # per-ROW floor (≥16 B: 8-byte id + minimal text overhead) — the old
-    # per-char gate (8 B/char) under-bounded corpora with avg docs
-    # < bands×56/8 ≈ 112 chars, skipping the probe exactly when short
-    # docs made the banding volume proportionally heaviest (r10,
-    # ADVICE). The probe itself is count()-only (metadata-cheap), so
-    # firing earlier costs ~nothing.
+    # per-ROW floor — the old per-char gate (8 B/char) under-bounded
+    # corpora with avg docs < bands×56/8 ≈ 112 chars, skipping the probe
+    # exactly when short docs made the banding volume proportionally
+    # heaviest (r10, ADVICE). The floor is 4 B/row (not the raw 16 B an
+    # id+text row really occupies): plan-size estimates are FILE bytes,
+    # and delta-packed ids + RLE'd near-constant texts can compress a
+    # row well below its raw width — 4 B keeps the gate sound down to
+    # 16× row compression (r10 review); corpora denser than that are
+    # degenerate (near-identical docs) and merely probe early, which is
+    # count()-only and metadata-cheap.
     width = _probed_posting_width(
         df,
         text_col,
         lambda n, avg: n * bands * 56.0,
-        gate_bytes_per_char=bands * 56.0 / 16.0,
+        gate_bytes_per_char=bands * 56.0 / 4.0,
         probe_avg=False,
     )
     if width:
@@ -1059,8 +1063,9 @@ def _probed_posting_width(
     ``count()`` — metadata-only on parquet scans, no avg-length job —
     and ``gate_bytes_per_char`` should be derived from a raw-bytes-per-
     ROW floor (e.g. posting_bytes_per_doc / 16 for an 8-byte id plus
-    minimal text overhead) rather than an avg-doc-length assumption,
-    which under-bounds short-doc corpora in the unsafe direction (r10,
+    minimal text overhead, with margin for sub-byte row compression in
+    the plan estimate) rather than an avg-doc-length assumption, which
+    under-bounds short-doc corpora in the unsafe direction (r10,
     ADVICE)."""
     default = _session_shuffle_default(src)
     plan = _plan_size_bytes(src)

@@ -429,3 +429,39 @@ def test_list_workgroups_missing_state_stays_null(spark, monkeypatch):
     rows = {r["name"]: r for r in list_workgroups(spark).collect()}
     assert rows["stateless"].state is None
     assert rows["stateless"].output_location == "file:/tmp/x"
+
+
+def test_verdict_pack_sections():
+    """tools/verdict_pack.py (VERDICT r9 task 8): the evidence bundle's
+    sections compute from the committed artifacts without a Spark
+    session and carry the fields the per-round verdict reads."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "verdict_pack", os.path.join(repo, "tools", "verdict_pack.py")
+    )
+    vp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(vp)
+
+    s = vp.staleness()
+    assert s["n_entries"] >= 300
+    assert sum(s["last_sampled_distribution"].values()) == s["n_entries"]
+    b = vp.bands()
+    assert b.get("latest_record", "").startswith("BENCH_r")
+    assert "worst_band_ratio" in b and "contended" in b
+    # sweep log parsing on a synthetic tail
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".log", delete=False) as f:
+        f.write("noise\n301 exact-match, 0 rows-only, 0 failed\n")
+        path = f.name
+    try:
+        out = vp.sweeps([f"sf0.01={path}"])["sf0.01"]
+        assert out == {
+            "exact": 301, "rows_only": 0, "failed": 0, "failed_names": []
+        }
+    finally:
+        os.unlink(path)

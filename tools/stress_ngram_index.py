@@ -45,6 +45,7 @@ Usage: python tools/stress_ngram_index.py [sf_dir]
 
 from __future__ import annotations
 
+import math
 import sys
 
 sys.path.insert(0, ".")
@@ -124,14 +125,13 @@ def main() -> int:
                 f"  {op} {mult}x: t={t[op][mult]:.2f}s  "
                 f"exp={exponent(t[op], mult):.2f}"
             )
-        decades = [
-            (a, b) for a, b in zip(mults, mults[1:])
-        ]
-        for a, b in decades:
-            import math
-
-            last = math.log(t[op][b] / t[op][a]) / math.log(b / a)
-            print(f"  {op} last-decade {a}x->{b}x: {last:.2f}")
+        # adjacent-pair exponents: only the FINAL pair is the
+        # last-decade figure BASELINE.md knee adjudications cite —
+        # label them per-decade so an early pair can't be transcribed
+        # as the knee detector (r10 review)
+        for a, b in zip(mults, mults[1:]):
+            e = math.log(t[op][b] / t[op][a]) / math.log(b / a)
+            print(f"  {op} per-decade {a}x->{b}x: {e:.2f}")
     return 0
 
 

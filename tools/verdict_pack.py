@@ -117,7 +117,8 @@ def bands() -> dict:
 _SWEEP_TAIL = re.compile(
     r"(\d+) exact-match, (\d+) rows-only, (\d+) failed"
 )
-_SWEEP_FAIL = re.compile(r"\[(?:FAILED|fail[^\]]*)\]\s+(\S+?):")
+# check_oracle.py:463 prints each failure as '=== FAIL <name> ==='
+_SWEEP_FAIL = re.compile(r"=== FAIL (\S+) ===")
 
 
 def sweeps(args: list[str]) -> dict:
@@ -155,9 +156,13 @@ def suite_count() -> dict:
             timeout=300,
         )
         m = re.search(r"(\d+) tests? collected", r.stdout)
+        # returncode alone decides collect_errors: several test NAMES
+        # contain the substring 'error', so grepping stdout made the
+        # flag permanently true (r10 review). pytest exits 2 on
+        # collection errors, 0/5 on clean collects.
         return {
             "collected": int(m.group(1)) if m else None,
-            "collect_errors": r.returncode not in (0, 5) or "error" in r.stdout.lower(),
+            "collect_errors": r.returncode not in (0, 5),
         }
     except Exception as e:  # noqa: BLE001 - diagnostic bundle, never fatal
         return {"error": str(e)}
