@@ -616,7 +616,7 @@ ORDER BY e.event_id
 """,
     duck_sql="""
 SELECT e.event_id,
-       CAST(to_timestamp(CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)) AS TIMESTAMP) AS ts_floor_s,
+       date_trunc('second', CAST(e.ts AS TIMESTAMP)) AS ts_floor_s,
        CAST(e.ts AS DATE)                    AS event_day,
        CAST(CAST(e.ts AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
        CAST(date_diff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) AS INT) AS days_since_y24,
@@ -629,7 +629,11 @@ ORDER BY e.event_id
     tags=("functions", "date"),
     notes="from_unixtime/to_date/add_months/datediff/date_format/extract/"
     "trunc — Spark extract(DOW) is Sunday=1, DuckDB dayofweek Sunday=0, so "
-    "the Spark side shifts by 1; week trunc is Monday-start in both.",
+    "the Spark side shifts by 1; week trunc is Monday-start in both. The "
+    "twin's ts_floor_s is date_trunc over the NAIVE timestamp — the old "
+    "to_timestamp(epoch) round-trip produced a TIMESTAMPTZ whose naive "
+    "cast renders in the DuckDB session TimeZone, which the driver's "
+    "connection does not pin (r10 review: false-red on any non-UTC host).",
 )
 
 
@@ -792,7 +796,9 @@ SELECT l_returnflag,
        count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,10)))
              FILTER (WHERE l_quantity > 25) AS DOUBLE), 5) AS rev_highqty,
-       round(CAST(avg(l_discount) FILTER (WHERE l_tax > 0.04) AS DOUBLE), 5)
+       round(CAST(sum(CAST(l_discount AS DECIMAL(38,10)))
+               FILTER (WHERE l_tax > 0.04) AS DOUBLE)
+             / nullif(count(*) FILTER (WHERE l_tax > 0.04), 0), 5)
          AS avg_disc_taxed
 FROM lineitem
 GROUP BY l_returnflag
@@ -802,7 +808,11 @@ ORDER BY l_returnflag
     notes="Per-aggregate FILTER (WHERE …) clauses — conditional aggregation "
     "without CASE scaffolding; identical text on both engines. Catalyst "
     "plans one hash aggregate (filters are per-branch predicates, no extra "
-    "scan or shuffle).",
+    "scan or shuffle). avg_disc_taxed follows the davg() discipline "
+    "(exact decimal sum / count, one IEEE division) rather than a raw "
+    "double avg FILTER — partition-order double accumulation can differ "
+    "in ulps across engines and straddle the rounding boundary (r10 "
+    "review).",
 )
 
 # --- LATERAL correlated derived table (SURVEY §2.B scalar-subqueries row) ---
@@ -1126,8 +1136,10 @@ register_sql(
     sql="""
 SELECT event_id, user_id,
        count(*) OVER w                    AS n_1h,
-       round(sum(value) OVER w, 5)        AS sum_1h,
-       round(avg(value) OVER w, 6)        AS avg_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE), 5)
+                                          AS sum_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(38,10))) OVER w AS DOUBLE)
+             / count(value) OVER w, 6)    AS avg_1h,
        round(min(value) OVER w, 6)        AS min_1h
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -1138,7 +1150,12 @@ ORDER BY event_id
     notes="Event-time rolling aggregates via a RANGE frame bounded by a "
     "calendar interval (the time-series rolling-metric idiom; frames are "
     "value-bounded so tied timestamps are peers — deterministic under any "
-    "intra-partition order). One shuffle on user_id.",
+    "intra-partition order). One shuffle on user_id. sum/avg go through "
+    "the decimal(38,10) window-sum discipline: Spark accumulates each "
+    "frame linearly in sort order while DuckDB uses segment-tree "
+    "combination, so raw double frame sums differ in ulps and can "
+    "straddle the rounding boundary (r10 review — same rule as "
+    "window_share_of_total).",
 )
 
 register_sql(
@@ -1423,13 +1440,13 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
 
 register_sql(
     "idle_customers_anti",
-    sql="""
+    sql=f"""
 SELECT right(c_name, 1) AS code,
        count(*) AS n_custs,
-       round(CAST(sum(CAST(c_acctbal AS DECIMAL(38,10))) AS DOUBLE), 5)
-         AS total_bal
+       {dsum('c_acctbal')} AS total_bal
 FROM customer
-WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+WHERE c_acctbal > (SELECT {davg('c_acctbal')}
+                   FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 GROUP BY right(c_name, 1)
@@ -1438,7 +1455,9 @@ ORDER BY code
     tags=("subquery", "composite", "tpch"),
     notes="TPC-H Q22-shaped: scalar-subquery threshold + NOT EXISTS "
     "anti-join, grouped by a derived code (the well-funded customers "
-    "with no large orders).",
+    "with no large orders). The threshold subquery uses davg() — a raw "
+    "double avg differs in last-ulp across engines, and a threshold ulp "
+    "changes ROW MEMBERSHIP, not just a printed digit (r10 review).",
 )
 
 register_sql(
@@ -2223,8 +2242,15 @@ WITH per_key AS (
            AS p99_rows
   FROM per_key
 ), top AS (
-  SELECT concat_ws(',', collect_list(CAST(k AS STRING))) AS top5_keys
-  FROM (SELECT k FROM per_key ORDER BY n DESC, k LIMIT 5)
+  -- sort INSIDE the aggregate (struct sort on (-n, k)), not by relying
+  -- on collect_list preserving the subquery's ORDER BY — aggregation
+  -- input order is implementation behavior, not a Spark guarantee, and
+  -- top5_keys is one comma-joined string so element order is
+  -- hash-sensitive (r10 review)
+  SELECT concat_ws(',', transform(
+           array_sort(collect_list(struct(-n AS negn, k AS k))),
+           s -> CAST(s.k AS STRING))) AS top5_keys
+  FROM (SELECT k, n FROM per_key ORDER BY n DESC, k LIMIT 5)
 )
 SELECT s.n_keys, s.n_rows, s.max_rows, s.avg_rows, s.p99_rows,
        round(s.max_rows / s.avg_rows, 4) AS skew_ratio,
@@ -2646,7 +2672,7 @@ FROM clean
 
 @register(
     "supplier_balance_quartile_revenue",
-    oracle="""
+    oracle=f"""
 WITH sq AS (
   SELECT s_suppkey,
          ntile(4) OVER (ORDER BY s_acctbal, s_suppkey) AS bal_quartile
@@ -2655,8 +2681,7 @@ WITH sq AS (
   SELECT sq.bal_quartile,
          count(DISTINCT l.l_suppkey) AS n_suppliers,
          count(*) AS n_lineitems,
-         round(CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(38,10))) AS DOUBLE), 5) AS revenue
+         {dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
   FROM lineitem l JOIN sq ON sq.s_suppkey = l.l_suppkey
   GROUP BY sq.bal_quartile
 )

@@ -465,3 +465,21 @@ def test_verdict_pack_sections():
         }
     finally:
         os.unlink(path)
+
+
+def test_duckdb_map_subscript_semantics_pin():
+    """The map_funcs/map_funcs2 oracle twins use DuckDB's pre-1.3
+    map[key] semantics (single-element LIST, subscripted [1], probed
+    with len()=0). DuckDB >= 1.3 returns the value directly, which
+    would Binder-error or silently change those oracles. This behavior
+    probe fails LOUDLY on upgrade instead of letting the entries go
+    red with an opaque error (r10 review)."""
+    import duckdb
+
+    out = duckdb.sql("SELECT map([1], [2])[1] AS v").fetchone()[0]
+    assert out == [2], (
+        f"DuckDB map[key] now returns {out!r} (value semantics, >=1.3): "
+        "rewrite the map_funcs/map_funcs2 oracle twins in "
+        "catalog/relational.py (drop the [1] subscript and the "
+        "len()-based missing-key probe) before upgrading."
+    )

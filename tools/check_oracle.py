@@ -19,9 +19,19 @@ Usage: python tools/check_oracle.py [sf_dir] [name_filter ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
+
+# Pin the PYTHON-side timezone before any Spark import: the session tz
+# is already UTC (session.py), but PySpark's collect() converts
+# TimestampType via datetime.fromtimestamp — the PYTHON LOCAL tz — so on
+# a non-UTC host every raw-timestamp column would shift against DuckDB's
+# naive values and false-red the whole harness (r10 review: found via
+# TZ=America/New_York date_funcs2).
+os.environ["TZ"] = "UTC"
+time.tzset()
 
 sys.path.insert(0, ".")
 
