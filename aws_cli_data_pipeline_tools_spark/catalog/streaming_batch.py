@@ -62,8 +62,12 @@ ORDER BY win_start
     duck_sql=f"""
 WITH e AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, value,
-         CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-              // 1800) * 1800) AS TIMESTAMP) AS t30
+         -- make_timestamp(us) is timezone-FREE; the old
+         -- to_timestamp(epoch) round-trip produced a TIMESTAMPTZ whose
+         -- naive cast renders in the DuckDB session TimeZone (r10
+         -- review - false-red on any harness that does not pin TZ)
+         make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))
+              // 1800000000) * 1800000000) AS t30
   FROM events
 ), expanded AS (
   SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win_start, value FROM e
@@ -373,11 +377,18 @@ WITH errors AS (
   SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
   FROM events WHERE event_type = 'click'
 ), wm AS (
+  -- the branch-max is floored to whole MILLISECONDS before the delay
+  -- subtraction: Spark's EventTimeStatsAccum tracks max event time in
+  -- ms (us DIV 1000), so the live watermark sits up to 999 us BELOW
+  -- the exact-us value — measured r10 (a click in that sub-ms gap
+  -- holds state while the exact-us closure claimed it emits).
+  -- make_timestamp(ms*1000) keeps the arithmetic timezone-free.
   SELECT CASE
            WHEN (SELECT max(err_ts) FROM errors) IS NULL
              OR (SELECT max(click_ts) FROM clicks) IS NULL THEN NULL
-           ELSE least((SELECT max(err_ts) FROM errors),
-                      (SELECT max(click_ts) FROM clicks))
+           ELSE make_timestamp(epoch_ms(
+                  least((SELECT max(err_ts) FROM errors),
+                        (SELECT max(click_ts) FROM clicks))) * 1000)
                 - INTERVAL 12 HOUR
          END AS w
 ), matched AS (
@@ -477,7 +488,8 @@ UNION ALL
     "closes when the watermark passes click_ts ITSELF (no + window term "
     "on this side, unlike the error closure's err_ts + 6h; boundary "
     "STRICT <, measured — a click exactly at wm holds state, asymmetric "
-    "with the inclusive error closure). wm = min(max err_ts, max click_ts) - 12h via "
+    "with the inclusive error closure). wm = floor_ms(min(max err_ts, "
+    "max click_ts)) - 12h (ms-floored branch max, measured r10) via "
     "the min-policy pair of watermark nodes; NULL (no null rows) if "
     "either branch saw no data. user_id coalesces across sides in the "
     "stream (errors-side user_id alone is NULL on unmatched-click rows).",
@@ -792,8 +804,12 @@ def events_distinct_sketch_cascade(spark: SparkSession, sf_dir: str) -> DataFram
     oracle=f"""
 WITH e AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, value,
-         CAST(to_timestamp((CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
-              // 1800) * 1800) AS TIMESTAMP) AS t30
+         -- make_timestamp(us) is timezone-FREE; the old
+         -- to_timestamp(epoch) round-trip produced a TIMESTAMPTZ whose
+         -- naive cast renders in the DuckDB session TimeZone (r10
+         -- review - false-red on any harness that does not pin TZ)
+         make_timestamp((epoch_us(CAST(ts AS TIMESTAMP))
+              // 1800000000) * 1800000000) AS t30
   FROM events
 ), expanded AS (
   SELECT unnest([t30, t30 - INTERVAL 30 MINUTE]) AS win_start, value FROM e
@@ -884,21 +900,19 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_sql(
     "events_time_bucket_15min",
-    spark_sql="""
+    spark_sql=f"""
 SELECT window(ts, '15 minutes').start AS bucket,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 5)
-         AS sum_value
+       {dsum('value')} AS sum_value
 FROM events
 WHERE event_type = 'click'
 GROUP BY window(ts, '15 minutes')
 ORDER BY bucket
 """,
-    duck_sql="""
+    duck_sql=f"""
 SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket,
        count(*) AS n_events,
-       round(CAST(sum(CAST(value AS DECIMAL(38,10))) AS DOUBLE), 5)
-         AS sum_value
+       {dsum('value')} AS sum_value
 FROM events
 WHERE event_type = 'click'
 GROUP BY 1
@@ -944,15 +958,34 @@ WITH base AS (
 )
 """
 
+#: Full session-transcripts DuckDB SQL — shared verbatim by the batch
+#: twin (session_transcripts.duck_sql) and the stateful streaming
+#: entry's oracle (streaming_session_transcripts_live), which is
+#: DOCUMENTED to equal it exactly; one constant instead of two copies
+#: that can drift (r10 review).
+_SESSION_TRANSCRIPTS_DUCK = _SESSION_NUMBERED_DUCK.rstrip() + """, pre AS (
+  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, ts, event_id,
+         event_type,
+         min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
+  FROM numbered
+)
+SELECT user_id, session_id, count(*) AS n_turns,
+       string_agg(event_type || '@' ||
+                  CAST((epoch_us(ts) - epoch_us(session_start)) // 1000000
+                       AS VARCHAR),
+                  ' ' ORDER BY ts, event_id) AS transcript
+FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
 register_sql(
     "session_entry_exit",
     spark_sql=_SESSION_NUMBERED_SPARK + """
 SELECT user_id, session_id,
        min_by(event_type,
-              format_string('%020d|%010d', unix_micros(ts), event_id))
+              format_string('%020d|%020d', unix_micros(ts), event_id))
          AS entry_type,
        max_by(event_type,
-              format_string('%020d|%010d', unix_micros(ts), event_id))
+              format_string('%020d|%020d', unix_micros(ts), event_id))
          AS exit_type,
        count(*) AS n_events,
        max(unix_micros(ts)) - min(unix_micros(ts)) AS duration_us
@@ -962,9 +995,9 @@ ORDER BY user_id, session_id
 """,
     duck_sql=_SESSION_NUMBERED_DUCK + """
 SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-       arg_min(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
+       arg_min(event_type, printf('%020d|%020d', epoch_us(ts), event_id))
          AS entry_type,
-       arg_max(event_type, printf('%020d|%010d', epoch_us(ts), event_id))
+       arg_max(event_type, printf('%020d|%020d', epoch_us(ts), event_id))
          AS exit_type,
        count(*) AS n_events,
        max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
@@ -975,8 +1008,10 @@ ORDER BY user_id, session_id
     tags=("timeseries", "session"),
     notes="Per-session entry/exit analysis: first and last event type via "
     "min_by/max_by ≙ arg_min/arg_max on a zero-padded (ts, event_id) "
-    "string key — a total order, so arg-extrema are deterministic on both "
-    "engines — plus exact integer microsecond durations. Same 30-min-gap "
+    "string key — a total order (both fields padded to 20 digits, the "
+    "full int64 range; a 10-digit id pad stopped being an order at ids "
+    "≥ 1e10 since printf does not truncate — r10 review), so "
+    "arg-extrema are deterministic on both engines — plus exact integer microsecond durations. Same 30-min-gap "
     "lag/cumsum sessionization as events_sessionized, one extra hash agg.",
 )
 
@@ -1067,19 +1102,7 @@ FROM events GROUP BY 1 ORDER BY day
 
 register_sql(
     "session_transcripts",
-    spark_sql="""
-WITH marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), agg AS (
+    spark_sql=_SESSION_NUMBERED_SPARK.rstrip() + """, agg AS (
   SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
          count(*) AS n_turns, min(ts) AS session_start,
          array_sort(collect_list(struct(ts, event_id, event_type))) AS evs
@@ -1092,34 +1115,7 @@ SELECT user_id, session_id, n_turns,
                           DIV 1000000 AS STRING))), ' ') AS transcript
 FROM agg ORDER BY user_id, session_id
 """,
-    duck_sql="""
-WITH base AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-  FROM events
-), marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), pre AS (
-  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, ts, event_id,
-         event_type,
-         min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
-  FROM numbered
-)
-SELECT user_id, session_id, count(*) AS n_turns,
-       string_agg(event_type || '@' ||
-                  CAST((epoch_us(ts) - epoch_us(session_start)) // 1000000
-                       AS VARCHAR),
-                  ' ' ORDER BY ts, event_id) AS transcript
-FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
-""",
+    duck_sql=_SESSION_TRANSCRIPTS_DUCK,
     tags=("llmops", "streaming-batch", "curation"),
     notes="Session-transcript assembly: the event stream becomes ordered "
     "per-session training text ('type@offset-seconds' turns) — how a "
@@ -1294,12 +1290,26 @@ register_sql(
 WITH hourly AS (
   SELECT event_type, window(ts, '1 hour').start AS hr, count(*) AS n
   FROM events GROUP BY event_type, window(ts, '1 hour')
+), span AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly
+  GROUP BY event_type
+), grid AS (
+  SELECT event_type, explode(sequence(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM span
+), dense AS (
+  -- calendar-DENSE per-type hour axis: on the sparse aggregate a ROWS
+  -- frame spans the last 24 OBSERVED hours (reaching across outages),
+  -- and an outage hour has no row at all - the one anomaly a feed
+  -- monitor most needs to flag could never alert (r10 review)
+  SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hr = g.hr
 ), stats AS (
   SELECT event_type, hr, n,
          CAST(sum(CAST(n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s1,
          CAST(sum(CAST(n * n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2,
          count(*) OVER w AS cnt
-  FROM hourly
+  FROM dense
   WINDOW w AS (PARTITION BY event_type ORDER BY hr
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 ), scored AS (
@@ -1317,12 +1327,23 @@ WITH hourly AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
          count(*) AS n
   FROM events GROUP BY 1, 2
+), span AS (
+  SELECT event_type, min(hr) AS lo, max(hr) AS hi FROM hourly
+  GROUP BY event_type
+), grid AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+  FROM span
+), dense AS (
+  SELECT g.event_type, g.hr, coalesce(h.n, 0) AS n
+  FROM grid g LEFT JOIN hourly h
+    ON h.event_type = g.event_type AND h.hr = g.hr
 ), stats AS (
   SELECT event_type, hr, n,
          CAST(sum(CAST(n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s1,
          CAST(sum(CAST(n * n AS DECIMAL(38,10))) OVER w AS DOUBLE) AS s2,
          count(*) OVER w AS cnt
-  FROM hourly
+  FROM dense
   WINDOW w AS (PARTITION BY event_type ORDER BY hr
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 ), scored AS (
@@ -1339,7 +1360,12 @@ ORDER BY event_type, hr
     notes="Hourly event-volume anomaly detection: per-type z-score of "
     "each hour's count against its own TRAILING 24-hour baseline "
     "(exclusive frame — the current hour can't dilute its own "
-    "baseline; ≥ 12 baseline hours required before alerting). Variance "
+    "baseline; ≥ 12 baseline hours required before alerting). The hour "
+    "axis is densified per type over its observed span (sequence/"
+    "generate_series grid, zero-count fill), so the ROWS frame is a "
+    "true 24 CALENDAR hours and a silent feed (n=0 against a busy "
+    "baseline) alerts — on the sparse aggregate it had no row to "
+    "score (r10 review). Variance "
     "from the decimal two-moment identity (aggregation-order-"
     "independent, the embedding_dim_stats discipline); per-type "
     "partitioned windows keep the scan parallel. The pipeline-health "
@@ -1349,34 +1375,7 @@ ORDER BY event_type, hr
 
 @register(
     "streaming_session_transcripts_live",
-    oracle="""
-WITH base AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-  FROM events
-), marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), pre AS (
-  SELECT user_id, CAST(session_id AS BIGINT) AS session_id, ts, event_id,
-         event_type,
-         min(ts) OVER (PARTITION BY user_id, session_id) AS session_start
-  FROM numbered
-)
-SELECT user_id, session_id, count(*) AS n_turns,
-       string_agg(event_type || '@' ||
-                  CAST((epoch_us(ts) - epoch_us(session_start)) // 1000000
-                       AS VARCHAR),
-                  ' ' ORDER BY ts, event_id) AS transcript
-FROM pre GROUP BY user_id, session_id ORDER BY user_id, session_id
-""",
+    oracle=_SESSION_TRANSCRIPTS_DUCK,
     tags=("streaming", "stateful", "live", "curation"),
     notes="REAL applyInPandasWithState run "
     "(streaming/stateful.session_transcripts_stream): arbitrary-state "
@@ -1424,19 +1423,7 @@ def streaming_session_transcripts_live(
 
 register_sql(
     "session_type_affinity",
-    spark_sql="""
-WITH marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), st AS (
+    spark_sql=_SESSION_NUMBERED_SPARK.rstrip() + """, st AS (
   SELECT DISTINCT user_id, session_id, event_type FROM numbered
 ), n AS (
   SELECT count(DISTINCT struct(user_id, session_id)) AS n_sessions FROM st
@@ -1458,22 +1445,7 @@ JOIN single sb ON sb.event_type = p.type_b
 CROSS JOIN n
 ORDER BY type_a, type_b
 """,
-    duck_sql="""
-WITH base AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-  FROM events
-), marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), st AS (
+    duck_sql=_SESSION_NUMBERED_DUCK.rstrip() + """, st AS (
   SELECT DISTINCT user_id, session_id, event_type FROM numbered
 ), n AS (
   SELECT count(*) AS n_sessions
@@ -1827,11 +1799,16 @@ _BENFORD_VALUES_SQL = "(1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.
 WITH pos AS (
   SELECT value FROM events WHERE value > 0
 ), digits AS (
-  SELECT CAST(substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1) AS INT)
-    AS d
+  -- FIRST SIGNIFICANT digit (first [1-9] anywhere in the shortest
+  -- round-trip repr), not the first character: the prefix form
+  -- silently dropped every value < 1 ('0.25' -> '0' excluded) and
+  -- diverged across engines in [1e-4, 1e-3) where Java switches to
+  -- scientific notation while DuckDB stays decimal (r10 review)
+  SELECT CAST(regexp_extract(CAST(CAST(value AS DOUBLE) AS VARCHAR),
+                             '[1-9]', 0) AS INT) AS d
   FROM pos
-  WHERE substr(CAST(CAST(value AS DOUBLE) AS VARCHAR), 1, 1)
-        BETWEEN '1' AND '9'
+  WHERE regexp_extract(CAST(CAST(value AS DOUBLE) AS VARCHAR),
+                       '[1-9]', 0) <> ''
 ), obs AS (
   SELECT d, count(*) AS n FROM digits GROUP BY d
 ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM obs),
@@ -1848,16 +1825,20 @@ ORDER BY exp.d
     notes="Benford first-digit audit of event values — the classic "
     "fabricated-data / unit-mixing detector: observed leading-digit "
     "frequencies against log10(1+1/d) expectations (inlined as literal "
-    "probabilities, identical both engines). First digit via the "
-    "engines' shared shortest-repr double-to-string prefix on positive "
-    "values; one digit-keyed aggregate.",
+    "probabilities, identical both engines). First SIGNIFICANT digit "
+    "via the first [1-9] of the engines' shared shortest-repr "
+    "double-to-string (format-invariant across decimal vs scientific "
+    "notation, and sub-1 values keep their Benford digit); one "
+    "digit-keyed aggregate.",
 )
 def values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     pos = ev.filter(F.col("value") > 0)
-    d = F.substring(F.col("value").cast("double").cast("string"), 1, 1)
+    d = F.regexp_extract(
+        F.col("value").cast("double").cast("string"), "[1-9]", 0
+    )
     digits = pos.select(d.alias("ds")).filter(
-        F.col("ds").between("1", "9")
+        F.col("ds") != ""
     ).select(F.col("ds").cast("int").alias("d"))
     obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
     tot = obs.agg(F.sum("n_obs").cast("bigint").alias("nt"))
@@ -1892,19 +1873,7 @@ def values_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register_sql(
     "session_top_paths",
-    spark_sql="""
-WITH marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN unix_micros(ts) - lag(unix_micros(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), seqs AS (
+    spark_sql=_SESSION_NUMBERED_SPARK.rstrip() + """, seqs AS (
   SELECT user_id, session_id,
          transform(
            array_sort(collect_list(struct(ts, event_id, event_type))),
@@ -1921,22 +1890,7 @@ SELECT path, count(*) AS n_sessions_weighted
 FROM tri GROUP BY path
 ORDER BY n_sessions_weighted DESC, path LIMIT 10
 """,
-    duck_sql="""
-WITH base AS (
-  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
-  FROM events
-), marked AS (
-  SELECT user_id, event_id, ts, event_type,
-         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
-  FROM base
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-), numbered AS (
-  SELECT *, sum(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-  FROM marked
-), seqs AS (
+    duck_sql=_SESSION_NUMBERED_DUCK.rstrip() + """, seqs AS (
   SELECT user_id, session_id,
          list(event_type ORDER BY ts, event_id) AS types
   FROM numbered GROUP BY user_id, session_id
@@ -2417,7 +2371,8 @@ toks AS (
 scored AS (
   SELECT counts.token,
          CAST(sum(CAST(counts.c AS BIGINT)) AS BIGINT) AS raw_count,
-         round(CAST(sum(CAST(counts.c * coalesce(grid.w, 0.0)
+         round(CAST(sum(CAST(counts.c
+                             * coalesce(CAST(grid.w AS DOUBLE), 0.0)
                              AS DECIMAL(38,10)))
                     AS DOUBLE), 6) AS decayed_score
   FROM counts LEFT JOIN grid ON grid.age_days = counts.age_days
@@ -2462,8 +2417,11 @@ FROM scored ORDER BY decayed_score DESC, token LIMIT 10
     notes="Time-decayed trending event types: half-life-7-day exponential "
     "decay on daily counts (decay factors for ages 0-39 inlined "
     "as literal doubles on both engines — the RBO/DFT literal-weights "
-    "discipline; DuckDB additionally casts its DECIMAL-parsed literals "
-    "back to DOUBLE), decimal-sum scores, top-10 — recency-weighted "
+    "discipline; BOTH sides cast their DECIMAL-parsed literals back to "
+    "DOUBLE before the product, so the per-term value rounded into the "
+    "decimal grain is the same IEEE double — Spark's exact decimal "
+    "product vs DuckDB's double product differed in ulps at production "
+    "counts, r10 review), decimal-sum scores, top-10 — recency-weighted "
     "trend detection vs the raw-count ranking. Events older than the "
     "40-day grid horizon LEFT-join to weight 0 (0.5^(40/7) < 0.02): they "
     "still count in raw_count but no longer move the decayed score — the "

@@ -369,7 +369,10 @@ def test_stream_stream_right_full_outer_boundary_r10(spark, tmp_path):
     t0+20h. The unmatched click strictly below wm (t0+19h) null-emits;
     the click exactly AT wm holds state (STRICT < boundary — asymmetric
     with the error side's inclusive err_ts + 6h <= wm closure); the
-    click past wm holds. The lone error's window end (t0+46h) is past
+    click past wm holds; wm itself is the MILLISECOND-floored branch
+    max minus the delay (Spark tracks max event time in ms), so a click
+    inside the sub-ms gap between floor_ms(wm) and the exact-us wm also
+    holds. The lone error's window end (t0+46h) is past
     wm, so fullOuter emits no null-click row either. Also: invalid
     ``how`` fails loudly at the call site."""
     import datetime as dt
@@ -383,11 +386,17 @@ def test_stream_stream_right_full_outer_boundary_r10(spark, tmp_path):
 
     t0 = dt.datetime(2024, 1, 1)
     H = dt.timedelta(hours=1)
+    US = dt.timedelta(microseconds=1)
     rows = [
         (1, t0 + 40 * H, 7, "error", 1.0, None),
         (2, t0 + 19 * H, 7, "click", 1.0, None),  # strictly below wm
         (4, t0 + 20 * H, 7, "click", 1.0, None),  # exactly at wm
-        (3, t0 + 32 * H, 7, "click", 1.0, None),  # defines max click_ts
+        # in the sub-ms gap between floor_ms(wm) and the exact-us wm:
+        # Spark tracks max event time in MILLISECONDS, so the live
+        # watermark is t0+20h (floored), not t0+20h+500us - this click
+        # must HOLD even though it is below the exact-us wm (r10 review)
+        (6, t0 + 20 * H + 250 * US, 7, "click", 1.0, None),
+        (3, t0 + 32 * H + 500 * US, 7, "click", 1.0, None),  # max click_ts
     ]
     tbl = pa.table(
         {
