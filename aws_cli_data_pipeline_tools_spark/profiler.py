@@ -335,6 +335,12 @@ def profile_strings(df: DataFrame) -> DataFrame:
     free), stacked, sorted by label.
     """
     cols = string_columns(df)
+    if "agg_type" in cols:
+        raise ValueError(
+            "profile_strings: a string column named 'agg_type' collides with "
+            "the profile's label column — rename it before profiling "
+            "(r10 review: profile() already guarded, these did not)"
+        )
     if not cols:
         return _empty_profile(df, cols)
 
@@ -390,6 +396,12 @@ def profile_temporal(df: DataFrame) -> DataFrame:
     extensions). Same split-agg single-scan discipline.
     """
     cols = temporal_columns(df)
+    if "agg_type" in cols:
+        raise ValueError(
+            "profile_temporal: a temporal column named 'agg_type' collides with "
+            "the profile's label column — rename it before profiling "
+            "(r10 review: profile() already guarded, these did not)"
+        )
     if not cols:
         return _empty_profile(df, cols)
 

@@ -86,10 +86,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     in the session timezone), matching what DuckDB reads.
     """
     d = sf_dir or DEFAULT_SF_DIR
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
     if name == "events":
-        return normalize_event_ts(df)
+        # nanosAsLong is only needed for the events fixture's
+        # TIMESTAMP(NANOS) column; the old unconditional set on EVERY
+        # table mutated session-global parquet semantics even for
+        # sessions that never touch events (a user's own nanos column
+        # would silently come back as LongType after a mere
+        # load_table('region') — r10 review). It is NOT restored after
+        # the read: the scan consults the flag again at execution and
+        # the streaming twin reads the raw schema separately, so an
+        # events-reading session genuinely needs it for its lifetime
+        # (get_spark pins it at session build anyway).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_event_ts(
+            spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+        )
+    df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
@@ -105,7 +117,14 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     micros; TIMESTAMP_NTZ columns cast to plain TimestampType (NTZ
     rejects ``withWatermark`` and diverges from the DuckDB oracle)."""
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # FLOOR, not DIV: integral DIV truncates toward zero, shifting
+        # pre-epoch nanos +1us against the documented flooring (r10
+        # review). pmod-based: exact at any int64 magnitude (a double
+        # floor(ts/1000) would lose precision past 2^53).
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) DIV 1000")),
+        )
     for f in df.schema.fields:
         if isinstance(f.dataType, T.TimestampNTZType):
             df = df.withColumn(f.name, F.col(f.name).cast(T.TimestampType()))
@@ -160,9 +179,15 @@ def write_sorted(
     balanced boundaries (skew-resistant, unlike hash-mod bucketing on a
     monotone key).
     """
+    # `is not None`, not truthiness: an explicitly-passed n_files=0
+    # (e.g. ceil(bytes/target) on an empty input) silently fell through
+    # to the session-default partition count — hundreds of tiny files,
+    # the exact problem compact() documents (r10 review)
+    if n_files is not None and n_files < 1:
+        raise ValueError(f"write_sorted: n_files must be >= 1, got {n_files}")
     out = (
         df.repartitionByRange(n_files, *sort_cols)
-        if n_files
+        if n_files is not None
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.format(fmt).mode(mode).save(path)

@@ -304,6 +304,7 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
       Avro double and is encoded as-is, never silently turned into the
       null union branch (which also crashed non-nullable float fields).
     """
+    import glob as globmod
     import os
 
     import pandas as pd
@@ -311,29 +312,66 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
     fields = _spark_to_avro_schema(df.schema)
     session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
     os.makedirs(path, exist_ok=True)
+    # overwrite semantics: clear prior part files so a re-write with
+    # fewer partitions can't leave stale parts that read_avro would
+    # merge in (pairs with the deterministic per-partition names below)
+    for old in globmod.glob(os.path.join(path, "part-*.avro")):
+        os.remove(old)
 
     mask_of = {}  # float/double field -> its JVM-computed null-mask column
     aug = df
     from pyspark.sql import functions as F
 
+    int_as_str = set()  # nullable int/long fields, carried as strings
     for n, t, nullable in fields:
+        q = f"`{n}`"  # literal name — dots must not parse as struct paths
         if t in ("float", "double") and nullable:
             mask_of[n] = f"__isnull_{n}"
-            aug = aug.withColumn(mask_of[n], F.isnull(F.col(n)))
+            aug = aug.withColumn(mask_of[n], F.isnull(F.col(q)))
+        elif t in ("int", "long") and nullable:
+            # the Arrow->pandas boundary coerces int64-with-nulls to
+            # float64, silently corrupting values above 2^53 (snowflake
+            # ids); a JVM-side string cast is exact at any magnitude and
+            # keeps None as None in the object-dtype pandas column
+            # (r10 review)
+            int_as_str.add(n)
+            aug = aug.withColumn(n, F.col(q).cast("string"))
+
+    # mapInPandas itself resolves every input column via df[name]
+    # (pyspark map_ops.py), which parses dots as struct paths no matter
+    # how the caller quotes — so the frame is relabeled to positional
+    # names before the hand-off and the writer indexes pandas by those
+    # (the avro header keeps the REAL names; r10 review)
+    safe = {n: f"__f{i}" for i, (n, _t, _nul) in enumerate(fields)}
+    mask_safe = {
+        m: f"__m{i}" for i, m in enumerate(mask_of.values())
+    }
+    aug = aug.select(
+        *[F.col(f"`{n}`").alias(safe[n]) for n, _t, _nul in fields],
+        *[F.col(f"`{m}`").alias(mask_safe[m]) for m in mask_of.values()],
+    )
 
     def writer(it):
-        import threading
-        import uuid
+        from pyspark import TaskContext
 
-        tag = f"{os.getpid()}-{threading.get_ident()}-{uuid.uuid4().hex[:8]}"
-        fname = os.path.join(path, f"part-{tag}.avro")
+        # deterministic per-partition name + 'wb' truncate: a retried
+        # task REWRITES its own file instead of orphaning a partial
+        # part-<uuid> beside the retry's copy, which read_avro would
+        # then double-read or choke on (r10 review; same discipline as
+        # export.write_jsonl_shards)
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
         f = None
         n_rows = 0
         for pdf in it:
             cols = []
             for n, t, nullable in fields:
-                s = pdf[n]
-                if t == "timestamp-micros":
+                s = pdf[safe[n]]
+                if n in int_as_str:
+                    cols.append(
+                        [None if v is None else int(v) for v in s]
+                    )
+                elif t == "timestamp-micros":
                     s = (
                         pd.to_datetime(s)
                         .dt.tz_localize(
@@ -348,7 +386,9 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
                     if n in mask_of:
                         cols.append([
                             None if isnull else v
-                            for v, isnull in zip(s, pdf[mask_of[n]])
+                            for v, isnull in zip(
+                                s, pdf[mask_safe[mask_of[n]]]
+                            )
                         ])
                     else:
                         cols.append(list(s))  # NaN is a value, not null
@@ -367,7 +407,39 @@ def write_avro(df, path: str, codec: str = "deflate") -> int:
             yield pd.DataFrame({"file": [fname], "n": [n_rows]})
 
     done = aug.mapInPandas(writer, schema="file string, n long").collect()
+    if not done:
+        # empty input: write one header-only container so the advertised
+        # write->read round-trip yields an empty frame WITH the schema
+        # instead of FileNotFoundError (r10 review)
+        with open(os.path.join(path, "part-00000.avro"), "wb") as f:
+            f.write(_header_bytes(fields, codec))
     return len(done)
+
+
+#: Avro->Spark DDL type map for the supported subset (single source of
+#: truth — read_avro, the DataSource, and pyds all build DDL from this).
+_AVRO_TO_SPARK = {
+    "boolean": "boolean", "int": "int", "long": "long",
+    "float": "float", "double": "double", "string": "string",
+    "bytes": "binary", "timestamp-micros": "timestamp", "date": "date",
+}
+
+
+def peek_schema(path: str):
+    """Driver-side schema peek at the first container under ``path``:
+    returns (fields, backtick-quoted DDL string). Shared by read_avro,
+    AvroFallbackDataSource.schema and sources/pyds.py — the two previous
+    verbatim copies had already drifted in their validation (r10
+    review)."""
+    import glob as globmod
+
+    files = sorted(globmod.glob(f"{path}/part-*.avro"))
+    if not files:
+        raise FileNotFoundError(f"no part-*.avro under {path}")
+    with open(files[0], "rb") as f:
+        fields, _ = _parse_container(f.read())
+    ddl = ", ".join(f"`{n}` {_AVRO_TO_SPARK[t]}" for n, t, _ in fields)
+    return fields, ddl
 
 
 def read_avro(spark, path: str):
@@ -376,24 +448,15 @@ def read_avro(spark, path: str):
     of each container on the executors. Files are the parallelism unit
     (like parquet row-group splits, a container's blocks could split
     further; the fallback keeps whole-file granularity)."""
-    import glob as globmod
-
     import pandas as pd
     from pyspark.sql import functions as F
 
-    first = sorted(globmod.glob(f"{path}/part-*.avro"))
-    if not first:
-        raise FileNotFoundError(f"no part-*.avro under {path}")
-    with open(first[0], "rb") as f:
-        fields, _ = _parse_container(f.read())
-
-    spark_types = {
-        "boolean": "boolean", "int": "int", "long": "long",
-        "float": "float", "double": "double", "string": "string",
-        "bytes": "binary", "timestamp-micros": "timestamp", "date": "date",
-    }
-    schema = ", ".join(f"{n} {spark_types[t]}" for n, t, _ in fields)
+    fields, schema = peek_schema(path)
     names = [f[0] for f in fields]
+    # object-dtype decode for integral columns: pd.Series([1, None])
+    # silently becomes float64 (precision loss > 2^53); object dtype
+    # keeps exact python ints through the Arrow cast (r10 review)
+    exact_cols = {n for n, t, _ in fields if t in ("int", "long", "boolean")}
 
     bin_df = (
         spark.read.format("binaryFile")
@@ -420,7 +483,7 @@ def read_avro(spark, path: str):
     ]
     expect = sorted((n, t) for n, t, _ in fields)
     internal_schema = schema + "".join(
-        f", {m} boolean" for m in masked.values()
+        f", `{m}` boolean" for m in masked.values()
     )
 
     def decode(it):
@@ -440,7 +503,13 @@ def read_avro(spark, path: str):
                         f"found {sorted((n, t) for n, t, _ in f_fields)}"
                     )
                 cols = dict(zip(f_names, zip(*rows)))
-                out = pd.DataFrame({n: pd.Series(cols[n]) for n in names})
+                out = pd.DataFrame({
+                    n: pd.Series(
+                        cols[n],
+                        dtype=object if n in exact_cols else None,
+                    )
+                    for n in names
+                })
                 for n, m in masked.items():
                     out[m] = pd.Series(
                         [v is None for v in cols[n]], dtype=bool
@@ -460,18 +529,22 @@ def read_avro(spark, path: str):
     for n, m in masked.items():
         # after the Arrow boundary the column is null wherever it was
         # SQL NULL *or* NaN (from_pandas nulls NaN); the mask says which
-        # was which — unmasked nulls were NaN values
+        # was which — unmasked nulls were NaN values. All names go
+        # through backticks: a legal dotted column name must not parse
+        # as a struct path (r10 review)
         res = res.withColumn(
             n,
-            F.when(F.col(m), F.lit(None)).otherwise(
-                F.coalesce(F.col(n), F.lit(float("nan")).cast("double"))
+            F.when(F.col(f"`{m}`"), F.lit(None)).otherwise(
+                F.coalesce(
+                    F.col(f"`{n}`"), F.lit(float("nan")).cast("double")
+                )
             ).cast(dict(res.dtypes)[n]),
         ).drop(m)
     for n in plain_float:
         res = res.withColumn(
             n,
             F.coalesce(
-                F.col(n), F.lit(float("nan")).cast("double")
+                F.col(f"`{n}`"), F.lit(float("nan")).cast("double")
             ).cast(dict(res.dtypes)[n]),
         )
-    return res.select(*names)
+    return res.select(*[f"`{n}`" for n in names])

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
-from .avro_fallback import _parse_container
+from .avro_fallback import _parse_container, peek_schema
 
 
 class _AvroFilePartition(InputPartition):
@@ -39,32 +39,27 @@ class AvroFallbackDataSource(DataSource):
         return "avro_fallback"
 
     def schema(self) -> str:
-        import glob as globmod
-
-        path = self.options.get("path")
-        files = sorted(globmod.glob(f"{path}/part-*.avro"))
-        if not files:
-            raise FileNotFoundError(f"no part-*.avro under {path}")
-        with open(files[0], "rb") as f:
-            fields, _ = _parse_container(f.read())
-        spark_types = {
-            "boolean": "boolean", "int": "int", "long": "long",
-            "float": "float", "double": "double", "string": "string",
-            "bytes": "binary", "timestamp-micros": "timestamp",
-            "date": "date",
-        }
-        return ", ".join(f"{n} {spark_types[t]}" for n, t, _ in fields)
+        # shared driver-side peek (r10 review: this method carried a
+        # drifted copy of read_avro's map/peek — unquoted names, no
+        # single source of truth)
+        _fields, ddl = peek_schema(self.options.get("path"))
+        return ddl
 
     def reader(self, schema) -> DataSourceReader:
-        return _AvroFallbackReader(
-            self.options.get("path"), [f.name for f in schema.fields]
-        )
+        fields, _ddl = peek_schema(self.options.get("path"))
+        return _AvroFallbackReader(self.options.get("path"), fields)
 
 
 class _AvroFallbackReader(DataSourceReader):
-    def __init__(self, path: str, names: list[str]):
+    def __init__(self, path: str, fields: list[tuple[str, str, bool]]):
         self.path = path
-        self.names = names  # planner column order (first file's peek)
+        # planner (name, type) pairs from the first file's peek — types
+        # included so a mixed directory (same names, different types)
+        # is rejected instead of yielding wrongly-typed values the way
+        # the old names-only check did (r10 review; read_avro already
+        # validated (name, type) — the two routes had diverged)
+        self.names = [f[0] for f in fields]
+        self.expect = sorted((n, t) for n, t, _ in fields)
 
     def partitions(self):
         import glob as globmod
@@ -93,15 +88,23 @@ class _AvroFallbackReader(DataSourceReader):
         # values positionally under the wrong names (r8 review)
         f_names = [x[0] for x in f_fields]
         if f_names != self.names:
-            if sorted(f_names) != sorted(self.names):
+            if sorted((n, t) for n, t, _ in f_fields) != self.expect:
                 raise ValueError(
-                    f"avro file field mismatch in {partition.path}: "
-                    f"expected {sorted(self.names)}, found {sorted(f_names)}"
+                    f"avro file schema mismatch in {partition.path}: "
+                    f"expected {self.expect}, "
+                    f"found {sorted((n, t) for n, t, _ in f_fields)}"
                 )
             idx = [f_names.index(n) for n in self.names]
             for row in rows:
                 yield tuple(conv(row[i]) for i in idx)
             return
+        # same order — still verify the TYPES line up
+        if sorted((n, t) for n, t, _ in f_fields) != self.expect:
+            raise ValueError(
+                f"avro file schema mismatch in {partition.path}: "
+                f"expected {self.expect}, "
+                f"found {sorted((n, t) for n, t, _ in f_fields)}"
+            )
         for row in rows:
             yield tuple(conv(v) for v in row)
 

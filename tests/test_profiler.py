@@ -305,3 +305,25 @@ def test_profile_rejects_agg_type_column(spark):
     df = spark.createDataFrame([(1.0,)], ["agg_type"])
     with pytest.raises(ValueError, match="agg_type"):
         profiler.profile(df)
+
+
+def test_profile_strings_temporal_agg_type_collision_r10(spark):
+    """r10 review: profile() guarded a numeric 'agg_type' input column,
+    but the string/temporal profilers did not — a string column named
+    agg_type produced a duplicate output column and an opaque
+    AMBIGUOUS_REFERENCE at the sort instead of the clear error."""
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.profiler import (
+        profile_strings,
+        profile_temporal,
+    )
+
+    df = spark.createDataFrame([("x",)], "agg_type string")
+    with _pytest.raises(ValueError, match="agg_type"):
+        profile_strings(df)
+    df2 = spark.createDataFrame(
+        [("2024-01-01",)], "agg_type string"
+    ).selectExpr("CAST(agg_type AS DATE) AS agg_type")
+    with _pytest.raises(ValueError, match="agg_type"):
+        profile_temporal(df2)

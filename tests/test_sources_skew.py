@@ -468,3 +468,101 @@ def test_shard_plan_integer_division_beyond_2_53(spark):
     }
     assert out[1] == 0
     assert out[2] == big  # exactly cum-before DIV 1, not the rounded double
+
+
+def test_avro_fallback_r10_review_fixes(spark, tmp_path):
+    """r10 review batch over sources/: (a) nullable BIGINT survives the
+    round-trip exactly above 2^53 (the Arrow->pandas float64 coercion
+    corrupted snowflake-scale ids); (b) an empty frame round-trips to an
+    empty frame WITH schema instead of FileNotFoundError; (c) dotted
+    column names work end-to-end (literal-name discipline); (d) a
+    re-write to the same path with fewer partitions leaves no stale
+    parts; (e) the DataSource route rejects same-name/different-type
+    containers instead of yielding wrongly-typed values."""
+    import glob
+    import os
+
+    from aws_cli_data_pipeline_tools_spark.sources.avro_fallback import (
+        read_avro,
+        write_avro,
+    )
+
+    big = 9_223_372_036_854_775_807  # int64 max: float64 would corrupt
+    df = spark.createDataFrame(
+        [(big, 1.5), (None, None), (3, float("nan"))],
+        "id bigint, `a.b` double",
+    )
+    p = str(tmp_path / "big")
+    write_avro(df.repartition(2), p)
+    got = {r["id"] for r in read_avro(spark, p).collect()}
+    assert big in got and None in got and 3 in got  # exact, not 9.2e18
+
+    # (b) empty round-trip
+    p2 = str(tmp_path / "empty")
+    write_avro(df.filter("id = -1"), p2)
+    out = read_avro(spark, p2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["id", "a.b"]
+
+    # (d) overwrite with fewer partitions leaves no stale parts
+    write_avro(df.repartition(8), p)
+    n8 = len(glob.glob(os.path.join(p, "part-*.avro")))
+    write_avro(df.repartition(1), p)
+    n1 = len(glob.glob(os.path.join(p, "part-*.avro")))
+    assert n1 < n8
+    assert read_avro(spark, p).count() == 3
+
+    # (e) mixed-type directory rejected by the DataSource route
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.sources.pyds import (
+        register_avro_fallback,
+    )
+
+    p3 = str(tmp_path / "mixed")
+    write_avro(spark.createDataFrame([(1,)], "x bigint").coalesce(1), p3)
+    # second container with x as string, distinct file name
+    os.rename(
+        os.path.join(p3, "part-00000.avro"),
+        os.path.join(p3, "part-00000.avro") + ".keep",
+    )
+    write_avro(spark.createDataFrame([("s",)], "x string").coalesce(1), p3)
+    os.rename(
+        os.path.join(p3, "part-00000.avro"),
+        os.path.join(p3, "part-00001.avro"),
+    )
+    os.rename(
+        os.path.join(p3, "part-00000.avro") + ".keep",
+        os.path.join(p3, "part-00000.avro"),
+    )
+    register_avro_fallback(spark)
+    with _pytest.raises(Exception, match="schema mismatch"):
+        spark.read.format("avro_fallback").load(p3).collect()
+
+
+def test_sources_floor_and_nfiles_guards_r10(spark, tmp_path):
+    """r10 review: (a) ns->us normalization FLOORS pre-epoch values
+    (integral DIV truncates toward zero, +1us shift before 1970);
+    (b) write_sorted rejects an explicit n_files=0 instead of silently
+    falling back to the session-default partition count."""
+    import datetime
+
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.sources import (
+        normalize_event_ts,
+        write_sorted,
+    )
+
+    df = spark.createDataFrame([(-1500,), (1500,), (-2000,)], "ts long")
+    got = {r.ts for r in normalize_event_ts(df).collect()}
+    epoch = datetime.datetime(1970, 1, 1)
+    assert epoch + datetime.timedelta(microseconds=-2) in got  # floor(-1.5)
+    assert epoch + datetime.timedelta(microseconds=1) in got
+    assert epoch + datetime.timedelta(microseconds=-2) in got  # exact -2
+
+    small = spark.range(5).selectExpr("id AS k")
+    with _pytest.raises(ValueError, match="n_files"):
+        write_sorted(small, str(tmp_path / "ws"), ["k"], n_files=0)
+    write_sorted(small, str(tmp_path / "ws1"), ["k"], n_files=1)
+    assert spark.read.parquet(str(tmp_path / "ws1")).count() == 5
