@@ -43,6 +43,11 @@ class _BitReader:
             self.nbits += 8
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        # drop consumed bits: an unmasked accumulator keeps every bit
+        # ever read, making per-bit work O(stream) and whole-stream
+        # decode QUADRATIC — measured 0.58 s at 50 KB vs 165 s at
+        # 800 KB before this mask (r10 review)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def read_signed(self, n: int) -> int:
@@ -294,6 +299,7 @@ class _BitWriter:
         while self.nbits >= 8:
             self.nbits -= 8
             self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1  # same quadratic-growth mask
 
     def write_unary(self, q: int) -> None:
         while q >= 32:

@@ -69,6 +69,15 @@ _DECODE_OUT_SCHEMA = (
 )
 
 
+
+def _as_bytes(p) -> bytes:
+    """Payload cell -> bytes; a NULL cell (pandas None — the payload
+    column is declared nullable in MEDIA_SCHEMA) becomes b"", which
+    every decoder rejects into the normal undecodable -> NULL-fill row.
+    A bare bytes() conversion raised TypeError on None, killing the
+    whole mapInPandas task (r10 review; 11 call sites)."""
+    return b"" if p is None else bytes(p)
+
 def _decode_bmp_array(b: bytes):
     """Real BMP pixel decode → (width, height, HxWx3 uint8 array in logical
     top-down BGR order), or None if not a decodable BMP.
@@ -168,7 +177,7 @@ def decode_bmp_pixels(
                 "mean_luma": [],
             }
             for p in pdf[payload_col]:
-                dec = _decode_bmp_array(bytes(p))
+                dec = _decode_bmp_array(_as_bytes(p))
                 if dec is None:
                     for k in ("width", "height", "n_pixels", "mean_b",
                               "mean_g", "mean_r", "mean_luma"):
@@ -211,7 +220,7 @@ def decode_wav_samples(
                 "n_frames": [], "mean_abs": [], "rms": [], "peak": [],
             }
             for p in pdf[payload_col]:
-                dec = _decode_wav_array(bytes(p))
+                dec = _decode_wav_array(_as_bytes(p))
                 if dec is None or dec[3].size == 0:
                     for k in ("sample_rate", "channels", "n_frames",
                               "mean_abs", "rms", "peak"):
@@ -319,7 +328,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             # one bytes() per payload: the triple conversion copied every
             # multi-MB buffer three times per row in the hot decode loop
             # (r8 review)
-            raw = [bytes(p) for p in pdf["payload"]]
+            raw = [_as_bytes(p) for p in pdf["payload"]]
             decoded = [decode_one(b) for b in raw]
             yield pd.DataFrame(
                 {
@@ -387,7 +396,7 @@ def sniff_image_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raw = [bytes(p) for p in pdf[payload_col]]
+            raw = [_as_bytes(p) for p in pdf[payload_col]]
             sniffed = [_sniff_dims(b) for b in raw]
             yield pd.DataFrame(
                 {
@@ -447,13 +456,24 @@ def _sniff_audio(b: bytes) -> tuple[str | None, int | None, int | None, int | No
         total = ((b[21] & 0x0F) << 32) | struct.unpack(">I", b[22:26])[0]
         dur = int(total * 1000 / rate) if rate else None
         return "flac", rate or None, channels, dur
-    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xFE) == 0xFA:
+    # most real-world MP3s lead with an ID3v2 tag, not a frame sync —
+    # skip it (10-byte header + syncsafe 28-bit size at bytes 6-9)
+    # before the sync check, or every tagged file sniffs all-None
+    # (r10 review)
+    mp3 = b
+    if len(b) >= 10 and b[:3] == b"ID3":
+        tag = (
+            ((b[6] & 0x7F) << 21) | ((b[7] & 0x7F) << 14)
+            | ((b[8] & 0x7F) << 7) | (b[9] & 0x7F)
+        )
+        mp3 = b[10 + tag:]
+    if len(mp3) >= 4 and mp3[0] == 0xFF and (mp3[1] & 0xFE) == 0xFA:
         # MPEG1 Layer III frame sync (0xFFFA/0xFFFB)
-        bidx, ridx = b[2] >> 4, (b[2] >> 2) & 0x3
+        bidx, ridx = mp3[2] >> 4, (mp3[2] >> 2) & 0x3
         if 1 <= bidx <= 14 and ridx < 3:
             rate = _MP3_RATES[ridx]
-            channels = 1 if (b[3] >> 6) == 0x3 else 2
-            dur = int(len(b) * 8 / (_MP3_BITRATES[bidx] * 1000) * 1000)
+            channels = 1 if (mp3[3] >> 6) == 0x3 else 2
+            dur = int(len(mp3) * 8 / (_MP3_BITRATES[bidx] * 1000) * 1000)
             return "mp3", rate, channels, dur
         return "mp3", None, None, None
     return None, None, None, None
@@ -474,7 +494,7 @@ def sniff_audio_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raw = [bytes(p) for p in pdf[payload_col]]
+            raw = [_as_bytes(p) for p in pdf[payload_col]]
             sniffed = [_sniff_audio(b) for b in raw]
             yield pd.DataFrame(
                 {
@@ -574,7 +594,7 @@ def sniff_video_headers(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            raw = [bytes(p) for p in pdf[payload_col]]
+            raw = [_as_bytes(p) for p in pdf[payload_col]]
             sniffed = [_sniff_video(b) for b in raw]
             yield pd.DataFrame(
                 {
@@ -633,6 +653,12 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explode target frame timestamps
     from duration metadata (payload untouched; the frame extraction itself
     would be a mapInPandas stage against a real codec)."""
+    if every_ms < 1:
+        # eager driver-side contract (export.py discipline): sequence()
+        # with step 0 would instead fail per-row at runtime (r10 review)
+        raise ValueError(
+            f"frame_sample_plan: every_ms must be positive, got {every_ms}"
+        )
     frames = F.sequence(
         F.lit(0).cast("bigint"),
         F.coalesce(F.col("meta.duration_ms"), F.lit(0)).cast("bigint"),
@@ -839,7 +865,7 @@ def decode_png_pixels(
             cols = ("width", "height", "channels", "n_pixels",
                     "mean_r", "mean_g", "mean_b", "mean_luma")
             for p in pdf[payload_col]:
-                dec = _decode_png_array(bytes(p))
+                dec = _decode_png_array(_as_bytes(p))
                 if dec is None:
                     for k in cols:
                         out[k].append(None)
@@ -1131,7 +1157,7 @@ def decode_gif_pixels(
             cols = ("width", "height", "n_colors", "n_pixels",
                     "mean_r", "mean_g", "mean_b", "mean_luma")
             for p in pdf[payload_col]:
-                dec = _decode_gif_array(bytes(p))
+                dec = _decode_gif_array(_as_bytes(p))
                 if dec is None:
                     for k in cols:
                         out[k].append(None)
@@ -1249,7 +1275,12 @@ class _JpegBitReader:
         if self.nbits == 0:
             self._fill()
         self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        bit = (self.acc >> self.nbits) & 1
+        # mask consumed bits or the accumulator grows with the whole
+        # entropy segment and per-bit reads go quadratic (r10 review,
+        # same defect class as the FLAC bit reader)
+        self.acc &= (1 << self.nbits) - 1
+        return bit
 
     def read_bits(self, n: int) -> int:
         v = 0
@@ -1405,6 +1436,12 @@ def _jpeg_decode_scan(
     w, h, comps = frame
     if w <= 0 or h <= 0:
         return None
+    # a zero sampling factor in SOF0 is corrupt input, not a crash:
+    # hmax/vmax of 0 divided the MCU geometry (uncaught
+    # ZeroDivisionError escaped the decoder's except tuple and killed
+    # the whole task — r10 review, confirmed by repro)
+    if any(c[1] <= 0 or c[2] <= 0 for c in comps):
+        return None
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcu_w, mcu_h = 8 * hmax, 8 * vmax
@@ -1502,6 +1539,7 @@ class _JpegBitWriter:
             self.out.append(byte)
             if byte == 0xFF:
                 self.out.append(0x00)
+        self.acc &= (1 << self.nbits) - 1  # same quadratic-growth mask
 
     def flush(self) -> bytes:
         if self.nbits:
@@ -1569,8 +1607,6 @@ def encode_jpeg(px, subsample: bool = False) -> bytes:
 
     px = np.asarray(px, dtype=np.uint8)
     gray = px.ndim == 2 or px.shape[2] == 1
-    if not gray and subsample is False:
-        pass  # 4:4:4 RGB
     q = np.zeros(64)
     for z in range(64):
         q[_JPEG_ZIGZAG[z]] = _JPEG_STD_LUMA_Q[z]
@@ -1703,7 +1739,7 @@ def decode_jpeg_pixels(
             cols = ("width", "height", "channels", "n_pixels",
                     "mean_r", "mean_g", "mean_b", "mean_luma")
             for p in pdf[payload_col]:
-                dec = _decode_jpeg_array(bytes(p))
+                dec = _decode_jpeg_array(_as_bytes(p))
                 if dec is None:
                     for k in cols:
                         out[k].append(None)
@@ -1758,7 +1794,7 @@ def decode_flac_samples(
             cols = ("sample_rate", "channels", "bits_per_sample",
                     "n_frames", "mean_abs", "rms", "peak")
             for p in pdf[payload_col]:
-                dec = decode_flac(bytes(p))
+                dec = decode_flac(_as_bytes(p))
                 if dec is None or dec[3].size == 0:
                     for k in cols:
                         out[k].append(None)
@@ -1779,7 +1815,7 @@ def decode_flac_samples(
         batches,
         schema=f"{id_col} {df.schema[id_col].dataType.simpleString()}, "
         "sample_rate int, channels int, bits_per_sample int, "
-        "n_frames bigint, mean_abs double, rms double, peak int",
+        "n_frames bigint, mean_abs double, rms double, peak bigint",
     )
 
 
@@ -1842,7 +1878,7 @@ def decode_au_samples(
                 "n_samples": [], "mean_abs": [], "rms": [], "peak": [],
             }
             for p in pdf[payload_col]:
-                dec = _decode_au_array(bytes(p))
+                dec = _decode_au_array(_as_bytes(p))
                 if dec is None or dec[2].size == 0:
                     for k in ("sample_rate", "channels", "n_samples",
                               "mean_abs", "rms", "peak"):
