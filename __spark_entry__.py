@@ -12,6 +12,7 @@ implemented operator from SURVEY.md §2, each carrying its DuckDB oracle).
 
 from __future__ import annotations
 
+import functools as _functools
 import glob
 import json
 import os
@@ -82,6 +83,12 @@ def _sample_history() -> tuple[dict[str, int], dict[str, int], set[str]]:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            # valid JSON but not an object (e.g. a list): the except
+            # above tolerated unparseable files but rows.items() then
+            # crashed the whole driver contract on this shape (r10
+            # review) — skip it like any other malformed history file
+            continue
         for name, row in rows.items():
             counts[name] = counts.get(name, 0) + 1
             last_round[name] = rno
@@ -108,7 +115,8 @@ _PRIORITY_NAMES = (
 )
 
 
-def _rotated_names() -> list[str]:
+@_functools.lru_cache(maxsize=1)
+def _rotated_names() -> tuple[str, ...]:
     from aws_cli_data_pipeline_tools_spark.catalog import all_specs
 
     specs = all_specs()
@@ -124,7 +132,7 @@ def _rotated_names() -> list[str]:
     # down); then least-sampled; within a tie, oracle-backed before
     # rows-only so driver rows carry the strong (hash-checked) signal;
     # then registry order
-    return sorted(
+    return tuple(sorted(
         names,
         key=lambda n: (
             0 if n in latest_red else 1,
@@ -134,7 +142,7 @@ def _rotated_names() -> list[str]:
             0 if specs[n].oracle else 1,
             order[n],
         ),
-    )
+    ))
 
 
 def entry(spark: SparkSession) -> DataFrame:

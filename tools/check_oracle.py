@@ -336,6 +336,23 @@ def canon(v) -> str:
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        # Spark collect() yields bytearray, DuckDB BLOB yields bytes —
+        # str() forms differ ("bytearray(b'ab')" vs "b'ab'"), a false
+        # red on equal data (r10 review); hex is engine-neutral
+        return "0x" + bytes(v).hex()
+    if hasattr(v, "asDict"):
+        # Spark Row vs DuckDB dict for STRUCT columns: canonize both
+        # through sorted key/value pairs
+        v = v.asDict(recursive=True)
+    if isinstance(v, dict):
+        return (
+            "{" + ", ".join(
+                f"{k}: {canon(x)}" for k, x in sorted(v.items())
+            ) + "}"
+        )
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(canon(x) for x in v) + "]"
     return str(v)
 
 
@@ -347,6 +364,14 @@ def frame_to_canon(cols: list[str], rows: list[tuple]) -> tuple[list[str], list[
 
 
 def main() -> int:
+    if sys.flags.optimize:
+        # every invariant verifier enforces its contract via assert;
+        # python -O strips them and the whole invariant tier would
+        # print [invariant-ok] vacuously (r10 review) — refuse loudly
+        raise SystemExit(
+            "check_oracle: refusing to run under python -O — the "
+            "invariant tier is assert-based and would pass vacuously"
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
 
@@ -446,6 +471,11 @@ def main() -> int:
                          f"but {'decimal' if s_is else 'non-decimal'} in "
                          "Spark — align the casts (driver hash is typed)")
                     )
+                break
+            # one failure per ENTRY: without this, an entry with N
+            # decimal-skewed columns appended N failures and the final
+            # 'X failed' total overcounted (r10 review)
+            if failures and failures[-1][0] == name:
                 break
         if failures and failures[-1][0] == name:
             continue

@@ -53,7 +53,6 @@ def survey_registry_diff(
         and "_" in q
         and q not in names
         and q not in defined
-        and not q.endswith((".py", ".md"))
     }
     return unlisted, stale
 
@@ -78,8 +77,14 @@ def _source_identifiers() -> set[str]:
         # citations in the map resolve through their call sites
         idents.update(re.findall(r"\.(\w+)\(", src))
         for sig in re.findall(r"def\s+\w+\(([^)]*)", src):
-            idents.update(re.findall(r"(\w+)\s*[:=,)]|(\w+)\s*$", sig))
-            idents.update(w.strip() for w in sig.split(",") if w.strip().isidentifier())
+            # plain \w+ scan: the old two-group alternation made
+            # re.findall emit ('name','') TUPLES, which set-membership
+            # against strings never matches — annotated/defaulted
+            # parameter names silently never entered the universe
+            # (r10 review, reproduced: 502 junk tuples, 0 strings).
+            # Over-approximating with annotation tokens is fine: the
+            # universe is a resolution allowlist, not a proof.
+            idents.update(re.findall(r"\w+", sig))
     return idents
 
 
