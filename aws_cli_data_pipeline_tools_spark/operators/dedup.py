@@ -144,7 +144,7 @@ def ngram_jaccard_pairs(
     # last-decade exponent 1.37 at 32 partitions vs 0.72 at 256).
     # Below the knee the plan-size gate returns None with zero probe
     # jobs — the sf0.1 bench plan is unchanged.
-    width = _token_posting_width(df, text_col)
+    width, pair_width = _token_posting_widths(df, text_col)
     if width:
         inv = inv.repartition(width, "shingle")
     if max_bucket:
@@ -159,16 +159,26 @@ def ngram_jaccard_pairs(
         from pyspark import StorageLevel
 
         inv = inv.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = (
+    joined = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
         .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("a.n_sh").alias("n_a"),
-            F.first("b.n_sh").alias("n_b"),
+    )
+    # The PAIR-aggregate exchange is the 100× knee, not the posting
+    # exchange — see _PAIR_VOLUME_FACTOR for the measurement. pair_width
+    # has its own volume model from the same probe, so it can fire while
+    # the lighter posting exchange correctly stays at the default (the
+    # measured 100× case: postings 1.66 GB < knee, pair ~8 GB > knee).
+    if pair_width:
+        joined = joined.repartition(
+            pair_width, F.col("a.id"), F.col("b.id")
         )
+    pairs = joined.groupBy(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).agg(
+        F.count("*").alias("shared"),
+        F.first("a.n_sh").alias("n_a"),
+        F.first("b.n_sh").alias("n_b"),
     )
     return (
         pairs.select(
@@ -1027,6 +1037,49 @@ def _width_for_bytes(posting_bytes: float, default: int) -> int | None:
     return width if width > default else None
 
 
+def _probed_widths(
+    src: DataFrame,
+    text_col: str,
+    posting_bytes_list,
+    gate_bytes_per_char: float,
+    probe_avg: bool = True,
+) -> list:
+    """One corpus probe, several volume models: returns a width (or
+    None) per entry of ``posting_bytes_list``. ``gate_bytes_per_char``
+    must upper-bound the LARGEST model per raw char for the zero-probe
+    gate to be sound. Shared body of :func:`_probed_posting_width` and
+    :func:`_token_posting_widths` (r10: the pair exchange needs its own
+    width from the same probe — two separate calls would run the
+    count/avg jobs twice)."""
+    default = _session_shuffle_default(src)
+    plan = _plan_size_bytes(src)
+    budget = default * _POSTING_BYTES_PER_PARTITION
+    if (
+        plan is not None
+        and plan * _MAX_TEXT_COMPRESSION * gate_bytes_per_char <= budget
+    ):
+        return [None] * len(posting_bytes_list)
+    try:
+        n = src.count()
+        if n == 0:
+            return [None] * len(posting_bytes_list)
+        if probe_avg:
+            row = (
+                src.select(F.length(F.col(text_col)).alias("l"))
+                .limit(50_000)
+                .agg(F.avg("l").alias("a"))
+                .first()
+            )
+            avg = float(row["a"] or 0.0)
+        else:
+            avg = 0.0
+    except Exception:
+        return [None] * len(posting_bytes_list)
+    return [
+        _width_for_bytes(pb(n, avg), default) for pb in posting_bytes_list
+    ]
+
+
 def _probed_posting_width(
     src: DataFrame,
     text_col: str,
@@ -1067,31 +1120,9 @@ def _probed_posting_width(
     the plan estimate) rather than an avg-doc-length assumption, which
     under-bounds short-doc corpora in the unsafe direction (r10,
     ADVICE)."""
-    default = _session_shuffle_default(src)
-    plan = _plan_size_bytes(src)
-    budget = default * _POSTING_BYTES_PER_PARTITION
-    if (
-        plan is not None
-        and plan * _MAX_TEXT_COMPRESSION * gate_bytes_per_char <= budget
-    ):
-        return None
-    try:
-        n = src.count()
-        if n == 0:
-            return None
-        if probe_avg:
-            row = (
-                src.select(F.length(F.col(text_col)).alias("l"))
-                .limit(50_000)
-                .agg(F.avg("l").alias("a"))
-                .first()
-            )
-            avg = float(row["a"] or 0.0)
-        else:
-            avg = 0.0
-    except Exception:
-        return None
-    return _width_for_bytes(posting_bytes(n, avg), default)
+    return _probed_widths(
+        src, text_col, [posting_bytes], gate_bytes_per_char, probe_avg
+    )[0]
 
 
 def _span_posting_width(
@@ -1110,6 +1141,46 @@ def _span_posting_width(
         lambda n, avg: n * avg * bytes_per_char,
         gate_bytes_per_char=bytes_per_char,
     )
+
+
+#: Working-set multiple of the PAIR/co-occurrence exchange over the
+#: posting exchange for the inverted-index pair operators (one row per
+#: shared token per pair, Σ df² shaped). Measured r10 on the 100× cipher
+#: corpus: posting volume 1.66 GB (below the 2 GB knee — posting width
+#: correctly None) while explicitly widening the pair aggregate to
+#: 128-256 partitions (≈8 GB working set) cut the operator 36.3→27.6 s
+#: (interleaved min-of-3, reproduced twice) — the pair stream, not the
+#: postings, is the 100× knee. 6.0 ≈ the measured 5× with margin; the
+#: factor also scales the zero-probe gate so it stays a sound upper
+#: bound for the larger volume.
+_PAIR_VOLUME_FACTOR = 6.0
+
+
+def _token_posting_widths(
+    src: DataFrame,
+    text_col: str,
+    bytes_per_token: float = 56.0,
+    chars_per_token: float = 5.0,
+) -> tuple:
+    """(posting_width, pair_width) for a token-grained inverted-index
+    pair operator, from ONE corpus probe: the posting model per
+    :func:`_token_posting_width`, the pair model ``posting ×
+    _PAIR_VOLUME_FACTOR``. Either may be None (below its knee)."""
+    w = _probed_widths(
+        src,
+        text_col,
+        [
+            lambda n, avg: n * (avg / chars_per_token) * bytes_per_token,
+            lambda n, avg: (
+                n * (avg / chars_per_token) * bytes_per_token
+                * _PAIR_VOLUME_FACTOR
+            ),
+        ],
+        gate_bytes_per_char=(
+            bytes_per_token / chars_per_token * _PAIR_VOLUME_FACTOR
+        ),
+    )
+    return w[0], w[1]
 
 
 def _token_posting_width(
@@ -1633,22 +1704,31 @@ def ngram_containment_pairs(
     # volume-adaptive posting exchange, shared with ngram_jaccard_pairs
     # (VERDICT r9 task 1): one width-sized partition on the join key,
     # reused by the df-count agg, the anti-join, and both join sides
-    width = _token_posting_width(df, text_col)
+    width, pair_width = _token_posting_widths(df, text_col)
     if width:
         inv = inv.repartition(width, "shingle")
     if max_bucket:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
         hot = freq.filter(F.col("df_") > max_bucket).drop("df_")
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
-    pairs = (
+    joined = (
         inv.alias("a")
         .join(inv.alias("b"), "shingle")
         .filter(F.col("a.id") != F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(
-            F.count("*").alias("shared"),
-            F.first("a.n_sh").alias("n_a"),
+    )
+    # pair-aggregate exchange widened past its own knee exactly as in
+    # ngram_jaccard_pairs (see _PAIR_VOLUME_FACTOR); containment emits
+    # BOTH directions, so its pair stream is 2× the jaccard one at the
+    # same corpus — the shared factor already carries margin for it
+    if pair_width:
+        joined = joined.repartition(
+            pair_width, F.col("a.id"), F.col("b.id")
         )
+    pairs = joined.groupBy(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    ).agg(
+        F.count("*").alias("shared"),
+        F.first("a.n_sh").alias("n_a"),
     )
     return (
         pairs.select(

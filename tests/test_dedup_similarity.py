@@ -1018,10 +1018,15 @@ def test_token_posting_width_zero_probe_below_knee_r10(spark, monkeypatch):
         raise AssertionError("probe job ran below the knee")
 
     monkeypatch.setattr(SDF, "count", boom)
-    # shingle-posting model (jaccard/containment) and the token-string
-    # model (tfidf) both gate out at sf0.1
+    # shingle-posting model (prefix path) and the token-string model
+    # (tfidf) both gate out at sf0.1 with zero probe jobs
     assert dedup._token_posting_width(docs, "text") is None
     assert dedup._token_posting_width(docs, "text", bytes_per_token=64.0) is None
+    monkeypatch.undo()
+    # the dual-width helper's gate includes _PAIR_VOLUME_FACTOR, so at
+    # sf0.1 it runs the (cheap) probe — and must conclude both volumes
+    # are below their knees, leaving every bench plan unchanged
+    assert dedup._token_posting_widths(docs, "text") == (None, None)
 
     # width math for an above-the-knee corpus: 50M docs x 1000 chars at
     # 56 B per 5-char token ~= 560 GB working set -> far wider than 32
@@ -1045,9 +1050,11 @@ def test_ngram_paths_parity_with_width_forced_r10(spark, sf_dir):
     }
     assert len(baseline["jac"]) > 0  # fixture has near-dups
 
-    real_probe = dedup._probed_posting_width
+    real_probe = dedup._probed_widths
     try:
-        dedup._probed_posting_width = lambda *a, **k: 7  # force odd width
+        # force odd widths through the shared probe (covers both the
+        # single- and dual-width helpers)
+        dedup._probed_widths = lambda src, tc, models, *a, **k: [7] * len(models)
         forced = {
             "jac": dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect(),
             "pre": dedup.ngram_jaccard_pairs(
@@ -1057,6 +1064,6 @@ def test_ngram_paths_parity_with_width_forced_r10(spark, sf_dir):
             "tfi": dedup.tfidf_cosine_pairs(docs, threshold=0.4).collect(),
         }
     finally:
-        dedup._probed_posting_width = real_probe
+        dedup._probed_widths = real_probe
     for key in baseline:
         assert forced[key] == baseline[key], key
