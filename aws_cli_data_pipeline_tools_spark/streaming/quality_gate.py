@@ -13,11 +13,28 @@ table.
 from __future__ import annotations
 
 import json
-import os
+import posixpath
 
 from pyspark.sql import DataFrame
 
 from ..operators import quality
+
+#: Rule kinds check_constraints accepts — mirrored here so the gate can
+#: validate eagerly at the call site (kept in sync by
+#: test_gate_rejects_bad_rules_eagerly, which cross-checks against the
+#: operator's own error).
+_RULE_KINDS = ("not_null", "unique", "accepted_values", "in_range", "satisfies")
+
+
+def _fs_for(spark, path: str):
+    """Hadoop FileSystem + Path for ``path`` — the URI-scheme-aware
+    route every filesystem mutation in this module uses. Local os.*
+    calls on an s3a://... URI silently create a LOCAL directory named
+    after the URI under the driver's cwd (r10 review: the quarantine
+    report landed there while the data went to object storage)."""
+    jvm = spark.sparkContext._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), p
 
 
 def gated_parquet_sink(
@@ -31,6 +48,19 @@ def gated_parquet_sink(
     ``good_dir`` and failing ones to ``quarantine_dir`` (with a
     ``_report_<batch>.json`` of per-rule metrics). Returns the handle;
     caller awaits termination."""
+    # loud contract at the CALL SITE (same pattern as
+    # error_click_join_stream's `how` check): an empty or typo'd rule
+    # set otherwise surfaces as a StreamingQueryException from the first
+    # micro-batch, far from the mistake (r10 review)
+    if not rules:
+        raise ValueError("gated_parquet_sink: rules must be non-empty — an "
+                         "empty gate passes everything silently")
+    for r in rules:
+        if r.get("rule") not in _RULE_KINDS:
+            raise ValueError(
+                f"gated_parquet_sink: unknown rule kind {r.get('rule')!r}; "
+                f"expected one of {_RULE_KINDS}"
+            )
 
     def handle(batch: DataFrame, batch_id: int) -> None:
         # two actions consume the batch (constraint agg, then the write);
@@ -47,16 +77,39 @@ def gated_parquet_sink(
             # never duplicates rows. Readers see batch_id as a partition
             # column.
             batch.write.mode("overwrite").parquet(
-                os.path.join(dst, f"batch_id={batch_id}")
+                posixpath.join(dst, f"batch_id={batch_id}")
             )
+            # A replay whose VERDICT flipped (rules changed across a
+            # checkpoint reset) must not leave the stale copy in the
+            # OTHER directory — downstream readers of good_dir would
+            # keep consuming a now-known-bad batch (r10 review)
+            spark = batch.sparkSession
+            other = quarantine_dir if ok else good_dir
+            fs, op = _fs_for(
+                spark, posixpath.join(other, f"batch_id={batch_id}")
+            )
+            if fs.exists(op):
+                fs.delete(op, True)
         finally:
             batch.unpersist()
+        spark = batch.sparkSession
+        rep_path = posixpath.join(quarantine_dir, f"_report_{batch_id}.json")
+        fs, rp = _fs_for(spark, rep_path)
         if not ok:
-            os.makedirs(quarantine_dir, exist_ok=True)
-            with open(
-                os.path.join(quarantine_dir, f"_report_{batch_id}.json"), "w"
-            ) as f:
-                json.dump([r.asDict() for r in report], f, default=str)
+            # scheme-aware write so the report lands NEXT TO the
+            # quarantined batch on any filesystem, not on the driver's
+            # local disk (r10 review)
+            out = fs.create(rp, True)
+            try:
+                out.write(bytearray(
+                    json.dumps(
+                        [r.asDict() for r in report], default=str
+                    ).encode("utf-8")
+                ))
+            finally:
+                out.close()
+        elif fs.exists(rp):
+            fs.delete(rp, False)  # verdict flipped to pass: stale report
 
     return (
         stream.writeStream.foreachBatch(handle)

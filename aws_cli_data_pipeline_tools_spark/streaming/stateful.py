@@ -50,11 +50,24 @@ def _update_user_state(
         return
     n, s, last_ms = state.get if state.exists else (0, 0.0, 0)
     for pdf in batches:
-        n += len(pdf)
-        s += float(pdf["value"].sum())
-        batch_max = pdf["ts"].max()
-        if pd.notna(batch_max):
+        # NULL-ts rows are dropped entirely (same rule as the
+        # transcript sessionizer, r9): the old half-handling counted
+        # them into n/s while never advancing last_ms, so a key seeded
+        # only by NULL-ts events kept last_ms=0, armed a degenerate
+        # watermark+1 timeout, closed on the next tick and SPLIT its
+        # totals across closed rows (r10 review)
+        ok_rows = pdf[pd.notna(pdf["ts"])]
+        n += len(ok_rows)
+        s += float(ok_rows["value"].sum()) if len(ok_rows) else 0.0
+        if len(ok_rows):
+            batch_max = ok_rows["ts"].max()
             last_ms = max(last_ms, int(batch_max.value // 1_000_000))
+    if n == 0:
+        # nothing event-timed ever arrived for this key: no state, no
+        # timeout, no row
+        if state.exists:
+            state.update((n, s, last_ms))
+        return
     state.update((n, s, last_ms))
     # Evict when the watermark passes last-event-time + idle window, where
     # last-event-time is the max over the key's WHOLE history (stored in
@@ -153,7 +166,12 @@ def _update_transcript_state(
                     continue
                 ts_us.append(int(t.value // 1_000))
                 eid.append(int(e))
-                et.append(str(y))
+                # NULL event_type: the turn still exists (both batch
+                # twins COUNT the row) but its transcript element is
+                # skipped (array_join and string_agg both drop NULL
+                # elements) — str(None) emitted a literal 'None@0'
+                # turn, breaking the documented exact parity (r10)
+                et.append(None if pd.isna(y) else str(y))
     order = sorted(range(len(ts_us)), key=lambda i: (ts_us[i], eid[i]))
     ts_us = [ts_us[i] for i in order]
     eid = [eid[i] for i in order]
@@ -185,6 +203,7 @@ def _update_transcript_state(
         turns = " ".join(
             f"{et[i]}@{(ts_us[i] - start) // 1_000_000}"
             for i in range(lo, hi)
+            if et[i] is not None
         )
         if closed:
             n_closed += 1
@@ -204,7 +223,7 @@ def _update_transcript_state(
     cur_max = n_closed + open_offset
     for sid in range(cur_max + 1, max_emitted + 1):
         rows.append((user_id, sid, 0, "", False, seq))
-    max_emitted = max(cur_max, n_closed)
+    max_emitted = cur_max  # open_offset >= 0, so cur_max is the max
     ts_us = ts_us[keep_from:]
     eid = eid[keep_from:]
     et = et[keep_from:]

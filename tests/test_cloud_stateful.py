@@ -392,3 +392,68 @@ def test_transcripts_merge_retracts_phantom_session(spark, tmp_path):
     live = {k: (v.n_turns, v.transcript)
             for k, v in best.items() if v.n_turns > 0}
     assert live == {(1, 1): (3, "A@0 C@1500 B@3000")}
+
+
+def test_stateful_null_field_discipline_r10(spark, tmp_path):
+    """r10 review: (a) a NULL event_type turn is COUNTED in n_turns but
+    its element is omitted from the transcript (both batch twins skip
+    NULL elements in array_join/string_agg while count(*) counts the
+    row) — str(None) used to emit a literal 'None@...' turn; (b) a key
+    seeded only by NULL-ts events holds no state and never emits (the
+    old half-handling counted them, armed a watermark+1 timeout and
+    split later totals)."""
+    import datetime
+
+    from aws_cli_data_pipeline_tools_spark.streaming.stateful import (
+        running_user_totals,
+        session_transcripts_stream,
+    )
+
+    def t(s):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s)
+
+    # (a) transcripts with a NULL event_type mid-session
+    schema = "user_id bigint, ts timestamp, event_id bigint, event_type string"
+    src = _write_ordered_files(spark, tmp_path / "a", [
+        [(1, t(0), 1, "click"), (1, t(10), 2, None), (1, t(20), 3, "view"),
+         (1, t(5000), 9, "late_driver")],
+    ], schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        session_transcripts_stream(stream)
+        .writeStream.format("memory").queryName("t_nulltype")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = [r for r in spark.table("t_nulltype").collect()
+            if r.user_id == 1 and r.session_id == 1]
+    best = max(rows, key=lambda r: r.emit_seq)
+    assert best.n_turns == 3                      # NULL turn counted
+    assert "None" not in best.transcript          # but not rendered
+    assert best.transcript == "click@0 view@20"
+
+    # (b) totals: user 7 has ONLY NULL-ts rows -> no rows at all for it
+    schema2 = "user_id bigint, ts timestamp, value double"
+    src2 = _write_ordered_files(spark, tmp_path / "b", [
+        [(7, None, 5.0), (7, None, 6.0), (1, t(100), 1.0)],
+        [(1, t(5000), 2.0)],
+    ], schema2)
+    stream2 = (
+        spark.readStream.schema(schema2)
+        .option("maxFilesPerTrigger", "1").parquet(src2)
+    )
+    q2 = (
+        running_user_totals(stream2)
+        .writeStream.format("memory").queryName("t_nullts")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    out = spark.table("t_nullts").collect()
+    assert not [r for r in out if r.user_id == 7], (
+        "NULL-ts-only key must hold no state and emit nothing"
+    )
+    u1 = max((r for r in out if r.user_id == 1), key=lambda r: r.n_events)
+    assert (u1.n_events, u1.sum_value) == (2, 3.0)

@@ -171,6 +171,7 @@ def test_quality_gate_quarantines_bad_batches(spark, tmp_path):
     import json
 
     from aws_cli_data_pipeline_tools_spark.operators import quality as Q
+    from aws_cli_data_pipeline_tools_spark.operators.quality import in_range
     from aws_cli_data_pipeline_tools_spark.streaming.quality_gate import (
         gated_parquet_sink,
     )
@@ -434,3 +435,60 @@ def test_stream_stream_right_full_outer_boundary_r10(spark, tmp_path):
         st.error_click_join_stream(
             st.events_file_stream(spark, sf), how="left_outer"
         )
+
+
+def test_quality_gate_eager_rules_and_flip_cleanup_r10(spark, tmp_path):
+    """r10 review: (a) empty/typo'd rule sets fail loudly at the call
+    site, not as a StreamingQueryException from the first micro-batch;
+    (b) a checkpoint-reset replay whose verdict FLIPS removes the stale
+    copy from the other directory (and a stale report on pass->...)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_cli_data_pipeline_tools_spark.operators.quality import in_range
+    from aws_cli_data_pipeline_tools_spark.streaming.quality_gate import (
+        gated_parquet_sink,
+    )
+
+    src = str(tmp_path / "src")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+        os.path.join(src, "f0.parquet"),
+    )
+    schema = "k bigint"
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        gated_parquet_sink(stream, [], "g", "q", "c")
+    with pytest.raises(ValueError, match="unknown rule kind"):
+        gated_parquet_sink(stream, [{"rule": "not_nul", "column": "k"}],
+                           "g", "q", "c")
+
+    good, quar = str(tmp_path / "good"), str(tmp_path / "quar")
+    # run 1: lax rule -> batch passes into good_dir
+    q1 = gated_parquet_sink(
+        spark.readStream.schema(schema).parquet(src),
+        [in_range("k", 0, 10)],
+        good, quar, str(tmp_path / "ckpt1"),
+    )
+    q1.awaitTermination(120)
+    assert spark.read.parquet(good).count() == 2
+    # run 2: fresh checkpoint + strict rule -> same batch now FAILS;
+    # the stale good_dir copy must be removed, not left beside the
+    # quarantined one
+    q2 = gated_parquet_sink(
+        spark.readStream.schema(schema).parquet(src),
+        [in_range("k", 0, 1)],
+        good, quar, str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(quar).count() == 2
+    import glob as g
+
+    assert not g.glob(os.path.join(good, "batch_id=*")), (
+        "flipped verdict left the stale batch in good_dir"
+    )
+    assert g.glob(os.path.join(quar, "_report_*.json"))
