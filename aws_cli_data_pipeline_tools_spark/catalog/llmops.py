@@ -3699,7 +3699,9 @@ WITH agg AS (
 ), n AS (
   SELECT c_nationkey, tc,
          CAST(('0x' || substr(md5('dp-v1' || '|' ||
-                CAST(c_nationkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                CASE WHEN c_nationkey IS NULL THEN '0'
+                     ELSE '1' || CAST(c_nationkey AS VARCHAR) END
+              ), 1, 15)) AS BIGINT)
            / CAST(power(16, 15) AS DOUBLE) - 0.5 AS u
   FROM agg
 )

@@ -134,9 +134,20 @@ def noisy_counts(
     """
     b = 1.0 / epsilon
     agg = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__true"))
-    key = F.concat_ws(
-        "|", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
-    )
+    # NULL-distinct key encoding: concat_ws SKIPS null args, so the old
+    # plain-cast form gave groups ("a", NULL) and (NULL, "a") the SAME
+    # key "seed|a" — identical noise draws for distinct groups, which
+    # correlates their releases. Each position now always contributes a
+    # token: "0" for NULL, "1"+value otherwise ("1x" can never equal the
+    # NULL marker, and per-position prefixing keeps positions aligned).
+    # The DuckDB oracle twin mirrors this encoding.
+    enc = [
+        F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+            F.concat(F.lit("1"), F.col(c).cast("string"))
+        )
+        for c in group_cols
+    ]
+    key = F.concat_ws("|", F.lit(seed), *enc)
     u = (
         F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double")
         / F.lit(float(16**15))

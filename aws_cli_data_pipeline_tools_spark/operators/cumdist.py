@@ -33,6 +33,25 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,10)"
 
 
+def _nsafe_join(left: DataFrame, right: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Broadcast inner join on ``keys`` with NULL-SAFE equality. A plain
+    column-list join uses EqualTo, so rows whose partition value is NULL
+    would silently vanish between the bounds/edges/prefix frames and the
+    data — while SQL window semantics treat NULL as a legal partition of
+    its own (the order column gets a loud raise_error guard; the part
+    columns must not get a SILENT drop). Right-side keys are renamed to
+    ``_gj_<key>`` (reserved-name-checked by the caller) for the condition
+    and dropped after; EqualNullSafe keys still hash-join."""
+    renamed = right.withColumnsRenamed({k: f"_gj_{k}" for k in keys})
+    cond = None
+    for k in keys:
+        e = F.col(k).eqNullSafe(F.col(f"_gj_{k}"))
+        cond = e if cond is None else cond & e
+    return left.join(F.broadcast(renamed), cond).drop(
+        *[f"_gj_{k}" for k in keys]
+    )
+
+
 def order_domain_skew(
     df: DataFrame, order_col: str, part_cols: Sequence[str] = ()
 ) -> float:
@@ -165,6 +184,10 @@ def binned_cumsum(
         "_bkt", "_lrn", "_edges", "_lo", "_hi", "_bn", "_pcnt", "_bs",
         rank_col, cum_col, *(extra_values or {}),
     }
+    # null-safe join key renames (_nsafe_join): one per part column +
+    # the bucket key of the prefix join
+    reserved.update(f"_gj_{c}" for c in parts)
+    reserved.add("_gj__bkt")
     # the quantile jump search emits one _bs{i} column per halving step
     # (~log2(n_buckets) of them) — size the reserved set to match
     reserved.update(f"_bs{i}" for i in range(2 + n_buckets.bit_length()))
@@ -275,7 +298,7 @@ def binned_cumsum(
         ).alias("_edges")
         if parts:
             eb = df.groupBy(*parts).agg(edges)
-            b = df.join(F.broadcast(eb), parts)
+            b = _nsafe_join(df, eb, parts)
         else:
             eb = df.agg(edges)
             b = df.crossJoin(F.broadcast(eb))
@@ -320,7 +343,7 @@ def binned_cumsum(
             bounds = df.groupBy(*parts).agg(
                 F.min(x).alias("_lo"), F.max(x).alias("_hi")
             )
-            b = df.join(F.broadcast(bounds), parts)
+            b = _nsafe_join(df, bounds, parts)
         else:
             bounds = df.agg(F.min(x).alias("_lo"), F.max(x).alias("_hi"))
             b = df.crossJoin(F.broadcast(bounds))
@@ -383,7 +406,7 @@ def binned_cumsum(
     # decimal(28,10) first: the Add result is decimal(29,10) — exact —
     # and the downcast itself is lossless for |cum| < 10^18.
     add_t = "decimal(28,10)"
-    out = loc.join(F.broadcast(pref), [*parts, "_bkt"]).select(
+    out = _nsafe_join(loc, pref, [*parts, "_bkt"]).select(
         *df.columns,
         (F.col("_lrn") + F.col("_pcnt")).alias(rank_col),
         *[

@@ -749,6 +749,7 @@ def dedup_clusters(
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    n_changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -770,6 +771,23 @@ def dedup_clusters(
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # a chain-shaped dup graph with diameter > max_iterations exits
+        # here with labels still mid-propagation — one group reported as
+        # several. Silent would be the same wrong-groups class the rest
+        # of the module guards loudly; warn (don't raise: the labels ARE
+        # a valid partial refinement, and callers may cap rounds on
+        # purpose for latency).
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters: label propagation did not converge within "
+            f"max_iterations={max_iterations} ({n_changed} labels still "
+            "changing) — components wider than that many hops are split; "
+            "raise max_iterations for full transitive closure",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id"), F.col("label").alias("group_id")
     ).orderBy("id")
@@ -1422,6 +1440,12 @@ def blocked_fuzzy_pairs(
     miss — no all-pairs join ever forms. Returns
     ``(id_a, id_b, edit_dist)`` with ``id_a < id_b``.
     """
+    if not block_exprs:
+        raise ValueError(
+            "blocked_fuzzy_pairs: block_exprs is empty — at least one "
+            "blocking expression is required (an empty list would mean "
+            "an all-pairs O(n²) join, which this operator exists to avoid)"
+        )
     out = None
     for expr in block_exprs:
         a = df.select(

@@ -25,6 +25,31 @@ __all__ = [
 ]
 
 
+def _group_join(df: DataFrame, right: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Inner-join ``right`` (one row per group) back onto ``df`` with
+    NULL-SAFE key equality. A plain ``df.join(right, group_cols)`` uses
+    EqualTo, so every row whose group value is NULL silently vanishes
+    from the output — while the groupBy that built ``right`` happily
+    emitted a NULL-group row for it (SQL GROUP BY semantics). Same
+    silent-row-loss class as gapfill's key join (gapfill.py:78) and
+    exact_dedup's keeper join (dedup.py:51). Right-side keys are renamed
+    to ``__g_<col>`` for the condition and dropped after."""
+    clash = {f"__g_{c}" for c in group_cols}.intersection(df.columns)
+    if clash:
+        raise ValueError(
+            f"columns {sorted(clash)} collide with internal join-key "
+            "names — rename them first"
+        )
+    renamed = right.withColumnsRenamed({c: f"__g_{c}" for c in group_cols})
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+        cond = e if cond is None else cond & e
+    return df.join(F.broadcast(renamed), cond).drop(
+        *[f"__g_{c}" for c in group_cols]
+    )
+
+
 def not_null(col: str, max_null_frac: float = 0.0) -> dict:
     """Fraction of NULLs in ``col`` must be <= ``max_null_frac``."""
     return {"rule": "not_null", "column": col, "threshold": float(max_null_frac)}
@@ -186,7 +211,7 @@ def winsorize(
         ).alias("__hi"),
     )
     return (
-        df.join(F.broadcast(bounds), group_cols)
+        _group_join(df, bounds, group_cols)
         .withColumn(
             out_col,
             # greatest/least SKIP NULLs (a NULL value would clamp to the
@@ -222,14 +247,14 @@ def mad_outliers(
             f"percentile_disc(0.5) WITHIN GROUP (ORDER BY {value_col})"
         ).alias("__median")
     )
-    with_med = df.join(F.broadcast(med), group_cols)
+    with_med = _group_join(df, med, group_cols)
     mad = with_med.groupBy(*group_cols).agg(
         F.expr(
             f"percentile_disc(0.5) WITHIN GROUP "
             f"(ORDER BY abs({value_col} - __median))"
         ).alias("__mad")
     )
-    return with_med.join(F.broadcast(mad), group_cols).withColumn(
+    return _group_join(with_med, mad, group_cols).withColumn(
         "is_outlier",
         F.when(F.col(value_col).isNull(), F.lit(None).cast("boolean"))
         .otherwise(

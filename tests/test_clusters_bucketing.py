@@ -101,3 +101,27 @@ def test_word_shingles_matches_reference(spark, words_list):
     df = spark.createDataFrame([(text,)], "text string")
     got = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()[0].sh
     assert got == _py_shingles(text, 3)
+
+
+def test_dedup_clusters_warns_on_non_convergence(spark):
+    """A chain longer than max_iterations hops exits mid-propagation —
+    that must WARN, not silently return split groups (r10 review)."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a int, id_b int"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = dedup_clusters(pairs, max_iterations=2).collect()
+    assert any("did not converge" in str(w.message) for w in rec)
+    # labels are a valid partial refinement, every node still present
+    assert len(out) == 13
+    # and with enough rounds the same input converges warning-free
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        full = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
+    assert not [w for w in rec2 if "did not converge" in str(w.message)]
+    assert set(full.values()) == {0}

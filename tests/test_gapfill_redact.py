@@ -469,3 +469,66 @@ def test_gapfill_rejects_multi_unit_step_r10(spark):
         gapfill(df, "k", "ts", "v", step="0 days", grain="day")
     # magnitude-1 plural form stays legal
     assert gapfill(df, "k", "ts", "v", step="1 hours", grain="hour").count() == 2
+
+
+def test_winsorize_and_mad_keep_null_group_rows(spark):
+    """NULL group values are legal GROUP BY groups; the bounds/median
+    join-backs must be null-safe, not silently drop those rows (r10
+    quality review — the gapfill/SCD2 silent-row-loss class)."""
+    from aws_cli_data_pipeline_tools_spark.operators.quality import (
+        mad_outliers,
+        winsorize,
+    )
+
+    rows = [(None, float(v)) for v in range(1, 21)] + [
+        (None, 1000.0),
+        ("b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", lo_p=0.05, hi_p=0.95).collect()
+    assert len(out) == len(rows)  # no row lost
+    got = {(r["g"], r["v"]): r["v_w"] for r in out}
+    assert got[(None, 1000.0)] == 20.0  # clipped within the NULL group
+    assert got[("b", 5.0)] == 5.0
+
+    rows2 = [(None, float(v)) for v in [10, 11, 12, 13, 14, 100]] + [
+        ("b", 1.0)
+    ]
+    df2 = spark.createDataFrame(rows2, "g string, v double")
+    out2 = mad_outliers(df2, ["g"], "v", k=3.0).collect()
+    assert len(out2) == len(rows2)
+    flags = {(r["g"], r["v"]): r["is_outlier"] for r in out2}
+    assert flags[(None, 100.0)] is True
+    assert flags[(None, 12.0)] is False
+
+
+def test_noisy_counts_null_group_keys_distinct(spark):
+    """concat_ws skips NULL args, so ('a', NULL) and (NULL, 'a') used to
+    collapse to the same noise key — correlated draws for distinct
+    groups (r10 anonymize review). The encoded key keeps them apart."""
+    from aws_cli_data_pipeline_tools_spark.operators.anonymize import (
+        noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), (None, "a"), (None, "a")],
+        "x string, y string",
+    )
+    out = noisy_counts(df, ["x", "y"], epsilon=1.0).collect()
+    assert len(out) == 2
+    # identical true counts (2 and 2): equal noisy values would mean the
+    # noise draws collided — the defect being regression-tested
+    vals = [r["noisy_count"] for r in out]
+    assert vals[0] != vals[1]
+
+
+def test_blocked_fuzzy_pairs_empty_blocks_raises(spark):
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id int, name string")
+    with _pytest.raises(ValueError, match="block_exprs is empty"):
+        blocked_fuzzy_pairs(df, "id", "name", [], 1)

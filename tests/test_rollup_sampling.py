@@ -544,3 +544,47 @@ def test_binned_cumsum_names_unrepresentable_values(spark):
     out = binned_cumsum(df, value_col="v", order_col="o", n_buckets=4)
     with pytest.raises(Exception, match="not\\s+representable|representable"):
         out.collect()
+
+
+def test_binned_cumsum_null_partition_rows_kept(spark):
+    """SQL windows treat a NULL partition value as its own partition;
+    the bounds/edges/prefix join-backs must be null-safe so those rows
+    get ranked instead of silently vanishing (r10 cumdist review)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators.cumdist import (
+        binned_cumsum,
+    )
+
+    rows = [
+        (None, 1, 10.0, 2.0), (None, 2, 5.0, 1.0), (None, 3, 20.0, 4.0),
+        ("b", 1, 3.0, 3.0), ("b", 2, 7.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["grp", "key", "x", "val"])
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(F.asc("x"), F.asc("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = df.select(
+        "grp",
+        "key",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("val").cast("decimal(38,10)")).over(w).alias("cum_d"),
+    )
+    for mode in ("range", "quantile"):
+        got = binned_cumsum(
+            df,
+            order_col="x",
+            value_col="val",
+            part_cols=("grp",),
+            tiebreak_cols=("key",),
+            n_buckets=4,
+            bucket_mode=mode,
+        ).select("grp", "key", "rn", "cum_d")
+        ex = {(r.grp, r.key): (r.rn, r.cum_d) for r in naive.collect()}
+        rows_got = got.collect()
+        assert len(rows_got) == len(rows), mode  # no NULL-group row lost
+        for r in rows_got:
+            assert ex[(r.grp, r.key)] == (r.rn, r.cum_d), (mode, r)
