@@ -689,7 +689,21 @@ def line_dedup(
         ).alias("text_dedup"),
         F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    # per-doc line totals as a NARROW projection, not a groupBy over the
+    # exploded posting volume: size(split(...)) is exactly the posexplode
+    # row count, so this both removes one keyed shuffle AND keeps
+    # NULL-text documents in the output (they emit no posting rows, so
+    # the old aggregate silently dropped them; they now report
+    # n_lines=0 like the docstring's all-lines-deduped case — r10
+    # review).
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.col(text_col).isNull(), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.size(F.split(F.col(text_col), re.escape(sep))).cast("bigint")
+        )
+        .alias("n_lines"),
+    )
     return (
         totals.join(per_doc, "id", "left")
         .select(
@@ -958,7 +972,14 @@ def embedding_cosine_pairs(
     shape _bucketize's docstring rejects. ``dim`` (vector length) avoids
     a driver-side probe of the first row; callers that know the schema
     should pass it.
+
+    NULL embeddings are DROPPED up front (same contract as
+    minhash_sides' empty-shingle drop): a NULL vector can never be a
+    near-dup, and letting it through used to kill the whole job inside
+    the numpy kernels (np.stack over a batch containing None — r10
+    review) instead of excluding one meaningless row.
     """
+    df = df.filter(F.col(vec_col).isNotNull())
     if not n_planes:
         if broadcast:
             return _cosine_pairs_matmul(df, id_col, vec_col, threshold)
@@ -968,7 +989,14 @@ def embedding_cosine_pairs(
     from .similarity import _bucketize, _hyperplane_tables
 
     if dim is None:  # fallback probe — one tiny driver action
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None:
+            raise ValueError(
+                "embedding_cosine_pairs: no non-NULL embeddings to probe "
+                "vector dimensionality from — pass dim= explicitly for "
+                "empty/all-NULL inputs"
+            )
+        dim = len(probe[0])
     planes = _hyperplane_tables(dim, n_planes, n_tables=1, seed=seed)
     vecs = _bucketize(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),

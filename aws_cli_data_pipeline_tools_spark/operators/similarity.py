@@ -157,6 +157,11 @@ def _bucketize(
     weights = (1 << np.arange(n_planes)).astype(np.int64)
     id_t = df.schema[id_name].dataType.simpleString()
     vec_t = df.schema[vec_name].dataType.simpleString()
+    # NULL vectors can never be neighbors; one in a batch turns np.stack
+    # into a ragged object array and the matmul kills the whole task
+    # (r10 review) — drop them here so every _bucketize consumer
+    # (lsh_ann_topk, embedding_cosine_pairs LSH) shares the contract
+    df = df.filter(F.col(vec_name).isNotNull())
 
     def gen(batches):
         for batch in batches:
@@ -212,6 +217,10 @@ def _ivf_centroids(
     import numpy as np
     import pandas as pd
 
+    # same NULL-vector drop contract as _bucketize/_ivf_assign: a NULL
+    # embedding in any Arrow batch crashed the Lloyd partials' np.stack
+    # (r10 review); it carries no geometry to train on
+    corpus = corpus.filter(F.col(vec_name).isNotNull())
     seeds = (
         corpus.select(vec_name)
         .orderBy(F.xxhash64(F.col(id_name), F.lit(seed)))
@@ -287,6 +296,9 @@ def _ivf_assign(
 
     id_t = df.schema[id_name].dataType.simpleString()
     vec_t = df.schema[vec_name].dataType.simpleString()
+    # NULL vectors: same drop contract as _bucketize (np.stack would
+    # turn ragged and crash the task — r10 review)
+    df = df.filter(F.col(vec_name).isNotNull())
 
     def gen(batches):
         for batch in batches:

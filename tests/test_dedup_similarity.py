@@ -1067,3 +1067,60 @@ def test_ngram_paths_parity_with_width_forced_r10(spark, sf_dir):
         dedup._probed_widths = real_probe
     for key in baseline:
         assert forced[key] == baseline[key], key
+
+
+def test_null_embeddings_dropped_not_crashing(spark):
+    """A NULL embedding used to kill the whole task inside the numpy
+    kernels (np.stack over a batch containing None) in every
+    bucketize/centroid/assign path; the contract is now a documented
+    drop — NULL vectors can never be neighbors (r10 review)."""
+    from pyspark.sql import functions as F
+
+    from aws_cli_data_pipeline_tools_spark.operators import (
+        dedup as D,
+        similarity as SIM,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.0]) for i in range(1, 8)]
+        + [(8, [0.0, 0.0, 0.0]), (9, None)],
+        "vec_id int, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.0])], "query_id int, embedding array<double>"
+    )
+    # exact blocked, LSH, and broadcast paths of embedding_cosine_pairs
+    for kw in ({"n_blocks": 2}, {"n_planes": 4, "dim": 3}, {"broadcast": True}):
+        out = D.embedding_cosine_pairs(vecs, threshold=0.5, **kw).collect()
+        assert all(r.id_a != 9 and r.id_b != 9 for r in out), kw
+    got = SIM.lsh_ann_topk(vecs, q, k=3, n_planes=4, n_tables=2, dim=3).collect()
+    assert all(r.neighbor_id != 9 for r in got)
+    got = SIM.ivf_topk(vecs, q, k=3, n_centroids=2, n_probe=2).collect()
+    assert all(r.neighbor_id != 9 for r in got)
+    labels = SIM.kmeans_clusters(vecs, n_centroids=2).collect()
+    assert len(labels) == 8  # the 8 non-NULL vectors, NULL dropped
+    # all-NULL probe raises a clear contract error instead of TypeError
+    allnull = spark.createDataFrame(
+        [(1, None)], "vec_id int, embedding array<double>"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        D.embedding_cosine_pairs(allnull, threshold=0.5, n_planes=4)
+
+
+def test_line_dedup_null_text_reports_zero_lines(spark):
+    """NULL-text docs must appear in the per-doc output with n_lines=0
+    (the old exploded-volume totals aggregate silently dropped them);
+    the totals projection is also one keyed shuffle cheaper (r10)."""
+    from aws_cli_data_pipeline_tools_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb\nc"), (2, None), (3, ""), (4, "a\nd")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[2].n_lines == 0 and out[2].n_kept == 0 and out[2].text_dedup == ""
+    assert out[1].n_lines == 3 and out[1].n_kept == 3
+    assert out[4].n_kept == 1 and out[4].text_dedup == "d"  # 'a' deduped
