@@ -1599,7 +1599,21 @@ def source_overlap_matrix(
                 word_shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
             )
         ).alias("g"),
-    ).distinct()
+    )
+    # Volume-adaptive posting exchange (the span/token-path mechanism):
+    # the pre-distinct posting stream is the ONLY corpus-proportional
+    # stage here (post-distinct volume is capped at |vocab|×sources and
+    # the pair aggregate at sources²), so it is the one exchange that
+    # can knee. Hash on {g} (subset of the distinct keys) satisfies the
+    # DISTINCT's ClusteredDistribution AND pre-aligns both self-join
+    # sides — one width-sized exchange total. Measured r10: sub-linear
+    # through 100× at the default width (last-decade exp ≤0.77,
+    # BASELINE.md), so the gate returns None with zero probe jobs at
+    # every tested scale; the width is the ≥1000× safety rail.
+    width = _token_posting_width(df, text_col)
+    if width:
+        hs = hs.repartition(width, "g")
+    hs = hs.distinct()
     a, b = hs.alias("a"), hs.alias("b")
     return (
         a.join(b, "g")

@@ -1124,3 +1124,24 @@ def test_line_dedup_null_text_reports_zero_lines(spark):
     assert out[2].n_lines == 0 and out[2].n_kept == 0 and out[2].text_dedup == ""
     assert out[1].n_lines == 3 and out[1].n_kept == 3
     assert out[4].n_kept == 1 and out[4].text_dedup == "d"  # 'a' deduped
+
+
+def test_source_overlap_width_on_off_identical(spark, monkeypatch):
+    """source_overlap_matrix's volume-adaptive posting width (r10) is a
+    plan-only change: forcing the width on must leave the overlap
+    counts bit-identical to the default-width plan."""
+    rows = []
+    for i in range(60):
+        words = " ".join(f"w{(i * 7 + j) % 40}" for j in range(12))
+        rows.append((i, words, f"s{i % 4}"))
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    base = {
+        (r.source_a, r.source_b): r.n_shared_grams
+        for r in dedup.source_overlap_matrix(df, n=3).collect()
+    }
+    monkeypatch.setattr(dedup, "_token_posting_width", lambda *a, **k: 48)
+    wide = {
+        (r.source_a, r.source_b): r.n_shared_grams
+        for r in dedup.source_overlap_matrix(df, n=3).collect()
+    }
+    assert base == wide and len(base) > 0

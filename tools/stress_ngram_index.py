@@ -16,6 +16,9 @@ Measured kernels (pick with ``--ops``):
 - ``containment`` ngram_containment_pairs
 - ``tfidf``       tfidf_cosine_pairs
 - ``line``        line_dedup (C4 exact line dedup)
+- ``overlap``     source_overlap_matrix (distinct (gram, source) postings
+                  + source-pair self-join; source = doc_id mod 8 so each
+                  replica replays the 1x cross-source structure)
 
 The r8 finding this guards: a fixed session-default shuffle width puts a
 knee in the curve once the posting volume per partition exceeds memory
@@ -72,6 +75,8 @@ def main() -> int:
         if a == "--repeat" and i + 1 < len(sys.argv):
             repeat = int(sys.argv[i + 1])
 
+    from pyspark.sql import functions as F  # noqa: N812
+
     from aws_cli_data_pipeline_tools_spark.operators import dedup
     from aws_cli_data_pipeline_tools_spark.session import get_spark
     from aws_cli_data_pipeline_tools_spark.sources import load_table
@@ -101,6 +106,10 @@ def main() -> int:
         ),
         "tfidf": lambda c: dedup.tfidf_cosine_pairs(c, threshold=0.4),
         "line": lambda c: dedup.line_dedup(c),
+        "overlap": lambda c: dedup.source_overlap_matrix(
+            c.withColumn("source", F.pmod(F.col("doc_id"), F.lit(8)).cast("string")),
+            n=5,
+        ),
     }
     unknown = [o for o in ops if o not in kernels]
     assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
