@@ -250,6 +250,13 @@ def write_zordered(
     """
     from pyspark.sql import functions as F
 
+    if "__z" in df.columns:
+        # the Morton code column would clobber it and then be dropped —
+        # the reserved-name discipline of binned_cumsum/_validate_salting
+        raise ValueError(
+            "write_zordered: input carries a column named '__z' — rename "
+            "it first (reserved for the Morton code)"
+        )
     bounds = df.agg(
         F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
         F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),

@@ -566,3 +566,18 @@ def test_sources_floor_and_nfiles_guards_r10(spark, tmp_path):
         write_sorted(small, str(tmp_path / "ws"), ["k"], n_files=0)
     write_sorted(small, str(tmp_path / "ws1"), ["k"], n_files=1)
     assert spark.read.parquet(str(tmp_path / "ws1")).count() == 5
+
+
+def test_write_zordered_rejects_reserved_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    import pytest as _pytest
+
+    from aws_cli_data_pipeline_tools_spark.sources import write_zordered
+
+    df = spark.range(10).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b"),
+        F.lit(1).alias("__z"),
+    )
+    with _pytest.raises(ValueError, match="__z"):
+        write_zordered(df, str(tmp_path / "z"), "a", "b")

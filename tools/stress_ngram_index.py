@@ -110,6 +110,7 @@ def main() -> int:
             c.withColumn("source", F.pmod(F.col("doc_id"), F.lit(8)).cast("string")),
             n=5,
         ),
+        "simhash": lambda c: dedup.simhash_pairs(c, max_hamming=3),
     }
     unknown = [o for o in ops if o not in kernels]
     assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
