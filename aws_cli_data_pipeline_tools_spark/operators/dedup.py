@@ -728,13 +728,24 @@ def dedup_clusters(
     Pair lists (from MinHash/SimHash/cosine) only say "a ~ b"; deduping a
     corpus needs the transitive closure: each doc labeled with its group's
     min id (the canonical keeper). Label propagation on DataFrames:
-    repeatedly set label(v) = min(label(v), min over neighbors' labels)
-    until a fixpoint — converges in O(diameter) rounds, ≤ max_iterations.
+    each round sets label(v) = min(label(v), min over neighbors' labels)
+    and then POINTER-JUMPS label(v) ← label(label(v)) — the classic
+    Shiloach-Vishkin shortcut, sound because labels only ever take node-id
+    values and never exceed their own node (label(x) ≤ x), so the jump can
+    only lower a label toward the component min. Convergence is
+    O(log diameter) rounds instead of O(diameter): a 1000-hop chain (the
+    shape overlapping-window chunk dedup genuinely produces) closes in
+    ~10 rounds where plain propagation needed 1000 (r10; the default
+    max_iterations=20 now covers diameter ~2^20 instead of 20).
 
-    Each round is two shuffles (edge join + min-agg). Near-dup graphs are
-    overwhelmingly tiny cliques/chains, so 3-4 rounds typically suffice; the
-    loop exits early on convergence (count of changed labels == 0 — a cheap
-    action on the aggregated frame, not a collect of labels).
+    Each round is three keyed shuffles (edge join + min-agg + the jump's
+    label-keyed self-join). Near-dup graphs are overwhelmingly tiny
+    cliques/chains, so 2-3 rounds typically suffice; the loop exits early
+    on convergence (count of changed labels == 0 — a cheap action on the
+    aggregated frame, not a collect of labels). The fixpoint argument is
+    unchanged: the loop exits only when a FULL round (neighbor-min AND
+    jump) changed nothing, which forces label equality across every edge
+    — constant per component, hence the component min.
 
     Lineage across rounds must be cut (else round N re-executes the whole
     upstream pair generation N times). Default is ``localCheckpoint`` —
@@ -770,14 +781,39 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = (
+            labels.withColumnRenamed("label", "label0")
+            .join(neighbor_min, F.col("id") == neighbor_min.src, "left")
+            .select(
+                "id",
+                "label0",
+                F.least(
+                    F.col("label0"),
+                    F.coalesce(F.col("nbr_label"), F.col("label0")),
+                ).alias("label1"),
+            )
+        )
+        # pointer jump: label(v) ← label(label(v)). label1 is always some
+        # node's id (labels start as ids and min only moves between them),
+        # and label(x) ≤ x, so the looked-up llabel can only lower label1.
+        lab_map = stepped.select(
+            F.col("id").alias("lid"), F.col("label1").alias("llabel")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            stepped.join(lab_map, F.col("label1") == F.col("lid"), "left")
             .select(
                 "id",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    F.col("label1"),
+                    F.coalesce(F.col("llabel"), F.col("label1")),
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("changed"),
+                (
+                    F.least(
+                        F.col("label1"),
+                        F.coalesce(F.col("llabel"), F.col("label1")),
+                    )
+                    < F.col("label0")
+                ).alias("changed"),
             )
         )
         new_labels = _materialize(new_labels)  # cut lineage per round
@@ -786,19 +822,19 @@ def dedup_clusters(
         if n_changed == 0:
             break
     if n_changed != 0:
-        # a chain-shaped dup graph with diameter > max_iterations exits
-        # here with labels still mid-propagation — one group reported as
-        # several. Silent would be the same wrong-groups class the rest
-        # of the module guards loudly; warn (don't raise: the labels ARE
-        # a valid partial refinement, and callers may cap rounds on
+        # a dup graph with diameter > ~2^max_iterations exits here with
+        # labels still mid-propagation — one group reported as several.
+        # Silent would be the same wrong-groups class the rest of the
+        # module guards loudly; warn (don't raise: the labels ARE a
+        # valid partial refinement, and callers may cap rounds on
         # purpose for latency).
         import warnings
 
         warnings.warn(
             f"dedup_clusters: label propagation did not converge within "
             f"max_iterations={max_iterations} ({n_changed} labels still "
-            "changing) — components wider than that many hops are split; "
-            "raise max_iterations for full transitive closure",
+            "changing) — components wider than the jumped reach are "
+            "split; raise max_iterations for full transitive closure",
             RuntimeWarning,
             stacklevel=2,
         )

@@ -125,3 +125,19 @@ def test_dedup_clusters_warns_on_non_convergence(spark):
         full = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
     assert not [w for w in rec2 if "did not converge" in str(w.message)]
     assert set(full.values()) == {0}
+
+
+def test_dedup_clusters_pointer_jump_log_rounds(spark):
+    """Pointer jumping makes a 200-hop chain converge within the default
+    20 iterations (plain propagation needed 200 rounds — the silent-split
+    regime the warning guards); labels still equal the exact closure."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a int, id_b int"
+    )
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        out = {r.id: r.group_id for r in dedup_clusters(pairs).collect()}
+    assert not [w for w in rec if "did not converge" in str(w.message)]
+    assert len(out) == 201 and set(out.values()) == {0}

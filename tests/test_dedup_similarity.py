@@ -1145,3 +1145,50 @@ def test_source_overlap_width_on_off_identical(spark, monkeypatch):
         for r in dedup.source_overlap_matrix(df, n=3).collect()
     }
     assert base == wide and len(base) > 0
+
+
+def test_ngram_jaccard_prefix_parity_randomized(spark):
+    """Seeded randomized parity of the plain inverted-index path vs the
+    PPJoin prefix-filtered path (the docstring's losslessness claim),
+    over adversarial corpora: hot boilerplate shingles (cap pressure),
+    short docs (length-filter boundary), self-repeated text (pre-
+    distinct duplicate shingles), exact dups, and NULL/empty docs.
+    Also locks the containment operator's <=1 bound on the same corpora
+    (r10 session differential test, made permanent)."""
+    import random
+
+    boiler = "hot1 hot2 hot3"
+    for seed in (7, 23, 99):
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(25)]
+        rows = []
+        for i in range(150):
+            words = [rnd.choice(vocab) for _ in range(rnd.randint(1, 11))]
+            txt = " ".join(words)
+            if i % 3 == 0:
+                txt = boiler + " " + txt
+            if i % 7 == 0:
+                txt = txt + " " + txt
+            rows.append((i, txt))
+        rows += [(1000 + i, rows[i][1]) for i in range(8)]  # exact dups
+        rows += [(2000, None), (2001, ""), (2002, "   ")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        plain = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.3, max_bucket=15
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.3, max_bucket=15, prefix_filter=True
+            ).collect()
+        }
+        assert plain == pref and len(plain) > 0, seed
+        cont = dedup.ngram_containment_pairs(
+            df, threshold=0.0, max_bucket=15
+        ).collect()
+        assert all(
+            r.containment is None or r.containment <= 1.0 for r in cont
+        ), seed
