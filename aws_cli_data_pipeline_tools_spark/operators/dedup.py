@@ -559,20 +559,47 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball of ``max_hamming``.
 
-    Pigeonhole blocking: split the 64-bit signature into ``max_hamming + 1``
-    blocks; any pair within distance d ≤ max_hamming agrees exactly on at
-    least one block, so an equi-join per block finds all such pairs with no
-    O(n²) scan. Distance verified with xor+bit_count.
+    Pigeonhole blocking (default): split the 64-bit signature into
+    ``max_hamming + 1`` blocks; any pair within distance d ≤ max_hamming
+    agrees exactly on at least one block, so an equi-join per block finds
+    all such pairs with no O(n²) scan. Distance verified with
+    xor+bit_count.
+
+    ``n_blocks > max_hamming + 1`` switches to COMBINATION-KEY blocking
+    (multi-index Hamming search, the public HmSearch/Norouzi shape): a
+    pair within distance d differs in at most d of the b blocks, so it
+    agrees on ALL blocks of at least one (b−d)-subset — keys are one
+    xxhash64 per subset over that subset's block values. Same lossless
+    guarantee (the default IS the b = d+1 / subset-size-1 special case,
+    kept verbatim for its exact DuckDB oracle), but random collisions
+    drop from n²·b/2^(64/b) to C(b, b−d)·n²/2^(64·(b−d)/b): at d=3,
+    b=6 trades 4 → 20 banding rows per doc for 16-bit → 32-bit keys —
+    the measured r10 cure for the quadratic knee the default hits past
+    ~2M docs (BASELINE.md curve: last-decade exponent 0.85 at 5M docs,
+    flat with b=6). A Spark-side xxhash64 key collision can only ADD a
+    candidate (equal tuples always hash equal), and every candidate is
+    exact-verified, so the output set is identical.
 
     ``portable=True`` hashes words with the 60-bit md5-derived
     ``portable_hash64`` instead of xxhash64 (bits 60-63 of the signature
     are then constantly 0 — harmless for both pigeonhole completeness and
     Hamming distances), making the operator DuckDB-oracle-replayable.
     """
-    n_blocks = max_hamming + 1
+    combo = n_blocks is not None and n_blocks > max_hamming + 1
+    if n_blocks is not None and n_blocks <= max_hamming:
+        # fewer blocks than errors: a pair at distance d can corrupt
+        # EVERY block — no key subset is guaranteed clean, silent recall
+        # loss
+        raise ValueError(
+            f"simhash_pairs: n_blocks ({n_blocks}) must exceed "
+            f"max_hamming ({max_hamming}) for the pigeonhole guarantee"
+        )
+    if not combo:
+        n_blocks = max_hamming + 1
     width = 64 // n_blocks
     # Signature via explode + hash-aggregate (64 conditional sums) rather
     # than the scalar simhash64 fold: the aggregate form is codegen-friendly
@@ -605,22 +632,50 @@ def simhash_pairs(
     # cluster (localCheckpoint stores per-executor, no driver collect).
     sh = votes.select("id", packed.alias("sim")).localCheckpoint(eager=True)
     # shift amounts must be Python literals (shiftright rejects Columns)
+    if combo:
+        # block widths as even as 64 allows (remainder spread over the
+        # low blocks); the top block's arithmetic shiftright sign-extends
+        # but the mask strips it
+        import itertools
+
+        base_w = 64 // n_blocks
+        widths = [
+            base_w + (1 if i < 64 % n_blocks else 0)
+            for i in range(n_blocks)
+        ]
+        offs = [sum(widths[:i]) for i in range(n_blocks)]
+
+        def block_val(i: int):
+            return F.shiftright(F.col("sim"), offs[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+
+        subsets = list(
+            itertools.combinations(range(n_blocks), n_blocks - max_hamming)
+        )
+        entries = [
+            F.struct(
+                F.lit(sid).alias("block"),
+                F.xxhash64(
+                    F.lit(sid), *[block_val(i) for i in subset]
+                ).alias("bkey"),
+            )
+            for sid, subset in enumerate(subsets)
+        ]
+    else:
+        entries = [
+            F.struct(
+                F.lit(b).alias("block"),
+                F.shiftright(F.col("sim"), b * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bkey"),
+            )
+            for b in range(n_blocks)
+        ]
     blocks = sh.select(
         "id",
         "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("block"),
-                        F.shiftright(F.col("sim"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("bkey"),
-                    )
-                    for b in range(n_blocks)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.array(*entries)).alias("bk"),
     ).select("id", "sim", "bk.block", "bk.bkey")
     return (
         blocks.alias("a")

@@ -1192,3 +1192,41 @@ def test_ngram_jaccard_prefix_parity_randomized(spark):
         assert all(
             r.containment is None or r.containment <= 1.0 for r in cont
         ), seed
+
+
+def test_simhash_combination_blocking_identical_output(spark):
+    """n_blocks=6/8 combination-key blocking must emit EXACTLY the
+    default pigeonhole path's verified pairs (both are lossless candidate
+    generators over the same signatures; the exact hamming verify makes
+    any candidate-set difference invisible only if recall is complete —
+    set equality proves it). Guard: n_blocks <= max_hamming rejected."""
+    import random
+
+    rnd = random.Random(5)
+    vocab = [f"tok{i}" for i in range(400)]
+    rows = []
+    for i in range(250):
+        words = [rnd.choice(vocab) for _ in range(40)]
+        rows.append((i, " ".join(words)))
+        if i % 10 == 0:
+            mutated = list(words)
+            mutated[3] = rnd.choice(vocab)
+            rows.append((10000 + i, " ".join(mutated)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    base = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert len(base) > 0
+    for b in (6, 8):
+        combo = {
+            (r.id_a, r.id_b, r.hamming)
+            for r in dedup.simhash_pairs(
+                df, max_hamming=3, n_blocks=b
+            ).collect()
+        }
+        assert combo == base, b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(df, max_hamming=3, n_blocks=2)

@@ -111,6 +111,9 @@ def main() -> int:
             n=5,
         ),
         "simhash": lambda c: dedup.simhash_pairs(c, max_hamming=3),
+        "simhash6": lambda c: dedup.simhash_pairs(
+            c, max_hamming=3, n_blocks=6
+        ),
     }
     unknown = [o for o in ops if o not in kernels]
     assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
