@@ -1748,24 +1748,22 @@ def tfidf_cosine_pairs(
             )
         ).alias("token"),
     )
-    # Volume-adaptive posting exchanges (VERDICT r9 task 1). Two keyed
-    # exchanges carry the token-posting volume: the (id, token) tf
-    # aggregate and everything keyed on token after it (df count, idf
-    # join, the inverted-index self-join). Widening both to the probed
-    # width keeps each partition's join-sort working set ~64 MB past the
-    # r8 knee; token STRINGS ride these shuffles (not 8-byte hashes —
-    # the idf weight needs the token identity), hence 64 B/row. The
-    # token-keyed repartition sits BEFORE the df-count groupBy so the
-    # aggregate, the idf join, and both self-join sides reuse one
-    # exchange (r9 lesson: after-the-agg placement leaves the saturated
-    # exchange in place AND adds a shuffle). Below the knee the plan-
-    # size gate returns None with zero probe jobs — bench plans intact.
-    width = _token_posting_width(df, text_col, bytes_per_token=64.0)
-    if width:
-        toks = toks.repartition(width, "id", "token")
+    # NO volume-adaptive widths here — a measured r10 NEGATIVE result
+    # (interleaved min-of-2 A/Bs at the 300× cipher corpus, 1.5M docs,
+    # both arms printing their computed widths): the r9-era probed
+    # posting width (85 at 300×) costs 1.4× (239 s vs 171 s unwidened),
+    # and adding the jaccard-style pair width (510) on top reads 230 s —
+    # the regression is the widening itself, not the pair exchange.
+    # Below 300× the plan-size gate returned None, so the shipped width
+    # had never actually fired in any green measurement; the "knee" a
+    # first 300× curve showed (last-decade exponent 0.92) WAS the width
+    # regression — the unwidened curve reads 0.62 → 0.72 per decade,
+    # no knee through 300×. Mechanism difference vs the span/jaccard
+    # wins: tfidf's token exchanges compress far below the 64 B/row
+    # model (short tokens, lz4) and AQE already right-sizes the reduce
+    # side, so extra width only buys task overhead and lost map-side
+    # combine. Details in BASELINE.md round-10 correction #2.
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    if width:
-        tf = tf.repartition(width, "token")
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
     if max_bucket:
         hot = dfreq.filter(F.col("df_") > max_bucket).select("token")
