@@ -3699,8 +3699,8 @@ WITH agg AS (
 ), n AS (
   SELECT c_nationkey, tc,
          CAST(('0x' || substr(md5('dp-v1' || '|' ||
-                CASE WHEN c_nationkey IS NULL THEN '0'
-                     ELSE '1' || CAST(c_nationkey AS VARCHAR) END
+                md5(CASE WHEN c_nationkey IS NULL THEN '0'
+                         ELSE '1' || CAST(c_nationkey AS VARCHAR) END)
               ), 1, 15)) AS BIGINT)
            / CAST(power(16, 15) AS DOUBLE) - 0.5 AS u
   FROM agg
@@ -4246,8 +4246,9 @@ WITH t AS (
   FROM vals
 )
 SELECT tot.n1, tot.n2,
-       max(abs(CAST(cum.f1 AS DECIMAL(38,0)) * tot.n2
-               - CAST(cum.f2 AS DECIMAL(38,0)) * tot.n1)) AS d_scaled,
+       CAST(max(abs(CAST(cum.f1 AS DECIMAL(38,0)) * tot.n2
+               - CAST(cum.f2 AS DECIMAL(38,0)) * tot.n1)) AS VARCHAR)
+         AS d_scaled,
        round(CAST(max(abs(CAST(cum.f1 AS DECIMAL(38,0)) * tot.n2
                           - CAST(cum.f2 AS DECIMAL(38,0)) * tot.n1))
                   AS DOUBLE)
@@ -4263,7 +4264,14 @@ FROM cum CROSS JOIN tot GROUP BY tot.n1, tot.n2
     "computed in EXACT integer arithmetic (|f1·n2 − f2·n1|, one division "
     "at the very end); the parallel f1/f2 CDFs come from ONE "
     "operators/cumdist.binned_cumsum pass (r6, extra_values), so even "
-    "the length-domain window is bucket-partitioned.",
+    "the length-domain window is bucket-partitioned. d_scaled is "
+    "SURFACED AS A STRING (r11): the r10 driver row hash-mismatched on "
+    "this entry while HEAD returns bit-identical rows from both engines "
+    "locally — the only engine-version-sensitive surface in the row is "
+    "decimal(38,0) canonicalization, so the exact integer is rendered "
+    "to plain digits inside each engine (a scale-0 decimal prints "
+    "identically everywhere) instead of shipping a Decimal object to "
+    "the comparer.",
 )
 def length_ks_drift(spark, sf_dir):
     from ..operators.cumdist import binned_cumsum
@@ -4309,7 +4317,12 @@ def length_ks_drift(spark, sf_dir):
         cum.crossJoin(F.broadcast(tot))
         .groupBy("n1", "n2")
         .agg(
-            F.max(d).alias("d_scaled"),
+            # string-rendered (r11): scale-0 decimal digits print
+            # identically across engine versions; the Decimal object
+            # itself was the only plausible surface for the r10 driver
+            # hash mismatch (rows/schema matched, HEAD bit-identical
+            # locally) — see the entry notes
+            F.max(d).cast("string").alias("d_scaled"),
             F.round(
                 F.max(d).cast("double") / F.max(nn).cast("double"), 6
             ).alias("ks_stat"),

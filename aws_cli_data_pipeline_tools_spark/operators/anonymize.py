@@ -137,13 +137,18 @@ def noisy_counts(
     # NULL-distinct key encoding: concat_ws SKIPS null args, so the old
     # plain-cast form gave groups ("a", NULL) and (NULL, "a") the SAME
     # key "seed|a" — identical noise draws for distinct groups, which
-    # correlates their releases. Each position now always contributes a
-    # token: "0" for NULL, "1"+value otherwise ("1x" can never equal the
-    # NULL marker, and per-position prefixing keeps positions aligned).
-    # The DuckDB oracle twin mirrors this encoding.
+    # correlates their releases. Each position contributes the md5 of
+    # "0" (NULL) or "1"+value (r11, ADVICE): prefix-only tokens were
+    # still NOT injective when values themselves contain the '|'
+    # separator (("a|1b", NULL) and ("a", "b|0") encoded identically),
+    # re-correlating distinct groups' draws; a fixed-width 32-hex md5
+    # per position can never collide with or absorb a separator. The
+    # DuckDB oracle twin mirrors this encoding.
     enc = [
-        F.when(F.col(c).isNull(), F.lit("0")).otherwise(
-            F.concat(F.lit("1"), F.col(c).cast("string"))
+        F.md5(
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                F.concat(F.lit("1"), F.col(c).cast("string"))
+            )
         )
         for c in group_cols
     ]

@@ -598,6 +598,20 @@ def simhash_pairs(
             f"simhash_pairs: n_blocks ({n_blocks}) must exceed "
             f"max_hamming ({max_hamming}) for the pigeonhole guarantee"
         )
+    if n_blocks is not None and 64 // n_blocks < 4:
+        # upper bound (r11, ADVICE): n_blocks > 64 gives zero-width
+        # blocks whose values are constantly 0 — any all-zero-width
+        # subset collapses to ONE xxhash64 key and the candidate join
+        # silently degenerates to all-pairs (output still exact-verified
+        # correct, but O(n²), defeating the blocking); even 17–64 blocks
+        # make sub-4-bit keys whose 2^(width·subset) collision space is
+        # too dense while C(b, b−d) key rows per doc explode. Keep every
+        # block ≥ 4 bits, i.e. n_blocks ≤ 16.
+        raise ValueError(
+            f"simhash_pairs: n_blocks ({n_blocks}) must keep every "
+            f"block at least 4 bits wide (n_blocks <= 16); narrower "
+            f"blocks degenerate the candidate join toward all-pairs"
+        )
     if not combo:
         n_blocks = max_hamming + 1
     width = 64 // n_blocks

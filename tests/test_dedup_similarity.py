@@ -1230,3 +1230,8 @@ def test_simhash_combination_blocking_identical_output(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(df, max_hamming=3, n_blocks=2)
+    # upper bound (r11 ADVICE): >16 blocks → sub-4-bit keys; >64 blocks
+    # → zero-width constant keys = silent all-pairs self-join
+    for bad in (17, 65, 128):
+        with _pytest.raises(ValueError, match="4 bits"):
+            dedup.simhash_pairs(df, max_hamming=3, n_blocks=bad)

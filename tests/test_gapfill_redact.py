@@ -522,6 +522,26 @@ def test_noisy_counts_null_group_keys_distinct(spark):
     assert vals[0] != vals[1]
 
 
+def test_noisy_counts_separator_in_values_distinct(spark):
+    """Prefix-only tokens were still non-injective when group values
+    contain the '|' separator: ('a|1b', NULL) and ('a', 'b|0') both
+    encoded to 'dp-v1|1a|1b|0' — correlated draws again (r11 ADVICE).
+    Per-position md5 tokens are fixed-width hex with no separators, so
+    the draws must differ."""
+    from aws_cli_data_pipeline_tools_spark.operators.anonymize import (
+        noisy_counts,
+    )
+
+    df = spark.createDataFrame(
+        [("a|1b", None), ("a|1b", None), ("a", "b|0"), ("a", "b|0")],
+        "x string, y string",
+    )
+    out = noisy_counts(df, ["x", "y"], epsilon=1.0).collect()
+    assert len(out) == 2
+    vals = [r["noisy_count"] for r in out]
+    assert vals[0] != vals[1]
+
+
 def test_blocked_fuzzy_pairs_empty_blocks_raises(spark):
     import pytest as _pytest
 
