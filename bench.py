@@ -144,6 +144,32 @@ def _bench_only_runners() -> dict:
 RETRY_FACTOR = 1.3
 RETRY_LOAD = 4.0
 
+#: Pre-run idle gate (VERDICT r10 task 3): the r9 AND r10 official bench
+#: artifacts both landed on a contended box (load_avg_t0 7.66, 9.1) while
+#: the honest idle numbers lived only in BASELINE.md prose. Before
+#: spawning the JVM, when the 1-minute load average exceeds RETRY_LOAD,
+#: sleep IDLE_GATE_WAIT_SEC and re-read, up to IDLE_GATE_ATTEMPTS sleeps;
+#: run anyway (flagged ``contended``) only when attempts are exhausted.
+#: The full load trail lands in the headline (``idle_gate_loads``) so the
+#: adjudication is in the artifact, not in prose.
+IDLE_GATE_ATTEMPTS = 3
+IDLE_GATE_WAIT_SEC = 75.0
+
+
+def _idle_gate(
+    getloadavg=os.getloadavg, sleep=time.sleep
+) -> tuple[float, list[float]]:
+    """Returns ``(gate-passing load, full load trail)``. Injectable
+    clock/load hooks keep the pytest contract test sleep-free."""
+    wait = float(
+        os.environ.get("SPARK_GRAFT_IDLE_WAIT_SEC", IDLE_GATE_WAIT_SEC)
+    )
+    loads = [round(getloadavg()[0], 2)]
+    while loads[-1] > RETRY_LOAD and len(loads) <= IDLE_GATE_ATTEMPTS:
+        sleep(wait)
+        loads.append(round(getloadavg()[0], 2))
+    return loads[-1], loads
+
 
 #: Probe-ratio clamp for band normalization: the matmul probe itself
 #: varies ~1.7× within a day on this VM class (BASELINE.md r8 notes), so
@@ -300,8 +326,9 @@ def _cpu_probe() -> float:
 def main() -> None:
     # machine-idle proof: load BEFORE this process spawns the JVM and
     # runs warmups (load_avg_start below is taken after warmup, so it
-    # includes the bench's own startup work)
-    load_t0 = round(os.getloadavg()[0], 2)
+    # includes the bench's own startup work). The idle gate sleeps
+    # through transient contention first (r11, VERDICT task 3).
+    load_t0, idle_gate_loads = _idle_gate()
     cpu_probe = _cpu_probe()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # \d+(\.\d+)? — the greedy [0-9.]+ swallowed a trailing dot
@@ -436,6 +463,7 @@ def main() -> None:
                 load_start,
                 len(retries),
                 contended,
+                idle_gate_loads,
             )
         )
     )
@@ -452,6 +480,7 @@ def _headline_record(
     load_start,
     n_retries,
     contended,
+    idle_gate_loads=None,
 ):
     """The FINAL printed line, and nothing else, is what the driver's
     last-N-bytes stdout capture parses — so its size must be bounded by
@@ -485,6 +514,14 @@ def _headline_record(
         # host-state verdict copied to the top level so a judge reading
         # BENCH_r{N}.json alone sees it (VERDICT r9 task 6)
         "contended": contended,
+        # pre-run idle-gate load trail (r11, VERDICT r10 task 3): one
+        # reading per attempt, comma-joined into a SCALAR so the
+        # bounded-headline contract holds (≤ 1 + IDLE_GATE_ATTEMPTS
+        # readings, ~7 chars each). "9.1,6.2,3.8" reads as: two sleeps,
+        # gate passed at 3.8.
+        "idle_gate_loads": ",".join(
+            f"{x:g}" for x in (idle_gate_loads or [load_t0])
+        ),
     }
 
 
