@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket: int = 1000,
-    prefix_filter: bool = False,
+    prefix_filter: bool | str = "auto",
     persist_index: bool = True,
 ) -> DataFrame:
     """Exact k-gram Jaccard similarity for every document pair sharing at
@@ -109,6 +109,23 @@ def ngram_jaccard_pairs(
     shuffles (df counts + per-doc rarity sort), so the plain index wins on
     small or duplicate-dense inputs.
 
+    ``prefix_filter="auto"`` (the r11 default — VERDICT r10 task 5: the
+    boolean was a silent foot-gun costing ~8× on the wrong corpus) picks
+    the path from the two measured regime signals: (1) the existing
+    zero-probe plan-size gate — while the pair-aggregate volume model
+    stays below the session's shuffle budget the corpus is below the
+    knee, the two paths are tied-to-plain-faster (1× and sf0.1 both
+    measured), and PLAIN is chosen with no extra jobs, keeping the bench
+    and oracle plans byte-identical to the boolean-False era; (2) above
+    the knee, one linear dup-density pre-pass over the capped index
+    (:func:`_ngram_dup_density`): density ≤ 0.5 → prefix (the low-dup
+    regime where prefix measured 1.8× faster at 10× and the plain Σdf²
+    pair stream is the knee), density > 0.5 → plain (duplicate-dense:
+    prefix filtering cannot prune TRUE duplicates, its candidate
+    verification measured ~8× the plain constant at 100×). The pre-pass
+    is one posting-volume aggregate, linear and map-side-combined —
+    noise against an above-knee pair join.
+
     ``persist_index``: the capped inverted index feeds THREE consumers
     (df-count branch + both self-join sides) and exchange reuse does not
     fire across the anti-join, so by default it is persisted
@@ -119,6 +136,8 @@ def ngram_jaccard_pairs(
     shingle+explode from the scan is cheaper than spilling an index that
     is several times the corpus size.
     """
+    if prefix_filter == "auto":
+        prefix_filter = _prefix_auto_decision(df, id_col, text_col, k, max_bucket)
     if prefix_filter:
         return _ngram_jaccard_prefix(df, id_col, text_col, k, threshold, max_bucket)
     shingled = df.select(
@@ -1292,6 +1311,78 @@ def _span_posting_width(
         lambda n, avg: n * avg * bytes_per_char,
         gate_bytes_per_char=bytes_per_char,
     )
+
+
+#: prefix_filter="auto" decision threshold (r11, VERDICT r10 task 5):
+#: fraction of capped postings that REPEAT an already-seen shingle,
+#: ``1 − distinct/total``. The measured fixtures sit far apart — the
+#: duplicate-dense stress corpus (every doc in a 10-replica group)
+#: reads ≈0.9 (each shingle's df ≈ group size) and is plain's regime
+#: (prefix measured ~8× the constant at 100×, BASELINE.md r10); the
+#: cipher low-dup corpus reads ≈0 (disjoint shingle sets) and is
+#: prefix's regime (1.8× win at 10×, r3). 0.5 ≡ mean capped df = 2:
+#: above it, at least half the posting mass is co-occurrence that
+#: prefix verification must intersect pair-by-pair.
+_PREFIX_AUTO_DENSITY = 0.5
+
+
+def _ngram_dup_density(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_bucket: int,
+) -> float | None:
+    """Duplicate-shingle density of the CAPPED inverted index:
+    ``1 − distinct_shingles / total_postings`` over shingles with
+    document frequency ≤ ``max_bucket`` (over-cap stop shingles are
+    dropped by both candidate paths, so they must not vote here — a
+    handful of boilerplate shingles would otherwise read as "dup
+    dense"). One linear aggregate over the posting stream, map-side
+    combined; no LIMIT/sample bias — a row-prefix sample under-counts
+    repeats of groups spread across the corpus (each group member lands
+    in the sample alone → density collapses toward 0 and auto would
+    mis-pick prefix on a dup-dense corpus). None when the corpus has no
+    postings."""
+    post = df.select(
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            )
+        ).alias("shingle")
+    )
+    dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
+    if max_bucket:
+        dfc = dfc.filter(F.col("df_") <= max_bucket)
+    row = dfc.agg(
+        F.sum("df_").alias("p"), F.count(F.lit(1)).alias("d")
+    ).first()
+    total = row["p"] or 0
+    if not total:
+        return None
+    return 1.0 - (row["d"] or 0) / total
+
+
+def _prefix_auto_decision(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_bucket: int,
+) -> bool:
+    """True → take the PPJoin prefix path. Gate first (zero extra jobs
+    below the knee — the sf0.1 bench/oracle plans stay identical to the
+    pre-auto default), density pre-pass second; see the
+    ``prefix_filter="auto"`` docstring on :func:`ngram_jaccard_pairs`
+    and :data:`_PREFIX_AUTO_DENSITY` for the measured regimes."""
+    _, pair_width = _token_posting_widths(df, text_col)
+    if pair_width is None:
+        # pair stream provably fits the session's shuffle budget: the
+        # corpus is below the knee where plain's lower constant wins
+        # regardless of duplicate density (1× and sf0.1 measurements)
+        return False
+    density = _ngram_dup_density(df, id_col, text_col, k, max_bucket)
+    return density is not None and density <= _PREFIX_AUTO_DENSITY
 
 
 #: Working-set multiple of the PAIR/co-occurrence exchange over the

@@ -420,6 +420,58 @@ def test_ngram_jaccard_prefix_filter_parity(spark, sf_dir):
         ).collect()
     )
     assert plain == pref and len(plain) > 0
+    # auto mode (r11 default) must also match bit-for-bit — on this
+    # below-the-knee fixture it resolves to plain via the zero-probe
+    # plan-size gate, the pre-auto default path
+    auto = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, k=3, threshold=0.5, prefix_filter="auto"
+        ).collect()
+    )
+    assert auto == plain
+
+
+def test_ngram_prefix_auto_density_rule(spark):
+    """prefix_filter='auto' decision inputs (r11, VERDICT r10 task 5):
+    the capped-index dup-density statistic must separate the two
+    measured regimes — a 10-replica duplicate-dense corpus reads ~0.9
+    (plain's regime), a disjoint-shingle corpus reads ~0 (prefix's
+    regime) — and the decision itself stays plain below the plan-size
+    knee regardless of density (tied-to-plain-faster measured there)."""
+    rows_dense = []
+    for g in range(20):
+        text = " ".join(f"g{g}w{i}" for i in range(30))
+        for rep in range(10):
+            rows_dense.append((g * 100 + rep, text))
+    dense = spark.createDataFrame(rows_dense, "doc_id int, text string")
+    rows_uniq = [
+        (i, " ".join(f"d{i}w{j}" for j in range(30))) for i in range(200)
+    ]
+    uniq = spark.createDataFrame(rows_uniq, "doc_id int, text string")
+
+    d_dense = dedup._ngram_dup_density(dense, "doc_id", "text", 3, 1000)
+    d_uniq = dedup._ngram_dup_density(uniq, "doc_id", "text", 3, 1000)
+    assert d_dense > dedup._PREFIX_AUTO_DENSITY, d_dense
+    assert d_uniq < dedup._PREFIX_AUTO_DENSITY, d_uniq
+
+    # over-cap stop shingles must not vote: a corpus whose only repeats
+    # are boilerplate above max_bucket reads as LOW density
+    rows_boiler = [
+        (i, "the same boilerplate header " + " ".join(f"b{i}x{j}" for j in range(20)))
+        for i in range(60)
+    ]
+    boiler = spark.createDataFrame(rows_boiler, "doc_id int, text string")
+    d_capped = dedup._ngram_dup_density(boiler, "doc_id", "text", 3, 50)
+    d_uncapped = dedup._ngram_dup_density(boiler, "doc_id", "text", 3, 0)
+    assert d_capped < d_uncapped
+
+    # below the knee the gate decides (False = plain), with no density job
+    assert dedup._prefix_auto_decision(uniq, "doc_id", "text", 3, 1000) is False
+
+    # empty corpus → None density, plain
+    empty = spark.createDataFrame([], "doc_id int, text string")
+    assert dedup._ngram_dup_density(empty, "doc_id", "text", 3, 1000) is None
 
 
 def test_shared_span_pairs_detects_long_common_substring(spark):

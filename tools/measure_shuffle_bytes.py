@@ -1,0 +1,157 @@
+"""Measured shuffle-write bytes/row for every widened exchange family
+(VERDICT r10 task 4).
+
+The width mechanism sizes posting/pair/banding exchanges from a-priori
+byte-per-row model constants (56 B/token, 48 B/span-char, posting ×6 for
+the pair stream). The r10 tfidf reversal proved such constants can
+overestimate COMPRESSIBLE exchanges by >2× and ship a regression — the
+width was removed after a measured 1.4× loss. This tool closes the loop
+for the surviving constants: run each widened operator on the shared
+cipher corpus (tools/_stress_common.py) with the Spark UI's REST API
+enabled, and read the ACTUAL per-stage ``shuffleWriteBytes`` /
+``shuffleWriteRecords`` the exchanges wrote — the ground-truth wire
+B/row per operator family.
+
+Interpretation note (why wire bytes, not a direct replacement): the
+model constants describe the JOIN-SORT WORKING SET (UnsafeRow + sort
+pointer overhead in memory, what actually spills at the knee), while
+the REST metrics are post-compression wire bytes. The two differ by the
+in-memory inflation factor, which is itself what the A/Bs validate. The
+BASELINE.md table this tool feeds records both numbers; constants only
+change when the measured wire B/row contradicts the model by >1.5× in
+the direction that flips a width decision, and any change must re-pass
+the operator's firing-scale A/B (the tfidf protocol).
+
+Stage attribution: one operator runs per measurement window; all stages
+completed inside the window are listed, largest shuffle-writer first.
+The posting exchange is the stage whose record count ≈ the posting
+volume (n_docs × tokens/doc); the pair aggregate's record count ≈ Σdf²
+— orders of magnitude apart, so attribution by magnitude is unambiguous
+and the printed table carries the stage name (callsite) as a check.
+
+Usage: python tools/measure_shuffle_bytes.py [sf_dir]
+           [--mults 30] [--ops jaccard,containment,span,minhash,overlap]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from _stress_common import cipher_replicated, materialize, parse_mults  # noqa: E402
+
+UI_PORT = 4049  # off the default 4040 so a concurrent session can't alias
+
+
+def _rest(path: str):
+    url = f"http://localhost:{UI_PORT}/api/v1/{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read().decode())
+
+
+def _app_id() -> str:
+    return _rest("applications")[0]["id"]
+
+
+def _stages(app: str) -> dict[int, dict]:
+    out = {}
+    for st in _rest(f"applications/{app}/stages?status=COMPLETE"):
+        sid = st["stageId"]
+        # keep the largest attempt per stage id
+        if sid not in out or st["attemptId"] > out[sid]["attemptId"]:
+            out[sid] = st
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    mults = parse_mults(sys.argv, [1, 30])
+    ops = ["jaccard", "containment", "span", "minhash", "overlap"]
+    for i, a in enumerate(sys.argv):
+        if a == "--ops" and i + 1 < len(sys.argv):
+            ops = sys.argv[i + 1].split(",")
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(
+        app_name="measure-shuffle-bytes",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            # keep every stage of the window retrievable
+            "spark.ui.retainedStages": "4000",
+        },
+    )
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    app = _app_id()
+
+    def sink(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    kernels = {
+        # prefix_filter pinned: this tool measures the PLAIN posting +
+        # pair exchanges regardless of what auto would pick
+        "jaccard": lambda c: dedup.ngram_jaccard_pairs(
+            c, threshold=0.3, prefix_filter=False
+        ),
+        "containment": lambda c: dedup.ngram_containment_pairs(
+            c, threshold=0.5
+        ),
+        "span": lambda c: dedup.shared_span_pairs(c),
+        "minhash": lambda c: dedup.minhash_lsh_pairs(c),
+        "overlap": lambda c: dedup.source_overlap_matrix(
+            c.withColumn(
+                "source", F.pmod(F.col("doc_id"), F.lit(8)).cast("string")
+            ),
+            n=5,
+        ),
+    }
+    unknown = [o for o in ops if o not in kernels]
+    assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
+
+    for mult in [m for m in mults if m > 1] or [1]:
+        corpus = materialize(cipher_replicated(docs, mult))
+        n = corpus.count()
+        print(f"\n==== {mult}x corpus: {n} docs ====", flush=True)
+        for op in ops:
+            fn = kernels[op]
+            sink(fn(corpus.limit(200)))  # warm codegen/worker pool
+            before = set(_stages(app))
+            sink(fn(corpus))
+            after = _stages(app)
+            new = [after[s] for s in sorted(set(after) - before)]
+            rows = []
+            for st in new:
+                wb = st.get("shuffleWriteBytes", 0)
+                wr = st.get("shuffleWriteRecords", 0)
+                if wr > 0:
+                    rows.append(
+                        (
+                            wb,
+                            wr,
+                            st["stageId"],
+                            (st.get("name") or "")[:70],
+                        )
+                    )
+            rows.sort(reverse=True)
+            print(f"\n-- {op} @ {mult}x: shuffle-writing stages --")
+            for wb, wr, sid, name in rows:
+                print(
+                    f"  stage {sid:>5}  {wb/1e6:>10.1f} MB  "
+                    f"{wr:>12,} rows  {wb/wr:>7.1f} B/row  {name}"
+                )
+        corpus.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
