@@ -110,21 +110,26 @@ def ngram_jaccard_pairs(
     small or duplicate-dense inputs.
 
     ``prefix_filter="auto"`` (the r11 default — VERDICT r10 task 5: the
-    boolean was a silent foot-gun costing ~8× on the wrong corpus) picks
-    the path from the two measured regime signals: (1) the existing
-    zero-probe plan-size gate — while the pair-aggregate volume model
-    stays below the session's shuffle budget the corpus is below the
-    knee, the two paths are tied-to-plain-faster (1× and sf0.1 both
-    measured), and PLAIN is chosen with no extra jobs, keeping the bench
-    and oracle plans byte-identical to the boolean-False era; (2) above
-    the knee, one linear dup-density pre-pass over the capped index
-    (:func:`_ngram_dup_density`): density ≤ 0.5 → prefix (the low-dup
-    regime where prefix measured 1.8× faster at 10× and the plain Σdf²
-    pair stream is the knee), density > 0.5 → plain (duplicate-dense:
-    prefix filtering cannot prune TRUE duplicates, its candidate
-    verification measured ~8× the plain constant at 100×). The pre-pass
-    is one posting-volume aggregate, linear and map-side-combined —
-    noise against an above-knee pair join.
+    boolean was a silent foot-gun costing ~8× on the wrong corpus)
+    picks the path in two steps: (1) the existing zero-probe plan-size
+    gate — while the pair-aggregate volume model stays below the
+    session's shuffle budget the corpus is below the knee, the two
+    paths are tied-to-plain-faster (1× and sf0.1 both measured), and
+    PLAIN is chosen with no extra jobs, keeping the bench and oracle
+    plans byte-identical to the boolean-False era; (2) above the knee,
+    ONE aggregate over the capped df counts yields (density,
+    pair_fanout) and :func:`_prefix_auto_choice` applies the
+    measured-calibration rule (prefix iff density ≤ 0.5 AND Σdf²/P ≥
+    64 — see the threshold constants for the four anchoring cells).
+    The read is NOT a separate pipeline: both candidate paths need the
+    same per-shingle df counts (plain: the over-cap hot set; prefix:
+    the rarity sort), so the decision materializes that df-count frame
+    once (persisted, distinct-shingle-sized) and the chosen path
+    reuses it — a standalone pre-pass would cost ~35% of the 100×
+    operator (measured 7-9 s vs a 20 s main op, BASELINE.md r11); the
+    shared frame reduces the measured dense-arm overhead to +14%
+    (31.8 vs 27.9 s at 100×), the price of never paying the 8.5×
+    wrong-path constant.
 
     ``persist_index``: the capped inverted index feeds THREE consumers
     (df-count branch + both self-join sides) and exchange reuse does not
@@ -136,24 +141,32 @@ def ngram_jaccard_pairs(
     shingle+explode from the scan is cheaper than spilling an index that
     is several times the corpus size.
     """
-    if prefix_filter == "auto":
-        prefix_filter = _prefix_auto_decision(df, id_col, text_col, k, max_bucket)
-    if prefix_filter:
-        return _ngram_jaccard_prefix(df, id_col, text_col, k, threshold, max_bucket)
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
-    )
-    # join on xxhash64(shingle), not the string: the inverted-index shuffle
-    # and the pair-count hash aggregate move 8-byte keys instead of k-word
-    # strings (~2-3× less shuffle volume; collision odds ~2^-64 per pair).
-    # The doc's pre-cap shingle count rides along (one extra long per posting)
-    # so the Jaccard denominator needs NO join back to a per-doc sizes frame —
-    # the old form shuffled the full pair set twice more for those joins.
-    inv = shingled.select(
-        "id",
-        F.size("sh").alias("n_sh"),
-        F.explode(F.transform("sh", lambda s: F.xxhash64(s))).alias("shingle"),
-    )
+    def postings():
+        shingled = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), k).alias("sh"),
+        )
+        # join on xxhash64(shingle), not the string: the inverted-index
+        # shuffle and the pair-count hash aggregate move 8-byte keys
+        # instead of k-word strings (~2-3× less shuffle volume; collision
+        # odds ~2^-64 per pair). The doc's pre-cap shingle count rides
+        # along (one extra long per posting) so the Jaccard denominator
+        # needs NO join back to a per-doc sizes frame — the old form
+        # shuffled the full pair set twice more for those joins.
+        return shingled.select(
+            "id",
+            F.size("sh").alias("n_sh"),
+            F.explode(
+                F.transform("sh", lambda s: F.xxhash64(s))
+            ).alias("shingle"),
+        )
+
+    if prefix_filter is True:
+        # pinned by the caller: no widths probe at this level (the
+        # prefix path runs its own) and no density work
+        return _ngram_jaccard_prefix(
+            df, id_col, text_col, k, threshold, max_bucket
+        )
     # Volume-adaptive posting exchange (VERDICT r9 task 1): hash-
     # partition the postings on the join key ONCE, before the df-count
     # aggregate — the freq groupBy, the broadcast anti-join (partition-
@@ -164,6 +177,49 @@ def ngram_jaccard_pairs(
     # Below the knee the plan-size gate returns None with zero probe
     # jobs — the sf0.1 bench plan is unchanged.
     width, pair_width = _token_posting_widths(df, text_col)
+    dfc = None
+    if prefix_filter == "auto":
+        if pair_width is None:
+            # below the pair-volume knee: plain's lower constant wins
+            # regardless of duplicate density (1× and sf0.1 measured
+            # tied-to-plain-faster) — decided with ZERO extra jobs
+            prefix_filter = False
+        else:
+            # above the knee, the decision needs the capped-index dup
+            # density — and BOTH candidate paths need the same df
+            # counts anyway (plain: the over-cap hot set; prefix: the
+            # rarity sort). Build dfc ONCE on the op's own posting
+            # pipeline and persist it (distinct-shingle-sized — ~40 MB
+            # at 500k docs, vocabulary-bounded at any corpus size), so
+            # the measured 7-9 s standalone pre-pass at 100×
+            # (BASELINE.md r11) collapses to one reused aggregate: the
+            # chosen path reads df counts from the persisted frame
+            # instead of re-running the posting groupBy.
+            p0 = postings()
+            if width:
+                p0 = p0.repartition(width, "shingle")
+            dfc = (
+                p0.groupBy("shingle")
+                .agg(F.count("*").alias("df_"))
+                .persist()
+            )
+            prefix_filter = _prefix_auto_choice(
+                *_prefix_auto_stats(dfc, max_bucket)
+            )
+    if prefix_filter:
+        return _ngram_jaccard_prefix(
+            df,
+            id_col,
+            text_col,
+            k,
+            threshold,
+            max_bucket,
+            # only the auto decision reaches here (pinned True exited
+            # above): reuse its persisted df counts and probed width
+            dfc=dfc,
+            width=width,
+        )
+    inv = postings()
     if width:
         inv = inv.repartition(width, "shingle")
     if max_bucket:
@@ -171,7 +227,11 @@ def ngram_jaccard_pairs(
         # (a handful of stop-shingles), so the broadcast is tiny and stays
         # tiny at any corpus size — broadcasting the keep-set instead would
         # ship nearly the whole distinct-shingle vocabulary to every task.
-        freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
+        freq = (
+            dfc
+            if dfc is not None
+            else inv.groupBy("shingle").agg(F.count("*").alias("df_"))
+        )
         hot = freq.filter(F.col("df_") > max_bucket).drop("df_")
         inv = inv.join(F.broadcast(hot), "shingle", "left_anti")
     if persist_index:
@@ -221,6 +281,8 @@ def _ngram_jaccard_prefix(
     k: int,
     threshold: float,
     max_bucket: int,
+    dfc: DataFrame | None = None,
+    width: "int | None | str" = "probe",
 ) -> DataFrame:
     """PPJoin-style prefix-filtered exact Jaccard (same output contract as
     ``ngram_jaccard_pairs``).
@@ -250,11 +312,18 @@ def _ngram_jaccard_prefix(
     post = base.select("id", "n_sh", F.explode("hs").alias("shingle"))
     # same volume-adaptive posting exchange as the plain index (VERDICT
     # r9 task 1): one width-sized hash partition on the posting key,
-    # reused by the df-count aggregate, the df join, and the anti-join
-    width = _token_posting_width(df, text_col)
+    # reused by the df-count aggregate, the df join, and the anti-join;
+    # the auto decision passes its already-probed width through (same
+    # model) so the probe's count/avg jobs run once, not twice
+    if width == "probe":
+        width = _token_posting_width(df, text_col)
     if width:
         post = post.repartition(width, "shingle")
-    dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
+    if dfc is None:
+        dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
+    # else: the persisted df-count frame from the auto decision (same
+    # posting pipeline, already materialized) — the rarity sort and the
+    # cap anti-join read it instead of re-running the posting groupBy
     if max_bucket:
         post = post.join(
             F.broadcast(dfc.filter(F.col("df_") > max_bucket).drop("df_")),
@@ -804,6 +873,38 @@ def line_dedup(
     )
 
 
+def _pointer_jump(stepped: DataFrame) -> DataFrame:
+    """The Shiloach-Vishkin shortcut as one patchable unit: label(v) ←
+    min(label1, label(label1)) over a frame carrying (id, label0,
+    label1). label1 is always some node's id (labels start as ids and
+    min only moves between them) and label(x) ≤ x, so the looked-up
+    llabel can only lower label1. Returns (id, label, changed). Split
+    out (r11) so the mixed-graph A/B in tools/stress_clusters_mixed.py
+    can time plain propagation by patching this with the identity
+    projection — the jump costs one label-keyed self-join per round,
+    and the A/B records when its O(log diameter) round saving pays for
+    that."""
+    lab_map = stepped.select(
+        F.col("id").alias("lid"), F.col("label1").alias("llabel")
+    )
+    return stepped.join(
+        lab_map, F.col("label1") == F.col("lid"), "left"
+    ).select(
+        "id",
+        F.least(
+            F.col("label1"),
+            F.coalesce(F.col("llabel"), F.col("label1")),
+        ).alias("label"),
+        (
+            F.least(
+                F.col("label1"),
+                F.coalesce(F.col("llabel"), F.col("label1")),
+            )
+            < F.col("label0")
+        ).alias("changed"),
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -881,30 +982,7 @@ def dedup_clusters(
                 ).alias("label1"),
             )
         )
-        # pointer jump: label(v) ← label(label(v)). label1 is always some
-        # node's id (labels start as ids and min only moves between them),
-        # and label(x) ≤ x, so the looked-up llabel can only lower label1.
-        lab_map = stepped.select(
-            F.col("id").alias("lid"), F.col("label1").alias("llabel")
-        )
-        new_labels = (
-            stepped.join(lab_map, F.col("label1") == F.col("lid"), "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label1"),
-                    F.coalesce(F.col("llabel"), F.col("label1")),
-                ).alias("label"),
-                (
-                    F.least(
-                        F.col("label1"),
-                        F.coalesce(F.col("llabel"), F.col("label1")),
-                    )
-                    < F.col("label0")
-                ).alias("changed"),
-            )
-        )
-        new_labels = _materialize(new_labels)  # cut lineage per round
+        new_labels = _materialize(_pointer_jump(stepped))  # cut lineage per round
         n_changed = new_labels.filter("changed").count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
@@ -1313,17 +1391,77 @@ def _span_posting_width(
     )
 
 
-#: prefix_filter="auto" decision threshold (r11, VERDICT r10 task 5):
-#: fraction of capped postings that REPEAT an already-seen shingle,
-#: ``1 − distinct/total``. The measured fixtures sit far apart — the
-#: duplicate-dense stress corpus (every doc in a 10-replica group)
-#: reads ≈0.9 (each shingle's df ≈ group size) and is plain's regime
-#: (prefix measured ~8× the constant at 100×, BASELINE.md r10); the
-#: cipher low-dup corpus reads ≈0 (disjoint shingle sets) and is
-#: prefix's regime (1.8× win at 10×, r3). 0.5 ≡ mean capped df = 2:
-#: above it, at least half the posting mass is co-occurrence that
-#: prefix verification must intersect pair-by-pair.
+#: prefix_filter="auto" decision thresholds (r11, VERDICT r10 task 5).
+#: TWO statistics, both from ONE aggregate over the capped df counts:
+#:
+#: - density = 1 − distinct/total postings: fraction of posting mass
+#:   that repeats an already-seen shingle. HIGH density means docs
+#:   share most of their shingles — the duplicate-dense regime where
+#:   prefix filtering cannot prune (true near-dups collide on their
+#:   RARE shingles too) and pays array_intersect per candidate:
+#:   measured 8.5× plain at 100× cipher (density 0.8955, BASELINE r11).
+#: - pair_fanout = Σdf²/P, the posting-weighted mean df: how many pair
+#:   rows the plain index emits PER POSTING — plain's actual cost
+#:   model. Density alone cannot see this: two corpora with density
+#:   0.17 differ 6× in plain's pair mass when their mid-frequency df
+#:   is 150 vs 1000, and the r11 calibration cells measured plain
+#:   WINNING 2.6× at fanout ≈25 while losing at fanout ≈150 — a
+#:   density-only rule picks prefix in both.
+#:
+#: Rule: prefix iff density ≤ 0.5 AND pair_fanout ≥ 64. The fanout arm
+#: keeps plain when the pair stream is cheap (its per-pair-row cost
+#: measured ~60× below prefix's per-posting sarr/verify constant); the
+#: density arm keeps plain on dup-dense corpora even at huge fanout
+#: (500-replica boilerplate groups read fanout ≈500 but density ≈1 —
+#: prefix would pay the same quadratic candidates PLUS verification).
 _PREFIX_AUTO_DENSITY = 0.5
+_PREFIX_AUTO_PAIR_FANOUT = 64.0
+
+
+def _prefix_auto_stats(dfc: DataFrame, max_bucket: int) -> tuple:
+    """(density, pair_fanout) from a per-shingle df-count frame, over
+    shingles with document frequency ≤ ``max_bucket`` (over-cap stop
+    shingles are dropped by both candidate paths, so they must not vote
+    here — a handful of boilerplate shingles would otherwise read as
+    "dup dense" AND as huge fanout). One aggregate; (None, None) when
+    the capped index is empty."""
+    capped = dfc.filter(F.col("df_") <= max_bucket) if max_bucket else dfc
+    row = capped.agg(
+        F.sum("df_").alias("p"),
+        F.count(F.lit(1)).alias("d"),
+        F.sum(
+            F.col("df_").cast("double") * F.col("df_").cast("double")
+        ).alias("s2"),
+    ).first()
+    total = row["p"] or 0
+    if not total:
+        return None, None
+    return 1.0 - (row["d"] or 0) / total, (row["s2"] or 0.0) / total
+
+
+def _ngram_index_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_bucket: int,
+) -> tuple:
+    """Standalone (density, pair_fanout) of the capped inverted index —
+    the diagnostic twin of the in-operator decision (which reuses the
+    operator's own persisted df counts instead of this separate
+    pipeline). No LIMIT/sample bias — a row-prefix sample under-counts
+    repeats of groups spread across the corpus (each group member lands
+    in the sample alone → density collapses toward 0 and auto would
+    mis-pick prefix on a dup-dense corpus)."""
+    post = df.select(
+        F.explode(
+            F.transform(
+                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            )
+        ).alias("shingle")
+    )
+    dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
+    return _prefix_auto_stats(dfc, max_bucket)
 
 
 def _ngram_dup_density(
@@ -1334,33 +1472,21 @@ def _ngram_dup_density(
     max_bucket: int,
 ) -> float | None:
     """Duplicate-shingle density of the CAPPED inverted index:
-    ``1 − distinct_shingles / total_postings`` over shingles with
-    document frequency ≤ ``max_bucket`` (over-cap stop shingles are
-    dropped by both candidate paths, so they must not vote here — a
-    handful of boilerplate shingles would otherwise read as "dup
-    dense"). One linear aggregate over the posting stream, map-side
-    combined; no LIMIT/sample bias — a row-prefix sample under-counts
-    repeats of groups spread across the corpus (each group member lands
-    in the sample alone → density collapses toward 0 and auto would
-    mis-pick prefix on a dup-dense corpus). None when the corpus has no
-    postings."""
-    post = df.select(
-        F.explode(
-            F.transform(
-                word_shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
-            )
-        ).alias("shingle")
+    ``1 − distinct_shingles / total_postings`` (see
+    :func:`_ngram_index_stats` for the sampling caveat)."""
+    return _ngram_index_stats(df, id_col, text_col, k, max_bucket)[0]
+
+
+def _prefix_auto_choice(density, pair_fanout) -> bool:
+    """The prefix/plain rule on the two statistics — see
+    :data:`_PREFIX_AUTO_DENSITY` / :data:`_PREFIX_AUTO_PAIR_FANOUT`
+    for the measured calibration."""
+    return (
+        density is not None
+        and density <= _PREFIX_AUTO_DENSITY
+        and pair_fanout is not None
+        and pair_fanout >= _PREFIX_AUTO_PAIR_FANOUT
     )
-    dfc = post.groupBy("shingle").agg(F.count("*").alias("df_"))
-    if max_bucket:
-        dfc = dfc.filter(F.col("df_") <= max_bucket)
-    row = dfc.agg(
-        F.sum("df_").alias("p"), F.count(F.lit(1)).alias("d")
-    ).first()
-    total = row["p"] or 0
-    if not total:
-        return None
-    return 1.0 - (row["d"] or 0) / total
 
 
 def _prefix_auto_decision(
@@ -1372,17 +1498,18 @@ def _prefix_auto_decision(
 ) -> bool:
     """True → take the PPJoin prefix path. Gate first (zero extra jobs
     below the knee — the sf0.1 bench/oracle plans stay identical to the
-    pre-auto default), density pre-pass second; see the
+    pre-auto default), the two-statistic read second; see the
     ``prefix_filter="auto"`` docstring on :func:`ngram_jaccard_pairs`
-    and :data:`_PREFIX_AUTO_DENSITY` for the measured regimes."""
+    and the threshold constants for the measured regimes."""
     _, pair_width = _token_posting_widths(df, text_col)
     if pair_width is None:
         # pair stream provably fits the session's shuffle budget: the
         # corpus is below the knee where plain's lower constant wins
         # regardless of duplicate density (1× and sf0.1 measurements)
         return False
-    density = _ngram_dup_density(df, id_col, text_col, k, max_bucket)
-    return density is not None and density <= _PREFIX_AUTO_DENSITY
+    return _prefix_auto_choice(
+        *_ngram_index_stats(df, id_col, text_col, k, max_bucket)
+    )
 
 
 #: Working-set multiple of the PAIR/co-occurrence exchange over the
@@ -1403,11 +1530,18 @@ def _token_posting_widths(
     text_col: str,
     bytes_per_token: float = 56.0,
     chars_per_token: float = 5.0,
+    pair_factor: float = _PAIR_VOLUME_FACTOR,
 ) -> tuple:
     """(posting_width, pair_width) for a token-grained inverted-index
     pair operator, from ONE corpus probe: the posting model per
     :func:`_token_posting_width`, the pair model ``posting ×
-    _PAIR_VOLUME_FACTOR``. Either may be None (below its knee)."""
+    pair_factor``. Either may be None (below its knee).
+
+    ``pair_factor`` defaults to the jaccard-measured
+    :data:`_PAIR_VOLUME_FACTOR`; operators whose pair stream is
+    structurally larger pass their own (containment: 12.0 — r11
+    wire-measured 10.4× at 100×, see the call site). The zero-probe
+    gate scales with the factor so it stays a sound upper bound."""
     w = _probed_widths(
         src,
         text_col,
@@ -1415,11 +1549,11 @@ def _token_posting_widths(
             lambda n, avg: n * (avg / chars_per_token) * bytes_per_token,
             lambda n, avg: (
                 n * (avg / chars_per_token) * bytes_per_token
-                * _PAIR_VOLUME_FACTOR
+                * pair_factor
             ),
         ],
         gate_bytes_per_char=(
-            bytes_per_token / chars_per_token * _PAIR_VOLUME_FACTOR
+            bytes_per_token / chars_per_token * pair_factor
         ),
     )
     return w[0], w[1]
@@ -1963,8 +2097,19 @@ def ngram_containment_pairs(
     )
     # volume-adaptive posting exchange, shared with ngram_jaccard_pairs
     # (VERDICT r9 task 1): one width-sized partition on the join key,
-    # reused by the df-count agg, the anti-join, and both join sides
-    width, pair_width = _token_posting_widths(df, text_col)
+    # reused by the df-count agg, the anti-join, and both join sides.
+    # pair_factor 12.0, NOT the shared 6.0 (r11, VERDICT r10 task 4):
+    # the wire measurement (tools/measure_shuffle_bytes.py, 100× cipher,
+    # 500k docs) read the containment pair exchange at 10.4× its posting
+    # exchange (3 824 MB / 368 MB; 253M partial rows) vs jaccard's 6.3×
+    # on the same corpus — the "shared factor carries margin" claim the
+    # old comment made was wrong by 1.7×, under-widening exactly the
+    # exchange the r10 A/B showed matters. 12.0 = the structural 2×
+    # (both directions emitted) over jaccard's measured 6.0, with the
+    # same margin-over-measurement discipline (10.4 measured).
+    width, pair_width = _token_posting_widths(
+        df, text_col, pair_factor=12.0
+    )
     if width:
         inv = inv.repartition(width, "shingle")
     if max_bucket:
@@ -1976,10 +2121,6 @@ def ngram_containment_pairs(
         .join(inv.alias("b"), "shingle")
         .filter(F.col("a.id") != F.col("b.id"))
     )
-    # pair-aggregate exchange widened past its own knee exactly as in
-    # ngram_jaccard_pairs (see _PAIR_VOLUME_FACTOR); containment emits
-    # BOTH directions, so its pair stream is 2× the jaccard one at the
-    # same corpus — the shared factor already carries margin for it
     if pair_width:
         joined = joined.repartition(
             pair_width, F.col("a.id"), F.col("b.id")

@@ -228,20 +228,30 @@ def write_zordered(
     path: str,
     col_a: str,
     col_b: str,
+    col_c: str | None = None,
     n_files: int = 32,
     fmt: str = "parquet",
     mode: str = "overwrite",
 ) -> None:
-    """Z-order (Morton-curve) clustered layout over TWO numeric columns:
-    each column is min/max-scaled to 16 bits, the bits are interleaved into
-    one Morton code, and files are range-partitioned + sorted on that code.
+    """Z-order (Morton-curve) clustered layout over TWO or THREE numeric
+    columns: each column is min/max-scaled to 16 bits, the bits are
+    interleaved into one Morton code, and files are range-partitioned +
+    sorted on that code.
 
     Why: 1-D clustering (``write_sorted``) gives footer min/max pruning on
     the lead column only — a filter on the second column still scans every
-    file. The Morton curve preserves locality in BOTH dimensions, so each
-    file covers a small rectangle of (a, b) space and range predicates on
-    EITHER column skip most files (the property Delta/Iceberg OPTIMIZE
-    ZORDER provides; pruning ratios pytest-asserted in test_layout.py).
+    file. The Morton curve preserves locality in EVERY clustered
+    dimension, so each file covers a small rectangle (2-D) / box (3-D) of
+    the key space and range predicates on ANY clustered column skip most
+    files (the property Delta/Iceberg OPTIMIZE ZORDER provides; pruning
+    ratios pytest-asserted in test_layout.py for both arities).
+
+    ``col_c`` (r11) extends the code to three dimensions — 48 interleaved
+    bits, still one long. Per-dimension pruning power necessarily drops
+    as dimensions are added (the n_files file boxes split each axis
+    ~n_files^(1/dims) ways: 16 files ≈ 4 splits/axis at 2-D but ~2.5 at
+    3-D) — the standard ZORDER trade, asserted rather than hidden by the
+    3-col pytest.
 
     Cost: one tiny min/max aggregate (1 row to the driver) + the same
     range-partition shuffle write_sorted pays. NULL cell values encode as
@@ -257,10 +267,11 @@ def write_zordered(
             "write_zordered: input carries a column named '__z' — rename "
             "it first (reserved for the Morton code)"
         )
-    bounds = df.agg(
-        F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
-        F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
-    ).collect()[0]
+    cols = [col_a, col_b] + ([col_c] if col_c is not None else [])
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs += [F.min(c).alias(f"lo{j}"), F.max(c).alias(f"hi{j}")]
+    bounds = df.agg(*aggs).collect()[0]
 
     def scaled(c, lo, hi):
         if lo is None or hi is None:
@@ -278,15 +289,23 @@ def write_zordered(
             ),
         ).cast("long")
 
-    a16 = scaled(col_a, bounds.a_lo, bounds.a_hi)
-    b16 = scaled(col_b, bounds.b_lo, bounds.b_hi)
+    dims = [
+        scaled(c, bounds[f"lo{j}"], bounds[f"hi{j}"])
+        for j, c in enumerate(cols)
+    ]
+    nd = len(dims)
     code = F.lit(0).cast("long")
     for i in range(16):
-        code = code.bitwiseOR(
-            F.shiftleft(F.shiftright(a16, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(b16, i).bitwiseAND(F.lit(1)), 2 * i)
-        )
+        # bit i of dim j lands at position i*nd + (nd-1-j): the first
+        # column owns the most-significant bit of each group, matching
+        # the original 2-col layout (a → 2i+1, b → 2i) exactly
+        for j, d in enumerate(dims):
+            code = code.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(d, i).bitwiseAND(F.lit(1)),
+                    i * nd + (nd - 1 - j),
+                )
+            )
     out = (
         df.withColumn("__z", code)
         .repartitionByRange(n_files, "__z")

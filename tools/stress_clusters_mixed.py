@@ -1,0 +1,112 @@
+"""Pointer-jumped dedup_clusters on a MIXED realistic graph (VERDICT
+r10 task 8a).
+
+The r10 pointer-jumping measurement used pure chains (the adversarial
+diameter shape: 4/7/10 rounds on 10/100/1000-hop chains vs diameter
+rounds without the jump). The open question it left: the jump adds a
+third keyed shuffle per round (+50% per-round cost), so on REALISTIC
+graphs — millions of tiny cliques (near-dup groups) plus one deep
+component (an overlapping-window chunk chain) — does the jump's round
+saving still dominate its per-round tax? This tool builds exactly that
+mixed shape at scale and times the operator with the jump as shipped
+vs a monkeypatched plain-propagation arm (the jump's self-join
+replaced by an identity), on the SAME session and fixture.
+
+Graph: ``--cliques`` K5 cliques (10 edges each, diameter 1) + one
+``--chain``-hop path. Plain propagation needs ~chain rounds; jumped
+needs ~log2(chain). With cliques >> chain the per-round edge-join cost
+is dominated by clique edges, so this is the worst realistic case FOR
+the jump (it pays the label self-join over every clique vertex each
+round while only the chain needs it).
+
+Usage: python tools/stress_clusters_mixed.py
+           [--cliques 200000] [--chain 1000] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from _stress_common import timed  # noqa: E402
+
+
+def main() -> int:
+    cliques, chain, repeat = 200_000, 1_000, 2
+    for i, a in enumerate(sys.argv):
+        if a == "--cliques" and i + 1 < len(sys.argv):
+            cliques = int(sys.argv[i + 1])
+        if a == "--chain" and i + 1 < len(sys.argv):
+            chain = int(sys.argv[i + 1])
+        if a == "--repeat" and i + 1 < len(sys.argv):
+            repeat = int(sys.argv[i + 1])
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="stress-clusters-mixed")
+
+    # K5 cliques: vertices c*5..c*5+4, all 10 in-clique edges
+    base = spark.range(cliques).select(F.col("id").alias("c"))
+    clique_edges = None
+    for i in range(5):
+        for j in range(i + 1, 5):
+            e = base.select(
+                (F.col("c") * 5 + i).alias("id_a"),
+                (F.col("c") * 5 + j).alias("id_b"),
+            )
+            clique_edges = e if clique_edges is None else clique_edges.unionAll(e)
+    # one deep chain, ids placed AFTER every clique vertex
+    off = cliques * 5
+    chain_edges = spark.range(chain).select(
+        (F.col("id") + off).alias("id_a"),
+        (F.col("id") + off + 1).alias("id_b"),
+    )
+    edges = clique_edges.unionAll(chain_edges).repartition(32).persist()
+    n_edges = edges.count()
+    print(
+        f"mixed graph: {cliques} K5 cliques + one {chain}-hop chain = "
+        f"{n_edges} edges, {cliques * 5 + chain + 1} vertices",
+        flush=True,
+    )
+
+    def run(max_iterations=64):
+        return dedup.dedup_clusters(
+            edges, max_iterations=max_iterations
+        ).groupBy().agg(F.countDistinct("group_id")).collect()[0][0]
+
+    # shipped (pointer-jumped) arm
+    groups = run()
+    assert groups == cliques + 1, groups
+    t_jump = timed("jumped", run, repeat=repeat)
+
+    # plain-propagation arm: replace the jump with the identity
+    # projection (same output columns, no label self-join per round)
+    orig = dedup._pointer_jump
+    dedup._pointer_jump = lambda stepped: stepped.select(
+        "id",
+        F.col("label1").alias("label"),
+        (F.col("label1") < F.col("label0")).alias("changed"),
+    )
+    try:
+        plain_iters = max(64, chain + 4)
+        groups2 = run(max_iterations=plain_iters)
+        assert groups2 == cliques + 1, groups2
+        t_plain = timed(
+            "plain", lambda: run(max_iterations=plain_iters), repeat=repeat
+        )
+    finally:
+        dedup._pointer_jump = orig
+    print(
+        f"\njumped {t_jump:.2f}s vs plain {t_plain:.2f}s "
+        f"({t_plain / t_jump:.2f}x)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -85,7 +85,14 @@ def main() -> int:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
     if "--no-width" in sys.argv:
-        dedup._probed_posting_width = lambda *a, **k: None
+        # patch the SHARED probe body, not _probed_posting_width: since
+        # the r10 _probed_widths refactor, _token_posting_widths (the
+        # jaccard/containment posting+pair widths) no longer routes
+        # through _probed_posting_width, so the old patch silently left
+        # those widths ON in the supposedly-unwidened arm (r11 fix)
+        dedup._probed_widths = (
+            lambda src, text_col, pbl, *a, **k: [None] * len(pbl)
+        )
         print("[width mechanism DISABLED - session-default exchanges]")
 
     def sink(df) -> int:

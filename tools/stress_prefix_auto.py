@@ -1,0 +1,134 @@
+"""prefix_filter="auto" regime cells (VERDICT r10 task 5).
+
+Two corpora at pair-width-firing scale, one per decision regime:
+
+- **dup-dense**: the shared cipher replication of the sf0.1 documents
+  fixture (density 0.8955 — the corpus where the r10 curve measured the
+  prefix path at ~8× the plain constant). Auto must pick PLAIN; its
+  cell = plain + the linear density pre-pass.
+- **low-dup / mid-frequency**: synthetic docs of ~40 doc-unique filler
+  words + 3 five-word phrases drawn from a pool sized for document
+  frequency ≈ ``--df``. Boundary and filler shingles are doc-unique
+  (df=1), phrase-internal shingles are mid-frequency — the corpus
+  where the plain index's Σdf² pair stream (~pool × 3 × df² rows)
+  grows with df while each doc's RAREST prefix shingles are its unique
+  fillers, so the PPJoin prefix index is nearly collision-free. The
+  r11 calibration: at ``--df 150`` (pair_fanout ≈ 25) plain STILL wins
+  2.6× — prefix's per-posting sarr/verify constant outweighs a cheap
+  pair stream — while at ``--df 900`` (fanout ≈ 150) the pair stream
+  dominates and prefix wins. This pair of cells is what turned the
+  density-only rule into the (density, pair_fanout) rule.
+
+Each cell prints the measured (density, pair_fanout), the auto
+decision, and min-of-2 timings for plain / prefix / auto (noop sink).
+The low-dup corpus is the honest replacement for the retired r3
+word-interleave fixture (which manufactured cross-replica collisions
+AND 2× tokens per doc — see tools/scale_stress.py docstring).
+
+Usage: python tools/stress_prefix_auto.py [sf_dir]
+           [--dense-mult 30] [--lowdup-docs 400000] [--df 150]
+           [--arms plain,prefix,auto] [--skip-dense]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+from _stress_common import cipher_replicated, materialize, timed  # noqa: E402
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    dense_mult, lowdup_docs, df_target = 30, 400_000, 150
+    arms = ["plain", "prefix", "auto"]
+    for i, a in enumerate(sys.argv):
+        if a == "--dense-mult" and i + 1 < len(sys.argv):
+            dense_mult = int(sys.argv[i + 1])
+        if a == "--lowdup-docs" and i + 1 < len(sys.argv):
+            lowdup_docs = int(sys.argv[i + 1])
+        if a == "--df" and i + 1 < len(sys.argv):
+            df_target = int(sys.argv[i + 1])
+        if a == "--arms" and i + 1 < len(sys.argv):
+            arms = sys.argv[i + 1].split(",")
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="stress-prefix-auto")
+    base = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+
+    def lowdup_corpus(n: int):
+        """~40 unique filler words + 3 pool phrases (df ≈ --df) per doc."""
+        n_phrases = max(1, 3 * n // df_target)
+        filler = [
+            F.concat(F.lit("u"), F.col("doc_id"), F.lit(f"w{j}"))
+            for j in range(40)
+        ]
+        phrases = []
+        for j in range(3):
+            pid = F.pmod(
+                F.xxhash64(F.col("doc_id"), F.lit(j)), F.lit(n_phrases)
+            )
+            phrases += [
+                F.concat(F.lit("p"), pid, F.lit(f"m{m}")) for m in range(5)
+            ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *filler, *phrases).alias("text"),
+        )
+
+    def sink(df) -> int:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+
+    kernels = {
+        "plain": lambda c: dedup.ngram_jaccard_pairs(
+            c, threshold=0.5, prefix_filter=False
+        ),
+        "prefix": lambda c: dedup.ngram_jaccard_pairs(
+            c, threshold=0.5, prefix_filter=True
+        ),
+        "auto": lambda c: dedup.ngram_jaccard_pairs(
+            c, threshold=0.5, prefix_filter="auto"
+        ),
+    }
+
+    fixtures = []
+    if "--skip-dense" not in sys.argv:
+        fixtures.append(
+            ("dup-dense", materialize(cipher_replicated(base, dense_mult)))
+        )
+    fixtures.append(
+        (f"low-dup df{df_target}", materialize(lowdup_corpus(lowdup_docs)))
+    )
+    for name, corpus in fixtures:
+        n = corpus.count()
+        density, fanout = dedup._ngram_index_stats(
+            corpus, "doc_id", "text", 3, 1000
+        )
+        decision = dedup._prefix_auto_decision(
+            corpus, "doc_id", "text", 3, 1000
+        )
+        picked = "prefix" if decision else "plain"
+        print(
+            f"\n== {name}: {n} docs  density={density:.4f}  "
+            f"pair_fanout={fanout:.1f}  auto→{picked} ==",
+            flush=True,
+        )
+        for arm in arms:
+            fn = kernels[arm]
+            sink(fn(corpus.limit(200)))  # warm
+            timed(f"{arm} ({name})", lambda f=fn, c=corpus: sink(f(c)), repeat=2)
+        corpus.unpersist()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
