@@ -641,13 +641,46 @@ def minhash_index_probe(
     )
 
 
+#: n_blocks="auto" crossover (r11): the r10 curve measured the default
+#: pigeonhole blocking's random-collision term 4n²/2¹⁶ reaching
+#: last-decade exponent 0.85 at 5M docs, with combination-key blocking
+#: (b = d+3) crossing over at ~10-15M docs (README playbook row). 10M
+#: picks the conservative end: below it the default's lower constant
+#: wins; at the crossover the arms are within ~2× either way.
+_SIMHASH_COMBO_DOCS = 10_000_000
+
+
+def _simhash_auto_blocks(df: DataFrame, max_hamming: int):
+    """None (pigeonhole default) below the measured ~10M-doc collision
+    knee, ``max_hamming + 3`` combination blocks above it (d=3 → b=6,
+    the measured r10 operating point: C(6,3)=20 keys/doc, 32-bit keys).
+    Plan-size gate first — a 4 B/row floor (8 B id + text, with 16×
+    row-compression margin, the r10 banding-gate discipline) proves
+    small corpora small with ZERO jobs, so the sf* bench/oracle plans
+    never pay a count; above the gate one count() (metadata-only on
+    parquet scans) decides. Falls back to the pigeonhole default when
+    the combination blocks would violate the ≥4-bit width guard
+    (max_hamming > 13)."""
+    b = max_hamming + 3
+    if 64 // b < 4:
+        return None
+    plan = _plan_size_bytes(df)
+    if plan is not None and plan < _SIMHASH_COMBO_DOCS * 4:
+        return None
+    try:
+        n = df.count()
+    except Exception:
+        return None
+    return b if n >= _SIMHASH_COMBO_DOCS else None
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
     portable: bool = False,
-    n_blocks: int | None = None,
+    n_blocks: "int | None | str" = "auto",
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming ball of ``max_hamming``.
 
@@ -676,7 +709,19 @@ def simhash_pairs(
     ``portable_hash64`` instead of xxhash64 (bits 60-63 of the signature
     are then constantly 0 — harmless for both pigeonhole completeness and
     Hamming distances), making the operator DuckDB-oracle-replayable.
+
+    ``n_blocks="auto"`` (the r11 default — the README playbook row was
+    a manual knob with a documented ~10-15M-doc crossover, the same
+    silent-foot-gun class the r11 jaccard auto mode removed): picks the
+    pigeonhole default below :data:`_SIMHASH_COMBO_DOCS` and
+    ``max_hamming + 3`` combination blocks above it, deciding from the
+    plan-size gate alone on small corpora (zero jobs — the bench and
+    oracle plans are byte-identical to the old None default) and one
+    metadata-cheap count() otherwise. Both modes emit the identical
+    verified pair set (pytest-locked), so the switch is cost-only.
     """
+    if n_blocks == "auto":
+        n_blocks = _simhash_auto_blocks(df, max_hamming)
     combo = n_blocks is not None and n_blocks > max_hamming + 1
     if n_blocks is not None and n_blocks <= max_hamming:
         # fewer blocks than errors: a pair at distance d can corrupt
@@ -1374,15 +1419,22 @@ def _probed_posting_width(
 
 
 def _span_posting_width(
-    src: DataFrame, text_col: str, bytes_per_char: float = 48.0
+    src: DataFrame, text_col: str, bytes_per_char: float = 144.0
 ) -> int | None:
     """Width for the span-posting exchange: one (id, hash) row per
-    CHARACTER — 16 B serialized, but the partition-sizing constraint is
-    the JOIN-SORT working set (~48 B/row: UnsafeRow layout + sort
-    pointers), which is what actually spills at the knee. Plan-size
-    alone underestimates text volume badly (columnar cache compresses
-    the 100× stress corpus 1 GB chars → 154 MB; parquet ~40×), hence
-    the measured probe — see :func:`_probed_posting_width`."""
+    CHARACTER — 16 B serialized, ~48 B/row of join-sort working set
+    (UnsafeRow layout + sort pointers). The default is 144 = 3 × 48
+    (r11 spill audit): the stage this width actually bounds is the
+    self-JOIN stage, which holds BOTH sorted join sides PLUS the pair
+    partial-aggregate hash map in the same task memory — the 48 B
+    one-side model left 12.5 GB of measured spill at 100× (width 107);
+    144 (width 319) measured ZERO spill on every stage, won all three
+    interleaved A/B reps (min 31.2 vs 32.4 s) and collapsed the draw
+    spread 12 s → 4 s (spill-sensitivity removed — BASELINE.md r11).
+    Plan-size alone underestimates text volume badly (columnar cache
+    compresses the 100× stress corpus 1 GB chars → 154 MB; parquet
+    ~40×), hence the measured probe — see
+    :func:`_probed_posting_width`."""
     return _probed_posting_width(
         src,
         text_col,
@@ -1523,6 +1575,11 @@ def _prefix_auto_decision(
 #: factor also scales the zero-probe gate so it stays a sound upper
 #: bound for the larger volume.
 _PAIR_VOLUME_FACTOR = 6.0
+
+#: A/B switch for the containment posting-exchange placement (see the
+#: call site in ngram_containment_pairs) — shipped True; False restores
+#: the posting-width placement for interleaved same-session arms.
+_POSTINGS_AT_PAIR_WIDTH = True
 
 
 def _token_posting_widths(
@@ -2110,8 +2167,20 @@ def ngram_containment_pairs(
     width, pair_width = _token_posting_widths(
         df, text_col, pair_factor=12.0
     )
-    if width:
-        inv = inv.repartition(width, "shingle")
+    # postings exchanged at PAIR-width granularity, not posting width
+    # (r11 spill measurement): the pair stream's map-side partial
+    # aggregate runs at the granularity of THIS upstream exchange, and
+    # at 100× the 253M-row pair map spilled 13.4 GB across 32 tasks
+    # even with the pair exchange itself widened (jaccard's 127M rows
+    # fit — containment's 2× stream is past the per-task boundary).
+    # The posting stream is only ~368 MB wire at that scale, so the
+    # wider exchange is nearly free while splitting the join-output
+    # hash state pair_width ways. A/B'd at 100×: see BASELINE.md r11.
+    # (_POSTINGS_AT_PAIR_WIDTH exists only so the A/B can flip the
+    # placement inside one session — both arms the real operator.)
+    posting_w = (pair_width if _POSTINGS_AT_PAIR_WIDTH else None) or width
+    if posting_w:
+        inv = inv.repartition(posting_w, "shingle")
     if max_bucket:
         freq = inv.groupBy("shingle").agg(F.count("*").alias("df_"))
         hot = freq.filter(F.col("df_") > max_bucket).drop("df_")

@@ -1303,3 +1303,16 @@ def test_simhash_combination_blocking_identical_output(spark):
     for bad in (17, 65, 128):
         with _pytest.raises(ValueError, match="4 bits"):
             dedup.simhash_pairs(df, max_hamming=3, n_blocks=bad)
+
+    # n_blocks="auto" (r11 default): below the 10M-doc knee the
+    # plan-size gate resolves to the pigeonhole default with zero jobs,
+    # and the output matches the explicit-default run bit-for-bit
+    assert dedup._simhash_auto_blocks(df, 3) is None
+    auto = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_pairs(df, max_hamming=3).collect()
+    }
+    assert auto == base
+    # combination blocks would be sub-4-bit at max_hamming > 13 → the
+    # auto mode falls back to pigeonhole rather than violating the guard
+    assert dedup._simhash_auto_blocks(df, 14) is None

@@ -75,6 +75,7 @@ def main() -> int:
     for i, a in enumerate(sys.argv):
         if a == "--ops" and i + 1 < len(sys.argv):
             ops = sys.argv[i + 1].split(",")
+    no_width = "--no-width" in sys.argv
 
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -93,6 +94,16 @@ def main() -> int:
     )
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
     app = _app_id()
+
+    if no_width:
+        # the spill A/B arm: session-default exchanges everywhere (the
+        # shared probe body, NOT _probed_posting_width — see the r11
+        # stress_ngram_index fix for why patching the narrow helper
+        # silently left the token widths on)
+        dedup._probed_widths = (
+            lambda src, text_col, pbl, *a, **k: [None] * len(pbl)
+        )
+        print("[width mechanism DISABLED]", flush=True)
 
     def sink(df) -> None:
         df.write.format("noop").mode("overwrite").save()
