@@ -654,18 +654,21 @@ def _simhash_auto_blocks(df: DataFrame, max_hamming: int):
     """None (pigeonhole default) below the measured ~10M-doc collision
     knee, ``max_hamming + 3`` combination blocks above it (d=3 → b=6,
     the measured r10 operating point: C(6,3)=20 keys/doc, 32-bit keys).
-    Plan-size gate first — a 4 B/row floor (8 B id + text, with 16×
-    row-compression margin, the r10 banding-gate discipline) proves
-    small corpora small with ZERO jobs, so the sf* bench/oracle plans
-    never pay a count; above the gate one count() (metadata-only on
-    parquet scans) decides. Falls back to the pigeonhole default when
-    the combination blocks would violate the ≥4-bit width guard
+    Plan-size gate first — a 0.5 B/row floor (id bytes ÷ 16, the r10
+    banding-gate discipline: parquet compresses short-doc text ~40×
+    and delta-packs ids, so whole rows can land well under 4 B in the
+    plan estimate — a 4 B floor would have kept a 12M-doc short-doc
+    corpus on pigeonhole blocking past the measured knee, r11 review)
+    proves small corpora small with ZERO jobs, so the sf* bench/oracle
+    plans never pay a count; above the gate one count() (metadata-only
+    on parquet scans) decides. Falls back to the pigeonhole default
+    when the combination blocks would violate the ≥4-bit width guard
     (max_hamming > 13)."""
     b = max_hamming + 3
     if 64 // b < 4:
         return None
     plan = _plan_size_bytes(df)
-    if plan is not None and plan < _SIMHASH_COMBO_DOCS * 4:
+    if plan is not None and plan < _SIMHASH_COMBO_DOCS * 0.5:
         return None
     try:
         n = df.count()
@@ -731,19 +734,26 @@ def simhash_pairs(
             f"simhash_pairs: n_blocks ({n_blocks}) must exceed "
             f"max_hamming ({max_hamming}) for the pigeonhole guarantee"
         )
-    if n_blocks is not None and 64 // n_blocks < 4:
-        # upper bound (r11, ADVICE): n_blocks > 64 gives zero-width
-        # blocks whose values are constantly 0 — any all-zero-width
-        # subset collapses to ONE xxhash64 key and the candidate join
-        # silently degenerates to all-pairs (output still exact-verified
-        # correct, but O(n²), defeating the blocking); even 17–64 blocks
-        # make sub-4-bit keys whose 2^(width·subset) collision space is
-        # too dense while C(b, b−d) key rows per doc explode. Keep every
-        # block ≥ 4 bits, i.e. n_blocks ≤ 16.
+    if combo and 64 // n_blocks < 4:
+        # upper bound (r11, ADVICE): combination blocking with
+        # n_blocks > 64 gives zero-width blocks whose values are
+        # constantly 0 — any all-zero-width subset collapses to ONE
+        # xxhash64 key and the candidate join silently degenerates to
+        # all-pairs (output still exact-verified correct, but O(n²),
+        # defeating the blocking); even 17–64 blocks make sub-4-bit
+        # keys whose 2^(width·subset) collision space is too dense
+        # while C(b, b−d) key rows per doc explode. Keep every block
+        # ≥ 4 bits, i.e. n_blocks ≤ 16. COMBO-only (r11 review): the
+        # pigeonhole MINIMUM n_blocks = max_hamming + 1 also makes
+        # sub-4-bit blocks once d ≥ 16, but that geometry is forced by
+        # the lossless guarantee and is exactly what the DEFAULT runs
+        # at such d — rejecting the explicit spelling of the default's
+        # own configuration while silently executing it was incoherent.
         raise ValueError(
-            f"simhash_pairs: n_blocks ({n_blocks}) must keep every "
-            f"block at least 4 bits wide (n_blocks <= 16); narrower "
-            f"blocks degenerate the candidate join toward all-pairs"
+            f"simhash_pairs: combination blocking with n_blocks "
+            f"({n_blocks}) must keep every block at least 4 bits wide "
+            f"(n_blocks <= 16); narrower blocks degenerate the "
+            f"candidate join toward all-pairs"
         )
     if not combo:
         n_blocks = max_hamming + 1

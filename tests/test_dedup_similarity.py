@@ -1298,11 +1298,15 @@ def test_simhash_combination_blocking_identical_output(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_pairs(df, max_hamming=3, n_blocks=2)
-    # upper bound (r11 ADVICE): >16 blocks → sub-4-bit keys; >64 blocks
-    # → zero-width constant keys = silent all-pairs self-join
+    # upper bound (r11 ADVICE): >16 COMBINATION blocks → sub-4-bit
+    # keys; >64 blocks → zero-width constant keys = silent all-pairs
     for bad in (17, 65, 128):
         with _pytest.raises(ValueError, match="4 bits"):
             dedup.simhash_pairs(df, max_hamming=3, n_blocks=bad)
+    # ...but the explicit PIGEONHOLE MINIMUM at large d is the same
+    # configuration the default runs — it must not raise (r11 review:
+    # rejecting the explicit spelling of the default was incoherent)
+    dedup.simhash_pairs(df, max_hamming=16, n_blocks=17)  # plan builds
 
     # n_blocks="auto" (r11 default): below the 10M-doc knee the
     # plan-size gate resolves to the pigeonhole default with zero jobs,

@@ -120,3 +120,22 @@ def cipher_replicated(
             )
         )
     return out
+
+
+def disable_width_probing() -> None:
+    """Patch the volume-adaptive width mechanism OFF (session-default
+    exchanges everywhere) for an A/B's unwidened arm. ONE patch point
+    (r11 review): this must patch the SHARED probe body
+    ``_probed_widths`` — not ``_probed_posting_width`` — because since
+    the r10 refactor the jaccard/containment posting+pair widths call
+    ``_probed_widths`` directly, and a tool patching the narrow helper
+    silently leaves those widths ON in its supposedly-unwidened arm
+    (the r11 stress_ngram_index fix). Keeping the patch here means the
+    next probe-body refactor has one place to break loudly instead of
+    two to break silently."""
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+
+    dedup._probed_widths = (
+        lambda src, text_col, posting_bytes_list, *a, **k: [None]
+        * len(posting_bytes_list)
+    )

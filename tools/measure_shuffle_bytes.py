@@ -96,13 +96,9 @@ def main() -> int:
     app = _app_id()
 
     if no_width:
-        # the spill A/B arm: session-default exchanges everywhere (the
-        # shared probe body, NOT _probed_posting_width — see the r11
-        # stress_ngram_index fix for why patching the narrow helper
-        # silently left the token widths on)
-        dedup._probed_widths = (
-            lambda src, text_col, pbl, *a, **k: [None] * len(pbl)
-        )
+        from _stress_common import disable_width_probing
+
+        disable_width_probing()
         print("[width mechanism DISABLED]", flush=True)
 
     def sink(df) -> None:
@@ -129,7 +125,9 @@ def main() -> int:
     unknown = [o for o in ops if o not in kernels]
     assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
 
-    for mult in [m for m in mults if m > 1] or [1]:
+    # every requested mult runs, 1× included (a silently-dropped base
+    # cell contradicts the no-silent-caps measurement discipline)
+    for mult in mults:
         corpus = materialize(cipher_replicated(docs, mult))
         n = corpus.count()
         print(f"\n==== {mult}x corpus: {n} docs ====", flush=True)

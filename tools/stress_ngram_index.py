@@ -85,14 +85,9 @@ def main() -> int:
     docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
 
     if "--no-width" in sys.argv:
-        # patch the SHARED probe body, not _probed_posting_width: since
-        # the r10 _probed_widths refactor, _token_posting_widths (the
-        # jaccard/containment posting+pair widths) no longer routes
-        # through _probed_posting_width, so the old patch silently left
-        # those widths ON in the supposedly-unwidened arm (r11 fix)
-        dedup._probed_widths = (
-            lambda src, text_col, pbl, *a, **k: [None] * len(pbl)
-        )
+        from _stress_common import disable_width_probing
+
+        disable_width_probing()
         print("[width mechanism DISABLED - session-default exchanges]")
 
     def sink(df) -> int:
