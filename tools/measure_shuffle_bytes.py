@@ -121,6 +121,9 @@ def main() -> int:
             ),
             n=5,
         ),
+        "line": lambda c: dedup.line_dedup(c),
+        "tfidf": lambda c: dedup.tfidf_cosine_pairs(c, threshold=0.4),
+        "simhash": lambda c: dedup.simhash_pairs(c, max_hamming=3),
     }
     unknown = [o for o in ops if o not in kernels]
     assert not unknown, f"unknown --ops {unknown}; pick from {list(kernels)}"
