@@ -161,6 +161,14 @@ def ngram_jaccard_pairs(
             ).alias("shingle"),
         )
 
+    if prefix_filter not in (True, False, "auto"):
+        # a truthy string like 'true' (or a typo like 'atuo') would
+        # otherwise fall through both exact checks into the generic
+        # truthiness test below and silently pin the prefix path
+        raise ValueError(
+            "prefix_filter must be True, False, or 'auto'; "
+            f"got {prefix_filter!r}"
+        )
     if prefix_filter is True:
         # pinned by the caller: no widths probe at this level (the
         # prefix path runs its own) and no density work
@@ -206,6 +214,17 @@ def ngram_jaccard_pairs(
             prefix_filter = _prefix_auto_choice(
                 *_prefix_auto_stats(dfc, max_bucket)
             )
+            if not prefix_filter and not max_bucket:
+                # auto resolved to plain and there is no hot-set
+                # anti-join to feed: the persisted df-count frame has
+                # no downstream consumer — release it now, or repeated
+                # calls in a long-lived session accumulate cached
+                # distinct-shingle-sized frames (ADVICE r11). In every
+                # OTHER outcome dfc feeds the chosen path (plain's hot
+                # set or prefix's rarity sort) and its blocks are
+                # reclaimed by the ContextCleaner with the result.
+                dfc.unpersist()
+                dfc = None
     if prefix_filter:
         return _ngram_jaccard_prefix(
             df,
@@ -670,11 +689,11 @@ def _simhash_auto_blocks(df: DataFrame, max_hamming: int):
     plan = _plan_size_bytes(df)
     if plan is not None and plan < _SIMHASH_COMBO_DOCS * 0.5:
         return None
-    try:
-        n = df.count()
-    except Exception:
-        return None
-    return b if n >= _SIMHASH_COMBO_DOCS else None
+    # count() errors (bad column, broken plan) propagate: they would
+    # fail the operator a few lines later anyway, and swallowing them
+    # here silently downgraded the blocking decision before the real
+    # failure surfaced (ADVICE r11)
+    return b if df.count() >= _SIMHASH_COMBO_DOCS else None
 
 
 def simhash_pairs(
@@ -725,6 +744,14 @@ def simhash_pairs(
     """
     if n_blocks == "auto":
         n_blocks = _simhash_auto_blocks(df, max_hamming)
+    elif isinstance(n_blocks, str):
+        # any other string would reach the `n_blocks > max_hamming + 1`
+        # comparison below and die with an opaque str-vs-int TypeError
+        # (ADVICE r11)
+        raise ValueError(
+            f"simhash_pairs: n_blocks must be an int, None, or 'auto'; "
+            f"got {n_blocks!r}"
+        )
     combo = n_blocks is not None and n_blocks > max_hamming + 1
     if n_blocks is not None and n_blocks <= max_hamming:
         # fewer blocks than errors: a pair at distance d can corrupt
@@ -1503,7 +1530,6 @@ def _prefix_auto_stats(dfc: DataFrame, max_bucket: int) -> tuple:
 
 def _ngram_index_stats(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     k: int,
     max_bucket: int,
@@ -1511,10 +1537,14 @@ def _ngram_index_stats(
     """Standalone (density, pair_fanout) of the capped inverted index —
     the diagnostic twin of the in-operator decision (which reuses the
     operator's own persisted df counts instead of this separate
-    pipeline). No LIMIT/sample bias — a row-prefix sample under-counts
-    repeats of groups spread across the corpus (each group member lands
-    in the sample alone → density collapses toward 0 and auto would
-    mis-pick prefix on a dup-dense corpus)."""
+    pipeline). Postings are NOT per-doc-deduped: df counts are raw
+    posting counts, duplicates within a doc included — matching both
+    operator candidate paths, which index the same raw posting stream
+    (ADVICE r11: the old id_col parameter implied a per-doc dedup that
+    never happened). No LIMIT/sample bias — a row-prefix sample
+    under-counts repeats of groups spread across the corpus (each group
+    member lands in the sample alone → density collapses toward 0 and
+    auto would mis-pick prefix on a dup-dense corpus)."""
     post = df.select(
         F.explode(
             F.transform(
@@ -1528,15 +1558,15 @@ def _ngram_index_stats(
 
 def _ngram_dup_density(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     k: int,
     max_bucket: int,
 ) -> float | None:
     """Duplicate-shingle density of the CAPPED inverted index:
     ``1 − distinct_shingles / total_postings`` (see
-    :func:`_ngram_index_stats` for the sampling caveat)."""
-    return _ngram_index_stats(df, id_col, text_col, k, max_bucket)[0]
+    :func:`_ngram_index_stats` for the sampling and per-doc-dedup
+    caveats)."""
+    return _ngram_index_stats(df, text_col, k, max_bucket)[0]
 
 
 def _prefix_auto_choice(density, pair_fanout) -> bool:
@@ -1553,7 +1583,6 @@ def _prefix_auto_choice(density, pair_fanout) -> bool:
 
 def _prefix_auto_decision(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     k: int,
     max_bucket: int,
@@ -1570,7 +1599,7 @@ def _prefix_auto_decision(
         # regardless of duplicate density (1× and sf0.1 measurements)
         return False
     return _prefix_auto_choice(
-        *_ngram_index_stats(df, id_col, text_col, k, max_bucket)
+        *_ngram_index_stats(df, text_col, k, max_bucket)
     )
 
 

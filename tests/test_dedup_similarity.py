@@ -453,8 +453,8 @@ def test_ngram_prefix_auto_density_rule(spark):
     ]
     uniq = spark.createDataFrame(rows_uniq, "doc_id int, text string")
 
-    d_dense, f_dense = dedup._ngram_index_stats(dense, "doc_id", "text", 3, 1000)
-    d_uniq, f_uniq = dedup._ngram_index_stats(uniq, "doc_id", "text", 3, 1000)
+    d_dense, f_dense = dedup._ngram_index_stats(dense, "text", 3, 1000)
+    d_uniq, f_uniq = dedup._ngram_index_stats(uniq, "text", 3, 1000)
     assert d_dense > dedup._PREFIX_AUTO_DENSITY, d_dense
     assert d_uniq < dedup._PREFIX_AUTO_DENSITY, d_uniq
     # 10-replica groups: weighted mean df ≈ 10; unique corpus ≈ 1
@@ -475,19 +475,32 @@ def test_ngram_prefix_auto_density_rule(spark):
         for i in range(60)
     ]
     boiler = spark.createDataFrame(rows_boiler, "doc_id int, text string")
-    d_capped = dedup._ngram_dup_density(boiler, "doc_id", "text", 3, 50)
-    d_uncapped = dedup._ngram_dup_density(boiler, "doc_id", "text", 3, 0)
+    d_capped = dedup._ngram_dup_density(boiler, "text", 3, 50)
+    d_uncapped = dedup._ngram_dup_density(boiler, "text", 3, 0)
     assert d_capped < d_uncapped
 
     # below the knee the gate decides (False = plain), with no density job
-    assert dedup._prefix_auto_decision(uniq, "doc_id", "text", 3, 1000) is False
+    assert dedup._prefix_auto_decision(uniq, "text", 3, 1000) is False
 
     # empty corpus → None stats, plain
     empty = spark.createDataFrame([], "doc_id int, text string")
-    assert dedup._ngram_index_stats(empty, "doc_id", "text", 3, 1000) == (
+    assert dedup._ngram_index_stats(empty, "text", 3, 1000) == (
         None,
         None,
     )
+
+
+def test_mode_string_params_validated(spark, planted):
+    """Truthy strings other than 'auto' must raise, not silently pin a
+    path (prefix_filter) or die in an opaque str-vs-int comparison
+    (simhash n_blocks) — ADVICE r11."""
+    with pytest.raises(ValueError, match="prefix_filter"):
+        dedup.ngram_jaccard_pairs(planted, prefix_filter="atuo")
+    with pytest.raises(ValueError, match="n_blocks"):
+        dedup.simhash_pairs(planted, n_blocks="atuo")
+    # the valid spellings still work (analysis-only: no action run)
+    dedup.ngram_jaccard_pairs(planted, prefix_filter=False)
+    dedup.simhash_pairs(planted, n_blocks=None)
 
 
 def test_shared_span_pairs_detects_long_common_substring(spark):

@@ -111,10 +111,10 @@ def main() -> int:
     for name, corpus in fixtures:
         n = corpus.count()
         density, fanout = dedup._ngram_index_stats(
-            corpus, "doc_id", "text", 3, 1000
+            corpus, "text", 3, 1000
         )
         decision = dedup._prefix_auto_decision(
-            corpus, "doc_id", "text", 3, 1000
+            corpus, "text", 3, 1000
         )
         picked = "prefix" if decision else "plain"
         print(
