@@ -16,6 +16,11 @@ every operator to execute without collect/write overhead, and defeats
 count()-driven column pruning that would skip computed columns). One JVM
 warmup query runs first and is not counted.
 
+The whole suite re-runs (bounded by MAX_SUITE_ATTEMPTS, fresh idle gate
+between passes) when a completed pass was load-contended or its start/end
+CPU probes drifted past RERUN_DIVERGENCE — the r11 artifact's exact
+failure mode (mid-run host-speed change the pre-run idle gate cannot see).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
 """
@@ -188,13 +193,43 @@ PROBE_RATIO_CLAMP = (0.5, 2.0)
 PROBE_DIVERGENCE = 1.5
 
 
-def _probe_divergent(start: float | None, end: float | None) -> bool:
+def _probe_divergent(
+    start: float | None, end: float | None, threshold: float | None = None
+) -> bool:
     """True when a run's start/end CPU probes differ by more than
-    ``PROBE_DIVERGENCE`` in either direction — the run's per-query
-    (sec, probe) pairs are then unreliable for band adjudication."""
+    ``threshold`` (default ``PROBE_DIVERGENCE``) in either direction —
+    the run's per-query (sec, probe) pairs are then unreliable for band
+    adjudication."""
     if not start or not end or start <= 0 or end <= 0:
         return False
-    return max(start, end) / min(start, end) > PROBE_DIVERGENCE
+    return max(start, end) / min(start, end) > (threshold or PROBE_DIVERGENCE)
+
+
+#: Whole-suite re-run trigger (VERDICT r11 task 1): the r11 official
+#: artifact stamped probe_divergent (start 0.0153 → end 0.0288, ratio
+#: 1.9) and read 1.118× vs r10 while the same session's idle rerun read
+#: 1.013× — the pre-run idle gate checks load BEFORE the run but cannot
+#: veto host-speed drift discovered DURING it. When the start/end probes
+#: of a completed pass diverge by more than this ratio (more sensitive
+#: than the 1.5 band-exclusion threshold — a 1.3× mid-run speed change
+#: already moves the headline by ~10-15%, the r11 wound), or the run was
+#: load-contended, the whole suite re-runs after a fresh idle gate, up
+#: to MAX_SUITE_ATTEMPTS total passes. The reported record is the first
+#: stable attempt, else the fastest first-pass attempt; every attempt's
+#: full timings land in the retry-trail sidecar.
+RERUN_DIVERGENCE = 1.3
+MAX_SUITE_ATTEMPTS = 3
+
+
+def _suite_attempt_unstable(
+    cpu_probe: float | None, cpu_probe_end: float | None, contended: bool
+) -> bool:
+    """True → the completed suite pass was recorded under shifting host
+    conditions (mid-run probe drift past ``RERUN_DIVERGENCE`` or load
+    contention) and should be re-run if attempts remain."""
+    return contended or _probe_divergent(
+        cpu_probe, cpu_probe_end, RERUN_DIVERGENCE
+    )
 
 
 def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
@@ -362,11 +397,6 @@ def main() -> None:
         spark.range(32 * 1024).repartition(32).select(_noop_pudf(F.col("id")))
     )
 
-    # self-adjudication: record machine contention so an elevated timing
-    # can be attributed to load without a manual idle re-run (VERDICT r5
-    # adjudicated two contention-only "regressions" by hand)
-    load_start = round(os.getloadavg()[0], 2)
-
     runners = {name: specs[name].fn for name in HEADLINE}
     runners.update(_bench_only_runners())
 
@@ -377,23 +407,70 @@ def main() -> None:
             materialize(df)
         return round(time.perf_counter() - t0, 3)
 
-    timings: dict[str, float] = {}
-    for name in runners:
-        timings[name] = timed_run(name)
+    # Whole-suite attempt loop (VERDICT r11 task 1): a pass whose host
+    # sped up/slowed down mid-run (probe drift > RERUN_DIVERGENCE) or
+    # that ran load-contended is re-run after a fresh idle gate, up to
+    # MAX_SUITE_ATTEMPTS passes. The first STABLE attempt is reported;
+    # if none is, the fastest first-pass attempt (least contended by
+    # construction) is — with its instability flags intact, so the
+    # artifact still self-reports as untrustworthy rather than hiding it.
+    attempts: list[dict] = []
+    for attempt_no in range(1, MAX_SUITE_ATTEMPTS + 1):
+        if attempt_no > 1:
+            _, gate_loads = _idle_gate()
+            idle_gate_loads.extend(gate_loads)
+            cpu_probe = _cpu_probe()
+        # self-adjudication: record machine contention so an elevated
+        # timing can be attributed to load without a manual idle re-run
+        # (VERDICT r5 adjudicated two contention-only "regressions" by
+        # hand)
+        load_start = round(os.getloadavg()[0], 2)
+        timings = {}
+        for name in runners:
+            timings[name] = timed_run(name)
+        first_pass_total = round(sum(timings.values()), 3)
+        # second probe stamp (VERDICT r9 task 3): the r9 37×-in-two-hours
+        # swing proves host speed can collapse MID-run; the end probe (a)
+        # flags such runs (probe_divergent — band collection skips them),
+        # (b) is the fresher scale for the retry thresholds below
+        cpu_probe_end = _cpu_probe()
+        contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
+        attempts.append(
+            {
+                "timings": timings,
+                "first_pass_total": first_pass_total,
+                "cpu_probe_sec": cpu_probe,
+                "cpu_probe_sec_end": cpu_probe_end,
+                "load_start": load_start,
+                "contended": contended,
+                "unstable": _suite_attempt_unstable(
+                    cpu_probe, cpu_probe_end, contended
+                ),
+            }
+        )
+        if not attempts[-1]["unstable"]:
+            break
+    chosen = next(
+        (a for a in attempts if not a["unstable"]),
+        min(attempts, key=lambda a: a["first_pass_total"]),
+    )
+    suite_attempt = attempts.index(chosen) + 1
+    # copy: the per-query retry loop below overwrites entries with
+    # min-of-2, and the trail sidecar should keep each attempt's RAW
+    # first-pass timings
+    timings = dict(chosen["timings"])
+    first_pass_total = chosen["first_pass_total"]
+    cpu_probe = chosen["cpu_probe_sec"]
+    cpu_probe_end = chosen["cpu_probe_sec_end"]
+    load_start = chosen["load_start"]
+    contended = chosen["contended"]
+    probe_divergent = _probe_divergent(cpu_probe, cpu_probe_end)
 
     # self-correction: min-of-2 for out-of-band queries (see RETRY_FACTOR
     # docstring). Retries run after the full pass so the retried query no
     # longer competes with the pass's own tail.
-    first_pass_total = round(sum(timings.values()), 3)
-    # second probe stamp (VERDICT r9 task 3): the r9 37×-in-two-hours
-    # swing proves host speed can collapse MID-run; the end probe (a)
-    # flags such runs (probe_divergent — band collection skips them),
-    # (b) is the fresher scale for the retry thresholds adjudicated now
-    cpu_probe_end = _cpu_probe()
-    probe_divergent = _probe_divergent(cpu_probe, cpu_probe_end)
     bands = _recorded_bands(sf)
     retries: dict[str, dict[str, float]] = {}
-    contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
     for name, first in list(timings.items()):
         band_rec = bands.get(name)
         if band_rec is None:
@@ -419,6 +496,15 @@ def main() -> None:
     trail = {
         "metric": "retry_trail",
         "retries": retries,
+        # every suite attempt in full (VERDICT r11 task 1): the headline
+        # carries only the chosen attempt + bounded probe-pair scalars;
+        # discarded passes' complete timings live here for adjudication
+        "suite_attempts": attempts,
+        "suite_attempt_chosen": suite_attempt,
+        "rerun_rule": {
+            "rerun_divergence": RERUN_DIVERGENCE,
+            "max_suite_attempts": MAX_SUITE_ATTEMPTS,
+        },
         "retry_rule": {
             "factor": RETRY_FACTOR,
             "load_gate": RETRY_LOAD,
@@ -464,6 +550,11 @@ def main() -> None:
                 len(retries),
                 contended,
                 idle_gate_loads,
+                suite_attempt=suite_attempt,
+                attempt_probes=[
+                    (a["cpu_probe_sec"], a["cpu_probe_sec_end"])
+                    for a in attempts
+                ],
             )
         )
     )
@@ -481,6 +572,8 @@ def _headline_record(
     n_retries,
     contended,
     idle_gate_loads=None,
+    suite_attempt=1,
+    attempt_probes=None,
 ):
     """The FINAL printed line, and nothing else, is what the driver's
     last-N-bytes stdout capture parses — so its size must be bounded by
@@ -521,6 +614,18 @@ def _headline_record(
         # gate passed at 3.8.
         "idle_gate_loads": ",".join(
             f"{x:g}" for x in (idle_gate_loads or [load_t0])
+        ),
+        # suite re-run trail (VERDICT r11 task 1): which attempt the
+        # record reports (1-based) and every attempt's start:end probe
+        # pair, comma-joined into a SCALAR (≤ MAX_SUITE_ATTEMPTS pairs,
+        # ~15 chars each) so the bounded-headline contract holds.
+        # "0.0153:0.0288,0.016:0.0161" reads as: attempt 1 diverged
+        # mid-run, attempt 2 was stable and is the one reported.
+        "suite_attempt": suite_attempt,
+        "n_suite_attempts": len(attempt_probes or []) or 1,
+        "attempt_probes": ",".join(
+            f"{s:g}:{e:g}"
+            for s, e in (attempt_probes or [(cpu_probe, cpu_probe_end)])
         ),
     }
 

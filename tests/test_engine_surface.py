@@ -308,7 +308,11 @@ def test_bench_headline_line_bounded():
         load_start=99.99,
         n_retries=len(names),
         contended=True,
-        idle_gate_loads=[99.99] * (bench.IDLE_GATE_ATTEMPTS + 1),
+        # worst case: every suite attempt slept through a full idle gate
+        idle_gate_loads=[99.99]
+        * ((bench.IDLE_GATE_ATTEMPTS + 1) * bench.MAX_SUITE_ATTEMPTS),
+        suite_attempt=bench.MAX_SUITE_ATTEMPTS,
+        attempt_probes=[(99.9999, 99.9999)] * bench.MAX_SUITE_ATTEMPTS,
     )
     line = json.dumps(out)
     assert len(line) < 4096, f"headline line {len(line)}B — capture risk"
@@ -326,7 +330,15 @@ def test_bench_headline_line_bounded():
     assert out["cpu_probe_sec_end"] == 99.9999
     assert out["probe_divergent"] is False
     assert out["contended"] is True
-    assert out["idle_gate_loads"] == "99.99,99.99,99.99,99.99"
+    assert out["idle_gate_loads"] == ",".join(
+        ["99.99"] * ((bench.IDLE_GATE_ATTEMPTS + 1) * bench.MAX_SUITE_ATTEMPTS)
+    )
+    # suite re-run trail fields (VERDICT r11 task 1) are bounded scalars
+    assert out["suite_attempt"] == bench.MAX_SUITE_ATTEMPTS
+    assert out["n_suite_attempts"] == bench.MAX_SUITE_ATTEMPTS
+    assert out["attempt_probes"] == ",".join(
+        ["99.9999:99.9999"] * bench.MAX_SUITE_ATTEMPTS
+    )
 
 
 def test_bench_idle_gate_rule():
@@ -393,6 +405,17 @@ def test_bench_probe_divergence_rule():
     assert bench._probe_divergent(None, 0.5) is False       # pre-r10 rows
     assert bench._probe_divergent(0.5, None) is False
     assert bench._probe_divergent(0.0, 0.5) is False
+
+    # suite re-run rule (VERDICT r11 task 1): more sensitive than the
+    # band-exclusion threshold — the r11 pair (0.0153 → 0.0288, ratio
+    # 1.88) and a sub-1.5 drift both trigger a re-run; contention alone
+    # also does; a stable idle pass does not
+    assert bench.RERUN_DIVERGENCE < bench.PROBE_DIVERGENCE
+    assert bench._suite_attempt_unstable(0.0153, 0.0288, False) is True
+    assert bench._suite_attempt_unstable(0.0153, 0.0153 * 1.4, False) is True
+    assert bench._suite_attempt_unstable(0.0153, 0.0153 * 1.2, False) is False
+    assert bench._suite_attempt_unstable(0.0153, 0.0160, True) is True
+    assert bench._suite_attempt_unstable(0.0153, 0.0160, False) is False
 
     # band collection skips a divergent round: write a synthetic
     # BENCH_r99 with an impossibly-low timing that would otherwise
