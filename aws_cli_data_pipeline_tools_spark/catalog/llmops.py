@@ -500,17 +500,77 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10, query_id_col="query_id")
 
 
+def _duck_lsh_topk_sql(
+    n_planes: int, n_tables: int, k: int, dim: int, seed_str: str
+) -> str:
+    """DuckDB twin of the PORTABLE lsh_ann_topk (VERDICT r11 task 4b):
+    the ±1 parity planes come from the SAME lsh_parity_planes call the
+    Spark operator uses (single source — the sign matrices can never
+    drift), buckets are exact integer micro-unit sign sums, candidates
+    are any-shared-bucket pairs, and the rerank replays the established
+    exact-cosine discipline. Every step is deterministic, so the full
+    top-k output hash-matches."""
+    from ..operators.similarity import lsh_parity_planes
+
+    planes = lsh_parity_planes(dim, n_planes, n_tables, seed_str)
+    table_selects = []
+    for t in range(n_tables):
+        bucket = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> mv[i] * ([{', '.join(str(s) for s in planes[t][j])}])[i]"
+            f")) >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM mv"
+        )
+    cb = "\nUNION ALL\n".join(table_selects)
+    return f"""
+WITH mv AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
+  FROM embeddings WHERE embedding IS NOT NULL
+), cb AS (
+{cb}
+), qb AS (
+  SELECT * FROM cb WHERE vec_id < 5
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN cb c ON c.tbl = q.tbl AND c.bucket = q.bucket
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_duck_cosine('qe.embedding', 'ce.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # approximate — recall vs exact is gate/pytest-asserted.
+    oracle=_duck_lsh_topk_sql(5, 16, 10, 64, "lsh-v1|7"),
     tags=("llmops", "similarity"),
     notes="Multi-table random-hyperplane LSH ANN (5 planes × 16 tables), "
-    "exact rerank of bucket candidates. Operating point measured on the "
-    "near-random fixture (BASELINE.md recall curve): recall@10 = 0.76 at "
-    "0.40 candidate fraction — on isotropic random vectors recall ~ "
-    "1-(1-(1-θ/π)^planes)^tables and neighbors sit at cosine ≈ 0.28, so "
-    "high recall is intrinsically expensive; clustered production "
-    "embeddings sit far up the same curve at far lower cost.",
+    "exact rerank of bucket candidates — now FULLY oracle-checked "
+    "(VERDICT r11 task 4b): md5-parity ±1 Rademacher planes with exact "
+    "integer micro-unit sign sums make bucket assignment, the candidate "
+    "set, and the rerank hash-replayable in DuckDB (portable=True). "
+    "Operating point re-measured with the parity planes on the "
+    "near-random fixture: recall@10 = 0.76, identical to the Gaussian "
+    "construction's curve (BASELINE.md) — on isotropic random vectors "
+    "recall ~ 1-(1-(1-θ/π)^planes)^tables and neighbors sit at cosine "
+    "≈ 0.28, so high recall is intrinsically expensive; clustered "
+    "production embeddings sit far up the same curve at far lower cost "
+    "(ann_lsh_topk_clustered).",
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
@@ -520,6 +580,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
         emb, queries, k=10, n_planes=5, n_tables=16, query_id_col="query_id",
         dim=64,  # embeddings fixture contract (FIXTURES.md) — no first() probe
+        portable=True,  # md5-parity planes — the DuckDB oracle's twin
     )
 
 
@@ -1073,24 +1134,137 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_topk(emb, queries, k=10, query_id_col="query_id")
 
 
+#: portable_hash64's DuckDB twin over a bigint id (functions/__init__.py
+#: docstring contract — identical values to the Spark expression)
+_DUCK_PHASH_ID = (
+    "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+def _duck_kmeans_norm(i: int, raw: str) -> str:
+    """Normalization CTE pair for one centroid frame: decimal squared-norm
+    sum (order-free) → identical double divisor in both engines; zero-norm
+    centroids pass through (same CASE as _normalize_centroid_rows)."""
+    return f"""n{i} AS (
+  SELECT list_id, sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS nrm
+  FROM {raw} GROUP BY list_id
+), c{i} AS (
+  SELECT r.list_id, r.pos,
+         CASE WHEN n{i}.nrm > 0 THEN r.c / n{i}.nrm ELSE r.c END AS c
+  FROM {raw} r JOIN n{i} USING (list_id)
+)"""
+
+
+def _duck_kmeans_iter(i: int) -> str:
+    """One unrolled Lloyd step of the DuckDB k-means twin: decimal-exact
+    dots vs c{i-1}, argmax assignment (ties → smallest list_id), per-dim
+    decimal-mean update with empty clusters keeping their previous
+    centroid, then normalization — mirrors kmeans_clusters_portable's
+    loop body expression for expression."""
+    p = i - 1
+    return f"""d{i} AS (
+  SELECT xe.id, c{p}.list_id,
+         CAST(sum(CAST(xe.x * c{p}.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM xe JOIN c{p} ON c{p}.pos = xe.pos GROUP BY xe.id, c{p}.list_id
+), a{i} AS (
+  SELECT id, list_id FROM (
+    SELECT id, list_id,
+           row_number() OVER (PARTITION BY id ORDER BY dot DESC, list_id) AS rn
+    FROM d{i}
+  ) WHERE rn = 1
+), m{i} AS (
+  SELECT a{i}.list_id, xe.pos,
+         CAST(sum(CAST(xe.x AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS m
+  FROM xe JOIN a{i} ON a{i}.id = xe.id GROUP BY a{i}.list_id, xe.pos
+), r{i} AS (
+  SELECT c{p}.list_id, c{p}.pos, coalesce(m{i}.m, c{p}.c) AS c
+  FROM c{p} LEFT JOIN m{i} ON m{i}.list_id = c{p}.list_id AND m{i}.pos = c{p}.pos
+), {_duck_kmeans_norm(i, f"r{i}")}"""
+
+
+def _duck_kmeans_profile_sql(n_centroids: int, refine_iters: int) -> str:
+    """Full DuckDB twin of kmeans_clusters_portable + the per-cluster
+    profile aggregate (VERDICT r11 task 4a): unrolled Lloyd iterations
+    exactly as embedding_pca_power_iteration / pagerank_fixed_point
+    unroll theirs."""
+    last = refine_iters
+    iters = ", ".join(_duck_kmeans_iter(i) for i in range(1, last + 1))
+    return f"""
+WITH src AS (
+  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+), xe AS (
+  SELECT vec_id AS id,
+         unnest(generate_series(1, len(embedding))) - 1 AS pos,
+         unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x
+  FROM src
+), seeds AS (
+  SELECT id, list_id FROM (
+    SELECT vec_id AS id,
+           CAST(row_number() OVER (
+             ORDER BY {_DUCK_PHASH_ID.format(id="vec_id")}, vec_id
+           ) AS INT) - 1 AS list_id
+    FROM src
+  ) WHERE list_id < {n_centroids}
+), r0 AS (
+  SELECT s.list_id, xe.pos, xe.x AS c FROM xe JOIN seeds s ON s.id = xe.id
+), {_duck_kmeans_norm(0, "r0")}, {iters},
+df AS (
+  SELECT xe.id, c{last}.list_id,
+         CAST(sum(CAST(xe.x * c{last}.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM xe JOIN c{last} ON c{last}.pos = xe.pos GROUP BY xe.id, c{last}.list_id
+), af AS (
+  SELECT id, list_id, dot FROM (
+    SELECT id, list_id, dot,
+           row_number() OVER (PARTITION BY id ORDER BY dot DESC, list_id) AS rn
+    FROM df
+  ) WHERE rn = 1
+), xn AS (
+  SELECT id, sqrt(CAST(sum(CAST(x * x AS DECIMAL(38,10))) AS DOUBLE)) AS xn
+  FROM xe GROUP BY id
+), cnrm AS (
+  SELECT list_id, sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,10))) AS DOUBLE)) AS cn
+  FROM c{last} GROUP BY list_id
+), cosr AS (
+  SELECT af.list_id,
+         round(af.dot / nullif(xn.xn * cnrm.cn, 0.0), 6) AS cos
+  FROM af JOIN xn ON xn.id = af.id JOIN cnrm ON cnrm.list_id = af.list_id
+)
+SELECT list_id, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(CAST(sum(CAST(cos AS DECIMAL(38,10))) AS DOUBLE) / count(cos), 6)
+         AS avg_cos
+FROM cosr GROUP BY list_id ORDER BY list_id
+"""
+
+
 @register(
     "embedding_cluster_profile",
-    oracle=None,  # Lloyd-refined centroids have no SQL twin — rows-only;
-    # determinism + label sanity are pytest-asserted.
+    oracle=_duck_kmeans_profile_sql(16, 2),
     tags=("llmops", "similarity", "clustering"),
-    notes="Deterministic spherical k-means (similarity.kmeans_clusters, "
-    "the IVF trainer as a first-class op): per-cluster size and mean "
-    "cosine-to-centroid. Labels drive diversity sampling/quotas; the same "
-    "labels are the IVF index lists.",
+    notes="Deterministic spherical k-means profile, now FULLY oracle-"
+    "checked (VERDICT r11 task 4a): kmeans_clusters_portable seeds from "
+    "the md5-parity (portable_hash64) order, runs 2 Lloyd iterations with "
+    "every inner product / mean / norm a DECIMAL(38,10) sum, and the "
+    "DuckDB twin unrolls the identical iterations (the pca_power_iteration "
+    "discipline) — labels, sizes, and mean cosines hash-match exactly. "
+    "Labels drive diversity sampling/quotas; the same labels are IVF index "
+    "lists. The numpy-path kmeans_clusters remains the throughput variant.",
 )
 def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    labeled = similarity.kmeans_clusters(emb, n_centroids=16)
+    labeled = similarity.kmeans_clusters_portable(
+        emb, n_centroids=16, refine_iters=2
+    )
     return (
         labeled.groupBy("list_id")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("cos_to_centroid"), 6).alias("avg_cos"),
+            F.round(
+                F.sum(
+                    F.col("cos_to_centroid").cast("decimal(38,10)")
+                ).cast("double")
+                / F.count("cos_to_centroid"),
+                6,
+            ).alias("avg_cos"),
         )
         .orderBy("list_id")
     )

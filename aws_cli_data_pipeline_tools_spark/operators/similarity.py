@@ -137,6 +137,76 @@ def _hyperplane_tables(
     ]
 
 
+def lsh_parity_planes(
+    dim: int, n_planes: int, n_tables: int, seed: str = "lsh-v1"
+) -> list[list[list[int]]]:
+    """±1 Rademacher hyperplanes from md5 parity, [table][plane][dim] —
+    the engine-portable twin of :func:`_hyperplane_tables` (VERDICT r11
+    task 4b). Same construction as :func:`_md5_parity_signs` with a
+    per-table seed suffix, so a DuckDB oracle derives the identical sign
+    matrix from the same seed string and replays bucket assignment
+    hash-for-hash. Rademacher signs are a standard random-hyperplane
+    family (sign-LSH needs only a symmetric zero-mean direction
+    distribution), so the recall/candidate-fraction economics track the
+    Gaussian default's curve."""
+    return [
+        _md5_parity_signs(f"{seed}|t{t}", dim, n_planes)
+        for t in range(n_tables)
+    ]
+
+
+def _bucketize_portable(
+    df: DataFrame, id_name: str, vec_name: str, planes: list[list[list[int]]]
+) -> DataFrame:
+    """(id, vec) → one row per LSH table: (id, vec, table, bucket), with
+    ENGINE-PORTABLE buckets: elements are quantized to integer micro-units
+    JVM-side (``_micro`` — Spark's half-up rounding, which numpy's
+    half-even np.round would NOT reproduce), then each plane's signed sum
+    runs in exact int64 arithmetic (one numpy integer matmul per Arrow
+    batch against the ±1 parity matrix — |sum| ≤ dim·max|v|·1e6, far
+    inside int64). Integer sums are order-independent, so the sign bits —
+    and therefore every bucket — are bit-identical wherever the same
+    arithmetic is replayed (the DuckDB oracle twin). Same narrow
+    no-shuffle shape as :func:`_bucketize`."""
+    import numpy as np
+    import pandas as pd
+
+    p = np.asarray(planes, dtype=np.int64)  # (T, B, dim)
+    n_tables, n_planes, dim = p.shape
+    flat = p.reshape(n_tables * n_planes, dim).T  # (dim, T·B)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    id_t = df.schema[id_name].dataType.simpleString()
+    vec_t = df.schema[vec_name].dataType.simpleString()
+    df = df.filter(F.col(vec_name).isNotNull()).withColumn(
+        "__mv", F.transform(F.col(vec_name), _micro)
+    )
+
+    def gen(batches):
+        for batch in batches:
+            if batch.empty:
+                continue
+            mat = np.stack(batch["__mv"].to_numpy()).astype(np.int64)
+            bits = (mat @ flat) >= 0  # exact integer comparison
+            bits = bits.reshape(len(batch), n_tables, n_planes)
+            buckets = bits @ weights  # (n, T) integer bucket ids
+            frames = [
+                pd.DataFrame(
+                    {
+                        id_name: batch[id_name],
+                        vec_name: batch[vec_name],
+                        "table": t,
+                        "bucket": buckets[:, t],
+                    }
+                )
+                for t in range(n_tables)
+            ]
+            yield pd.concat(frames)
+
+    return df.mapInPandas(
+        gen, schema=f"{id_name} {id_t}, {vec_name} {vec_t}, table int, bucket bigint"
+    )
+
+
 def _bucketize(
     df: DataFrame, id_name: str, vec_name: str, planes: list[list[list[float]]]
 ) -> DataFrame:
@@ -493,6 +563,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     dim: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate NN: multi-table random-hyperplane LSH.
 
@@ -506,6 +577,14 @@ def lsh_ann_topk(
 
     ``dim`` avoids a driver-side first-row probe; pass it when the vector
     length is known (it is part of the data contract).
+
+    ``portable=True`` swaps the Gaussian hyperplanes for md5-parity ±1
+    Rademacher planes with exact integer-micro-unit sign sums
+    (:func:`lsh_parity_planes` / :func:`_bucketize_portable`), making
+    every bucket — and therefore the full candidate set, rerank, and
+    top-k — replayable hash-for-hash by a DuckDB oracle (VERDICT r11
+    task 4b). Same plan shape and same recall family; the quantization
+    adds one narrow array transform per side.
     """
     if dim is None:  # fallback probe — one tiny driver action
         first = corpus.select(vec_col).first()
@@ -515,14 +594,19 @@ def lsh_ann_topk(
                 "corpus (the dim probe reads the first row)"
             )
         dim = len(first[0])
-    planes = _hyperplane_tables(dim, n_planes, n_tables, seed)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c_b = _bucketize(c, "neighbor_id", "cv", planes)
-    q_b = _bucketize(q, "query_id", "qv", planes)
+    if portable:
+        planes = lsh_parity_planes(dim, n_planes, n_tables, f"lsh-v1|{seed}")
+        c_b = _bucketize_portable(c, "neighbor_id", "cv", planes)
+        q_b = _bucketize_portable(q, "query_id", "qv", planes)
+    else:
+        planes = _hyperplane_tables(dim, n_planes, n_tables, seed)
+        c_b = _bucketize(c, "neighbor_id", "cv", planes)
+        q_b = _bucketize(q, "query_id", "qv", planes)
 
     cand = (
         F.broadcast(q_b)
@@ -648,6 +732,160 @@ def kmeans_clusters(
             cosine_similarity(F.col(vec_col).cast("array<double>"), F.col("centroid")),
             6,
         ).alias("cos_to_centroid"),
+    )
+
+
+def _normalize_centroid_rows(c: DataFrame) -> DataFrame:
+    """L2-normalize long-form centroids (list_id, pos, c) with the
+    decimal-sum discipline: the squared-norm sum is exact (order-free)
+    so both engines divide by the identical double. Zero-norm centroids
+    pass through unchanged (the DuckDB twin's CASE does the same)."""
+    nrm = c.groupBy("list_id").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+        ).alias("nrm")
+    )
+    return c.join(F.broadcast(nrm), "list_id").select(
+        "list_id",
+        "pos",
+        F.when(F.col("nrm") > 0, F.col("c") / F.col("nrm"))
+        .otherwise(F.col("c"))
+        .alias("c"),
+    )
+
+
+def _portable_assign_dots(xe: DataFrame, c: DataFrame) -> DataFrame:
+    """Long-form assignment: per (id, list_id) decimal-exact dot with the
+    current centroids, then argmax per id (ties → smallest list_id).
+    Returns (id, list_id, dot). The per-id window runs over exactly
+    n_centroids rows per id — the shuffle is n×k tiny rows, never the
+    exploded corpus."""
+    dots = (
+        xe.join(F.broadcast(c), "pos")
+        .groupBy("id", "list_id")
+        .agg(
+            F.sum((F.col("x") * F.col("c")).cast("decimal(38,10)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dot").desc(), "list_id")
+    return (
+        dots.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def kmeans_clusters_portable(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Engine-portable spherical k-means — same semantics as
+    :func:`kmeans_clusters` (seeded init, Lloyd refinement, returns
+    (id, list_id, cos_to_centroid)) but every arithmetic step follows
+    the repo's cross-engine determinism discipline, so a DuckDB oracle
+    replays labels AND cosines exactly (VERDICT r11 task 4a):
+
+    - seeding: the ``n_centroids`` rows with the smallest
+      ``(portable_hash64(id), id)`` — md5-derived, both engines agree;
+      ``list_id`` is that order's 0-based rank.
+    - assignment: ``argmax_k Σ_i x_i·c_ki`` with the inner product as a
+      DECIMAL(38,10) sum (order-independent, so partitioning cannot
+      perturb the double that enters the comparison); cosine argmax ≡
+      dot argmax because the row norm is a positive per-row constant.
+      Ties break on the smaller list_id in both engines.
+    - update: per-dimension mean = decimal-sum / count; empty clusters
+      keep their previous centroid; L2 normalization via a decimal
+      squared-norm sum.
+
+    Physical shape: the exploded corpus (n×dim rows) joins a broadcast
+    centroid long-form (k×dim rows) per iteration — one hash aggregate
+    per assignment, one per update, no driver-side model state at all
+    (the numpy-path :func:`kmeans_clusters` collects the k×dim centroid
+    matrix; this form never collects anything). The cost is the n×k
+    dot-aggregate per iteration vs the Arrow matmul — use this variant
+    where cross-engine replay matters more than the constant factor.
+    """
+    from ..functions import portable_hash64
+
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    xe = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+        )
+        .select("id", "pos", F.col("xf").cast("double").alias("x"))
+        .persist()
+    )
+    ph = portable_hash64(F.col(id_col).cast("string"))
+    seeds = (
+        corpus.select(F.col(id_col).alias("id"), ph.alias("__ph"))
+        .orderBy("__ph", "id")
+        .limit(n_centroids)
+    )
+    # global row_number over ≤ n_centroids rows — driver-window-sized
+    seeds = seeds.withColumn(
+        "list_id",
+        (F.row_number().over(Window.orderBy("__ph", "id")) - 1).cast("int"),
+    ).drop("__ph")
+    c = _normalize_centroid_rows(
+        xe.join(F.broadcast(seeds), "id").select(
+            "list_id", "pos", F.col("x").alias("c")
+        )
+    )
+    for _ in range(refine_iters):
+        assign = _portable_assign_dots(xe, c).drop("dot")
+        means = (
+            xe.join(assign, "id")
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        prev = c.select("list_id", "pos", F.col("c").alias("c_prev"))
+        c = _normalize_centroid_rows(
+            prev.join(means, ["list_id", "pos"], "left").select(
+                "list_id",
+                "pos",
+                F.coalesce(F.col("m"), F.col("c_prev")).alias("c"),
+            )
+        )
+    final = _portable_assign_dots(xe, c)
+    xn = xe.groupBy("id").agg(
+        F.sqrt(
+            F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+        ).alias("__xn")
+    )
+    cn = c.groupBy("list_id").agg(
+        F.sqrt(
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,10)")).cast(
+                "double"
+            )
+        ).alias("__cn")
+    )
+    return (
+        final.join(xn, "id")
+        .join(F.broadcast(cn), "list_id")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.round(
+                F.col("dot")
+                / F.nullif(F.col("__xn") * F.col("__cn"), F.lit(0.0)),
+                6,
+            ).alias("cos_to_centroid"),
+        )
     )
 
 

@@ -153,15 +153,6 @@ def _ann_recall(con, rows, exact_oracle_sql, bound):
     return f"recall@10={recall:.3f} ≥ {bound}, self-matches present"
 
 
-def _inv_ann_lsh(spark, sf_dir, con, rows, cols, specs):
-    """Recall vs the exact ann_cosine_topk ORACLE (DuckDB-computed, so the
-    ground truth is independent of Spark). Operating point 5 planes × 16
-    tables measures recall@10 = 0.76 on the near-random fixture
-    (BASELINE.md recall curve); floor 0.7 = the shippable bar, 3 hits of
-    deterministic headroom."""
-    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
-
-
 def _clustered_exact_sql() -> str:
     """Exact top-10 ground truth over the planted-cluster corpus: DuckDB
     replays the corpus bit-identically (duck_clustered_cte — md5-derived
@@ -213,20 +204,6 @@ def _inv_ann_ivf(spark, sf_dir, con, rows, cols, specs):
     0.78 on the near-random fixture (BASELINE.md recall curve); floor 0.7
     leaves 4 hits of headroom over Lloyd float-order jitter."""
     return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
-
-
-def _inv_cluster_profile(spark, sf_dir, con, rows, cols, specs):
-    """Spherical k-means profile: labels cover the corpus exactly, ≤16
-    lists, mean cosine-to-centroid sane, and the run is deterministic."""
-    n_total = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
-    assert sum(r[1] for r in rows) == n_total, "label coverage != corpus"
-    assert 1 <= len(rows) <= 16
-    assert all(-1.0 <= float(r[2]) <= 1.0 for r in rows)
-    assert sum(float(r[2]) * r[1] for r in rows) / n_total > 0.0
-    again = [tuple(r) for r in specs["embedding_cluster_profile"]
-             .fn(spark, sf_dir).collect()]
-    assert sorted(again) == sorted(tuple(r) for r in rows), "nondeterministic"
-    return f"{len(rows)} lists cover {n_total} vecs; deterministic rerun"
 
 
 def _inv_heavy_hitters(spark, sf_dir, con, rows, cols, specs):
@@ -315,11 +292,13 @@ INVARIANTS = {
     "profile_lineitem_approx": _inv_profile_approx,
     "profile_lineitem_hll": _inv_profile_hll,
     "approx_aggregates": _inv_approx_aggregates,
-    "ann_lsh_topk": _inv_ann_lsh,
+    # ann_lsh_topk and embedding_cluster_profile graduated to FULL DuckDB
+    # oracles in r12 (VERDICT r11 task 4): md5-parity LSH planes with
+    # exact integer sign sums, and decimal-sum portable k-means with
+    # unrolled Lloyd iterations.
     "ann_lsh_topk_clustered": _inv_ann_lsh_clustered,
     "ann_ivf_topk": _inv_ann_ivf,
     "ann_ivf_topk_clustered": _inv_ann_ivf_clustered,
-    "embedding_cluster_profile": _inv_cluster_profile,
     "vocab_heavy_hitters_approx": _inv_heavy_hitters,
     "dedup_cluster_groups": _inv_cluster_groups,
     "events_distinct_sketch_cascade": _inv_sketch_cascade,
