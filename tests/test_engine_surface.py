@@ -596,3 +596,48 @@ def test_survey_coverage_identifier_universe_r10():
     assert all(isinstance(x, str) for x in idents)
     # text_col appears only as an annotated parameter in many signatures
     assert "text_col" in idents and "sf_dir" in idents
+
+
+def test_bench_scale_band_collection(tmp_path):
+    """BENCH_SCALE band rule (VERDICT r11 task 5): best probe-normalized
+    cell per corpus key, mismatched keys and divergent-probe rounds
+    excluded — the bench.py _recorded_bands discipline applied to the
+    100x cipher cells."""
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    sys.path.insert(0, repo)
+    from bench_scale import _recorded_scale_bands
+
+    def write(name, **kw):
+        rec = {
+            "corpus_key": "sf0.1|100x",
+            "cpu_probe_sec": 0.016,
+            "cpu_probe_sec_end": 0.016,
+            "probe_divergent": False,
+            "cells": {},
+        }
+        rec.update(kw)
+        (tmp_path / name).write_text(json.dumps(rec))
+
+    # r1: slow host (probe 0.032) reads 40s; r2: fast host reads 25s —
+    # r1's probe-normalized cost (40/0.032=1250) beats r2's
+    # (25/0.016=1562), so the band is r1's recording
+    write("BENCH_SCALE_r01.json", cpu_probe_sec_end=0.032,
+          cells={"jaccard@100x": 40.0})
+    write("BENCH_SCALE_r02.json", cells={"jaccard@100x": 25.0,
+                                         "span@100x": 30.0})
+    # divergent round with an impossibly-good cell: must be excluded
+    write("BENCH_SCALE_r03.json", probe_divergent=True,
+          cells={"jaccard@100x": 0.1})
+    # different corpus key: must be excluded
+    write("BENCH_SCALE_r04.json", corpus_key="sf0.01|100x",
+          cells={"jaccard@100x": 0.2})
+
+    bands = _recorded_scale_bands("sf0.1|100x", search_dir=str(tmp_path))
+    assert bands["jaccard@100x"] == (40.0, 0.032)
+    assert bands["span@100x"] == (30.0, 0.016)
+    assert _recorded_scale_bands("sf9|1x", search_dir=str(tmp_path)) == {}

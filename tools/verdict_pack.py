@@ -35,6 +35,7 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)  # bench_scale import (scale_bands)
 
 
 def _round_no(path: str) -> int:
@@ -114,6 +115,55 @@ def bands() -> dict:
     }
 
 
+def scale_bands() -> dict:
+    """Latest BENCH_SCALE_r*.json vs the best probe-normalized prior
+    cell recordings (VERDICT r11 task 5 — the 100× cipher cells get
+    round-over-round diffs like the sf0.1 headline). The band rule and
+    the per-cell ratios mirror bands()."""
+    from bench_scale import _recorded_scale_bands
+
+    import bench
+
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_SCALE_r*.json")), key=_round_no
+    )
+    if not paths:
+        return {"error": "no BENCH_SCALE_r*.json"}
+    latest = paths[-1]
+    try:
+        rec = json.load(open(latest))
+    except (OSError, ValueError) as e:
+        return {"error": f"{latest}: {e}"}
+    probe = rec.get("cpu_probe_sec_end") or rec.get("cpu_probe_sec")
+    recorded = _recorded_scale_bands(rec.get("corpus_key") or "")
+    ratios = {}
+    for name, sec in (rec.get("cells") or {}).items():
+        band_rec = recorded.get(name)
+        if not band_rec or not isinstance(sec, (int, float)):
+            continue
+        band, band_probe = band_rec
+        scale = 1.0
+        if band_probe and probe:
+            lo, hi = bench.PROBE_RATIO_CLAMP
+            scale = min(hi, max(lo, probe / band_probe))
+        if band:
+            ratios[name] = round(sec / (band * scale), 3)
+    worst = max(ratios.items(), key=lambda kv: kv[1]) if ratios else None
+    return {
+        "latest_record": os.path.basename(latest),
+        "corpus_key": rec.get("corpus_key"),
+        "total_sec": rec.get("value"),
+        "cpu_probe_sec": rec.get("cpu_probe_sec"),
+        "cpu_probe_sec_end": rec.get("cpu_probe_sec_end"),
+        "probe_divergent": rec.get("probe_divergent"),
+        "band_violations": rec.get("band_violations"),
+        "worst_band_ratio": {"cell": worst[0], "ratio": worst[1]}
+        if worst
+        else None,
+        "cell_band_ratios": ratios,
+    }
+
+
 _SWEEP_TAIL = re.compile(
     r"(\d+) exact-match, (\d+) rows-only, (\d+) failed"
 )
@@ -183,6 +233,7 @@ def main() -> int:
         "metric": "verdict_pack",
         "staleness": staleness(),
         "bands": bands(),
+        "scale_bands": scale_bands(),
         "sweeps": sweeps(sweep_args),
     }
     if "--no-pytest" not in argv:
