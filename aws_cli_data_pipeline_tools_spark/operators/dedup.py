@@ -1091,12 +1091,46 @@ def dedup_clusters(
     ).orderBy("id")
 
 
+#: Auto block sizing for _cosine_pairs_blocked (r12 ANN spill audit):
+#: the dominant per-group allocation is the (rows/B)² float64 sims
+#: matrix, NOT the two vector blocks the old docstring sized for — at
+#: 200k vectors the fixed default B=8 makes 25k×25k sims = 5 GB per
+#: group, the kernel OOM-killed the session JVM with 32 Python workers
+#: at ~5.9 GB RSS each (dmesg-confirmed). Target ≈6k rows/block → sims
+#: ≤ 288 MB per group (×32 workers ≈ 9 GB peak, comfortably inside the
+#: session). The gate constant is denominated in ROWS via a
+#: conservative 64 B/row floor on the plan-size estimate (sims cost is
+#: rows-quadratic — the first cut of this gate used a flat 64 MB byte
+#: threshold and the fatal 200k-row corpus slid under it at a measured
+#: 284 B/row): 8 blocks of ≤6k rows are safe up to 48k rows, and any
+#: plausible vector row is ≥64 B, so plan/64 upper-bounds the row
+#: count. Small corpora therefore keep the zero-job default 8 with
+#: byte-identical plans; above the gate ONE count() (metadata-cheap on
+#: scans, trivial next to the O(n²) matmul) sizes the blocks.
+_COSINE_BLOCK_ROWS = 6_000
+_COSINE_GATE_ROWS = 48_000
+_COSINE_ROW_BYTES_FLOOR = 64
+
+
+def _cosine_auto_blocks(df: DataFrame) -> int:
+    """Block count for the all-pairs matmul: default 8 with ZERO jobs
+    while the plan-size gate proves the corpus small; above the gate one
+    count() sizes blocks to cap the per-group sims matrix."""
+    plan = _plan_size_bytes(df)
+    if (
+        plan is not None
+        and plan < _COSINE_GATE_ROWS * _COSINE_ROW_BYTES_FLOOR
+    ):
+        return 8
+    return max(8, -(-df.count() // _COSINE_BLOCK_ROWS))
+
+
 def _cosine_pairs_blocked(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, fully distributed: block-partitioned
     matrix product. Nothing is materialized on the driver.
@@ -1109,15 +1143,22 @@ def _cosine_pairs_blocked(
 
     Scale accounting: shuffle volume is ≈ (n_blocks+1)·|corpus| vector
     replicas — the standard exact-all-pairs trade (vs a broadcast that caps
-    the corpus at driver/executor memory). Per-group memory is two blocks of
-    |corpus|/n_blocks vectors; pick n_blocks ≈ corpus_bytes / 256 MB on a
-    real cluster. Compute is the unavoidable O(n²) dot products, done in
-    vectorized BLAS rather than per-pair JVM lambdas (interpreted
-    CodegenFallback, ~100× slower).
+    the corpus at driver/executor memory). Per-group memory is dominated by
+    the (rows/n_blocks)² float64 sims matrix, so ``n_blocks=None`` (the
+    default) sizes blocks to ≈``_COSINE_BLOCK_ROWS`` rows via
+    :func:`_cosine_auto_blocks` — zero extra jobs below the plan-size
+    gate, one count() above it (negligible next to the O(n²) work this
+    operator exists to do). The r12 spill audit found the old fixed
+    default 8 fatal at 200k vectors (5 GB sims per group × 32 workers).
+    Compute is the unavoidable O(n²) dot products, done in vectorized
+    BLAS rather than per-pair JVM lambdas (interpreted CodegenFallback,
+    ~100× slower).
     """
     import numpy as np
     import pandas as pd
 
+    if n_blocks is None:
+        n_blocks = _cosine_auto_blocks(df)
     id_t = df.schema[id_col].dataType.simpleString()
     data = df.select(
         F.col(id_col).alias("id"),
@@ -1231,7 +1272,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.9,
     n_planes: int = 0,
     seed: int = 7,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
     dim: int | None = None,
     broadcast: bool = False,
 ) -> DataFrame:
@@ -1240,6 +1281,10 @@ def embedding_cosine_pairs(
     ``n_planes == 0`` (default): exact all-pairs via the distributed
     block-partitioned BLAS matmul (``_cosine_pairs_blocked``) — no driver-
     side materialization, scales to any corpus that fits the cluster.
+    ``n_blocks=None`` auto-sizes the block count so the per-group sims
+    matrix stays bounded (see ``_cosine_auto_blocks`` — the r12 spill
+    audit found the old fixed 8 fatal at 200k vectors); pass an int to
+    pin it.
     ``broadcast=True`` opts into the single-broadcast variant
     (``_cosine_pairs_matmul``) for corpora known to fit a broadcast
     (~1M×64 floats = 256 MB); both produce identical values (same numpy

@@ -551,6 +551,35 @@ def test_ngram_prefix_auto_density_rule(spark):
     )
 
 
+def test_cosine_auto_blocks_sizing(spark):
+    """r12 ANN spill audit: the per-group sims matrix is (rows/B)²·8 B,
+    so the block count must grow with the corpus — the old fixed 8 made
+    5 GB groups at 200k vectors. Below the plan-size gate the default 8
+    is chosen with zero jobs; above it, blocks cap at ~_COSINE_BLOCK_ROWS
+    rows each."""
+    small = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    assert dedup._cosine_auto_blocks(small) == 8
+    # force the above-gate path regardless of the plan estimate
+    orig = dedup._plan_size_bytes
+    dedup._plan_size_bytes = lambda df: (
+        dedup._COSINE_GATE_ROWS * dedup._COSINE_ROW_BYTES_FLOOR + 1
+    )
+    try:
+        big = spark.range(0, 100_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+        )
+        want = -(-100_000 // dedup._COSINE_BLOCK_ROWS)
+        assert want > 8  # the cell must exercise the above-floor branch
+        assert dedup._cosine_auto_blocks(big) == want
+        assert dedup._cosine_auto_blocks(small) == 8  # max(8, ceil) floor
+    finally:
+        dedup._plan_size_bytes = orig
+
+
 def test_mode_string_params_validated(spark, planted):
     """Truthy strings other than 'auto' must raise, not silently pin a
     path (prefix_filter) or die in an opaque str-vs-int comparison

@@ -133,9 +133,9 @@ def main() -> int:
             )
         ),
         "embedding_cosine_pairs_blocked": lambda: sink(
-            dedup.embedding_cosine_pairs(
-                corpus, threshold=0.9, n_planes=0, n_blocks=8
-            )
+            # shipped auto block sizing (the r12 audit killed the old
+            # fixed n_blocks=8 here: 25k-row blocks → 5 GB sims/group)
+            dedup.embedding_cosine_pairs(corpus, threshold=0.9, n_planes=0)
         ),
     }
 
