@@ -379,9 +379,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_simhash_sql() -> str:
-    """Generated SimHash oracle: 60-bit portable word hashes, per-bit ±1
-    votes, packed signature, 4-block pigeonhole candidates, Hamming ≤ 3."""
+def _duck_simhash_ctes() -> str:
+    """The SimHash replay CTE chain (w → hh → v → s → blocks → cand):
+    60-bit portable word hashes, per-bit ±1 votes, packed signature,
+    4-block pigeonhole candidates. Shared by the pair oracle and the
+    recall-eval oracle so the signature arithmetic has ONE definition."""
     votes = ",\n    ".join(
         f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
         for i in range(60)
@@ -394,8 +396,7 @@ def _duck_simhash_sql() -> str:
         f"CAST({b} AS VARCHAR) || ':' || CAST((sim // {1 << (16 * b)}) % 65536 AS VARCHAR)"
         for b in range(4)
     )
-    return f"""
-WITH w AS (
+    return f"""w AS (
   SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS wrd
   FROM documents
 ), hh AS (
@@ -413,7 +414,13 @@ WITH w AS (
          a.sim AS sim_a, b.sim AS sim_b
   FROM blocks a JOIN blocks b USING (bk)
   WHERE a.doc_id < b.doc_id
-)
+)"""
+
+
+def _duck_simhash_sql() -> str:
+    """Generated SimHash pair oracle — see :func:`_duck_simhash_ctes`."""
+    return f"""
+WITH {_duck_simhash_ctes()}
 SELECT id_a, id_b, CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
 ORDER BY id_a, id_b
@@ -4133,15 +4140,27 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id_a", "id_b", "jaccard")
     truth = dedup.ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_bucket=0
-    ).select("id_a", "id_b", F.lit(1).alias("in_truth"))
-    merged = cands.join(truth, ["id_a", "id_b"], "full_outer")
-    # tp/fp are membership in the EXACT truth set (not the signature-
-    # estimated Jaccard), so precision/recall use one consistent ground
-    # truth — the estimated score only generated the candidates.
-    is_cand = F.col("jaccard").isNotNull()
+    ).select("id_a", "id_b")
+    return _confusion_report(cands, "jaccard", truth)
+
+
+def _confusion_report(
+    cands: DataFrame, score_col: str, truth: DataFrame
+) -> DataFrame:
+    """Shared candidate-vs-exact-truth confusion aggregate for the dedup
+    self-evaluation entries (minhash r9, simhash r12): tp/fp are
+    membership in the EXACT truth set — the candidate generator's own
+    score only generated the candidates, it never labels them — plus
+    pre-verification candidate precision and recall, one row."""
+    merged = cands.join(
+        truth.select("id_a", "id_b", F.lit(1).alias("in_truth")),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    is_cand = F.col(score_col).isNotNull()
     in_truth = F.col("in_truth").isNotNull()
     return merged.agg(
-        F.count("jaccard").alias("n_candidates"),
+        F.count(score_col).alias("n_candidates"),
         F.sum((is_cand & in_truth).cast("int"))
         .cast("bigint")
         .alias("tp"),
@@ -4167,6 +4186,87 @@ def dedup_minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+#: Uncapped exact 3-gram-Jaccard ≥ 0.5 truth CTE chain (td → tsh →
+#: tsizes → tinv → tpairs → truth) — the max_bucket=0 criterion the
+#: recall-eval entries score against; names are t-prefixed so the chain
+#: composes with the candidate generators' own CTEs.
+_DUCK_TRUTH_CTES = """td AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words
+  FROM documents
+), tsh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(words) - 2),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingles
+  FROM td WHERE len(words) >= 3
+), tsizes AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM tsh
+), tinv AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM tsh
+), tpairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+  FROM tinv a JOIN tinv b USING (shingle)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM tpairs
+  JOIN tsizes na ON na.doc_id = tpairs.id_a
+  JOIN tsizes nb ON nb.doc_id = tpairs.id_b
+  WHERE round(shared / CAST(na.n_sh + nb.n_sh - shared AS DOUBLE), 6)
+        >= 0.5
+)"""
+
+_DUCK_CONFUSION_SELECT = """m AS (
+  SELECT
+    (SELECT count(*) FROM scand) AS n_candidates,
+    (SELECT count(*) FROM scand c JOIN truth t
+        ON c.id_a = t.id_a AND c.id_b = t.id_b) AS tp,
+    (SELECT count(*) FROM scand c WHERE NOT EXISTS (
+        SELECT 1 FROM truth t
+        WHERE t.id_a = c.id_a AND t.id_b = c.id_b)) AS fp,
+    (SELECT count(*) FROM truth t WHERE NOT EXISTS (
+        SELECT 1 FROM scand c
+        WHERE c.id_a = t.id_a AND c.id_b = t.id_b)) AS fn
+)
+SELECT CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn,
+       round(tp / CAST(nullif(tp + fp, 0) AS DOUBLE), 6)
+         AS candidate_precision,
+       round(tp / CAST(nullif(tp + fn, 0) AS DOUBLE), 6) AS recall
+FROM m"""
+
+
+@register(
+    "dedup_simhash_recall_eval",
+    oracle=f"""
+WITH {_duck_simhash_ctes()}, scand AS (
+  SELECT id_a, id_b FROM cand
+  WHERE bit_count(xor(sim_a, sim_b)) <= 3
+), {_DUCK_TRUTH_CTES}, {_DUCK_CONFUSION_SELECT}
+""",
+    tags=("llmops", "dedup", "stats"),
+    notes="SimHash self-evaluation (VERDICT r11 task 8, the "
+    "dedup_minhash_recall_eval pattern): the verified Hamming ≤ 3 pair "
+    "set (portable mode, 4-block pigeonhole) scored against the EXACT "
+    "3-gram-Jaccard ≥ 0.5 truth on the uncapped inverted index — unlike "
+    "minhash (a Jaccard estimator), simhash thresholds a DIFFERENT "
+    "similarity (signature Hamming ≈ angular), so this report measures "
+    "how the Hamming ball maps onto the Jaccard criterion a dedup "
+    "pipeline actually targets: tp/fp/fn, candidate precision, recall. "
+    "The operational gate for retuning max_hamming before swapping "
+    "simhash in for minhash. Both pipelines replay hash-for-hash in "
+    "DuckDB, so the confusion counts are exact-checked.",
+)
+def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cands = dedup.simhash_pairs(docs, max_hamming=3, portable=True).select(
+        "id_a", "id_b", "hamming"
+    )
+    truth = dedup.ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_bucket=0
+    ).select("id_a", "id_b")
+    return _confusion_report(cands, "hamming", truth)
 
 
 @register(
