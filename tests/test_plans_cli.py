@@ -267,6 +267,9 @@ def test_pareto_windows_are_bucket_partitioned(spark, sf_dir):
 #: extend this map ONLY with a boundedness argument.
 BOUNDED_UNPARTITIONED_WINDOWS = {
     ("curriculum_length_schedule", "band"): "fixed band label set",
+    ("embedding_cluster_profile", "__ph"):
+        "k-means seeding rank over the orderBy().limit(n_centroids) "
+        "frame — <=16 rows by construction (kmeans_clusters_portable)",
     ("events_burst_runs", "day"): "calendar-day domain",
     ("events_cusum_changepoint", "day"): "calendar-day domain",
     ("hybrid_rrf_retrieval", "rrf_score"): "post-LIMIT fusion pool",
