@@ -5028,7 +5028,15 @@ ORDER BY lang_true, lang_pred
     "evaluation pattern every routing heuristic needs before it gates a "
     "corpus. One label-keyed join + one tiny (langs²) aggregate; the "
     "per-class fraction window runs over the langs² aggregate, not the "
-    "corpus.",
+    "corpus. Fixture property (measured r12): the synthetic documents "
+    "table draws its text from ONE shared vocabulary regardless of the "
+    "lang label (per-lang token stats indistinguishable), so the "
+    "diagonal here is the label base rate by construction — NOT a "
+    "classifier defect; real-language evaluation lives in the planted-"
+    "truth pytest (test_lang_id_char_ngram_planted_truth), where the "
+    "r12 char-n-gram method (lang_id(method='char_ngram')) classifies "
+    "unsegmented Chinese and inflected no-exact-stopword text the "
+    "stopword method cannot.",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -100,36 +100,64 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(
-    df: DataFrame, text_col: str = "text", with_margin: bool = False
+#: Extra public function words per language for the char-n-gram profiles
+#: ONLY (articles/prepositions/pronouns — standard public lists, still
+#: deliberately tiny). Kept separate from STOPWORDS: the stopword method
+#: and its generated DuckDB twins (and quality_score's stopword_ratio)
+#: are calibrated against those exact 10-word lists, so enriching them
+#: would ripple through every oracle; the n-gram profiles are a
+#: different feature space and want the accent/digraph coverage
+#: ('über', 'más', 'où') the 10-word lists lack.
+_NGRAM_EXTRA_WORDS: dict[str, list[str]] = {
+    "en": ["was", "not", "with", "this", "are", "on", "as", "at", "by",
+           "from", "but", "they", "you", "we", "have", "his", "her"],
+    "es": ["del", "las", "con", "para", "una", "su", "al", "lo", "como",
+           "más", "pero", "sus", "ya", "este", "porque", "entre", "sí"],
+    "fr": ["dans", "pour", "par", "sur", "avec", "au", "aux", "ce",
+           "cette", "ne", "pas", "plus", "mais", "où", "être", "sont",
+           "elle"],
+    "de": ["über", "während", "nicht", "auch", "auf", "für", "sich",
+           "dem", "des", "eine", "als", "aber", "nach", "bei", "aus",
+           "wenn", "noch"],
+    "zh": ["这", "中", "为", "上", "个", "时", "会", "可以", "没有",
+           "自己", "他们", "我们", "到", "说", "着", "也", "很"],
+}
+
+
+def _lang_ngram_profiles() -> "dict[str, dict[str, float]]":
+    """Per-language character 1–3-gram profiles derived from the
+    STOPWORDS lists plus :data:`_NGRAM_EXTRA_WORDS` (the Cavnar–Trenkle
+    n-gram-profile recipe applied to tiny public function-word lists —
+    no new data, fully deterministic): each word is padded with spaces
+    and sliced into 1/2/3-grams, and each gram is weighted by
+    1 / (number of language profiles containing it), so cross-language
+    grams (' e', latin letters) contribute a shared baseline while
+    language-unique grams ('der', 'ás', 'ü', '的') carry full
+    discriminative weight."""
+    from collections import Counter
+
+    grams: dict[str, set[str]] = {lang: set() for lang in STOPWORDS}
+    for lang in STOPWORDS:
+        for w in STOPWORDS[lang] + _NGRAM_EXTRA_WORDS.get(lang, []):
+            s = f" {w.lower()} "
+            for n in (1, 2, 3):
+                grams[lang].update(
+                    s[i : i + n] for i in range(len(s) - n + 1)
+                )
+    share = Counter(g for gs in grams.values() for g in gs)
+    return {
+        lang: {g: round(1.0 / share[g], 6) for g in sorted(gs)}
+        for lang, gs in grams.items()
+    }
+
+
+def _lang_rank_output(
+    df: DataFrame, scores: list, with_margin: bool, drop_col: str
 ) -> DataFrame:
-    """Stopword-fraction language ID over STOPWORDS languages.
-
-    Per language: fraction of tokens in that language's stopword list; the
-    argmax wins, alphabetical tie-break, 'und' (undetermined) if all scores
-    are zero. Deterministic; JVM-side only. ``with_margin`` adds the
-    runner-up language and the top-two score gap — the confidence signal
-    routing pipelines use to quarantine ambiguous docs.
-    """
-    t = F.col(text_col)
-    # tokenize ONCE into a projected column: higher-order lambda subtrees
-    # are CodegenFallback and not common-subexpression-eliminated, so
-    # inlining the split+lower into every per-language filter re-ran the
-    # O(len) tokenization ~6x per row (12x with with_margin) — the same
-    # materialize-first discipline as byte_entropy (r9 review)
-    df = df.withColumn("__lang_words", F.transform(_words(t), F.lower))
-    words = F.col("__lang_words")
-    n = F.nullif(F.size(words).cast("double"), F.lit(0.0))
-    def contains(litarr):
-        # single-arg lambda: a second parameter would make Spark treat it as
-        # the (element, index) filter variant.
-        return lambda w: F.array_contains(litarr, w)
-
-    scores = []
-    for lang in sorted(STOPWORDS):
-        litarr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-        frac = F.size(F.filter(words, contains(litarr))) / n
-        scores.append(F.struct(frac.alias("score"), F.lit(lang).alias("lang")))
+    """Shared argmax/margin tail of both lang_id methods: rank the
+    (score, lang) structs desc-by-score / asc-by-lang, emit lang_pred
+    ('und' when every score is zero), lang_score, and optionally the
+    runner-up + margin."""
     # array_max on (score, lang) structs: max score, then max lang — to get
     # the *alphabetically first* among ties we compare on (score, reversed
     # rank) instead: sort desc by score then asc by lang via array_sort.
@@ -164,7 +192,133 @@ def lang_id(
                 ),
             }
         )
-    return out.drop("__lang_words")
+    return out.drop(drop_col)
+
+
+def lang_id(
+    df: DataFrame,
+    text_col: str = "text",
+    with_margin: bool = False,
+    method: str = "stopword",
+) -> DataFrame:
+    """Language ID over the STOPWORDS languages; two methods (r12).
+
+    ``method="stopword"`` (default, oracle-twinned): per language, the
+    fraction of whitespace tokens in that language's stopword list.
+    Requires whitespace-segmented text with exact stopword tokens —
+    cheap and precise on clean prose, blind to inflected forms and to
+    unsegmented CJK text.
+
+    ``method="char_ngram"`` (VERDICT r11 task 8): character 1–3-gram
+    profile scoring (Cavnar–Trenkle shape) with profiles derived from
+    the same stopword lists (:func:`_lang_ngram_profiles`) —
+    ``score(lang) = Σ_g w_lang(g) over the doc's grams / n_grams``.
+    Substring evidence rather than exact tokens: inflections that
+    CONTAIN a function-word gram ('hunde' → 'und') still vote, and
+    unsegmented Chinese scores through its space-free character grams —
+    the two failure classes the stopword method cannot see. ~3·len
+    gram lookups per row, still all-JVM codegen, no shuffle.
+
+    Both: argmax wins, alphabetical tie-break, 'und' when all scores are
+    zero. ``with_margin`` adds the runner-up language and the top-two
+    score gap — the confidence signal routing pipelines use to
+    quarantine ambiguous docs.
+
+    Accuracy note: the synthetic documents fixture draws its text from
+    one shared vocabulary regardless of the ``lang`` label (text ⊥
+    label, measured r12 — per-lang token stats are indistinguishable),
+    so NO text-based classifier can beat the label base rate there; the
+    planted-truth pytest fixtures (real sentences per language) are the
+    honest evaluation, and ``lang_id_confusion`` documents the fixture
+    property.
+    """
+    t = F.col(text_col)
+    if method == "char_ngram":
+        s = F.concat(
+            F.lit(" "),
+            F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))),
+            F.lit(" "),
+        )
+        # materialize the gram array once (same discipline as __lang_words
+        # below): 1/2/3-grams of the padded, whitespace-normalized text.
+        # Closure FACTORIES, not default args: Spark binds higher-order
+        # lambdas by Python arity, so a `lambda i, n=n:` registers as the
+        # (element, index) two-parameter variant with n bound to the index
+        def slicer(n: int):
+            return lambda i: s.substr(i, F.lit(n))
+
+        grams = F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length(s) - (n - 1), F.lit(0)),
+                        ),
+                        slicer(n),
+                    )
+                    for n in (1, 2, 3)
+                ]
+            )
+        )
+        # NULL/empty/whitespace-only text must stay 'und': the padded
+        # form of "" is two spaces whose shared ' ' gram scores every
+        # language equally and the alphabetical tie-break minted a
+        # confident-looking 'de' for garbage rows
+        grams = F.when(
+            F.length(F.trim(F.coalesce(t, F.lit("")))) > 0, grams
+        ).otherwise(F.array().cast("array<string>"))
+        df = df.withColumn("__lang_grams", grams)
+        garr = F.col("__lang_grams")
+        n_grams = F.nullif(F.size(garr).cast("double"), F.lit(0.0))
+        profiles = _lang_ngram_profiles()
+
+        def weigher(m):
+            return lambda acc, g: acc + F.coalesce(
+                F.element_at(m, g), F.lit(0.0)
+            )
+
+        scores = []
+        for lang in sorted(profiles):
+            m = F.create_map(
+                *[
+                    F.lit(x)
+                    for g, w in profiles[lang].items()
+                    for x in (g, w)
+                ]
+            )
+            total = F.aggregate(garr, F.lit(0.0), weigher(m))
+            scores.append(
+                F.struct(
+                    (total / n_grams).alias("score"),
+                    F.lit(lang).alias("lang"),
+                )
+            )
+        return _lang_rank_output(df, scores, with_margin, "__lang_grams")
+    if method != "stopword":
+        raise ValueError(
+            f"lang_id: method must be 'stopword' or 'char_ngram'; "
+            f"got {method!r}"
+        )
+    # tokenize ONCE into a projected column: higher-order lambda subtrees
+    # are CodegenFallback and not common-subexpression-eliminated, so
+    # inlining the split+lower into every per-language filter re-ran the
+    # O(len) tokenization ~6x per row (12x with with_margin) — the same
+    # materialize-first discipline as byte_entropy (r9 review)
+    df = df.withColumn("__lang_words", F.transform(_words(t), F.lower))
+    words = F.col("__lang_words")
+    n = F.nullif(F.size(words).cast("double"), F.lit(0.0))
+    def contains(litarr):
+        # single-arg lambda: a second parameter would make Spark treat it as
+        # the (element, index) filter variant.
+        return lambda w: F.array_contains(litarr, w)
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        litarr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        frac = F.size(F.filter(words, contains(litarr))) / n
+        scores.append(F.struct(frac.alias("score"), F.lit(lang).alias("lang")))
+    return _lang_rank_output(df, scores, with_margin, "__lang_words")
 
 
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -33,6 +33,57 @@ def test_lang_id_real_sentences(spark):
     assert out[3].lang_pred == "und" and out[3].lang_score == 0.0
 
 
+def test_lang_id_char_ngram_planted_truth(spark):
+    """The char-n-gram method (r12, VERDICT r11 task 8) on planted REAL
+    sentences — the honest evaluation surface, since the synthetic
+    documents fixture's lang label is independent of its text (measured:
+    per-lang token stats indistinguishable; no text classifier can beat
+    the base rate there). The planted set includes the two failure
+    classes the stopword method cannot see: unsegmented Chinese (no
+    whitespace tokens at all) and inflected Latin text with no exact
+    stopword token (substring evidence like 'hunde' ⊃ 'und' still
+    votes). Also locks empty/NULL text to 'und' (the padded-empty form
+    scored every language equally and tie-broke to 'de' pre-guard)."""
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog and it was not there"),
+        (2, "de", "der schnelle braune fuchs springt über den faulen hund und die katze"),
+        (3, "es", "el zorro marrón salta sobre el perro perezoso y los gatos de la casa"),
+        (4, "fr", "le renard brun saute par dessus le chien paresseux et les chats"),
+        (5, "zh", "敏捷的棕色狐狸跳过了懒惰的狗然后我们就回家了因为天色不早了"),
+        # stopword-blind cases:
+        (6, "de", "schnelle braune hunde springen über faule füchse während kalte winde wehen"),
+        (7, "zh", "我们在北京的大学里学习计算机科学和数学因为这些知识很有用"),
+        (8, "fr", "renards bruns sautant rapidement par dessus chiens paresseux dans toutes directions"),
+        (9, "es", "zorros marrones saltando rápidamente sobre perros perezosos para llegar más lejos"),
+        (10, "und", ""),
+        (11, "und", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, truth string, text string")
+    ng = {
+        r.doc_id: r
+        for r in textstats.lang_id(
+            df, method="char_ngram", with_margin=True
+        ).collect()
+    }
+    for doc_id, truth, _ in rows:
+        assert ng[doc_id].lang_pred == truth, (doc_id, ng[doc_id])
+    # positive margins on every classified row (confidence signal sane)
+    assert all(
+        ng[i].lang_margin > 0 for i, truth, _ in rows if truth != "und"
+    )
+    # the stopword method is blind to exactly the documented classes
+    sw = {r.doc_id: r for r in textstats.lang_id(df).collect()}
+    assert all(sw[i].lang_pred == "und" for i in (5, 6, 7, 8, 9))
+    # both methods are deterministic re-runs
+    again = {
+        r.doc_id: r.lang_pred
+        for r in textstats.lang_id(df, method="char_ngram").collect()
+    }
+    assert again == {i: ng[i].lang_pred for i in again}
+    with pytest.raises(ValueError, match="method"):
+        textstats.lang_id(df, method="ngram")
+
+
 def test_fingerprint_properties(spark):
     df = spark.createDataFrame(
         [
