@@ -1141,13 +1141,6 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.int8_topk(emb, queries, k=10, query_id_col="query_id")
 
 
-#: portable_hash64's DuckDB twin over a bigint id (functions/__init__.py
-#: docstring contract — identical values to the Spark expression)
-_DUCK_PHASH_ID = (
-    "CAST(concat('0x', substr(md5(CAST({id} AS VARCHAR)), 1, 15)) AS BIGINT)"
-)
-
-
 def _duck_kmeans_norm(i: int, raw: str) -> str:
     """Normalization CTE pair for one centroid frame: decimal squared-norm
     sum (order-free) → identical double divisor in both engines; zero-norm
@@ -1208,7 +1201,7 @@ WITH src AS (
   SELECT id, list_id FROM (
     SELECT vec_id AS id,
            CAST(row_number() OVER (
-             ORDER BY {_DUCK_PHASH_ID.format(id="vec_id")}, vec_id
+             ORDER BY {_duck_phash("CAST(vec_id AS VARCHAR)")}, vec_id
            ) AS INT) - 1 AS list_id
     FROM src
   ) WHERE list_id < {n_centroids}

@@ -1091,38 +1091,50 @@ def dedup_clusters(
     ).orderBy("id")
 
 
-#: Auto block sizing for _cosine_pairs_blocked (r12 ANN spill audit):
-#: the dominant per-group allocation is the (rows/B)² float64 sims
-#: matrix, NOT the two vector blocks the old docstring sized for — at
-#: 200k vectors the fixed default B=8 makes 25k×25k sims = 5 GB per
-#: group, the kernel OOM-killed the session JVM with 32 Python workers
-#: at ~5.9 GB RSS each (dmesg-confirmed). Target ≈6k rows/block → sims
-#: ≤ 288 MB per group (×32 workers ≈ 9 GB peak, comfortably inside the
-#: session). The gate constant is denominated in ROWS via a
-#: conservative 64 B/row floor on the plan-size estimate (sims cost is
-#: rows-quadratic — the first cut of this gate used a flat 64 MB byte
-#: threshold and the fatal 200k-row corpus slid under it at a measured
-#: 284 B/row): 8 blocks of ≤6k rows are safe up to 48k rows, and any
-#: plausible vector row is ≥64 B, so plan/64 upper-bounds the row
-#: count. Small corpora therefore keep the zero-job default 8 with
-#: byte-identical plans; above the gate ONE count() (metadata-cheap on
-#: scans, trivial next to the O(n²) matmul) sizes the blocks.
+#: Tile/auto-block constants for _cosine_pairs_blocked (r12 ANN spill
+#: audit): the dominant per-group allocation is the float64 sims matrix
+#: — at 200k vectors the old fixed B=8 made 25k×25k sims = 5 GB per
+#: group and the kernel OOM-killed the session JVM with 32 Python
+#: workers at ~5.9 GB RSS each (dmesg-confirmed). Two mechanisms now
+#: bound it (r12 review hardening):
+#:
+#: - the KERNEL tiles both sides of each block-pair matmul at
+#:   ``_COSINE_BLOCK_ROWS`` rows, so sims ≤ 6k×6k×8 B = 288 MB per
+#:   worker regardless of block size — memory safety no longer depends
+#:   on the block count being guessed right;
+#: - ``n_blocks=None`` still auto-sizes blocks toward tile-sized groups
+#:   for parallelism, but capped at ``_COSINE_MAX_BLOCKS``: the
+#:   block-pair assignment inlines B² struct literals into the plan and
+#:   shuffles ~B·n vector replicas, so unbounded B (ceil(n/6k) = 1667
+#:   at 10M rows → 2.8M plan literals, 1667 corpus copies) would hang
+#:   analysis long before any task ran. At the cap, groups exceed one
+#:   tile and the kernel's tiling loop carries the memory bound.
+#:
+#: The zero-job plan-size gate keeps tiny corpora on the default 8; its
+#: floor is the PESSIMISTIC 0.5 B/row the simhash gate already uses
+#: (parquet dict/RLE-compresses replicated vectors far below raw width —
+#: the first cut's 64 B/row floor would have let a compressed 200k-row
+#: scan estimate slide under, and the measured 284 B/row cached estimate
+#: under a flat 64 MB byte gate DID exactly that). Above the gate, ONE
+#: count() (trivial next to the O(n²) matmul) sizes the blocks.
 _COSINE_BLOCK_ROWS = 6_000
 _COSINE_GATE_ROWS = 48_000
-_COSINE_ROW_BYTES_FLOOR = 64
+_COSINE_MAX_BLOCKS = 64
 
 
 def _cosine_auto_blocks(df: DataFrame) -> int:
     """Block count for the all-pairs matmul: default 8 with ZERO jobs
     while the plan-size gate proves the corpus small; above the gate one
-    count() sizes blocks to cap the per-group sims matrix."""
+    count() sizes blocks toward tile-sized groups, capped at
+    ``_COSINE_MAX_BLOCKS`` (the kernel's tiling keeps memory bounded
+    past the cap)."""
     plan = _plan_size_bytes(df)
-    if (
-        plan is not None
-        and plan < _COSINE_GATE_ROWS * _COSINE_ROW_BYTES_FLOOR
-    ):
+    if plan is not None and plan < _COSINE_GATE_ROWS * 0.5:
         return 8
-    return max(8, -(-df.count() // _COSINE_BLOCK_ROWS))
+    return min(
+        _COSINE_MAX_BLOCKS,
+        max(8, -(-df.count() // _COSINE_BLOCK_ROWS)),
+    )
 
 
 def _cosine_pairs_blocked(
@@ -1208,15 +1220,38 @@ def _cosine_pairs_blocked(
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         a_ids, a_mat = _norm_rows(a)
         b_ids, b_mat = (a_ids, a_mat) if ba == bb else _norm_rows(b)
-        sims = a_mat @ b_mat.T
-        np.round(sims, 6, out=sims)
-        keep = sims >= threshold
-        if ba == bb:
-            keep &= a_ids[:, None] < b_ids[None, :]
-        ai, bi = np.nonzero(keep)
-        lo = np.minimum(a_ids[ai], b_ids[bi])
-        hi = np.maximum(a_ids[ai], b_ids[bi])
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ai, bi]})
+        # tile BOTH sides at _COSINE_BLOCK_ROWS: the sims allocation is
+        # then ≤ 6k×6k×8 B = 288 MB per worker no matter how large the
+        # group — memory safety is the kernel's invariant, not a
+        # property of the caller having picked enough blocks (r12
+        # review; the un-tiled form at B=8 / 200k rows allocated 5 GB
+        # per group and OOM-killed the session JVM). Same arithmetic
+        # per element, so values are unchanged; only emission order
+        # within the group differs and callers sort.
+        t = _COSINE_BLOCK_ROWS
+        outs = []
+        for i0 in range(0, len(a_ids), t):
+            ai_ids = a_ids[i0 : i0 + t]
+            ai_mat = a_mat[i0 : i0 + t]
+            for j0 in range(0, len(b_ids), t):
+                bj_ids = b_ids[j0 : j0 + t]
+                sims = ai_mat @ b_mat[j0 : j0 + t].T
+                np.round(sims, 6, out=sims)
+                keep = sims >= threshold
+                if ba == bb:
+                    keep &= ai_ids[:, None] < bj_ids[None, :]
+                ai, bi = np.nonzero(keep)
+                if len(ai):
+                    lo = np.minimum(ai_ids[ai], bj_ids[bi])
+                    hi = np.maximum(ai_ids[ai], bj_ids[bi])
+                    outs.append(
+                        pd.DataFrame(
+                            {"id_a": lo, "id_b": hi, "cosine": sims[ai, bi]}
+                        )
+                    )
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        return pd.concat(outs)
 
     out = both.groupBy("ba", "bb").applyInPandas(
         one_block_pair, schema=f"id_a {id_t}, id_b {id_t}, cosine double"

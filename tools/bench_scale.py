@@ -86,8 +86,24 @@ def _recorded_scale_bands(
     return bands
 
 
+def _positional_args(argv: list[str]) -> list[str]:
+    """Positional tokens: skip '--flag' tokens AND their values (a bare
+    'python tools/bench_scale.py --mult 50' must not read '50' as the
+    sf_dir — r12 review)."""
+    out, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a.startswith("--"):
+            skip = True
+            continue
+        out.append(a)
+    return out
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = _positional_args(sys.argv[1:])
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     mult, repeat, round_no, out, ops_arg = 100, 3, 0, None, None
     for i, a in enumerate(sys.argv):

@@ -57,7 +57,16 @@ def _stages(app: str) -> dict[int, dict]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # skip '--flag' tokens AND their values: '--mult 50' must not read
+    # '50' as the positional sf_dir (r12 review)
+    args, skip = [], False
+    for a in sys.argv[1:]:
+        if skip:
+            skip = False
+        elif a.startswith("--"):
+            skip = True
+        else:
+            args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
     mult = 100
     for i, a in enumerate(sys.argv):
