@@ -1254,7 +1254,7 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = similarity.kmeans_clusters_portable(
         emb, n_centroids=16, refine_iters=2
     )
-    return (
+    prof = (
         labeled.groupBy("list_id")
         .agg(
             F.count("*").alias("n_vecs"),
@@ -1268,6 +1268,15 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+    # The profile is ≤16 rows by construction; materialize it here so the
+    # corpus-sized exploded cache inside kmeans_clusters_portable can be
+    # released deterministically (ADVICE r12) instead of lingering until
+    # the ContextCleaner notices the plan is gone. Rebuilding from the
+    # collected rows keeps the returned frame free of any reference to
+    # the cached lineage; the compare is row-order-insensitive.
+    rows = prof.collect()
+    labeled.release_cache()
+    return spark.createDataFrame(rows, prof.schema).orderBy("list_id")
 
 
 def _be32(col):

@@ -874,7 +874,7 @@ def kmeans_clusters_portable(
             )
         ).alias("__cn")
     )
-    return (
+    out = (
         final.join(xn, "id")
         .join(F.broadcast(cn), "list_id")
         .select(
@@ -887,6 +887,15 @@ def kmeans_clusters_portable(
             ).alias("cos_to_centroid"),
         )
     )
+    # xe is corpus-sized (n×dim rows) — without an explicit release every
+    # call in a long-lived session accumulates a cached exploded corpus
+    # (ADVICE r12, same leak class as ngram_jaccard_pairs' dfc). Callers
+    # should invoke release_cache() after their terminal action (same
+    # contract as dedup.shared_span_pairs / binned_cumsum); otherwise the
+    # ContextCleaner reclaims the blocks only when the returned plan is
+    # GC'd on the JVM, which is correct but non-deterministic in timing.
+    out.release_cache = xe.unpersist
+    return out
 
 
 def _sign_on(seed: str):

@@ -108,6 +108,18 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: would ripple through every oracle; the n-gram profiles are a
 #: different feature space and want the accent/digraph coverage
 #: ('über', 'más', 'où') the 10-word lists lack.
+#: 'und' floor for the char_ngram method (ADVICE r12): latin nonsense
+#: shares enough single-char grams with every latin profile to score
+#: ~0.08-0.11 on SOME language, so the all-zero 'und' test alone minted
+#: confident-looking labels for garbage. The top-two score GAP separates
+#: cleanly where the top score and gram coverage do not (measured on the
+#: planted-truth set + junk probes: real text in all five languages —
+#: including inflected forms and unsegmented Chinese, whose ABSOLUTE
+#: score is only ~0.14 because profiles cover few han chars — has
+#: margin ≥ 0.068; latin nonsense / digits / base64 / mixed junk has
+#: margin ≤ 0.033). 0.05 splits the two populations mid-gap.
+CHAR_NGRAM_UND_MARGIN = 0.05
+
 _NGRAM_EXTRA_WORDS: dict[str, list[str]] = {
     "en": ["was", "not", "with", "this", "are", "on", "as", "at", "by",
            "from", "but", "they", "you", "we", "have", "his", "her"],
@@ -152,12 +164,21 @@ def _lang_ngram_profiles() -> "dict[str, dict[str, float]]":
 
 
 def _lang_rank_output(
-    df: DataFrame, scores: list, with_margin: bool, *drop_cols: str
+    df: DataFrame,
+    scores: list,
+    with_margin: bool,
+    *drop_cols: str,
+    und_margin: float = 0.0,
 ) -> DataFrame:
     """Shared argmax/margin tail of both lang_id methods: rank the
     (score, lang) structs desc-by-score / asc-by-lang, emit lang_pred
-    ('und' when every score is zero), lang_score, and optionally the
-    runner-up + margin."""
+    ('und' when every score is zero, or when the top-two score gap is
+    below ``und_margin``), lang_score, and optionally the runner-up +
+    margin. ``und_margin`` is the char_ngram garbage floor (ADVICE r12:
+    shared single-char grams give nonsense text nonzero scores, so an
+    all-zero test alone let a nonsense-only doc classify as 'fr' at
+    0.117); lang_score keeps the raw top score either way so the
+    confidence signal survives the routing decision."""
     # array_max on (score, lang) structs: max score, then max lang — to get
     # the *alphabetically first* among ties we compare on (score, reversed
     # rank) instead: sort desc by score then asc by lang via array_sort.
@@ -172,9 +193,15 @@ def _lang_rank_output(
         ),
     )
     best = F.element_at(ranked, 1)
+    gap = F.coalesce(F.element_at(ranked, 1)["score"], F.lit(0.0)) - F.coalesce(
+        F.element_at(ranked, 2)["score"], F.lit(0.0)
+    )
     out = df.withColumns(
         {
-            "lang_pred": F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")),
+            "lang_pred": F.when(
+                (best["score"] > 0) & (gap >= F.lit(und_margin)),
+                best["lang"],
+            ).otherwise(F.lit("und")),
             "lang_score": F.round(F.coalesce(best["score"], F.lit(0.0)), 6),
         }
     )
@@ -220,9 +247,13 @@ def lang_id(
     gram lookups per row, still all-JVM codegen, no shuffle.
 
     Both: argmax wins, alphabetical tie-break, 'und' when all scores are
-    zero. ``with_margin`` adds the runner-up language and the top-two
-    score gap — the confidence signal routing pipelines use to
-    quarantine ambiguous docs.
+    zero; char_ngram ADDITIONALLY routes to 'und' when the top-two score
+    gap is under :data:`CHAR_NGRAM_UND_MARGIN` (ADVICE r12 — shared
+    single-char grams give garbage text nonzero scores, so the all-zero
+    test alone is not a garbage filter for this method). ``with_margin``
+    adds the runner-up language and the top-two score gap — the
+    confidence signal routing pipelines use to quarantine ambiguous
+    docs.
 
     Accuracy note: the synthetic documents fixture draws its text from
     one shared vocabulary regardless of the ``lang`` label (text ⊥
@@ -315,7 +346,12 @@ def lang_id(
             for i, lang in enumerate(langs)
         ]
         return _lang_rank_output(
-            df, scores, with_margin, "__lang_grams", "__lang_totals"
+            df,
+            scores,
+            with_margin,
+            "__lang_grams",
+            "__lang_totals",
+            und_margin=CHAR_NGRAM_UND_MARGIN,
         )
     if method != "stopword":
         raise ValueError(

@@ -232,22 +232,46 @@ def _suite_attempt_unstable(
     )
 
 
+#: Trailing window for per-query bands (VERDICT r12 task 6): best-ever
+#: minimums on a high-variance box made 27/44 queries fire retries in
+#: r12 — they were chasing the variance floor, not regressions. The band
+#: is now the probe-normalized MEDIAN of the last BAND_WINDOW eligible
+#: rounds containing the query (retry factor unchanged at RETRY_FACTOR),
+#: so retries fire on regressions vs recent history rather than on every
+#: failure to reproduce an all-time best.
+BAND_WINDOW = 3
+
+
 def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
-    """Per-query best recorded bench timing across past rounds'
-    BENCH_r*.json at the SAME scale factor, WITH the host-speed probe the
-    band was recorded at: ``{name: (band_sec, band_probe)}`` (VERDICT r8
-    task 1). Bands from different rounds come from different-speed hosts
-    (the r8 adjudication: a uniformly ~1.2× slower idle box), so "best"
-    is chosen by probe-normalized cost ``sec / probe`` — the
+    """Per-query band from past rounds' BENCH_r*.json at the SAME scale
+    factor, WITH the host-speed probe the band was recorded at:
+    ``{name: (band_sec, band_probe)}`` (VERDICT r8 task 1). Bands from
+    different rounds come from different-speed hosts (the r8
+    adjudication: a uniformly ~1.2× slower idle box), so records are
+    compared by probe-normalized cost ``sec / probe`` — the
     machine-independent number — and the retry rule rescales the band to
     the CURRENT host via ``band × clamp(probe_now / band_probe)``.
+
+    The band is the trailing MEDIAN over the last ``BAND_WINDOW`` rounds
+    containing the query (VERDICT r12 task 6; round order comes from the
+    ``BENCH_r{N}`` filename). Concretely: among those records the one
+    with the median normalized cost supplies the ``(sec, probe)`` pair —
+    never averaging across records, so the pair stays internally
+    consistent. With an even count the HIGHER middle record is used
+    (conservative: fewer spurious retries).
 
     Rounds 1–7 predate ``cpu_probe_sec``; their probes are imputed from
     the probed round with the most query overlap via the median per-query
     timing ratio (median over ~40 shared queries is robust to the handful
     of queries whose real cost changed between rounds). With no probed
-    round at all, bands fall back to raw-seconds minima (probe ``None``
+    round at all, bands fall back to raw-seconds medians (probe ``None``
     → the retry rule applies no rescaling, the pre-r9 behavior).
+
+    Excluded records: probe-divergent rounds (mid-run host-speed change,
+    VERDICT r9 task 3) and rounds stamped ``suite_unstable`` (every suite
+    attempt was unstable and the fastest-attempt fallback was reported —
+    ADVICE r12: such a record carries drift the 1.5× probe test alone
+    can't see).
 
     Missing/new queries have no band and are never retried (their first
     recorded number becomes the band). ``sf=None`` (the sf_dir name
@@ -258,8 +282,10 @@ def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
     if sf is None:
         return {}
     here = os.path.dirname(os.path.abspath(__file__))
-    records: list[tuple[dict[str, float], float | None]] = []
+    records: list[tuple[int, dict[str, float], float | None]] = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+        round_no = int(m.group(1)) if m else -1
         try:
             with open(path) as f:
                 rec = json.load(f)
@@ -287,16 +313,20 @@ def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
         )
         # a mid-run host-speed collapse (or recovery) makes the run's
         # single start probe mislabel late queries — keep such runs out
-        # of the band minima entirely (VERDICT r9 task 3)
+        # of band adjudication entirely (VERDICT r9 task 3)
         if _probe_divergent(probe, probe_end):
             continue
-        records.append((qs, probe))
+        # a record reported via the fastest-attempt fallback (all suite
+        # attempts unstable) self-flags — exclude it too (ADVICE r12)
+        if rec.get("suite_unstable"):
+            continue
+        records.append((round_no, qs, probe))
 
     # impute pre-probe rounds' host speed from the probed round with the
     # most query overlap (median per-query ratio × that round's probe)
-    probed = [(q, p) for q, p in records if p is not None]
-    normed: list[tuple[dict[str, float], float | None]] = []
-    for qs, probe in records:
+    probed = [(q, p) for _r, q, p in records if p is not None]
+    normed: list[tuple[int, dict[str, float], float | None]] = []
+    for round_no, qs, probe in records:
         if probe is None and probed:
             ref_qs, ref_probe = max(
                 probed, key=lambda qp: len(qp[0].keys() & qs.keys())
@@ -308,19 +338,25 @@ def _recorded_bands(sf: float | None) -> dict[str, tuple[float, float | None]]:
             )
             if ratios:
                 probe = ref_probe * ratios[len(ratios) // 2]
-        normed.append((qs, probe))
+        normed.append((round_no, qs, probe))
+
+    per_query: dict[str, list[tuple[int, float, float | None]]] = {}
+    for round_no, qs, probe in normed:
+        for name, sec in qs.items():
+            per_query.setdefault(name, []).append((round_no, sec, probe))
 
     bands: dict[str, tuple[float, float | None]] = {}
-    best_cost: dict[str, float] = {}
-    for qs, probe in normed:
-        for name, sec in qs.items():
-            # machine-independent cost when a probe is known; raw seconds
-            # otherwise (all-or-nothing: imputation covers every record
-            # as soon as one probed record exists)
-            cost = sec / probe if probe else sec
-            if cost < best_cost.get(name, float("inf")):
-                best_cost[name] = cost
-                bands[name] = (sec, probe)
+    for name, recs in per_query.items():
+        recs.sort(key=lambda t: t[0])
+        recent = recs[-BAND_WINDOW:]
+        # machine-independent cost when a probe is known; raw seconds
+        # otherwise (all-or-nothing: imputation covers every record as
+        # soon as one probed record exists)
+        by_cost = sorted(
+            recent, key=lambda t: (t[1] / t[2]) if t[2] else t[1]
+        )
+        _round_no, sec, probe = by_cost[len(by_cost) // 2]
+        bands[name] = (sec, probe)
     return bands
 
 
@@ -464,6 +500,11 @@ def main() -> None:
     cpu_probe_end = chosen["cpu_probe_sec_end"]
     load_start = chosen["load_start"]
     contended = chosen["contended"]
+    # True only when EVERY suite attempt was unstable and the fastest
+    # first-pass attempt is being reported as a fallback (ADVICE r12):
+    # the record then self-flags so band collection excludes it even if
+    # its drift stayed under the 1.5× probe_divergent threshold.
+    suite_unstable = bool(chosen["unstable"])
     probe_divergent = _probe_divergent(cpu_probe, cpu_probe_end)
 
     # self-correction: min-of-2 for out-of-band queries (see RETRY_FACTOR
@@ -551,6 +592,7 @@ def main() -> None:
                 contended,
                 idle_gate_loads,
                 suite_attempt=suite_attempt,
+                suite_unstable=suite_unstable,
                 attempt_probes=[
                     (a["cpu_probe_sec"], a["cpu_probe_sec_end"])
                     for a in attempts
@@ -573,6 +615,7 @@ def _headline_record(
     contended,
     idle_gate_loads=None,
     suite_attempt=1,
+    suite_unstable=False,
     attempt_probes=None,
 ):
     """The FINAL printed line, and nothing else, is what the driver's
@@ -622,6 +665,9 @@ def _headline_record(
         # "0.0153:0.0288,0.016:0.0161" reads as: attempt 1 diverged
         # mid-run, attempt 2 was stable and is the one reported.
         "suite_attempt": suite_attempt,
+        # every attempt was unstable → fastest-fallback record; band
+        # collection excludes records carrying this flag (ADVICE r12)
+        "suite_unstable": suite_unstable,
         "n_suite_attempts": len(attempt_probes or []) or 1,
         "attempt_probes": ",".join(
             f"{s:g}:{e:g}"

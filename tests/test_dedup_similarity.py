@@ -431,8 +431,14 @@ def test_kmeans_clusters_portable_matches_semantics(spark, sf_dir):
     from aws_cli_data_pipeline_tools_spark.sources import load_table
 
     emb = load_table(spark, "embeddings", sf_dir)
-    a = kmeans_clusters_portable(emb, n_centroids=8).collect()
-    b = kmeans_clusters_portable(emb, n_centroids=8).collect()
+    out1 = kmeans_clusters_portable(emb, n_centroids=8)
+    out2 = kmeans_clusters_portable(emb, n_centroids=8)
+    a = out1.collect()
+    b = out2.collect()
+    # corpus-sized exploded cache must be releasable by the caller
+    # (ADVICE r12 — accumulating persisted frames in long sessions)
+    out1.release_cache()
+    out2.release_cache()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert {r.list_id for r in a} <= set(range(8))
     assert len(a) == emb.filter(F.col("embedding").isNotNull()).count()

@@ -173,11 +173,13 @@ def test_survey_coverage_map_matches_registry():
 
 
 def test_bench_recorded_bands_and_retry_rule():
-    """bench.py's contention self-correction (VERDICT r6 task 2): bands
-    come from prior BENCH_r*.json at the SAME sf (driver wrapper and raw
-    shapes both parse), and the r6 contention artifact
-    (profile_lineitem_hll first-pass 5.06 s vs idle band) must trip the
-    retry predicate while its idle reading must not. No Spark needed."""
+    """bench.py's contention self-correction (VERDICT r6 task 2, re-ruled
+    by VERDICT r12 task 6): bands come from prior BENCH_r*.json at the
+    SAME sf (driver wrapper and raw shapes both parse) and are the
+    probe-normalized trailing MEDIAN of the last BAND_WINDOW rounds —
+    best-ever minimums made 27/44 queries chase the variance floor in
+    r12. No Spark needed."""
+    import json
     import os
     import sys
 
@@ -199,11 +201,39 @@ def test_bench_recorded_bands_and_retry_rule():
     # ADVICE r7)
     assert bench._recorded_bands(None) == {}
     band, band_probe = bands["profile_lineitem_hll"]
-    # same-speed host: plain factor rule — the r6 contention artifact
-    # (5.06 s first pass) must trip it, the idle reading must not
     same = bench._retry_threshold(band, band_probe, band_probe)
     assert same == bench.RETRY_FACTOR * band
-    assert 5.06 > same and not 3.5 > same
+    # trailing-median rule (VERDICT r12 task 6): synthetic last-3 rounds
+    # for a name no real record carries — the band must be the MEDIAN
+    # record's (sec, probe) pair, not the minimum; a round stamped
+    # suite_unstable must be excluded (ADVICE r12); only the last
+    # BAND_WINDOW rounds participate.
+    mk = lambda sec, probe, **kw: {  # noqa: E731
+        "metric": "headline_total", "sf": 0.1,
+        "queries": {"__band_rule_synth__": sec},
+        "cpu_probe_sec": probe, "cpu_probe_sec_end": probe, **kw,
+    }
+    synth = {
+        "BENCH_r95.json": mk(9.0, 0.01),   # outside the window of 3
+        "BENCH_r96.json": mk(1.0, 0.01),
+        "BENCH_r97.json": mk(2.0, 0.01),
+        "BENCH_r98.json": mk(4.0, 0.01),
+        # newest round is flagged unstable → excluded, window reaches
+        # back to r96/r97/r98
+        "BENCH_r99.json": mk(0.001, 0.01, suite_unstable=True),
+    }
+    paths = []
+    try:
+        for fname, rec in synth.items():
+            p = os.path.join(repo, fname)
+            with open(p, "w") as f:
+                json.dump(rec, f)
+            paths.append(p)
+        sec, probe = bench._recorded_bands(0.1)["__band_rule_synth__"]
+        assert (sec, probe) == (2.0, 0.01), (sec, probe)
+    finally:
+        for p in paths:
+            os.remove(p)
     # 1.5×-slower host: threshold scales up by exactly the probe ratio,
     # so uniform host drift no longer masquerades as regression
     assert bench._retry_threshold(2.0, 0.010, 0.015) == (
@@ -418,14 +448,16 @@ def test_bench_probe_divergence_rule():
     assert bench._suite_attempt_unstable(0.0153, 0.0160, False) is False
 
     # band collection skips a divergent round: write a synthetic
-    # BENCH_r99 with an impossibly-low timing that would otherwise
-    # become every band, flagged divergent — it must not surface
+    # BENCH_r99 whose probes diverge mid-run — its (unique) query name
+    # must not surface in the bands at all; with consistent probes the
+    # same record IS eligible (and, being the only record for the name,
+    # the trailing median is itself)
     here = os.path.dirname(os.path.abspath(bench.__file__))
     path = os.path.join(here, "BENCH_r99.json")
     rec = {
         "metric": "headline_total",
         "sf": 0.1,
-        "queries": {"pricing_summary": 0.001},
+        "queries": {"__divergence_synth__": 0.001},
         "cpu_probe_sec": 0.0134,
         "cpu_probe_sec_end": 0.5076,
     }
@@ -433,13 +465,14 @@ def test_bench_probe_divergence_rule():
         with open(path, "w") as f:
             json.dump(rec, f)
         bands = bench._recorded_bands(0.1)
-        band, _probe = bands["pricing_summary"]
-        assert band > 0.001, "divergent round poisoned the band minima"
+        assert "__divergence_synth__" not in bands, (
+            "divergent round entered band adjudication"
+        )
         # same record with consistent probes IS eligible
         rec["cpu_probe_sec_end"] = 0.0139
         with open(path, "w") as f:
             json.dump(rec, f)
-        band2, _ = bench._recorded_bands(0.1)["pricing_summary"]
+        band2, _ = bench._recorded_bands(0.1)["__divergence_synth__"]
         assert band2 == 0.001
     finally:
         os.remove(path)

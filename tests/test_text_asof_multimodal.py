@@ -57,6 +57,12 @@ def test_lang_id_char_ngram_planted_truth(spark):
         (9, "es", "zorros marrones saltando rápidamente sobre perros perezosos para llegar más lejos"),
         (10, "und", ""),
         (11, "und", None),
+        # garbage floor (ADVICE r12): nonsense shares single-char grams
+        # with every latin profile (pre-floor: 'fr' at score 0.117), so
+        # only the top-two margin — not an all-zero test — routes it out
+        (12, "und", "xq zvkw pfff grmbl qqq zzz www krx vtl"),
+        (13, "und", "aGVsbG8gd29ybGQgZm9vIGJhciBiYXo="),
+        (14, "und", "12345 67890 11111 22222"),
     ]
     df = spark.createDataFrame(rows, "doc_id int, truth string, text string")
     ng = {

@@ -1,0 +1,652 @@
+"""Differential SQL fuzzing vs DuckDB (VERDICT r12 task 1).
+
+The 304 registry entries are hand-authored, so they share the author's blind
+spots; this generator does not. It composes seed-pinned random queries from
+the ALREADY-PROVEN cross-engine surface (projection / filter / join / agg /
+window / set-op / subquery templates over the fixture schema) and runs each
+one on Spark AND DuckDB, comparing canonicalized frames with the same
+discipline as tools/check_oracle.py (columns sorted by name, rows sorted by
+full content, engine-neutral value canonicalization).
+
+Determinism rules baked into the generator — each is a measured cross-engine
+hazard, not style (see the catalog's per-entry notes for precedents):
+
+- float aggregates use the decimal(38,10)-sum discipline
+  (``round(CAST(SUM(CAST(x AS DECIMAL(38,10))) AS DOUBLE), 5)``) so the
+  result is independent of partitioning/accumulation order in BOTH engines;
+- string concat is ``||`` only — Spark's ``concat()`` yields NULL on any
+  NULL argument while DuckDB's skips NULLs;
+- no GROUP BY / set-op keys on raw doubles (NaN/-0.0 grouping semantics);
+- window functions always carry a total ORDER BY (unique key tie-break), so
+  rank/lag/row_number are well-defined, and windowed sums are decimal-summed;
+- LIMIT appears only under a total ORDER BY (deterministic top-k);
+- predicate constants are sampled FROM THE DATA via DuckDB at startup
+  (quantiles / most-frequent values, ties broken deterministically) and
+  baked into both SQL strings, so both engines filter on identical literals;
+- the embeddings ``embedding`` column (float32 array) is excluded — every
+  other column of every fixture table participates.
+
+Queries are generated per-index from ``random.Random(f"{seed}|{i}")`` so
+query i is stable regardless of how many queries run or templates change
+order. Usage::
+
+    python tools/fuzz_oracle.py [sf_dir] [n_queries] [seed]
+
+Prints one JSON line ``{"metric": "fuzz_oracle", ...}`` and writes the full
+adjudication trail (every mismatching query's SQL + diff head) to
+FUZZ_ORACLE.json at the repo root. Exit code = number of mismatches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, ".")
+
+from tools.check_oracle import frame_to_canon  # noqa: E402
+
+# --------------------------------------------------------------- schema
+
+# (column, kind) per table; kinds drive predicate/aggregate choice.
+# 'key' = integer id-like, 'int' = small int, 'num' = double,
+# 'str' = categorical varchar, 'text' = free text, 'ts' = timestamp.
+TABLES: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "key"), ("r_name", "str")],
+    "nation": [("n_nationkey", "key"), ("n_name", "str"), ("n_regionkey", "key")],
+    "customer": [
+        ("c_custkey", "key"),
+        ("c_name", "str"),
+        ("c_nationkey", "key"),
+        ("c_acctbal", "num"),
+        ("c_mktsegment", "str"),
+    ],
+    "supplier": [
+        ("s_suppkey", "key"),
+        ("s_name", "str"),
+        ("s_nationkey", "key"),
+        ("s_acctbal", "num"),
+    ],
+    "part": [
+        ("p_partkey", "key"),
+        ("p_name", "str"),
+        ("p_brand", "str"),
+        ("p_type", "str"),
+        ("p_size", "int"),
+        ("p_retailprice", "num"),
+    ],
+    "orders": [
+        ("o_orderkey", "key"),
+        ("o_custkey", "key"),
+        ("o_orderstatus", "str"),
+        ("o_totalprice", "num"),
+        ("o_orderdate", "ts"),
+        ("o_orderpriority", "str"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "key"),
+        ("l_partkey", "key"),
+        ("l_suppkey", "key"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "num"),
+        ("l_extendedprice", "num"),
+        ("l_discount", "num"),
+        ("l_tax", "num"),
+        ("l_returnflag", "str"),
+        ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ],
+    "events": [
+        ("event_id", "key"),
+        ("ts", "ts"),
+        ("user_id", "key"),
+        ("event_type", "str"),
+        ("value", "num"),
+        ("props", "text"),
+    ],
+    "documents": [
+        ("doc_id", "key"),
+        ("text", "text"),
+        ("lang", "str"),
+        ("source", "str"),
+        ("n_chars", "int"),
+    ],
+    "embeddings": [("vec_id", "key"), ("label", "int")],
+}
+
+#: unique (total-order) key per table — LIMIT and window tie-breaks hang
+#: off these
+UNIQUE_KEY = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": None,  # (l_orderkey, l_linenumber) composite — handled below
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+#: equi-join edges (fact_col = dim_col); every pair is a real FK in the
+#: TPC-H-ish fixture, so inner joins are non-degenerate
+JOINS: list[tuple[str, str, str, str]] = [
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("documents", "doc_id", "embeddings", "vec_id"),
+]
+
+
+def cols_of(table: str, *kinds: str) -> list[str]:
+    return [c for c, k in TABLES[table] if not kinds or k in kinds]
+
+
+def total_order(table: str) -> str:
+    uk = UNIQUE_KEY[table]
+    return uk if uk else "l_orderkey, l_linenumber"
+
+
+# --------------------------------------------------- constant pools (data)
+
+def build_pools(con, sf_dir: str) -> dict[str, dict[str, list[str]]]:
+    """Per-(table, column) literal pools sampled deterministically from the
+    data: numeric/timestamp quantiles and most-frequent categorical values
+    (ties broken by value). Rendered as SQL literals shared verbatim by both
+    engines, so predicate selectivity is realistic at any sf."""
+    pools: dict[str, dict[str, list[str]]] = {}
+    for t, cols in TABLES.items():
+        pools[t] = {}
+        for c, k in cols:
+            if k in ("key", "int", "num"):
+                rows = con.execute(
+                    f"SELECT quantile_disc({c}, [0.1, 0.3, 0.5, 0.7, 0.9]) "
+                    f"FROM {t} WHERE {c} IS NOT NULL"
+                ).fetchone()[0]
+                if k == "num":
+                    pools[t][c] = [repr(round(float(v), 4)) for v in rows]
+                else:
+                    pools[t][c] = [str(int(v)) for v in rows]
+            elif k == "ts":
+                rows = con.execute(
+                    f"SELECT quantile_disc({c}, [0.2, 0.5, 0.8]) "
+                    f"FROM {t} WHERE {c} IS NOT NULL"
+                ).fetchone()[0]
+                pools[t][c] = [f"TIMESTAMP '{v}'" for v in rows]
+            elif k == "str":
+                vals = con.execute(
+                    f"SELECT {c} FROM (SELECT {c}, count(*) AS cnt FROM {t} "
+                    f"WHERE {c} IS NOT NULL GROUP BY {c} "
+                    f"ORDER BY cnt DESC, {c} LIMIT 6)"
+                ).fetchall()
+                pools[t][c] = [
+                    "'" + str(v[0]).replace("'", "''") + "'" for v in vals
+                ]
+            # 'text' columns get no constant pool (only IS [NOT] NULL)
+    return pools
+
+
+# --------------------------------------------------------------- rendering
+
+def dsum(expr: str) -> str:
+    return f"round(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE), 5)"
+
+
+def davg(expr: str) -> str:
+    # decimal-sum / count, not AVG(): order-independent in both engines
+    return (
+        f"round(CAST(SUM(CAST({expr} AS DECIMAL(38,10))) AS DOUBLE)"
+        f" / count({expr}), 5)"
+    )
+
+
+class Gen:
+    """One generated query: identical SQL for both engines unless a
+    template registers a dialect split (none currently — the shared ANSI
+    subset covers every template; the hook stays so a future template CAN
+    split without reshaping the runner)."""
+
+    def __init__(self, name: str, sql: str, sql_duck: str | None = None):
+        self.name = name
+        self.sql = sql
+        self.sql_duck = sql_duck or sql
+
+
+def pick_pred(rng: random.Random, t: str, pools, alias: str = "") -> str:
+    """One predicate on a random column of t, from its kind's menu."""
+    p = f"{alias}." if alias else ""
+    c, k = rng.choice(TABLES[t])
+    pool = pools[t].get(c) or []
+    if k == "text" or not pool:
+        return rng.choice([f"{p}{c} IS NOT NULL", f"length({p}{c}) > 0"])
+    if k in ("key", "int"):
+        v = rng.choice(pool)
+        return rng.choice(
+            [
+                f"{p}{c} >= {v}",
+                f"{p}{c} < {v}",
+                f"{p}{c} % {rng.choice([2, 3, 5, 7])} = "
+                f"{rng.choice([0, 1])}",
+                f"{p}{c} BETWEEN {pool[0]} AND {pool[-2]}",
+            ]
+        )
+    if k == "num":
+        v = rng.choice(pool)
+        return rng.choice(
+            [
+                f"{p}{c} >= {v}",
+                f"{p}{c} < {v}",
+                f"{p}{c} BETWEEN {pool[1]} AND {pool[-1]}",
+            ]
+        )
+    if k == "ts":
+        v = rng.choice(pool)
+        return rng.choice([f"{p}{c} >= {v}", f"{p}{c} < {v}"])
+    # str
+    v = rng.choice(pool)
+    choices = [
+        f"{p}{c} = {v}",
+        f"{p}{c} <> {v}",
+        f"{p}{c} IN ({', '.join(rng.sample(pool, min(3, len(pool))))})",
+    ]
+    if len(v) > 4:  # v includes quotes; prefix-LIKE on its first chars
+        choices.append(f"{p}{c} LIKE '{v[1:3]}%'")
+    return rng.choice(choices)
+
+
+def pick_preds(rng, t, pools, alias="") -> str:
+    n = rng.choice([1, 1, 2])
+    conj = rng.choice([" AND ", " OR "]) if n == 2 else ""
+    preds = [pick_pred(rng, t, pools, alias) for _ in range(n)]
+    return conj.join(preds) if n == 2 else preds[0]
+
+
+def scalar_exprs(rng, t, pools, alias="") -> list[str]:
+    """1-3 projected scalar expressions with stable aliases."""
+    p = f"{alias}." if alias else ""
+    out = []
+    cands = [c for c, k in TABLES[t]]
+    for i, c in enumerate(rng.sample(cands, min(len(cands), rng.choice([2, 3])))):
+        k = dict(TABLES[t])[c]
+        if k == "str" and rng.random() < 0.4:
+            out.append(f"upper({p}{c}) AS e{i}")
+        elif k in ("str", "text") and rng.random() < 0.4:
+            out.append(f"length({p}{c}) AS e{i}")
+        elif k == "ts" and rng.random() < 0.6:
+            fn = rng.choice(["year", "month"])
+            out.append(f"{fn}({p}{c}) AS e{i}")
+        elif k == "num" and rng.random() < 0.5:
+            out.append(f"round({p}{c} * 2.0, 4) AS e{i}")
+        else:
+            out.append(f"{p}{c} AS e{i}")
+    return out
+
+
+def group_cols(rng, t, alias="") -> list[str]:
+    """1-2 grouping expressions — never raw doubles."""
+    p = f"{alias}." if alias else ""
+    cands = []
+    for c, k in TABLES[t]:
+        if k == "str":
+            cands.append(f"{p}{c}")
+        elif k == "ts":
+            cands.append(f"year({p}{c})")
+        elif k in ("key", "int"):
+            cands.append(f"{p}{c} % {rng.choice([3, 5, 10])}")
+    return rng.sample(cands, min(len(cands), rng.choice([1, 2])))
+
+
+def agg_exprs(rng, t, alias="") -> list[str]:
+    p = f"{alias}." if alias else ""
+    out = [f"count(*) AS cnt"]
+    nums = cols_of(t, "num") or cols_of(t, "int") or cols_of(t, "key")
+    c = rng.choice(nums)
+    out.append(f"{dsum(p + c)} AS s0")
+    if rng.random() < 0.5:
+        out.append(f"{davg(p + c)} AS a0")
+    other = rng.choice([c2 for c2, k2 in TABLES[t] if k2 != "text"])
+    fn = rng.choice(["min", "max", "count"])
+    out.append(f"{fn}({p}{other}) AS m0")
+    if rng.random() < 0.4:
+        out.append(f"count(DISTINCT {p}{other}) AS d0")
+    return out
+
+
+# --------------------------------------------------------------- templates
+
+def t_filter_project(rng, pools) -> Gen:
+    t = rng.choice(list(TABLES))
+    exprs = scalar_exprs(rng, t, pools)
+    where = pick_preds(rng, t, pools)
+    return Gen("filter_project", f"SELECT {', '.join(exprs)} FROM {t} WHERE {where}")
+
+
+def t_topk(rng, pools) -> Gen:
+    t = rng.choice([x for x in TABLES if UNIQUE_KEY[x]])
+    uk = UNIQUE_KEY[t]
+    exprs = scalar_exprs(rng, t, pools)
+    where = pick_preds(rng, t, pools)
+    k = rng.choice([5, 10, 25])
+    direction = rng.choice(["ASC", "DESC"])
+    return Gen(
+        "topk",
+        f"SELECT {uk}, {', '.join(exprs)} FROM {t} WHERE {where} "
+        f"ORDER BY {uk} {direction} LIMIT {k}",
+    )
+
+
+def t_group_agg(rng, pools) -> Gen:
+    t = rng.choice(list(TABLES))
+    gs = group_cols(rng, t)
+    if not gs:
+        t, gs = "lineitem", ["l_returnflag"]
+    aliased = [f"{g} AS g{i}" for i, g in enumerate(gs)]
+    aggs = agg_exprs(rng, t)
+    where = pick_preds(rng, t, pools)
+    having = ""
+    if rng.random() < 0.4:
+        having = f" HAVING count(*) >= {rng.choice([1, 2, 5])}"
+    return Gen(
+        "group_agg",
+        f"SELECT {', '.join(aliased)}, {', '.join(aggs)} FROM {t} "
+        f"WHERE {where} GROUP BY {', '.join(gs)}{having}",
+    )
+
+
+def t_join(rng, pools) -> Gen:
+    ft, fc, dt, dc = rng.choice(JOINS)
+    how = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"])
+    f_exprs = scalar_exprs(rng, ft, pools, "f")
+    d_exprs = [
+        e.replace(" AS e", " AS de") for e in scalar_exprs(rng, dt, pools, "d")
+    ]
+    sql = (
+        f"SELECT {', '.join(f_exprs)}, {', '.join(d_exprs)} "
+        f"FROM {ft} f {how} {dt} d ON f.{fc} = d.{dc}"
+    )
+    # WHERE only on a preserved side: a post-join filter on the
+    # null-extended side would degrade the outer join to inner in both
+    # engines — legal but it stops exercising outer semantics at all
+    if how in ("JOIN", "LEFT JOIN"):
+        where = pick_preds(rng, ft, pools, "f")
+        if how == "JOIN" and rng.random() < 0.5:
+            where += " AND " + pick_pred(rng, dt, pools, "d")
+        sql += f" WHERE {where}"
+    return Gen("join", sql)
+
+
+def t_join_agg(rng, pools) -> Gen:
+    ft, fc, dt, dc = rng.choice(JOINS)
+    gs = group_cols(rng, dt, "d") or group_cols(rng, ft, "f")
+    aliased = [f"{g} AS g{i}" for i, g in enumerate(gs)]
+    aggs = agg_exprs(rng, ft, "f")
+    where = pick_preds(rng, ft, pools, "f")
+    return Gen(
+        "join_agg",
+        f"SELECT {', '.join(aliased)}, {', '.join(aggs)} "
+        f"FROM {ft} f JOIN {dt} d ON f.{fc} = d.{dc} "
+        f"WHERE {where} GROUP BY {', '.join(gs)}",
+    )
+
+
+def t_semi_anti(rng, pools) -> Gen:
+    ft, fc, dt, dc = rng.choice(JOINS)
+    kind = rng.choice(["EXISTS", "NOT EXISTS"])
+    exprs = scalar_exprs(rng, ft, pools)
+    inner_where = pick_pred(rng, dt, pools)
+    return Gen(
+        "semi_anti",
+        f"SELECT {', '.join(exprs)} FROM {ft} WHERE {kind} "
+        f"(SELECT 1 FROM {dt} WHERE {dt}.{dc} = {ft}.{fc} AND {inner_where})",
+    )
+
+
+def t_in_subquery(rng, pools) -> Gen:
+    ft, fc, dt, dc = rng.choice(JOINS)
+    exprs = scalar_exprs(rng, ft, pools)
+    inner_where = pick_pred(rng, dt, pools)
+    neg = "NOT " if rng.random() < 0.3 else ""
+    return Gen(
+        "in_subquery",
+        f"SELECT {', '.join(exprs)} FROM {ft} WHERE {fc} {neg}IN "
+        f"(SELECT {dc} FROM {dt} WHERE {inner_where})",
+    )
+
+
+def t_scalar_subquery(rng, pools) -> Gen:
+    t = rng.choice(["lineitem", "orders", "customer", "part", "events"])
+    nums = cols_of(t, "num")
+    c = rng.choice(nums)
+    exprs = scalar_exprs(rng, t, pools)
+    # the threshold is decimal-derived → the SAME double in both engines,
+    # so boundary rows cannot flip between them
+    return Gen(
+        "scalar_subquery",
+        f"SELECT {', '.join(exprs)} FROM {t} "
+        f"WHERE {c} > (SELECT {davg(c)} FROM {t})",
+    )
+
+
+def t_setop(rng, pools) -> Gen:
+    t = rng.choice(list(TABLES))
+    op = rng.choice(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"])
+    # project non-double columns so set-op equality is engine-neutral
+    cands = [c for c, k in TABLES[t] if k in ("key", "int", "str", "ts")]
+    cols = rng.sample(cands, min(len(cands), 2))
+    w1 = pick_pred(rng, t, pools)
+    w2 = pick_pred(rng, t, pools)
+    sel = ", ".join(cols)
+    return Gen(
+        "setop",
+        f"SELECT {sel} FROM {t} WHERE {w1} {op} SELECT {sel} FROM {t} WHERE {w2}",
+    )
+
+
+def t_window(rng, pools) -> Gen:
+    t = rng.choice(["lineitem", "orders", "events", "customer", "part"])
+    uk = total_order(t)
+    part = rng.choice(group_cols(rng, t) or ["1"])
+    nums = cols_of(t, "num")
+    c = rng.choice(nums)
+    fn = rng.choice(["rank()", "dense_rank()", "row_number()"])
+    laglead = rng.choice(["lag", "lead"])
+    where = pick_preds(rng, t, pools)
+    return Gen(
+        "window",
+        f"SELECT {uk.replace(', ', ', ')}, "
+        f"{fn} OVER (PARTITION BY {part} ORDER BY {c}, {uk}) AS rnk, "
+        f"{laglead}({c}) OVER (PARTITION BY {part} ORDER BY {c}, {uk}) AS lg, "
+        f"round(CAST(SUM(CAST({c} AS DECIMAL(38,10))) OVER "
+        f"(PARTITION BY {part} ORDER BY {c}, {uk} "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 5) "
+        f"AS rsum FROM {t} WHERE {where}",
+    )
+
+
+def t_cte_join(rng, pools) -> Gen:
+    ft, fc, dt, dc = rng.choice(JOINS)
+    aggs = agg_exprs(rng, ft)
+    where = pick_preds(rng, ft, pools)
+    d_exprs = scalar_exprs(rng, dt, pools, "d")
+    return Gen(
+        "cte_join",
+        f"WITH agg AS (SELECT {fc} AS jk, {', '.join(aggs)} FROM {ft} "
+        f"WHERE {where} GROUP BY {fc}) "
+        f"SELECT agg.jk, agg.cnt, agg.s0, {', '.join(d_exprs)} "
+        f"FROM agg JOIN {dt} d ON agg.jk = d.{dc}",
+    )
+
+
+def t_case_cast(rng, pools) -> Gen:
+    t = rng.choice(list(TABLES))
+    strs = cols_of(t, "str")
+    nums = cols_of(t, "num") or cols_of(t, "int") or cols_of(t, "key")
+    c = rng.choice(nums)
+    pool = pools[t].get(c) or ["0"]
+    v = rng.choice(pool)
+    branches = (
+        f"CASE WHEN {c} >= {v} THEN 'hi' WHEN {c} IS NULL THEN 'null' "
+        f"ELSE 'lo' END AS bucket"
+    )
+    extra = ""
+    if strs:
+        s = rng.choice(strs)
+        extra = f", {s} || '_' || CAST({c} AS STRING) AS tagged"
+    sql = (
+        f"SELECT {total_order(t)}, {branches}, "
+        f"CAST({c} AS BIGINT) AS as_int{extra} FROM {t} "
+        f"WHERE {pick_pred(rng, t, pools)}"
+    )
+    # CAST(x AS STRING) is Spark spelling; DuckDB uses VARCHAR
+    return Gen("case_cast", sql, sql.replace("AS STRING)", "AS VARCHAR)"))
+
+
+TEMPLATES = [
+    t_filter_project,
+    t_topk,
+    t_group_agg,
+    t_join,
+    t_join_agg,
+    t_semi_anti,
+    t_in_subquery,
+    t_scalar_subquery,
+    t_setop,
+    t_window,
+    t_cte_join,
+    t_case_cast,
+]
+
+
+def gen_query(seed: str, i: int, pools) -> Gen:
+    rng = random.Random(f"{seed}|{i}")
+    tpl = rng.choice(TEMPLATES)
+    g = tpl(rng, pools)
+    g.name = f"q{i:04d}_{g.name}"
+    return g
+
+
+# ----------------------------------------------------------------- runner
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    seed = sys.argv[3] if len(sys.argv) > 3 else "r13"
+
+    import duckdb
+
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    spark = get_spark(app_name="fuzz-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+
+    pools = build_pools(con, sf_dir)
+
+    t0 = time.perf_counter()
+    mismatches: list[dict] = []
+    errors: list[dict] = []
+    n_rows_total = 0
+    per_template: dict[str, int] = {}
+    for i in range(n_queries):
+        g = gen_query(seed, i, pools)
+        tpl = g.name.split("_", 1)[1]
+        per_template[tpl] = per_template.get(tpl, 0) + 1
+        try:
+            sdf = spark.sql(g.sql)
+            s_cols = list(sdf.columns)
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001 — adjudicated, not hidden
+            errors.append({"name": g.name, "engine": "spark", "sql": g.sql,
+                           "error": f"{type(e).__name__}: {e}"})
+            continue
+        try:
+            cur = con.execute(g.sql_duck)
+            d_cols = [d[0] for d in cur.description]
+            d_rows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            errors.append({"name": g.name, "engine": "duckdb",
+                           "sql": g.sql_duck,
+                           "error": f"{type(e).__name__}: {e}"})
+            continue
+        sc, sd = frame_to_canon(s_cols, s_rows)
+        dc, dd = frame_to_canon(d_cols, d_rows)
+        n_rows_total += len(s_rows)
+        if sc != dc or sd != dd:
+            diff_head = []
+            for a, b in zip(sd, dd):
+                if a != b:
+                    diff_head.append({"spark": a, "duckdb": b})
+                if len(diff_head) >= 3:
+                    break
+            mismatches.append(
+                {
+                    "name": g.name,
+                    "sql": g.sql,
+                    "sql_duck": g.sql_duck if g.sql_duck != g.sql else None,
+                    "spark_rows": len(s_rows),
+                    "duck_rows": len(d_rows),
+                    "cols_match": sc == dc,
+                    "spark_cols": sc,
+                    "duck_cols": dc,
+                    "diff_head": diff_head,
+                }
+            )
+            print(f"  [MISMATCH] {g.name}: spark={len(s_rows)} rows, "
+                  f"duckdb={len(d_rows)} rows")
+        if (i + 1) % 50 == 0:
+            print(
+                f"  ... {i + 1}/{n_queries} "
+                f"({len(mismatches)} mismatches, {len(errors)} errors)"
+            )
+
+    elapsed = round(time.perf_counter() - t0, 1)
+    trail = {
+        "metric": "fuzz_oracle_trail",
+        "seed": seed,
+        "sf_dir": sf_dir,
+        "mismatches": mismatches,
+        "errors": errors,
+        "per_template": per_template,
+    }
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(here, "FUZZ_ORACLE.json")
+    tmp = f"{dst}.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(trail, f, indent=2)
+    os.replace(tmp, dst)
+
+    print(
+        json.dumps(
+            {
+                "metric": "fuzz_oracle",
+                "seed": seed,
+                "sf_dir": sf_dir,
+                "n_queries": n_queries,
+                "n_compared": n_queries - len(errors),
+                "n_mismatch": len(mismatches),
+                "n_errors": len(errors),
+                "rows_compared": n_rows_total,
+                "sec": elapsed,
+            }
+        )
+    )
+    return len(mismatches) + len(errors)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
