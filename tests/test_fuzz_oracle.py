@@ -1,0 +1,83 @@
+"""Differential-fuzz harness tests (tools/fuzz_oracle.py — VERDICT r12
+task 1). The full 500-query gate runs standalone per round; here we lock
+the harness properties that make that gate trustworthy: seed-pinned
+generation, template coverage, and a small live Spark-vs-DuckDB sweep
+with zero mismatches."""
+
+import random
+
+import duckdb
+import pytest
+
+from tools import fuzz_oracle as fz
+from tools.check_oracle import frame_to_canon
+
+
+def test_generation_is_seed_pinned_and_independent_of_count():
+    """Query i must depend only on (seed, i): regenerating with a larger
+    n or after another query must yield byte-identical SQL — the property
+    that makes a recorded FUZZ_r{N}.json reproducible for adjudication."""
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    pools = fz.build_pools(con, "/root/testdata/sf0.001")
+    a = [fz.gen_query("pin", i, pools) for i in range(30)]
+    b = [fz.gen_query("pin", i, pools) for i in range(30)]
+    assert [(g.name, g.sql, g.sql_duck) for g in a] == [
+        (g.name, g.sql, g.sql_duck) for g in b
+    ]
+    # and pools themselves are deterministic per sf_dir
+    assert pools == fz.build_pools(con, "/root/testdata/sf0.001")
+    # a different seed actually changes the stream
+    c = [fz.gen_query("pin2", i, pools) for i in range(30)]
+    assert [g.sql for g in a] != [g.sql for g in c]
+
+
+def test_every_template_reachable():
+    """All templates must appear within a modest index range, so a 500-
+    query round exercises the full surface rather than a lucky subset."""
+    con = duckdb.connect()
+    for t in fz.TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '/root/testdata/sf0.001/{t}.parquet'"
+        )
+    pools = fz.build_pools(con, "/root/testdata/sf0.001")
+    seen = {
+        fz.gen_query("cov", i, pools).name.split("_", 1)[1]
+        for i in range(200)
+    }
+    want = {g(random.Random(0), pools).name for g in fz.TEMPLATES}
+    assert want <= seen, want - seen
+
+
+@pytest.mark.parametrize("seed", ["pytest-a"])
+def test_small_live_fuzz_zero_mismatches(spark, sf_dir, seed):
+    """A 25-query live differential sweep at sf0.001 (distinct seed from
+    the round artifact, so this is extra coverage, not a replay): every
+    generated query must run on BOTH engines and canon-match exactly."""
+    con = duckdb.connect()
+    from aws_cli_data_pipeline_tools_spark.sources import load_table
+
+    for t in fz.TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+        load_table(spark, t, sf_dir).createOrReplaceTempView(t)
+    pools = fz.build_pools(con, sf_dir)
+    for i in range(25):
+        g = fz.gen_query(seed, i, pools)
+        sdf = spark.sql(g.sql)
+        sc, sd = frame_to_canon(
+            list(sdf.columns), [tuple(r) for r in sdf.collect()]
+        )
+        cur = con.execute(g.sql_duck)
+        dc, dd = frame_to_canon(
+            [d[0] for d in cur.description], cur.fetchall()
+        )
+        assert sc == dc, (g.name, g.sql, sc, dc)
+        assert sd == dd, (g.name, g.sql)

@@ -491,6 +491,7 @@ def t_case_cast(rng, pools) -> Gen:
     strs = cols_of(t, "str")
     nums = cols_of(t, "num") or cols_of(t, "int") or cols_of(t, "key")
     c = rng.choice(nums)
+    is_double = dict(TABLES[t])[c] == "num"
     pool = pools[t].get(c) or ["0"]
     v = rng.choice(pool)
     branches = (
@@ -499,15 +500,30 @@ def t_case_cast(rng, pools) -> Gen:
     )
     extra = ""
     if strs:
+        # ADJUDICATED DIALECT SPLIT (r13 fuzz, 21/500 pre-fix): never
+        # cast a DOUBLE to string cross-engine — Spark renders Java
+        # Double.toString ('1.0E20'), DuckDB shortest-roundtrip
+        # ('1e+20'). Integer-to-string is identical, so the tagged
+        # concat uses a key/int column.
         s = rng.choice(strs)
-        extra = f", {s} || '_' || CAST({c} AS STRING) AS tagged"
+        ic = rng.choice(cols_of(t, "key", "int"))
+        extra = f", {s} || '_' || CAST({ic} AS STRING) AS tagged"
     sql = (
         f"SELECT {total_order(t)}, {branches}, "
         f"CAST({c} AS BIGINT) AS as_int{extra} FROM {t} "
         f"WHERE {pick_pred(rng, t, pools)}"
     )
-    # CAST(x AS STRING) is Spark spelling; DuckDB uses VARCHAR
-    return Gen("case_cast", sql, sql.replace("AS STRING)", "AS VARCHAR)"))
+    # dialect split 1: CAST(x AS STRING) is Spark spelling; VARCHAR in
+    # DuckDB. dialect split 2 (ADJUDICATED, r13 fuzz): double→BIGINT
+    # TRUNCATES toward zero in Spark but ROUNDS to nearest in DuckDB
+    # (CAST(2.7 AS BIGINT) = 2 vs 3) — the DuckDB twin truncates
+    # explicitly to pin Spark's semantics as the reference behavior.
+    duck = sql.replace("AS STRING)", "AS VARCHAR)")
+    if is_double:
+        duck = duck.replace(
+            f"CAST({c} AS BIGINT)", f"CAST(trunc({c}) AS BIGINT)"
+        )
+    return Gen("case_cast", sql, duck)
 
 
 TEMPLATES = [

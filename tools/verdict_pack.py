@@ -164,6 +164,30 @@ def scale_bands() -> dict:
     }
 
 
+def fuzz() -> dict:
+    """Latest FUZZ_r*.json (tools/fuzz_oracle.py — VERDICT r12 task 1):
+    the differential-fuzz gate sits beside the tri-scale sweep; green
+    means 0 mismatches and 0 engine errors over the seed-pinned
+    generated-query set."""
+    paths = sorted(glob.glob(os.path.join(REPO, "FUZZ_r*.json")), key=_round_no)
+    if not paths:
+        return {"error": "no FUZZ_r*.json — run tools/fuzz_oracle.py"}
+    latest = paths[-1]
+    try:
+        rec = json.load(open(latest))
+    except (OSError, ValueError) as e:
+        return {"error": f"{latest}: {e}"}
+    return {
+        "latest_record": os.path.basename(latest),
+        "seed": rec.get("seed"),
+        "n_queries": rec.get("n_queries"),
+        "n_mismatch": rec.get("n_mismatch"),
+        "n_errors": rec.get("n_errors"),
+        "rows_compared": rec.get("rows_compared"),
+        "green": rec.get("n_mismatch") == 0 and rec.get("n_errors") == 0,
+    }
+
+
 _SWEEP_TAIL = re.compile(
     r"(\d+) exact-match, (\d+) rows-only, (\d+) failed"
 )
@@ -235,6 +259,7 @@ def main() -> int:
         "bands": bands(),
         "scale_bands": scale_bands(),
         "sweeps": sweeps(sweep_args),
+        "fuzz": fuzz(),
     }
     if "--no-pytest" not in argv:
         pack["suite"] = suite_count()
