@@ -508,7 +508,12 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_lsh_topk_sql(
-    n_planes: int, n_tables: int, k: int, dim: int, seed_str: str
+    n_planes: int,
+    n_tables: int,
+    k: int,
+    dim: int,
+    seed_str: str,
+    corpus_cte: str | None = None,
 ) -> str:
     """DuckDB twin of the PORTABLE lsh_ann_topk (VERDICT r11 task 4b):
     the ±1 parity planes come from the SAME lsh_parity_planes call the
@@ -516,7 +521,11 @@ def _duck_lsh_topk_sql(
     drift), buckets are exact integer micro-unit sign sums, candidates
     are any-shared-bucket pairs, and the rerank replays the established
     exact-cosine discipline. Every step is deterministic, so the full
-    top-k output hash-matches."""
+    top-k output hash-matches.
+
+    ``corpus_cte`` swaps the raw embeddings table for a derived corpus
+    (r13: the planted-cluster corpus ``duck_clustered_cte`` — the
+    ann_lsh_topk_clustered graduation)."""
     from ..operators.similarity import lsh_parity_planes
 
     planes = lsh_parity_planes(dim, n_planes, n_tables, seed_str)
@@ -532,12 +541,14 @@ def _duck_lsh_topk_sql(
             f"SELECT vec_id, {t} AS tbl, {bucket} AS bucket FROM mv"
         )
     cb = "\nUNION ALL\n".join(table_selects)
+    src = "corpus" if corpus_cte else "embeddings"
+    head = f"WITH corpus AS ({corpus_cte}), mv AS (" if corpus_cte else "WITH mv AS ("
     return f"""
-WITH mv AS (
+{head}
   SELECT vec_id,
          list_transform(embedding,
            v -> CAST(round(CAST(v AS DOUBLE) * 1000000, 0) AS BIGINT)) AS mv
-  FROM embeddings WHERE embedding IS NOT NULL
+  FROM {src} WHERE embedding IS NOT NULL
 ), cb AS (
 {cb}
 ), qb AS (
@@ -549,8 +560,8 @@ WITH mv AS (
   SELECT cand.query_id, cand.neighbor_id,
          {_duck_cosine('qe.embedding', 'ce.embedding')} AS cosine
   FROM cand
-  JOIN embeddings qe ON qe.vec_id = cand.query_id
-  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+  JOIN {src} qe ON qe.vec_id = cand.query_id
+  JOIN {src} ce ON ce.vec_id = cand.neighbor_id
 ), r AS (
   SELECT query_id, neighbor_id, cosine,
          CAST(row_number() OVER (
@@ -588,30 +599,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, queries, k=10, n_planes=5, n_tables=16, query_id_col="query_id",
         dim=64,  # embeddings fixture contract (FIXTURES.md) — no first() probe
         portable=True,  # md5-parity planes — the DuckDB oracle's twin
-    )
-
-
-@register(
-    "ann_ivf_topk",
-    oracle=None,  # approximate — recall vs exact is gate/pytest-asserted.
-    tags=("llmops", "similarity"),
-    notes="IVF ANN: 16 Lloyd-refined cosine centroids, 8-probe candidate "
-    "join on list_id, exact rerank. At scale the labeled corpus persists "
-    "partitionBy(list_id) so probes become partition-pruned scans. "
-    "Operating point measured on the near-random fixture (BASELINE.md "
-    "recall curve): recall@10 = 0.78 at 8/16 probed lists — isotropic "
-    "random vectors give IVF no density to adapt to, so recall tracks "
-    "the probed fraction plus a small locality bonus; clustered "
-    "production embeddings reach the same recall at a much smaller "
-    "probed fraction.",
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, "embeddings", sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return similarity.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=8, query_id_col="query_id"
     )
 
 
@@ -674,16 +661,23 @@ FROM embeddings
 
 @register(
     "ann_lsh_topk_clustered",
-    oracle=None,  # approximate — recall gate replays the corpus in DuckDB.
+    oracle=_duck_lsh_topk_sql(
+        10, 16, 10, 64, "lsh-v1|7", corpus_cte=duck_clustered_cte()
+    ),
     tags=("llmops", "similarity"),
     notes="LSH ANN at a production-shaped operating point: the planted-"
     "cluster corpus (clustered_embeddings — within-cluster cosine ≈ 0.9) "
     "retrieved with 10 planes × 16 tables. On clustered data the same "
     "family that needs 0.40 candidate fraction for recall 0.76 on the "
-    "near-random fixture reaches recall 1.00 at a 0.052 candidate "
+    "near-random fixture reaches recall 1.00 at a small candidate "
     "fraction (BASELINE.md clustered recall curve) — validating the "
-    "claimed scale economics. Ground truth: DuckDB replays the exact "
-    "corpus (duck_clustered_cte) and brute-forces top-10.",
+    "claimed scale economics. Graduated to a FULL DuckDB oracle (r13, "
+    "VERDICT r12 task 2a): portable=True md5-parity planes over the "
+    "md5-replayed corpus (duck_clustered_cte) make bucket assignment, "
+    "the candidate set, and the rerank hash-match exactly — the same "
+    "construction that graduated ann_lsh_topk in r12. Retrieval quality "
+    "keeps its own planted-truth floor in pytest (recall vs brute-force "
+    "cosine on the clustered corpus).",
 )
 def ann_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = clustered_embeddings(spark, sf_dir)
@@ -693,6 +687,7 @@ def ann_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_ann_topk(
         emb, queries, k=10, n_planes=10, n_tables=16, query_id_col="query_id",
         dim=64,
+        portable=True,  # md5-parity planes — the DuckDB oracle's twin
     )
 
 
@@ -1182,15 +1177,17 @@ def _duck_kmeans_iter(i: int) -> str:
 ), {_duck_kmeans_norm(i, f"r{i}")}"""
 
 
-def _duck_kmeans_profile_sql(n_centroids: int, refine_iters: int) -> str:
-    """Full DuckDB twin of kmeans_clusters_portable + the per-cluster
-    profile aggregate (VERDICT r11 task 4a): unrolled Lloyd iterations
-    exactly as embedding_pca_power_iteration / pagerank_fixed_point
-    unroll theirs."""
-    last = refine_iters
-    iters = ", ".join(_duck_kmeans_iter(i) for i in range(1, last + 1))
-    return f"""
-WITH src AS (
+def _duck_kmeans_prefix(n_centroids: int, refine_iters: int) -> str:
+    """Shared WITH-body prefix of every kmeans-twin oracle (profile +
+    portable IVF): src → exploded xe → md5-parity seeds → seeded frame
+    r0 → normalized c0 → unrolled Lloyd iterations through c{last}.
+    Single-sourced so the trainer replay can never drift between the
+    entries that consume it (r13: ann_ivf_topk graduation reuses the
+    trainer that made embedding_cluster_profile exact)."""
+    iters = ", ".join(
+        _duck_kmeans_iter(i) for i in range(1, refine_iters + 1)
+    )
+    return f"""src AS (
   SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
 ), xe AS (
   SELECT vec_id AS id,
@@ -1207,7 +1204,17 @@ WITH src AS (
   ) WHERE list_id < {n_centroids}
 ), r0 AS (
   SELECT s.list_id, xe.pos, xe.x AS c FROM xe JOIN seeds s ON s.id = xe.id
-), {_duck_kmeans_norm(0, "r0")}, {iters},
+), {_duck_kmeans_norm(0, "r0")}, {iters}"""
+
+
+def _duck_kmeans_profile_sql(n_centroids: int, refine_iters: int) -> str:
+    """Full DuckDB twin of kmeans_clusters_portable + the per-cluster
+    profile aggregate (VERDICT r11 task 4a): unrolled Lloyd iterations
+    exactly as embedding_pca_power_iteration / pagerank_fixed_point
+    unroll theirs."""
+    last = refine_iters
+    return f"""
+WITH {_duck_kmeans_prefix(n_centroids, refine_iters)},
 df AS (
   SELECT xe.id, c{last}.list_id,
          CAST(sum(CAST(xe.x * c{last}.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
@@ -1277,6 +1284,84 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = prof.collect()
     labeled.release_cache()
     return spark.createDataFrame(rows, prof.schema).orderBy("list_id")
+
+
+def _duck_ivf_topk_sql(
+    n_centroids: int, refine_iters: int, n_probe: int, k: int
+) -> str:
+    """Full DuckDB twin of ivf_topk(portable=True) (VERDICT r12 task 2b):
+    the shared Lloyd unroll (_duck_kmeans_prefix — the trainer replay
+    that made embedding_cluster_profile exact) yields c{last}; then one
+    dot frame serves BOTH the corpus labels (rn = 1) and the query
+    probes (rn <= n_probe over the query subset — queries are corpus
+    rows vec_id < 5), the candidate set is the probe×label equi-join on
+    list_id, and the rerank replays the established exact-cosine
+    discipline. Every step deterministic → full top-k hash-match."""
+    last = refine_iters
+    return f"""
+WITH {_duck_kmeans_prefix(n_centroids, refine_iters)},
+ldot AS (
+  SELECT xe.id, c{last}.list_id,
+         CAST(sum(CAST(xe.x * c{last}.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
+  FROM xe JOIN c{last} ON c{last}.pos = xe.pos GROUP BY xe.id, c{last}.list_id
+), lab AS (
+  SELECT id AS neighbor_id, list_id FROM (
+    SELECT id, list_id,
+           row_number() OVER (PARTITION BY id ORDER BY dot DESC, list_id) AS rn
+    FROM ldot
+  ) WHERE rn = 1
+), probes AS (
+  SELECT id AS query_id, list_id FROM (
+    SELECT id, list_id,
+           row_number() OVER (PARTITION BY id ORDER BY dot DESC, list_id) AS rn
+    FROM ldot WHERE id < 5
+  ) WHERE rn <= {n_probe}
+), cand AS (
+  SELECT p.query_id, l.neighbor_id FROM probes p JOIN lab l USING (list_id)
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_duck_cosine('qe.embedding', 'ce.embedding')} AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM r WHERE rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_duck_ivf_topk_sql(16, 2, 8, 10),
+    tags=("llmops", "similarity"),
+    notes="IVF ANN: 16 Lloyd-refined cosine centroids, 8-probe candidate "
+    "join on list_id, exact rerank. At scale the labeled corpus persists "
+    "partitionBy(list_id) so probes become partition-pruned scans. "
+    "Graduated to a FULL DuckDB oracle (r13, VERDICT r12 task 2b): "
+    "portable=True trains with md5-parity seeding + decimal-exact Lloyd "
+    "steps whose centroids round-trip the driver as literals "
+    "(_portable_centroid_literals — one scan + a k·dim-group aggregate "
+    "per iteration, the corpus never shuffles), and the DuckDB twin "
+    "unrolls the identical iterations, so lists, probes, candidates, "
+    "and the full top-k hash-match. Recall at this operating point "
+    "keeps its pytest floor vs brute-force cosine; the numpy trainer "
+    "remains the throughput default (portable=False).",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=8,
+        query_id_col="query_id",
+        portable=True,  # decimal-exact trainer — the DuckDB oracle's twin
+    )
 
 
 def _be32(col):

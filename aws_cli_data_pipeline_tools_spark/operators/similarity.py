@@ -404,6 +404,192 @@ def _ivf_assign(
     )
 
 
+def _centroid_literal_array(cvec: list[float]):
+    return F.array(*[F.lit(float(v)) for v in cvec])
+
+
+def _portable_dot_literal(vec, cvec: list[float]):
+    """Decimal-exact dot of a vector column against a collected centroid
+    (engine-portable, VERDICT r12 task 2b): each product is computed in
+    DOUBLE then cast to DECIMAL(38,10) — exactly the addend the DuckDB
+    twin's ``sum(CAST(x * c AS DECIMAL(38,10)))`` sums — and decimal
+    addition at (38,10) is EXACT at embedding magnitudes, so the
+    left-to-right fold equals the oracle's order-free group sum bit for
+    bit. Runs per-row in the scan (no explode, no join, no shuffle):
+    the portable trainer's whole point vs the long-form
+    kmeans_clusters_portable shape, which pays an n×dim×k join-aggregate
+    per iteration.
+
+    Precision note: the fold runs at DECIMAL(28,10), NOT (38,10) —
+    Spark's decimal ADD rule is (p,s)+(p,s) → (p+1, s) capped at 38,
+    and at p=38 the cap is paid by dropping the scale to 9, silently
+    rounding away the 10th digit each step (and type-mismatching the
+    accumulator). At p=28 the add yields (29,10) — scale intact, value
+    exact — and the cast back to (28,10) is lossless because |dot| is
+    bounded by dim·max|x·c| ≪ 10^18. A double cast to (28,10) rounds
+    identically to a cast to (38,10), so the addends — and therefore
+    the exact sum — still equal the oracle's
+    ``sum(CAST(x*c AS DECIMAL(38,10)))`` addends bit for bit."""
+    acc_t = "decimal(28,10)"
+    prods = F.zip_with(
+        vec,
+        _centroid_literal_array(cvec),
+        lambda a, b: (a.cast("double") * b).cast(acc_t),
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(acc_t),
+        lambda acc, v: (acc + v).cast(acc_t),
+    ).cast("double")
+
+
+def _portable_ranked_lists(vec, cents: list[list[float]]):
+    """Array of (dot, list_id) structs sorted desc-by-dot / asc-by-list —
+    element 1 is the argmax assignment (ties → smallest list_id, the
+    DuckDB twin's ``ORDER BY dot DESC, list_id``), a slice of the first
+    n_probe is the probe set.
+
+    Built as ONE transform over a nested centroid-matrix literal, not k
+    separate ``_portable_dot_literal`` trees: the k-tree form carried
+    k×(zip_with + aggregate) expression nodes and its ANALYSIS cost
+    dominated the whole trainer (measured 11 s of a 15 s sf0.01 run,
+    r13) — the single-tree form shares one dot subtree across all k
+    centroids and only the 2-D literal grows with k. Arithmetic is
+    identical (same fold, same ``_portable_dot_literal`` decimal
+    discipline), so oracle replay is unaffected."""
+    acc_t = "decimal(28,10)"
+    cmat = F.array(*[_centroid_literal_array(cv) for cv in cents])
+
+    def dot_against(crow):
+        prods = F.zip_with(
+            vec, crow, lambda a, b: (a.cast("double") * b).cast(acc_t)
+        )
+        return F.aggregate(
+            prods,
+            F.lit(0).cast(acc_t),
+            lambda acc, v: (acc + v).cast(acc_t),
+        ).cast("double")
+
+    structs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            dot_against(F.element_at(cmat, i)).alias("dot"),
+            (i - 1).cast("int").alias("list_id"),
+        ),
+    )
+    return F.array_sort(
+        structs,
+        lambda a, b: F.when(a["dot"] > b["dot"], F.lit(-1))
+        .when(a["dot"] < b["dot"], F.lit(1))
+        .otherwise(
+            F.when(a["list_id"] < b["list_id"], F.lit(-1))
+            .when(a["list_id"] > b["list_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+
+
+def _portable_centroid_literals(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    refine_iters: int,
+) -> list[list[float]]:
+    """Engine-portable IVF/k-means trainer returning the centroids as
+    driver-side floats (O(k·dim) model state, the same posture as
+    :func:`_ivf_centroids`'s numpy path) — semantics identical to
+    :func:`kmeans_clusters_portable`'s loop, replayed step-for-step by
+    the DuckDB Lloyd unroll (catalog ``_duck_kmeans_iter``):
+
+    - seeding: the ``n_centroids`` rows with the smallest
+      ``(portable_hash64(id), id)``; list_id = that order's 0-based rank;
+    - assignment: per-ROW argmax of decimal-exact dots against the
+      CURRENT centroids as literals (``_portable_ranked_lists``) — one
+      scan, no explode, no join;
+    - update: per-(list, pos) decimal mean over a posexploded pass —
+      the only shuffle per iteration, and it map-side-combines down to
+      k·dim groups; empty clusters keep their previous centroid;
+    - normalization: decimal squared-norm sum → double divisor.
+
+    Each iteration collects k·dim doubles to the driver and re-embeds
+    them as literals — exact round-trip (IEEE doubles survive collect),
+    so the literal values ARE the values the DuckDB twin computes for
+    c{i}. Unlike the long-form trainer this scales by corpus SCAN cost:
+    at any corpus size the per-iteration work is one codegen-side
+    assignment pass plus a k·dim-group aggregate."""
+    spark = corpus.sparkSession
+    from ..functions import portable_hash64
+
+    src = corpus.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    ph = portable_hash64(F.col("id").cast("string"))
+    seeds = (
+        src.select("id", ph.alias("__ph"))
+        .orderBy("__ph", "id")
+        .limit(n_centroids)
+        .withColumn(
+            "list_id",
+            (F.row_number().over(Window.orderBy("__ph", "id")) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("__ph")
+    )
+    seed_long = (
+        src.join(F.broadcast(seeds), "id")
+        .select(
+            "list_id", F.posexplode(F.col("v")).alias("pos", "xf")
+        )
+        .select("list_id", "pos", F.col("xf").cast("double").alias("c"))
+    )
+
+    def collect_centroids(c_long: DataFrame) -> list[list[float]]:
+        rows = c_long.collect()
+        by_list: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["c"]
+        return [
+            [by_list[li][p] for p in sorted(by_list[li])]
+            for li in sorted(by_list)
+        ]
+
+    cents = collect_centroids(_normalize_centroid_rows(seed_long))
+    for _ in range(refine_iters):
+        best = F.element_at(_portable_ranked_lists(F.col("v"), cents), 1)
+        # the argmax projection and the posexplode generator must live in
+        # SEPARATE selects: with both in one, the analyzer's generator
+        # extraction re-resolves the comparator lambda's a["dot"] before
+        # CreateStruct's aliases materialize and fails with
+        # FIELD_NOT_FOUND `dot` in `col1`,`col2` (found r13; both orders
+        # work when the struct has no unresolved column refs)
+        assigned = src.select(
+            best["list_id"].alias("list_id"), "v"
+        ).select("list_id", F.posexplode(F.col("v")).alias("pos", "xf"))
+        means = assigned.groupBy("list_id", "pos").agg(
+            (
+                F.sum(F.col("xf").cast("double").cast("decimal(38,10)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        prev = spark.createDataFrame(
+            [
+                (li, p, c)
+                for li, cv in enumerate(cents)
+                for p, c in enumerate(cv)
+            ],
+            "list_id int, pos int, c double",
+        )
+        merged = prev.join(means, ["list_id", "pos"], "left").select(
+            "list_id", "pos", F.coalesce(F.col("m"), F.col("c")).alias("c")
+        )
+        cents = collect_centroids(_normalize_centroid_rows(merged))
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -415,6 +601,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate NN via an IVF (inverted-file) partition of the corpus.
 
@@ -433,7 +620,63 @@ def ivf_topk(
     function recomputes labels inline because the bench corpus is read
     fresh each call. Cluster-size skew (a hot list) is bounded by
     n_centroids sizing; AQE skew-join handles the residual.
+
+    ``portable=True`` (VERDICT r12 task 2b) swaps the numpy trainer for
+    :func:`_portable_centroid_literals` (md5-parity seeding + decimal-
+    exact Lloyd steps) and assigns labels/probes with decimal-exact
+    literal-centroid dots — making the trained lists, the candidate set,
+    the rerank, and the full top-k replayable hash-for-hash by a DuckDB
+    oracle (the catalog's unrolled-Lloyd twin). Same plan shape: the
+    corpus still never shuffles (assignment is per-row in the scan,
+    probes broadcast); the decimal folds cost more per row than the
+    Arrow matmul, so the default stays the throughput path.
     """
+    if portable:
+        cents_lit = _portable_centroid_literals(
+            corpus, id_col, vec_col, n_centroids, refine_iters
+        )
+        c = corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        q = queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+        labeled = c.withColumn(
+            "list_id",
+            F.element_at(_portable_ranked_lists(F.col("cv"), cents_lit), 1)[
+                "list_id"
+            ],
+        )
+        # slice first, explode in a separate select: the generator and
+        # the struct-building lambda must not co-resolve (see the
+        # FIELD_NOT_FOUND note in _portable_centroid_literals)
+        probes = (
+            q.select(
+                "query_id",
+                "qv",
+                F.slice(
+                    _portable_ranked_lists(F.col("qv"), cents_lit),
+                    1,
+                    n_probe,
+                ).alias("__pr"),
+            )
+            .select("query_id", "qv", F.explode("__pr").alias("__p"))
+            .select(
+                "query_id", "qv", F.col("__p")["list_id"].alias("list_id")
+            )
+        )
+        cand = F.broadcast(probes).join(labeled, "list_id").select(
+            "query_id", "neighbor_id", "qv", "cv"
+        )
+        scored = cand.select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity(F.col("qv"), F.col("cv")), 6
+            ).alias("cosine"),
+        )
+        return _rank_topk(_partition_topk(scored, k), k)
+
     cents = _ivf_centroids(
         corpus, id_col, vec_col, n_centroids, refine_iters, seed
     )

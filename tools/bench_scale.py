@@ -57,6 +57,11 @@ PROBE_RATIO_CLAMP = (0.5, 2.0)
 CLIQUES = 100_000
 CHAIN = 1_000
 
+#: Blocked-cosine cell replication factor over the sf0.1 embeddings base
+#: (5k vectors): 40× = 200k — the r12 audit's firing scale for the OOM
+#: class this cell exists to band (see the cell comment in main()).
+COSINE_MULT = 40
+
 
 def _recorded_scale_bands(
     corpus_key: str, search_dir: str = REPO
@@ -153,8 +158,9 @@ def main() -> int:
             )
         ),
     }
-    ops = ops_arg or [*kernels, "clusters_mixed"]
-    unknown = [o for o in ops if o not in kernels and o != "clusters_mixed"]
+    ops = ops_arg or [*kernels, "clusters_mixed", "cosine"]
+    special = {"clusters_mixed", "cosine"}
+    unknown = [o for o in ops if o not in kernels and o not in special]
     assert not unknown, f"unknown --ops {unknown}"
 
     cpu_probe = _cpu_probe()
@@ -168,7 +174,7 @@ def main() -> int:
 
     cells: dict[str, float] = {}
     for op in ops:
-        if op == "clusters_mixed":
+        if op in special:
             continue
         fn = kernels[op]
         fn(corpus.limit(200))  # warm codegen/worker pool
@@ -212,6 +218,56 @@ def main() -> int:
         name = f"clusters_mixed_c{CLIQUES // 1000}k_ch{CHAIN}"
         cells[name] = round(timed(name, run_clusters, repeat=repeat), 3)
         edges.unpersist()
+
+    if "cosine" in ops:
+        # blocked exact all-pairs cosine — the r12 OOM class (fixed
+        # n_blocks=8 → 5 GB sims/group JVM kill at 200k vectors; now
+        # auto-sized, dedup.py _cosine_auto_blocks). Banded at the
+        # AUDITED firing scale, COSINE_MULT×sf0.1 = 200k vectors
+        # (BASELINE.md r12 audit: 239-269 s, 0 spill) — the 100×/500k
+        # point of the documents cells would cost ~25 min/attempt on the
+        # O(n²) kernel, too heavy to re-run every round; the mult is in
+        # the cell name so a reshape starts a fresh band. Shifted-id
+        # replication (constant geometry, volume-only growth), same
+        # fixture as tools/measure_ann_spill.py.
+        base = load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding"
+        )
+        shift = 10_000_000
+        ecorpus = materialize(
+            base.select(
+                "vec_id",
+                "embedding",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(COSINE_MULT - 1))
+                ).alias("_rep"),
+            ).select(
+                (
+                    F.col("vec_id").cast("long")
+                    + F.col("_rep").cast("long") * F.lit(shift).cast("long")
+                ).alias("vec_id"),
+                "embedding",
+            )
+        )
+        n_vec = ecorpus.count()
+        print(f"==== cosine corpus: {n_vec} vectors ====", flush=True)
+
+        def run_cosine() -> int:
+            return sink(
+                dedup.embedding_cosine_pairs(
+                    ecorpus, threshold=0.9, n_planes=0
+                )
+            )
+
+        # warm on a slice (codegen + Arrow worker pool, not the kernel)
+        sink(
+            dedup.embedding_cosine_pairs(
+                ecorpus.limit(2000), threshold=0.9, n_planes=0
+            )
+        )
+        name = f"cosine_pairs@{COSINE_MULT}x_t0.9"
+        cells[name] = round(timed(name, run_cosine, repeat=repeat), 3)
+        ecorpus.unpersist()
 
     cpu_probe_end = _cpu_probe()
     probe_divergent = _probe_divergent(cpu_probe, cpu_probe_end)

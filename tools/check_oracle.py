@@ -181,15 +181,6 @@ SELECT query_id, neighbor_id FROM r WHERE rank <= 10
 """
 
 
-def _inv_ann_lsh_clustered(spark, sf_dir, con, rows, cols, specs):
-    """Production-shaped fixture: exact DuckDB ground truth via
-    _clustered_exact_sql; the 10 planes × 16 tables LSH operating point
-    (as the catalog entry runs it) must reach recall ≥ 0.9 at its
-    single-digit candidate fraction (measured 1.00 @ 0.052, BASELINE.md
-    clustered curve via tools/ann_clustered_curve.py)."""
-    return _ann_recall(con, rows, _clustered_exact_sql(), 0.9)
-
-
 def _inv_ann_ivf_clustered(spark, sf_dir, con, rows, cols, specs):
     """Production-shaped fixture, IVF at its best measured economics:
     16 spherical k-means lists, n_probe=1 → each query reads exactly 1/16
@@ -197,13 +188,6 @@ def _inv_ann_ivf_clustered(spark, sf_dir, con, rows, cols, specs):
     curve). Floor 0.9 leaves 5 hits of headroom over Lloyd float-order
     jitter while still pinning the 'high recall at 1/16 scan' claim."""
     return _ann_recall(con, rows, _clustered_exact_sql(), 0.9)
-
-
-def _inv_ann_ivf(spark, sf_dir, con, rows, cols, specs):
-    """IVF recall vs exact oracle; 8/16 probed lists measure recall@10 =
-    0.78 on the near-random fixture (BASELINE.md recall curve); floor 0.7
-    leaves 4 hits of headroom over Lloyd float-order jitter."""
-    return _ann_recall(con, rows, specs["ann_cosine_topk"].oracle, 0.7)
 
 
 def _inv_heavy_hitters(spark, sf_dir, con, rows, cols, specs):
@@ -296,8 +280,9 @@ INVARIANTS = {
     # oracles in r12 (VERDICT r11 task 4): md5-parity LSH planes with
     # exact integer sign sums, and decimal-sum portable k-means with
     # unrolled Lloyd iterations.
-    "ann_lsh_topk_clustered": _inv_ann_lsh_clustered,
-    "ann_ivf_topk": _inv_ann_ivf,
+    # ann_lsh_topk_clustered and ann_ivf_topk graduated to FULL DuckDB
+    # oracles in r13 (VERDICT r12 task 2); their retrieval-quality
+    # (recall) floors moved to pytest — the oracle checks replay.
     "ann_ivf_topk_clustered": _inv_ann_ivf_clustered,
     "vocab_heavy_hitters_approx": _inv_heavy_hitters,
     "dedup_cluster_groups": _inv_cluster_groups,
