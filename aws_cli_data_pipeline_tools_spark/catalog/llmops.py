@@ -114,17 +114,147 @@ FROM r WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def _duck_lang_ngram_body() -> str:
+    """Shared WITH-body of the char-n-gram lang-ID twins (r13 — the
+    method became lang_id's DEFAULT after the planted-truth A/B,
+    VERDICT r12 task 5): replays the padded/normalized 1–3-gram
+    extraction, looks weights up in a VALUES table generated from the
+    SAME ``_lang_ngram_profiles()`` call the Spark operator uses
+    (single source — the two weight sets can never drift), and sums
+    per (doc, lang) in DECIMAL. Exactness: every profile weight is a
+    ≤6-dp decimal, so the DECIMAL literal here equals Spark's
+    double→DECIMAL(28,10) cast of the same value, and decimal sums are
+    order-free — DuckDB's group SUM equals Spark's in-order fold bit
+    for bit. Ends at CTE ``r``: per-doc per-lang (score, rn) ranked
+    desc-by-score / asc-by-lang."""
+    profiles = textstats._lang_ngram_profiles()
+    langs = sorted(profiles)
+    all_grams = sorted(set().union(*map(set, profiles.values())))
+    wcols = ", ".join(f"w_{la}" for la in langs)
+    rows = ",\n    ".join(
+        "('{g}', {ws})".format(
+            g=g.replace("'", "''"),
+            ws=", ".join(repr(profiles[la].get(g, 0.0)) for la in langs),
+        )
+        for g in all_grams
+    )
+    cands = ",\n    ".join(
+        "{{'lang': '{la}', 'score': CAST(coalesce(s.w_{la}, 0) AS DOUBLE)"
+        " / nullif(CAST(pd.n_grams AS DOUBLE), 0.0)}}".format(la=la)
+        for la in langs
+    )
+    return f"""norm AS (
+  SELECT doc_id,
+         ' ' || lower(trim(regexp_replace(coalesce(text, ''), '\\s+', ' ', 'g'))) || ' ' AS s,
+         len(trim(coalesce(text, ''))) > 0 AS nonempty
+  FROM documents
+), gl AS (
+  SELECT doc_id, CASE WHEN nonempty THEN flatten([
+      list_transform(generate_series(1, greatest(len(s), 0)), i -> substr(s, i, 1)),
+      list_transform(generate_series(1, greatest(len(s) - 1, 0)), i -> substr(s, i, 2)),
+      list_transform(generate_series(1, greatest(len(s) - 2, 0)), i -> substr(s, i, 3))
+    ]) ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM norm
+), pd AS (
+  SELECT doc_id, len(grams) AS n_grams FROM gl
+), ex AS (
+  SELECT doc_id, unnest(grams) AS g FROM gl
+), w(g, {wcols}) AS (
+  VALUES
+    {rows}
+), sums AS (
+  SELECT ex.doc_id, {", ".join(f"sum(w.w_{la}) AS w_{la}" for la in langs)}
+  FROM ex JOIN w USING (g) GROUP BY ex.doc_id
+), sc AS (
+  SELECT pd.doc_id, unnest([
+    {cands}
+  ]) AS c
+  FROM pd LEFT JOIN sums s USING (doc_id)
+), r AS (
+  SELECT doc_id, c.lang AS lang, c.score AS score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c.score DESC, c.lang) AS rn
+  FROM sc
+)"""
+
+
+def _duck_ngram_floor() -> str:
+    """The char_ngram 'und' margin floor as a DOUBLE literal — same
+    python float the Spark side compares against (textstats
+    CHAR_NGRAM_UND_MARGIN), string-cast so DuckDB doesn't parse it as a
+    DECIMAL and change the comparison type."""
+    return f"CAST('{textstats.CHAR_NGRAM_UND_MARGIN!r}' AS DOUBLE)"
+
+
+def _duck_lang_ngram_id_sql() -> str:
+    return f"""
+WITH {_duck_lang_ngram_body()}
+SELECT a.doc_id,
+       CASE WHEN a.score > 0
+             AND coalesce(a.score, 0.0) - coalesce(b.score, 0.0)
+                 >= {_duck_ngram_floor()}
+            THEN a.lang ELSE 'und' END AS lang_pred,
+       round(coalesce(a.score, 0.0), 6) AS lang_score
+FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+ORDER BY a.doc_id
+"""
+
+
+def _duck_lang_ngram_margin_sql() -> str:
+    return f"""
+WITH {_duck_lang_ngram_body()}
+SELECT a.doc_id,
+       CASE WHEN a.score > 0
+             AND coalesce(a.score, 0.0) - coalesce(b.score, 0.0)
+                 >= {_duck_ngram_floor()}
+            THEN a.lang ELSE 'und' END AS lang_pred,
+       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred2,
+       round(coalesce(a.score, 0.0) - coalesce(b.score, 0.0), 6) AS lang_margin
+FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+ORDER BY a.doc_id
+"""
+
+
 @register(
     "text_lang_id",
-    oracle=_duck_lang_id_sql(),
+    oracle=_duck_lang_ngram_id_sql(),
     tags=("llmops", "text"),
-    notes="Stopword-fraction heuristic language ID; argmax with alphabetical "
-    "tie-break, 'und' when no stopword hits.",
+    notes="Language ID via the char-n-gram method — lang_id's DEFAULT "
+    "since r13, decided by the planted-truth A/B (BASELINE.md: macro-F1 "
+    "0.894 vs stopword 0.568; stopword is blind to inflected Latin and "
+    "unsegmented CJK). Decimal-accumulated gram-weight scores, argmax "
+    "with alphabetical tie-break, 'und' on zero score OR a top-two "
+    "margin under the measured 0.04 garbage floor (ADVICE r12). The "
+    "DuckDB twin regenerates the weight table from the same "
+    "_lang_ngram_profiles() call. The stopword method remains available "
+    "as lang_id(method='stopword'), oracle-checked via "
+    "text_lang_id_stopword.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return textstats.lang_id(docs).select("doc_id", "lang_pred", "lang_score").orderBy(
-        "doc_id"
+    return (
+        textstats.lang_id(docs, key_col="doc_id")
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_lang_id_stopword",
+    oracle=_duck_lang_id_sql(),
+    tags=("llmops", "text"),
+    notes="Stopword-fraction heuristic language ID (lang_id's pre-r13 "
+    "default, kept as an explicit method): per language, the fraction "
+    "of whitespace tokens in that language's exact stopword list; "
+    "argmax with alphabetical tie-break, 'und' when no stopword hits. "
+    "Cheap and precise on clean segmented prose; the r13 A/B table in "
+    "BASELINE.md documents why char_ngram took the default.",
+)
+def text_lang_id_stopword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        textstats.lang_id(docs, method="stopword")
+        .select("doc_id", "lang_pred", "lang_score")
+        .orderBy("doc_id")
     )
 
 
@@ -2642,50 +2772,24 @@ def doc_novelty_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_lang_margin_sql() -> str:
-    cands = ",\n    ".join(
-        "{{'lang': '{lang}', 'score': len(list_filter(words, w -> "
-        "list_contains({stop}, w))) / nullif(CAST(len(words) AS DOUBLE), 0.0)}}".format(
-            lang=lang, stop=_duck_stoplist(lang)
-        )
-        for lang in sorted(textstats.STOPWORDS)
-    )
-    return f"""
-WITH base AS (
-  SELECT doc_id,
-         list_transform({_DUCK_WORDS}, x -> lower(x)) AS words
-  FROM documents
-), sc AS (
-  SELECT doc_id, unnest([
-    {cands}
-  ]) AS c FROM base
-), r AS (
-  SELECT doc_id, c.lang AS lang, c.score AS score,
-         row_number() OVER (PARTITION BY doc_id ORDER BY c.score DESC, c.lang) AS rn
-  FROM sc
-)
-SELECT a.doc_id,
-       CASE WHEN a.score > 0 THEN a.lang ELSE 'und' END AS lang_pred,
-       CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END AS lang_pred2,
-       round(coalesce(a.score, 0.0) - coalesce(b.score, 0.0), 6) AS lang_margin
-FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
-ORDER BY a.doc_id
-"""
-
-
 @register(
     "text_lang_margin",
-    oracle=_duck_lang_margin_sql(),
+    oracle=_duck_lang_ngram_margin_sql(),
     tags=("llmops", "text"),
-    notes="Language-ID confidence: top-two stopword-fraction score gap + "
-    "runner-up language (lang_id(with_margin=True)) — the ambiguity signal "
-    "for routing low-margin docs to quarantine/review. Same codegen array "
-    "ranking as text_lang_id, no extra scan.",
+    notes="Language-ID confidence: top-two score gap + runner-up language "
+    "(lang_id(with_margin=True)) — the ambiguity signal for routing "
+    "low-margin docs to quarantine/review. Routed through the char-n-gram "
+    "method since r13 (VERDICT r12 task 5 — the A/B winner, BASELINE.md); "
+    "same codegen array ranking as text_lang_id, no extra scan. The "
+    "stopword margins remain reachable via lang_id(method='stopword', "
+    "with_margin=True); their ranking tail is the same code this entry "
+    "exercises and the stopword scoring stays oracle-checked via "
+    "text_lang_id_stopword.",
 )
 def text_lang_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return (
-        textstats.lang_id(docs, with_margin=True)
+        textstats.lang_id(docs, with_margin=True, key_col="doc_id")
         .select("doc_id", "lang_pred", "lang_pred2", "lang_margin")
         .orderBy("doc_id")
     )
@@ -3696,10 +3800,10 @@ def bpe_first_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.bpe_pair_counts(docs, top_n=30)
 
 
-@register(
-    "semdedup_jl_buckets",
-    oracle=f"""
-WITH pairs AS (
+#: JL sign-bucket candidate CTE chain (pairs → sums → b → lab → cand)
+#: shared by semdedup_jl_buckets and semdedup_recall_eval — single
+#: source: the bucket/cosine replay the two entries score can't drift.
+_DUCK_JL_CAND_CTES = f"""pairs AS (
   SELECT e.vec_id, j.j, i.i,
          CASE WHEN CAST(('0x' || substr(
                 md5('jl-v1' || '|' || i.i || '|' || j.j), 1, 15)) AS BIGINT)
@@ -3727,7 +3831,13 @@ WITH pairs AS (
          {_duck_cosine('a.embedding', 'c.embedding')} AS cosine
   FROM lab a JOIN lab c
     ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-)
+)"""
+
+
+@register(
+    "semdedup_jl_buckets",
+    oracle=f"""
+WITH {_DUCK_JL_CAND_CTES}
 SELECT id_b AS vec_id, bucket,
        min(id_a) AS keeper_id,
        count(*) AS n_dups,
@@ -4354,6 +4464,42 @@ def dedup_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, k=3, threshold=0.5, max_bucket=0
     ).select("id_a", "id_b")
     return _confusion_report(cands, "hamming", truth)
+
+
+@register(
+    "semdedup_recall_eval",
+    oracle=f"""
+WITH {_DUCK_JL_CAND_CTES}, scand AS (
+  SELECT id_a, id_b FROM cand WHERE cosine >= 0.2
+), truth AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b
+  FROM embeddings a JOIN embeddings c ON a.vec_id < c.vec_id
+  WHERE {_duck_cosine('a.embedding', 'c.embedding')} >= 0.2
+), {_DUCK_CONFUSION_SELECT}
+""",
+    tags=("llmops", "dedup", "similarity", "stats"),
+    notes="SemDeDup self-evaluation (r13, VERDICT r12 task 8 — the last "
+    "heavy dedup family member without a recall confusion report, same "
+    "harness shape as dedup_simhash_recall_eval): the JL sign-bucket "
+    "candidate pair set (8 bits, cosine ≥ 0.2 within bucket — "
+    "semdedup_jl(pairs_only=True)) scored against the EXACT all-pairs "
+    "cosine ≥ 0.2 truth (the blocked matmul kernel). Candidate "
+    "precision is 1.0 BY CONSTRUCTION (candidates are exact-cosine-"
+    "thresholded, so fp = 0); recall isolates exactly what the coarse "
+    "partition loses to bucket splits — the operational gate for "
+    "raising n_bits (more, smaller buckets → cheaper but lossier) vs "
+    "the measured loss. Both pipelines replay hash-for-hash in DuckDB, "
+    "so the confusion counts are exact-checked.",
+)
+def semdedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cands = dedup.semdedup_jl(
+        emb, threshold=0.2, n_bits=8, dim=64, pairs_only=True
+    ).select("id_a", "id_b", "cosine")
+    truth = dedup.embedding_cosine_pairs(
+        emb, threshold=0.2, n_planes=0
+    ).select("id_a", "id_b")
+    return _confusion_report(cands, "cosine", truth)
 
 
 @register(
@@ -5097,7 +5243,7 @@ def pipeline_hygiene_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "lang_id_confusion",
     oracle=f"""
-WITH pred AS ({_duck_lang_id_sql().replace("ORDER BY doc_id", "")}),
+WITH pred AS ({_duck_lang_ngram_id_sql().replace("ORDER BY a.doc_id", "")}),
 joined AS (
   SELECT d.lang AS lang_true, p.lang_pred
   FROM documents d JOIN pred p ON d.doc_id = p.doc_id
@@ -5109,27 +5255,25 @@ FROM joined GROUP BY lang_true, lang_pred
 ORDER BY lang_true, lang_pred
 """,
     tags=("llmops", "text", "stats"),
-    notes="Lang-ID confusion matrix: the stopword-heuristic classifier's "
-    "predictions crossed against the fixture's TRUE lang labels, with "
-    "per-true-class fractions (recall diagonal) — the classifier-"
-    "evaluation pattern every routing heuristic needs before it gates a "
-    "corpus. One label-keyed join + one tiny (langs²) aggregate; the "
-    "per-class fraction window runs over the langs² aggregate, not the "
-    "corpus. Fixture property (measured r12): the synthetic documents "
-    "table draws its text from ONE shared vocabulary regardless of the "
-    "lang label (per-lang token stats indistinguishable), so the "
-    "diagonal here is the label base rate by construction — NOT a "
-    "classifier defect; real-language evaluation lives in the planted-"
-    "truth pytest (test_lang_id_char_ngram_planted_truth), where the "
-    "r12 char-n-gram method (lang_id(method='char_ngram')) classifies "
-    "unsegmented Chinese and inflected no-exact-stopword text the "
-    "stopword method cannot.",
+    notes="Lang-ID confusion matrix: the default (char-n-gram since r13) "
+    "classifier's predictions crossed against the fixture's TRUE lang "
+    "labels, with per-true-class fractions (recall diagonal) — the "
+    "classifier-evaluation pattern every routing heuristic needs before "
+    "it gates a corpus. One label-keyed join + one tiny (langs²) "
+    "aggregate; the per-class fraction window runs over the langs² "
+    "aggregate, not the corpus. Fixture property (measured r12): the "
+    "synthetic documents table draws its text from ONE shared vocabulary "
+    "regardless of the lang label (per-lang token stats "
+    "indistinguishable), so the diagonal here is the label base rate by "
+    "construction — NOT a classifier defect; real-language evaluation "
+    "lives in the planted-truth pytest and the r13 A/B table in "
+    "BASELINE.md (macro-F1 0.894 char_ngram vs 0.568 stopword).",
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, "documents", sf_dir)
-    pred = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    pred = textstats.lang_id(docs, key_col="doc_id").select("doc_id", "lang_pred")
     joined = docs.select(
         "doc_id", F.col("lang").alias("lang_true")
     ).join(pred, "doc_id")

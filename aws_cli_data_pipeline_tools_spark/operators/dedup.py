@@ -2013,6 +2013,7 @@ def semdedup_jl(
     vec_col: str = "embedding",
     seed: str = "jl-v1",
     dim: int | None = None,
+    pairs_only: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
     coarse-partition embedding space, then drop every document that has a
@@ -2059,6 +2060,12 @@ def semdedup_jl(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if pairs_only:
+        # the raw co-bucket near-dup pair set (bucket, id_a, id_b,
+        # cosine) — the recall-eval surface (r13): scoring the bucket
+        # partition's candidate pairs against the exact all-pairs truth
+        # measures what JL sign-bucketing loses to bucket splits
+        return pairs
     return (
         pairs.groupBy("id_b", "bucket")
         .agg(

@@ -117,8 +117,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 #: including inflected forms and unsegmented Chinese, whose ABSOLUTE
 #: score is only ~0.14 because profiles cover few han chars — has
 #: margin ≥ 0.068; latin nonsense / digits / base64 / mixed junk has
-#: margin ≤ 0.033). 0.05 splits the two populations mid-gap.
-CHAR_NGRAM_UND_MARGIN = 0.05
+#: margin ≤ 0.033). Floor 0.04: the r13 planted-truth A/B (BASELINE.md)
+#: measured a clean short es sentence at margin 0.044 that a 0.05 floor
+#: wrongly routed to 'und', while every junk probe stays ≤ 0.033 —
+#: 0.04 admits real text down to margin 0.044 with clearance over the
+#: junk ceiling.
+CHAR_NGRAM_UND_MARGIN = 0.04
 
 _NGRAM_EXTRA_WORDS: dict[str, list[str]] = {
     "en": ["was", "not", "with", "this", "are", "on", "as", "at", "by",
@@ -226,25 +230,32 @@ def lang_id(
     df: DataFrame,
     text_col: str = "text",
     with_margin: bool = False,
-    method: str = "stopword",
+    method: str = "char_ngram",
+    key_col: str | None = None,
 ) -> DataFrame:
     """Language ID over the STOPWORDS languages; two methods (r12).
 
-    ``method="stopword"`` (default, oracle-twinned): per language, the
-    fraction of whitespace tokens in that language's stopword list.
-    Requires whitespace-segmented text with exact stopword tokens —
-    cheap and precise on clean prose, blind to inflected forms and to
-    unsegmented CJK text.
-
-    ``method="char_ngram"`` (VERDICT r11 task 8): character 1–3-gram
+    ``method="char_ngram"`` (VERDICT r11 task 8; the DEFAULT since r13,
+    decided by measurement — VERDICT r12 task 5): character 1–3-gram
     profile scoring (Cavnar–Trenkle shape) with profiles derived from
     the same stopword lists (:func:`_lang_ngram_profiles`) —
-    ``score(lang) = Σ_g w_lang(g) over the doc's grams / n_grams``.
-    Substring evidence rather than exact tokens: inflections that
-    CONTAIN a function-word gram ('hunde' → 'und') still vote, and
-    unsegmented Chinese scores through its space-free character grams —
-    the two failure classes the stopword method cannot see. ~3·len
-    gram lookups per row, still all-JVM codegen, no shuffle.
+    ``score(lang) = Σ_g w_lang(g) over the doc's grams / n_grams``,
+    accumulated in exact DECIMAL(28,10) so the total is order-free and
+    DuckDB-replayable. Substring evidence rather than exact tokens:
+    inflections that CONTAIN a function-word gram ('hunde' → 'und')
+    still vote, and unsegmented Chinese scores through its space-free
+    character grams — the two failure classes the stopword method
+    cannot see. The planted-truth A/B (BASELINE.md r13): macro-F1 0.894
+    vs stopword's 0.568 (stopword scores 0.0 on every inflected-Latin
+    and unsegmented-CJK sentence). ~3·len gram lookups per row, still
+    all-JVM codegen, no shuffle.
+
+    ``method="stopword"`` (oracle-twinned, the pre-r13 default): per
+    language, the fraction of whitespace tokens in that language's
+    stopword list. Requires whitespace-segmented text with exact
+    stopword tokens — cheap and precise on clean prose, blind to the
+    two classes above; kept for callers that want the cheaper exact-
+    token semantics.
 
     Both: argmax wins, alphabetical tie-break, 'und' when all scores are
     zero; char_ngram ADDITIONALLY routes to 'und' when the top-two score
@@ -254,6 +265,15 @@ def lang_id(
     adds the runner-up language and the top-two score gap — the
     confidence signal routing pipelines use to quarantine ambiguous
     docs.
+
+    ``key_col`` (char_ngram only): the name of a UNIQUE key column.
+    When given, scoring runs as explode → broadcast weight-table join →
+    decimal group-sum keyed on it — the scale path (codegen hash join +
+    map-side combine; measured ~25× faster than the per-row literal-map
+    scan on the 500-doc fixture) and the exact shape the DuckDB twins
+    replay. Totals are bit-identical to the per-row path (same decimal
+    addends, order-free). Without it, scoring stays fully per-row (no
+    shuffle, works on keyless frames).
 
     Accuracy note: the synthetic documents fixture draws its text from
     one shared vocabulary regardless of the ``lang`` label (text ⊥
@@ -265,13 +285,23 @@ def lang_id(
     """
     t = F.col(text_col)
     if method == "char_ngram":
-        s = F.concat(
-            F.lit(" "),
-            F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))),
-            F.lit(" "),
+        # the padded/normalized string MUST be a materialized column, not
+        # an inline expression: higher-order lambdas are interpreted and
+        # re-evaluate their subtrees per ELEMENT, so an inline `s` re-ran
+        # the regexp_replace+lower+trim pipeline once per gram — O(len²)
+        # per doc, measured 6-7 s just to extract 449k grams from 500
+        # fixture docs (r13; the same trap word_shingles documents)
+        df = df.withColumn(
+            "__lang_s",
+            F.concat(
+                F.lit(" "),
+                F.lower(F.trim(F.regexp_replace(t, r"\s+", " "))),
+                F.lit(" "),
+            ),
         )
-        # materialize the gram array once (same discipline as __lang_words
-        # below): 1/2/3-grams of the padded, whitespace-normalized text.
+        s = F.col("__lang_s")
+
+        # 1/2/3-grams of the padded, whitespace-normalized text.
         # Closure FACTORIES, not default args: Spark binds higher-order
         # lambdas by Python arity, so a `lambda i, n=n:` registers as the
         # (element, index) two-parameter variant with n bound to the index
@@ -302,14 +332,92 @@ def lang_id(
         df = df.withColumn("__lang_grams", grams)
         garr = F.col("__lang_grams")
         n_grams = F.nullif(F.size(garr).cast("double"), F.lit(0.0))
+        profiles = _lang_ngram_profiles()
+        langs = sorted(profiles)
+        all_grams = sorted(set().union(*map(set, profiles.values())))
+        if key_col is not None:
+            # JOIN-based scoring (r13 — the scale path, and the shape
+            # the DuckDB twin replays): explode grams, broadcast-hash-
+            # join the |profile|-row weight table, decimal group-sum per
+            # key. The per-row map path below pays a LINEAR literal-map
+            # scan per gram (1385 string comparisons, interpreted) —
+            # measured 26 s on 500 sf0.01 docs vs ~1 s for this path;
+            # at corpus scale the join is codegen + map-side combine
+            # and never shuffles more than key×langs partial rows.
+            # Identical totals: both paths sum the same DECIMAL(28,10)
+            # addends, and decimal addition is exact/order-free.
+            # Requires key_col values to be UNIQUE (they key the join
+            # back onto df).
+            from decimal import Decimal
+
+            spark = df.sparkSession
+            wrows = [
+                tuple(
+                    [g]
+                    + [
+                        Decimal(repr(profiles[la].get(g, 0.0)))
+                        for la in langs
+                    ]
+                )
+                for g in all_grams
+            ]
+            wschema = "__g string, " + ", ".join(
+                f"__w_{la} decimal(28,10)" for la in langs
+            )
+            wdf = spark.createDataFrame(wrows, wschema)
+            ex = df.select(
+                F.col(key_col).alias("__k"),
+                F.explode(garr).alias("__g"),
+            )
+            sums = (
+                ex.join(F.broadcast(wdf), "__g")
+                .groupBy("__k")
+                .agg(
+                    *[
+                        F.sum(f"__w_{la}").alias(f"__lw_{la}")
+                        for la in langs
+                    ]
+                )
+            )
+            df = df.join(
+                sums, df[key_col] == sums["__k"], "left"
+            ).drop("__k")
+            scores = [
+                F.struct(
+                    (
+                        F.coalesce(
+                            F.col(f"__lw_{la}"),
+                            F.lit(0).cast("decimal(38,10)"),
+                        ).cast("double")
+                        / n_grams
+                    ).alias("score"),
+                    F.lit(la).alias("lang"),
+                )
+                for la in langs
+            ]
+            return _lang_rank_output(
+                df,
+                scores,
+                with_margin,
+                "__lang_s",
+                "__lang_grams",
+                *[f"__lw_{la}" for la in langs],
+                und_margin=CHAR_NGRAM_UND_MARGIN,
+            )
         # ONE merged map gram → per-language weight vector (r12 review):
         # GetMapValue on a literal map is a linear key scan, so five
         # per-language maps cost 5×|profile| string comparisons per
         # gram; the merged map does a single scan and one zip_with add,
-        # producing identical scores ~5× cheaper.
-        profiles = _lang_ngram_profiles()
-        langs = sorted(profiles)
-        all_grams = sorted(set().union(*map(set, profiles.values())))
+        # producing identical scores ~5× cheaper. (Still the slow path
+        # overall — pass key_col for the join-based scale path above.)
+        # weight vectors accumulate in DECIMAL(28,10), not double (r13,
+        # the default-flip graduation): decimal addition is EXACT at
+        # these magnitudes, so the fold's total is independent of
+        # summation order and a DuckDB oracle can replay it with an
+        # order-free group SUM — a double fold would pin the oracle to
+        # the exact gram iteration order. p=28 keeps Spark's decimal ADD
+        # from dropping scale (see similarity._portable_dot_literal).
+        acc_t = "decimal(28,10)"
         merged = F.create_map(
             *[
                 x
@@ -317,19 +425,22 @@ def lang_id(
                 for x in (
                     F.lit(g),
                     F.array(
-                        *[F.lit(profiles[la].get(g, 0.0)) for la in langs]
+                        *[
+                            F.lit(profiles[la].get(g, 0.0)).cast(acc_t)
+                            for la in langs
+                        ]
                     ),
                 )
             ]
         )
-        zero = F.array(*[F.lit(0.0)] * len(langs))
+        zero = F.array(*[F.lit(0).cast(acc_t)] * len(langs))
         totals = F.aggregate(
             garr,
             zero,
             lambda acc, g: F.zip_with(
                 acc,
                 F.coalesce(F.element_at(merged, g), zero),
-                lambda a, b: a + b,
+                lambda a, b: (a + b).cast(acc_t),
             ),
         )
         # materialize the totals vector once: each per-language score
@@ -339,7 +450,10 @@ def lang_id(
         scores = [
             F.struct(
                 (
-                    F.element_at(F.col("__lang_totals"), i + 1) / n_grams
+                    F.element_at(F.col("__lang_totals"), i + 1).cast(
+                        "double"
+                    )
+                    / n_grams
                 ).alias("score"),
                 F.lit(lang).alias("lang"),
             )
@@ -349,6 +463,7 @@ def lang_id(
             df,
             scores,
             with_margin,
+            "__lang_s",
             "__lang_grams",
             "__lang_totals",
             und_margin=CHAR_NGRAM_UND_MARGIN,

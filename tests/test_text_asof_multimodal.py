@@ -27,10 +27,30 @@ def test_lang_id_real_sentences(spark):
         ],
         "doc_id bigint, text string",
     )
+    # default method (char_ngram since r13): garbage routes to 'und' via
+    # the margin floor — its raw top score stays nonzero by design
     out = {r.doc_id: r for r in textstats.lang_id(df).collect()}
     assert out[1].lang_pred == "en"
     assert out[2].lang_pred == "es"
-    assert out[3].lang_pred == "und" and out[3].lang_score == 0.0
+    assert out[3].lang_pred == "und"
+    # the join-based scale path (key_col) must agree with the per-row map
+    # path exactly — same decimal addends, order-free sums
+    keyed = {
+        r.doc_id: r
+        for r in textstats.lang_id(df, key_col="doc_id").collect()
+    }
+    assert {i: (r.lang_pred, r.lang_score) for i, r in out.items()} == {
+        i: (r.lang_pred, r.lang_score) for i, r in keyed.items()
+    }
+    # explicit stopword method keeps the exact-token semantics: zero
+    # score — not just a floor routing — on no-stopword text
+    sw = {
+        r.doc_id: r
+        for r in textstats.lang_id(df, method="stopword").collect()
+    }
+    assert sw[1].lang_pred == "en"
+    assert sw[2].lang_pred == "es"
+    assert sw[3].lang_pred == "und" and sw[3].lang_score == 0.0
 
 
 def test_lang_id_char_ngram_planted_truth(spark):
@@ -78,7 +98,10 @@ def test_lang_id_char_ngram_planted_truth(spark):
         ng[i].lang_margin > 0 for i, truth, _ in rows if truth != "und"
     )
     # the stopword method is blind to exactly the documented classes
-    sw = {r.doc_id: r for r in textstats.lang_id(df).collect()}
+    sw = {
+        r.doc_id: r
+        for r in textstats.lang_id(df, method="stopword").collect()
+    }
     assert all(sw[i].lang_pred == "und" for i in (5, 6, 7, 8, 9))
     # both methods are deterministic re-runs
     again = {
