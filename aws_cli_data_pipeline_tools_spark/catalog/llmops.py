@@ -821,29 +821,9 @@ def ann_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk_clustered",
-    oracle=None,  # approximate — recall gate replays the corpus in DuckDB.
-    tags=("llmops", "similarity"),
-    notes="IVF ANN at its best measured operating point: 16 spherical "
-    "k-means lists over the planted-cluster corpus (clustered_embeddings), "
-    "n_probe=1 — each query reads exactly 1/16 of the corpus and the "
-    "measured recall@10 is 1.00 (BASELINE.md clustered IVF curve), the "
-    "best economics in the ANN family because the data-adaptive partition "
-    "aligns with the real clusters. At warehouse scale the labeled corpus "
-    "persists partitionBy(list_id) (build_ivf_index) so this probe is a "
-    "partition-pruned scan of 1/16 of the data. Ground truth: DuckDB "
-    "replays the exact corpus (duck_clustered_cte) and brute-forces "
-    "top-10; invariant floor 0.9.",
-)
-def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = clustered_embeddings(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return similarity.ivf_topk(
-        emb, queries, k=10, n_centroids=16, n_probe=1, query_id_col="query_id"
-    )
+# ann_ivf_topk_clustered is registered further down, after its oracle
+# builder _duck_ivf_topk_sql is defined (import-order: @register args
+# evaluate at module import).
 
 
 # ------------------------------------------------------------ full pipeline
@@ -1307,18 +1287,27 @@ def _duck_kmeans_iter(i: int) -> str:
 ), {_duck_kmeans_norm(i, f"r{i}")}"""
 
 
-def _duck_kmeans_prefix(n_centroids: int, refine_iters: int) -> str:
+def _duck_kmeans_prefix(
+    n_centroids: int, refine_iters: int, corpus_cte: str | None = None
+) -> str:
     """Shared WITH-body prefix of every kmeans-twin oracle (profile +
     portable IVF): src → exploded xe → md5-parity seeds → seeded frame
     r0 → normalized c0 → unrolled Lloyd iterations through c{last}.
     Single-sourced so the trainer replay can never drift between the
     entries that consume it (r13: ann_ivf_topk graduation reuses the
-    trainer that made embedding_cluster_profile exact)."""
+    trainer that made embedding_cluster_profile exact).
+
+    ``corpus_cte`` swaps the raw embeddings table for a derived corpus
+    (the ``_duck_lsh_topk_sql`` pattern — r13: the planted-cluster
+    corpus ``duck_clustered_cte`` for the ann_ivf_topk_clustered
+    graduation)."""
     iters = ", ".join(
         _duck_kmeans_iter(i) for i in range(1, refine_iters + 1)
     )
-    return f"""src AS (
-  SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    corpus_head = f"corpus AS ({corpus_cte}), " if corpus_cte else ""
+    src_table = "corpus" if corpus_cte else "embeddings"
+    return f"""{corpus_head}src AS (
+  SELECT vec_id, embedding FROM {src_table} WHERE embedding IS NOT NULL
 ), xe AS (
   SELECT vec_id AS id,
          unnest(generate_series(1, len(embedding))) - 1 AS pos,
@@ -1417,7 +1406,11 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_ivf_topk_sql(
-    n_centroids: int, refine_iters: int, n_probe: int, k: int
+    n_centroids: int,
+    refine_iters: int,
+    n_probe: int,
+    k: int,
+    corpus_cte: str | None = None,
 ) -> str:
     """Full DuckDB twin of ivf_topk(portable=True) (VERDICT r12 task 2b):
     the shared Lloyd unroll (_duck_kmeans_prefix — the trainer replay
@@ -1426,10 +1419,13 @@ def _duck_ivf_topk_sql(
     probes (rn <= n_probe over the query subset — queries are corpus
     rows vec_id < 5), the candidate set is the probe×label equi-join on
     list_id, and the rerank replays the established exact-cosine
-    discipline. Every step deterministic → full top-k hash-match."""
+    discipline. Every step deterministic → full top-k hash-match.
+    The rerank joins ``src`` (the prefix's non-null corpus CTE), so a
+    ``corpus_cte`` override (r13: ann_ivf_topk_clustered) reranks over
+    the same derived corpus the trainer saw."""
     last = refine_iters
     return f"""
-WITH {_duck_kmeans_prefix(n_centroids, refine_iters)},
+WITH {_duck_kmeans_prefix(n_centroids, refine_iters, corpus_cte)},
 ldot AS (
   SELECT xe.id, c{last}.list_id,
          CAST(sum(CAST(xe.x * c{last}.c AS DECIMAL(38,10))) AS DOUBLE) AS dot
@@ -1452,8 +1448,8 @@ ldot AS (
   SELECT cand.query_id, cand.neighbor_id,
          {_duck_cosine('qe.embedding', 'ce.embedding')} AS cosine
   FROM cand
-  JOIN embeddings qe ON qe.vec_id = cand.query_id
-  JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+  JOIN src qe ON qe.vec_id = cand.query_id
+  JOIN src ce ON ce.vec_id = cand.neighbor_id
 ), r AS (
   SELECT query_id, neighbor_id, cosine,
          CAST(row_number() OVER (
@@ -1489,6 +1485,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return similarity.ivf_topk(
         emb, queries, k=10, n_centroids=16, n_probe=8,
+        query_id_col="query_id",
+        portable=True,  # decimal-exact trainer — the DuckDB oracle's twin
+    )
+
+
+@register(
+    "ann_ivf_topk_clustered",
+    oracle=_duck_ivf_topk_sql(16, 2, 1, 10, corpus_cte=duck_clustered_cte()),
+    tags=("llmops", "similarity"),
+    notes="IVF ANN at its best measured operating point: 16 spherical "
+    "k-means lists over the planted-cluster corpus (clustered_embeddings), "
+    "n_probe=1 — each query reads exactly 1/16 of the corpus at high "
+    "recall (BASELINE.md clustered IVF curve), the best economics in the "
+    "ANN family because the data-adaptive partition aligns with the real "
+    "clusters. At warehouse scale the labeled corpus persists "
+    "partitionBy(list_id) (build_ivf_index) so this probe is a "
+    "partition-pruned scan of 1/16 of the data. Graduated to a FULL "
+    "DuckDB oracle (r13, extending VERDICT r12 task 2b): portable=True "
+    "decimal-exact Lloyd trainer over the md5-replayed corpus "
+    "(_duck_kmeans_prefix(corpus_cte=duck_clustered_cte)) — lists, "
+    "probes, candidates, and the full top-k hash-match. Retrieval "
+    "quality keeps its planted-truth pytest floor "
+    "(test_ivf_clustered_portable_recall) vs brute-force cosine.",
+)
+def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = clustered_embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.ivf_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=1,
         query_id_col="query_id",
         portable=True,  # decimal-exact trainer — the DuckDB oracle's twin
     )

@@ -230,19 +230,66 @@ def stateful_user_totals_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_minhash_closure_sql() -> str:
+    """DuckDB twin of dedup_cluster_groups (r13 graduation): the
+    hash-for-hash MinHash+LSH pair replay that made dedup_minhash_lsh
+    exact (llmops._duck_minhash_sig_cte / _duck_band_cte, portable md5
+    hashes, rounded exact-Jaccard filter at 0.5), composed with the
+    recursive-CTE transitive closure that made dedup_cluster_groups_exact
+    exact. Both halves are single-sourced from the entries that proved
+    them, so the replay can never drift."""
+    from .llmops import _duck_band_cte, _duck_minhash_sig_cte
+
+    return f"""
+WITH RECURSIVE {_duck_minhash_sig_cte(64, 1)}, {_duck_band_cte(64, 32)},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (bk)
+  WHERE a.doc_id < b.doc_id
+), p AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+  WHERE round(len(list_intersect(sa.hsh, sb.hsh))
+        / CAST(len(list_distinct(list_concat(sa.hsh, sb.hsh))) AS DOUBLE),
+        6) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS id, least(src, min(dst)) AS group_id
+FROM reach GROUP BY src ORDER BY id
+"""
+
+
 @register(
     "dedup_cluster_groups",
-    oracle=None,  # transitive closure over MinHash pairs — iterative, not
-    # SQL-expressible in one statement; pytest covers known graphs.
+    oracle=_duck_minhash_closure_sql(),
     tags=("streaming", "dedup"),
     notes="Connected components (label propagation) over MinHash near-dup "
-    "pairs → (doc, group keeper) assignments.",
+    "pairs → (doc, group keeper) assignments. Graduated to a FULL DuckDB "
+    "oracle (r13): portable=True makes the MinHash+LSH pair graph "
+    "hash-replayable (the dedup_minhash_lsh construction) and the "
+    "closure replays via the dedup_cluster_groups_exact recursive CTE — "
+    "so bucket assignment, the verified pair set, AND the distributed "
+    "pointer-jumping fixpoint all hash-match. The retired invariant's "
+    "quality claim (LSH closure ≡ exact-Jaccard closure) moved to pytest "
+    "(test_cluster_groups_lsh_matches_exact).",
 )
 def dedup_cluster_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup as dd
 
     docs = load_table(spark, "documents", sf_dir)
-    pairs = dd.minhash_lsh_pairs(docs, k=3, num_perm=64, bands=32, threshold=0.5)
+    pairs = dd.minhash_lsh_pairs(
+        docs, k=3, num_perm=64, bands=32, threshold=0.5,
+        portable=True,  # md5-parity hashes — the DuckDB oracle's twin
+    )
     return dd.dedup_clusters(pairs)
 
 

@@ -20,6 +20,31 @@ def test_dedup_clusters_chain_and_clique(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_cluster_groups_lsh_matches_exact(spark, sf_dir):
+    """The retired check_oracle invariant for dedup_cluster_groups
+    (graduated to a full DuckDB oracle in r13): the LSH-pair closure must
+    equal the exact-Jaccard closure on the fixture corpus — LSH banding
+    found every pair at j ≥ 0.5 (candidate recall 1-(1-0.5²)³² ≈ 0.9999)
+    and the distributed pointer-jumping fixpoint labels both graphs
+    identically. The DuckDB oracle now checks replay fidelity; this test
+    owns the recall/quality claim."""
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+
+    lsh = sorted(
+        (r.id, r.group_id)
+        for r in all_specs()["dedup_cluster_groups"].fn(spark, sf_dir).collect()
+    )
+    exact = sorted(
+        (r.id, r.group_id)
+        for r in all_specs()["dedup_cluster_groups_exact"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    assert lsh == exact, (
+        f"LSH closure differs from exact: {len(lsh)} vs {len(exact)} rows"
+    )
+
+
 def test_dedup_clusters_long_chain_converges(spark):
     n = 12  # diameter > typical 3-4 rounds: exercises the iteration loop
     pairs = spark.createDataFrame(

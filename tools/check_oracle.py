@@ -136,60 +136,6 @@ def _inv_approx_aggregates(spark, sf_dir, con, rows, cols, specs):
     return f"{len(rows)} groups: distinct ±5%, percentiles in GK band"
 
 
-def _ann_recall(con, rows, exact_oracle_sql, bound):
-    exact = {}
-    for qid, nid, *_ in con.sql(exact_oracle_sql).fetchall():
-        exact.setdefault(qid, set()).add(nid)
-    got = {}
-    for r in rows:
-        got.setdefault(r[0], set()).add(r[1])
-    assert set(got) == set(exact), "query-id sets differ"
-    hits = sum(len(got[q] & exact[q]) for q in exact)
-    total = sum(len(exact[q]) for q in exact)
-    recall = hits / total
-    assert recall >= bound, f"recall@10={recall:.3f} < {bound}"
-    for q in exact:  # an identical vector must always be retrievable
-        assert q in got[q], f"self-match missing for query {q}"
-    return f"recall@10={recall:.3f} ≥ {bound}, self-matches present"
-
-
-def _clustered_exact_sql() -> str:
-    """Exact top-10 ground truth over the planted-cluster corpus: DuckDB
-    replays the corpus bit-identically (duck_clustered_cte — md5-derived
-    doubles, same IEEE arithmetic) and brute-forces cosine top-10, so the
-    ground truth is engine-independent. Shared by the clustered LSH and
-    IVF recall gates."""
-    from aws_cli_data_pipeline_tools_spark.catalog.llmops import (
-        _duck_cosine,
-        duck_clustered_cte,
-    )
-
-    return f"""
-WITH cv AS ({duck_clustered_cte()}),
-q AS (SELECT vec_id AS query_id, embedding AS qv FROM cv WHERE vec_id < 5),
-scored AS (
-  SELECT q.query_id, c.vec_id AS neighbor_id,
-         {_duck_cosine('q.qv', 'c.embedding')} AS cosine
-  FROM q CROSS JOIN cv c
-), r AS (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (
-           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id FROM r WHERE rank <= 10
-"""
-
-
-def _inv_ann_ivf_clustered(spark, sf_dir, con, rows, cols, specs):
-    """Production-shaped fixture, IVF at its best measured economics:
-    16 spherical k-means lists, n_probe=1 → each query reads exactly 1/16
-    of the corpus; measured recall@10 = 1.00 (BASELINE.md clustered IVF
-    curve). Floor 0.9 leaves 5 hits of headroom over Lloyd float-order
-    jitter while still pinning the 'high recall at 1/16 scan' claim."""
-    return _ann_recall(con, rows, _clustered_exact_sql(), 0.9)
-
-
 def _inv_heavy_hitters(spark, sf_dir, con, rows, cols, specs):
     """approx_top_k is EXACT while distinct tokens ≤ maxItemsTracked
     (100k): every returned count must equal the exact count and the count
@@ -215,17 +161,6 @@ def _inv_heavy_hitters(spark, sf_dir, con, rows, cols, specs):
         assert all_counts.get(tok) == est, (tok, est, all_counts.get(tok))
     assert sorted(est for _, est in rows) == sorted(exact.values())
     return f"top-{len(rows)} exact while tracked ({n_distinct} distinct)"
-
-
-def _inv_cluster_groups(spark, sf_dir, con, rows, cols, specs):
-    """LSH-pair connected components must equal the exact-Jaccard closure
-    (dedup_cluster_groups_exact's recursive-CTE oracle): LSH banding found
-    every pair, and distributed label propagation reached the fixpoint."""
-    want = sorted(tuple(r) for r in con.sql(
-        specs["dedup_cluster_groups_exact"].oracle).fetchall())
-    got = sorted(tuple(r) for r in rows)
-    assert got == want, f"closure differs: {len(got)} vs {len(want)} rows"
-    return f"{len(got)} labels equal the exact recursive-CTE closure"
 
 
 def _inv_sketch_cascade(spark, sf_dir, con, rows, cols, specs):
@@ -281,11 +216,12 @@ INVARIANTS = {
     # exact integer sign sums, and decimal-sum portable k-means with
     # unrolled Lloyd iterations.
     # ann_lsh_topk_clustered and ann_ivf_topk graduated to FULL DuckDB
-    # oracles in r13 (VERDICT r12 task 2); their retrieval-quality
-    # (recall) floors moved to pytest — the oracle checks replay.
-    "ann_ivf_topk_clustered": _inv_ann_ivf_clustered,
+    # oracles in r13 (VERDICT r12 task 2), then ann_ivf_topk_clustered
+    # (the same _duck_kmeans_prefix unroll over duck_clustered_cte) and
+    # dedup_cluster_groups (minhash replay + recursive-CTE closure) later
+    # the same round; retrieval-quality / LSH-closure-vs-exact floors
+    # moved to pytest — the oracle checks replay.
     "vocab_heavy_hitters_approx": _inv_heavy_hitters,
-    "dedup_cluster_groups": _inv_cluster_groups,
     "events_distinct_sketch_cascade": _inv_sketch_cascade,
     "text_compression_ratio": _inv_compression_ratio,
 }
