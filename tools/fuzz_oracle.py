@@ -337,10 +337,22 @@ def t_topk(rng, pools) -> Gen:
     where = pick_preds(rng, t, pools)
     k = rng.choice([5, 10, 25])
     direction = rng.choice(["ASC", "DESC"])
+    # half the time, lead with a non-unique sort column under EXPLICIT
+    # null ordering (Spark defaults ASC→NULLS FIRST, DuckDB ASC→NULLS
+    # LAST — the explicit spelling is the only engine-neutral form), with
+    # the unique key as total-order tie-break
+    order = f"{uk} {direction}"
+    if rng.random() < 0.5:
+        c = rng.choice(
+            [x for x, kd in TABLES[t] if kd in ("int", "str", "ts")]
+            or [uk]
+        )
+        nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+        order = f"{c} {direction} {nulls}, {uk}"
     return Gen(
         "topk",
         f"SELECT {uk}, {', '.join(exprs)} FROM {t} WHERE {where} "
-        f"ORDER BY {uk} {direction} LIMIT {k}",
+        f"ORDER BY {order} LIMIT {k}",
     )
 
 
@@ -526,6 +538,116 @@ def t_case_cast(rng, pools) -> Gen:
     return Gen("case_cast", sql, duck)
 
 
+def t_rollup(rng, pools) -> Gen:
+    """Super-aggregate grouping (ROLLUP / CUBE / GROUPING SETS) — the
+    engine-neutral spelling proven by the agg_rollup / agg_cube /
+    agg_grouping_sets catalog entries: grouped exprs repeated in SELECT,
+    CAST(grouping(col) AS INT) flags on plain columns only (computed
+    grouping exprs skip the flag — Spark requires grouping()'s argument
+    to match a grouping expression exactly), no ORDER BY (the canon
+    compare sorts rows)."""
+    t = rng.choice(["lineitem", "orders", "customer", "part", "events"])
+    gs = group_cols(rng, t)
+    while len(gs) < 2:
+        extra = group_cols(rng, t)
+        gs = list(dict.fromkeys(gs + extra))
+        if not extra:
+            break
+    gs = gs[:2]
+    if len(gs) < 2:
+        t, gs = "lineitem", ["l_returnflag", "l_linestatus"]
+    kind = rng.choice(
+        ["ROLLUP", "CUBE", "GROUPING SETS"]
+    )
+    if kind == "GROUPING SETS":
+        group = f"GROUPING SETS (({gs[0]}), ({gs[1]}), ())"
+    else:
+        group = f"{kind} ({gs[0]}, {gs[1]})"
+    aliased = [f"{g} AS g{i}" for i, g in enumerate(gs)]
+    flags = [
+        f"CAST(grouping({g}) AS INT) AS gr{i}"
+        for i, g in enumerate(gs)
+        if g in dict(TABLES[t])  # plain column, not a computed expr
+    ]
+    aggs = agg_exprs(rng, t)
+    where = pick_preds(rng, t, pools)
+    sel = ", ".join(aliased + flags + aggs)
+    sql = f"SELECT {sel} FROM {t} WHERE {where} GROUP BY {group}"
+    # ADJUDICATED DIALECT SPLIT (r13 fuzz, 2/750 pre-fix): on EMPTY
+    # input DuckDB emits the standard grand-total () row (count 0) but
+    # Spark emits zero rows. A real group always has count(*) >= 1, so
+    # HAVING count(*) > 0 on the DuckDB twin drops exactly that lone
+    # empty-input row — pinning Spark's semantics as the reference —
+    # and is a no-op on non-empty input.
+    return Gen("rollup", sql, sql + " HAVING count(*) > 0")
+
+
+#: 2-edge join chains (fact → mid → far dim) derivable from JOINS:
+#: e2 starts where e1's dim ends, so the ON keys are real FK paths.
+JOIN_CHAINS: list[tuple[tuple[str, str, str, str], tuple[str, str, str, str]]] = [
+    (e1, e2)
+    for e1 in JOINS
+    for e2 in JOINS
+    if e2[0] == e1[2] and e2[2] != e1[0]
+]
+
+
+def t_join3(rng, pools) -> Gen:
+    """3-way join chain along real FK paths (lineitem→orders→customer,
+    customer→nation→region, …) — projection or aggregate on top. The
+    registry's fixed 3/5/7-way entries prove the surface; the generator
+    varies edges, predicates, and the agg/project choice."""
+    e1, e2 = rng.choice(JOIN_CHAINS)
+    ft, fc, mt, mc = e1
+    _, m2c, dt, dc = e2
+    where = pick_preds(rng, ft, pools, "f")
+    if rng.random() < 0.5:
+        gs = group_cols(rng, dt, "d") or group_cols(rng, mt, "m")
+        aliased = [f"{g} AS g{i}" for i, g in enumerate(gs)]
+        aggs = agg_exprs(rng, ft, "f")
+        sel = ", ".join(aliased + aggs)
+        tail = f" GROUP BY {', '.join(gs)}"
+    else:
+        f_exprs = scalar_exprs(rng, ft, pools, "f")
+        d_exprs = [
+            e.replace(" AS e", " AS de")
+            for e in scalar_exprs(rng, dt, pools, "d")
+        ]
+        sel = ", ".join(f_exprs + d_exprs)
+        tail = ""
+    return Gen(
+        "join3",
+        f"SELECT {sel} FROM {ft} f "
+        f"JOIN {mt} m ON f.{fc} = m.{mc} "
+        f"JOIN {dt} d ON m.{m2c} = d.{dc} "
+        f"WHERE {where}{tail}",
+    )
+
+
+def t_derived(rng, pools) -> Gen:
+    """Aggregate over a derived table: the inner SELECT buckets rows with
+    a data-sampled CASE and carries a numeric through; the outer query
+    group-aggregates the buckets — nested-plan coverage (filter under
+    projection under aggregate) the flat templates don't exercise."""
+    t = rng.choice(["lineitem", "orders", "customer", "part", "events"])
+    nums = cols_of(t, "num")
+    c = rng.choice(nums)
+    pool = pools[t].get(c) or ["0"]
+    v = rng.choice(pool)
+    uk = total_order(t).split(", ")[0]
+    inner_where = pick_preds(rng, t, pools)
+    agg2 = rng.choice(["min", "max"])
+    return Gen(
+        "derived",
+        f"SELECT bucket, count(*) AS cnt, {dsum('val')} AS s0, "
+        f"{agg2}(k) AS m0 FROM ("
+        f"SELECT {uk} AS k, {c} AS val, "
+        f"CASE WHEN {c} >= {v} THEN 'hi' WHEN {c} IS NULL THEN 'null' "
+        f"ELSE 'lo' END AS bucket "
+        f"FROM {t} WHERE {inner_where}) dt GROUP BY bucket",
+    )
+
+
 TEMPLATES = [
     t_filter_project,
     t_topk,
@@ -539,6 +661,11 @@ TEMPLATES = [
     t_window,
     t_cte_join,
     t_case_cast,
+    # r13 second wave — super-aggregates, FK-chain 3-way joins, nested
+    # derived-table plans, explicit null-ordered top-k (inside t_topk):
+    t_rollup,
+    t_join3,
+    t_derived,
 ]
 
 
