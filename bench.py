@@ -193,6 +193,40 @@ PROBE_RATIO_CLAMP = (0.5, 2.0)
 PROBE_DIVERGENCE = 1.5
 
 
+def _steal_snapshot() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat's aggregate cpu line,
+    or None off-Linux. Two snapshots bracket a run; the delta ratio is
+    the fraction of CPU time the hypervisor gave away to OTHER tenants
+    while this run executed — the only confound the load-avg and probe
+    stamps cannot attribute (r13 diagnosis: probe swings up to ~100× at
+    near-zero load_avg with steal ticks accruing in /proc/stat; a run's
+    numbers can be slow with the box 'idle' by every local measure)."""
+    try:
+        with open("/proc/stat") as f:
+            line = f.readline()
+    except OSError:
+        return None
+    parts = line.split()
+    if not parts or parts[0] != "cpu":
+        return None
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(
+    start: tuple[int, int] | None, end: tuple[int, int] | None
+) -> float | None:
+    """Percent of bracketed CPU time stolen by the hypervisor, or None
+    when either snapshot is unavailable or no time elapsed."""
+    if not start or not end:
+        return None
+    d_total = end[1] - start[1]
+    if d_total <= 0:
+        return None
+    return round(100.0 * (end[0] - start[0]) / d_total, 2)
+
+
 def _probe_divergent(
     start: float | None, end: float | None, threshold: float | None = None
 ) -> bool:
@@ -401,6 +435,7 @@ def main() -> None:
     # through transient contention first (r11, VERDICT task 3).
     load_t0, idle_gate_loads = _idle_gate()
     cpu_probe = _cpu_probe()
+    steal_t0 = _steal_snapshot()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # \d+(\.\d+)? — the greedy [0-9.]+ swallowed a trailing dot
     # ('sf0.1.bak' -> float('0.1.') ValueError before the JVM even
@@ -597,6 +632,7 @@ def main() -> None:
                     (a["cpu_probe_sec"], a["cpu_probe_sec_end"])
                     for a in attempts
                 ],
+                steal_pct=_steal_pct(steal_t0, _steal_snapshot()),
             )
         )
     )
@@ -617,6 +653,7 @@ def _headline_record(
     suite_attempt=1,
     suite_unstable=False,
     attempt_probes=None,
+    steal_pct=None,
 ):
     """The FINAL printed line, and nothing else, is what the driver's
     last-N-bytes stdout capture parses — so its size must be bounded by
@@ -673,6 +710,11 @@ def _headline_record(
             f"{s:g}:{e:g}"
             for s, e in (attempt_probes or [(cpu_probe, cpu_probe_end)])
         ),
+        # hypervisor CPU-steal percentage across the whole run (r13):
+        # the confound load_avg can't see — a high value explains slow
+        # numbers on an 'idle' box (-1.0 = off-Linux / proc unavailable;
+        # kept a float so the bounded-headline scalar contract holds)
+        "steal_pct": steal_pct if steal_pct is not None else -1.0,
     }
 
 

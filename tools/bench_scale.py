@@ -125,7 +125,12 @@ def main() -> int:
     if out is None:
         out = os.path.join(REPO, f"BENCH_SCALE_r{round_no:02d}.json")
 
-    from bench import _cpu_probe, _probe_divergent  # repo-root bench.py
+    from bench import (  # repo-root bench.py
+        _cpu_probe,
+        _probe_divergent,
+        _steal_pct,
+        _steal_snapshot,
+    )
 
     from pyspark.sql import functions as F  # noqa: N812
 
@@ -164,6 +169,7 @@ def main() -> int:
     assert not unknown, f"unknown --ops {unknown}"
 
     cpu_probe = _cpu_probe()
+    steal_t0 = _steal_snapshot()
     load_t0 = round(os.getloadavg()[0], 2)
     t_wall0 = time.perf_counter()
 
@@ -302,6 +308,9 @@ def main() -> int:
         "cpu_probe_sec": cpu_probe,
         "cpu_probe_sec_end": cpu_probe_end,
         "probe_divergent": probe_divergent,
+        # hypervisor CPU-steal percentage across the run (r13): the
+        # confound load_avg can't see — see bench._steal_snapshot
+        "steal_pct": _steal_pct(steal_t0, _steal_snapshot()),
         "load_avg_t0": load_t0,
         "load_avg_end": round(os.getloadavg()[0], 2),
         "wall_sec": round(time.perf_counter() - t_wall0, 1),
