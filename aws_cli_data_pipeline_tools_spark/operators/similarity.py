@@ -405,7 +405,12 @@ def _ivf_assign(
 
 
 def _centroid_literal_array(cvec: list[float]):
-    return F.array(*[F.lit(float(v)) for v in cvec])
+    # ONE array<double> Literal node, not dim F.lit nodes under F.array:
+    # the unrolled form made the analyzer walk dim (and for the centroid
+    # matrix k×dim) literal children per resolution pass — measured as
+    # the dominant cost of the portable trainer (r13; see
+    # _portable_ranked_lists).
+    return F.lit([float(v) for v in cvec])
 
 
 def _portable_dot_literal(vec, cvec: list[float]):
@@ -458,7 +463,13 @@ def _portable_ranked_lists(vec, cents: list[list[float]]):
     identical (same fold, same ``_portable_dot_literal`` decimal
     discipline), so oracle replay is unaffected."""
     acc_t = "decimal(28,10)"
-    cmat = F.array(*[_centroid_literal_array(cv) for cv in cents])
+    # one array<array<double>> Literal node (r13): the prior
+    # F.array-of-F.array-of-F.lit form carried k×dim expression nodes
+    # and analysis walked them on every resolution pass — the measured
+    # 11-of-15-seconds trainer overhead persisted even after the shared
+    # dot subtree landed. The literal VALUES are identical IEEE doubles,
+    # so oracle replay is unaffected.
+    cmat = F.lit([[float(v) for v in cv] for cv in cents])
 
     def dot_against(crow):
         prods = F.zip_with(
@@ -512,21 +523,36 @@ def _portable_centroid_literals(
       k·dim groups; empty clusters keep their previous centroid;
     - normalization: decimal squared-norm sum → double divisor.
 
-    Each iteration collects k·dim doubles to the driver and re-embeds
-    them as literals — exact round-trip (IEEE doubles survive collect),
-    so the literal values ARE the values the DuckDB twin computes for
-    c{i}. Unlike the long-form trainer this scales by corpus SCAN cost:
-    at any corpus size the per-iteration work is one codegen-side
-    assignment pass plus a k·dim-group aggregate."""
-    spark = corpus.sparkSession
+    The centroids come off the :func:`kmeans_clusters_portable`-shaped
+    long-form chain — seeds → per-iteration (assign → means → merge →
+    normalize) as ONE lazy plan over a persisted exploded corpus — and
+    are collected ONCE at the end (k·dim doubles; IEEE values survive
+    collect exactly). The r13 rewrite: the previous body collected the
+    centroid frame after EVERY Lloyd step and re-embedded it as
+    literals, paying a full analyze/optimize/schedule round-trip per
+    iteration — measured at ~11 s of fixed overhead regardless of
+    corpus size, with per-action plan latency (not data) dominating.
+    Both trainer shapes replay the SAME DuckDB unroll
+    (``_duck_kmeans_prefix`` — also the oracle of
+    embedding_cluster_profile, which runs this long form), so the
+    collapse is value-identical by construction. Scale posture: the
+    n×dim exploded frame is cached once; each iteration is an n×k
+    dot-aggregate plus a k·dim-group mean — no driver model state until
+    the single final collect."""
     from ..functions import portable_hash64
 
-    src = corpus.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    src = corpus.filter(F.col(vec_col).isNotNull())
+    xe = (
+        src.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.col(vec_col)).alias("pos", "xf"),
+        )
+        .select("id", "pos", F.col("xf").cast("double").alias("x"))
+        .persist()
     )
-    ph = portable_hash64(F.col("id").cast("string"))
+    ph = portable_hash64(F.col(id_col).cast("string"))
     seeds = (
-        src.select("id", ph.alias("__ph"))
+        src.select(F.col(id_col).alias("id"), ph.alias("__ph"))
         .orderBy("__ph", "id")
         .limit(n_centroids)
         .withColumn(
@@ -537,57 +563,40 @@ def _portable_centroid_literals(
         )
         .drop("__ph")
     )
-    seed_long = (
-        src.join(F.broadcast(seeds), "id")
-        .select(
-            "list_id", F.posexplode(F.col("v")).alias("pos", "xf")
+    c = _normalize_centroid_rows(
+        xe.join(F.broadcast(seeds), "id").select(
+            "list_id", "pos", F.col("x").alias("c")
         )
-        .select("list_id", "pos", F.col("xf").cast("double").alias("c"))
     )
-
-    def collect_centroids(c_long: DataFrame) -> list[list[float]]:
-        rows = c_long.collect()
-        by_list: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_list.setdefault(r["list_id"], {})[r["pos"]] = r["c"]
-        return [
-            [by_list[li][p] for p in sorted(by_list[li])]
-            for li in sorted(by_list)
-        ]
-
-    cents = collect_centroids(_normalize_centroid_rows(seed_long))
     for _ in range(refine_iters):
-        best = F.element_at(_portable_ranked_lists(F.col("v"), cents), 1)
-        # the argmax projection and the posexplode generator must live in
-        # SEPARATE selects: with both in one, the analyzer's generator
-        # extraction re-resolves the comparator lambda's a["dot"] before
-        # CreateStruct's aliases materialize and fails with
-        # FIELD_NOT_FOUND `dot` in `col1`,`col2` (found r13; both orders
-        # work when the struct has no unresolved column refs)
-        assigned = src.select(
-            best["list_id"].alias("list_id"), "v"
-        ).select("list_id", F.posexplode(F.col("v")).alias("pos", "xf"))
-        means = assigned.groupBy("list_id", "pos").agg(
-            (
-                F.sum(F.col("xf").cast("double").cast("decimal(38,10)")).cast(
-                    "double"
-                )
-                / F.count("*")
-            ).alias("m")
+        assign = _portable_assign_dots(xe, c).drop("dot")
+        means = (
+            xe.join(assign, "id")
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
         )
-        prev = spark.createDataFrame(
-            [
-                (li, p, c)
-                for li, cv in enumerate(cents)
-                for p, c in enumerate(cv)
-            ],
-            "list_id int, pos int, c double",
+        prev = c.select("list_id", "pos", F.col("c").alias("c_prev"))
+        c = _normalize_centroid_rows(
+            prev.join(means, ["list_id", "pos"], "left").select(
+                "list_id",
+                "pos",
+                F.coalesce(F.col("m"), F.col("c_prev")).alias("c"),
+            )
         )
-        merged = prev.join(means, ["list_id", "pos"], "left").select(
-            "list_id", "pos", F.coalesce(F.col("m"), F.col("c")).alias("c")
-        )
-        cents = collect_centroids(_normalize_centroid_rows(merged))
-    return cents
+    rows = c.collect()
+    xe.unpersist()
+    by_list: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_list.setdefault(r["list_id"], {})[r["pos"]] = r["c"]
+    return [
+        [by_list[li][p] for p in sorted(by_list[li])]
+        for li in sorted(by_list)
+    ]
 
 
 def ivf_topk(
