@@ -84,6 +84,28 @@ def _partition_topk(
     return scored.mapInPandas(local_topk, schema=scored.schema)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor before heavy per-row expression
+    work (interpreted decimal/HOF folds). The bench inputs are single-
+    row-group parquet files, so every scan stage is ONE task and per-row
+    scoring serializes on one core regardless of cluster width; a
+    round-robin repartition of the NARROW (id, vector) rows is a
+    sub-megabyte shuffle that unlocks full-width execution. Scale
+    posture: the floor is the cluster's ``defaultParallelism`` (no
+    constant tuned to the local core count), and inputs that already
+    carry at least that many partitions — any real 100 TB table —
+    pass through untouched, so this never repartitions DOWN or adds a
+    shuffle at scale. Row placement does not affect results: callers
+    apply per-row expressions and order-free aggregations downstream
+    (decimal sums are exact; top-k phases carry total tie-break
+    orders)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _rank_topk(scored: DataFrame, k: int, score_col: str = "cosine") -> DataFrame:
     """Final exact per-query rank over the (already pruned) score set."""
     w = Window.partitionBy("query_id").orderBy(
@@ -404,13 +426,21 @@ def _ivf_assign(
     )
 
 
+def _double_array_sql(cvec: list[float]) -> str:
+    """Spark SQL source of an ``array<double>`` literal. ``repr`` is the
+    shortest round-trip decimal form, so ``Double.parseDouble`` restores
+    the EXACT same IEEE double — the literal carries identical bits to a
+    driver-collected value."""
+    return "array(" + ",".join(f"{float(v)!r}D" for v in cvec) + ")"
+
+
 def _centroid_literal_array(cvec: list[float]):
-    # ONE array<double> Literal node, not dim F.lit nodes under F.array:
-    # the unrolled form made the analyzer walk dim (and for the centroid
-    # matrix k×dim) literal children per resolution pass — measured as
-    # the dominant cost of the portable trainer (r13; see
-    # _portable_ranked_lists).
-    return F.lit([float(v) for v in cvec])
+    # Built via ONE SQL parse, not dim py4j lit() calls: classic
+    # PySpark's F.lit(list) expands to F.array(*[F.lit(x) ...]) — one
+    # py4j round-trip per element, measured at ~1.2 s per k×dim matrix
+    # build (r13 optimization round). The parsed CreateArray(literals)
+    # constant-folds to a single Literal node.
+    return F.expr(_double_array_sql(cvec))
 
 
 def _portable_dot_literal(vec, cvec: list[float]):
@@ -463,13 +493,16 @@ def _portable_ranked_lists(vec, cents: list[list[float]]):
     identical (same fold, same ``_portable_dot_literal`` decimal
     discipline), so oracle replay is unaffected."""
     acc_t = "decimal(28,10)"
-    # one array<array<double>> Literal node (r13): the prior
-    # F.array-of-F.array-of-F.lit form carried k×dim expression nodes
-    # and analysis walked them on every resolution pass — the measured
-    # 11-of-15-seconds trainer overhead persisted even after the shared
-    # dot subtree landed. The literal VALUES are identical IEEE doubles,
-    # so oracle replay is unaffected.
-    cmat = F.lit([[float(v) for v in cv] for cv in cents])
+    # one array<array<double>> literal via ONE SQL parse (r13
+    # optimization round): F.lit(nested list) expands element-wise
+    # through py4j (~1.2 s of pure expression-BUILD cost per call at
+    # k×dim=1024) and left k×dim nodes for every analyzer pass; the
+    # parsed form costs ~5 ms to build and constant-folds to a single
+    # Literal. The literal VALUES are identical IEEE doubles (repr
+    # round-trip), so oracle replay is unaffected.
+    cmat = F.expr(
+        "array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"
+    )
 
     def dot_against(crow):
         prods = F.zip_with(
@@ -500,6 +533,54 @@ def _portable_ranked_lists(vec, cents: list[list[float]]):
     )
 
 
+def _normalize_centroid_matrix(spark, cents: list[list[float]]) -> list[list[float]]:
+    """L2-normalize driver-side centroids with the exact decimal-sum
+    discipline of the DuckDB twin's ``_duck_kmeans_norm``: the
+    squared-norm sum runs through SPARK's own expression engine
+    (:func:`_centroid_norms` — no distributed job), so the double divisor
+    is bit-identical to the distributed
+    ``sqrt(CAST(sum(CAST(c*c AS DECIMAL(38,10))) AS DOUBLE))`` both
+    engines compute. The per-element division c/nrm is plain IEEE double
+    division — identical in Python and the JVM. Zero-norm centroids pass
+    through unchanged (same CASE as the oracle)."""
+    if not cents:
+        return []
+    norms = _centroid_norms(spark, cents)
+    return [
+        [v / norms[i] for v in cv]
+        if norms[i] and norms[i] > 0
+        else [float(v) for v in cv]
+        for i, cv in enumerate(cents)
+    ]
+
+
+def _centroid_norms(spark, cents: list[list[float]]) -> list[float]:
+    """Decimal-exact L2 norms of driver-side centroid rows, evaluated by
+    Spark's own expression engine: ONE transform over a single-parse 2-D
+    literal against a OneRowRelation (r13 optimization round — the
+    literal matrix comes from one SQL parse, not k×dim py4j lit() calls,
+    and the one-row frame comes from spark.sql: classic createDataFrame
+    builds an RDD-backed frame that runs a real distributed job per
+    call, while OneRowRelation constant-folds to a LocalRelation
+    collected driver-side; measured 2-5.6 s → ~0.15 s per call). The
+    (28,10) fold equals the distributed order-free
+    ``sum(CAST(c*c AS DECIMAL(38,10)))`` bit for bit — decimal addition
+    is exact at these magnitudes (see ``_portable_dot_literal``)."""
+    acc_t = "decimal(28,10)"
+    norms = F.transform(
+        F.expr("array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"),
+        lambda row: F.sqrt(
+            F.aggregate(
+                row,
+                F.lit(0).cast(acc_t),
+                lambda acc, v: (acc + (v * v).cast(acc_t)).cast(acc_t),
+            ).cast("double")
+        ),
+    )
+    row = spark.sql("SELECT 1 AS z").select(norms.alias("n")).collect()[0]
+    return [float(x) for x in row["n"]]
+
+
 def _portable_centroid_literals(
     corpus: DataFrame,
     id_col: str,
@@ -517,86 +598,84 @@ def _portable_centroid_literals(
       ``(portable_hash64(id), id)``; list_id = that order's 0-based rank;
     - assignment: per-ROW argmax of decimal-exact dots against the
       CURRENT centroids as literals (``_portable_ranked_lists``) — one
-      scan, no explode, no join;
+      scan, no explode, no join, no shuffle;
     - update: per-(list, pos) decimal mean over a posexploded pass —
       the only shuffle per iteration, and it map-side-combines down to
       k·dim groups; empty clusters keep their previous centroid;
     - normalization: decimal squared-norm sum → double divisor.
 
-    The centroids come off the :func:`kmeans_clusters_portable`-shaped
-    long-form chain — seeds → per-iteration (assign → means → merge →
-    normalize) as ONE lazy plan over a persisted exploded corpus — and
-    are collected ONCE at the end (k·dim doubles; IEEE values survive
-    collect exactly). The r13 rewrite: the previous body collected the
-    centroid frame after EVERY Lloyd step and re-embedded it as
-    literals, paying a full analyze/optimize/schedule round-trip per
-    iteration — measured at ~11 s of fixed overhead regardless of
-    corpus size, with per-action plan latency (not data) dominating.
-    Both trainer shapes replay the SAME DuckDB unroll
-    (``_duck_kmeans_prefix`` — also the oracle of
-    embedding_cluster_profile, which runs this long form), so the
-    collapse is value-identical by construction. Scale posture: the
-    n×dim exploded frame is cached once; each iteration is an n×k
-    dot-aggregate plus a k·dim-group mean — no driver model state until
-    the single final collect."""
+    Physical shape (r13 optimization round): ONE distributed action per
+    Lloyd iteration — scan → per-row literal-centroid argmax → posexplode
+    → k·dim-group decimal mean → collect(k·dim rows) — plus one
+    TakeOrdered action for the seeds. The previous long-form chain
+    (assign via broadcast-join + per-id window, means via an xe⋈assign
+    shuffle join, normalize via groupBy+broadcast-join, all unrolled into
+    a single ~22-stage plan) paid ~0.4-0.5 s of stage latency per stage
+    on the bench box with trivially small data per stage; this shape is
+    ~5 stages total. Normalization and the empty-cluster coalesce happen
+    driver-side, with the one non-trivial arithmetic step (the decimal
+    squared-norm sum) still evaluated by Spark's expression engine
+    (:func:`_normalize_centroid_matrix`) so no engine-replication risk is
+    introduced. Value-identity with the long form (and therefore with the
+    DuckDB unroll): the per-row literal argmax equals the group-sum argmax
+    because both sum the identical 10-decimal-rounded addends exactly
+    (the established ``_portable_dot_literal`` argument — this identity
+    is already load-bearing for the corpus labeling step the oracle
+    checks); the decimal mean expression is unchanged; collect round-trips
+    IEEE doubles exactly. Scale posture: per iteration the corpus is
+    scanned once and only k·dim aggregated rows cross an exchange — the
+    corpus itself never shuffles (pass a persisted corpus to amortize the
+    scans, as the clustered catalog entries do)."""
     from ..functions import portable_hash64
 
+    spark = corpus.sparkSession
     src = corpus.filter(F.col(vec_col).isNotNull())
-    xe = (
-        src.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.col(vec_col)).alias("pos", "xf"),
-        )
-        .select("id", "pos", F.col("xf").cast("double").alias("x"))
-        .persist()
-    )
     ph = portable_hash64(F.col(id_col).cast("string"))
-    seeds = (
-        src.select(F.col(id_col).alias("id"), ph.alias("__ph"))
+    seed_rows = (
+        src.select(
+            F.col(id_col).alias("id"), ph.alias("__ph"), F.col(vec_col).alias("__v")
+        )
         .orderBy("__ph", "id")
         .limit(n_centroids)
-        .withColumn(
-            "list_id",
-            (F.row_number().over(Window.orderBy("__ph", "id")) - 1).cast(
-                "int"
-            ),
-        )
-        .drop("__ph")
+        .collect()
     )
-    c = _normalize_centroid_rows(
-        xe.join(F.broadcast(seeds), "id").select(
-            "list_id", "pos", F.col("x").alias("c")
-        )
+    if not seed_rows:
+        # same explicit contract as _ivf_centroids' empty-corpus guard
+        raise ValueError("corpus is empty: cannot seed k-means centroids")
+    # collected floats widen to Python doubles exactly — the same values
+    # xe's cast(xf as double) produced in the long form
+    cents = _normalize_centroid_matrix(
+        spark, [[float(x) for x in r["__v"]] for r in seed_rows]
     )
+    src_wide = _fan_out(src)
     for _ in range(refine_iters):
-        assign = _portable_assign_dots(xe, c).drop("dot")
-        means = (
-            xe.join(assign, "id")
+        # slice/struct-lambda co-resolution: keep the generator in its own
+        # select (see the FIELD_NOT_FOUND note at the ivf_topk probe site)
+        assigned = src_wide.select(
+            F.col(vec_col).alias("__v"),
+            F.element_at(_portable_ranked_lists(F.col(vec_col), cents), 1)[
+                "list_id"
+            ].alias("list_id"),
+        )
+        mean_rows = (
+            assigned.select("list_id", F.posexplode("__v").alias("pos", "xf"))
             .groupBy("list_id", "pos")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
+                    F.sum(F.col("xf").cast("double").cast("decimal(38,10)"))
+                    .cast("double")
                     / F.count("*")
                 ).alias("m")
             )
+            .collect()
         )
-        prev = c.select("list_id", "pos", F.col("c").alias("c_prev"))
-        c = _normalize_centroid_rows(
-            prev.join(means, ["list_id", "pos"], "left").select(
-                "list_id",
-                "pos",
-                F.coalesce(F.col("m"), F.col("c_prev")).alias("c"),
-            )
-        )
-    rows = c.collect()
-    xe.unpersist()
-    by_list: dict[int, dict[int, float]] = {}
-    for r in rows:
-        by_list.setdefault(r["list_id"], {})[r["pos"]] = r["c"]
-    return [
-        [by_list[li][p] for p in sorted(by_list[li])]
-        for li in sorted(by_list)
-    ]
+        means = {(r["list_id"], r["pos"]): r["m"] for r in mean_rows}
+        merged = [
+            [means.get((li, p), cents[li][p]) for p in range(len(cents[li]))]
+            for li in range(len(cents))
+        ]
+        cents = _normalize_centroid_matrix(spark, merged)
+    return cents
 
 
 def ivf_topk(
@@ -650,7 +729,7 @@ def ivf_topk(
         q = queries.filter(F.col(vec_col).isNotNull()).select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
         )
-        labeled = c.withColumn(
+        labeled = _fan_out(c).withColumn(
             "list_id",
             F.element_at(_portable_ranked_lists(F.col("cv"), cents_lit), 1)[
                 "list_id"
@@ -671,11 +750,24 @@ def ivf_topk(
             )
             .select("query_id", "qv", F.explode("__pr").alias("__p"))
             .select(
-                "query_id", "qv", F.col("__p")["list_id"].alias("list_id")
+                "query_id", "qv", F.col("__p")["list_id"].alias("__plist")
             )
         )
-        cand = F.broadcast(probes).join(labeled, "list_id").select(
-            "query_id", "neighbor_id", "qv", "cv"
+        # Null-safe join key + explicit not-null filter on the TINY side
+        # (r13 optimization round): a plain equi-join makes
+        # InferFiltersFromConstraints derive isnotnull(list_id) for BOTH
+        # sides and push it below the exchange, re-evaluating the whole
+        # per-row decimal argmax in a single-task pre-shuffle Filter
+        # (measured 2.3 s of the rerank's 2.8 s at sf0.1). `<=>` implies
+        # no not-null constraints, and filtering null probes on the
+        # broadcast side (a few rows — the re-evaluation is free there)
+        # makes the result identical to the equi-join for every input:
+        # with no null probe keys, corpus rows with a null list_id can
+        # match nothing under either join.
+        cand = (
+            F.broadcast(probes.filter(F.col("__plist").isNotNull()))
+            .join(labeled, F.col("__plist").eqNullSafe(F.col("list_id")))
+            .select("query_id", "neighbor_id", "qv", "cv")
         )
         scored = cand.select(
             "query_id",
@@ -733,9 +825,14 @@ def build_ivf_index(
     labeled = _ivf_assign(
         corpus.select(F.col(id_col), F.col(vec_col)), id_col, vec_col, cents
     )
-    labeled.write.mode("overwrite").partitionBy("list_id").parquet(
-        f"{path}/corpus"
-    )
+    # cluster by the write-partition key before partitionBy (guide §6):
+    # with a multi-partition input every task would otherwise open a file
+    # in EVERY list_id dir (input_partitions × n_lists small files — the
+    # many-small-files write problem); one hash exchange on list_id gives
+    # each dir a bounded file count at any input parallelism.
+    labeled.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(f"{path}/corpus")
     cpdf = pd.DataFrame(
         {"list_id": range(len(cents)), "centroid": [c.tolist() for c in cents]}
     )
@@ -853,16 +950,34 @@ def lsh_ann_topk(
     )
     if portable:
         planes = lsh_parity_planes(dim, n_planes, n_tables, f"lsh-v1|{seed}")
-        c_b = _bucketize_portable(c, "neighbor_id", "cv", planes)
+        c_b = _bucketize_portable(_fan_out(c), "neighbor_id", "cv", planes)
         q_b = _bucketize_portable(q, "query_id", "qv", planes)
     else:
         planes = _hyperplane_tables(dim, n_planes, n_tables, seed)
         c_b = _bucketize(c, "neighbor_id", "cv", planes)
         q_b = _bucketize(q, "query_id", "qv", planes)
 
+    # Null-safe join keys + not-null filter on the TINY side: the plain
+    # equi-join made InferFiltersFromConstraints re-evaluate the whole
+    # per-row bucket expression in a derived isnotnull Filter below the
+    # corpus-side exchange (see the ivf_topk probe join note — same
+    # pathology, measured there). Dropping null-keyed query rows keeps
+    # the result identical to the equi-join for every input.
+    q_nn = q_b.filter(
+        F.col("table").isNotNull() & F.col("bucket").isNotNull()
+    ).select(
+        F.col("query_id"),
+        F.col("qv"),
+        F.col("table").alias("__qtable"),
+        F.col("bucket").alias("__qbucket"),
+    )
     cand = (
-        F.broadcast(q_b)
-        .join(c_b, ["table", "bucket"])
+        F.broadcast(q_nn)
+        .join(
+            c_b,
+            F.col("__qtable").eqNullSafe(F.col("table"))
+            & F.col("__qbucket").eqNullSafe(F.col("bucket")),
+        )
         .select("query_id", "neighbor_id", "qv", "cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -987,50 +1102,6 @@ def kmeans_clusters(
     )
 
 
-def _normalize_centroid_rows(c: DataFrame) -> DataFrame:
-    """L2-normalize long-form centroids (list_id, pos, c) with the
-    decimal-sum discipline: the squared-norm sum is exact (order-free)
-    so both engines divide by the identical double. Zero-norm centroids
-    pass through unchanged (the DuckDB twin's CASE does the same)."""
-    nrm = c.groupBy("list_id").agg(
-        F.sqrt(
-            F.sum((F.col("c") * F.col("c")).cast("decimal(38,10)")).cast(
-                "double"
-            )
-        ).alias("nrm")
-    )
-    return c.join(F.broadcast(nrm), "list_id").select(
-        "list_id",
-        "pos",
-        F.when(F.col("nrm") > 0, F.col("c") / F.col("nrm"))
-        .otherwise(F.col("c"))
-        .alias("c"),
-    )
-
-
-def _portable_assign_dots(xe: DataFrame, c: DataFrame) -> DataFrame:
-    """Long-form assignment: per (id, list_id) decimal-exact dot with the
-    current centroids, then argmax per id (ties → smallest list_id).
-    Returns (id, list_id, dot). The per-id window runs over exactly
-    n_centroids rows per id — the shuffle is n×k tiny rows, never the
-    exploded corpus."""
-    dots = (
-        xe.join(F.broadcast(c), "pos")
-        .groupBy("id", "list_id")
-        .agg(
-            F.sum((F.col("x") * F.col("c")).cast("decimal(38,10)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    w = Window.partitionBy("id").orderBy(F.col("dot").desc(), "list_id")
-    return (
-        dots.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
-
-
 def kmeans_clusters_portable(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -1056,97 +1127,66 @@ def kmeans_clusters_portable(
       keep their previous centroid; L2 normalization via a decimal
       squared-norm sum.
 
-    Physical shape: the exploded corpus (n×dim rows) joins a broadcast
-    centroid long-form (k×dim rows) per iteration — one hash aggregate
-    per assignment, one per update, no driver-side model state at all
-    (the numpy-path :func:`kmeans_clusters` collects the k×dim centroid
-    matrix; this form never collects anything). The cost is the n×k
-    dot-aggregate per iteration vs the Arrow matmul — use this variant
-    where cross-engine replay matters more than the constant factor.
+    Physical shape (r13 optimization round): training runs through
+    :func:`_portable_centroid_literals` (seeds TakeOrdered + ONE
+    distributed action per Lloyd iteration — the collect-per-iteration
+    form that replaced the ~22-stage unrolled join/window chain), and the
+    final labeling is a single fan-out scan with the centroids as
+    literals: per-row argmax dot (``_portable_ranked_lists``), per-row
+    decimal squared-norm, and the centroid norms as a k-element literal
+    (``_centroid_norms``). Value identity with the previous long form —
+    and therefore with the DuckDB unroll that oracles
+    ``embedding_cluster_profile`` — follows from the established
+    ``_portable_dot_literal`` argument: every decimal fold sums the
+    identical 10-decimal-rounded addends exactly, so fold-vs-group-sum
+    order is immaterial, and the final round/divide expressions are
+    unchanged. The corpus never shuffles and nothing corpus-sized is
+    cached anymore (the r12 xe-cache leak class is gone by construction);
+    ``release_cache`` is kept as a no-op for the documented caller
+    contract.
     """
-    from ..functions import portable_hash64
-
-    corpus = corpus.filter(F.col(vec_col).isNotNull())
-    xe = (
-        corpus.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.col(vec_col)).alias("pos", "xf"),
-        )
-        .select("id", "pos", F.col("xf").cast("double").alias("x"))
-        .persist()
+    src = corpus.filter(F.col(vec_col).isNotNull())
+    spark = corpus.sparkSession
+    cents = _portable_centroid_literals(
+        src, id_col, vec_col, n_centroids, refine_iters
     )
-    ph = portable_hash64(F.col(id_col).cast("string"))
-    seeds = (
-        corpus.select(F.col(id_col).alias("id"), ph.alias("__ph"))
-        .orderBy("__ph", "id")
-        .limit(n_centroids)
+    cn_lit = F.expr(_double_array_sql(_centroid_norms(spark, cents)))
+    acc_t = "decimal(28,10)"
+    xn = F.sqrt(
+        F.aggregate(
+            F.col("__v"),
+            F.lit(0).cast(acc_t),
+            lambda acc, v: (
+                acc + (v.cast("double") * v.cast("double")).cast(acc_t)
+            ).cast(acc_t),
+        ).cast("double")
     )
-    # global row_number over ≤ n_centroids rows — driver-window-sized
-    seeds = seeds.withColumn(
-        "list_id",
-        (F.row_number().over(Window.orderBy("__ph", "id")) - 1).cast("int"),
-    ).drop("__ph")
-    c = _normalize_centroid_rows(
-        xe.join(F.broadcast(seeds), "id").select(
-            "list_id", "pos", F.col("x").alias("c")
-        )
+    # two-step select: the ranked-list argmax must be produced ONCE and
+    # consumed by field access only — CollapseProject keeps the boundary
+    # because the producing expression is non-cheap and referenced more
+    # than once (same discipline as the ivf_topk probe site)
+    step = _fan_out(src).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.element_at(_portable_ranked_lists(F.col(vec_col), cents), 1).alias(
+            "__r1"
+        ),
     )
-    for _ in range(refine_iters):
-        assign = _portable_assign_dots(xe, c).drop("dot")
-        means = (
-            xe.join(assign, "id")
-            .groupBy("list_id", "pos")
-            .agg(
-                (
-                    F.sum(F.col("x").cast("decimal(38,10)")).cast("double")
-                    / F.count("*")
-                ).alias("m")
-            )
-        )
-        prev = c.select("list_id", "pos", F.col("c").alias("c_prev"))
-        c = _normalize_centroid_rows(
-            prev.join(means, ["list_id", "pos"], "left").select(
-                "list_id",
-                "pos",
-                F.coalesce(F.col("m"), F.col("c_prev")).alias("c"),
-            )
-        )
-    final = _portable_assign_dots(xe, c)
-    xn = xe.groupBy("id").agg(
-        F.sqrt(
-            F.sum((F.col("x") * F.col("x")).cast("decimal(38,10)")).cast(
-                "double"
-            )
-        ).alias("__xn")
+    out = step.select(
+        F.col(id_col),
+        F.col("__r1")["list_id"].alias("list_id"),
+        F.round(
+            F.col("__r1")["dot"]
+            / F.nullif(
+                xn * F.element_at(cn_lit, F.col("__r1")["list_id"] + 1),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("cos_to_centroid"),
     )
-    cn = c.groupBy("list_id").agg(
-        F.sqrt(
-            F.sum((F.col("c") * F.col("c")).cast("decimal(38,10)")).cast(
-                "double"
-            )
-        ).alias("__cn")
-    )
-    out = (
-        final.join(xn, "id")
-        .join(F.broadcast(cn), "list_id")
-        .select(
-            F.col("id").alias(id_col),
-            "list_id",
-            F.round(
-                F.col("dot")
-                / F.nullif(F.col("__xn") * F.col("__cn"), F.lit(0.0)),
-                6,
-            ).alias("cos_to_centroid"),
-        )
-    )
-    # xe is corpus-sized (n×dim rows) — without an explicit release every
-    # call in a long-lived session accumulates a cached exploded corpus
-    # (ADVICE r12, same leak class as ngram_jaccard_pairs' dfc). Callers
-    # should invoke release_cache() after their terminal action (same
-    # contract as dedup.shared_span_pairs / binned_cumsum); otherwise the
-    # ContextCleaner reclaims the blocks only when the returned plan is
-    # GC'd on the JVM, which is correct but non-deterministic in timing.
-    out.release_cache = xe.unpersist
+    # no corpus-sized cache remains in this shape; the attribute stays so
+    # existing callers' release_cache() contract keeps working unchanged
+    out.release_cache = lambda blocking=False: None
     return out
 
 

@@ -10,6 +10,7 @@ scale the same calls read s3a:// paths unchanged.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +73,63 @@ def scratch_dir(prefix: str) -> str:
     return path
 
 
+#: Scan-parallelism floor (r13 optimization round, guide §2.5/§6): every
+#: fixture parquet file is ONE row group, so a scan stage is ONE task no
+#: matter the core count and every per-row expression pipeline (regex
+#: text stats, decimal folds, Arrow decoders, partial aggregation)
+#: serializes on one core until the first exchange.
+#: ``spark.sql.files.minPartitionNum`` cannot help — parquet only splits
+#: at row-group boundaries — so when the input is provably too small to
+#: reach cluster width, ``load_table`` inserts ONE round-robin
+#: repartition to ``defaultParallelism`` right above the scan. Catalyst
+#: pushes filters and column pruning below the repartition, so the
+#: exchange carries only used columns of surviving rows.
+#: Scale posture: the guard is derived from input bytes vs
+#: ``spark.sql.files.maxPartitionBytes`` (estimated achievable splits ≥
+#: cluster width → untouched), so a real 100 TB table never repartitions
+#: and never pays the exchange; tiny dimension tables (< _FANOUT_MIN_BYTES)
+#: are skipped so broadcast-join builds don't gain a pointless shuffle.
+#: ``SPARKGRAFT_SCAN_FANOUT=off`` disables it; an integer pins the target
+#: width (parameterized per the round rules — no local-core constant).
+_FANOUT_ENV = "SPARKGRAFT_SCAN_FANOUT"
+_FANOUT_MIN_BYTES = 512 * 1024
+
+
+def _dir_bytes(path: str) -> int:
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+    except OSError:
+        return 0
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    m = re.match(r"(\d+)", raw)
+    return int(m.group(1)) if m else 134217728
+
+
+def scan_fanout(df: DataFrame, total_bytes: int) -> DataFrame:
+    """Apply the scan-parallelism floor documented above to a freshly
+    scanned frame whose on-disk size is ``total_bytes``."""
+    mode = os.environ.get(_FANOUT_ENV, "auto")
+    if mode == "off" or total_bytes < _FANOUT_MIN_BYTES:
+        return df
+    spark = df.sparkSession
+    target = (
+        spark.sparkContext.defaultParallelism if mode == "auto" else int(mode)
+    )
+    est_splits = max(1, total_bytes // _max_partition_bytes(spark))
+    if est_splits < target:
+        return df.repartition(target)
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Read one fixture table. Columnar parquet scan — Catalyst pushes
     filters/projection into the scan (check .explain for PushedFilters).
@@ -98,15 +156,17 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # events-reading session genuinely needs it for its lifetime
         # (get_spark pins it at session build anyway).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return normalize_event_ts(
-            spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+        path = os.path.join(d, f"{name}.parquet")
+        return scan_fanout(
+            normalize_event_ts(spark.read.parquet(path)), _dir_bytes(path)
         )
-    df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
+    path = os.path.join(d, f"{name}.parquet")
+    df = spark.read.parquet(path)
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-    return df
+    return scan_fanout(df, _dir_bytes(path))
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:

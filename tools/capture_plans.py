@@ -1,0 +1,47 @@
+"""Capture .explain("formatted") for bench HEADLINE queries (r13 deliverable).
+
+Usage: python tools/capture_plans.py <out_dir> [suffix] [name ...]
+
+Writes <out_dir>/<query>_<suffix>.txt (suffix default "before") for each
+named query (default: every bench.HEADLINE entry). The explain runs the
+query builder but not the action, so this is cheap; queries whose builder
+itself executes jobs (collect-release entries) still pay that cost once.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "plans/r13"
+    suffix = sys.argv[2] if len(sys.argv) > 2 else "before"
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(out_dir, exist_ok=True)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench
+    from aws_cli_data_pipeline_tools_spark.catalog import all_specs
+    from aws_cli_data_pipeline_tools_spark.session import get_spark
+
+    spark = get_spark(app_name="capture_plans")
+    specs = all_specs()
+    names = sys.argv[3:] or list(bench.HEADLINE)
+    for name in names:
+        try:
+            df = specs[name].fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as exc:  # noqa: BLE001 — record, keep going
+            plan = f"EXPLAIN FAILED: {exc!r}"
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
