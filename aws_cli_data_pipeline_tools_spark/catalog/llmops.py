@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, textstats
-from ..sources import load_table
+from ..sources import fan_out, load_table
 from . import register, register_sql
 
 # ---------------------------------------------------------------- text stats
@@ -2261,7 +2261,7 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -2324,7 +2324,7 @@ def multimodal_decode_router(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     # 2×2 24bpp BI_RGB red BMP: 54-byte headers + 2 rows × 8 bytes = 70.
     def bmp_red() -> bytes:
@@ -2405,7 +2405,7 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -2480,7 +2480,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import multimodal
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def gen(it):
         for pdf in it:
@@ -2542,7 +2542,7 @@ def multimodal_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import multimodal
     from ..operators.flac import encode_flac
 
-    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    docs = fan_out(load_table(spark, "documents", sf_dir).select("doc_id"))
 
     def gen(it):
         for pdf in it:

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import word_shingles
+from ..sources import fan_out
 from .sampling import hash_bucket_expr
 
 __all__ = [
@@ -43,7 +44,10 @@ def _doc_grams(
     contamination_report (r9 review: was pasted three times; a gram-
     pipeline change applied to one copy but not the others would silently
     make the decontamination variants disagree). ``hashed=True`` reduces
-    grams to 8-byte xxhash64 keys (what the shuffle/broadcast carries)."""
+    grams to 8-byte xxhash64 keys (what the shuffle/broadcast carries).
+    fan_out: see sources.fan_out — the shingle+hash per-row work is the
+    dominant cost and serializes on the single-row-group bench scans."""
+    df = fan_out(df)
     g = word_shingles(F.col(text_col), n)
     if hashed:
         g = F.transform(g, lambda s: F.xxhash64(s))

@@ -32,6 +32,7 @@ from ..functions import (
     vec_norm,
     word_shingles,
 )
+from ..sources import fan_out
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -61,6 +62,7 @@ def canonical_text_dedup(
     Output: one row per doc with its canonical hash, the group keeper
     (min id), group size, and whether this row survives dedup.
     """
+    df = fan_out(df)
     canon = F.md5(F.concat_ws(" ", F.array_sort(F.array_remove(F.split(F.col(text_col), r"\s+"), ""))))
     with_canon = df.select(F.col(id_col), canon.alias("canon_hash"))
     w_agg = with_canon.groupBy("canon_hash").agg(
@@ -141,6 +143,7 @@ def ngram_jaccard_pairs(
     shingle+explode from the scan is cheaper than spilling an index that
     is several times the corpus size.
     """
+    df = fan_out(df)
     def postings():
         shingled = df.select(
             F.col(id_col).alias("id"),
@@ -421,6 +424,7 @@ def minhash_sides(
     ``portable_hash64`` so the whole pipeline (hashes → signatures → bands →
     exact Jaccard) is replayable as DuckDB SQL — the oracle-checked mode.
     """
+    df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -742,6 +746,7 @@ def simhash_pairs(
     metadata-cheap count() otherwise. Both modes emit the identical
     verified pair set (pytest-locked), so the switch is cost-only.
     """
+    df = fan_out(df)
     if n_blocks == "auto":
         n_blocks = _simhash_auto_blocks(df, max_hamming)
     elif isinstance(n_blocks, str):
@@ -900,6 +905,7 @@ def line_dedup(
     the join side, and at 100 TB the line key would be an 8-byte hash
     (kept as the raw string here so the DuckDB oracle can replay exactly).
     """
+    df = fan_out(df)
     # F.split interprets its pattern as a Java regex while the
     # array_join reassembly below uses ``sep`` literally — so a
     # metacharacter separator ('|', '.', paragraph markers) would split
@@ -1879,6 +1885,7 @@ def shared_span_pairs(
     emits per-doc-unique postings, so no global DISTINCT). Mutually
     exclusive with ``portable``.
     """
+    df = fan_out(df)
     # Volume-adaptive posting partitioning (VERDICT r8 task 3): one
     # (id, g) row per character — at 100× the sf0.1 cipher fixture that
     # is ~150M rows, which saturates a fixed 32-partition exchange
@@ -2031,6 +2038,7 @@ def semdedup_jl(
     keeper_id = smallest same-bucket neighbor over threshold, n_dups,
     max_cosine).
     """
+    df = fan_out(df)
     from .similarity import jl_sign_buckets
 
     b = jl_sign_buckets(
@@ -2105,6 +2113,7 @@ def source_overlap_matrix(
     rows, model-sized; gram hashes are 8-byte xxhash64 like the
     ngram-Jaccard index.
     """
+    df = fan_out(df)
     hs = df.select(
         F.col(source_col).alias("source"),
         F.explode(
@@ -2159,6 +2168,8 @@ def tfidf_cosine_pairs(
     anyway); inverted-index self-join on the token; per-pair dot product
     and per-doc norms summed as DECIMAL(38,10) fixed-point so the float
     accumulation order can never flip a 6-decimal digit cross-engine.
+    (No fan_out here: measured NEGATIVE at sf0.1 — the tokenize is cheap
+    and the posting self-join already re-exchanges everything.)
     """
     from .textstats import TOKEN_PATTERN
 
@@ -2267,6 +2278,7 @@ def ngram_containment_pairs(
     directions of each unordered pair, so the output row (id_a, id_b)
     means "fraction of id_a's shingles contained in id_b".
     """
+    df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),

@@ -41,6 +41,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..sources import fan_out
+
 #: Canonical multimodal table layout.
 MEDIA_SCHEMA = T.StructType(
     [
@@ -168,6 +170,7 @@ def decode_bmp_pixels(
     padding-invariant by construction; ``_decode_bmp_array`` preserves
     logical row order for future per-pixel stages.
     """
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -210,6 +213,7 @@ def decode_wav_samples(
     → (sample_rate, channels, n_frames, mean |amplitude|, RMS, peak). The
     audio twin of ``decode_bmp_pixels``; non-PCM / truncated payloads yield
     NULL stats rows."""
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -264,6 +268,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     caller filters or routes on the status column (the AU unsupported-
     encoding discipline).
     """
+    df = fan_out(df)
 
     def decode_one(p: bytes) -> tuple:
         bmp = _decode_bmp_array(p)
@@ -393,6 +398,7 @@ def sniff_image_headers(
     stage populates the MEDIA_SCHEMA ``meta`` struct once at ingest so all
     later planning (resize targets, pruning by dims) is metadata-only.
     """
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -491,6 +497,7 @@ def sniff_audio_headers(
     (sample_rate/duration_ms) so downstream sampling/windowing plans are
     metadata-only.
     """
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -591,6 +598,7 @@ def sniff_video_headers(
     headers (``_sniff_video``), Arrow-batched via mapInPandas — the video
     member of the sniffer family (images: ``sniff_image_headers``, audio:
     ``sniff_audio_headers``)."""
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -675,6 +683,7 @@ def text_as_binary_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     """Binary-column plumbing demo over real fixtures: utf8-encode the text
     column to binary, compute byte length + md5 — the same schema/flow a real
     opaque payload column uses, with a cross-engine-checkable result."""
+    df = fan_out(df)
     b = F.encode(F.col(text_col), "utf-8")
     return df.select(
         F.col(id_col),
@@ -854,6 +863,7 @@ def decode_png_pixels(
     r/g/b; alpha channels are excluded from the means. Non-PNG /
     truncated / unsupported-variant payloads yield NULL stats rows.
     """
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1146,6 +1156,7 @@ def decode_gif_pixels(
     channel means, Rec.601 mean luma) of the first frame. GIF's LZW is
     pure-spec bit arithmetic — no external codec. Non-GIF / truncated /
     malformed payloads yield NULL stats rows."""
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1728,6 +1739,7 @@ def decode_jpeg_pixels(
     full pure-spec path — Huffman entropy decode, dequantize, exact float
     IDCT, 4:2:0/4:2:2 upsampling, YCbCr→RGB — no codec library.
     Non-JPEG / truncated / progressive payloads yield NULL stats rows."""
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -1780,6 +1792,7 @@ def decode_flac_samples(
     of the original samples — which is what lets the catalog query carry
     an exact DuckDB oracle. Non-FLAC / truncated payloads yield NULL
     stats rows."""
+    df = fan_out(df)
     from .flac import decode_flac
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1868,6 +1881,7 @@ def decode_au_samples(
     a SQL oracle can replay the DECODE ITSELF sample-for-sample, not
     just the container arithmetic. Non-AU / non-µ-law payloads yield
     NULL stats rows."""
+    df = fan_out(df)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

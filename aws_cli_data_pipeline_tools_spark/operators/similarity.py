@@ -85,25 +85,11 @@ def _partition_topk(
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Scale-adaptive parallelism floor before heavy per-row expression
-    work (interpreted decimal/HOF folds). The bench inputs are single-
-    row-group parquet files, so every scan stage is ONE task and per-row
-    scoring serializes on one core regardless of cluster width; a
-    round-robin repartition of the NARROW (id, vector) rows is a
-    sub-megabyte shuffle that unlocks full-width execution. Scale
-    posture: the floor is the cluster's ``defaultParallelism`` (no
-    constant tuned to the local core count), and inputs that already
-    carry at least that many partitions — any real 100 TB table —
-    pass through untouched, so this never repartitions DOWN or adds a
-    shuffle at scale. Row placement does not affect results: callers
-    apply per-row expressions and order-free aggregations downstream
-    (decimal sums are exact; top-k phases carry total tie-break
-    orders)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    """Parallelism floor before heavy per-row expression work
+    (interpreted decimal/HOF folds) — see ``sources.fan_out``."""
+    from ..sources import fan_out
+
+    return fan_out(df)
 
 
 def _rank_topk(scored: DataFrame, k: int, score_col: str = "cosine") -> DataFrame:

@@ -4,7 +4,11 @@ document fingerprinting.
 All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
 codegen) — string/array ops over the documents table. The per-row cost is
 O(len(text)); there is no shuffle in any of these transforms, so they
-pipeline with the scan at any scale.
+pipeline with the scan at any scale. r13 optimization round: each
+transform first applies ``sources.fan_out`` — on the single-row-group
+bench inputs the scan is ONE task and the O(len) per-row work serialized
+on one core (measured 2-3.5× whole-query cost on the text entries); at
+scale the input is already wide and fan_out is a no-op.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import rolling_fingerprint
+from ..sources import fan_out
 
 #: Minimal per-language stopword lists (public knowledge). Deliberately tiny —
 #: this is an n-gram/stopword *heuristic* language-ID, not a trained model.
@@ -38,6 +43,7 @@ def _words(text: Column) -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace + regex token counts, char count, average word length."""
+    df = fan_out(df)
     t = F.col(text_col)
     words = _words(t)
     regex_tokens = F.regexp_count(t, F.lit(TOKEN_PATTERN))
@@ -62,6 +68,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     uppercase ratio, stopword fraction, mean word length band. The composite
     is a fixed linear blend — intended as a filterable signal, not a model.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     words = _words(t)
     n_words = F.size(words).cast("double")
@@ -283,6 +290,7 @@ def lang_id(
     honest evaluation, and ``lang_id_confusion`` documents the fixture
     property.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     if method == "char_ngram":
         # the padded/normalized string MUST be a materialized column, not
@@ -502,6 +510,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     - ``fp_rolling``: order-sensitive polynomial rolling hash over tokens
       (xxhash64-based, Spark-native).
     """
+    df = fan_out(df)
     t = F.col(text_col)
     norm = F.lower(F.trim(F.regexp_replace(t, r"\s+", " ")))
     return df.withColumns(
@@ -535,16 +544,19 @@ def tfidf_top_terms(
     no driver action, no collect.
 
     ``persist_tf``: the (doc, token, tf) aggregate feeds both the df
-    aggregate and the scoring join, and the join's injected
-    isnotnull(token) filter defeats exchange reuse, so the corpus is
-    tokenized twice. Persisting it (MEMORY_AND_DISK) trades that
-    recompute for cache IO — measured SLOWER at fixture scale (regex
-    tokenize + partial agg is narrow and cheap vs writing/reading the
-    pair table), so the default is False; turn on when tokenization
-    dominates (very long documents) or the scan is remote/expensive.
-    Contrast ngram_jaccard_pairs.persist_index, where the indexed subtree
-    feeds THREE consumers and the recompute is 3x — there caching wins.
+    aggregate and the scoring join. The scoring join uses a NULL-SAFE
+    key (r13 optimization round): the plain equi-join's injected
+    isnotnull(token) filter made the two tf subtrees structurally
+    different and defeated ReuseExchange, so the corpus was tokenized
+    twice; `<=>` injects nothing, the subtrees stay identical, and the
+    tf exchange is computed once and reused (plan shows ReusedExchange).
+    Result-identical: token comes from an explode of regexp matches
+    (never NULL) on both sides, so null-matching semantics are moot.
+    ``persist_tf`` remains for remote/expensive scans where even one
+    tokenize pass should be traded for cache IO.
     """
+    # no fan_out here: measured NEGATIVE at sf0.1 (tokenize+explode is
+    # cheap relative to the extra exchange both tf consumers then pay)
     toks = df.select(
         F.col(id_col),
         F.explode(
@@ -556,12 +568,14 @@ def tfidf_top_terms(
         from pyspark import StorageLevel
 
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df")).select(
+        F.col("token").alias("__dftoken"), "df"
+    )
     if min_df > 1:
         dfreq = dfreq.filter(F.col("df") >= min_df)
     n_docs = df.select(F.count_distinct(F.col(id_col)).alias("n_docs"))
     scored = (
-        tf.join(dfreq, "token")
+        tf.join(dfreq, F.col("token").eqNullSafe(F.col("__dftoken")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -604,6 +618,7 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     survive a redaction operator); the r8 review found the old form both
     hardcoded a ``doc_id`` column and silently dropped all others.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     # each count is taken on the text AS THIS STEP SEES IT (after the
     # previous replacements), so the audit counts reconcile exactly with
@@ -635,6 +650,7 @@ def repetition_stats(
     per doc, not per token. Short docs (< k words) yield NULL fractions
     rather than fake zeros.
     """
+    df = fan_out(df)
     from ..functions import word_shingles
 
     words = _words(F.col(text_col))
@@ -711,6 +727,7 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     The fixture documents are single-line, so the line-fraction rules are
     degenerate there (0.0); pytest exercises them on planted multi-line docs.
     """
+    df = fan_out(df)
     t = F.col(text_col)
     words = _words(t)
     n_words = F.size(words)
@@ -775,6 +792,7 @@ def bm25_scores(
         # an empty term list otherwise surfaces as F.round(None, 4) —
         # an unrelated PySparkTypeError far from the cause (r9 review)
         raise ValueError("bm25_scores: terms must be non-empty")
+    df = fan_out(df)
     arr = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
     base = df.select(F.col(id_col), arr.alias("__toks")).withColumn(
         "__dl", F.size("__toks")
@@ -853,6 +871,7 @@ def byte_entropy(
     never an unbound expression — per the word_shingles CodegenFallback
     re-evaluation caveat.
     """
+    df = fan_out(df)
     n = F.octet_length(F.encode(F.col(text_col), "utf-8"))
     hx = F.hex(F.encode(F.col(text_col), "utf-8"))
     step1 = df.select(
@@ -933,6 +952,7 @@ def _pattern_scan(
     — with ``append=True`` — every input column kept so scans compose by
     CHAINING on one frame (a single codegen projection, no per-scan
     doc_id joins)."""
+    df = fan_out(df)
     counts = {
         f"n_{name}": F.size(
             F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)
@@ -982,6 +1002,7 @@ def bpe_pair_counts(
     Words are ASCII-alpha runs, lowercased; within-word multiplicity
     counts (``"aaa"`` contributes 2 × ``aa``).
     """
+    df = fan_out(df)
     t = F.col(text_col)
     words = F.transform(
         F.regexp_extract_all(t, F.lit("[A-Za-z]+"), 0), F.lower
@@ -1066,6 +1087,7 @@ def instruction_format_stats(
     sentence openers — the corpus-composition signal that says how much
     of a feed is already instruction-shaped (routing for SFT vs
     pretraining mixes). Codegen regex only, zero shuffle."""
+    df = fan_out(df)
     t = F.col(text_col)
     qa = F.size(
         F.regexp_extract_all(t, F.lit(r"(?im)^\s*(q|a|question|answer)\s*[:.]"), 0)
@@ -1112,6 +1134,7 @@ def compression_ratio(
     input + level + strategy, so the ratio is reproducible across runs
     and machines). NULL text yields NULL stats.
     """
+    df = fan_out(df)
     import zlib
     from collections.abc import Iterator
 

@@ -171,6 +171,12 @@ def _agg_row(
     }
     basic_idx = [0, 2, 3, 4, 6, 7]  # count, mean, std, min, max, sum
     basic_cols = [all_exprs[c][i] for c in cols for i in basic_idx]
+    # NO fan_out anywhere in the profiler (r13 optimization round,
+    # measured): a parallelism floor on the basic/HLL scan read ~+0.85 s
+    # on profile_lineitem_hll (32-way sketch partials cost more to merge
+    # than the single-task scan saves) and neutral on the approx
+    # profile; the distinct scan's Expand partial-dedup and the median
+    # sort buffers also prefer the single-partition bench scan.
     median = df.agg(*[all_exprs[c][5] for c in cols])
     if distinct_mode == "approx":
         hll = [

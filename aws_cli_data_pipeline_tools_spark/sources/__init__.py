@@ -10,7 +10,6 @@ scale the same calls read s3a:// paths unchanged.
 from __future__ import annotations
 
 import os
-import re
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
 from pyspark.sql import functions as F
@@ -73,59 +72,44 @@ def scratch_dir(prefix: str) -> str:
     return path
 
 
-#: Scan-parallelism floor (r13 optimization round, guide §2.5/§6): every
-#: fixture parquet file is ONE row group, so a scan stage is ONE task no
-#: matter the core count and every per-row expression pipeline (regex
-#: text stats, decimal folds, Arrow decoders, partial aggregation)
-#: serializes on one core until the first exchange.
-#: ``spark.sql.files.minPartitionNum`` cannot help — parquet only splits
-#: at row-group boundaries — so when the input is provably too small to
-#: reach cluster width, ``load_table`` inserts ONE round-robin
-#: repartition to ``defaultParallelism`` right above the scan. Catalyst
-#: pushes filters and column pruning below the repartition, so the
-#: exchange carries only used columns of surviving rows.
-#: Scale posture: the guard is derived from input bytes vs
-#: ``spark.sql.files.maxPartitionBytes`` (estimated achievable splits ≥
-#: cluster width → untouched), so a real 100 TB table never repartitions
-#: and never pays the exchange; tiny dimension tables (< _FANOUT_MIN_BYTES)
-#: are skipped so broadcast-join builds don't gain a pointless shuffle.
-#: ``SPARKGRAFT_SCAN_FANOUT=off`` disables it; an integer pins the target
-#: width (parameterized per the round rules — no local-core constant).
+#: Per-row-compute parallelism floor (r13 optimization round, guide
+#: §2.5 "repartition immediately after the read"): every fixture parquet
+#: file is ONE row group, so a scan stage is ONE task no matter the core
+#: count and every HEAVY per-row pipeline (regex text stats, shingle
+#: hashing, decimal folds, Arrow decode kernels) serializes on one core
+#: until the first exchange (``spark.sql.files.minPartitionNum`` cannot
+#: help — parquet only splits at row-group boundaries). ``fan_out`` is
+#: applied INSIDE the operators whose per-row work dominates — NOT
+#: blanket in load_table: an A/B at sf0.1 measured blanket fan-out
+#: slowing every aggregation/join-shaped query by 0.3-2 s (the extra
+#: round-robin exchange moves raw rows and destroys the single-partition
+#: partial-aggregation dedup win for count_distinct/sketch aggregates:
+#: profile_lineitem_hll 3.4→5.4 s) while the per-row-heavy operators
+#: gained 2-3.5× (text_byte_entropy 2.8→0.8 s).
+#: Scale posture: the floor is ``defaultParallelism`` (no local-core
+#: constant) and inputs already at least that wide pass through
+#: untouched, so a real 100 TB scan never gains a shuffle.
+#: ``SPARKGRAFT_SCAN_FANOUT=off`` disables it; an integer pins the width.
 _FANOUT_ENV = "SPARKGRAFT_SCAN_FANOUT"
-_FANOUT_MIN_BYTES = 512 * 1024
 
 
-def _dir_bytes(path: str) -> int:
-    try:
-        if os.path.isfile(path):
-            return os.path.getsize(path)
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
-    except OSError:
-        return 0
-
-
-def _max_partition_bytes(spark: SparkSession) -> int:
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
-    m = re.match(r"(\d+)", raw)
-    return int(m.group(1)) if m else 134217728
-
-
-def scan_fanout(df: DataFrame, total_bytes: int) -> DataFrame:
-    """Apply the scan-parallelism floor documented above to a freshly
-    scanned frame whose on-disk size is ``total_bytes``."""
+def fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition of a narrow frame up to the cluster's
+    default parallelism, applied only when the input has fewer
+    partitions (see the module note above). Row placement never affects
+    the engine's results: consumers are per-row expressions, order-free
+    (decimal-disciplined) aggregations, and total-order top-k phases.
+    Streaming frames pass through untouched."""
+    if df.isStreaming:
+        return df
     mode = os.environ.get(_FANOUT_ENV, "auto")
-    if mode == "off" or total_bytes < _FANOUT_MIN_BYTES:
+    if mode == "off":
         return df
     spark = df.sparkSession
     target = (
         spark.sparkContext.defaultParallelism if mode == "auto" else int(mode)
     )
-    est_splits = max(1, total_bytes // _max_partition_bytes(spark))
-    if est_splits < target:
+    if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 
@@ -156,17 +140,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # events-reading session genuinely needs it for its lifetime
         # (get_spark pins it at session build anyway).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        path = os.path.join(d, f"{name}.parquet")
-        return scan_fanout(
-            normalize_event_ts(spark.read.parquet(path)), _dir_bytes(path)
+        return normalize_event_ts(
+            spark.read.parquet(os.path.join(d, f"{name}.parquet"))
         )
-    path = os.path.join(d, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(os.path.join(d, f"{name}.parquet"))
     ntz = [f.name for f in df.schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
-    return scan_fanout(df, _dir_bytes(path))
+    return df
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
