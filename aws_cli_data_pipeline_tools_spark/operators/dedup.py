@@ -423,8 +423,9 @@ def minhash_sides(
     ``portable=True`` swaps xxhash64 shingle hashing for the md5-derived
     ``portable_hash64`` so the whole pipeline (hashes → signatures → bands →
     exact Jaccard) is replayable as DuckDB SQL — the oracle-checked mode.
+    (No fan_out: the Arrow signature kernel is batch-efficient and the
+    interleaved A/B read neutral-to-negative at sf0.1, r13.)
     """
-    df = fan_out(df)
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(
@@ -1883,9 +1884,10 @@ def shared_span_pairs(
     values are internal; the oracle compares pair counts against exact
     raw substrings), 32× less hash work and one less shuffle (the kernel
     emits per-doc-unique postings, so no global DISTINCT). Mutually
-    exclusive with ``portable``.
+    exclusive with ``portable``. (No fan_out: the kernel's own
+    volume-adaptive posting exchange already widens the heavy phase —
+    an up-front repartition measured NEGATIVE at sf0.1, r13.)
     """
-    df = fan_out(df)
     # Volume-adaptive posting partitioning (VERDICT r8 task 3): one
     # (id, g) row per character — at 100× the sf0.1 cipher fixture that
     # is ~150M rows, which saturates a fixed 32-partition exchange
