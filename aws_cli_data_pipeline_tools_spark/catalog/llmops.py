@@ -763,11 +763,14 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda j: (2.0 * uni("cc|", k_str, j) - 1.0)
         + (2.0 * uni("cn|", id_str, j) - 1.0) / 3.0,
     )
-    return (
-        load_table(spark, "embeddings", sf_dir)
-        .select("vec_id")
-        .select("vec_id", vec.alias("embedding"))
-    )
+    # fan_out BELOW the md5 projection (r13 optimization round): the
+    # 128-md5-calls-per-row corpus expression is the dominant per-scan
+    # cost and the single-row-group bench scan is one task; the
+    # repartition must sit between the scan and the projection or the
+    # evaluation stays below the exchange on that one task.
+    return fan_out(
+        load_table(spark, "embeddings", sf_dir).select("vec_id")
+    ).select("vec_id", vec.alias("embedding"))
 
 
 def duck_clustered_cte() -> str:
