@@ -416,8 +416,22 @@ def _double_array_sql(cvec: list[float]) -> str:
     """Spark SQL source of an ``array<double>`` literal. ``repr`` is the
     shortest round-trip decimal form, so ``Double.parseDouble`` restores
     the EXACT same IEEE double — the literal carries identical bits to a
-    driver-collected value."""
-    return "array(" + ",".join(f"{float(v)!r}D" for v in cvec) + ")"
+    driver-collected value. Non-finite values render as explicit casts
+    (``repr`` gives ``nan``/``inf``, and ``nanD``/``infD`` do not parse
+    as Spark literals — a NaN/Inf embedding would otherwise surface as a
+    ParseException deep inside the trainer; ADVICE r13)."""
+
+    def one(v: float) -> str:
+        f = float(v)
+        if f != f:
+            return "CAST('NaN' AS DOUBLE)"
+        if f == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if f == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
+        return f"{f!r}D"
+
+    return "array(" + ",".join(one(v) for v in cvec) + ")"
 
 
 def _centroid_literal_array(cvec: list[float]):
@@ -464,59 +478,68 @@ def _portable_dot_literal(vec, cvec: list[float]):
     ).cast("double")
 
 
-def _portable_ranked_lists(vec, cents: list[list[float]]):
+def _qname(name: str) -> str:
+    """Backtick-quoted column reference for textual SQL (dots legal in
+    column names — the profiler's ``_qcol`` discipline)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _ranked_lists_sql(vec_sql: str, cents: list[list[float]]) -> str:
+    """Spark SQL source of the ranked (dot, list_id) struct array over
+    ``vec_sql`` — see :func:`_portable_ranked_lists` for semantics. Split
+    out so the whole expression is ONE ``F.expr`` parse."""
+    acc = "DECIMAL(28,10)"
+    # one array<array<double>> literal via ONE SQL parse (r13
+    # optimization round): F.lit(nested list) expands element-wise
+    # through py4j (~1.2 s of pure expression-BUILD cost per call at
+    # k×dim=1024) and left k×dim nodes for every analyzer pass; the
+    # parsed form constant-folds to a single Literal. The literal VALUES
+    # are identical IEEE doubles (repr round-trip).
+    cmat = "array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"
+    # the same ops, casts and fold order as the r13 Column-API form
+    # (zip_with product at DECIMAL(28,10), left fold with per-step cast,
+    # final CAST AS DOUBLE) — see _portable_dot_literal for the decimal
+    # discipline and its oracle-parity argument
+    dot = (
+        f"CAST(aggregate(zip_with({vec_sql}, element_at({cmat}, i), "
+        f"(a, b) -> CAST((CAST(a AS DOUBLE) * b) AS {acc})), "
+        f"CAST(0 AS {acc}), (acc, v) -> CAST((acc + v) AS {acc})) AS DOUBLE)"
+    )
+    structs = (
+        f"transform(sequence(1, {len(cents)}), "
+        f"i -> named_struct('dot', {dot}, 'list_id', CAST((i - 1) AS INT)))"
+    )
+    return (
+        f"array_sort({structs}, (a, b) -> "
+        "CASE WHEN a.dot > b.dot THEN -1 WHEN a.dot < b.dot THEN 1 "
+        "ELSE (CASE WHEN a.list_id < b.list_id THEN -1 "
+        "WHEN a.list_id > b.list_id THEN 1 ELSE 0 END) END)"
+    )
+
+
+def _portable_ranked_lists(vec_col: str, cents: list[list[float]]):
     """Array of (dot, list_id) structs sorted desc-by-dot / asc-by-list —
     element 1 is the argmax assignment (ties → smallest list_id, the
     DuckDB twin's ``ORDER BY dot DESC, list_id``), a slice of the first
-    n_probe is the probe set.
+    n_probe is the probe set. ``vec_col`` is the COLUMN NAME of the
+    vector (r14: the whole expression is one textual SQL parse, so the
+    reference must be a name, not a Column).
 
     Built as ONE transform over a nested centroid-matrix literal, not k
     separate ``_portable_dot_literal`` trees: the k-tree form carried
     k×(zip_with + aggregate) expression nodes and its ANALYSIS cost
     dominated the whole trainer (measured 11 s of a 15 s sf0.01 run,
     r13) — the single-tree form shares one dot subtree across all k
-    centroids and only the 2-D literal grows with k. Arithmetic is
-    identical (same fold, same ``_portable_dot_literal`` decimal
-    discipline), so oracle replay is unaffected."""
-    acc_t = "decimal(28,10)"
-    # one array<array<double>> literal via ONE SQL parse (r13
-    # optimization round): F.lit(nested list) expands element-wise
-    # through py4j (~1.2 s of pure expression-BUILD cost per call at
-    # k×dim=1024) and left k×dim nodes for every analyzer pass; the
-    # parsed form costs ~5 ms to build and constant-folds to a single
-    # Literal. The literal VALUES are identical IEEE doubles (repr
-    # round-trip), so oracle replay is unaffected.
-    cmat = F.expr(
-        "array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"
-    )
-
-    def dot_against(crow):
-        prods = F.zip_with(
-            vec, crow, lambda a, b: (a.cast("double") * b).cast(acc_t)
-        )
-        return F.aggregate(
-            prods,
-            F.lit(0).cast(acc_t),
-            lambda acc, v: (acc + v).cast(acc_t),
-        ).cast("double")
-
-    structs = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cents))),
-        lambda i: F.struct(
-            dot_against(F.element_at(cmat, i)).alias("dot"),
-            (i - 1).cast("int").alias("list_id"),
-        ),
-    )
-    return F.array_sort(
-        structs,
-        lambda a, b: F.when(a["dot"] > b["dot"], F.lit(-1))
-        .when(a["dot"] < b["dot"], F.lit(1))
-        .otherwise(
-            F.when(a["list_id"] < b["list_id"], F.lit(-1))
-            .when(a["list_id"] > b["list_id"], F.lit(1))
-            .otherwise(F.lit(0))
-        ),
-    )
+    centroids and only the 2-D literal grows with k. Built via ONE
+    ``F.expr`` SQL parse (r14): the r13 Column-API form still paid
+    ~0.22 s of driver-side py4j round-trips per call (lambda plumbing ×
+    transform/zip_with/aggregate/array_sort), ×4 calls per ANN entry
+    (2 trainer iterations + corpus labeling + query probes) ≈ 0.9 s of
+    pure expression-BUILD wall per entry; the parse costs ~5 ms and
+    yields the same resolved operators, casts, and fold order, so the
+    per-row arithmetic — and therefore oracle replay — is unchanged
+    (re-verified: full similarity-family exact sweep, r14)."""
+    return F.expr(_ranked_lists_sql(_qname(vec_col), cents))
 
 
 def _normalize_centroid_matrix(spark, cents: list[list[float]]) -> list[list[float]]:
@@ -552,19 +575,30 @@ def _centroid_norms(spark, cents: list[list[float]]) -> list[float]:
     (28,10) fold equals the distributed order-free
     ``sum(CAST(c*c AS DECIMAL(38,10)))`` bit for bit — decimal addition
     is exact at these magnitudes (see ``_portable_dot_literal``)."""
-    acc_t = "decimal(28,10)"
-    norms = F.transform(
-        F.expr("array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"),
-        lambda row: F.sqrt(
-            F.aggregate(
-                row,
-                F.lit(0).cast(acc_t),
-                lambda acc, v: (acc + (v * v).cast(acc_t)).cast(acc_t),
-            ).cast("double")
-        ),
+    row = (
+        spark.sql("SELECT 1 AS z")
+        .select(F.expr(_centroid_norms_sql(cents)).alias("n"))
+        .collect()[0]
     )
-    row = spark.sql("SELECT 1 AS z").select(norms.alias("n")).collect()[0]
     return [float(x) for x in row["n"]]
+
+
+def _centroid_norms_sql(cents: list[list[float]]) -> str:
+    """Spark SQL source of the decimal-exact norm array over a centroid
+    matrix literal — the exact expression :func:`_centroid_norms`
+    evaluates, in textual form so call sites can embed it
+    constant-foldably inside an existing job (r14: the kmeans labeling
+    pass folds it instead of paying a separate local collect; constant
+    folding runs the very same expression ``eval``, so the values are
+    bit-identical to the collected form)."""
+    acc = "DECIMAL(28,10)"
+    cmat = "array(" + ",".join(_double_array_sql(cv) for cv in cents) + ")"
+    return (
+        f"transform({cmat}, row -> sqrt(CAST(aggregate(row, "
+        f"CAST(0 AS {acc}), "
+        f"(acc, v) -> CAST((acc + CAST((v * v) AS {acc})) AS {acc})"
+        f") AS DOUBLE)))"
+    )
 
 
 def _portable_centroid_literals(
@@ -590,10 +624,39 @@ def _portable_centroid_literals(
       k·dim groups; empty clusters keep their previous centroid;
     - normalization: decimal squared-norm sum → double divisor.
 
-    Physical shape (r13 optimization round): ONE distributed action per
-    Lloyd iteration — scan → per-row literal-centroid argmax → posexplode
-    → k·dim-group decimal mean → collect(k·dim rows) — plus one
-    TakeOrdered action for the seeds. The previous long-form chain
+    Physical shape (r14 optimization round — §2.4 stage-latency
+    amortization, VERDICT r13 task 2): ``1 + refine_iters`` driver
+    actions total, down from r13's ``2·refine_iters + 2``.
+
+    - Seed action: the TakeOrdered job ALSO evaluates each seed vector's
+      decimal squared-norm (the same expression tree
+      :func:`_centroid_norms` applies to literals, elements cast to
+      double first — exact widening), so the post-seed
+      ``_normalize_centroid_matrix`` local collect is gone; the driver
+      only divides.
+    - Iteration action: ONE distributed action per Lloyd iteration —
+      scan → per-row literal-centroid argmax → posexplode → k·dim-group
+      decimal mean → collect(k·dim rows) — now unioned with the
+      per-list distributed norm
+      ``sqrt(CAST(sum(CAST(m*m AS DECIMAL(38,10))) AS DOUBLE))`` over
+      those means. The norm branch hangs off the same (list, pos)
+      exchange (ReusedExchange — the corpus scan + argmax runs once),
+      so the post-iteration norm local collect is gone on the common
+      path. The distributed per-list norm equals the literal-side
+      (28,10) fold bit for bit (exact decimal addition of identical
+      10-dp-rounded addends — the :func:`_centroid_norms` argument). It
+      stands in for a list only when every position of that centroid
+      received a mean; if any list is empty or partially covered
+      (ragged vectors), the driver falls back to the legacy exact path
+      — :func:`_normalize_centroid_matrix` over the merged matrix — for
+      that iteration.
+
+    Seeds are NOT folded into iteration 1's job (the VERDICT r13 sketch):
+    that would assign via a broadcast join + per-id aggregation, i.e. a
+    corpus-sized exchange — the wrong trade at warehouse scale, where
+    this shape's invariant is that the corpus never shuffles.
+
+    The pre-r13 long-form chain
     (assign via broadcast-join + per-id window, means via an xe⋈assign
     shuffle join, normalize via groupBy+broadcast-join, all unrolled into
     a single ~22-stage plan) paid ~0.4-0.5 s of stage latency per stage
@@ -601,7 +664,7 @@ def _portable_centroid_literals(
     ~5 stages total. Normalization and the empty-cluster coalesce happen
     driver-side, with the one non-trivial arithmetic step (the decimal
     squared-norm sum) still evaluated by Spark's expression engine
-    (:func:`_normalize_centroid_matrix`) so no engine-replication risk is
+    so no engine-replication risk is
     introduced. Value-identity with the long form (and therefore with the
     DuckDB unroll): the per-row literal argmax equals the group-sum argmax
     because both sum the identical 10-decimal-rounded addends exactly
@@ -617,21 +680,46 @@ def _portable_centroid_literals(
     spark = corpus.sparkSession
     src = corpus.filter(F.col(vec_col).isNotNull())
     ph = portable_hash64(F.col(id_col).cast("string"))
+    acc_t = "decimal(28,10)"
+    # the exact _centroid_norms fold over the vector COLUMN (elements
+    # cast to double first — float widens to double exactly, so the
+    # products match the collected-literal path bit for bit)
+    col_norm = F.sqrt(
+        F.aggregate(
+            F.col("__v"),
+            F.lit(0).cast(acc_t),
+            lambda a, v: (
+                a + (v.cast("double") * v.cast("double")).cast(acc_t)
+            ).cast(acc_t),
+        ).cast("double")
+    )
     seed_rows = (
         src.select(
             F.col(id_col).alias("id"), ph.alias("__ph"), F.col(vec_col).alias("__v")
         )
         .orderBy("__ph", "id")
         .limit(n_centroids)
+        .select("__v", col_norm.alias("__n"))
         .collect()
     )
     if not seed_rows:
         # same explicit contract as _ivf_centroids' empty-corpus guard
         raise ValueError("corpus is empty: cannot seed k-means centroids")
+
+    def _divide(mat: list[list[float]], norms: list[float]) -> list[list[float]]:
+        # the _normalize_centroid_matrix division, norms precomputed
+        return [
+            [v / norms[i] for v in cv]
+            if norms[i] and norms[i] > 0
+            else [float(v) for v in cv]
+            for i, cv in enumerate(mat)
+        ]
+
     # collected floats widen to Python doubles exactly — the same values
     # xe's cast(xf as double) produced in the long form
-    cents = _normalize_centroid_matrix(
-        spark, [[float(x) for x in r["__v"]] for r in seed_rows]
+    cents = _divide(
+        [[float(x) for x in r["__v"]] for r in seed_rows],
+        [r["__n"] for r in seed_rows],
     )
     src_wide = _fan_out(src)
     for _ in range(refine_iters):
@@ -639,11 +727,11 @@ def _portable_centroid_literals(
         # select (see the FIELD_NOT_FOUND note at the ivf_topk probe site)
         assigned = src_wide.select(
             F.col(vec_col).alias("__v"),
-            F.element_at(_portable_ranked_lists(F.col(vec_col), cents), 1)[
+            F.element_at(_portable_ranked_lists(vec_col, cents), 1)[
                 "list_id"
             ].alias("list_id"),
         )
-        mean_rows = (
+        means_df = (
             assigned.select("list_id", F.posexplode("__v").alias("pos", "xf"))
             .groupBy("list_id", "pos")
             .agg(
@@ -653,14 +741,54 @@ def _portable_centroid_literals(
                     / F.count("*")
                 ).alias("m")
             )
+        )
+        norms_df = means_df.groupBy("list_id").agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("m") * F.col("m")).cast("decimal(38,10)")
+                ).cast("double")
+            ).alias("m")
+        )
+        rows = (
+            means_df.select(F.lit(0).alias("t"), "list_id", "pos", "m")
+            .unionAll(
+                norms_df.select(
+                    F.lit(1).alias("t"),
+                    "list_id",
+                    F.lit(-1).alias("pos"),
+                    "m",
+                )
+            )
             .collect()
         )
-        means = {(r["list_id"], r["pos"]): r["m"] for r in mean_rows}
+        means = {
+            (r["list_id"], r["pos"]): r["m"] for r in rows if r["t"] == 0
+        }
+        dist_norms = {r["list_id"]: r["m"] for r in rows if r["t"] == 1}
         merged = [
             [means.get((li, p), cents[li][p]) for p in range(len(cents[li]))]
             for li in range(len(cents))
         ]
-        cents = _normalize_centroid_matrix(spark, merged)
+        pos_by_li: dict[int, set[int]] = {}
+        for li, p in means:
+            pos_by_li.setdefault(li, set()).add(p)
+        # the distributed norm sums over ALL mean positions of a list, so
+        # it stands in for _centroid_norms(merged) only when that set is
+        # EXACTLY {0..dim-1}: a missing position means a literal fallback
+        # element it didn't see, an extra position (ragged vectors longer
+        # than the centroid) means an addend merged[li] doesn't have
+        covered = [
+            pos_by_li.get(li, set()) == set(range(len(cents[li])))
+            for li in range(len(cents))
+        ]
+        if all(covered):
+            cents = _divide(
+                merged, [dist_norms[li] for li in range(len(cents))]
+            )
+        else:
+            # empty or partially-covered list (ragged vectors): legacy
+            # exact path — norms of the merged matrix incl. fallbacks
+            cents = _normalize_centroid_matrix(spark, merged)
     return cents
 
 
@@ -717,7 +845,7 @@ def ivf_topk(
         )
         labeled = _fan_out(c).withColumn(
             "list_id",
-            F.element_at(_portable_ranked_lists(F.col("cv"), cents_lit), 1)[
+            F.element_at(_portable_ranked_lists("cv", cents_lit), 1)[
                 "list_id"
             ],
         )
@@ -729,7 +857,7 @@ def ivf_topk(
                 "query_id",
                 "qv",
                 F.slice(
-                    _portable_ranked_lists(F.col("qv"), cents_lit),
+                    _portable_ranked_lists("qv", cents_lit),
                     1,
                     n_probe,
                 ).alias("__pr"),
@@ -1132,11 +1260,14 @@ def kmeans_clusters_portable(
     contract.
     """
     src = corpus.filter(F.col(vec_col).isNotNull())
-    spark = corpus.sparkSession
     cents = _portable_centroid_literals(
         src, id_col, vec_col, n_centroids, refine_iters
     )
-    cn_lit = F.expr(_double_array_sql(_centroid_norms(spark, cents)))
+    # constant-foldable norm array over the final centroid literals —
+    # evaluated by ConstantFolding inside the labeling job itself (r14:
+    # replaces a _centroid_norms local collect; same expression, same
+    # engine, identical bits)
+    cn_lit = F.expr(_centroid_norms_sql(cents))
     acc_t = "decimal(28,10)"
     xn = F.sqrt(
         F.aggregate(
@@ -1154,7 +1285,7 @@ def kmeans_clusters_portable(
     step = _fan_out(src).select(
         F.col(id_col),
         F.col(vec_col).alias("__v"),
-        F.element_at(_portable_ranked_lists(F.col(vec_col), cents), 1).alias(
+        F.element_at(_portable_ranked_lists(vec_col, cents), 1).alias(
             "__r1"
         ),
     )

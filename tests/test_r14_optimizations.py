@@ -1,20 +1,32 @@
-"""Round-14 optimization pins (no Spark needed).
+"""Round-14 optimization pins.
 
-The r13 verdict's task 1: BENCH_FINAL_STABLEFLAG passed every r13
-stability gate (probe pair stable, not contended, steal 0.56%) yet ran
-uniformly ~1.3-1.4× the clean-window numbers — the single-thread probe
-cannot see scheduler-level degradation. These tests pin the two new
-mechanisms that close that blind spot: the multi-thread capacity probe
-and the probe-normalized whole-pass band gate.
+Bench-gate half (no Spark needed) — the r13 verdict's task 1:
+BENCH_FINAL_STABLEFLAG passed every r13 stability gate (probe pair
+stable, not contended, steal 0.56%) yet ran uniformly ~1.3-1.4× the
+clean-window numbers — the single-thread probe cannot see
+scheduler-level degradation. These tests pin the two new mechanisms that
+close that blind spot: the multi-thread capacity probe and the
+probe-normalized whole-pass band gate.
+
+Trainer half (Spark) — VERDICT r13 task 2: the portable IVF/k-means
+trainer folded its 6 driver actions (seeds + seed-norm + per-iteration
+means + per-iteration norm) into 1 + refine_iters. The tests pin
+bit-exact equality against an inline replica of the r13 shape on the
+common path, the ragged-vector fallback, and the empty-cluster fallback,
+plus the non-finite literal fix (ADVICE r13).
 """
 
 import os
 import sys
 
+import pytest
+from pyspark.sql import functions as F
+
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
 
 import bench  # noqa: E402
+from aws_cli_data_pipeline_tools_spark.operators import similarity  # noqa: E402
 
 
 def test_band_ratio_arithmetic():
@@ -85,3 +97,120 @@ def test_mt_probe_runs_and_headline_carries_new_scalars():
     )
     assert rec2["mt_probe_sec"] == -1.0
     assert rec2["band_ratio"] == -1.0
+
+
+def _r13_trainer_replica(spark, corpus, id_col, vec_col, k, iters):
+    """Inline replica of the r13 trainer shape (seed collect →
+    _normalize_centroid_matrix → per-iter means collect →
+    _normalize_centroid_matrix) — the reference the r14 folded-action
+    trainer must match float-for-float."""
+    from aws_cli_data_pipeline_tools_spark.functions import portable_hash64
+
+    src = corpus.filter(F.col(vec_col).isNotNull())
+    ph = portable_hash64(F.col(id_col).cast("string"))
+    seed_rows = (
+        src.select(
+            F.col(id_col).alias("id"),
+            ph.alias("__ph"),
+            F.col(vec_col).alias("__v"),
+        )
+        .orderBy("__ph", "id")
+        .limit(k)
+        .collect()
+    )
+    cents = similarity._normalize_centroid_matrix(
+        spark, [[float(x) for x in r["__v"]] for r in seed_rows]
+    )
+    for _ in range(iters):
+        assigned = src.select(
+            F.col(vec_col).alias("__v"),
+            F.element_at(
+                similarity._portable_ranked_lists(vec_col, cents), 1
+            )["list_id"].alias("list_id"),
+        )
+        mean_rows = (
+            assigned.select(
+                "list_id", F.posexplode("__v").alias("pos", "xf")
+            )
+            .groupBy("list_id", "pos")
+            .agg(
+                (
+                    F.sum(F.col("xf").cast("double").cast("decimal(38,10)"))
+                    .cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        means = {(r["list_id"], r["pos"]): r["m"] for r in mean_rows}
+        merged = [
+            [means.get((li, p), cents[li][p]) for p in range(len(cents[li]))]
+            for li in range(len(cents))
+        ]
+        cents = similarity._normalize_centroid_matrix(spark, merged)
+    return cents
+
+
+def test_folded_trainer_matches_r13_shape_common_path(spark):
+    import random
+
+    random.seed(17)
+    emb = spark.createDataFrame(
+        [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity._portable_centroid_literals(
+        emb, "vec_id", "embedding", 4, 2
+    )
+    ref = _r13_trainer_replica(spark, emb, "vec_id", "embedding", 4, 2)
+    assert got == ref  # bit-exact, no tolerance
+
+
+def test_folded_trainer_matches_r13_shape_empty_cluster(spark):
+    # two identical vectors, k=2: the argmax tie sends both rows to
+    # list 0, list 1 is empty → the fallback (legacy exact) branch runs
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.5]), (2, [1.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity._portable_centroid_literals(
+        emb, "vec_id", "embedding", 2, 2
+    )
+    ref = _r13_trainer_replica(spark, emb, "vec_id", "embedding", 2, 2)
+    assert got == ref
+
+
+def test_folded_trainer_matches_r13_shape_ragged_vectors(spark):
+    # vectors of different lengths: mean positions can be missing or
+    # extend past the centroid dim, either of which must route through
+    # the fallback — and in all cases equal the r13 replica exactly
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.25]),
+            (2, [0.5, -1.0, 2.0, 4.0]),
+            (3, [0.0, 3.0, -2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    for k in (1, 2):
+        got = similarity._portable_centroid_literals(
+            emb, "vec_id", "embedding", k, 2
+        )
+        ref = _r13_trainer_replica(spark, emb, "vec_id", "embedding", k, 2)
+        assert got == ref, k
+
+
+def test_double_array_sql_nonfinite_literals(spark):
+    import math
+
+    vals = [float("nan"), float("inf"), float("-inf"), 0.1 + 0.2]
+    row = (
+        spark.sql("SELECT 1 AS z")
+        .select(F.expr(similarity._double_array_sql(vals)).alias("a"))
+        .collect()[0]
+    )
+    got = list(row["a"])
+    assert math.isnan(got[0])
+    assert got[1] == float("inf")
+    assert got[2] == float("-inf")
+    assert got[3] == 0.1 + 0.2
