@@ -423,10 +423,18 @@ def minhash_sides(
     ``portable=True`` swaps xxhash64 shingle hashing for the md5-derived
     ``portable_hash64`` so the whole pipeline (hashes → signatures → bands →
     exact Jaccard) is replayable as DuckDB SQL — the oracle-checked mode.
-    (No fan_out: the Arrow signature kernel is batch-efficient and the
-    interleaved A/B read neutral-to-negative at sf0.1, r13.)
+
+    fan_out before the kernel (r14, revisiting the r13 "neutral" A/B
+    with stage evidence in hand): the fixture parquet is one row group,
+    so the shingle HOFs + Arrow signature kernel ran as a SINGLE task
+    (~4.8 s of the entry's executor time at sf0.1) — and because the
+    lazy checkpoint does not serialize concurrent AQE stage
+    materializations, TWO stages gated on it back to back. 32-way, the
+    kernel is a sub-second wave and the duplicate materialization race
+    costs a wave, not the whole kernel (interleaved A/B: median
+    3.74 → 3.01 s on the same window).
     """
-    shingled = df.select(
+    shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.array_distinct(
             shingle_hashes(word_shingles(F.col(text_col), k), portable=portable)
@@ -456,21 +464,18 @@ def minhash_band_entries(
             "unused, changing the LSH threshold curve"
         )
     rows_per_band = num_perm // bands
+    # ONE SQL parse for the bands-wide struct array (r14): the Column-API
+    # form built 4 py4j-round-trip nodes per band (~0.6 s of driver wall
+    # at bands=32 per operator call); the parsed expression resolves to
+    # the identical operators (named_struct / xxhash64 seed 42 / slice),
+    # so the banding keys are unchanged.
+    structs = ",".join(
+        f"named_struct('band', {b}, 'bkey', "
+        f"xxhash64(slice(`sig`, {b * rows_per_band + 1}, {rows_per_band})))"
+        for b in range(bands)
+    )
     return sides.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        "id", F.explode(F.expr(f"array({structs})")).alias("bk")
     ).select("id", "bk.band", "bk.bkey")
 
 

@@ -200,6 +200,43 @@ def test_folded_trainer_matches_r13_shape_ragged_vectors(spark):
         assert got == ref, k
 
 
+def test_band_entries_sql_parse_matches_column_form(spark):
+    # r14: minhash_band_entries builds its bands-wide struct array via
+    # ONE SQL parse; keys must equal the r13 Column-API form exactly
+    from aws_cli_data_pipeline_tools_spark.operators import dedup
+
+    sides = spark.createDataFrame(
+        [(1, list(range(64))), (2, [7 * i + 3 for i in range(64)])],
+        "id long, sig array<long>",
+    )
+    got = sorted(
+        tuple(r) for r in dedup.minhash_band_entries(sides, 64, 32).collect()
+    )
+    rpb = 2
+    ref = sorted(
+        tuple(r)
+        for r in sides.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.slice("sig", b * rpb + 1, rpb)
+                            ).alias("bkey"),
+                        )
+                        for b in range(32)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("id", "bk.band", "bk.bkey")
+        .collect()
+    )
+    assert got == ref
+
+
 def test_double_array_sql_nonfinite_literals(spark):
     import math
 
