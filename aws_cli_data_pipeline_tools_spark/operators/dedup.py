@@ -32,7 +32,7 @@ from ..functions import (
     vec_norm,
     word_shingles,
 )
-from ..sources import fan_out
+from ..sources import fan_out, plan_size_bytes
 
 
 def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
@@ -1414,20 +1414,9 @@ _POSTING_BYTES_PER_PARTITION = 64 << 20
 _MAX_POSTING_WIDTH = 4096
 
 
-def _plan_size_bytes(df: DataFrame) -> int | None:
-    """Catalyst's plan-time size estimate for ``df`` in bytes (file size
-    for parquet scans, cached size for materialized InMemoryRelations),
-    or None when the optimizer reports an unknown/sentinel value. Driver-
-    side plan inspection only — no job runs."""
-    try:
-        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        # py4j converts small scala BigInts to Python int directly; very
-        # large ones may surface as JavaObject → stringify
-        size = raw if isinstance(raw, int) else int(raw.toString())
-    except Exception:  # py4j/analysis errors → treat as unknown
-        return None
-    # Catalyst propagates Long.MaxValue-ish sentinels when it has no idea
-    return size if 0 < size < (1 << 50) else None
+#: One shared implementation since r14 (sources.plan_size_bytes); the
+#: underscored alias stays for this module's many call sites.
+_plan_size_bytes = plan_size_bytes
 
 
 #: Upper bound on how much smaller than raw character count a text
@@ -1912,6 +1901,20 @@ def shared_span_pairs(
     if rolling:
         if portable:
             raise ValueError("rolling and portable are mutually exclusive")
+        # Still no fan_out (r14, re-measured with stage evidence): the
+        # single-row-group fixture pins the rolling-hash kernel to ONE
+        # task and the posting subtree materializes under FOUR concurrent
+        # AQE stages (hot count ×2 via the per-side broadcasts, both
+        # self-join sides — exchange reuse does not consolidate them),
+        # so the kernel executes 4×. But the raced copies run
+        # wall-CONCURRENT on idle cores, and isolated-session A/Bs read
+        # the fanned-out variant ~0.25 s WORSE (med 2.57 vs 2.29 s at
+        # sf0.1) — the 4 round-robin exchanges of corpus text cost more
+        # than the serial kernel they relieve. At warehouse layouts the
+        # scan is already wide and fan_out would no-op anyway. Per-task
+        # shuffle bytes of the posting self-join measured UNIFORM
+        # (~1 MB/task, no skew — the r13 c8-vs-c32 anomaly was window
+        # noise, not a hot key; plans/r14 notes).
         posting = _rolling_span_postings(df, id_col, text_col, span)
         # kernel emits per-doc-unique postings: no DISTINCT to align with
         if width:
@@ -1948,6 +1951,15 @@ def shared_span_pairs(
         # struct-array explode cost more than the extra equi-join
         # shuffle; the streaming self-join stays.)
         posting = posting.persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT eagerly filled (r14, measured): the four consumer subtrees
+        # materialize as CONCURRENT AQE stages and race the lazy cache
+        # fill (the stage profile showed the kernel + parquet read
+        # executing 4×, 10 MB input on each of four stages, persist in
+        # place) — but the raced copies run concurrently, so an eager
+        # count() that serializes the fill ahead of the query measured
+        # WORSE (med 3.07 vs 2.71 s interleaved at sf0.1). The wasted
+        # CPU is bounded by the kernel; on wide warehouse scans the
+        # fill completes in one wave and the race window is negligible.
         release = posting.unpersist
         hot = (
             posting.groupBy("g")

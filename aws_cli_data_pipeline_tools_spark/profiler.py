@@ -138,6 +138,24 @@ def _stat_exprs(
     return [e.alias(f"{col}__{i}") for i, e in enumerate(exprs)]
 
 
+def _narrow_scan(df: DataFrame) -> bool:
+    """True when the input is provably too small for its scan to occupy
+    the cluster: plan-size estimate < maxPartitionBytes ×
+    defaultParallelism. Driver-side plan inspection only; unknown
+    estimates count as NOT narrow (keep the fewer-passes shape)."""
+    from .sources import plan_size_bytes
+
+    est = plan_size_bytes(df)
+    if est is None:
+        return False
+    spark = df.sparkSession
+    try:
+        mpb = int(spark.conf.get("spark.sql.files.maxPartitionBytes").rstrip("b"))
+    except (TypeError, ValueError, AttributeError):
+        mpb = 128 * 1024 * 1024
+    return est < mpb * spark.sparkContext.defaultParallelism
+
+
 def _agg_row(
     df: DataFrame,
     cols: list[str],
@@ -159,6 +177,26 @@ def _agg_row(
     distinct scan disappears entirely and the profile costs **two**
     column-pruned passes (basic+HLL, median) instead of three. The 100 TB
     posture for a wide fact table where ±2.5% distinct counts are fine.
+
+    Narrow-scan concurrency split (r14): when the input is too small to
+    occupy the cluster at all — plan-size estimate below
+    ``maxPartitionBytes × defaultParallelism``, i.e. the combined scan
+    cannot parallelize past a handful of tasks — the HLL sketches move
+    to their OWN agg subtree crossJoined with the rest. The three agg
+    stages are independent, so AQE runs them concurrently and the wall
+    drops from max(basic+HLL, median) to ~max(basic, HLL, median):
+    measured 3.78 → 2.99 s median on profile_lineitem_hll at sf0.1
+    (whose single-row-group fixture pins every scan to one effective
+    task; the HLL update loop alone is 1.55 s of the 3.2 s combined
+    scan CPU). Above the threshold the scan itself fills the cluster
+    and the two-pass shape (less I/O) stands unchanged. Both gate knobs
+    are session confs — nothing is tuned to the local core count. A
+    surgical fan_out on the combined scan was measured INSTEAD and
+    rejected (+1.1 s med: the round-robin exchange moves the full
+    numeric rows, costing more than the serial scan it relieves — same
+    verdict as r13's blanket-reader A/B). Results are identical either
+    way: the same aggregate expressions evaluate over the same rows,
+    and the stack projection selects columns by name.
     """
     all_exprs = {
         c: _stat_exprs(
@@ -185,6 +223,11 @@ def _agg_row(
             .alias(f"{c}__1")
             for c in cols
         ]
+        if _narrow_scan(df):
+            # concurrency split — see the docstring above
+            return (
+                df.agg(*basic_cols).crossJoin(df.agg(*hll)).crossJoin(median)
+            )
         basic = df.agg(*basic_cols, *hll)
         return basic.crossJoin(median)
     basic = df.agg(*basic_cols)

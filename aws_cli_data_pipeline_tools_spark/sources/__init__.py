@@ -89,8 +89,95 @@ def scratch_dir(prefix: str) -> str:
 #: Scale posture: the floor is ``defaultParallelism`` (no local-core
 #: constant) and inputs already at least that wide pass through
 #: untouched, so a real 100 TB scan never gains a shuffle.
-#: ``SPARKGRAFT_SCAN_FANOUT=off`` disables it; an integer pins the width.
-_FANOUT_ENV = "SPARKGRAFT_SCAN_FANOUT"
+#: ``SPARK_GRAFT_SCAN_FANOUT=off`` disables it; an integer pins the
+#: width (the un-underscored ``SPARKGRAFT_SCAN_FANOUT`` spelling is
+#: honored too — both naming conventions already exist in the repo, see
+#: SPARKGRAFT_DRIVER_MEM vs SPARK_GRAFT_SF_DIR; ADVICE r13).
+_FANOUT_ENV = "SPARK_GRAFT_SCAN_FANOUT"
+_FANOUT_ENV_LEGACY = "SPARKGRAFT_SCAN_FANOUT"
+
+#: Memo of static partition counts keyed by (SparkContext identity,
+#: analyzed-plan semanticHash) — see ``scan_parallelism``.
+_WIDTH_CACHE: dict[tuple[int, int], int] = {}
+_WIDTH_CACHE_MAX = 4096
+
+
+def _fanout_target(df: DataFrame) -> int | None:
+    """Resolve the fan-out width from the env override, or None for
+    off. Garbage values (non-numeric, < 1) fall back to auto with one
+    warning — they used to raise ``ValueError``/error inside every
+    operator call (ADVICE r13)."""
+    mode = os.environ.get(
+        _FANOUT_ENV, os.environ.get(_FANOUT_ENV_LEGACY, "auto")
+    )
+    if mode == "off":
+        return None
+    if mode != "auto":
+        try:
+            pinned = int(mode)
+        except ValueError:
+            pinned = 0
+        if pinned >= 1:
+            return pinned
+        import warnings
+
+        warnings.warn(
+            f"{_FANOUT_ENV}={mode!r} is not 'off', 'auto' or an integer "
+            ">= 1 - falling back to auto",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def scan_parallelism(df: DataFrame) -> int:
+    """The frame's STATIC partition count, memoized by analyzed-plan
+    ``semanticHash`` (r14, ADVICE r13): ``df.rdd.getNumPartitions()``
+    physically plans the whole subtree on the driver — measured
+    30-54 ms per call warm — and operators rebuild the same frame every
+    invocation, so across a bench pass the probes cost ~1 s.
+    ``semanticHash`` on an already-analyzed frame is ~1 ms, and
+    semantically-equal plans have equal static partition counts, so the
+    memo returns the cached width for every repeat invocation.
+
+    Heuristic scope (documented per ADVICE r13): the count is the
+    PRE-AQE static number — on post-shuffle frames it reads the static
+    shuffle-partition setting (e.g. 200) even where AQE would coalesce
+    at runtime, so width decisions are only meaningful for scan-level
+    frames (the only places the operators call this). A hash collision
+    can at worst mis-size a repartition width — never affects results.
+    """
+    sc_key = id(df.sparkSession.sparkContext)
+    try:
+        key = (sc_key, df.semanticHash())
+    except Exception:
+        key = None
+    if key is not None and key in _WIDTH_CACHE:
+        return _WIDTH_CACHE[key]
+    n = df.rdd.getNumPartitions()
+    if key is not None:
+        if len(_WIDTH_CACHE) >= _WIDTH_CACHE_MAX:
+            _WIDTH_CACHE.clear()
+        _WIDTH_CACHE[key] = n
+    return n
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate for ``df`` in bytes (file size
+    for parquet scans, cached size for materialized InMemoryRelations),
+    or None when the optimizer reports an unknown/sentinel value. Driver-
+    side plan inspection only — no job runs. (Moved here from
+    operators.dedup in r14 so the profiler's narrow-scan gate shares the
+    one implementation.)"""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts small scala BigInts to Python int directly; very
+        # large ones may surface as JavaObject → stringify
+        size = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:  # py4j/analysis errors → treat as unknown
+        return None
+    # Catalyst propagates Long.MaxValue-ish sentinels when it has no idea
+    return size if 0 < size < (1 << 50) else None
 
 
 def fan_out(df: DataFrame) -> DataFrame:
@@ -99,17 +186,15 @@ def fan_out(df: DataFrame) -> DataFrame:
     partitions (see the module note above). Row placement never affects
     the engine's results: consumers are per-row expressions, order-free
     (decimal-disciplined) aggregations, and total-order top-k phases.
-    Streaming frames pass through untouched."""
+    Streaming frames pass through untouched. Scan-level frames only:
+    the width probe reads the static pre-AQE partition count (see
+    ``scan_parallelism``)."""
     if df.isStreaming:
         return df
-    mode = os.environ.get(_FANOUT_ENV, "auto")
-    if mode == "off":
+    target = _fanout_target(df)
+    if target is None:
         return df
-    spark = df.sparkSession
-    target = (
-        spark.sparkContext.defaultParallelism if mode == "auto" else int(mode)
-    )
-    if df.rdd.getNumPartitions() < target:
+    if scan_parallelism(df) < target:
         return df.repartition(target)
     return df
 

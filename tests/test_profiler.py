@@ -115,15 +115,25 @@ def test_profile_scan_count_plan(spark, sf_dir):
     assert plan.count("FileScan parquet") + plan.count("BatchScan") == 3
 
 
-def test_profile_hll_two_scans(spark, sf_dir):
+def test_profile_hll_two_scans(spark, sf_dir, monkeypatch):
     """distinct_mode='approx' folds the HLL sketch into the basic codegen
-    agg: exactly 2 source scans (basic+HLL, median) — one fewer pass than
-    the exact-distinct plan — and the distinct estimate stays within ±5%
-    of exact (rsd 2%, ~2.5σ)."""
+    agg when the scan is wide enough to occupy the cluster: exactly 2
+    source scans (basic+HLL, median) — one fewer pass than the
+    exact-distinct plan. On a narrow input (this fixture) the r14
+    concurrency split moves HLL to its own subtree: 3 scans that AQE
+    runs concurrently. The distinct estimate stays within ±5% of exact
+    (rsd 2%, ~2.5σ) either way."""
     li = load_table(spark, "lineitem", sf_dir)
     df = profiler.profile(li, distinct_mode="approx")
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 2
+    assert profiler._narrow_scan(li)  # the fixture cannot fill the cluster
+    assert plan.count("FileScan parquet") + plan.count("BatchScan") == 3
+    # wide-scan posture: the fewer-passes shape stands
+    monkeypatch.setattr(profiler, "_narrow_scan", lambda df: False)
+    wide = profiler.profile(li, distinct_mode="approx")
+    wplan = wide._jdf.queryExecution().executedPlan().toString()
+    assert wplan.count("FileScan parquet") + wplan.count("BatchScan") == 2
+    monkeypatch.undo()
     rows = {r.agg_type: r for r in df.collect()}
     exact = {
         r.agg_type: r
