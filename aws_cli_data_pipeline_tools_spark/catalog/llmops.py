@@ -38,6 +38,20 @@ FROM documents ORDER BY doc_id
 """,
     tags=("llmops", "text"),
 )
+def _localized_sorted(spark, rows, schema, *sort_cols) -> DataFrame:
+    """Rebuild a collected (small, driver-resident) result as a ONE-slice
+    frame sorted within that slice. The r13 pattern
+    ``createDataFrame(rows).orderBy(...)`` parallelized ≤80 rows into 32
+    Python-RDD slices and range-sorted them: a sampling job plus a
+    32-task exchange, ~0.6 s of pure latency per clustered entry (r14,
+    measured; the one-slice sortWithinPartitions form is ~0.19 s). With
+    one partition the within-partition sort IS the total order, and
+    every call site sorts on a key that is unique per row, so the output
+    rows and their order are identical."""
+    rdd = spark.sparkContext.parallelize(rows, 1)
+    return spark.createDataFrame(rdd, schema).sortWithinPartitions(*sort_cols)
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.token_stats(docs).select(
@@ -831,7 +845,7 @@ def ann_lsh_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     emb.unpersist()
-    return spark.createDataFrame(rows, out.schema).orderBy("query_id", "rank")
+    return _localized_sorted(spark, rows, out.schema, "query_id", "rank")
 
 
 # ann_ivf_topk_clustered is registered further down, after its oracle
@@ -1415,7 +1429,7 @@ def embedding_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cached lineage; the compare is row-order-insensitive.
     rows = prof.collect()
     labeled.release_cache()
-    return spark.createDataFrame(rows, prof.schema).orderBy("list_id")
+    return _localized_sorted(spark, rows, prof.schema, "list_id")
 
 
 def _duck_ivf_topk_sql(
@@ -1538,7 +1552,7 @@ def ann_ivf_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = out.collect()
     emb.unpersist()
-    return spark.createDataFrame(rows, out.schema).orderBy("query_id", "rank")
+    return _localized_sorted(spark, rows, out.schema, "query_id", "rank")
 
 
 def _be32(col):

@@ -625,36 +625,29 @@ def _portable_centroid_literals(
     - normalization: decimal squared-norm sum → double divisor.
 
     Physical shape (r14 optimization round — §2.4 stage-latency
-    amortization, VERDICT r13 task 2): ``1 + refine_iters`` driver
-    actions total, down from r13's ``2·refine_iters + 2``.
+    amortization, VERDICT r13 task 2): the seed TakeOrdered job ALSO
+    evaluates each seed vector's decimal squared-norm (the same
+    expression tree :func:`_centroid_norms` applies to literals,
+    elements cast to double first — exact widening), so the post-seed
+    ``_normalize_centroid_matrix`` local collect is gone; the driver
+    only divides. Each Lloyd iteration stays ONE distributed action —
+    scan → per-row literal-centroid argmax → posexplode → k·dim-group
+    decimal mean → collect(k·dim rows) — followed by the r13
+    OneRowRelation norm collect.
 
-    - Seed action: the TakeOrdered job ALSO evaluates each seed vector's
-      decimal squared-norm (the same expression tree
-      :func:`_centroid_norms` applies to literals, elements cast to
-      double first — exact widening), so the post-seed
-      ``_normalize_centroid_matrix`` local collect is gone; the driver
-      only divides.
-    - Iteration action: ONE distributed action per Lloyd iteration —
-      scan → per-row literal-centroid argmax → posexplode → k·dim-group
-      decimal mean → collect(k·dim rows) — now unioned with the
-      per-list distributed norm
-      ``sqrt(CAST(sum(CAST(m*m AS DECIMAL(38,10))) AS DOUBLE))`` over
-      those means. The norm branch hangs off the same (list, pos)
-      exchange (ReusedExchange — the corpus scan + argmax runs once),
-      so the post-iteration norm local collect is gone on the common
-      path. The distributed per-list norm equals the literal-side
-      (28,10) fold bit for bit (exact decimal addition of identical
-      10-dp-rounded addends — the :func:`_centroid_norms` argument). It
-      stands in for a list only when every position of that centroid
-      received a mean; if any list is empty or partially covered
-      (ragged vectors), the driver falls back to the legacy exact path
-      — :func:`_normalize_centroid_matrix` over the merged matrix — for
-      that iteration.
+    Two deeper folds were BUILT, MEASURED and REVERTED (r14):
 
-    Seeds are NOT folded into iteration 1's job (the VERDICT r13 sketch):
-    that would assign via a broadcast join + per-id aggregation, i.e. a
-    corpus-sized exchange — the wrong trade at warehouse scale, where
-    this shape's invariant is that the corpus never shuffles.
+    - Folding the iteration norms into the means action as a unioned
+      second aggregation branch (ReusedExchange shares the scan) saves
+      a ~0.15 s local collect but re-ANALYZES the k×dim-literal argmax
+      tree in both union branches — interleaved clean-window A/B read
+      ann_ivf_topk ~0.35 s WORSE (med 3.65 vs 3.28). Analyzer wall on
+      the big tree, not action count, is the binding cost.
+    - Folding seeds into iteration 1's job (the VERDICT r13 sketch)
+      would assign via a broadcast join + per-id aggregation, i.e. a
+      corpus-sized exchange — the wrong trade at warehouse scale, where
+      this shape's invariant is that the corpus never shuffles. Not
+      built.
 
     The pre-r13 long-form chain
     (assign via broadcast-join + per-id window, means via an xe⋈assign
@@ -731,7 +724,7 @@ def _portable_centroid_literals(
                 "list_id"
             ].alias("list_id"),
         )
-        means_df = (
+        mean_rows = (
             assigned.select("list_id", F.posexplode("__v").alias("pos", "xf"))
             .groupBy("list_id", "pos")
             .agg(
@@ -741,54 +734,14 @@ def _portable_centroid_literals(
                     / F.count("*")
                 ).alias("m")
             )
-        )
-        norms_df = means_df.groupBy("list_id").agg(
-            F.sqrt(
-                F.sum(
-                    (F.col("m") * F.col("m")).cast("decimal(38,10)")
-                ).cast("double")
-            ).alias("m")
-        )
-        rows = (
-            means_df.select(F.lit(0).alias("t"), "list_id", "pos", "m")
-            .unionAll(
-                norms_df.select(
-                    F.lit(1).alias("t"),
-                    "list_id",
-                    F.lit(-1).alias("pos"),
-                    "m",
-                )
-            )
             .collect()
         )
-        means = {
-            (r["list_id"], r["pos"]): r["m"] for r in rows if r["t"] == 0
-        }
-        dist_norms = {r["list_id"]: r["m"] for r in rows if r["t"] == 1}
+        means = {(r["list_id"], r["pos"]): r["m"] for r in mean_rows}
         merged = [
             [means.get((li, p), cents[li][p]) for p in range(len(cents[li]))]
             for li in range(len(cents))
         ]
-        pos_by_li: dict[int, set[int]] = {}
-        for li, p in means:
-            pos_by_li.setdefault(li, set()).add(p)
-        # the distributed norm sums over ALL mean positions of a list, so
-        # it stands in for _centroid_norms(merged) only when that set is
-        # EXACTLY {0..dim-1}: a missing position means a literal fallback
-        # element it didn't see, an extra position (ragged vectors longer
-        # than the centroid) means an addend merged[li] doesn't have
-        covered = [
-            pos_by_li.get(li, set()) == set(range(len(cents[li])))
-            for li in range(len(cents))
-        ]
-        if all(covered):
-            cents = _divide(
-                merged, [dist_norms[li] for li in range(len(cents))]
-            )
-        else:
-            # empty or partially-covered list (ragged vectors): legacy
-            # exact path — norms of the merged matrix incl. fallbacks
-            cents = _normalize_centroid_matrix(spark, merged)
+        cents = _normalize_centroid_matrix(spark, merged)
     return cents
 
 
