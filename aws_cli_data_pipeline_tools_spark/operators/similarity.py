@@ -1180,7 +1180,13 @@ def kmeans_clusters_portable(
     :func:`kmeans_clusters` (seeded init, Lloyd refinement, returns
     (id, list_id, cos_to_centroid)) but every arithmetic step follows
     the repo's cross-engine determinism discipline, so a DuckDB oracle
-    replays labels AND cosines exactly (VERDICT r11 task 4a):
+    replays labels AND cosines exactly (VERDICT r11 task 4a).
+
+    Raises ``ValueError`` on an empty or all-null-vector corpus (since
+    r13: the trainer needs at least one seed vector; earlier rounds
+    returned an empty frame here — the explicit raise replaces a
+    garbage-literal failure mode deeper in the trainer, documented per
+    ADVICE r13). Contract details:
 
     - seeding: the ``n_centroids`` rows with the smallest
       ``(portable_hash64(id), id)`` — md5-derived, both engines agree;

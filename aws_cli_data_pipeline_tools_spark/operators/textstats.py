@@ -545,15 +545,20 @@ def tfidf_top_terms(
 
     ``persist_tf``: the (doc, token, tf) aggregate feeds both the df
     aggregate and the scoring join. The scoring join uses a NULL-SAFE
-    key (r13 optimization round): the plain equi-join's injected
-    isnotnull(token) filter made the two tf subtrees structurally
-    different and defeated ReuseExchange, so the corpus was tokenized
-    twice; `<=>` injects nothing, the subtrees stay identical, and the
-    tf exchange is computed once and reused (plan shows ReusedExchange).
-    Result-identical: token comes from an explode of regexp matches
-    (never NULL) on both sides, so null-matching semantics are moot.
-    ``persist_tf`` remains for remote/expensive scans where even one
-    tokenize pass should be traded for cache IO.
+    key (r13 optimization round): the plain equi-join derived
+    isnotnull(token) Filters (InferFiltersFromConstraints) into both tf
+    subtrees — re-evaluating the tokenize+explode under extra Filter
+    nodes; `<=>` injects nothing, and removing those Filters is the
+    measured win (2 injected isnotnull occurrences in the r13 before-
+    plan, 0 after; entry 2.9 → 1.45 s). Static ReuseExchange still does
+    NOT fire across the two tf subtrees (the committed r13 after-plan
+    shows two full Scan+Generate+HashAggregate chains — reworded per
+    ADVICE r13; AQE may still reuse the materialized stage at runtime,
+    which the plan text cannot show). Result-identical: token comes
+    from an explode of regexp matches (never NULL) on both sides, so
+    null-matching semantics are moot. ``persist_tf`` remains for
+    remote/expensive scans where even one tokenize pass should be
+    traded for cache IO.
     """
     # no fan_out here: measured NEGATIVE at sf0.1 (tokenize+explode is
     # cheap relative to the extra exchange both tf consumers then pay)
