@@ -25,19 +25,6 @@ from . import register, register_sql
 _DUCK_WORDS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
 
-@register(
-    "text_token_stats",
-    oracle=f"""
-SELECT doc_id,
-       len({_DUCK_WORDS}) AS n_words,
-       len(regexp_extract_all(text, '{textstats.TOKEN_PATTERN}')) AS n_tokens,
-       length(text) AS n_chars_calc,
-       round(length(regexp_replace(text, '\\s+', '', 'g'))
-             / nullif(CAST(len({_DUCK_WORDS}) AS DOUBLE), 0.0), 6) AS avg_word_len
-FROM documents ORDER BY doc_id
-""",
-    tags=("llmops", "text"),
-)
 def _localized_sorted(spark, rows, schema, *sort_cols) -> DataFrame:
     """Rebuild a collected (small, driver-resident) result as a ONE-slice
     frame sorted within that slice. The r13 pattern
@@ -52,6 +39,19 @@ def _localized_sorted(spark, rows, schema, *sort_cols) -> DataFrame:
     return spark.createDataFrame(rdd, schema).sortWithinPartitions(*sort_cols)
 
 
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_WORDS}) AS n_words,
+       len(regexp_extract_all(text, '{textstats.TOKEN_PATTERN}')) AS n_tokens,
+       length(text) AS n_chars_calc,
+       round(length(regexp_replace(text, '\\s+', '', 'g'))
+             / nullif(CAST(len({_DUCK_WORDS}) AS DOUBLE), 0.0), 6) AS avg_word_len
+FROM documents ORDER BY doc_id
+""",
+    tags=("llmops", "text"),
+)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return textstats.token_stats(docs).select(
