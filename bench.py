@@ -258,6 +258,44 @@ def _probe_divergent(
 RERUN_DIVERGENCE = 1.3
 MAX_SUITE_ATTEMPTS = 3
 
+#: Per-attempt hypervisor-steal percentage above which an elevated
+#: end-of-attempt load average counts as EXTERNAL contention (see the
+#: r14 contended refinement at the attempt loop). 0.5% matches the
+#: VERDICT r13 clean-window criterion; every adjudicated r13 steal storm
+#: read 1.5-9%.
+CONTENTION_STEAL_PCT = 0.5
+
+
+def _attempt_contended(
+    load_start: float,
+    load_end: float,
+    steal_pct: float | None,
+    cpu_probe: float | None,
+    cpu_probe_end: float | None,
+    mt_probe: float | None = None,
+    mt_probe_end: float | None = None,
+) -> bool:
+    """Contention label for one suite attempt (refined r14, disclosed in
+    OPTIMIZATION_r14.md): the old rule
+    ``max(load_start, load_end) > RETRY_LOAD`` conflated the suite's OWN
+    32-way execution with external pressure — the r14-optimized suite
+    runs wide enough that every honest full-throughput pass pushed the
+    1-minute end-load past RETRY_LOAD and self-flagged (one run at steal
+    0.13%, flat probe pairs, band_ratio 0.72 was flagged purely by its
+    own load). End-load now counts only when an EXTERNAL-interference
+    signal corroborates it — per-attempt steal, or either probe pair
+    diverging (the signals that actually moved in every adjudicated r13
+    storm); start-load (read idle-gated, before the attempt spawns any
+    work) still flags unconditionally. Timings and the timed region are
+    untouched; this only changes the label and therefore when attempts
+    re-run."""
+    external = (
+        (steal_pct is not None and steal_pct > CONTENTION_STEAL_PCT)
+        or _probe_divergent(cpu_probe, cpu_probe_end, RERUN_DIVERGENCE)
+        or _probe_divergent(mt_probe, mt_probe_end, RERUN_DIVERGENCE)
+    )
+    return load_start > RETRY_LOAD or (load_end > RETRY_LOAD and external)
+
 
 #: Whole-pass cost gate vs recorded history (r14, VERDICT r13 task 1):
 #: the r13 artifact BENCH_FINAL_STABLEFLAG passed EVERY stability gate
@@ -599,6 +637,7 @@ def main() -> None:
         # (VERDICT r5 adjudicated two contention-only "regressions" by
         # hand)
         load_start = round(os.getloadavg()[0], 2)
+        att_steal0 = _steal_snapshot()
         timings = {}
         for name in runners:
             timings[name] = timed_run(name)
@@ -609,7 +648,16 @@ def main() -> None:
         # (b) is the fresher scale for the retry thresholds below
         cpu_probe_end = _cpu_probe()
         mt_probe_end = _mt_probe()
-        contended = max(load_start, os.getloadavg()[0]) > RETRY_LOAD
+        att_steal = _steal_pct(att_steal0, _steal_snapshot())
+        contended = _attempt_contended(  # r14 refinement — see its doc
+            load_start,
+            os.getloadavg()[0],
+            att_steal,
+            cpu_probe,
+            cpu_probe_end,
+            mt_probe,
+            mt_probe_end,
+        )
         band_ratio = _band_ratio(timings, bands, cpu_probe_end)
         attempts.append(
             {
@@ -622,6 +670,7 @@ def main() -> None:
                 "load_start": load_start,
                 "contended": contended,
                 "band_ratio": band_ratio,
+                "steal_pct": att_steal,
                 "unstable": _suite_attempt_unstable(
                     cpu_probe,
                     cpu_probe_end,

@@ -99,6 +99,38 @@ def test_mt_probe_runs_and_headline_carries_new_scalars():
     assert rec2["band_ratio"] == -1.0
 
 
+def test_attempt_contended_needs_external_evidence_for_end_load():
+    """r14 refinement: the suite's own 32-way execution raises the
+    1-minute end-load past RETRY_LOAD on every honest full-throughput
+    pass — end-load alone must NOT flag contention; external evidence
+    (steal, probe divergence) must corroborate. Idle-gated start-load
+    still flags unconditionally."""
+    clean = dict(
+        steal_pct=0.13, cpu_probe=0.0146, cpu_probe_end=0.0152,
+        mt_probe=0.059, mt_probe_end=0.059,
+    )
+    # self-load only (the observed false positive): NOT contended
+    assert not bench._attempt_contended(1.98, 5.74, **clean)
+    # same end-load but steal corroborates: contended
+    assert bench._attempt_contended(
+        1.98, 5.74, 2.26, 0.0146, 0.0152, 0.059, 0.059
+    )
+    # same end-load but a probe pair diverges: contended
+    assert bench._attempt_contended(
+        1.98, 5.74, 0.13, 0.016, 0.016 * (bench.RERUN_DIVERGENCE + 0.05),
+        0.059, 0.059,
+    )
+    # external load already present at (idle-gated) start: contended
+    assert bench._attempt_contended(bench.RETRY_LOAD + 0.1, 1.0, **clean)
+    # quiet box end to end: not contended
+    assert not bench._attempt_contended(0.3, 2.0, **clean)
+    # unknown steal (no /proc/stat) + elevated end-load + flat probes:
+    # not contended — the probe pairs are the remaining arbiter
+    assert not bench._attempt_contended(
+        1.0, 6.0, None, 0.0146, 0.0152, 0.059, 0.059
+    )
+
+
 def _r13_trainer_replica(spark, corpus, id_col, vec_col, k, iters):
     """Inline replica of the r13 trainer shape (seed collect →
     _normalize_centroid_matrix → per-iter means collect →
